@@ -1,0 +1,642 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Profiles, Scoring, TimeFeatures, Validate, Windows}
+import graft.functions.VectorOps
+
+/** The declared operator inventory (SURVEY.md §2): every entry pairs a
+  * Spark implementation with (when SQL-expressible) the ANSI SQL the
+  * driver runs in DuckDB over the SAME parquet files. Column names,
+  * row order, float rounding (6 dp) and arithmetic shape are kept
+  * identical on both sides so the driver's sort-columns-then-hash
+  * compare is stable (SURVEY §5.2).
+  *
+  * Scale posture: every query is a declarative single plan — aggregates
+  * are partial+final hash aggs, profile joins broadcast the small
+  * aggregated side, top-k is TakeOrderedAndProject, and no query
+  * collects to the driver. See Scaladoc per query for the 100 TB note.
+  */
+object Queries {
+
+  final case class Q(
+      name: String,
+      run: (SparkSession, String) => DataFrame,
+      oracle: Option[String])
+
+  /** Fixed literal "now" = max(ts) of the table, attached via a
+    * broadcast 1-row cross join (never `current_timestamp()`, never a
+    * driver-side collect) — deterministic across engines and scales. */
+  private def withNow(df: DataFrame, tsCol: String): DataFrame =
+    df.crossJoin(broadcast(df.agg(max(col(tsCol)).as("__now"))))
+
+  // ---- shared scoring fragments over `events` (FIXTURES.md §B1 mapping:
+  // transaction_id=event_id, customer_id=user_id, amount=value,
+  // channel=event_type, location≙props.k) -------------------------------
+
+  private val cfg = Pipelines.EventScoringConfig()
+
+  private def evRules: (Column, Column, Column) = (
+    Scoring.ruleLargeAmount(col("value"), cfg.largeAmount),
+    when(lower(col("event_type")) === cfg.suspiciousChannel &&
+           get_json_object(col("props"), "$.k").cast("int") > cfg.propsKeyThreshold,
+         lit(Scoring.RuleLocationWeight)).otherwise(lit(0.0)),
+    Scoring.ruleOddHour(hour(col("ts")), cfg.oddHourCutoff))
+
+  private val sqlRules =
+    """CASE WHEN value > 100.0 THEN 0.6 ELSE 0.0 END
+      | + CASE WHEN lower(event_type) = 'purchase' AND CAST(json_extract_string(props, '$.k') AS INT) > 80 THEN 0.3 ELSE 0.0 END
+      | + CASE WHEN hour(ts) < 5 THEN 0.2 ELSE 0.0 END""".stripMargin.replace("\n", "")
+
+  // =====================================================================
+  // §2.4 Aggregations
+  // =====================================================================
+
+  /** 90-day customer profile agg (`api/app.py:123-128`). Shuffle carries
+    * one row per customer (map-side partial agg); the 90-day filter is
+    * pushed to the parquet scan. At 100 TB: date-partitioned layout makes
+    * the window filter a partition-pruning predicate. */
+  private val qAggCustomerProfile = Q(
+    "q_agg_customer_profile",
+    (s, d) => {
+      val o = withNow(Tables.orders(s, d), "o_orderdate")
+      o.filter(col("o_orderdate") >= col("__now") - expr("INTERVAL 90 DAYS"))
+        .groupBy(col("o_custkey"))
+        .agg(round(avg("o_totalprice"), 6).as("cust_avg_amount"),
+             count(lit(1)).as("cust_txn_count"))
+        .select(col("o_custkey").as("customer_id"), col("cust_avg_amount"),
+                col("cust_txn_count"))
+        .orderBy("customer_id")
+    },
+    Some("""SELECT o_custkey AS customer_id,
+           | round(avg(o_totalprice), 6) AS cust_avg_amount,
+           | count(*) AS cust_txn_count
+           |FROM orders
+           |WHERE o_orderdate >= (SELECT max(o_orderdate) FROM orders) - INTERVAL 90 DAY
+           |GROUP BY o_custkey ORDER BY customer_id""".stripMargin))
+
+  /** Profile + tx/day frequency (`python_scoring/app.py:121-125`). */
+  private val qAggCustomerFreq = Q(
+    "q_agg_customer_freq",
+    (s, d) => {
+      val o = withNow(Tables.orders(s, d), "o_orderdate")
+      o.filter(col("o_orderdate") >= col("__now") - expr("INTERVAL 90 DAYS"))
+        .groupBy(col("o_custkey"))
+        .agg(round(avg("o_totalprice"), 6).as("cust_avg_amount"),
+             count(lit(1)).as("cust_txn_count"),
+             round(count(lit(1)) / lit(90.0), 6).as("cust_freq"))
+        .select(col("o_custkey").as("customer_id"), col("cust_avg_amount"),
+                col("cust_txn_count"), col("cust_freq"))
+        .orderBy("customer_id")
+    },
+    Some("""SELECT o_custkey AS customer_id,
+           | round(avg(o_totalprice), 6) AS cust_avg_amount,
+           | count(*) AS cust_txn_count,
+           | round(count(*) / 90.0, 6) AS cust_freq
+           |FROM orders
+           |WHERE o_orderdate >= (SELECT max(o_orderdate) FROM orders) - INTERVAL 90 DAY
+           |GROUP BY o_custkey ORDER BY customer_id""".stripMargin))
+
+  /** Merchant profile agg (`api/app.py:132-137`) on lineitem/supplier. */
+  private val qAggMerchantProfile = Q(
+    "q_agg_merchant_profile",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_suppkey"))
+        .agg(round(avg("l_extendedprice"), 6).as("merch_avg_amount"))
+        .select(col("l_suppkey").as("merchant_id"), col("merch_avg_amount"))
+        .orderBy("merchant_id"),
+    Some("""SELECT l_suppkey AS merchant_id,
+           | round(avg(l_extendedprice), 6) AS merch_avg_amount
+           |FROM lineitem GROUP BY l_suppkey ORDER BY merchant_id""".stripMargin))
+
+  // =====================================================================
+  // §2.2 Projections / filters
+  // =====================================================================
+
+  /** Validity filter (`train.py:39,60`, `api/app.py:49-53`,
+    * `python_scoring/app.py:69-79`). Predicate is codegen'd and pushed
+    * toward the scan (null/>=0 parts reach parquet). */
+  private val qFilterValid = Q(
+    "q_filter_valid",
+    (s, d) =>
+      Validate.filterValid(Tables.events(s, d), "ts", "value", "event_id")
+        .select("event_id", "user_id", "event_type", "value")
+        .orderBy("event_id"),
+    Some("""SELECT event_id, user_id, event_type, value FROM events
+           |WHERE ts IS NOT NULL AND value IS NOT NULL AND value >= 0
+           | AND regexp_matches(CAST(event_id AS VARCHAR), '^[0-9]+$')
+           |ORDER BY event_id""".stripMargin))
+
+  /** Model-input projection (`train.py:56-62`): column pruning reaches
+    * the parquet ReadSchema — only these columns are read. */
+  private val qProjectFeatures = Q(
+    "q_project_features",
+    (s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey").as("transaction_id"),
+                col("o_custkey").as("customer_id"),
+                col("o_totalprice").as("amount"),
+                col("o_orderpriority").as("channel"))
+        .orderBy("transaction_id"),
+    Some("""SELECT o_orderkey AS transaction_id, o_custkey AS customer_id,
+           | o_totalprice AS amount, o_orderpriority AS channel
+           |FROM orders ORDER BY transaction_id""".stripMargin))
+
+  /** Missing-value defaults (`train.py:49-53`, `api/app.py:163-164`):
+    * absent JSON key → 0.0, empty categorical → sentinel. */
+  private val qFillnaZero = Q(
+    "q_fillna_zero",
+    (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+                coalesce(get_json_object(col("props"), "$.m").cast("double"),
+                         lit(0.0)).as("m_filled"),
+                coalesce(nullif(col("event_type"), lit("")), lit("unknown"))
+                  .as("channel_filled"))
+        .orderBy("event_id"),
+    Some("""SELECT event_id,
+           | coalesce(CAST(json_extract_string(props, '$.m') AS DOUBLE), 0.0) AS m_filled,
+           | coalesce(nullif(event_type, ''), 'unknown') AS channel_filled
+           |FROM events ORDER BY event_id""".stripMargin))
+
+  /** Error-channel split (`api/app.py:262-263`): invalid rows become
+    * `{transaction_id, error}` stubs; the batch never throws per-row.
+    * (The driver testdata is clean, so both sides yield the same empty
+    * set — the unit tests exercise the non-empty path.) */
+  private val qValidateErrors = Q(
+    "q_validate_errors",
+    (s, d) => {
+      val (_, errors) = Validate.splitValid(Tables.events(s, d), "ts", "value", "event_id")
+      errors.orderBy("transaction_id")
+    },
+    Some("""SELECT CAST(event_id AS VARCHAR) AS transaction_id,
+           | CASE WHEN ts IS NULL THEN 'missing timestamp'
+           |      WHEN value IS NULL THEN 'missing amount'
+           |      WHEN value < 0 THEN 'negative amount'
+           |      ELSE 'non-numeric id' END AS error
+           |FROM events
+           |WHERE NOT (ts IS NOT NULL AND value IS NOT NULL AND value >= 0
+           |           AND regexp_matches(CAST(event_id AS VARCHAR), '^[0-9]+$'))
+           |ORDER BY transaction_id""".stripMargin))
+
+  // =====================================================================
+  // §2.6 Scalar functions
+  // =====================================================================
+
+  /** Calendar features (`train.py:38-43`) — NB pandas dayofweek
+    * (Monday=0) ≡ Spark `weekday` ≡ DuckDB `isodow - 1` (SURVEY §2.6). */
+  private val qTimeFeatures = Q(
+    "q_time_features",
+    (s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey").as("transaction_id"),
+                TimeFeatures.yearCol(col("o_orderdate")).as("year"),
+                TimeFeatures.monthCol(col("o_orderdate")).as("month"),
+                TimeFeatures.dayOfWeekCol(col("o_orderdate")).as("day_of_week"),
+                TimeFeatures.hourCol(col("o_orderdate")).as("hour"))
+        .orderBy("transaction_id"),
+    Some("""SELECT o_orderkey AS transaction_id,
+           | CAST(year(o_orderdate) AS INT) AS year,
+           | CAST(month(o_orderdate) AS INT) AS month,
+           | CAST(isodow(o_orderdate) - 1 AS INT) AS day_of_week,
+           | CAST(hour(o_orderdate) AS INT) AS hour
+           |FROM orders ORDER BY transaction_id""".stripMargin))
+
+  /** Rule evaluation (`api/app.py:167-179`) with the flag list collected
+    * as a comma-joined string. Pure `Column` arithmetic — constant-folded
+    * weights, single codegen span. */
+  private val qRuleScore = Q(
+    "q_rule_score",
+    (s, d) => {
+      val (r1, r2, r3) = evRules
+      Tables.events(s, d)
+        .select(col("event_id"),
+                round(Scoring.ruleScore(r1, r2, r3), 6).as("rule_score"),
+                Scoring.ruleFlags(
+                  (r1 > 0.0) -> "large_amount",
+                  (r2 > 0.0) -> "suspicious_channel",
+                  (r3 > 0.0) -> "odd_hour").as("flags"))
+        .orderBy("event_id")
+    },
+    Some(s"""SELECT event_id,
+            | round(least($sqlRules, 1.0), 6) AS rule_score,
+            | concat_ws(',',
+            |   CASE WHEN value > 100.0 THEN 'large_amount' END,
+            |   CASE WHEN lower(event_type) = 'purchase' AND CAST(json_extract_string(props, '$$.k') AS INT) > 80 THEN 'suspicious_channel' END,
+            |   CASE WHEN hour(ts) < 5 THEN 'odd_hour' END) AS flags
+            |FROM events ORDER BY event_id""".stripMargin))
+
+  /** Deviation from customer mean (`api/app.py:243`): profile agg +
+    * broadcast join + pure expression. */
+  private val qDeviation = Q(
+    "q_deviation",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val prof = ev.groupBy("user_id").agg(avg("value").as("cust_avg"))
+      Profiles.joinProfiles(ev, prof, "user_id")
+        .select(col("event_id"),
+                round(Scoring.deviation(col("value"), col("cust_avg")), 6)
+                  .as("deviation_score"))
+        .orderBy("event_id")
+    },
+    Some("""WITH prof AS (SELECT user_id, avg(value) AS cust_avg FROM events GROUP BY user_id)
+           |SELECT e.event_id,
+           | round(CASE WHEN p.cust_avg > 0 THEN (e.value - p.cust_avg) / (p.cust_avg + 1e-9) ELSE 0.0 END, 6) AS deviation_score
+           |FROM events e LEFT JOIN prof p USING (user_id)
+           |ORDER BY e.event_id""".stripMargin))
+
+  /** Inverse-sigmoid normalization (`python_scoring/app.py:189-192`),
+    * center=-0.1 scale=0.1, over a shifted amount. */
+  private val qInvSigmoid = Q(
+    "q_inv_sigmoid",
+    (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+                round(Scoring.invSigmoid((col("value") - lit(50.0)) / lit(100.0)), 6)
+                  .as("norm_score"))
+        .orderBy("event_id"),
+    Some("""SELECT event_id,
+           | round(1.0 / (1.0 + exp((((value - 50.0) / 100.0) - (-0.1)) / 0.1)), 6) AS norm_score
+           |FROM events ORDER BY event_id""".stripMargin))
+
+  /** AE-score normalization clip(x/(t+1e-9),0,1) (`python_scoring/
+    * app.py:193`), threshold = P97.5 computed as a 1-row broadcast agg. */
+  private val qNormAe = Q(
+    "q_norm_ae",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val thr = ev.agg(expr("percentile(value, 0.975)").as("__thr"))
+      ev.crossJoin(broadcast(thr))
+        .select(col("event_id"),
+                round(Scoring.normAe(col("value"), col("__thr")), 6).as("norm_ae"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id,
+           | round(least(greatest(value / ((SELECT quantile_cont(value, 0.975) FROM events) + 1e-9), 0.0), 1.0), 6) AS norm_ae
+           |FROM events ORDER BY event_id""".stripMargin))
+
+  /** Risk labeling (`api/app.py:188-193`) on the worker-variant fusion
+    * (`python_scoring/app.py:188-196`, models=0 → 0.45·rule). */
+  private val qFuseWorker = Q(
+    "q_fuse_worker",
+    (s, d) => Pipelines.scoreEventsWorker(s, d),
+    Some(s"""SELECT event_id,
+            | round(least($sqlRules, 1.0), 6) AS rule_score,
+            | round(0.4 * 0.0 + 0.3 * 0.0 + 0.3 * 0.0 + 0.45 * least($sqlRules, 1.0), 6) AS aggregated_score,
+            | CASE WHEN 0.4 * 0.0 + 0.3 * 0.0 + 0.3 * 0.0 + 0.45 * least($sqlRules, 1.0) >= 0.7 THEN 'High'
+            |      WHEN 0.4 * 0.0 + 0.3 * 0.0 + 0.3 * 0.0 + 0.45 * least($sqlRules, 1.0) >= 0.4 THEN 'Medium'
+            |      ELSE 'Low' END AS risk_level
+            |FROM events ORDER BY event_id""".stripMargin))
+
+  // =====================================================================
+  // Flagship: full gateway scoring path (§7.1) — entry()
+  // =====================================================================
+
+  private val flagshipOracle: String = {
+    val rule = s"least($sqlRules, 1.0)"
+    val dev = "CASE WHEN p.cust_avg > 0 THEN (e.value - p.cust_avg) / (p.cust_avg + 1e-9) ELSE 0.0 END"
+    val base = s"0.45 * $rule + 0.4 * (0.4 * 0.0 + 0.3 * 0.0 + 0.3 * 0.0) + 0.15 * least(greatest(($dev) / 2.0, 0.0), 1.0)"
+    val over = s"CASE WHEN $rule >= 0.6 AND ($base) < 0.4 THEN 0.5 ELSE $base END"
+    val agg = s"CASE WHEN e.value >= 250.0 THEN greatest($over, 0.85) ELSE $over END"
+    s"""WITH prof AS (SELECT user_id, avg(value) AS cust_avg FROM events GROUP BY user_id)
+       |SELECT e.event_id,
+       | round($rule, 6) AS rule_score,
+       | round($dev, 6) AS deviation_score,
+       | round($agg, 6) AS aggregated_score,
+       | CASE WHEN ($agg) >= 0.7 THEN 'High' WHEN ($agg) >= 0.4 THEN 'Medium' ELSE 'Low' END AS risk_level
+       |FROM events e LEFT JOIN prof p USING (user_id)
+       |ORDER BY e.event_id""".stripMargin
+  }
+
+  /** The reference's entire non-ML scoring path as ONE declarative plan
+    * (SURVEY §3.2 rewrite): profile agg (1 shuffle) → broadcast join →
+    * rules/deviation/fusion/risk in a single codegen span. */
+  private val qFlagship = Q(
+    "q_flagship_score",
+    (s, d) => Pipelines.scoreEvents(s, d),
+    Some(flagshipOracle))
+
+  // =====================================================================
+  // §2.5 Window functions
+  // =====================================================================
+
+  /** pandas groupby-transform('mean') (`train.py:47-53`): unbounded
+    * window — one shuffle on the key, no sort needed. */
+  private val qWinCustAvg = Q(
+    "q_win_cust_avg",
+    (s, d) =>
+      Windows.withGroupMean(Tables.orders(s, d), "o_custkey", "o_totalprice", "cust_avg_amount")
+        .select(col("o_orderkey").as("transaction_id"),
+                col("o_custkey").as("customer_id"),
+                round(col("cust_avg_amount"), 6).as("cust_avg_amount"))
+        .orderBy("transaction_id"),
+    Some("""SELECT o_orderkey AS transaction_id, o_custkey AS customer_id,
+           | round(avg(o_totalprice) OVER (PARTITION BY o_custkey), 6) AS cust_avg_amount
+           |FROM orders ORDER BY transaction_id""".stripMargin))
+
+  private val qWinCustCount = Q(
+    "q_win_cust_count",
+    (s, d) =>
+      Windows.withGroupCount(Tables.orders(s, d), "o_custkey", "cust_txn_count")
+        .select(col("o_orderkey").as("transaction_id"),
+                col("o_custkey").as("customer_id"), col("cust_txn_count"))
+        .orderBy("transaction_id"),
+    Some("""SELECT o_orderkey AS transaction_id, o_custkey AS customer_id,
+           | count(*) OVER (PARTITION BY o_custkey) AS cust_txn_count
+           |FROM orders ORDER BY transaction_id""".stripMargin))
+
+  private val qWinMerchAvg = Q(
+    "q_win_merch_avg",
+    (s, d) =>
+      Windows.withGroupMean(Tables.lineitem(s, d), "l_suppkey", "l_extendedprice", "merch_avg_amount")
+        .select(col("l_orderkey"), col("l_linenumber"),
+                col("l_suppkey").as("merchant_id"),
+                round(col("merch_avg_amount"), 6).as("merch_avg_amount"))
+        // (l_orderkey, l_linenumber) is NOT unique in the testdata —
+        // order by every output column so ties are engine-stable.
+        .orderBy("l_orderkey", "l_linenumber", "merchant_id"),
+    Some("""SELECT l_orderkey, l_linenumber, l_suppkey AS merchant_id,
+           | round(avg(l_extendedprice) OVER (PARTITION BY l_suppkey), 6) AS merch_avg_amount
+           |FROM lineitem ORDER BY l_orderkey, l_linenumber, merchant_id""".stripMargin))
+
+  /** Latest-per-key dedup (SURVEY §2.5 q_win_dedup): row_number over
+    * (key, ts desc, tiebreak desc) = 1. One shuffle + per-partition sort;
+    * at scale the same partitioning serves any later key-join. */
+  private val qWinDedup = Q(
+    "q_win_dedup",
+    (s, d) => {
+      // (ts, linenumber) ties exist in the testdata → extend the window
+      // ordering to cover every output column, making the picked row's
+      // visible tuple the lexicographic max — engine-stable even when
+      // row_number's choice among full ties is not.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_shipdate").desc, col("l_linenumber").desc,
+                 col("l_suppkey").desc, col("l_extendedprice").desc)
+      Tables.lineitem(s, d)
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"),
+                col("l_suppkey"), col("l_extendedprice"))
+        .orderBy("l_orderkey")
+    },
+    Some("""SELECT l_orderkey, l_linenumber, l_shipdate, l_suppkey, l_extendedprice FROM (
+           | SELECT l_orderkey, l_linenumber, l_shipdate, l_suppkey, l_extendedprice,
+           |  row_number() OVER (PARTITION BY l_orderkey ORDER BY l_shipdate DESC, l_linenumber DESC, l_suppkey DESC, l_extendedprice DESC) AS rn
+           | FROM lineitem) WHERE rn = 1 ORDER BY l_orderkey""".stripMargin))
+
+  // =====================================================================
+  // §2.7 Top-k
+  // =====================================================================
+
+  /** `ORDER BY score DESC LIMIT k` → TakeOrderedAndProject (k per
+    * partition, merged on the driver — no full sort at any scale).
+    * Ordered on the ROUNDED score + unique id so the cutoff is
+    * engine-stable. */
+  private val qTopkRisky = Q(
+    "q_topk_risky",
+    (s, d) =>
+      Pipelines.scoreEvents(s, d)
+        .orderBy(col("aggregated_score").desc, col("event_id").asc)
+        .limit(100),
+    Some(s"""SELECT * FROM ($flagshipOracle) ORDER BY aggregated_score DESC, event_id ASC LIMIT 100"""))
+
+  // =====================================================================
+  // §2.4 q_rowwise_mse + q_ae_threshold (array math, no UDFs)
+  // =====================================================================
+
+  /** Per-row reconstruction MSE (`model_wrapper.py:44-49`) via
+    * zip_with/aggregate — fully codegen'd, no UDF. Reconstruction stand-in
+    * is the reversed vector (deterministic, non-trivial). */
+  private val qRowwiseMse = Q(
+    "q_rowwise_mse",
+    (s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id"),
+                round(VectorOps.rowwiseMse(col("embedding"), reverse(col("embedding"))), 6)
+                  .as("mse"))
+        .orderBy("vec_id"),
+    Some("""SELECT vec_id,
+           | round(list_sum(list_transform(list_zip(embedding, list_reverse(embedding)),
+           |   p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))
+           |  / CAST(len(embedding) AS DOUBLE), 6) AS mse
+           |FROM embeddings ORDER BY vec_id""".stripMargin))
+
+  /** P97.5 anomaly threshold (`train.py:86-88`) — exact percentile
+    * (matches DuckDB quantile_cont's linear interpolation). */
+  private val qAeThreshold = Q(
+    "q_ae_threshold",
+    (s, d) =>
+      Tables.embeddings(s, d)
+        .select(VectorOps.rowwiseMse(col("embedding"), reverse(col("embedding"))).as("mse"))
+        .agg(round(expr("percentile(mse, 0.975)"), 6).as("ae_threshold")),
+    Some("""SELECT round(quantile_cont(mse, 0.975), 6) AS ae_threshold FROM (
+           | SELECT list_sum(list_transform(list_zip(embedding, list_reverse(embedding)),
+           |   p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))
+           |  / CAST(len(embedding) AS DOUBLE) AS mse FROM embeddings)""".stripMargin))
+
+  // =====================================================================
+  // §7.4 LLM-data-pipeline operators — text analysis (documents table)
+  // =====================================================================
+
+  /** Quality-scoring text stats (north-star text analysis): char count,
+    * whitespace token count, punctuation & stopword ratios. All
+    * codegen'd regexp/string expressions — no UDFs, scan-parallel,
+    * no shuffle at all. */
+  private val qTextStats = Q(
+    "q_text_stats",
+    (s, d) => {
+      val t = col("text")
+      val nTokens = size(split(trim(t), "\\s+"))
+      Tables.documents(s, d).select(
+          col("doc_id"),
+          length(t).as("n_chars"),
+          nTokens.as("n_tokens"),
+          round(regexp_count(t, lit("[.,!?;:]")).cast("double") /
+                  greatest(length(t), lit(1)).cast("double"), 6).as("punct_ratio"),
+          round(regexp_count(t, lit("\\b(the|a|an|of|to|and|in|is|for|on|with)\\b"))
+                  .cast("double") / nTokens.cast("double"), 6).as("stopword_ratio"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+           | CAST(length(text) AS INT) AS n_chars,
+           | CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens,
+           | round(CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+           |   / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS punct_ratio,
+           | round(CAST(len(regexp_extract_all(text, '\b(the|a|an|of|to|and|in|is|for|on|with)\b')) AS DOUBLE)
+           |   / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 6) AS stopword_ratio
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
+  /** N-gram-heuristic language ID: per-language marker-stopword hit
+    * counts, argmax with a fixed tie-break chain (en > de > fr > es). */
+  private val qLangId = Q(
+    "q_lang_id",
+    (s, d) => {
+      val t = col("text")
+      val en = regexp_count(t, lit("\\b(the|and|of|is|to)\\b"))
+      val de = regexp_count(t, lit("\\b(der|die|und|ist|das)\\b"))
+      val fr = regexp_count(t, lit("\\b(le|la|et|est|les)\\b"))
+      val es = regexp_count(t, lit("\\b(el|los|y|es|las)\\b"))
+      Tables.documents(s, d).select(
+          col("doc_id"), col("lang"),
+          en.cast("int").as("en_hits"), de.cast("int").as("de_hits"),
+          fr.cast("int").as("fr_hits"), es.cast("int").as("es_hits"),
+          when(en >= de && en >= fr && en >= es, "en")
+            .when(de >= fr && de >= es, "de")
+            .when(fr >= es, "fr").otherwise("es").as("predicted_lang"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, lang,
+           | CAST(len(regexp_extract_all(text, '\b(the|and|of|is|to)\b')) AS INT) AS en_hits,
+           | CAST(len(regexp_extract_all(text, '\b(der|die|und|ist|das)\b')) AS INT) AS de_hits,
+           | CAST(len(regexp_extract_all(text, '\b(le|la|et|est|les)\b')) AS INT) AS fr_hits,
+           | CAST(len(regexp_extract_all(text, '\b(el|los|y|es|las)\b')) AS INT) AS es_hits,
+           | CASE WHEN len(regexp_extract_all(text, '\b(the|and|of|is|to)\b')) >= len(regexp_extract_all(text, '\b(der|die|und|ist|das)\b'))
+           |       AND len(regexp_extract_all(text, '\b(the|and|of|is|to)\b')) >= len(regexp_extract_all(text, '\b(le|la|et|est|les)\b'))
+           |       AND len(regexp_extract_all(text, '\b(the|and|of|is|to)\b')) >= len(regexp_extract_all(text, '\b(el|los|y|es|las)\b')) THEN 'en'
+           |      WHEN len(regexp_extract_all(text, '\b(der|die|und|ist|das)\b')) >= len(regexp_extract_all(text, '\b(le|la|et|est|les)\b'))
+           |       AND len(regexp_extract_all(text, '\b(der|die|und|ist|das)\b')) >= len(regexp_extract_all(text, '\b(el|los|y|es|las)\b')) THEN 'de'
+           |      WHEN len(regexp_extract_all(text, '\b(le|la|et|est|les)\b')) >= len(regexp_extract_all(text, '\b(el|los|y|es|las)\b')) THEN 'fr'
+           |      ELSE 'es' END AS predicted_lang
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
+  /** Token counting: whitespace tokens + a BPE-ish lexer regex
+    * (letter runs | digit runs | single punctuation). */
+  private val qTokenCount = Q(
+    "q_token_count",
+    (s, d) => {
+      val t = col("text")
+      Tables.documents(s, d).select(
+          col("doc_id"),
+          size(split(trim(t), "\\s+")).as("ws_tokens"),
+          regexp_count(t, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]")).cast("int")
+            .as("bpe_tokens"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+           | CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS ws_tokens,
+           | CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INT) AS bpe_tokens
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
+  /** Document fingerprinting: content hash + length. md5 is identical
+    * across engines; used as the exact-dedup key. */
+  private val qFingerprint = Q(
+    "q_fingerprint",
+    (s, d) =>
+      Tables.documents(s, d).select(
+          col("doc_id"), md5(col("text").cast("binary")).as("fp"),
+          length(col("text")).as("n_chars"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id, md5(text) AS fp, CAST(length(text) AS INT) AS n_chars
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
+  /** Exact dedup (north-star): hash-groupBy on content, keep min id.
+    * One shuffle keyed on the 128-bit digest — at 100 TB the digest
+    * (not the document body) is the shuffle key, and the keeper-id agg
+    * is map-side combined. */
+  private val qDedupExact = Q(
+    "q_dedup_exact",
+    (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(md5(col("text").cast("binary")).as("fp"))
+        .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("n_copies"))
+        .orderBy("keeper_id"),
+    Some("""SELECT md5(text) AS fp, min(doc_id) AS keeper_id, count(*) AS n_copies
+           |FROM documents GROUP BY md5(text) ORDER BY keeper_id""".stripMargin))
+
+  /** N-gram (3-word-shingle) Jaccard near-dup pairs via inverted-index
+    * self-join — the scalable shape (shuffle on shingle, then on pair),
+    * NEVER an O(n²) crossJoin. Shingle sets are distinct per doc. */
+  private val qNgramJaccard = Q(
+    "q_ngram_jaccard",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+        .filter(size(col("w")) >= 3)
+      val sh = docs.select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")))
+          .as("shingle"))
+      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = sh.as("a").join(sh.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("i"))
+      val jac = round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 6)
+      inter
+        .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+        .join(cnt.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
+        .filter(col("jaccard") >= 0.1)
+        .orderBy("doc_a", "doc_b")
+    },
+    Some("""WITH sh AS (
+           | SELECT doc_id, unnest(list_distinct(list_transform(
+           |   generate_series(1, len(regexp_split_to_array(trim(text), '\s+')) - 2),
+           |   i -> concat_ws(' ',
+           |     regexp_split_to_array(trim(text), '\s+')[i],
+           |     regexp_split_to_array(trim(text), '\s+')[i+1],
+           |     regexp_split_to_array(trim(text), '\s+')[i+2])))) AS shingle
+           | FROM documents WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 3),
+           |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+           |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+           |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           |          GROUP BY 1, 2)
+           |SELECT doc_a, doc_b, round(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) AS jaccard
+           |FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+           |WHERE round(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) >= 0.1
+           |ORDER BY doc_a, doc_b""".stripMargin))
+
+  // =====================================================================
+  // §7.4 similarity search (embeddings table)
+  // =====================================================================
+
+  /** Brute-force cosine top-k (ANN baseline): 10 query vectors
+    * broadcast against the corpus, per-query top-10 via window rank on
+    * the ROUNDED score (engine-stable ties). Cosine is zip_with/
+    * aggregate expression math — no UDF, no shuffle on the corpus side.
+    * The LSH-bucketed variant is the scale path (rows-only op). */
+  private val qSimBruteforce = Q(
+    "q_sim_bruteforce",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val cos = round(VectorOps.cosine(col("qv"), col("embedding")), 6)
+      val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), cos.as("cos"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id").asc)
+      scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= 10)
+        .drop("__rn").orderBy("query_id", "neighbor_id")
+    },
+    Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+           |c AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+           |  round(CASE WHEN sqrt(list_sum(list_transform(list_zip(q.qv, q.qv), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))))
+           |           * sqrt(list_sum(list_transform(list_zip(e.embedding, e.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))) > 0
+           |        THEN list_sum(list_transform(list_zip(q.qv, e.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+           |           / (sqrt(list_sum(list_transform(list_zip(q.qv, q.qv), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))))
+           |            * sqrt(list_sum(list_transform(list_zip(e.embedding, e.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))))
+           |        ELSE 0.0 END, 6) AS cos
+           | FROM embeddings e, q WHERE e.vec_id <> q.query_id)
+           |SELECT query_id, neighbor_id, cos FROM (
+           | SELECT query_id, neighbor_id, cos,
+           |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+           | FROM c) WHERE rn <= 10 ORDER BY query_id, neighbor_id""".stripMargin))
+
+  // =====================================================================
+  // All declared queries, in SURVEY §2 order
+  // =====================================================================
+
+  val all: Seq[Q] = Seq(
+    qFlagship,
+    qAggCustomerProfile, qAggCustomerFreq, qAggMerchantProfile,
+    qFilterValid, qProjectFeatures, qFillnaZero, qValidateErrors,
+    qTimeFeatures, qRuleScore, qDeviation, qInvSigmoid, qNormAe,
+    qFuseWorker,
+    qWinCustAvg, qWinCustCount, qWinMerchAvg, qWinDedup,
+    qTopkRisky,
+    qRowwiseMse, qAeThreshold,
+    qTextStats, qLangId, qTokenCount, qFingerprint,
+    qDedupExact, qNgramJaccard, qSimBruteforce)
+}
