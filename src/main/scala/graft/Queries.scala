@@ -436,6 +436,81 @@ object Queries {
            |  / CAST(len(embedding) AS DOUBLE) AS mse FROM embeddings)""".stripMargin))
 
   // =====================================================================
+  // §2.8 ML operators (rows-only checks — not SQL-expressible, except
+  // the scaler fit which is a plain aggregate)
+  // =====================================================================
+
+  /** StandardScaler fit = per-column mean/σ_pop (`preprocessing.py:
+    * 13-15`; sklearn divides by n). One distributed aggregate. */
+  private val qScalerFit = Q(
+    "q_scaler_fit",
+    (s, d) =>
+      Tables.orders(s, d).agg(
+        round(avg("o_totalprice"), 6).as("mean_amount"),
+        round(stddev_pop("o_totalprice"), 6).as("std_amount"),
+        round(avg("o_custkey"), 6).as("mean_custkey"),
+        round(stddev_pop("o_custkey"), 6).as("std_custkey")),
+    Some("""SELECT round(avg(o_totalprice), 6) AS mean_amount,
+           | round(stddev_pop(o_totalprice), 6) AS std_amount,
+           | round(avg(o_custkey), 6) AS mean_custkey,
+           | round(stddev_pop(o_custkey), 6) AS std_custkey
+           |FROM orders""".stripMargin))
+
+  /** ColumnTransformer-equivalent preprocessing (SURVEY §2.8
+    * `ml_preproc`): scaled numerics ++ one-hot, as array<double>. */
+  private val qMlPreproc = Q(
+    "ml_preproc",
+    (s, d) => {
+      val (_, feats) = ml.Features.preprocessedEvents(s, d)
+      feats.select(col("event_id"), col("features")).orderBy("event_id")
+    },
+    None)
+
+  /** PCA reconstruction-error anomaly score (AE substitute, §2.8). */
+  private val qMlPcaRecon = Q(
+    "ml_pca_recon",
+    (s, d) => {
+      val (_, feats) = ml.Features.preprocessedEvents(s, d)
+      val model = ml.PcaRecon.fit(feats, "features", 8)
+      feats.select(col("event_id"),
+                   round(model.scoreCol(col("features")), 6).as("score_ae"))
+        .orderBy("event_id")
+    },
+    None)
+
+  /** Isolation-forest decision scores (custom trainer, §2.8). */
+  private val qMlIforest = Q(
+    "ml_iforest",
+    (s, d) => {
+      val (_, feats) = ml.Features.preprocessedEvents(s, d)
+      val model = ml.IsolationForest.fit(feats, "features")
+      feats.select(col("event_id"),
+                   round(model.decisionCol(col("features")), 6).as("score_iforest"))
+        .orderBy("event_id")
+    },
+    None)
+
+  /** LOF over embeddings via LSH kNN (§2.8; approximate, scale path). */
+  private val qMlLof = Q(
+    "ml_lof",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("f"))
+      val n = emb.count()
+      val radius = ml.Lof.estimateRadius(emb, "vec_id", "f", targetPerPoint = 60, n = n)
+      ml.Lof.fromNeighbors(ml.Lof.lshNeighbors(emb, "vec_id", "f", 20, radius))
+        .select(col("id").as("vec_id"), round(col("lof"), 6).as("lof"))
+        .orderBy("vec_id")
+    },
+    None)
+
+  /** Full ensemble `/score` parity path (§2.8 `ml_ensemble_score`). */
+  private val qMlEnsemble = Q(
+    "ml_ensemble_score",
+    (s, d) => ml.Ensemble.scoreEvents(s, d),
+    None)
+
+  // =====================================================================
   // §7.4 LLM-data-pipeline operators — text analysis (documents table)
   // =====================================================================
 
@@ -638,5 +713,6 @@ object Queries {
     qTopkRisky,
     qRowwiseMse, qAeThreshold,
     qTextStats, qLangId, qTokenCount, qFingerprint,
-    qDedupExact, qNgramJaccard, qSimBruteforce)
+    qDedupExact, qNgramJaccard, qSimBruteforce,
+    qScalerFit, qMlPreproc, qMlPcaRecon, qMlIforest, qMlLof, qMlEnsemble)
 }

@@ -1,0 +1,42 @@
+package graft.ml
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Profiles, TimeFeatures}
+
+/** Model-input feature assembly for the events binding of the
+  * transactions domain (FIXTURES.md §B1): the reference's 8 numeric +
+  * 2 categorical model inputs (`train.py:56-62`) rebuilt as one
+  * declarative plan — profile aggregates (broadcast-joined), calendar
+  * features, and a JSON-derived bucket standing in for `location`. */
+object Features {
+
+  val NumericCols: Seq[String] = Seq(
+    "amount", "year", "month", "day_of_week", "hour",
+    "cust_avg_amount", "cust_txn_count", "merch_avg_amount")
+  val CatCols: Seq[String] = Seq("channel", "location")
+
+  /** events → enriched modeling frame with the reference's column names. */
+  def eventFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("amount", col("value"))
+      .withColumn("channel", col("event_type"))
+      // props.k deciles stand in for the location categorical
+      .withColumn("location",
+        concat(lit("zone_"),
+               (get_json_object(col("props"), "$.k").cast("int") / lit(25)).cast("int")))
+    val withTime = TimeFeatures.withTimeFeatures(ev, "ts")
+    val custProf = Profiles.customerProfileFull(ev, "user_id", "amount")
+    val merchProf = Profiles.merchantProfile(ev, "channel", "amount")
+    Profiles.joinProfiles(withTime, custProf, "user_id", Some((merchProf, "channel")))
+      .withColumn("cust_txn_count", col("cust_txn_count").cast("double"))
+  }
+
+  /** Fit preproc on the event features and return (model, transformed). */
+  def preprocessedEvents(spark: SparkSession, sfDir: String): (PreprocModel, DataFrame) = {
+    val feats = eventFeatures(spark, sfDir)
+    val model = Preproc.fit(feats, NumericCols, CatCols)
+    (model, model.transform(feats))
+  }
+}

@@ -1,0 +1,96 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+import org.apache.spark.ml.functions.array_to_vector
+import graft.functions.VectorOps
+
+/** Local Outlier Factor — custom, since MLlib has none (SURVEY §2.8
+  * `ml_lof`; reference `train.py:76-77`, k=20, novelty=True).
+  *
+  * Built set-oriented from a kNN edge list: kdist → reachability →
+  * lrd → LOF as three chained agg/join passes (each a key-partitioned
+  * shuffle — no driver state). Two neighbor sources:
+  *   - `exactNeighbors`: brute-force O(n²) self-join — correctness
+  *     reference for tests / small N only;
+  *   - `lshNeighbors`: BucketedRandomProjectionLSH approx self-join —
+  *     the 100 TB path (bucket-local candidate pairs, then per-point
+  *     top-k). Radius chosen by the caller (estimate from a sample).
+  *
+  * NB the reference's wrapper returns TRAINING-set scores for any
+  * input when `negative_outlier_factor_` exists (`model_wrapper.py:
+  * 35-42`) — a bug we do not replicate; we score the rows actually
+  * given (the `_decision_function` path, `app1.py:74-75`).
+  */
+object Lof {
+
+  /** Brute-force kNN edges (id, nid, dist), k nearest per id.
+    * Deterministic ties: (dist asc, nid asc). */
+  def exactNeighbors(df: DataFrame, idCol: String, featuresCol: String, k: Int): DataFrame = {
+    val a = df.select(col(idCol).as("id"), col(featuresCol).as("fa"))
+    val b = df.select(col(idCol).as("nid"), col(featuresCol).as("fb"))
+    val dist = sqrt(VectorOps.dot(col("fa"), col("fa")) +
+                    VectorOps.dot(col("fb"), col("fb")) -
+                    lit(2.0) * VectorOps.dot(col("fa"), col("fb")))
+    val w = Window.partitionBy("id").orderBy(col("dist").asc, col("nid").asc)
+    a.crossJoin(b).filter(col("id") =!= col("nid"))
+      .select(col("id"), col("nid"), dist.as("dist"))
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k).drop("__rn")
+  }
+
+  /** Approximate kNN edges via LSH bucketing: candidates within
+    * `radius`, then per-point top-k. Points with no candidate in
+    * radius drop out (callers see fewer rows — acceptable for an
+    * approximate scorer; widen radius to recover). */
+  def lshNeighbors(df: DataFrame, idCol: String, featuresCol: String,
+                   k: Int, radius: Double, seed: Long = 42L): DataFrame = {
+    val vec = df.select(col(idCol).as("id"), array_to_vector(col(featuresCol)).as("v"))
+    val lsh = new BucketedRandomProjectionLSH()
+      .setInputCol("v").setOutputCol("h")
+      .setBucketLength(radius).setNumHashTables(4).setSeed(seed)
+    val model = lsh.fit(vec)
+    val pairs = model.approxSimilarityJoin(vec, vec, radius, "dist")
+      .select(col("datasetA.id").as("id"), col("datasetB.id").as("nid"), col("dist"))
+      .filter(col("id") =!= col("nid"))
+    val w = Window.partitionBy("id").orderBy(col("dist").asc, col("nid").asc)
+    pairs.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k).drop("__rn")
+  }
+
+  /** Radius heuristic for `lshNeighbors`: the pair-distance quantile at
+    * which a point expects ~`targetPerPoint` neighbors (fraction p of
+    * pairs within radius ⇒ ≈ p·n neighbors each). Estimated from a
+    * constant-size sample — O(sampleSize²) driver-free work. */
+  def estimateRadius(df: DataFrame, idCol: String, featuresCol: String,
+                     targetPerPoint: Int, n: Long,
+                     sampleSize: Int = 300): Double = {
+    val q = math.max(1e-4, math.min(0.5, targetPerPoint.toDouble / math.max(n, 1L)))
+    val s = df.select(col(idCol).as("id"), col(featuresCol).as("f")).limit(sampleSize)
+    val d = s.as("a").crossJoin(s.as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .select(sqrt(VectorOps.dot(col("a.f"), col("a.f")) +
+                   VectorOps.dot(col("b.f"), col("b.f")) -
+                   lit(2.0) * VectorOps.dot(col("a.f"), col("b.f"))).as("dist"))
+    d.agg(expr(s"percentile_approx(dist, $q, 10000)")).head.getDouble(0)
+  }
+
+  /** kNN edge list → (id, lrd, lof). lrd = 1/(mean reach + 1e-10)
+    * (sklearn's stabilizer); LOF = mean(lrd_neighbor)/lrd. */
+  def fromNeighbors(nb: DataFrame): DataFrame = {
+    val kdist = nb.groupBy("id").agg(max("dist").as("kdist"))
+    val reach = nb.join(kdist.withColumnRenamed("id", "nid"), Seq("nid"))
+      .withColumn("reach", greatest(col("dist"), col("kdist")))
+    val lrd = reach.groupBy("id")
+      .agg((lit(1.0) / (sum("reach") / count(lit(1)) + lit(1e-10))).as("lrd"))
+    reach.select("id", "nid")
+      .join(lrd.select(col("id").as("nid"), col("lrd").as("lrd_n")), Seq("nid"))
+      .groupBy("id").agg(avg("lrd_n").as("__avg_lrd_n"))
+      .join(lrd, Seq("id"))
+      .select(col("id"), col("lrd"), (col("__avg_lrd_n") / col("lrd")).as("lof"))
+  }
+
+  /** Exact LOF scores (tests / small N). */
+  def exact(df: DataFrame, idCol: String, featuresCol: String, k: Int): DataFrame =
+    fromNeighbors(exactNeighbors(df, idCol, featuresCol, k))
+}

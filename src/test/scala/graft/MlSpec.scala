@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ml._
+
+/** Metamorphic tests for the ML operators (SURVEY §5.2.4): no exact
+  * oracle exists, so we assert ranking/shape properties on data with
+  * planted anomalies, plus determinism under the fixed seed. */
+class MlSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** 500 points near the origin + 10 planted far outliers, seeded. */
+  private lazy val planted = {
+    val rnd = new scala.util.Random(42)
+    val normal = (0 until 500).map { i =>
+      (i.toLong, Seq.fill(4)(rnd.nextGaussian() * 0.5), false)
+    }
+    val outliers = (500 until 510).map { i =>
+      (i.toLong, Seq.fill(4)(10.0 + rnd.nextGaussian()), true)
+    }
+    (normal ++ outliers).toDF("id", "features", "is_anomaly")
+  }
+
+  test("preproc: scaled numerics have ~zero mean / unit variance; one-hot block sums to 1") {
+    val df = Seq(
+      (1.0, "a"), (2.0, "b"), (3.0, "a"), (4.0, "c"), (5.0, "b"))
+      .toDF("x", "c")
+    val model = Preproc.fit(df, Seq("x"), Seq("c"))
+    assert(model.dim == 4)  // 1 numeric + 3 categories
+    assert(model.featureNames == Seq("x", "c=a", "c=b", "c=c"))
+    val feats = model.transform(df)
+    val stats = feats.select(
+      avg(element_at(col("features"), 1)).as("m"),
+      stddev_pop(element_at(col("features"), 1)).as("s")).head
+    assert(math.abs(stats.getDouble(0)) < 1e-12)
+    assert(math.abs(stats.getDouble(1) - 1.0) < 1e-12)
+    val oheSum = feats.select(
+      (element_at(col("features"), 2) + element_at(col("features"), 3) +
+        element_at(col("features"), 4)).as("s")).collect()
+    assert(oheSum.forall(_.getDouble(0) == 1.0))
+  }
+
+  test("preproc: unseen category one-hots to all-zero (handle_unknown=ignore)") {
+    val train = Seq((1.0, "a"), (2.0, "b")).toDF("x", "c")
+    val model = Preproc.fit(train, Seq("x"), Seq("c"))
+    val unseen = Seq((1.5, "zzz")).toDF("x", "c")
+    val f = model.transform(unseen).select("features").head.getSeq[Double](0)
+    assert(f.drop(1) == Seq(0.0, 0.0))
+  }
+
+  test("iforest: planted anomalies score below organic rows (more negative decision)") {
+    val model = IsolationForest.fit(planted, "features", nTrees = 100, subsample = 128)
+    val scored = planted.withColumn("s", model.decisionCol(col("features")))
+    val meanOut = scored.filter(col("is_anomaly")).agg(avg("s")).head.getDouble(0)
+    val meanIn = scored.filter(!col("is_anomaly")).agg(avg("s")).head.getDouble(0)
+    assert(meanOut < meanIn, s"outliers $meanOut should score below inliers $meanIn")
+    // recall@10: the 10 lowest decision scores are exactly the planted ones
+    val worst = scored.orderBy(col("s").asc).limit(10)
+      .select("is_anomaly").collect().count(_.getBoolean(0))
+    assert(worst >= 8, s"recall@10 = $worst/10")
+  }
+
+  test("iforest: deterministic under fixed seed") {
+    val m1 = IsolationForest.fit(planted, "features", nTrees = 50, subsample = 64)
+    val m2 = IsolationForest.fit(planted, "features", nTrees = 50, subsample = 64)
+    val s1 = planted.select(m1.scoreSamplesCol(col("features"))).collect().map(_.getDouble(0))
+    val s2 = planted.select(m2.scoreSamplesCol(col("features"))).collect().map(_.getDouble(0))
+    assert(s1.sameElements(s2))
+  }
+
+  test("pca recon: planted anomalies have higher reconstruction error") {
+    val model = PcaRecon.fit(planted.filter(!col("is_anomaly")), "features", 2)
+    val scored = planted.withColumn("e", model.scoreCol(col("features")))
+    val meanOut = scored.filter(col("is_anomaly")).agg(avg("e")).head.getDouble(0)
+    val meanIn = scored.filter(!col("is_anomaly")).agg(avg("e")).head.getDouble(0)
+    assert(meanOut > meanIn)
+  }
+
+  test("pca recon: k=d reconstructs almost exactly (error ~ 0)") {
+    val df = planted.filter(!col("is_anomaly"))
+    val model = PcaRecon.fit(df, "features", 4)
+    val maxErr = df.select(model.scoreCol(col("features")).as("e"))
+      .agg(max("e")).head.getDouble(0)
+    assert(maxErr < 1e-9, s"full-rank PCA should reconstruct, got $maxErr")
+  }
+
+  test("lof exact: planted outliers get LOF >> 1, inliers ~ 1") {
+    val sample = planted.filter(col("id") % 2 === 0 || col("is_anomaly"))
+    val lof = Lof.exact(sample, "id", "features", 10)
+      .join(sample.select(col("id"), col("is_anomaly")), Seq("id"))
+    val meanOut = lof.filter(col("is_anomaly")).agg(avg("lof")).head.getDouble(0)
+    val meanIn = lof.filter(!col("is_anomaly")).agg(avg("lof")).head.getDouble(0)
+    assert(meanOut > 2.0, s"outlier LOF $meanOut")
+    assert(meanIn < 1.5, s"inlier LOF $meanIn")
+  }
+
+  test("lof: row count preserved by the 3-pass agg chain") {
+    val sample = planted.limit(100)
+    val lof = Lof.exact(sample, "id", "features", 5)
+    assert(lof.count() == 100)
+  }
+}
