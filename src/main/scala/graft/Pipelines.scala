@@ -34,12 +34,13 @@ object Pipelines {
     * Returns one row per event, ordered by `event_id`, float columns
     * rounded to 6 decimals for oracle parity.
     */
-  def scoreEvents(spark: SparkSession, sfDir: String,
-                  cfg: EventScoringConfig = EventScoringConfig()): DataFrame = {
-    val ev = Tables.events(spark, sfDir)
-    val prof = ev.groupBy("user_id").agg(avg("value").as("cust_avg"))
-    val joined = Profiles.joinProfiles(ev, prof, "user_id")
-
+  /** The scoring transform alone (no source, no sort): rules →
+    * deviation → gateway fusion → risk over an events frame already
+    * joined to its customer profile (`cust_avg`). Works identically on
+    * batch and streaming DataFrames — the streaming path
+    * (`streaming.ScoreStream`) reuses it verbatim. */
+  def applyScoring(joined: DataFrame,
+                   cfg: EventScoringConfig = EventScoringConfig()): DataFrame = {
     val r1 = Scoring.ruleLargeAmount(col("value"), cfg.largeAmount)
     val r2 = when(lower(col("event_type")) === cfg.suspiciousChannel &&
                     get_json_object(col("props"), "$.k").cast("int") > cfg.propsKeyThreshold,
@@ -71,6 +72,13 @@ object Pipelines {
         round(col("__dev"), 6).as("deviation_score"),
         round(col("__agg"), 6).as("aggregated_score"),
         Scoring.riskLevel(col("__agg")).as("risk_level"))
+  }
+
+  def scoreEvents(spark: SparkSession, sfDir: String,
+                  cfg: EventScoringConfig = EventScoringConfig()): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val prof = ev.groupBy("user_id").agg(avg("value").as("cust_avg"))
+    applyScoring(Profiles.joinProfiles(ev, prof, "user_id"), cfg)
       .orderBy("event_id")
   }
 

@@ -661,6 +661,30 @@ object Queries {
            |WHERE round(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) >= 0.1
            |ORDER BY doc_a, doc_b""".stripMargin))
 
+  /** MinHash-LSH near-dup pairs (rows-only: banding probabilities are
+    * not SQL-expressible; exactness is covered by DedupSpec's planted
+    * near-dups + the q_ngram_jaccard oracle on the same corpus). */
+  private val qDedupMinhash = Q(
+    "dedup_minhash",
+    (s, d) => operators.Dedup.minhashPairs(
+      Tables.documents(s, d), "doc_id", "text",
+      numHashes = 32, bands = 16, threshold = 0.1),
+    None)
+
+  /** SimHash near-dup pairs (rows-only). */
+  private val qDedupSimhash = Q(
+    "dedup_simhash",
+    (s, d) => operators.Dedup.simhashPairs(
+      Tables.documents(s, d), "doc_id", "text", maxHamming = 16),
+    None)
+
+  /** Embedding-cosine near-dup pairs via LSH buckets (rows-only). */
+  private val qDedupEmbedding = Q(
+    "dedup_embedding",
+    (s, d) => operators.Dedup.embeddingPairs(
+      Tables.embeddings(s, d), "vec_id", "embedding", minCosine = 0.35),
+    None)
+
   // =====================================================================
   // §7.4 similarity search (embeddings table)
   // =====================================================================
@@ -714,5 +738,6 @@ object Queries {
     qRowwiseMse, qAeThreshold,
     qTextStats, qLangId, qTokenCount, qFingerprint,
     qDedupExact, qNgramJaccard, qSimBruteforce,
+    qDedupMinhash, qDedupSimhash, qDedupEmbedding,
     qScalerFit, qMlPreproc, qMlPcaRecon, qMlIforest, qMlLof, qMlEnsemble)
 }

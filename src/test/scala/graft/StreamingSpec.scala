@@ -1,0 +1,109 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.{ScoreStream, StatefulProfiles}
+
+/** MemoryStream micro-batches through the streaming surface
+  * (SURVEY §5.2.5): scoring parity with batch, cross-batch dedup,
+  * stateful profile accumulation. */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val profile = Seq((13L, 100.0), (12L, 50.0)).toDF("user_id", "cust_avg")
+
+  test("stream scoring matches the batch transform and dedups across batches") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val events = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = ScoreStream.scored(events, profile).writeStream
+      .format("memory").queryName("scored_out").outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, ts("2024-01-10 03:00:00"), 13L, "purchase", 250.0, """{"k": 90}"""),
+        (2L, ts("2024-01-10 12:00:00"), 12L, "view", 10.0, """{"k": 5}"""))
+      q.processAllAvailable()
+      // batch 2 repeats event 1 (non-unique tx ids, SURVEY §1.3) within the watermark
+      mem.addData(
+        (1L, ts("2024-01-10 03:00:00"), 13L, "purchase", 250.0, """{"k": 90}"""),
+        (3L, ts("2024-01-10 23:00:00"), 13L, "card", 20.0, """{"k": 10}"""))
+      q.processAllAvailable()
+      val out = spark.table("scored_out").collect().map(r =>
+        r.getLong(0) -> (r.getDouble(3), r.getString(4))).toMap
+      assert(out.size == 3, s"dup not dropped: ${out.keySet}")
+      // event 1: value 250 ≥ bigAmount → floored at 0.85 High
+      // (rule = 0.6+0.3+0.2 capped 1.0; batch formula parity)
+      assert(out(1L)._1 == 0.85 && out(1L)._2 == "High")
+      // cross-check against the batch transform on identical input
+      val batchDf = Seq((1L, ts("2024-01-10 03:00:00"), 13L, "purchase", 250.0, """{"k": 90}"""))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val batchRow = Pipelines.applyScoring(
+        graft.operators.Profiles.joinProfiles(batchDf, profile, "user_id")).head
+      assert(batchRow.getDouble(3) == out(1L)._1)
+    } finally q.stop()
+  }
+
+  test("windowed profile agg emits watermark-bounded windows") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val events = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val prof = ScoreStream.windowedProfiles(events, "1 hour", "1 day", "1 day")
+    val q = prof.writeStream.format("memory").queryName("win_prof")
+      .outputMode("update").start()
+    try {
+      mem.addData(
+        (1L, ts("2024-01-10 03:00:00"), 13L, "view", 100.0, "{}"),
+        (2L, ts("2024-01-10 04:00:00"), 13L, "view", 200.0, "{}"),
+        (3L, ts("2024-01-10 05:00:00"), 12L, "view", 50.0, "{}"))
+      q.processAllAvailable()
+      val rows = spark.table("win_prof")
+        .select("user_id", "cust_avg", "cust_txn_count").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+      assert(rows.contains((13L, 150.0, 2L)))
+      assert(rows.contains((12L, 50.0, 1L)))
+    } finally q.stop()
+  }
+
+  test("stateful running profiles accumulate across micro-batches") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[StatefulProfiles.EventIn]
+    val q = StatefulProfiles.running(mem.toDS()).writeStream
+      .format("memory").queryName("state_prof").outputMode("update").start()
+    try {
+      mem.addData(StatefulProfiles.EventIn(1L, ts("2024-01-10 03:00:00"), 13L, 100.0))
+      q.processAllAvailable()
+      mem.addData(StatefulProfiles.EventIn(2L, ts("2024-01-10 04:00:00"), 13L, 200.0))
+      q.processAllAvailable()
+      val last = spark.table("state_prof").filter(col("user_id") === 13L)
+        .orderBy(col("cust_txn_count").desc).head
+      assert(last.getLong(2) == 2L)
+      assert(last.getDouble(1) == 150.0)
+    } finally q.stop()
+  }
+
+  test("file-source runner writes scored parquet exactly once") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val in = s"$dir/in"; val out = s"$dir/out"; val ckpt = s"$dir/ckpt"
+    new java.io.File(in).mkdirs()
+    val json = Seq(
+      """{"event_id":1,"ts":"2024-01-10T03:00:00.000Z","user_id":13,"event_type":"purchase","value":250.0,"props":"{\"k\": 90}"}""",
+      """{"event_id":2,"ts":"2024-01-10T12:00:00.000Z","user_id":12,"event_type":"view","value":10.0,"props":"{\"k\": 5}"}""")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/batch1.json"),
+      json.mkString("\n").getBytes)
+    val q = ScoreStream.start(spark, in, profile, out, ckpt)
+    q.awaitTermination()
+    val got = spark.read.parquet(out)
+    assert(got.count() == 2)
+    // re-running with the same checkpoint re-appends nothing
+    val q2 = ScoreStream.start(spark, in, profile, out, ckpt)
+    q2.awaitTermination()
+    assert(spark.read.parquet(out).count() == 2)
+  }
+}
