@@ -293,7 +293,8 @@ object Queries {
   // Flagship: full gateway scoring path (§7.1) — entry()
   // =====================================================================
 
-  private val flagshipOracle: String = {
+  // lazy: referenced by queries declared both above and below this point
+  private lazy val flagshipOracle: String = {
     val rule = s"least($sqlRules, 1.0)"
     val dev = "CASE WHEN p.cust_avg > 0 THEN (e.value - p.cust_avg) / (p.cust_avg + 1e-9) ELSE 0.0 END"
     val base = s"0.45 * $rule + 0.4 * (0.4 * 0.0 + 0.3 * 0.0 + 0.3 * 0.0) + 0.15 * least(greatest(($dev) / 2.0, 0.0), 1.0)"
@@ -316,6 +317,28 @@ object Queries {
     "q_flagship_score",
     (s, d) => Pipelines.scoreEvents(s, d),
     Some(flagshipOracle))
+
+  /** `q_join_scores` (SURVEY §2.3): the reference zips request rows
+    * with ML-worker score rows POSITIONALLY (`api/app.py:234` —
+    * order-dependent and unsafe); re-expressed as a keyed equi-join on
+    * the transaction id. The score side is the flagship output; the
+    * join returns every event enriched with its score row. At scale
+    * both sides share the id key, so AQE picks broadcast or sort-merge
+    * by size — no ordering assumption anywhere. */
+  private val qJoinScores = Q(
+    "q_join_scores",
+    (s, d) => {
+      val ev = Tables.events(s, d).select("event_id", "user_id", "event_type", "value")
+      val scores = Pipelines.scoreEvents(s, d)
+        .select("event_id", "aggregated_score", "risk_level")
+      ev.join(scores, Seq("event_id"))
+        .orderBy("event_id")
+    },
+    Some(s"""WITH scores AS ($flagshipOracle)
+            |SELECT e.event_id, e.user_id, e.event_type, e.value,
+            |       s.aggregated_score, s.risk_level
+            |FROM events e JOIN scores s ON e.event_id = s.event_id
+            |ORDER BY e.event_id""".stripMargin))
 
   // =====================================================================
   // §2.5 Window functions
@@ -732,7 +755,7 @@ object Queries {
     qAggCustomerProfile, qAggCustomerFreq, qAggMerchantProfile,
     qFilterValid, qProjectFeatures, qFillnaZero, qValidateErrors,
     qTimeFeatures, qRuleScore, qDeviation, qInvSigmoid, qNormAe,
-    qFuseWorker,
+    qFuseWorker, qJoinScores,
     qWinCustAvg, qWinCustCount, qWinMerchAvg, qWinDedup,
     qTopkRisky,
     qRowwiseMse, qAeThreshold,

@@ -1,0 +1,82 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native Catalyst expressions for dense-vector math over
+  * `array<double>` columns.
+  *
+  * Why not `zip_with`/`aggregate`: Spark's higher-order functions have
+  * no codegen — every element evaluation goes through interpreted
+  * lambda dispatch with boxing (measured: dedup_embedding 35 s vs
+  * 0.9 s after switching to these). These expressions generate a tight
+  * primitive loop over `UnsafeArrayData` inside whole-stage codegen.
+  *
+  * Numerics: both accumulate strictly left-to-right, the same order as
+  * the equivalent DuckDB `list_sum(list_transform(...))` oracle SQL —
+  * results are bit-identical, which the hash-compare gate requires.
+  * Inputs implicit-cast to `array<double>` (float embeddings welcome).
+  */
+abstract class ArrayFoldExpression extends BinaryExpression {
+  // inputs are guaranteed array<double> by the Column-level cast in
+  // ArrayMath (AbstractDataType/ImplicitCastInputTypes are private[sql])
+  override def dataType: DataType = DoubleType
+
+  /** Java source for one loop step: accumulate into `s` from
+    * `a.getDouble(i)` / `b.getDouble(i)`. */
+  protected def stepCode(a: String, b: String, i: String): String
+  protected def step(x: Double, y: Double): Double
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0; var i = 0
+    while (i < n) { s += step(a.getDouble(i), b.getDouble(i)); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n"); val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += ${stepCode(a, b, i)};
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+}
+
+/** Σ aᵢ·bᵢ */
+case class ArrayDotProduct(left: Expression, right: Expression) extends ArrayFoldExpression {
+  override protected def stepCode(a: String, b: String, i: String): String =
+    s"$a.getDouble($i) * $b.getDouble($i)"
+  override protected def step(x: Double, y: Double): Double = x * y
+  override def prettyName: String = "array_dot"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Σ (aᵢ−bᵢ)² */
+case class ArraySquaredDiffSum(left: Expression, right: Expression) extends ArrayFoldExpression {
+  override protected def stepCode(a: String, b: String, i: String): String =
+    s"($a.getDouble($i) - $b.getDouble($i)) * ($a.getDouble($i) - $b.getDouble($i))"
+  override protected def step(x: Double, y: Double): Double = (x - y) * (x - y)
+  override def prettyName: String = "array_sqdiff_sum"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object ArrayMath {
+  import org.apache.spark.sql.graft.Bridge.{column, expression}
+  private def d(c: Column): Column = c.cast("array<double>")
+  def dot(a: Column, b: Column): Column =
+    column(ArrayDotProduct(expression(d(a)), expression(d(b))))
+  def sqDiffSum(a: Column, b: Column): Column =
+    column(ArraySquaredDiffSum(expression(d(a)), expression(d(b))))
+}

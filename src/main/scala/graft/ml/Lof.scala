@@ -3,8 +3,6 @@ package graft.ml
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
-import org.apache.spark.ml.functions.array_to_vector
 import graft.functions.VectorOps
 
 /** Local Outlier Factor — custom, since MLlib has none (SURVEY §2.8
@@ -15,7 +13,7 @@ import graft.functions.VectorOps
   * shuffle — no driver state). Two neighbor sources:
   *   - `exactNeighbors`: brute-force O(n²) self-join — correctness
   *     reference for tests / small N only;
-  *   - `lshNeighbors`: BucketedRandomProjectionLSH approx self-join —
+  *   - `lshNeighbors`: expression-based AND-OR LSH (`VectorLsh`) —
   *     the 100 TB path (bucket-local candidate pairs, then per-point
   *     top-k). Radius chosen by the caller (estimate from a sample).
   *
@@ -40,22 +38,21 @@ object Lof {
       .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k).drop("__rn")
   }
 
-  /** Approximate kNN edges via LSH bucketing: candidates within
-    * `radius`, then per-point top-k. Points with no candidate in
-    * radius drop out (callers see fewer rows — acceptable for an
-    * approximate scorer; widen radius to recover). */
+  /** Approximate kNN edges via expression-based AND-OR LSH
+    * (`VectorLsh`): bucket-collision candidates, exact distances on
+    * candidates only, per-point top-k. Points with no candidate drop
+    * out (acceptable for an approximate scorer; widen `w` or raise `L`
+    * to recover). */
   def lshNeighbors(df: DataFrame, idCol: String, featuresCol: String,
-                   k: Int, radius: Double, seed: Long = 42L): DataFrame = {
-    val vec = df.select(col(idCol).as("id"), array_to_vector(col(featuresCol)).as("v"))
-    val lsh = new BucketedRandomProjectionLSH()
-      .setInputCol("v").setOutputCol("h")
-      .setBucketLength(radius).setNumHashTables(4).setSeed(seed)
-    val model = lsh.fit(vec)
-    val pairs = model.approxSimilarityJoin(vec, vec, radius, "dist")
-      .select(col("datasetA.id").as("id"), col("datasetB.id").as("nid"), col("dist"))
-      .filter(col("id") =!= col("nid"))
+                   k: Int, radius: Double, seed: Long = 42L,
+                   tables: Int = 8, projections: Int = 2,
+                   bucketCap: Int = 128): DataFrame = {
+    val dim = df.select(size(col(featuresCol))).head.getInt(0)
+    val edges = graft.functions.VectorLsh.candidateEdges(
+      df.select(col(idCol), col(featuresCol)), idCol, featuresCol,
+      dim, tables, projections, math.max(radius, 1e-6), seed, bucketCap)
     val w = Window.partitionBy("id").orderBy(col("dist").asc, col("nid").asc)
-    pairs.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k).drop("__rn")
+    edges.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k).drop("__rn")
   }
 
   /** Radius heuristic for `lshNeighbors`: the pair-distance quantile at

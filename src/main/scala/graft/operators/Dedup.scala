@@ -2,8 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
-import org.apache.spark.ml.functions.array_to_vector
 import graft.functions.VectorOps
 
 /** Near-duplicate detection for document/embedding corpora — the
@@ -112,24 +110,22 @@ object Dedup {
     * d = √(2−2cos)), verified with exact cosine. The scale path for
     * "embedding near-dedup at 100 TB" — candidates only, never n². */
   def embeddingPairs(emb: DataFrame, idCol: String, vecCol: String,
-                     minCosine: Double = 0.95, seed: Long = 42L): DataFrame = {
+                     minCosine: Double = 0.95, seed: Long = 42L,
+                     tables: Int = 8, projections: Int = 2): DataFrame = {
     val unit = emb.select(col(idCol).as("id"),
       expr(s"transform($vecCol, x -> cast(x as double))").as("f"))
     val norm = unit.withColumn("n", sqrt(VectorOps.dot(col("f"), col("f"))))
       .filter(col("n") > 0)
       .withColumn("u", expr("transform(f, x -> x / n)"))
-      .select(col("id"), col("u"), array_to_vector(col("u")).as("v"))
+      .select(col("id"), col("u"))
+    val dim = norm.select(size(col("u"))).head.getInt(0)
+    // unit-norm: cosine c ⇔ euclidean √(2−2c); bucket width = that radius
     val radius = math.sqrt(math.max(2.0 - 2.0 * minCosine, 1e-12))
-    val lsh = new BucketedRandomProjectionLSH()
-      .setInputCol("v").setOutputCol("h")
-      .setBucketLength(math.max(radius, 0.1)).setNumHashTables(4).setSeed(seed)
-    val model = lsh.fit(norm)
-    model.approxSimilarityJoin(norm, norm, radius, "dist")
-      .select(col("datasetA.id").as("id_a"), col("datasetB.id").as("id_b"),
-              col("datasetA.u").as("ua"), col("datasetB.u").as("ub"))
-      .filter(col("id_a") < col("id_b"))
+    graft.functions.VectorLsh.candidatePairs(norm, "id", "u",
+        dim, tables, projections, math.max(radius, 0.05), seed)
+      // unit vectors: cosine = 1 − d²/2 (exact, no second vector pass)
       .select(col("id_a"), col("id_b"),
-              round(VectorOps.dot(col("ua"), col("ub")), 6).as("cosine"))
+              round(lit(1.0) - col("dist") * col("dist") / lit(2.0), 6).as("cosine"))
       .filter(col("cosine") >= minCosine)
       .orderBy("id_a", "id_b")
   }

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.Sources
+import graft.ml.{Artifacts, IsolationForest, PcaRecon, Preproc}
+
+class SourcesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_src").toString
+
+  test("csv source: explicit schema + coerce-style timestamp (bad -> null, not error)") {
+    val dir = tmp()
+    val csv =
+      """timestamp,transaction_id,customer_id,merchant_id,amount,channel,location
+        |2025-05-01T02:00:00Z,1000,101,501,250.5,card,Harare
+        |NOT_A_DATE,1001,102,502,10.0,pos,Gweru
+        |2025-05-02T03:30:00+00:00,1002,103,503,99.9,mobile_money,Mutare""".stripMargin
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/tx.csv"), csv.getBytes)
+    val df = Sources.transactionsCsv(spark, s"$dir/tx.csv")
+    assert(df.count() == 3)
+    assert(df.filter(col("timestamp").isNull).count() == 1)   // coerced, row kept
+    assert(df.schema("amount").dataType.typeName == "double")
+    val first = df.filter(col("transaction_id") === "1000").head
+    assert(first.getTimestamp(0).toInstant.toString == "2025-05-01T02:00:00Z")
+  }
+
+  test("json batch source reads request-body-shaped records") {
+    val dir = tmp()
+    val json =
+      """{"timestamp":"2025-05-01T02:00:00.000Z","transaction_id":"1","customer_id":"101","merchant_id":"501","amount":5000.0,"channel":"card","location":"Mutare"}
+        |{"timestamp":"2025-05-01T03:00:00.000Z","transaction_id":"2","customer_id":"102","merchant_id":"502","amount":20.0,"channel":"pos","location":"Harare"}""".stripMargin
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/b.json"), json.getBytes)
+    val df = Sources.transactionsJson(spark, s"$dir/b.json")
+    assert(df.count() == 2)
+    assert(df.filter(col("amount") === 5000.0).count() == 1)
+  }
+
+  test("scored log sink: date-partitioned append with sink timestamp") {
+    val dir = tmp()
+    val scored = Seq(
+      ("1", java.sql.Timestamp.valueOf("2025-05-01 02:00:00"), 0.9),
+      ("2", java.sql.Timestamp.valueOf("2025-05-02 03:00:00"), 0.1))
+      .toDF("transaction_id", "ts", "aggregated_score")
+    Sources.appendScoredLog(scored, "ts", s"$dir/log")
+    Sources.appendScoredLog(scored.filter(col("transaction_id") === "1"), "ts", s"$dir/log")
+    val back = spark.read.parquet(s"$dir/log")
+    assert(back.count() == 3)                                  // append semantics
+    assert(back.columns.contains("scored_at"))
+    // physical layout is partitioned by date
+    val parts = new java.io.File(s"$dir/log").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("score_date="))
+    assert(parts.toSet == Set("score_date=2025-05-01", "score_date=2025-05-02"))
+  }
+
+  test("artifact round-trip: preproc, pca, iforest persist and reload identically") {
+    val dir = tmp()
+    val df = Seq((1.0, "a", Seq(1.0, 2.0)), (2.0, "b", Seq(2.0, 1.0)),
+                 (3.0, "a", Seq(0.5, 0.7))).toDF("x", "c", "features")
+    val pre = Preproc.fit(df, Seq("x"), Seq("c"))
+    Artifacts.savePreproc(pre, s"$dir/pre.json")
+    assert(Artifacts.loadPreproc(s"$dir/pre.json") == pre)
+
+    val pca = PcaRecon.fit(df, "features", 1)
+    Artifacts.savePca(pca, s"$dir/pca.json")
+    val pca2 = Artifacts.loadPca(s"$dir/pca.json")
+    assert(pca2.d == pca.d && pca2.k == pca.k)
+    assert(pca2.components.map(_.toSeq).toSeq == pca.components.map(_.toSeq).toSeq)
+
+    val forest = IsolationForest.fit(df, "features", nTrees = 5, subsample = 3)
+    Artifacts.saveForest(forest, s"$dir/if.json")
+    val forest2 = Artifacts.loadForest(s"$dir/if.json")
+    assert(forest2.psi == forest.psi && forest2.offset == forest.offset)
+    assert(forest2.trees.length == forest.trees.length)
+    // reloaded forest scores identically
+    val s1 = df.select(forest.scoreSamplesCol(col("features"))).collect().map(_.getDouble(0))
+    val s2 = df.select(forest2.scoreSamplesCol(col("features"))).collect().map(_.getDouble(0))
+    assert(s1.sameElements(s2))
+  }
+}
