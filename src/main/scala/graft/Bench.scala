@@ -19,10 +19,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val w0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () } // warm
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      System.err.println(f"[bench] $name warm=${(t0 - w0) / 1e9}%.2f timed=${(t1 - t0) / 1e9}%.2f")
+      name -> (t1 - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -45,8 +45,8 @@ class DedupSpec extends AnyFunSuite {
   test("minhash signature: identical docs have identical signatures") {
     val sig = Dedup.withMinhashSignature(
       Dedup.shingleDocs(corpus, "doc_id", "text"), 32)
-    val a = sig.filter(col("doc_id") === 10).drop("doc_id", "shingles").head
-    val b = sig.filter(col("doc_id") === 200).drop("doc_id", "shingles").head
+    val a = sig.filter(col("doc_id") === 10).drop("doc_id").head
+    val b = sig.filter(col("doc_id") === 200).drop("doc_id").head
     assert(a == b)
   }
 
