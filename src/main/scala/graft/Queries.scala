@@ -276,6 +276,26 @@ object Queries {
            | round(least(greatest(value / ((SELECT quantile_cont(value, 0.975) FROM events) + 1e-9), 0.0), 1.0), 6) AS norm_ae
            |FROM events ORDER BY event_id""".stripMargin))
 
+  /** Missing-timestamp feature defaults (`api/app.py:156-159`, SURVEY
+    * §2.9): rows whose timestamp failed to parse still score, with
+    * calendar features zeroed. The testdata has no bad timestamps, so
+    * half the rows simulate one (even ids → null ts). */
+  private val qTimeFeatureDefaults = Q(
+    "q_time_feature_defaults",
+    (s, d) => {
+      val masked = Tables.events(s, d)
+        .withColumn("ts", when(col("event_id") % 2 === 1, col("ts")))
+      operators.TimeFeatures.withTimeFeatureDefaults(masked, "ts")
+        .select("event_id", "year", "month", "day_of_week", "hour")
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id,
+           | CAST(coalesce(year(CASE WHEN event_id % 2 = 1 THEN ts END), 0) AS INT) AS year,
+           | CAST(coalesce(month(CASE WHEN event_id % 2 = 1 THEN ts END), 0) AS INT) AS month,
+           | CAST(coalesce(isodow(CASE WHEN event_id % 2 = 1 THEN ts END) - 1, 0) AS INT) AS day_of_week,
+           | CAST(coalesce(hour(CASE WHEN event_id % 2 = 1 THEN ts END), 0) AS INT) AS hour
+           |FROM events ORDER BY event_id""".stripMargin))
+
   /** Risk labeling (`api/app.py:188-193`) on the worker-variant fusion
     * (`python_scoring/app.py:188-196`, models=0 → 0.45·rule). */
   private val qFuseWorker = Q(
@@ -746,6 +766,31 @@ object Queries {
            |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn
            | FROM c) WHERE rn <= 10 ORDER BY query_id, neighbor_id""".stripMargin))
 
+  /** ANN top-k via AND-OR LSH buckets (rows-only) — the scale path for
+    * `q_sim_bruteforce`: per-query candidates come from bucket
+    * collisions (cost tracks near-pair density, not |corpus|·|queries|),
+    * exact cosine re-ranks, per-query top-k. Recall < 1 by design;
+    * SimilaritySpec measures it against the brute-force oracle. */
+  private val qSimLshTopk = Q(
+    "sim_lsh_topk",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("f"))
+      // this corpus has a weak near/far gap (nearest ≈1.1 vs random
+      // ≈1.41 euclidean) — wide buckets + many tables buy recall
+      val edges = graft.functions.VectorLsh.candidateEdges(
+        e, "vec_id", "f", dim = 64, L = 16, r = 2, w = 1.2, bucketCap = 512)
+      val queries = edges.filter(col("id") < 10)
+      val w = Window.partitionBy("id").orderBy(col("dist").asc, col("nid").asc)
+      queries.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= 10)
+        .select(col("id").as("query_id"), col("nid").as("neighbor_id"),
+                // unit vectors: cosine = 1 − d²/2
+                round(lit(1.0) - col("dist") * col("dist") / lit(2.0), 6).as("cos"))
+        .orderBy("query_id", "neighbor_id")
+    },
+    None)
+
   // =====================================================================
   // All declared queries, in SURVEY §2 order
   // =====================================================================
@@ -754,13 +799,13 @@ object Queries {
     qFlagship,
     qAggCustomerProfile, qAggCustomerFreq, qAggMerchantProfile,
     qFilterValid, qProjectFeatures, qFillnaZero, qValidateErrors,
-    qTimeFeatures, qRuleScore, qDeviation, qInvSigmoid, qNormAe,
-    qFuseWorker, qJoinScores,
+    qTimeFeatures, qTimeFeatureDefaults, qRuleScore, qDeviation,
+    qInvSigmoid, qNormAe, qFuseWorker, qJoinScores,
     qWinCustAvg, qWinCustCount, qWinMerchAvg, qWinDedup,
     qTopkRisky,
     qRowwiseMse, qAeThreshold,
     qTextStats, qLangId, qTokenCount, qFingerprint,
-    qDedupExact, qNgramJaccard, qSimBruteforce,
+    qDedupExact, qNgramJaccard, qSimBruteforce, qSimLshTopk,
     qDedupMinhash, qDedupSimhash, qDedupEmbedding,
     qScalerFit, qMlPreproc, qMlPcaRecon, qMlIforest, qMlLof, qMlEnsemble)
 }

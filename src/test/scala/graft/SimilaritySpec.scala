@@ -1,0 +1,30 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ANN quality: the LSH top-k path must recover most of the
+  * brute-force neighbors (recall is the contract of an ANN index). */
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("sim_lsh_topk recall@10 >= 0.6 vs brute force on sf0.001") {
+    val exact = SparkEntry.queries("q_sim_bruteforce")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = SparkEntry.queries("sim_lsh_topk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(s"recall@10 = $recall (${(exact & approx).size}/${exact.size})")
+    assert(recall >= 0.6, s"recall $recall too low")
+  }
+
+  test("lsh candidates agree with exact distances (cos = 1 - d^2/2 check)") {
+    val approx = SparkEntry.queries("sim_lsh_topk")(spark, sf).collect()
+    val exactMap = SparkEntry.queries("q_sim_bruteforce")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val both = approx.flatMap(r =>
+      exactMap.get((r.getLong(0), r.getLong(1))).map(e => (r.getDouble(2), e)))
+    assert(both.nonEmpty)
+    both.foreach { case (a, e) => assert(math.abs(a - e) < 1e-5, s"$a vs $e") }
+  }
+}
