@@ -553,6 +553,45 @@ object Queries {
     (s, d) => ml.Ensemble.scoreEvents(s, d),
     None)
 
+  /** Train/validation split (`train.py:83` `train_test_split(0.2,
+    * seed=42)` → `randomSplit(Array(0.8,0.2), 42)`): deterministic
+    * under the fixed seed; exposed as per-split row counts. */
+  private val qMlSplit = Q(
+    "ml_split",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val Array(train, valid) = ev.randomSplit(Array(0.8, 0.2), 42L)
+      import s.implicits._
+      Seq(("train", train.count()), ("valid", valid.count()))
+        .toDF("split", "n_rows").orderBy("split")
+    },
+    None)
+
+  /** `src_http_fallback` semantic (`api/app.py:91-114`): when model
+    * scores are unavailable, score with zeros + model_version
+    * 'unavailable' instead of failing the batch. Simulated here by a
+    * left join against an empty score set — every row takes the
+    * fallback path. */
+  private val qScoreFallback = Q(
+    "q_score_fallback",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val scores = ev.filter(lit(false))
+        .select(col("event_id"), col("value").as("score_iforest"))
+      ev.join(scores, Seq("event_id"), "left")
+        .select(col("event_id"),
+                coalesce(col("score_iforest"), lit(0.0)).as("score_iforest"),
+                when(col("score_iforest").isNull, "unavailable")
+                  .otherwise("graft-0.1").as("model_version"))
+        .orderBy("event_id")
+    },
+    Some("""WITH scores AS (SELECT event_id, value AS score_iforest FROM events WHERE false)
+           |SELECT e.event_id,
+           | coalesce(s.score_iforest, 0.0) AS score_iforest,
+           | CASE WHEN s.score_iforest IS NULL THEN 'unavailable' ELSE 'graft-0.1' END AS model_version
+           |FROM events e LEFT JOIN scores s ON e.event_id = s.event_id
+           |ORDER BY e.event_id""".stripMargin))
+
   // =====================================================================
   // §7.4 LLM-data-pipeline operators — text analysis (documents table)
   // =====================================================================
@@ -635,6 +674,41 @@ object Queries {
            | CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS ws_tokens,
            | CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INT) AS bpe_tokens
            |FROM documents ORDER BY doc_id""".stripMargin))
+
+  /** TF-IDF top term per document (§7.4 text analysis) — relational
+    * formulation (explode → tf/df aggs → idf expression), fully
+    * oracle-checkable, unlike hash-bucketed HashingTF. Shuffles carry
+    * (doc,term) and (term) keys; idf uses the smooth sklearn form
+    * ln((1+N)/(1+df))+1. */
+  private val qTfidfTop = Q(
+    "q_tfidf_top_term",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("term"))
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = toks.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("__n"))
+      val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
+        .withColumn("tfidf", round(
+          col("tf") * (log((lit(1.0) + col("__n")) / (lit(1.0) + col("df"))) + lit(1.0)), 6))
+      val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term").asc)
+      scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .select("doc_id", "term", "tf", "df", "tfidf")
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term FROM documents),
+           |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+           |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+           |n AS (SELECT count(*) AS n FROM documents),
+           |scored AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+           |  round(tf.tf * (ln((1.0 + n.n) / (1.0 + df.df)) + 1.0), 6) AS tfidf
+           |  FROM tf JOIN df USING (term) CROSS JOIN n)
+           |SELECT doc_id, term, tf, df, tfidf FROM (
+           |  SELECT doc_id, term, tf, df, tfidf,
+           |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rn
+           |  FROM scored) WHERE rn = 1 ORDER BY doc_id""".stripMargin))
 
   /** Document fingerprinting: content hash + length. md5 is identical
     * across engines; used as the exact-dedup key. */
@@ -804,8 +878,9 @@ object Queries {
     qWinCustAvg, qWinCustCount, qWinMerchAvg, qWinDedup,
     qTopkRisky,
     qRowwiseMse, qAeThreshold,
-    qTextStats, qLangId, qTokenCount, qFingerprint,
+    qTextStats, qLangId, qTokenCount, qTfidfTop, qFingerprint,
     qDedupExact, qNgramJaccard, qSimBruteforce, qSimLshTopk,
     qDedupMinhash, qDedupSimhash, qDedupEmbedding,
-    qScalerFit, qMlPreproc, qMlPcaRecon, qMlIforest, qMlLof, qMlEnsemble)
+    qScalerFit, qMlPreproc, qMlPcaRecon, qMlIforest, qMlLof, qMlEnsemble,
+    qMlSplit, qScoreFallback)
 }
