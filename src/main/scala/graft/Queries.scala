@@ -745,8 +745,11 @@ object Queries {
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
         .filter(size(col("w")) >= 3)
+      // shuffle/join on the 64-bit shingle hash, not the string — same
+      // distinct/equality structure (collision odds ~2⁻⁶⁴; the oracle
+      // keeps the string formulation), ~¼ the shuffle bytes
       val sh = docs.select(col("doc_id"), explode(array_distinct(expr(
-        "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")))
+        "transform(sequence(0, size(w)-3), i -> xxhash64(concat_ws(' ', w[i], w[i+1], w[i+2])))")))
           .as("shingle"))
       val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val inter = sh.as("a").join(sh.as("b"),

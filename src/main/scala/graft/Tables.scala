@@ -25,6 +25,19 @@ object Tables {
         org.apache.spark.sql.functions.expr("ts div 1000")))
   }
 
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Register every testdata table as a temp view so the full ANSI SQL
+    * surface works directly: `spark.sql("SELECT ... FROM lineitem")`.
+    * The oracle SQL strings in SparkEntry.oracleSql are themselves
+    * runnable this way (modulo DuckDB-only list functions). */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    names.foreach { n =>
+      val df = if (n == "events") events(spark, sfDir) else table(spark, sfDir, n)
+      df.createOrReplaceTempView(n)
+    }
+
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")

@@ -1,0 +1,30 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The raw SQL surface: registered views + a few oracle SQL strings
+  * running through spark.sql (ANSI subset shared with DuckDB). */
+class SqlSurfaceSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("registerAll exposes every table to spark.sql") {
+    Tables.registerAll(spark, sf)
+    Tables.names.foreach { n =>
+      assert(spark.sql(s"SELECT count(*) FROM $n").head.getLong(0) > 0, n)
+    }
+  }
+
+  test("shared-dialect oracle SQL runs on Spark and matches the DataFrame plan") {
+    Tables.registerAll(spark, sf)
+    val viaSql = spark.sql(
+      """SELECT o_custkey AS customer_id,
+        | round(avg(o_totalprice), 6) AS cust_avg_amount,
+        | count(*) AS cust_txn_count
+        |FROM orders
+        |WHERE o_orderdate >= (SELECT max(o_orderdate) FROM orders) - INTERVAL 90 DAY
+        |GROUP BY o_custkey ORDER BY customer_id""".stripMargin).collect()
+    val viaDf = SparkEntry.queries("q_agg_customer_profile")(spark, sf).collect()
+    assert(viaSql.toSeq == viaDf.toSeq)
+  }
+}
