@@ -73,10 +73,20 @@ case class ArraySquaredDiffSum(left: Expression, right: Expression) extends Arra
 }
 
 object ArrayMath {
-  import org.apache.spark.sql.graft.Bridge.{column, expression}
+  import org.apache.spark.sql.graft.Bridge.{column, expression, registerFunction}
   private def d(c: Column): Column = c.cast("array<double>")
   def dot(a: Column, b: Column): Column =
     column(ArrayDotProduct(expression(d(a)), expression(d(b))))
   def sqDiffSum(a: Column, b: Column): Column =
     column(ArraySquaredDiffSum(expression(d(a)), expression(d(b))))
+
+  /** Expose the native expressions to the SQL surface:
+    * `SELECT array_dot(a, b)`, `SELECT array_sqdiff_sum(a, b)`.
+    * (Raw SQL callers must pass array<double>.) */
+  def registerSql(spark: org.apache.spark.sql.SparkSession): Unit = {
+    registerFunction(spark, "array_dot",
+      es => ArrayDotProduct(es(0), es(1)))
+    registerFunction(spark, "array_sqdiff_sum",
+      es => ArraySquaredDiffSum(es(0), es(1)))
+  }
 }

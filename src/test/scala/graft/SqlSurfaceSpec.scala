@@ -15,6 +15,18 @@ class SqlSurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("native array functions register into the SQL surface") {
+    graft.functions.ArrayMath.registerSql(spark)
+    val dot = spark.sql(
+      "SELECT array_dot(array(1.0D, 2.0D, 2.0D), array(2.0D, 4.0D, 4.0D))")
+      .head.getDouble(0)
+    assert(dot == 18.0)
+    val mse = spark.sql(
+      "SELECT array_sqdiff_sum(array(1.0D, 2.0D), array(3.0D, 4.0D)) / 2")
+      .head.getDouble(0)
+    assert(mse == 4.0)
+  }
+
   test("shared-dialect oracle SQL runs on Spark and matches the DataFrame plan") {
     Tables.registerAll(spark, sf)
     val viaSql = spark.sql(
