@@ -6,44 +6,70 @@ import graft.operators.Scoring
 
 /** End-to-end ensemble scoring — the reference's full `/score` path
   * (`python_scoring/app.py:239-270` + gateway fusion `api/app.py:
-  * 181-193`) as one Spark job:
+  * 181-193`), split train/serve exactly like the reference:
   *
-  *   preproc fit → 80/20 split (seed 42, `train.py:83`) →
-  *   iForest + PCA-recon (AE substitute) + LOF fits →
-  *   per-row model scores → worker normalization
-  *   (`python_scoring/app.py:188-196`) → rules + deviation →
-  *   gateway fusion → risk level.
+  *   fit:   preproc fit → 80/20 split (seed 42, `train.py:83`) →
+  *          iForest + PCA-recon (AE substitute) + LOF-novelty fits →
+  *          P97.5 AE threshold — all state constant-size.
+  *   score: enrich → features → 3 broadcast-model score columns →
+  *          worker normalization (`python_scoring/app.py:188-196`) →
+  *          rules + deviation → gateway fusion → risk level.
   *
-  * Model state (forest arrays, component matrix, scaler scalars) is
-  * broadcast; scoring is one pass over the data. The only shuffles are
-  * the profile/LOF aggregates — nothing is ever collected beyond
-  * constant-size model state.
+  * `scoreBatch` is a pure DataFrame transform — the SAME code scores
+  * batch tables and Structured Streaming micro-batches
+  * (`streaming.ScoreStream.scoredWithModels`). Scoring shuffles
+  * nothing; the only exchanges live in the profile aggregates at fit
+  * time.
   */
 object Ensemble {
 
   final case class Config(
       nTrees: Int = 200, subsample: Int = 256, contamination: Double = 0.01,
-      pcaK: Int = 8, lofK: Int = 20, seed: Long = 42L,
+      pcaK: Int = 8, lofK: Int = 20, lofRefPoints: Int = 2000, seed: Long = 42L,
       largeAmount: Double = 100.0, bigAmount: Double = 250.0,
       suspiciousChannel: String = "purchase", propsKeyThreshold: Int = 80)
 
-  def scoreEvents(spark: SparkSession, sfDir: String,
-                  cfg: Config = Config()): DataFrame = {
-    val (_, feats) = Features.preprocessedEvents(spark, sfDir)  // cached by Features
+  /** Everything scoring needs, all broadcast-safe constant-size state
+    * plus the two small profile tables (broadcast at join time). */
+  final case class Fitted(
+      preproc: PreprocModel, ifModel: IForestModel, pca: PcaReconModel,
+      aeThreshold: Double, lofNovelty: LofNoveltyModel,
+      custProfile: DataFrame, merchProfile: DataFrame, cfg: Config)
 
+  /** Fit all models on the events binding (seeded, deterministic). */
+  def fit(spark: SparkSession, sfDir: String, cfg: Config = Config()): Fitted = {
+    val (preproc, feats) = Features.preprocessedEvents(spark, sfDir)
     val Array(train, valid) = feats.randomSplit(Array(0.8, 0.2), cfg.seed)
     val ifModel = IsolationForest.fit(train, "features", cfg.nTrees,
                                       cfg.subsample, cfg.contamination, cfg.seed)
     val pca = PcaRecon.fit(train, "features", cfg.pcaK)
     val aeThr = valid.select(pca.scoreCol(col("features")).as("m"))
       .agg(expr("percentile_approx(m, 0.975, 10000)")).head.getDouble(0)
+    val lofNov = Lof.fitNovelty(train, "event_id", "features",
+                                cfg.lofK, cfg.lofRefPoints)
+    val ev = Features.eventFeatures(spark, sfDir)
+    val custProf = graft.operators.Profiles.customerProfileFull(ev, "user_id", "amount")
+    val merchProf = graft.operators.Profiles.merchantProfile(ev, "channel", "amount")
+    Fitted(preproc, ifModel, pca, aeThr, lofNov, custProf, merchProf, cfg)
+  }
 
-    val n = feats.count()
-    val radius = Lof.estimateRadius(feats, "event_id", "features",
-                                    targetPerPoint = cfg.lofK * 3, n = n)
-    val lofScores = Lof.fromNeighbors(
-        Lof.lshNeighbors(feats, "event_id", "features", cfg.lofK, radius, cfg.seed))
-      .select(col("id").as("event_id"), col("lof"))
+  /** Score a raw events frame (batch OR streaming): requires the
+    * events schema (`event_id, ts, user_id, event_type, value,
+    * props`). Pure transform — broadcast joins + expression/UDF
+    * columns, no aggregation over the scored frame itself. */
+  def scoreBatch(events: DataFrame, m: Fitted): DataFrame = {
+    val cfg = m.cfg
+    val enriched0 = events
+      .withColumn("amount", col("value"))
+      .withColumn("channel", col("event_type"))
+      .withColumn("location",
+        concat(lit("zone_"),
+               (get_json_object(col("props"), "$.k").cast("int") / lit(25)).cast("int")))
+    val enriched = graft.operators.Profiles.joinProfiles(
+        graft.operators.TimeFeatures.withTimeFeatures(enriched0, "ts"),
+        m.custProfile, "user_id", Some((m.merchProfile, "channel")))
+      .withColumn("cust_txn_count", col("cust_txn_count").cast("double"))
+    val feats = m.preproc.transform(enriched)
 
     val r1 = Scoring.ruleLargeAmount(col("amount"), cfg.largeAmount)
     val r2 = when(lower(col("channel")) === cfg.suspiciousChannel &&
@@ -51,17 +77,15 @@ object Ensemble {
                   lit(Scoring.RuleLocationWeight)).otherwise(lit(0.0))
     val r3 = Scoring.ruleOddHour(col("hour"))
 
-    val scored = feats
-      .withColumn("__if_raw", ifModel.decisionCol(col("features")))
-      .withColumn("__ae_raw", pca.scoreCol(col("features")))
-      .join(lofScores, Seq("event_id"), "left")
-      // LSH dropouts (no candidate within radius) score as inliers
-      .withColumn("__lof_raw", -coalesce(col("lof"), lit(1.0)))
+    feats
+      .withColumn("__if_raw", m.ifModel.decisionCol(col("features")))
+      .withColumn("__ae_raw", m.pca.scoreCol(col("features")))
+      .withColumn("__lof_raw", m.lofNovelty.scoreCol(col("features")))
       // worker normalization (python_scoring/app.py:188-196): inverse
       // sigmoid for iForest/LOF decisions, threshold clip for AE
       .withColumn("__if", Scoring.invSigmoid(col("__if_raw")))
       .withColumn("__lof_n", Scoring.invSigmoid(col("__lof_raw") + lit(1.0)))
-      .withColumn("__ae", Scoring.normAe(col("__ae_raw"), lit(aeThr)))
+      .withColumn("__ae", Scoring.normAe(col("__ae_raw"), lit(m.aeThreshold)))
       .withColumn("__rule", Scoring.ruleScore(r1, r2, r3))
       .withColumn("__dev", Scoring.deviation(col("amount"), col("cust_avg_amount")))
       .withColumn("__mr",
@@ -75,8 +99,7 @@ object Ensemble {
       .withColumn("__agg",
         when(col("amount") >= cfg.bigAmount, greatest(col("__over"), lit(0.85)))
           .otherwise(col("__over")))
-
-    scored.select(
+      .select(
         col("event_id").as("transaction_id"),
         round(col("__if"), 6).as("anomaly_score_iforest"),
         round(col("__lof_n"), 6).as("anomaly_score_lof"),
@@ -86,6 +109,13 @@ object Ensemble {
         round(col("__agg"), 6).as("aggregated_score"),
         Scoring.riskLevel(col("__agg")).as("risk_level"),
         lit("graft-0.1").as("model_version"))
+  }
+
+  /** Fit + score the whole table (the `ml_ensemble_score` query). */
+  def scoreEvents(spark: SparkSession, sfDir: String,
+                  cfg: Config = Config()): DataFrame = {
+    val fitted = fit(spark, sfDir, cfg)
+    scoreBatch(graft.Tables.events(spark, sfDir), fitted)
       .orderBy("transaction_id")
   }
 }

@@ -90,4 +90,89 @@ object Lof {
   /** Exact LOF scores (tests / small N). */
   def exact(df: DataFrame, idCol: String, featuresCol: String, k: Int): DataFrame =
     fromNeighbors(exactNeighbors(df, idCol, featuresCol, k))
+
+  /** Fit a NOVELTY scorer (sklearn `novelty=True`, the reference's
+    * actual configuration `train.py:76`): score NEW points against the
+    * training set's kNN structure. Training-side kdist/lrd are
+    * computed distributed, then a capped deterministic subsample is
+    * collected as constant-size broadcast state; scoring is a per-row
+    * UDF (k nearest among ≤`maxRefPoints` reference points — no
+    * shuffle, streaming-safe). */
+  def fitNovelty(df: DataFrame, idCol: String, featuresCol: String,
+                 k: Int = 20, maxRefPoints: Int = 2000): LofNoveltyModel = {
+    val sample = df.select(col(idCol).as("id"), col(featuresCol).as("f"))
+      .orderBy("id").limit(maxRefPoints).cache()
+    val nb = exactNeighbors(sample, "id", "f", k)
+    val kdist = nb.groupBy("id").agg(max("dist").as("kdist"))
+    val stats = fromNeighbors(nb).join(kdist, "id")
+      .join(sample, "id")
+      .select(col("id"), col("f"), col("kdist"), col("lrd"))
+      .orderBy("id").collect()
+    sample.unpersist()
+    LofNoveltyModel(
+      points = stats.map(_.getSeq[Double](1).toArray),
+      kdist = stats.map(_.getDouble(2)),
+      lrd = stats.map(_.getDouble(3)),
+      k = k)
+  }
+}
+
+/** Constant-size broadcastable LOF novelty state (SURVEY §2.8; the
+  * reference's `model_wrapper.py` scoring-path bug — returning training
+  * scores for any input — is NOT replicated: this scores the rows it
+  * is given, the `_decision_function` semantics). */
+final case class LofNoveltyModel(points: Array[Array[Double]],
+                                 kdist: Array[Double], lrd: Array[Double], k: Int) {
+
+  /** −LOF(x) (higher = more normal, sklearn score convention). */
+  def scoreCol(features: Column): Column = {
+    val pts = points; val kd = kdist; val lr = lrd; val kk = k
+    val f = udf { (x: Seq[Double]) =>
+      val xa = x.toArray
+      val n = pts.length
+      val heapD = new Array[Double](kk); val heapI = new Array[Int](kk)
+      var filled = 0
+      var i = 0
+      while (i < n) {
+        val p = pts(i)
+        var s = 0.0; var j = 0
+        while (j < p.length) { val d0 = xa(j) - p(j); s += d0 * d0; j += 1 }
+        val d = math.sqrt(s)
+        if (filled < kk) {
+          heapD(filled) = d; heapI(filled) = i; filled += 1
+          if (filled == kk) { // build max-heap
+            var m = kk / 2 - 1
+            while (m >= 0) { siftDown(heapD, heapI, m, kk); m -= 1 }
+          }
+        } else if (d < heapD(0)) {
+          heapD(0) = d; heapI(0) = i; siftDown(heapD, heapI, 0, kk)
+        }
+        i += 1
+      }
+      val m = filled
+      var reachSum = 0.0; var lrdSum = 0.0
+      var t = 0
+      while (t < m) {
+        val o = heapI(t)
+        reachSum += math.max(heapD(t), kd(o))
+        lrdSum += lr(o)
+        t += 1
+      }
+      val lrdX = 1.0 / (reachSum / m + 1e-10)
+      -(lrdSum / m) / lrdX
+    }
+    f(features)
+  }
+
+  private def siftDown(d: Array[Double], ix: Array[Int], start: Int, len: Int): Unit = {
+    var root = start
+    while (2 * root + 1 < len) {
+      var child = 2 * root + 1
+      if (child + 1 < len && d(child + 1) > d(child)) child += 1
+      if (d(root) >= d(child)) return
+      val td = d(root); d(root) = d(child); d(child) = td
+      val ti = ix(root); ix(root) = ix(child); ix(child) = ti
+      root = child
+    }
+  }
 }

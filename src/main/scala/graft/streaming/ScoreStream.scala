@@ -44,6 +44,18 @@ object ScoreStream {
       Profiles.joinProfiles(deduped, custProfile, "user_id"), cfg)
   }
 
+  /** FULL real-time inference (the north-star surface): watermarked,
+    * deduped stream scored by the fitted ML ensemble — broadcast
+    * models (forest/PCA/LOF-novelty/scaler) + stream-static profile
+    * joins, the SAME `Ensemble.scoreBatch` transform as batch. */
+  def scoredWithModels(events: DataFrame, fitted: graft.ml.Ensemble.Fitted,
+                       watermark: String = "1 day"): DataFrame = {
+    val deduped = events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+    graft.ml.Ensemble.scoreBatch(deduped, fitted)
+  }
+
   /** Sliding event-time profile aggregate — the streaming form of the
     * 90-day `WHERE ts >= NOW() - 90 DAY` profile (`api/app.py:126`):
     * watermark-bounded windowed avg/count per customer; late rows

@@ -96,6 +96,21 @@ class MlSpec extends AnyFunSuite {
     assert(meanIn < 1.5, s"inlier LOF $meanIn")
   }
 
+  test("lof novelty: unseen outliers score far below unseen inliers") {
+    val rnd = new scala.util.Random(7)
+    val train = planted.filter(!col("is_anomaly"))
+    val model = Lof.fitNovelty(train, "id", "features", k = 10)
+    val unseen = Seq(
+      (10001L, Seq.fill(4)(rnd.nextGaussian() * 0.5), false),
+      (10002L, Seq.fill(4)(12.0 + rnd.nextGaussian()), true))
+      .toDF("id", "features", "is_anomaly")
+    val scored = unseen.withColumn("s", model.scoreCol(col("features")))
+      .collect().map(r => r.getBoolean(2) -> r.getDouble(3)).toMap
+    // score = -LOF: inlier ~ -1, outlier much more negative
+    assert(scored(false) > -1.5, s"inlier ${scored(false)}")
+    assert(scored(true) < -3.0, s"outlier ${scored(true)}")
+  }
+
   test("lof: row count preserved by the 3-pass agg chain") {
     val sample = planted.limit(100)
     val lof = Lof.exact(sample, "id", "features", 5)

@@ -88,6 +88,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming ML inference: fitted ensemble scores a stream, parity with batch") {
+    implicit val sc = spark.sqlContext
+    val fitted = graft.ml.Ensemble.fit(spark, "/root/testdata/sf0.001")
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val events = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = ScoreStream.scoredWithModels(events, fitted).writeStream
+      .format("memory").queryName("ml_scored").outputMode("append").start()
+    try {
+      val rows = Seq(
+        (9001L, ts("2024-01-10 03:00:00"), 13L, "purchase", 250.0, """{"k": 90}"""),
+        (9002L, ts("2024-01-10 12:00:00"), 12L, "view", 10.0, """{"k": 5}"""))
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val out = spark.table("ml_scored").collect()
+        .map(r => r.getLong(0) -> r).toMap
+      assert(out.size == 2)
+      // model scores materialized and in range
+      Seq(1, 2, 3).foreach { i =>
+        out.values.foreach { r =>
+          assert(r.getDouble(i) >= 0.0 && r.getDouble(i) <= 1.0, s"col $i: $r")
+        }
+      }
+      assert(out(9001L).getString(7) == "High")   // 250 >= bigAmount floor
+      // exact parity with the batch transform on identical input
+      val batch = graft.ml.Ensemble.scoreBatch(
+        rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+        fitted).collect().map(r => r.getLong(0) -> r).toMap
+      rows.map(_._1).foreach { id =>
+        assert(batch(id).toSeq == out(id).toSeq, s"stream/batch diverge for $id")
+      }
+    } finally q.stop()
+  }
+
   test("file-source runner writes scored parquet exactly once") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
     val in = s"$dir/in"; val out = s"$dir/out"; val ckpt = s"$dir/ckpt"
