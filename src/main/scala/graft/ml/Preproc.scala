@@ -41,11 +41,16 @@ final case class PreprocModel(
 
 object Preproc {
 
-  /** One aggregate over the data (map-side combined; shuffle carries a
-    * single row) + one small distinct per categorical. */
+  /** ONE aggregate over the data (map-side combined; the shuffle
+    * carries a single row): numeric means + population stddevs and the
+    * categorical vocabularies (`collect_set` — bounded by category
+    * cardinality, like sklearn's `categories_`) all in the same pass. */
   def fit(df: DataFrame, numericCols: Seq[String], catCols: Seq[String]): PreprocModel = {
-    val aggs = numericCols.flatMap(c =>
+    val numAggs = numericCols.flatMap(c =>
       Seq(avg(col(c)).as(s"${c}__mean"), stddev_pop(col(c)).as(s"${c}__std")))
+    val catAggs = catCols.map(c =>
+      collect_set(coalesce(col(c).cast("string"), lit(""))).as(s"${c}__vocab"))
+    val aggs = numAggs ++ catAggs
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     val numeric = numericCols.zipWithIndex.map { case (c, i) =>
       val mean = if (row.isNullAt(2 * i)) 0.0 else row.getDouble(2 * i)
@@ -53,10 +58,9 @@ object Preproc {
       val std = if (std0 == 0.0 || std0.isNaN) 1.0 else std0   // sklearn: zero-variance -> scale 1
       (c, mean, std)
     }
-    val cats = catCols.map { c =>
-      val vocab = df.select(col(c).cast("string")).na.fill("")
-        .distinct().collect().map(_.getString(0)).sorted.toSeq
-      (c, vocab)
+    val base = 2 * numericCols.size
+    val cats = catCols.zipWithIndex.map { case (c, i) =>
+      (c, row.getSeq[String](base + i).sorted.toSeq)
     }
     PreprocModel(numeric, cats)
   }

@@ -106,6 +106,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(m == 2.0)
   }
 
+  test("saltedJoin matches a plain join result on skewed keys") {
+    import graft.operators.Skew
+    // heavily skewed: 900 rows on key "hot", 100 spread
+    val big = ((1 to 900).map(i => ("hot", i)) ++ (1 to 100).map(i => (s"k$i", i)))
+      .toDF("k", "v")
+    val dim = Seq(("hot", "H"), ("k1", "A"), ("k2", "B")).toDF("k", "tag")
+    val salted = Skew.saltedJoin(big, dim, "k", 8)
+      .groupBy("k", "tag").count().orderBy("k", "tag").collect().map(_.toSeq)
+    val plain = big.join(dim, Seq("k"), "left")
+      .groupBy("k", "tag").count().orderBy("k", "tag").collect().map(_.toSeq)
+    assert(salted.toSeq == plain.toSeq)
+  }
+
   test("topK returns exactly k rows in score order") {
     val df = Seq(("a", 1.0), ("b", 5.0), ("c", 3.0), ("d", 5.0)).toDF("id", "s")
     val got = Windows.topK(df, "s", "id", 2).collect().map(_.getString(0)).toSeq
