@@ -47,9 +47,10 @@ object Ensemble {
       .agg(expr("percentile_approx(m, 0.975, 10000)")).head.getDouble(0)
     val lofNov = Lof.fitNovelty(train, "event_id", "features",
                                 cfg.lofK, cfg.lofRefPoints)
-    val ev = Features.eventFeatures(spark, sfDir)
-    val custProf = graft.operators.Profiles.customerProfileFull(ev, "user_id", "amount")
-    val merchProf = graft.operators.Profiles.merchantProfile(ev, "channel", "amount")
+    // profile aggs over the memoized enriched frame (feats carries all
+    // enrichment columns) — no extra pass over the source
+    val custProf = graft.operators.Profiles.customerProfileFull(feats, "user_id", "amount")
+    val merchProf = graft.operators.Profiles.merchantProfile(feats, "channel", "amount")
     Fitted(preproc, ifModel, pca, aeThr, lofNov, custProf, merchProf, cfg)
   }
 
