@@ -360,6 +360,63 @@ object Queries {
             |FROM events e JOIN scores s ON e.event_id = s.event_id
             |ORDER BY e.event_id""".stripMargin))
 
+  /** Second flagship binding — the FIXTURES §B1 transactions mapping
+    * over the orders/customer star: amount=o_totalprice,
+    * channel=o_orderpriority, location=c_mktsegment (via a broadcast
+    * customer join), profile = full-history per-custkey aggregate.
+    * Exercises a 3-way join + agg + the full rule/fusion/risk chain on
+    * a different table shape than the events flagship. */
+  private val qFlagshipOrders = Q(
+    "q_flagship_orders",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+      val prof = o.groupBy("o_custkey").agg(avg("o_totalprice").as("cust_avg"))
+      val joined = o
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"), "left")
+        .join(broadcast(prof), Seq("o_custkey"), "left")
+      val r1 = Scoring.ruleLargeAmount(col("o_totalprice"), 300000.0)
+      val r2 = Scoring.ruleCardLocation(col("o_orderpriority"), col("c_mktsegment"),
+                                        "1-urgent", Seq("BUILDING", "AUTOMOBILE"))
+      val r3 = when(month(col("o_orderdate")) <= 2, lit(0.2)).otherwise(lit(0.0))
+      joined
+        .withColumn("__rule", Scoring.ruleScore(r1, r2, r3))
+        .withColumn("__dev", Scoring.deviation(col("o_totalprice"), col("cust_avg")))
+        .withColumn("__base",
+          lit(0.45) * col("__rule") + lit(0.4) * (lit(0.4) * lit(0.0) + lit(0.3) * lit(0.0) + lit(0.3) * lit(0.0)) +
+            lit(0.15) * Scoring.clip01(col("__dev") / lit(2.0)))
+        .withColumn("__over",
+          when(col("__rule") >= 0.6 && col("__base") < 0.4, lit(0.5)).otherwise(col("__base")))
+        .withColumn("__agg",
+          when(col("o_totalprice") >= 450000.0, greatest(col("__over"), lit(0.85)))
+            .otherwise(col("__over")))
+        .select(col("o_orderkey").as("transaction_id"),
+                round(col("__rule"), 6).as("rule_score"),
+                round(col("__dev"), 6).as("deviation_score"),
+                round(col("__agg"), 6).as("aggregated_score"),
+                Scoring.riskLevel(col("__agg")).as("risk_level"))
+        .orderBy("transaction_id")
+    },
+    Some {
+      val rule = """least(CASE WHEN o.o_totalprice > 300000.0 THEN 0.6 ELSE 0.0 END
+                   | + CASE WHEN lower(o.o_orderpriority) = '1-urgent' AND lower(c.c_mktsegment) NOT IN ('building', 'automobile') THEN 0.3 ELSE 0.0 END
+                   | + CASE WHEN month(o.o_orderdate) <= 2 THEN 0.2 ELSE 0.0 END, 1.0)""".stripMargin.replace("\n", "")
+      val dev = "CASE WHEN p.cust_avg > 0 THEN (o.o_totalprice - p.cust_avg) / (p.cust_avg + 1e-9) ELSE 0.0 END"
+      val base = s"0.45 * $rule + 0.4 * (0.4 * 0.0 + 0.3 * 0.0 + 0.3 * 0.0) + 0.15 * least(greatest(($dev) / 2.0, 0.0), 1.0)"
+      val over = s"CASE WHEN $rule >= 0.6 AND ($base) < 0.4 THEN 0.5 ELSE $base END"
+      val agg = s"CASE WHEN o.o_totalprice >= 450000.0 THEN greatest($over, 0.85) ELSE $over END"
+      s"""WITH prof AS (SELECT o_custkey, avg(o_totalprice) AS cust_avg FROM orders GROUP BY o_custkey)
+         |SELECT o.o_orderkey AS transaction_id,
+         | round($rule, 6) AS rule_score,
+         | round($dev, 6) AS deviation_score,
+         | round($agg, 6) AS aggregated_score,
+         | CASE WHEN ($agg) >= 0.7 THEN 'High' WHEN ($agg) >= 0.4 THEN 'Medium' ELSE 'Low' END AS risk_level
+         |FROM orders o
+         |LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+         |LEFT JOIN prof p ON o.o_custkey = p.o_custkey
+         |ORDER BY transaction_id""".stripMargin
+    })
+
   // =====================================================================
   // §2.5 Window functions
   // =====================================================================
@@ -873,7 +930,7 @@ object Queries {
   // =====================================================================
 
   val all: Seq[Q] = Seq(
-    qFlagship,
+    qFlagship, qFlagshipOrders,
     qAggCustomerProfile, qAggCustomerFreq, qAggMerchantProfile,
     qFilterValid, qProjectFeatures, qFillnaZero, qValidateErrors,
     qTimeFeatures, qTimeFeatureDefaults, qRuleScore, qDeviation,

@@ -46,6 +46,21 @@ object Artifacts {
     write(path, s"""{"psi":${m.psi},"offset":${jNum(m.offset)},"trees":$trees}""")
   }
 
+  def saveLofNovelty(m: LofNoveltyModel, path: String): Unit = {
+    val pts = jArr(m.points.map(row => jArr(row.map(jNum))))
+    write(path, s"""{"k":${m.k},"kdist":${jArr(m.kdist.map(jNum))},""" +
+      s""""lrd":${jArr(m.lrd.map(jNum))},"points":$pts}""")
+  }
+
+  def loadLofNovelty(path: String): LofNoveltyModel = {
+    val p = new P(read(path))
+    p.objField("k"); val k = p.num().toInt
+    p.objField("kdist"); val kd = p.arr(() => p.num()).toArray
+    p.objField("lrd"); val lr = p.arr(() => p.num()).toArray
+    p.objField("points"); val pts = p.arr(() => p.arr(() => p.num()).toArray).toArray
+    LofNoveltyModel(pts, kd, lr, k)
+  }
+
   private def write(path: String, content: String): Unit = {
     val p = Paths.get(path)
     if (p.getParent != null) Files.createDirectories(p.getParent)

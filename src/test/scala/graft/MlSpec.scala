@@ -62,6 +62,14 @@ class MlSpec extends AnyFunSuite {
     assert(worst >= 8, s"recall@10 = $worst/10")
   }
 
+  test("iforest: decision offset puts ~contamination fraction below zero on training data") {
+    val model = IsolationForest.fit(planted, "features",
+      nTrees = 100, subsample = 128, contamination = 0.05)
+    val below = planted.withColumn("s", model.decisionCol(col("features")))
+      .filter(col("s") < 0).count().toDouble / planted.count()
+    assert(below > 0.01 && below < 0.15, s"fraction below offset: $below")
+  }
+
   test("iforest: deterministic under fixed seed") {
     val m1 = IsolationForest.fit(planted, "features", nTrees = 50, subsample = 64)
     val m2 = IsolationForest.fit(planted, "features", nTrees = 50, subsample = 64)

@@ -70,6 +70,15 @@ class SourcesSpec extends AnyFunSuite {
     assert(pca2.d == pca.d && pca2.k == pca.k)
     assert(pca2.components.map(_.toSeq).toSeq == pca.components.map(_.toSeq).toSeq)
 
+    val lof = graft.ml.Lof.fitNovelty(
+      (1 to 30).map(i => (i.toLong, Seq(i * 1.0, i * 2.0)))
+        .toDF("id", "features"), "id", "features", k = 5)
+    Artifacts.saveLofNovelty(lof, s"$dir/lof.json")
+    val lof2 = Artifacts.loadLofNovelty(s"$dir/lof.json")
+    assert(lof2.k == lof.k && lof2.kdist.toSeq == lof.kdist.toSeq &&
+      lof2.lrd.toSeq == lof.lrd.toSeq &&
+      lof2.points.map(_.toSeq).toSeq == lof.points.map(_.toSeq).toSeq)
+
     val forest = IsolationForest.fit(df, "features", nTrees = 5, subsample = 3)
     Artifacts.saveForest(forest, s"$dir/if.json")
     val forest2 = Artifacts.loadForest(s"$dir/if.json")
