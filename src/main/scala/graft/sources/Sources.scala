@@ -65,4 +65,16 @@ object Sources {
       .write.mode("append")
       .partitionBy("score_date")
       .parquet(outDir)
+
+  /** Write a table bucketed + sorted on its join key (saved through the
+    * session catalog — bucketing metadata lives there). Joins and
+    * aggregations between two tables bucketed the same way on the same
+    * key run with NO exchange: this is the storage-layout half of the
+    * 100 TB profile-join story (SURVEY §2.3 — when the customer
+    * dimension outgrows broadcast, bucket both sides on customer_id). */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
 }

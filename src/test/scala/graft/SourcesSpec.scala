@@ -56,6 +56,35 @@ class SourcesSpec extends AnyFunSuite {
     assert(parts.toSet == Set("score_date=2025-05-01", "score_date=2025-05-02"))
   }
 
+  test("bucketed tables join without a shuffle on the bucket key") {
+    import org.apache.spark.sql.functions._
+    // drop any leftover table metadata AND its warehouse directory (a
+    // prior JVM's managed-table location survives the catalog)
+    Seq("ev_b", "prof_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(loc)
+      }
+    }
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    Sources.writeBucketed(ev.select("event_id", "user_id", "value"), "ev_b", "user_id", 4)
+    Sources.writeBucketed(
+      ev.groupBy("user_id").agg(avg("value").as("cust_avg")), "prof_b", "user_id", 4)
+    val joined = spark.table("ev_b")
+      .join(spark.table("prof_b").hint("merge"), "user_id")
+    val plan = joined.queryExecution.executedPlan.toString
+    // co-located bucketed sides: the sort-merge join needs no Exchange
+    assert(plan.contains("SortMergeJoin"), plan.take(500))
+    assert(!plan.contains("Exchange hashpartitioning"),
+           s"unexpected shuffle:\n${plan.take(800)}")
+    assert(joined.count() == ev.count())
+  }
+
   test("artifact round-trip: preproc, pca, iforest persist and reload identically") {
     val dir = tmp()
     val df = Seq((1.0, "a", Seq(1.0, 2.0)), (2.0, "b", Seq(2.0, 1.0)),
