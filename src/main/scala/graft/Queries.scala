@@ -745,9 +745,11 @@ object Queries {
       val toks = docs.select(col("doc_id"),
         explode(split(trim(col("text")), "\\s+")).as("term"))
       val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val dfreq = toks.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+      // df derives from tf (already one row per doc-term) — no separate
+      // distinct pass; the vocab-sized df table broadcasts
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val n = docs.agg(count(lit(1)).as("__n"))
-      val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
+      val scored = tf.join(broadcast(dfreq), "term").crossJoin(broadcast(n))
         .withColumn("tfidf", round(
           col("tf") * (log((lit(1.0) + col("__n")) / (lit(1.0) + col("df"))) + lit(1.0)), 6))
       val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term").asc)
