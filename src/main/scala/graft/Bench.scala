@@ -22,10 +22,15 @@ object Bench {
       val w0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () } // warm
       val t0 = System.nanoTime()
+      // steady state = min of two timed runs: a single sample conflates
+      // the plan's cost with transient host noise (GC, co-tenant load)
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val t1 = System.nanoTime()
-      System.err.println(f"[bench] $name warm=${(t0 - w0) / 1e9}%.2f timed=${(t1 - t0) / 1e9}%.2f")
-      name -> (t1 - t0) / 1e9
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val t2 = System.nanoTime()
+      val timed = math.min(t1 - t0, t2 - t1) / 1e9
+      System.err.println(f"[bench] $name warm=${(t0 - w0) / 1e9}%.2f timed=$timed%.2f")
+      name -> timed
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

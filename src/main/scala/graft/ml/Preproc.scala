@@ -33,7 +33,10 @@ final case class PreprocModel(
       (coalesce(col(c).cast("double"), lit(0.0)) - lit(mean)) / lit(std)
     }
     val onehot: Seq[Column] = cats.flatMap { case (c, vocab) =>
-      vocab.map(v => when(col(c) === v, 1.0).otherwise(0.0))
+      // NULL categoricals were fitted into the "" vocab slot (fit
+      // coalesces before collect_set) — transform must coalesce the same
+      // way or NULL rows one-hot to all-zeros instead of hitting "".
+      vocab.map(v => when(coalesce(col(c).cast("string"), lit("")) === v, 1.0).otherwise(0.0))
     }
     df.withColumn(outputCol, array(scaled ++ onehot: _*))
   }

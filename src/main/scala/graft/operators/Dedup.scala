@@ -94,18 +94,42 @@ object Dedup {
     (c: Column) => f(c)
   }
 
-  /** SimHash near-dup pairs: signatures banded into 4×16-bit chunks
-    * (Hamming ≤ 3 ⇒ at least one chunk equal — pigeonhole), candidates
-    * verified with bit_count(xor) ≤ maxHamming. */
+  /** SimHash near-dup pairs via pigeonhole banding: the 64-bit
+    * signature is split into `maxHamming + 1` chunks, so any pair with
+    * Hamming distance ≤ maxHamming MUST agree on at least one whole
+    * chunk (maxHamming flipped bits touch at most maxHamming chunks) —
+    * the candidate set provably contains every true pair. Candidates
+    * are verified with bit_count(xor) ≤ maxHamming.
+    *
+    * `bucketCap` bounds the per-(chunk,value) quadratic term the same
+    * way `VectorLsh.bucketCap` does: a chunk value shared by f docs
+    * contributes f² candidate rows, and narrow chunks (large
+    * maxHamming) have small key spaces, so hot buckets are dropped —
+    * recall degrades gracefully, runtime never explodes. maxHamming
+    * must stay small (≤ 7) for the guarantee to be useful: 8+ chunks
+    * of ≤ 8 bits have ≤ 256 distinct values per chunk, which at corpus
+    * scale puts ~n/256 docs in every bucket. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3, bucketCap: Int = 4096): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"maxHamming must be in [0,15], got $maxHamming")
+    val nChunks = maxHamming + 1
+    // distribute 64 bits as evenly as possible: first (64 % n) chunks
+    // get an extra bit
+    val base = 64 / nChunks
+    val widths = Seq.tabulate(nChunks)(i => if (i < 64 % nChunks) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _).init
     val sig = docs.select(col(idCol).as("doc_id"),
         simhash64(split(trim(col(textCol)), "\\s+")).as("sig"))
     val chunks = sig.select(col("doc_id"), col("sig"),
-      posexplode(array((0 until 4).map(i =>
-        shiftright(col("sig"), i * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      posexplode(array((0 until nChunks).map(i =>
+        shiftright(col("sig"), offsets(i))
+          .bitwiseAND(lit((1L << widths(i)) - 1))): _*)))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "ch")
-    chunks.as("a").join(chunks.as("b"),
+    val cold = chunks.groupBy("chunk", "ch").agg(count(lit(1)).as("f"))
+      .filter(col("f") <= bucketCap).select("chunk", "ch")
+    val kept = chunks.join(cold, Seq("chunk", "ch"))
+    kept.as("a").join(kept.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.ch") === col("b.ch") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),

@@ -50,10 +50,32 @@ class DedupSpec extends AnyFunSuite {
     assert(a == b)
   }
 
-  test("simhash: near-dups within small hamming distance, exact dup at 0") {
-    val pairs = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 12)
-    val m = pairs.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
-    assert(m.get((10L, 200L)).contains(0), s"exact dup hamming: ${m.get((10L, 200L))}")
+  test("simhash: banding is complete — EVERY pair within maxHamming is found") {
+    val h = 3
+    val pairs = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = h)
+    val found = pairs.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    // ground truth by brute force over the signatures themselves: the
+    // pigeonhole guarantee (h+1 chunks) is exact, so found == truth
+    val sigs = corpus
+      .select(col("doc_id"), Dedup.simhash64(split(trim(col("text")), "\\s+")).as("sig"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val truth = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      ham = java.lang.Long.bitCount(sa ^ sb) if ham <= h
+    } yield ((ia, ib), ham)).toMap
+    assert(found == truth,
+      s"missing=${truth.keySet -- found.keySet} extra=${found.keySet -- truth.keySet}")
+    assert(found.get((10L, 200L)).contains(0), "exact dup must be at hamming 0")
+  }
+
+  test("simhash: hot-bucket cap drops candidates but never errors") {
+    // bucketCap = 1 drops every bucket with >1 member — output must be
+    // a subset of the uncapped result (possibly empty), not a failure
+    val capped = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 3, bucketCap = 1)
+    val uncapped = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 3)
+    val cs = capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val us = uncapped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cs.subsetOf(us))
   }
 
   test("embedding near-dup: planted duplicate vector found at cosine ~1") {
