@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.{Profiles, Scoring}
 
@@ -80,6 +80,51 @@ object Pipelines {
     val prof = ev.groupBy("user_id").agg(avg("value").as("cust_avg"))
     applyScoring(Profiles.joinProfiles(ev, prof, "user_id"), cfg)
       .orderBy("event_id")
+  }
+
+  /** The reference's SHIPPED thresholds for its own transactions schema
+    * (`api/app.py:29,167-193`) — unlike `EventScoringConfig`, nothing is
+    * re-parameterized: a reference user pointing this at their
+    * `train_transactions.csv` gets the deployed behavior. */
+  final case class TxScoringConfig(
+      largeAmount: Double = 1000.0,      // api/app.py:170
+      amountHighRisk: Double = 10000.0,  // api/app.py:29 AMOUNT_HIGH_RISK
+      oddHourCutoff: Int = 5,            // api/app.py:176
+      cardChannel: String = "card",      // api/app.py:173
+      safeLocations: Seq[String] = Seq("Harare", "Bulawayo"))
+
+  /** Gateway scoring over the reference's transactions schema
+    * (`Sources.transactionsCsvSchema`): per-customer profile agg →
+    * broadcast join → rules/deviation/fusion/risk, model scores
+    * supplied per-row via `modelRisk` (0 when the ML worker is absent —
+    * the `api/app.py:251-257` fallback). One row out per row in. */
+  def scoreTransactions(tx: DataFrame,
+                        cfg: TxScoringConfig = TxScoringConfig(),
+                        modelRisk: Column = lit(0.0)): DataFrame = {
+    val prof = tx.groupBy("customer_id").agg(avg("amount").as("cust_avg"))
+    val r1 = Scoring.ruleLargeAmount(col("amount"), cfg.largeAmount)
+    val r2 = Scoring.ruleCardLocation(col("channel"), col("location"),
+                                      cfg.cardChannel, cfg.safeLocations)
+    val r3 = Scoring.ruleOddHour(hour(col("timestamp")), cfg.oddHourCutoff)
+    Profiles.joinProfiles(tx, prof, "customer_id")
+      .withColumn("__rule", Scoring.ruleScore(r1, r2, r3))
+      .withColumn("__dev", Scoring.deviation(col("amount"), col("cust_avg")))
+      .withColumn("__mr", modelRisk)
+      .withColumn("__base",
+        lit(0.45) * col("__rule") + lit(0.4) * col("__mr") +
+          lit(0.15) * Scoring.clip01(col("__dev") / lit(2.0)))
+      .withColumn("__over",
+        when(col("__rule") >= 0.6 && col("__base") < 0.4, lit(0.5))
+          .otherwise(col("__base")))
+      .withColumn("__agg",
+        when(col("amount") >= cfg.amountHighRisk, greatest(col("__over"), lit(0.85)))
+          .otherwise(col("__over")))
+      .select(
+        col("transaction_id"), col("amount"),
+        round(col("__rule"), 6).as("rule_score"),
+        round(col("__dev"), 6).as("deviation_score"),
+        round(col("__agg"), 6).as("aggregated_score"),
+        Scoring.riskLevel(col("__agg")).as("risk_level"))
   }
 
   /** Worker-variant fusion (`python_scoring/app.py:188-196`): unclipped

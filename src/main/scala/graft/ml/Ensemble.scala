@@ -36,22 +36,31 @@ object Ensemble {
       aeThreshold: Double, lofNovelty: LofNoveltyModel,
       custProfile: DataFrame, merchProfile: DataFrame, cfg: Config)
 
-  /** Fit all models on the events binding (seeded, deterministic). */
-  def fit(spark: SparkSession, sfDir: String, cfg: Config = Config()): Fitted = {
-    val (preproc, feats) = Features.preprocessedEvents(spark, sfDir)
-    // Reference fit order (train.py:66-84): iForest and LOF fit on the
-    // FULL preprocessed X; the 80/20 split exists only so the AE has a
-    // held-out validation set. The AE-substitute PCA therefore fits on
-    // train and its P97.5 threshold is computed on valid; the other two
-    // models see everything.
+  /** The three anomaly models + AE threshold, fit on an already-
+    * preprocessed features frame (domain-agnostic — events binding and
+    * the reference's transactions CSV share this). Reference fit order
+    * (train.py:66-84): iForest and LOF fit on the FULL preprocessed X;
+    * the 80/20 split exists only so the AE has a held-out validation
+    * set. The AE-substitute PCA therefore fits on train and its P97.5
+    * threshold is computed on valid; the other two models see
+    * everything. */
+  def fitModels(feats: DataFrame, idCol: String, cfg: Config = Config())
+      : (IForestModel, PcaReconModel, Double, LofNoveltyModel) = {
     val ifModel = IsolationForest.fit(feats, "features", cfg.nTrees,
                                       cfg.subsample, cfg.contamination, cfg.seed)
-    val lofNov = Lof.fitNovelty(feats, "event_id", "features",
+    val lofNov = Lof.fitNovelty(feats, idCol, "features",
                                 cfg.lofK, cfg.lofRefPoints)
     val Array(train, valid) = feats.randomSplit(Array(0.8, 0.2), cfg.seed)
     val pca = PcaRecon.fit(train, "features", cfg.pcaK)
     val aeThr = valid.select(pca.scoreCol(col("features")).as("m"))
       .agg(expr("percentile_approx(m, 0.975, 10000)")).head.getDouble(0)
+    (ifModel, pca, aeThr, lofNov)
+  }
+
+  /** Fit all models on the events binding (seeded, deterministic). */
+  def fit(spark: SparkSession, sfDir: String, cfg: Config = Config()): Fitted = {
+    val (preproc, feats) = Features.preprocessedEvents(spark, sfDir)
+    val (ifModel, pca, aeThr, lofNov) = fitModels(feats, "event_id", cfg)
     // profile aggs over the memoized enriched frame (feats carries all
     // enrichment columns) — no extra pass over the source
     val custProf = graft.operators.Profiles.customerProfileFull(feats, "user_id", "amount")

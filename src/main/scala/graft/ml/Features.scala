@@ -33,6 +33,21 @@ object Features {
       .withColumn("cust_txn_count", col("cust_txn_count").cast("double"))
   }
 
+  /** The SAME feature assembly over the reference's own transactions
+    * schema (`Sources.transactionsCsvSchema` — the shape of
+    * `data/train_transactions.csv`): the reference's `build_feature_row`
+    * (`api/app.py:150-165`) set-oriented. Customer/merchant profiles
+    * are full-history aggregates (the training fixture spans 60 days
+    * < the 90-day window, so the two are equivalent — SURVEY §1.3). */
+  def transactionFeatures(tx: DataFrame): DataFrame = {
+    val withTime = TimeFeatures.withTimeFeatureDefaults(tx, "timestamp")
+    val custProf = Profiles.customerProfileFull(tx, "customer_id", "amount")
+    val merchProf = Profiles.merchantProfile(tx, "merchant_id", "amount")
+    Profiles.joinProfiles(withTime, custProf, "customer_id",
+        Some((merchProf, "merchant_id")))
+      .withColumn("cust_txn_count", col("cust_txn_count").cast("double"))
+  }
+
   private val memo =
     new java.util.concurrent.ConcurrentHashMap[String, (PreprocModel, DataFrame)]()
 

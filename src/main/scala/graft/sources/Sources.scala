@@ -66,6 +66,45 @@ object Sources {
       .partitionBy("score_date")
       .parquet(outDir)
 
+  /** `src_jdbc_profile` in its LIVE-database form (`api/app.py:119-146`
+    * reads MySQL): a real `spark.read.jdbc` path for users replaying
+    * the reference's deployment against its database instead of the
+    * canonical parquet extracts. Any JDBC driver on the classpath
+    * works (tests round-trip through embedded Derby).
+    *
+    * Scale posture: a plain JDBC read is ONE connection pulling the
+    * whole table through the driver — pass `partitioning =
+    * Some((numericCol, lower, upper, n))` so n executors read n
+    * disjoint ranges in parallel. Profile-sized tables (one row per
+    * customer) are fine unpartitioned; fact-sized tables never are. */
+  def readJdbc(spark: SparkSession, url: String, table: String,
+               driver: Option[String] = None,
+               partitioning: Option[(String, Long, Long, Int)] = None,
+               options: Map[String, String] = Map.empty): DataFrame = {
+    val r = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", table).options(options)
+    val withDriver = driver.fold(r)(d => r.option("driver", d))
+    partitioning.fold(withDriver) { case (c, lo, hi, n) =>
+      withDriver.option("partitionColumn", c)
+        .option("lowerBound", lo).option("upperBound", hi)
+        .option("numPartitions", n)
+    }.load()
+  }
+
+  /** `snk_mysql_log` in its LIVE-database form (`api/app.py:196-219`
+    * INSERTs scores into MySQL): one batched JDBC write per micro-batch
+    * or job — never the reference's per-row INSERT with a fresh
+    * connection each (`python_scoring/app.py:103-111`). Writes run one
+    * connection per partition; coalesce small frames first so a tiny
+    * profile write doesn't open 32 connections. */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+                mode: String = "append", driver: Option[String] = None,
+                options: Map[String, String] = Map.empty): Unit = {
+    val w = df.write.format("jdbc")
+      .option("url", url).option("dbtable", table).options(options)
+    driver.fold(w)(d => w.option("driver", d)).mode(mode).save()
+  }
+
   /** Write a table bucketed + sorted on its join key (saved through the
     * session catalog — bucketing metadata lives there). Joins and
     * aggregations between two tables bucketed the same way on the same

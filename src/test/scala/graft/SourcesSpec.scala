@@ -118,4 +118,34 @@ class SourcesSpec extends AnyFunSuite {
     val s2 = df.select(forest2.scoreSamplesCol(col("features"))).collect().map(_.getDouble(0))
     assert(s1.sameElements(s2))
   }
+
+  test("jdbc sink + source round-trip (embedded Derby)") {
+    // live-DB form of src_jdbc_profile / snk_mysql_log: write scores,
+    // read them back plain and range-partitioned
+    val url = "jdbc:derby:memory:graftjdbc;create=true"
+    val driver = Some("org.apache.derby.iapi.jdbc.AutoloadedDriver")
+    val scores = Seq(
+      (1L, 101L, 344.07, 0.42, "Medium"),
+      (2L, 102L, 15.53, 0.05, "Low"),
+      (3L, 103L, 50000.0, 0.93, "High"),
+      (4L, 101L, 205.5, 0.12, "Low"))
+      .toDF("transaction_id", "customer_id", "amount", "aggregated_score", "risk_level")
+    Sources.writeJdbc(scores.coalesce(1), url, "scores", mode = "overwrite", driver = driver,
+      // Derby maps StringType to CLOB, which can't be compared/pushed —
+      // declare the string column explicitly (MySQL DDL would too)
+      options = Map("createTableColumnTypes" -> "risk_level VARCHAR(10)"))
+    val back = Sources.readJdbc(spark, url, "scores", driver = driver)
+    assert(back.count() == 4)
+    assert(back.columns.map(_.toLowerCase).toSet ==
+      Set("transaction_id", "customer_id", "amount", "aggregated_score", "risk_level"))
+    val hi = back.filter(col("risk_level") === "High").head
+    assert(hi.getAs[Long]("transaction_id") == 3L)
+    // partitioned read: 3 disjoint id ranges in parallel
+    val part = Sources.readJdbc(spark, url, "scores", driver = driver,
+      partitioning = Some(("transaction_id", 0L, 5L, 3)))
+    assert(part.rdd.getNumPartitions == 3)
+    assert(part.count() == 4)
+    assert(part.agg(sum("aggregated_score")).head.getDouble(0) ==
+      back.agg(sum("aggregated_score")).head.getDouble(0))
+  }
 }
