@@ -561,7 +561,13 @@ object Queries {
     * (event_id, dim_idx, value) scalars — the driver's rows-only check
     * sorts output columns, and an array<double> column is unsortable in
     * its pandas harness (the r1 red row). Every dimension is still
-    * checked, one per row. */
+    * checked, one per row — and the whole fit+transform (enrichment,
+    * profile joins, population-σ scaling, sorted-vocab one-hot) is now
+    * ORACLE-CHECKED: the SQL below rebuilds the identical pipeline,
+    * deriving each one-hot dimension index from a row_number over the
+    * distinct sorted vocabulary (numerics are dims 0-7, channel vocab
+    * follows, location vocab after that — `PreprocModel.featureNames`
+    * order). */
   private val qMlPreproc = Q(
     "ml_preproc",
     (s, d) => {
@@ -571,7 +577,54 @@ object Queries {
                 round(col("col"), 6).as("value"))
         .orderBy("event_id", "dim_idx")
     },
-    None)
+    Some("""WITH enr AS (
+           | SELECT event_id, user_id,
+           |  value AS amount,
+           |  event_type AS channel,
+           |  'zone_' || CAST(CAST(floor(CAST(json_extract_string(props, '$.k') AS INT) / 25.0) AS INT) AS VARCHAR) AS location,
+           |  CAST(year(ts) AS INT) AS year, CAST(month(ts) AS INT) AS month,
+           |  CAST(isodow(ts) - 1 AS INT) AS day_of_week, CAST(hour(ts) AS INT) AS hour
+           | FROM events),
+           |prof_c AS (SELECT user_id, avg(amount) AS cust_avg_amount,
+           |                  CAST(count(*) AS DOUBLE) AS cust_txn_count
+           |           FROM enr GROUP BY user_id),
+           |prof_m AS (SELECT channel, avg(amount) AS merch_avg_amount
+           |           FROM enr GROUP BY channel),
+           |f AS (SELECT e.*, p.cust_avg_amount, p.cust_txn_count, m.merch_avg_amount
+           |      FROM enr e LEFT JOIN prof_c p USING (user_id)
+           |                 LEFT JOIN prof_m m USING (channel)),
+           |st AS (SELECT
+           |  avg(amount) AS m0, CASE WHEN coalesce(stddev_pop(amount), 0) = 0 THEN 1 ELSE stddev_pop(amount) END AS s0,
+           |  avg(year) AS m1, CASE WHEN coalesce(stddev_pop(year), 0) = 0 THEN 1 ELSE stddev_pop(year) END AS s1,
+           |  avg(month) AS m2, CASE WHEN coalesce(stddev_pop(month), 0) = 0 THEN 1 ELSE stddev_pop(month) END AS s2,
+           |  avg(day_of_week) AS m3, CASE WHEN coalesce(stddev_pop(day_of_week), 0) = 0 THEN 1 ELSE stddev_pop(day_of_week) END AS s3,
+           |  avg(hour) AS m4, CASE WHEN coalesce(stddev_pop(hour), 0) = 0 THEN 1 ELSE stddev_pop(hour) END AS s4,
+           |  avg(cust_avg_amount) AS m5, CASE WHEN coalesce(stddev_pop(cust_avg_amount), 0) = 0 THEN 1 ELSE stddev_pop(cust_avg_amount) END AS s5,
+           |  avg(cust_txn_count) AS m6, CASE WHEN coalesce(stddev_pop(cust_txn_count), 0) = 0 THEN 1 ELSE stddev_pop(cust_txn_count) END AS s6,
+           |  avg(merch_avg_amount) AS m7, CASE WHEN coalesce(stddev_pop(merch_avg_amount), 0) = 0 THEN 1 ELSE stddev_pop(merch_avg_amount) END AS s7
+           | FROM f),
+           |num AS (
+           | SELECT event_id, 0 AS dim_idx, (coalesce(amount, 0) - st.m0) / st.s0 AS v FROM f, st
+           | UNION ALL SELECT event_id, 1, (coalesce(year, 0) - st.m1) / st.s1 FROM f, st
+           | UNION ALL SELECT event_id, 2, (coalesce(month, 0) - st.m2) / st.s2 FROM f, st
+           | UNION ALL SELECT event_id, 3, (coalesce(day_of_week, 0) - st.m3) / st.s3 FROM f, st
+           | UNION ALL SELECT event_id, 4, (coalesce(hour, 0) - st.m4) / st.s4 FROM f, st
+           | UNION ALL SELECT event_id, 5, (coalesce(cust_avg_amount, 0) - st.m5) / st.s5 FROM f, st
+           | UNION ALL SELECT event_id, 6, (coalesce(cust_txn_count, 0) - st.m6) / st.s6 FROM f, st
+           | UNION ALL SELECT event_id, 7, (coalesce(merch_avg_amount, 0) - st.m7) / st.s7 FROM f, st),
+           |vc AS (SELECT v, CAST(7 + row_number() OVER (ORDER BY v) AS INT) AS dim_idx
+           |       FROM (SELECT DISTINCT coalesce(CAST(channel AS VARCHAR), '') AS v FROM f)),
+           |vl AS (SELECT v, CAST(7 + (SELECT count(*) FROM vc) + row_number() OVER (ORDER BY v) AS INT) AS dim_idx
+           |       FROM (SELECT DISTINCT coalesce(CAST(location AS VARCHAR), '') AS v FROM f)),
+           |ohc AS (SELECT f.event_id, vc.dim_idx,
+           |               CASE WHEN coalesce(CAST(f.channel AS VARCHAR), '') = vc.v THEN 1.0 ELSE 0.0 END AS v
+           |        FROM f CROSS JOIN vc),
+           |ohl AS (SELECT f.event_id, vl.dim_idx,
+           |               CASE WHEN coalesce(CAST(f.location AS VARCHAR), '') = vl.v THEN 1.0 ELSE 0.0 END AS v
+           |        FROM f CROSS JOIN vl),
+           |allrows AS (SELECT * FROM num UNION ALL SELECT * FROM ohc UNION ALL SELECT * FROM ohl)
+           |SELECT event_id, CAST(dim_idx AS INT) AS dim_idx, round(v, 6) AS value
+           |FROM allrows ORDER BY event_id, dim_idx""".stripMargin))
 
   /** PCA reconstruction-error anomaly score (AE substitute, §2.8). */
   private val qMlPcaRecon = Q(

@@ -88,6 +88,25 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful profiles: events beyond the 90-day window drop out of the profile") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[StatefulProfiles.EventIn]
+    val q = StatefulProfiles.running(mem.toDS()).writeStream
+      .format("memory").queryName("state_prof_window").outputMode("update").start()
+    try {
+      mem.addData(StatefulProfiles.EventIn(1L, ts("2024-01-01 00:00:00"), 7L, 100.0))
+      q.processAllAvailable()
+      // 120 days later: the January day-bucket is outside the trailing
+      // 90-day window, so the emitted profile reflects ONLY the new event
+      mem.addData(StatefulProfiles.EventIn(2L, ts("2024-04-30 00:00:00"), 7L, 50.0))
+      q.processAllAvailable()
+      val rows = spark.table("state_prof_window").filter(col("user_id") === 7L)
+        .collect().map(r => (r.getDouble(1), r.getLong(2))).toSet
+      assert(rows.contains((100.0, 1L)), s"first emission wrong: $rows")
+      assert(rows.contains((50.0, 1L)), s"stale bucket not pruned: $rows")
+    } finally q.stop()
+  }
+
   test("streaming ML inference: fitted ensemble scores a stream, parity with batch") {
     implicit val sc = spark.sqlContext
     val fitted = graft.ml.Ensemble.fit(spark, "/root/testdata/sf0.001")
