@@ -1018,6 +1018,23 @@ object Queries {
     },
     None)
 
+  /** ANN top-k via IVF coarse quantization (rows-only) — the second
+    * scale path for `q_sim_bruteforce`, orthogonal to LSH: k-means
+    * cells bound each query's candidate set to ~nprobe/nlist of the
+    * corpus; exact cosine re-ranks. Centroids are constant-size model
+    * state; the candidate join shuffles on a small int cell id.
+    * SimilaritySpec measures recall vs brute force. */
+  private val qSimIvfTopk = Q(
+    "sim_ivf_topk",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cent = operators.Ivf.fitCentroids(e, "vec_id", "embedding", nlist = 16)
+      operators.Ivf.topk(e, "vec_id", "embedding",
+          e.filter(col("vec_id") < 10), k = 10, cent, nprobe = 8)
+        .select(col("query_id"), col("neighbor_id"), col("cos"))
+    },
+    None)
+
   // =====================================================================
   // All declared queries, in SURVEY §2 order
   // =====================================================================
@@ -1032,7 +1049,7 @@ object Queries {
     qTopkRisky,
     qRowwiseMse, qAeThreshold,
     qTextStats, qLangId, qTokenCount, qTfidfTop, qFingerprint,
-    qDedupExact, qNgramJaccard, qSimBruteforce, qSimLshTopk,
+    qDedupExact, qNgramJaccard, qSimBruteforce, qSimLshTopk, qSimIvfTopk,
     qDedupMinhash, qDedupSimhash, qDedupEmbedding,
     qScalerFit, qMlPreproc, qMlPcaRecon, qMlIforest, qMlLof, qMlEnsemble,
     qMlSplit, qScoreFallback)

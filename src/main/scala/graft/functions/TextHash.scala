@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** 64-bit SimHash of a token array (`array<string>` → long) as a
+  * native Catalyst expression.
+  *
+  * Per token: FNV-1a 64-bit over the token's UTF-8 bytes (stable
+  * across JVMs/engines, no Spark internals); each signature bit is the
+  * majority vote of that hash bit across tokens. Replaces the former
+  * Scala UDF (`Dedup.simhash64` r1): the UDF forced per-row
+  * serialization into the Scala lambda and broke the enclosing
+  * whole-stage-codegen span; this generates a primitive loop in the
+  * same span as the surrounding projection — the signature pass over a
+  * corpus is now pure scan-parallel codegen with zero boxing.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val acc = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val bs = arr.getUTF8String(i).getBytes
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      while (j < bs.length) { h ^= (bs(j) & 0xffL); h *= 0x100000001b3L; j += 1 }
+      var b = 0
+      while (b < 64) { if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1; b += 1 }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i"); val bs = ctx.freshName("bs")
+      val h = ctx.freshName("h"); val j = ctx.freshName("j")
+      val b = ctx.freshName("b"); val sig = ctx.freshName("sig")
+      s"""
+         |int $n = $a.numElements();
+         |int[] $acc = new int[64];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  byte[] $bs = $a.getUTF8String($i).getBytes();
+         |  long $h = 0xcbf29ce484222325L;
+         |  for (int $j = 0; $j < $bs.length; $j++) {
+         |    $h ^= (long) ($bs[$j] & 0xff);
+         |    $h *= 0x100000001b3L;
+         |  }
+         |  for (int $b = 0; $b < 64; $b++) {
+         |    if ((($h >>> $b) & 1L) == 1L) $acc[$b]++; else $acc[$b]--;
+         |  }
+         |}
+         |long $sig = 0L;
+         |for (int $b = 0; $b < 64; $b++) {
+         |  if ($acc[$b] > 0) $sig |= (1L << $b);
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "simhash64"
+}
+
+object TextHash {
+  import org.apache.spark.sql.graft.Bridge.{column, expression, registerFunction}
+
+  /** `array<string>` tokens → 64-bit SimHash signature. */
+  def simhash64(tokens: Column): Column =
+    column(SimHash64(expression(tokens.cast("array<string>"))))
+
+  /** Expose to the SQL surface: `SELECT simhash64(split(text, ' '))`. */
+  def registerSql(spark: org.apache.spark.sql.SparkSession): Unit =
+    registerFunction(spark, "simhash64", es => SimHash64(es.head))
+}

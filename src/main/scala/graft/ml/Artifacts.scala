@@ -61,6 +61,57 @@ object Artifacts {
     LofNoveltyModel(pts, kd, lr, k)
   }
 
+  /** Whole fitted-ensemble bundle: the four model JSONs + fusion meta +
+    * the two profile tables as parquet. This is the production
+    * train→serve handoff — `Ensemble.fit` once on the cluster, ship the
+    * directory, `loadEnsemble` in the (possibly streaming) scorer.
+    * Profiles are parquet because they scale with |entities|, unlike
+    * the constant-size model state. */
+  def saveEnsemble(f: Ensemble.Fitted, dir: String): Unit = {
+    savePreproc(f.preproc, s"$dir/preproc.json")
+    savePca(f.pca, s"$dir/pca.json")
+    saveForest(f.ifModel, s"$dir/forest.json")
+    saveLofNovelty(f.lofNovelty, s"$dir/lof.json")
+    val c = f.cfg
+    write(s"$dir/meta.json",
+      s"""{"aeThreshold":${jNum(f.aeThreshold)},"nTrees":${c.nTrees},""" +
+        s""""subsample":${c.subsample},"contamination":${jNum(c.contamination)},""" +
+        s""""pcaK":${c.pcaK},"lofK":${c.lofK},"lofRefPoints":${c.lofRefPoints},""" +
+        s""""seed":${c.seed},"largeAmount":${jNum(c.largeAmount)},""" +
+        s""""bigAmount":${jNum(c.bigAmount)},""" +
+        s""""suspiciousChannel":${jStr(c.suspiciousChannel)},""" +
+        s""""propsKeyThreshold":${c.propsKeyThreshold}}""")
+    f.custProfile.write.mode("overwrite").parquet(s"$dir/cust_profile.parquet")
+    f.merchProfile.write.mode("overwrite").parquet(s"$dir/merch_profile.parquet")
+  }
+
+  def loadEnsemble(spark: org.apache.spark.sql.SparkSession, dir: String): Ensemble.Fitted = {
+    val p = new P(read(s"$dir/meta.json"))
+    p.objField("aeThreshold"); val aeThr = p.num()
+    p.objField("nTrees"); val nTrees = p.num().toInt
+    p.objField("subsample"); val subsample = p.num().toInt
+    p.objField("contamination"); val contamination = p.num()
+    p.objField("pcaK"); val pcaK = p.num().toInt
+    p.objField("lofK"); val lofK = p.num().toInt
+    p.objField("lofRefPoints"); val lofRefPoints = p.num().toInt
+    p.objField("seed"); val seed = p.num().toLong
+    p.objField("largeAmount"); val largeAmount = p.num()
+    p.objField("bigAmount"); val bigAmount = p.num()
+    p.objField("suspiciousChannel"); val suspiciousChannel = p.str()
+    p.objField("propsKeyThreshold"); val propsKeyThreshold = p.num().toInt
+    val cfg = Ensemble.Config(nTrees, subsample, contamination, pcaK, lofK,
+      lofRefPoints, seed, largeAmount, bigAmount, suspiciousChannel, propsKeyThreshold)
+    Ensemble.Fitted(
+      loadPreproc(s"$dir/preproc.json"),
+      loadForest(s"$dir/forest.json"),
+      loadPca(s"$dir/pca.json"),
+      aeThr,
+      loadLofNovelty(s"$dir/lof.json"),
+      spark.read.parquet(s"$dir/cust_profile.parquet"),
+      spark.read.parquet(s"$dir/merch_profile.parquet"),
+      cfg)
+  }
+
   private def write(path: String, content: String): Unit = {
     val p = Paths.get(path)
     if (p.getParent != null) Files.createDirectories(p.getParent)

@@ -43,7 +43,13 @@ object Dedup {
                    numHashes: Int = 32, bands: Int = 8,
                    threshold: Double = 0.5, shingleK: Int = 3): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sh = shingleDocs(docs, idCol, textCol, shingleK).cache()
+    // NOT cached: the shingle frame is a narrow projection off the doc
+    // scan — recomputing it for the signature pass and the two survivor
+    // joins is scan-bound work, whereas pinning corpus-sized shingle
+    // arrays in storage memory (a) can't fit at 100 TB and (b) leaks a
+    // fresh cache entry per call (each call builds a new plan; nothing
+    // ever unpersists it — a long-lived session accumulates them).
+    val sh = shingleDocs(docs, idCol, textCol, shingleK)
     val sig = withMinhashSignature(sh, numHashes)
     val bandCols = (0 until bands).map { b =>
       val cols = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
@@ -73,26 +79,13 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** 64-bit SimHash of the whitespace token stream. The per-bit
-    * majority vote needs 64 accumulators — a deterministic Scala UDF
-    * over the token array (constant work per row, no shuffle). */
-  val simhash64: Column => Column = {
-    val f = udf { (tokens: Seq[String]) =>
-      val acc = new Array[Int](64)
-      tokens.foreach { t =>
-        // FNV-1a 64-bit — stable across JVMs, no Spark internals
-        var h = 0xcbf29ce484222325L
-        var i = 0
-        while (i < t.length) { h ^= t.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
-        var b = 0
-        while (b < 64) { if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1; b += 1 }
-      }
-      var sig = 0L; var b = 0
-      while (b < 64) { if (acc(b) > 0) sig |= (1L << b); b += 1 }
-      sig
-    }
-    (c: Column) => f(c)
-  }
+  /** 64-bit SimHash of the whitespace token stream — the native
+    * codegen expression (`functions.SimHash64`): FNV-1a per token over
+    * UTF-8 bytes, per-bit majority vote. Constant work per row, no
+    * shuffle, stays inside the enclosing whole-stage-codegen span
+    * (replaced the r1 Scala UDF, which broke the span and boxed every
+    * token). */
+  val simhash64: Column => Column = graft.functions.TextHash.simhash64
 
   /** SimHash near-dup pairs via pigeonhole banding: the 64-bit
     * signature is split into `maxHamming + 1` chunks, so any pair with

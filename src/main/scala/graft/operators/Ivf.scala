@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorOps
+
+/** IVF (inverted-file) approximate nearest neighbour — the coarse-
+  * quantizer scale path for embedding similarity search, complementing
+  * the AND-OR LSH variant (`VectorLsh`): k-means centroids partition
+  * the corpus into `nlist` cells; a query probes its `nprobe` nearest
+  * cells and exact-ranks only those candidates, so per-query cost is
+  * ~`nprobe/nlist` of the corpus instead of all of it.
+  *
+  * Spark shape: centroids are CONSTANT-SIZE model state (fit on a
+  * deterministic driver-collected sample, like `Lof.fitNovelty`'s
+  * reference set); cell assignment is a pure codegen expression
+  * (per-centroid `ArraySquaredDiffSum` + `array_min` over (dist, idx)
+  * structs — no UDF); the candidate join is an equi-join on the cell
+  * id, i.e. ONE shuffle keyed by a small int. At 100 TB the assigned
+  * corpus would be written bucketed by `ivf_cell` once and probed
+  * shuffle-free thereafter.
+  */
+object Ivf {
+
+  /** Lloyd's k-means on a deterministic sample (`orderBy(id) limit
+    * sampleSize`), iterated in primitive driver arrays — centroid fit
+    * cost is O(sample·nlist·dim·iters), independent of corpus size.
+    * Empty cells keep their previous centroid (deterministic). */
+  def fitCentroids(emb: DataFrame, idCol: String, vecCol: String,
+                   nlist: Int, iters: Int = 10,
+                   sampleSize: Int = 4096): Array[Array[Double]] = {
+    val pts = emb.select(col(idCol).as("id"),
+        expr(s"transform($vecCol, x -> cast(x as double))").as("f"))
+      .orderBy("id").limit(sampleSize)
+      .collect().map(_.getSeq[Double](1).toArray)
+    require(pts.length >= nlist, s"need >= $nlist sample points, got ${pts.length}")
+    val dim = pts(0).length
+    // init: evenly strided sample points (deterministic, spread out)
+    var cent = Array.tabulate(nlist)(i => pts(i * pts.length / nlist).clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.ofDim[Double](nlist, dim)
+      val counts = new Array[Int](nlist)
+      pts.foreach { p =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < nlist) {
+          var s = 0.0; var j = 0
+          while (j < dim) { val d = p(j) - cent(c)(j); s += d * d; j += 1 }
+          if (s < bestD) { bestD = s; best = c }
+          c += 1
+        }
+        var j = 0
+        while (j < dim) { sums(best)(j) += p(j); j += 1 }
+        counts(best) += 1
+      }
+      cent = Array.tabulate(nlist) { c =>
+        if (counts(c) == 0) cent(c)
+        else Array.tabulate(dim)(j => sums(c)(j) / counts(c))
+      }
+      it += 1
+    }
+    cent
+  }
+
+  /** (squared-distance, cell-index) struct per centroid — the codegen
+    * building block for both assignment and probing. */
+  private def distStructs(vec: Column, centroids: Array[Array[Double]]): Seq[Column] =
+    centroids.zipWithIndex.toSeq.map { case (c, i) =>
+      struct(graft.functions.ArrayMath.sqDiffSum(vec, typedLit(c.toSeq)).as("d"),
+             lit(i).as("cell"))
+    }
+
+  /** Nearest-centroid cell id (codegen: nlist fold loops + array_min). */
+  def cellCol(vec: Column, centroids: Array[Array[Double]]): Column =
+    array_min(array(distStructs(vec, centroids): _*)).getField("cell")
+
+  /** The query's `nprobe` nearest cells, as an array column. The
+    * array_sort runs over nlist structs per QUERY row only. */
+  def probeCellsCol(vec: Column, centroids: Array[Array[Double]], nprobe: Int): Column =
+    expr_probe(vec, centroids, nprobe)
+
+  private def expr_probe(vec: Column, centroids: Array[Array[Double]], nprobe: Int): Column =
+    transform(slice(array_sort(array(distStructs(vec, centroids): _*)), 1, nprobe),
+              s => s.getField("cell"))
+
+  /** Per-query exact top-k over the probed cells' candidates:
+    * corpus → cell assignment (scan-parallel) → equi-join with the
+    * exploded (query, cell) probes → exact cosine → window top-k.
+    * Returns (query_id, neighbor_id, cos). */
+  def topk(emb: DataFrame, idCol: String, vecCol: String,
+           queries: DataFrame, k: Int,
+           centroids: Array[Array[Double]], nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = emb.select(col(idCol).as("nid"),
+        expr(s"transform($vecCol, x -> cast(x as double))").as("nf"))
+      .withColumn("cell", cellCol(col("nf"), centroids))
+    val probes = queries.select(col(idCol).as("query_id"),
+        expr(s"transform($vecCol, x -> cast(x as double))").as("qf"))
+      .withColumn("cell",
+        explode(expr_probe(col("qf"), centroids, nprobe)))
+    val cand = probes.join(corpus, Seq("cell"))
+      .filter(col("query_id") =!= col("nid"))
+      .select(col("query_id"), col("nid"),
+              round(VectorOps.cosine(col("qf"), col("nf")), 6).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("nid").asc)
+    cand.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
+      .select(col("query_id"), col("nid").as("neighbor_id"), col("cos"))
+      .orderBy("query_id", "neighbor_id")
+  }
+}

@@ -18,6 +18,39 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.6, s"recall $recall too low")
   }
 
+  test("sim_ivf_topk recall@10 >= 0.6 vs brute force on sf0.001") {
+    val exact = SparkEntry.queries("q_sim_bruteforce")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = SparkEntry.queries("sim_ivf_topk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(s"ivf recall@10 = $recall (${(exact & approx).size}/${exact.size})")
+    assert(recall >= 0.6, s"recall $recall too low")
+  }
+
+  test("ivf probing bounds the candidate set to the probed cells") {
+    val e = Tables.embeddings(spark, sf)
+    val cent = graft.operators.Ivf.fitCentroids(e, "vec_id", "embedding", nlist = 16)
+    import org.apache.spark.sql.functions._
+    val assigned = e.select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("f"))
+      .withColumn("cell", graft.operators.Ivf.cellCol(col("f"), cent))
+    val cellSizes = assigned.groupBy("cell").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // all 16 cells used, none degenerate-hot (no cell > half the corpus)
+    val n = assigned.count()
+    assert(cellSizes.size >= 8, s"too few cells used: ${cellSizes.size}")
+    assert(cellSizes.values.max <= n / 2, s"degenerate cell: $cellSizes")
+    // ivf exact-cos values agree with brute force where pairs overlap
+    val exactMap = SparkEntry.queries("q_sim_bruteforce")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val approx = SparkEntry.queries("sim_ivf_topk")(spark, sf).collect()
+    val both = approx.flatMap(r =>
+      exactMap.get((r.getLong(0), r.getLong(1))).map(e2 => (r.getDouble(2), e2)))
+    assert(both.nonEmpty)
+    both.foreach { case (a, x) => assert(a == x, s"$a vs $x") }
+  }
+
   test("lsh candidates agree with exact distances (cos = 1 - d^2/2 check)") {
     val approx = SparkEntry.queries("sim_lsh_topk")(spark, sf).collect()
     val exactMap = SparkEntry.queries("q_sim_bruteforce")(spark, sf)

@@ -119,6 +119,18 @@ class SourcesSpec extends AnyFunSuite {
     assert(s1.sameElements(s2))
   }
 
+  test("ensemble bundle round-trip: loaded bundle scores identically") {
+    val dir = tmp()
+    val fitted = graft.ml.Ensemble.fit(spark, "/root/testdata/sf0.001")
+    Artifacts.saveEnsemble(fitted, s"$dir/bundle")
+    val loaded = Artifacts.loadEnsemble(spark, s"$dir/bundle")
+    assert(loaded.cfg == fitted.cfg && loaded.aeThreshold == fitted.aeThreshold)
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val a = graft.ml.Ensemble.scoreBatch(ev, fitted).orderBy("transaction_id").collect()
+    val b = graft.ml.Ensemble.scoreBatch(ev, loaded).orderBy("transaction_id").collect()
+    assert(a.sameElements(b))
+  }
+
   test("jdbc sink + source round-trip (embedded Derby)") {
     // live-DB form of src_jdbc_profile / snk_mysql_log: write scores,
     // read them back plain and range-partitioned

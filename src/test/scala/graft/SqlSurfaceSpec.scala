@@ -25,6 +25,15 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "SELECT array_sqdiff_sum(array(1.0D, 2.0D), array(3.0D, 4.0D)) / 2")
       .head.getDouble(0)
     assert(mse == 4.0)
+    graft.functions.TextHash.registerSql(spark)
+    // identical token arrays → identical signatures; interpreted eval
+    // (head on a literal row) must agree with the codegen'd column path
+    val Array(s1, s2) = spark.sql(
+      "SELECT simhash64(split('a b c', ' ')), simhash64(split('a b c', ' '))")
+      .head.toSeq.map(_.asInstanceOf[Long]).toArray
+    assert(s1 == s2)
+    val s3 = spark.sql("SELECT simhash64(split('x y zz', ' '))").head.getLong(0)
+    assert(s3 != s1)
   }
 
   test("shared-dialect oracle SQL runs on Spark and matches the DataFrame plan") {
