@@ -848,6 +848,78 @@ object Queries {
     Some("""SELECT doc_id, md5(text) AS fp, CAST(length(text) AS INT) AS n_chars
            |FROM documents ORDER BY doc_id""".stripMargin))
 
+  /** Winnowing document fingerprints (rolling-hash selection, Schleimer
+    * et al. 2003): hash every 3-word k-gram, slide a window of
+    * `WinnowWindow` hashes over the sequence, keep each window's
+    * minimum — the classic plagiarism/near-dup fingerprint whose
+    * density is ~2/(window+1) of the k-grams, position-robust unlike
+    * whole-document digests. All per-row array work (no shuffle until
+    * the final explode), scan-parallel at any corpus size. Hashes are
+    * md5 hex strings compared lexicographically so the min-selection is
+    * bit-identical in Spark and the DuckDB oracle (a 64-bit rolling
+    * polynomial would be cheaper per byte at production scale, but is
+    * not portable across the two engines — selection semantics are
+    * identical either way). */
+  private val WinnowWindow = 4
+
+  private val qWinnowFingerprint = Q(
+    "q_winnow_fingerprint",
+    (s, d) => operators.Dedup.winnowFingerprints(
+        Tables.documents(s, d), "doc_id", "text", k = 3, window = WinnowWindow)
+      .orderBy("doc_id", "fp"),
+    Some(s"""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+           |kh AS (SELECT doc_id, list_transform(generate_series(1, len(w)-2),
+           |         i -> md5(concat_ws(' ', w[i], w[i+1], w[i+2]))) AS kh
+           |       FROM w WHERE len(w) >= 3)
+           |SELECT doc_id, unnest(list_distinct(list_transform(
+           |  generate_series(1, len(kh)-${WinnowWindow - 1}),
+           |  j -> list_min(list_slice(kh, j, j + ${WinnowWindow - 1}))))) AS fp
+           |FROM kh WHERE len(kh) >= $WinnowWindow ORDER BY doc_id, fp""".stripMargin))
+
+  /** Composed corpus-cleaning pipeline (north-star): the full
+    * training-data pass — language-ID gate (predicted en), quality gate
+    * (length + stopword density), then exact-dedup keeper — as ONE
+    * declarative plan. Catalyst fuses the per-row gates into the scan
+    * (all filters precede the single digest-keyed shuffle), so the
+    * pipeline costs the same as exact dedup over the surviving docs. */
+  private val qCorpusClean = Q(
+    "q_corpus_clean",
+    (s, d) => {
+      val t = col("text")
+      val en = regexp_count(t, lit("\\b(the|and|of|is|to)\\b"))
+      val de = regexp_count(t, lit("\\b(der|die|und|ist|das)\\b"))
+      val fr = regexp_count(t, lit("\\b(le|la|et|est|les)\\b"))
+      val es = regexp_count(t, lit("\\b(el|los|y|es|las)\\b"))
+      val nTokens = size(split(trim(t), "\\s+"))
+      val stopRatio = regexp_count(t, lit("\\b(the|a|an|of|to|and|in|is|for|on|with)\\b"))
+        .cast("double") / nTokens.cast("double")
+      Tables.documents(s, d)
+        .withColumn("n_tokens", nTokens)
+        .withColumn("stopword_ratio", round(stopRatio, 6))
+        .filter(en >= de && en >= fr && en >= es)   // language gate
+        .filter(col("n_tokens") >= 20 && col("stopword_ratio") >= 0.05) // quality gate
+        .groupBy(md5(t.cast("binary")).as("fp"))     // exact-dedup keeper
+        .agg(min(col("doc_id")).as("keeper_id"),
+             count(lit(1)).as("n_copies"),
+             min(col("n_tokens")).as("n_tokens"),
+             min(col("stopword_ratio")).as("stopword_ratio"))
+        .select("keeper_id", "fp", "n_copies", "n_tokens", "stopword_ratio")
+        .orderBy("keeper_id")
+    },
+    Some("""WITH gated AS (
+           | SELECT doc_id, text,
+           |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens,
+           |  round(CAST(len(regexp_extract_all(text, '\b(the|a|an|of|to|and|in|is|for|on|with)\b')) AS DOUBLE)
+           |    / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 6) AS stopword_ratio
+           | FROM documents
+           | WHERE len(regexp_extract_all(text, '\b(the|and|of|is|to)\b')) >= len(regexp_extract_all(text, '\b(der|die|und|ist|das)\b'))
+           |   AND len(regexp_extract_all(text, '\b(the|and|of|is|to)\b')) >= len(regexp_extract_all(text, '\b(le|la|et|est|les)\b'))
+           |   AND len(regexp_extract_all(text, '\b(the|and|of|is|to)\b')) >= len(regexp_extract_all(text, '\b(el|los|y|es|las)\b')))
+           |SELECT min(doc_id) AS keeper_id, md5(text) AS fp, count(*) AS n_copies,
+           |       min(n_tokens) AS n_tokens, min(stopword_ratio) AS stopword_ratio
+           |FROM gated WHERE n_tokens >= 20 AND stopword_ratio >= 0.05
+           |GROUP BY md5(text) ORDER BY keeper_id""".stripMargin))
+
   /** Exact dedup (north-star): hash-groupBy on content, keep min id.
     * One shuffle keyed on the 128-bit digest — at 100 TB the digest
     * (not the document body) is the shuffle key, and the keeper-id agg
@@ -1049,6 +1121,7 @@ object Queries {
     qTopkRisky,
     qRowwiseMse, qAeThreshold,
     qTextStats, qLangId, qTokenCount, qTfidfTop, qFingerprint,
+    qWinnowFingerprint, qCorpusClean,
     qDedupExact, qNgramJaccard, qSimBruteforce, qSimLshTopk, qSimIvfTopk,
     qDedupMinhash, qDedupSimhash, qDedupEmbedding,
     qScalerFit, qMlPreproc, qMlPcaRecon, qMlIforest, qMlLof, qMlEnsemble,

@@ -21,6 +21,29 @@ object Dedup {
         s"transform(sequence(0, size(w)-$k), i -> concat_ws(' ', ${(0 until k).map(j => s"w[i+$j]").mkString(", ")}))"))
         .as("shingles"))
 
+  /** Winnowing fingerprints (doc_id, fp) — rolling-hash selection
+    * (Schleimer et al. 2003): hash every k-word k-gram, slide a window
+    * of `window` hashes, keep each window's minimum. GUARANTEE: two
+    * docs sharing any token run of ≥ k + window − 1 words share ≥ 1
+    * fingerprint (the shared run contains a full window of identical
+    * k-gram hashes, and min-selection is position-independent).
+    * Density ≈ 2/(window+1) of the k-grams. All per-row array work —
+    * scan-parallel, zero shuffle before the explode. Hashes are md5
+    * hex compared lexicographically (bit-identical to the DuckDB
+    * oracle); a 64-bit rolling polynomial would be cheaper per byte
+    * but selection semantics are the same. */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int = 3, window: Int = 4): DataFrame =
+    docs.select(col(idCol).as("doc_id"), split(trim(col(textCol)), "\\s+").as("w"))
+      .filter(size(col("w")) >= k)
+      .select(col("doc_id"), expr(
+        s"transform(sequence(0, size(w)-$k), i -> md5(cast(concat_ws(' ', ${(0 until k).map(j => s"w[i+$j]").mkString(", ")}) as binary)))")
+        .as("kh"))
+      .filter(size(col("kh")) >= window)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        s"transform(sequence(1, size(kh)-${window - 1}), j -> array_min(slice(kh, j, $window)))")))
+        .as("fp"))
+
   /** MinHash signatures (doc_id, mh_0..mh_{n-1}): minhash_i = min over
     * shingles of xxhash64(seed_i, shingle). Shape: explode shingles
     * once, evaluate the n seeded hashes in codegen, hash-aggregate the

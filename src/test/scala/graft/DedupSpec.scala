@@ -42,6 +42,23 @@ class DedupSpec extends AnyFunSuite {
     assert(j == 1.0)
   }
 
+  test("winnowing: docs sharing a run of >= k+window-1 tokens share a fingerprint") {
+    // planted pairs differ by ONE word at position 15 of 30 → both the
+    // 15-token prefix and 14-token suffix runs are shared, far above
+    // the k+window-1 = 6 guarantee threshold
+    val fps = Dedup.winnowFingerprints(corpus, "doc_id", "text", k = 3, window = 4)
+      .collect().groupBy(_.getLong(0)).map { case (id, rs) => id -> rs.map(_.getString(1)).toSet }
+    (0 until 5).foreach { i =>
+      val shared = fps(i.toLong) & fps(100L + i)
+      assert(shared.nonEmpty, s"planted pair ($i, ${100 + i}) shares no fingerprint")
+    }
+    // exact dup → identical fingerprint sets
+    assert(fps(10L) == fps(200L))
+    // density: winnowing keeps ~2/(window+1) of the 28 k-grams per doc,
+    // never more than (#kgrams - window + 1) and never zero
+    fps.values.foreach(s => assert(s.nonEmpty && s.size <= 25))
+  }
+
   test("minhash signature: identical docs have identical signatures") {
     val sig = Dedup.withMinhashSignature(
       Dedup.shingleDocs(corpus, "doc_id", "text"), 32)
