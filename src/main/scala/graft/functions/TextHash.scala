@@ -74,12 +74,82 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override def prettyName: String = "simhash64"
 }
 
+/** Winnowing fingerprints of a token array (`array<string>` →
+  * `array<string>` of distinct window-min k-gram md5 hex digests) as
+  * ONE native expression — semantically identical to the layered form
+  * `array_distinct(transform(seq, j -> array_min(slice(kh, j, w))))`
+  * over `kh = transform(seq, i -> md5(kgram_i))`, but evaluated as a
+  * single per-row JVM pass instead of three nested HOFs, each of which
+  * Spark interprets per ELEMENT with boxed dispatch (measured 8.5 s →
+  * sub-second at sf0.1). Hex-string lexicographic min == byte-wise min
+  * in both Spark and DuckDB, so the oracle SQL keeps the layered
+  * formulation and still hash-matches. Returns an empty array (no
+  * fingerprints) for docs with fewer than k + window − 1 tokens —
+  * `explode` then drops them, matching the layered form's row filters. */
+case class WinnowFingerprints(child: Expression, k: Int, window: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(k >= 1 && window >= 1)
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType, false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val nGrams = n - k + 1
+    val nWins = nGrams - window + 1
+    if (nWins <= 0) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = "0123456789abcdef".toCharArray
+    val kh = new Array[String](nGrams)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < nGrams) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(arr.getUTF8String(i + j).toString)
+        j += 1
+      }
+      md.reset()
+      val dg = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val hc = new Array[Char](32)
+      var b = 0
+      while (b < 16) {
+        hc(2 * b) = hex((dg(b) >> 4) & 0xf); hc(2 * b + 1) = hex(dg(b) & 0xf)
+        b += 1
+      }
+      kh(i) = new String(hc)
+      i += 1
+    }
+    val out = new java.util.LinkedHashSet[Any]
+    var w0 = 0
+    while (w0 < nWins) {
+      var m = kh(w0)
+      var t = 1
+      while (t < window) { if (kh(w0 + t).compareTo(m) < 0) m = kh(w0 + t); t += 1 }
+      out.add(org.apache.spark.unsafe.types.UTF8String.fromString(m))
+      w0 += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "winnow_fingerprints"
+}
+
 object TextHash {
   import org.apache.spark.sql.graft.Bridge.{column, expression, registerFunction}
 
   /** `array<string>` tokens → 64-bit SimHash signature. */
   def simhash64(tokens: Column): Column =
     column(SimHash64(expression(tokens.cast("array<string>"))))
+
+  /** `array<string>` tokens → distinct winnow fingerprint digests. */
+  def winnowFingerprints(tokens: Column, k: Int, window: Int): Column =
+    column(WinnowFingerprints(expression(tokens.cast("array<string>")), k, window))
 
   /** Expose to the SQL surface: `SELECT simhash64(split(text, ' '))`. */
   def registerSql(spark: org.apache.spark.sql.SparkSession): Unit =

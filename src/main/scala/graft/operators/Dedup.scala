@@ -34,15 +34,9 @@ object Dedup {
     * but selection semantics are the same. */
   def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
                          k: Int = 3, window: Int = 4): DataFrame =
-    docs.select(col(idCol).as("doc_id"), split(trim(col(textCol)), "\\s+").as("w"))
-      .filter(size(col("w")) >= k)
-      .select(col("doc_id"), expr(
-        s"transform(sequence(0, size(w)-$k), i -> md5(cast(concat_ws(' ', ${(0 until k).map(j => s"w[i+$j]").mkString(", ")}) as binary)))")
-        .as("kh"))
-      .filter(size(col("kh")) >= window)
-      .select(col("doc_id"), explode(array_distinct(expr(
-        s"transform(sequence(1, size(kh)-${window - 1}), j -> array_min(slice(kh, j, $window)))")))
-        .as("fp"))
+    docs.select(col(idCol).as("doc_id"),
+      explode(graft.functions.TextHash.winnowFingerprints(
+        split(trim(col(textCol)), "\\s+"), k, window)).as("fp"))
 
   /** MinHash signatures (doc_id, mh_0..mh_{n-1}): minhash_i = min over
     * shingles of xxhash64(seed_i, shingle). Shape: explode shingles

@@ -84,17 +84,34 @@ object Ivf {
     transform(slice(array_sort(array(distStructs(vec, centroids): _*)), 1, nprobe),
               s => s.getField("cell"))
 
+  /** Corpus rows with their cell assignment: (nid, nf, cell). The
+    * one-time 100 TB preparation — persist this bucketed by `cell`
+    * (`Sources.writeBucketed(assign(...), tbl, "cell", n)`) and every
+    * later probe joins the corpus side with ZERO exchange and zero
+    * sort (bucketed+sorted scan), leaving only the tiny probe side to
+    * shuffle. */
+  def assign(emb: DataFrame, idCol: String, vecCol: String,
+             centroids: Array[Array[Double]]): DataFrame =
+    emb.select(col(idCol).as("nid"),
+        expr(s"transform($vecCol, x -> cast(x as double))").as("nf"))
+      .withColumn("cell", cellCol(col("nf"), centroids))
+
   /** Per-query exact top-k over the probed cells' candidates:
     * corpus → cell assignment (scan-parallel) → equi-join with the
     * exploded (query, cell) probes → exact cosine → window top-k.
     * Returns (query_id, neighbor_id, cos). */
   def topk(emb: DataFrame, idCol: String, vecCol: String,
            queries: DataFrame, k: Int,
-           centroids: Array[Array[Double]], nprobe: Int): DataFrame = {
+           centroids: Array[Array[Double]], nprobe: Int): DataFrame =
+    topkFromAssigned(assign(emb, idCol, vecCol, centroids),
+                     queries, idCol, vecCol, k, centroids, nprobe)
+
+  /** Probe a pre-assigned (possibly bucketed-table) corpus. */
+  def topkFromAssigned(corpus: DataFrame,
+                       queries: DataFrame, idCol: String, vecCol: String,
+                       k: Int, centroids: Array[Array[Double]],
+                       nprobe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val corpus = emb.select(col(idCol).as("nid"),
-        expr(s"transform($vecCol, x -> cast(x as double))").as("nf"))
-      .withColumn("cell", cellCol(col("nf"), centroids))
     val probes = queries.select(col(idCol).as("query_id"),
         expr(s"transform($vecCol, x -> cast(x as double))").as("qf"))
       .withColumn("cell",

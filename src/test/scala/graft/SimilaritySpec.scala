@@ -51,6 +51,41 @@ class SimilaritySpec extends AnyFunSuite {
     both.foreach { case (a, x) => assert(a == x, s"$a vs $x") }
   }
 
+  test("ivf probe over a bucketed assigned corpus shuffles ONLY the probe side") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, sf)
+    val cent = graft.operators.Ivf.fitCentroids(e, "vec_id", "embedding", nlist = 16)
+    // one-time prep: persist the assigned corpus bucketed+sorted by cell
+    spark.sql("DROP TABLE IF EXISTS ivf_corpus")
+    val loc = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:"), "ivf_corpus")
+    if (loc.exists) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm); f.delete()
+      }
+      rm(loc)
+    }
+    graft.sources.Sources.writeBucketed(
+      graft.operators.Ivf.assign(e, "vec_id", "embedding", cent), "ivf_corpus", "cell", 16)
+    val probed = graft.operators.Ivf.topkFromAssigned(
+      spark.table("ivf_corpus").hint("merge"),
+      e.filter(col("vec_id") < 10), "vec_id", "embedding", 10, cent, nprobe = 8)
+    val plan = probed.queryExecution.executedPlan.toString
+    // the corpus side reads its buckets in place: exactly ONE exchange
+    // keyed on cell (the tiny probe side), none above the corpus scan
+    // (the later query_id exchange belongs to the top-k window, not
+    // the join)
+    val cellExchanges = "Exchange hashpartitioning\\(cell".r.findAllIn(plan).size
+    assert(plan.contains("SortMergeJoin"), plan.take(600))
+    assert(cellExchanges == 1,
+      s"expected 1 cell-keyed exchange (probe side only), got $cellExchanges:\n${plan.take(1200)}")
+    // identical results to the in-memory path
+    val viaTable = probed.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inMem = SparkEntry.queries("sim_ivf_topk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaTable == inMem)
+  }
+
   test("lsh candidates agree with exact distances (cos = 1 - d^2/2 check)") {
     val approx = SparkEntry.queries("sim_lsh_topk")(spark, sf).collect()
     val exactMap = SparkEntry.queries("q_sim_bruteforce")(spark, sf)
