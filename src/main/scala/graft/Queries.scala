@@ -960,10 +960,10 @@ object Queries {
         .filter(size(col("w")) >= 3)
       // shuffle/join on the 64-bit shingle hash, not the string — same
       // distinct/equality structure (collision odds ~2⁻⁶⁴; the oracle
-      // keeps the string formulation), ~¼ the shuffle bytes
-      val sh0 = docs.select(col("doc_id"), explode(array_distinct(expr(
-        "transform(sequence(0, size(w)-3), i -> xxhash64(concat_ws(' ', w[i], w[i+1], w[i+2])))")))
-          .as("shingle"))
+      // keeps the string formulation), ~¼ the shuffle bytes. Native
+      // single-pass expression, not an interpreted per-element HOF.
+      val sh0 = docs.select(col("doc_id"),
+        explode(graft.functions.TextHash.shingleHashes(col("w"), 3)).as("shingle"))
       val keepable = sh0.groupBy("shingle").agg(count(lit(1)).as("df"))
         .filter(col("df") <= NgramMaxShingleDf).select("shingle")
       val sh = sh0.join(keepable, "shingle")

@@ -140,6 +140,86 @@ case class WinnowFingerprints(child: Expression, k: Int, window: Int)
   override def prettyName: String = "winnow_fingerprints"
 }
 
+/** Distinct k-word shingles of a token array (`array<string>` →
+  * `array<string>`), one per-row JVM pass — replaces the interpreted
+  * `transform(sequence(...), i -> concat_ws(...))` + `array_distinct`
+  * layering (per-element boxed dispatch) in the dedup shingling paths.
+  * First-occurrence order, matching `array_distinct` semantics.
+  * Returns an empty array for docs shorter than k tokens. */
+case class Shingles(child: Expression, k: Int) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(k >= 1)
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType, false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val m = n - k + 1
+    if (m <= 0) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val out = new java.util.LinkedHashSet[Any]
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < m) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(arr.getUTF8String(i + j).toString)
+        j += 1
+      }
+      out.add(org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "shingles"
+}
+
+/** Distinct 64-bit hashes of the k-word shingles (`array<string>` →
+  * `array<long>`) — the shuffle-friendly form for the ngram-Jaccard
+  * inverted index (8-byte keys instead of shingle strings). FNV-1a
+  * over the shingle's UTF-8 bytes; the Jaccard arithmetic is
+  * hash-function-agnostic (any injective-in-practice 64-bit hash
+  * yields the same counts — the DuckDB oracle keeps the string
+  * formulation and hash-matches). */
+case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(k >= 1)
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val m = n - k + 1
+    if (m <= 0) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val out = new java.util.LinkedHashSet[Any]
+    var i = 0
+    while (i < m) {
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      while (j < k) {
+        if (j > 0) { h ^= ' '.toLong; h *= 0x100000001b3L }
+        val bs = arr.getUTF8String(i + j).getBytes
+        var b = 0
+        while (b < bs.length) { h ^= (bs(b) & 0xffL); h *= 0x100000001b3L; b += 1 }
+        j += 1
+      }
+      out.add(java.lang.Long.valueOf(h))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "shingle_hashes"
+}
+
 object TextHash {
   import org.apache.spark.sql.graft.Bridge.{column, expression, registerFunction}
 
@@ -150,6 +230,14 @@ object TextHash {
   /** `array<string>` tokens → distinct winnow fingerprint digests. */
   def winnowFingerprints(tokens: Column, k: Int, window: Int): Column =
     column(WinnowFingerprints(expression(tokens.cast("array<string>")), k, window))
+
+  /** `array<string>` tokens → distinct k-word shingle strings. */
+  def shingles(tokens: Column, k: Int): Column =
+    column(Shingles(expression(tokens.cast("array<string>")), k))
+
+  /** `array<string>` tokens → distinct 64-bit shingle hashes. */
+  def shingleHashes(tokens: Column, k: Int): Column =
+    column(ShingleHashes(expression(tokens.cast("array<string>")), k))
 
   /** Expose to the SQL surface: `SELECT simhash64(split(text, ' '))`. */
   def registerSql(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -13,13 +13,15 @@ import graft.functions.VectorOps
   */
 object Dedup {
 
-  /** doc_id + distinct k-word shingle array (guarded for short docs). */
+  /** doc_id + distinct k-word shingle array (guarded for short docs).
+    * Native single-pass expression — the interpreted
+    * `transform`+`concat_ws`+`array_distinct` layering it replaces was
+    * the dominant cost of the minhash path (per-element boxed
+    * dispatch, ×3 recomputes). */
   def shingleDocs(docs: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame =
-    docs.select(col(idCol).as("doc_id"), split(trim(col(textCol)), "\\s+").as("w"))
-      .filter(size(col("w")) >= k)
-      .select(col("doc_id"), array_distinct(expr(
-        s"transform(sequence(0, size(w)-$k), i -> concat_ws(' ', ${(0 until k).map(j => s"w[i+$j]").mkString(", ")}))"))
-        .as("shingles"))
+    docs.select(col(idCol).as("doc_id"),
+        graft.functions.TextHash.shingles(split(trim(col(textCol)), "\\s+"), k).as("shingles"))
+      .filter(size(col("shingles")) >= 1)
 
   /** Winnowing fingerprints (doc_id, fp) — rolling-hash selection
     * (Schleimer et al. 2003): hash every k-word k-gram, slide a window
