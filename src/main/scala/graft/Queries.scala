@@ -1107,6 +1107,42 @@ object Queries {
     },
     None)
 
+  /** Multimodal pipeline over the documents table AS binary media
+    * (rows-only): text bytes stand in for encoded blobs — the binary/
+    * metadata schema, per-partition iterator decode, metadata rewrite
+    * (resize) and frame-sampling explode are the real plumbing under
+    * test; only the codec byte-decode is the documented stub. Output is
+    * scalar-only (norm + first component + sampled-frame count): the
+    * driver's rows-only harness sorts every output column, and array
+    * columns are unsortable there (the r1 ml_preproc lesson). */
+  private val qMediaFeatures = Q(
+    "media_features",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val media = docs.select(
+        col("doc_id").as("media_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+                   (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+        col("text").cast("binary").as("bytes"),
+        struct(lit(64).as("width"), lit(48).as("height"),
+               lit(16000).as("sample_rate"),
+               when(col("doc_id") % 3 === 2,
+                    least(size(split(trim(col("text")), "\\s+")), lit(24)))
+                 .otherwise(lit(0)).cast("int").as("n_frames")).as("meta"))
+      val feats = multimodal.Media
+        .decodeFeatures(multimodal.Media.resize(media, 32, 32), dim = 16)
+        .withColumn("f", expr("transform(features, x -> cast(x as double))"))
+        .select(col("media_id"), col("kind"),
+                round(sqrt(VectorOps.dot(col("f"), col("f"))), 6).as("feat_norm"),
+                round(element_at(col("f"), 1), 6).as("f0"))
+      val frames = multimodal.Media.sampleFrames(media, stride = 4, dim = 8)
+        .groupBy("media_id").agg(count(lit(1)).as("n_sampled_frames"))
+      feats.join(frames, Seq("media_id"), "left")
+        .na.fill(0L, Seq("n_sampled_frames"))
+        .orderBy("media_id")
+    },
+    None)
+
   // =====================================================================
   // All declared queries, in SURVEY §2 order
   // =====================================================================
@@ -1123,7 +1159,7 @@ object Queries {
     qTextStats, qLangId, qTokenCount, qTfidfTop, qFingerprint,
     qWinnowFingerprint, qCorpusClean,
     qDedupExact, qNgramJaccard, qSimBruteforce, qSimLshTopk, qSimIvfTopk,
-    qDedupMinhash, qDedupSimhash, qDedupEmbedding,
+    qDedupMinhash, qDedupSimhash, qDedupEmbedding, qMediaFeatures,
     qScalerFit, qMlPreproc, qMlPcaRecon, qMlIforest, qMlLof, qMlEnsemble,
     qMlSplit, qScoreFallback)
 }

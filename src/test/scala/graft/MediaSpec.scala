@@ -49,4 +49,20 @@ class MediaSpec extends AnyFunSuite {
       .map(_.getSeq[Float](2)).toSeq
     assert(one.distinct.size == one.size)
   }
+
+  test("media_features declared query: one row per doc, videos carry sampled frames") {
+    val sf = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("media_features")(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(out.length == nDocs)
+    // kind cycles by doc_id % 3; every video doc with >= 1 token gets
+    // >= 1 sampled frame, non-videos get exactly 0
+    out.foreach { r =>
+      val isVideo = r.getString(1) == "video"
+      val n = r.getLong(4)
+      if (isVideo) assert(n >= 1, s"video row $r has no frames")
+      else assert(n == 0, s"non-video row $r has frames")
+      assert(r.getDouble(2) > 0.0) // norm of the 16-dim stub features
+    }
+  }
 }
