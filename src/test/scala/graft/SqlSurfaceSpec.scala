@@ -36,6 +36,43 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(s3 != s1)
   }
 
+  test("GraftExtensions injects the full function surface cluster-wide") {
+    import org.apache.spark.sql.SparkSession
+    val base = spark // force shared-session init first
+    // `spark.sql.extensions` is STATIC conf — getOrCreate reads it from
+    // the SparkContext conf, which is fixed at spark-submit time and
+    // can't be amended from a test sharing the context. withExtensions
+    // drives the identical injection path (GraftExtensions.apply →
+    // injectFunction) on a fresh session over the same context.
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    val s2 = SparkSession.builder()
+      .withExtensions(new GraftExtensions())
+      .getOrCreate()
+    try {
+      assert(s2 ne base)
+      assert(s2.sql("SELECT array_dot(array(1.0D,2.0D), array(3.0D,4.0D))")
+        .head.getDouble(0) == 11.0)
+      assert(s2.sql("SELECT simhash64(split('a b c',' '))").head.getLong(0) ==
+        s2.sql("SELECT simhash64(split('a b c',' '))").head.getLong(0))
+      assert(s2.sql("SELECT shingles(split('a b c d',' '), 3)")
+        .head.getSeq[String](0) == Seq("a b c", "b c d"))
+      assert(s2.sql("SELECT size(shingle_hashes(split('a b c d',' '), 3))")
+        .head.getInt(0) == 2)
+      // 8 tokens, k=3 → 6 k-grams, window=4 → 3 window minima (≤3 distinct)
+      val wf = s2.sql("SELECT winnow_fingerprints(split('a b c d e f g h',' '), 3, 4)")
+        .head.getSeq[String](0)
+      assert(wf.nonEmpty && wf.size <= 3 && wf.forall(_.length == 32))
+      // int-literal contract for shape params is enforced
+      intercept[Exception] {
+        s2.sql("SELECT shingles(split('a b',' '), cast(rand()*2 as int))").collect()
+      }
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+
   test("shared-dialect oracle SQL runs on Spark and matches the DataFrame plan") {
     Tables.registerAll(spark, sf)
     val viaSql = spark.sql(

@@ -49,6 +49,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming corpus dedup drops exact and simhash dupes across batches") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val docs = mem.toDF().toDF("doc_id", "ts", "text")
+    val q = graft.streaming.CorpusStream.dedupExact(docs).writeStream
+      .format("memory").queryName("corpus_out").outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, ts("2024-01-10 03:00:00"), "the quick brown fox"),
+        (2L, ts("2024-01-10 04:00:00"), "wholly different text"))
+      q.processAllAvailable()
+      // batch 2: doc 3 repeats doc 1's content inside the watermark
+      mem.addData(
+        (3L, ts("2024-01-10 05:00:00"), "the quick brown fox"),
+        (4L, ts("2024-01-10 06:00:00"), "yet another document"))
+      q.processAllAvailable()
+      val ids = spark.table("corpus_out").collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 2L, 4L), s"got $ids")
+    } finally q.stop()
+
+    val mem2 = MemoryStream[(Long, Timestamp, String)]
+    val docs2 = mem2.toDF().toDF("doc_id", "ts", "text")
+    val q2 = graft.streaming.CorpusStream.dedupBySimhash(docs2).writeStream
+      .format("memory").queryName("corpus_sim_out").outputMode("append").start()
+    try {
+      mem2.addData((1L, ts("2024-01-10 03:00:00"), "alpha beta gamma delta"))
+      q2.processAllAvailable()
+      // same token multiset in a later batch → identical simhash → dropped
+      mem2.addData((2L, ts("2024-01-10 05:00:00"), "alpha  beta gamma delta"),
+                   (3L, ts("2024-01-10 06:00:00"), "epsilon zeta eta theta"))
+      q2.processAllAvailable()
+      val ids = spark.table("corpus_sim_out").collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 3L), s"got $ids")
+    } finally q2.stop()
+  }
+
   test("windowed profile agg emits watermark-bounded windows") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
