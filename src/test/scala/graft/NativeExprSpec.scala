@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.TextHash
+
+/** Differential tests: each hand-written native expression must agree
+  * with the layered Spark-builtin formulation it replaced, on
+  * randomized corpora (ASCII, unicode, repeated tokens, short docs) —
+  * the builtins are the semantic reference, the natives the fast path.
+  */
+class NativeExprSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(7)
+  private val vocab = Vector("the", "quick", "fox", "α", "β", "héllo",
+    "日本", "x", "yy", "zzz", "a-b", "c.d", "", "0", "42")
+  private lazy val corpus = (0 until 200).map { i =>
+    val n = rnd.nextInt(12) // 0..11 tokens — includes sub-k docs
+    (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+  }.toDF("doc_id", "text")
+
+  private def tokens = split(trim(col("text")), "\\s+")
+
+  test("Shingles == array_distinct(transform(concat_ws)) on random docs") {
+    val k = 3
+    val native = corpus.select(col("doc_id"),
+      TextHash.shingles(tokens, k).as("s")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val layered = corpus
+      .select(col("doc_id"), tokens.as("w"))
+      .select(col("doc_id"), when(size(col("w")) >= k, array_distinct(expr(
+        s"transform(sequence(0, size(w)-$k), i -> concat_ws(' ', ${(0 until k).map(j => s"w[i+$j]").mkString(", ")}))")))
+        .otherwise(array().cast("array<string>")).as("s")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(native == layered)
+  }
+
+  test("WinnowFingerprints == layered md5/slice/array_min form on random docs") {
+    val (k, w) = (3, 4)
+    val native = corpus.select(col("doc_id"),
+      TextHash.winnowFingerprints(tokens, k, w).as("f")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val layered = corpus
+      .select(col("doc_id"), tokens.as("w"))
+      .select(col("doc_id"), when(size(col("w")) >= k, expr(
+        s"transform(sequence(0, size(w)-$k), i -> md5(cast(concat_ws(' ', ${(0 until k).map(j => s"w[i+$j]").mkString(", ")}) as binary)))"))
+        .otherwise(array().cast("array<string>")).as("kh"))
+      .select(col("doc_id"), when(size(col("kh")) >= w, array_distinct(expr(
+        s"transform(sequence(1, size(kh)-${w - 1}), j -> array_min(slice(kh, j, $w)))")))
+        .otherwise(array().cast("array<string>")).as("f")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    assert(native == layered)
+  }
+
+  test("ShingleHashes: distinct, deterministic, aligned with Shingles cardinality") {
+    val k = 3
+    val a = corpus.select(col("doc_id"), TextHash.shingleHashes(tokens, k).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val b = corpus.select(col("doc_id"), TextHash.shingleHashes(tokens, k).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(a == b) // deterministic across plans
+    val s = corpus.select(col("doc_id"), TextHash.shingles(tokens, k).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    // same dedup semantics: one hash per distinct shingle (FNV-1a
+    // collisions across ≤ 9 shingles/doc are out of the question)
+    a.foreach { case (id, hs) =>
+      assert(hs.size == s(id).size, s"doc $id: ${hs.size} hashes vs ${s(id).size} shingles")
+      assert(hs.distinct.size == hs.size)
+    }
+  }
+
+  test("SimHash64 codegen and interpreted eval agree on every doc") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    // column path (whole-stage codegen over rows)
+    val colPath = corpus.select(col("doc_id"),
+      TextHash.simhash64(tokens).as("sig")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // direct interpreted eval of the same expression per doc
+    corpus.collect().foreach { r =>
+      val toks = r.getString(1).trim.split("\\s+")
+      val arr = new GenericArrayData(toks.map(t => UTF8String.fromString(t): Any))
+      val interp = graft.functions.SimHash64(
+        Literal(arr, ArrayType(StringType))).eval(null).asInstanceOf[Long]
+      assert(interp == colPath(r.getLong(0)), s"doc ${r.getLong(0)}")
+    }
+  }
+}
