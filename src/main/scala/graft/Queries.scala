@@ -655,7 +655,7 @@ object Queries {
     "ml_lof",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
-        .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("f"))
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("f"))
       val n = emb.count()
       val radius = ml.Lof.estimateRadius(emb, "vec_id", "f", targetPerPoint = 60, n = n)
       ml.Lof.fromNeighbors(ml.Lof.lshNeighbors(emb, "vec_id", "f", 20, radius))
@@ -1075,7 +1075,7 @@ object Queries {
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
       val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("f"))
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("f"))
       // this corpus has a weak near/far gap (nearest ≈1.1 vs random
       // ≈1.41 euclidean) — wide buckets + many tables buy recall
       val edges = graft.functions.VectorLsh.candidateEdges(
@@ -1131,7 +1131,7 @@ object Queries {
                  .otherwise(lit(0)).cast("int").as("n_frames")).as("meta"))
       val feats = multimodal.Media
         .decodeFeatures(multimodal.Media.resize(media, 32, 32), dim = 16)
-        .withColumn("f", expr("transform(features, x -> cast(x as double))"))
+        .withColumn("f", col("features").cast("array<double>"))
         .select(col("media_id"), col("kind"),
                 round(sqrt(VectorOps.dot(col("f"), col("f"))), 6).as("feat_norm"),
                 round(element_at(col("f"), 1), 6).as("f0"))

@@ -72,6 +72,44 @@ case class ArraySquaredDiffSum(left: Expression, right: Expression) extends Arra
     copy(left = l, right = r)
 }
 
+/** a × s element-wise (`array<double>` × double → `array<double>`):
+  * the scaling/normalization building block (unit vectors for cosine
+  * LSH). Full codegen — writes a primitive double[] and wraps it via
+  * `UnsafeArrayData.fromPrimitiveArray`, replacing the interpreted
+  * `transform(f, x -> x / n)` lambda (per-element boxed dispatch per
+  * corpus row). */
+case class ArrayScale(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val s = r.asInstanceOf[Double]
+    val n = a.numElements()
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) { out(i) = a.getDouble(i) * s; i += 1 }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, s) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $a.numElements();
+         |double[] $out = new double[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $out[$i] = $a.getDouble($i) * $s;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override def prettyName: String = "array_scale"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object ArrayMath {
   import org.apache.spark.sql.graft.Bridge.{column, expression, registerFunction}
   private def d(c: Column): Column = c.cast("array<double>")
@@ -79,6 +117,8 @@ object ArrayMath {
     column(ArrayDotProduct(expression(d(a)), expression(d(b))))
   def sqDiffSum(a: Column, b: Column): Column =
     column(ArraySquaredDiffSum(expression(d(a)), expression(d(b))))
+  def scale(a: Column, s: Column): Column =
+    column(ArrayScale(expression(d(a)), expression(s.cast("double"))))
 
   /** Expose the native expressions to the SQL surface:
     * `SELECT array_dot(a, b)`, `SELECT array_sqdiff_sum(a, b)`.

@@ -159,10 +159,11 @@ object Dedup {
                      minCosine: Double = 0.95, seed: Long = 42L,
                      tables: Int = 8, projections: Int = 2): DataFrame = {
     val unit = emb.select(col(idCol).as("id"),
-      expr(s"transform($vecCol, x -> cast(x as double))").as("f"))
+      col(vecCol).cast("array<double>").as("f"))
     val norm = unit.withColumn("n", sqrt(VectorOps.dot(col("f"), col("f"))))
       .filter(col("n") > 0)
-      .withColumn("u", expr("transform(f, x -> x / n)"))
+      // native codegen scale — not the interpreted transform(f, x -> x/n)
+      .withColumn("u", graft.functions.ArrayMath.scale(col("f"), lit(1.0) / col("n")))
       .select(col("id"), col("u"))
     val dim = norm.select(size(col("u"))).head.getInt(0)
     // unit-norm: cosine c ⇔ euclidean √(2−2c); bucket width = that radius

@@ -30,7 +30,7 @@ object Ivf {
                    nlist: Int, iters: Int = 10,
                    sampleSize: Int = 4096): Array[Array[Double]] = {
     val pts = emb.select(col(idCol).as("id"),
-        expr(s"transform($vecCol, x -> cast(x as double))").as("f"))
+        col(vecCol).cast("array<double>").as("f"))
       .orderBy("id").limit(sampleSize)
       .collect().map(_.getSeq[Double](1).toArray)
     require(pts.length >= nlist, s"need >= $nlist sample points, got ${pts.length}")
@@ -93,7 +93,7 @@ object Ivf {
   def assign(emb: DataFrame, idCol: String, vecCol: String,
              centroids: Array[Array[Double]]): DataFrame =
     emb.select(col(idCol).as("nid"),
-        expr(s"transform($vecCol, x -> cast(x as double))").as("nf"))
+        col(vecCol).cast("array<double>").as("nf"))
       .withColumn("cell", cellCol(col("nf"), centroids))
 
   /** Per-query exact top-k over the probed cells' candidates:
@@ -113,7 +113,7 @@ object Ivf {
                        nprobe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val probes = queries.select(col(idCol).as("query_id"),
-        expr(s"transform($vecCol, x -> cast(x as double))").as("qf"))
+        col(vecCol).cast("array<double>").as("qf"))
       .withColumn("cell",
         explode(expr_probe(col("qf"), centroids, nprobe)))
     val cand = probes.join(corpus, Seq("cell"))

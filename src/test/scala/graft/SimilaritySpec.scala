@@ -33,7 +33,7 @@ class SimilaritySpec extends AnyFunSuite {
     val cent = graft.operators.Ivf.fitCentroids(e, "vec_id", "embedding", nlist = 16)
     import org.apache.spark.sql.functions._
     val assigned = e.select(col("vec_id"),
-        expr("transform(embedding, x -> cast(x as double))").as("f"))
+        col("embedding").cast("array<double>").as("f"))
       .withColumn("cell", graft.operators.Ivf.cellCol(col("f"), cent))
     val cellSizes = assigned.groupBy("cell").count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
