@@ -1009,6 +1009,56 @@ object Queries {
       numHashes = 32, bands = 16, threshold = 0.1),
     None)
 
+  /** The SAME minhash pipeline with a DuckDB-computable hash family
+    * (min over shingles of md5('i:'||shingle); band key md5 of the
+    * joined mins) — signatures, banding, candidate generation AND
+    * exact-Jaccard verification are all independently recomputed by
+    * the oracle and hash-compared. The xxhash64 form above stays the
+    * production path (8-byte codegen keys); this variant exists to
+    * prove the pipeline, not to replace it. */
+  private val qDedupMinhashMd5 = {
+    val (nh, bands, thr) = (32, 16, 0.1)
+    val rpb = nh / bands
+    val minsSql = (0 until nh)
+      .map(i => s"min(md5('$i:' || s)) AS mh_$i").mkString(",\n           |   ")
+    val bandList = (0 until bands).map { b =>
+      val parts = (b * rpb until (b + 1) * rpb).map(r => s"mh_$r").mkString(" || '|' || ")
+      s"md5('$b' || '|' || $parts)"
+    }.mkString(",\n           |   ")
+    Q(
+      "dedup_minhash_md5",
+      (s, d) => operators.Dedup.minhashPairs(
+        Tables.documents(s, d), "doc_id", "text",
+        numHashes = nh, bands = bands, threshold = thr, portableMd5 = true),
+      Some(s"""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+           |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+           |   generate_series(1, len(w)-2),
+           |   i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS s
+           | FROM w WHERE len(w) >= 3),
+           |sig AS (SELECT doc_id,
+           |   $minsSql
+           | FROM sh GROUP BY doc_id),
+           |bands AS (SELECT doc_id,
+           |   unnest(generate_series(0, ${bands - 1})) AS band,
+           |   unnest([$bandList]) AS bh
+           | FROM sig),
+           |cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           | FROM bands a JOIN bands b
+           |   ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+           |sets AS (SELECT doc_id, list(s) AS ss FROM sh GROUP BY doc_id)
+           |SELECT doc_a, doc_b,
+           |   round(CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)
+           |     / (CAST(len(sa.ss) + len(sb.ss) AS DOUBLE)
+           |        - CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)), 6) AS jaccard
+           |FROM cands
+           |JOIN sets sa ON cands.doc_a = sa.doc_id
+           |JOIN sets sb ON cands.doc_b = sb.doc_id
+           |WHERE round(CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)
+           |     / (CAST(len(sa.ss) + len(sb.ss) AS DOUBLE)
+           |        - CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)), 6) >= $thr
+           |ORDER BY doc_a, doc_b""".stripMargin))
+  }
+
   /** SimHash near-dup pairs (rows-only). maxHamming = 3 matches the
     * banding guarantee: 4 chunks ⇒ every pair within Hamming 3 shares
     * a chunk and is provably generated as a candidate (DedupSpec
@@ -1159,7 +1209,7 @@ object Queries {
     qTextStats, qLangId, qTokenCount, qTfidfTop, qFingerprint,
     qWinnowFingerprint, qCorpusClean,
     qDedupExact, qNgramJaccard, qSimBruteforce, qSimLshTopk, qSimIvfTopk,
-    qDedupMinhash, qDedupSimhash, qDedupEmbedding, qMediaFeatures,
+    qDedupMinhash, qDedupMinhashMd5, qDedupSimhash, qDedupEmbedding, qMediaFeatures,
     qScalerFit, qMlPreproc, qMlPcaRecon, qMlIforest, qMlLof, qMlEnsemble,
     qMlSplit, qScoreFallback)
 }

@@ -46,10 +46,17 @@ object Dedup {
     * n mins (scalar buffers, map-side combined — the shuffle carries
     * one n-long row per doc). A `transform(...)` higher-order version
     * is prettier but interpreted, ~4× slower at 5k docs. */
-  def withMinhashSignature(sh: DataFrame, numHashes: Int = 32): DataFrame = {
+  def withMinhashSignature(sh: DataFrame, numHashes: Int = 32,
+                           portableMd5: Boolean = false): DataFrame = {
     val ex = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+    // portableMd5 swaps the seeded xxhash64 (codegen long, the fast
+    // production form) for min(md5('i:'||shingle)) hex strings — ~4×
+    // the signature bytes, but computable verbatim by DuckDB, which
+    // lets the ENTIRE minhash pipeline be oracle-checked
     val mins = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("s"))).as(s"mh_$i"))
+      if (portableMd5)
+        min(md5(concat_ws(":", lit(i), col("s")).cast("binary"))).as(s"mh_$i")
+      else min(xxhash64(lit(i), col("s"))).as(s"mh_$i"))
     ex.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
@@ -60,7 +67,8 @@ object Dedup {
     * shingle-set Jaccard and filtered at `threshold`. */
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    numHashes: Int = 32, bands: Int = 8,
-                   threshold: Double = 0.5, shingleK: Int = 3): DataFrame = {
+                   threshold: Double = 0.5, shingleK: Int = 3,
+                   portableMd5: Boolean = false): DataFrame = {
     val rowsPerBand = numHashes / bands
     // NOT cached: the shingle frame is a narrow projection off the doc
     // scan — recomputing it for the signature pass and the two survivor
@@ -69,10 +77,11 @@ object Dedup {
     // fresh cache entry per call (each call builds a new plan; nothing
     // ever unpersists it — a long-lived session accumulates them).
     val sh = shingleDocs(docs, idCol, textCol, shingleK)
-    val sig = withMinhashSignature(sh, numHashes)
+    val sig = withMinhashSignature(sh, numHashes, portableMd5)
     val bandCols = (0 until bands).map { b =>
       val cols = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
-      hash(lit(b) +: cols: _*).as(s"band_$b")
+      if (portableMd5) md5(concat_ws("|", lit(b) +: cols: _*).cast("binary")).as(s"band_$b")
+      else hash(lit(b) +: cols: _*).as(s"band_$b")
     }
     // Scalars only through the candidate join + dedup: shingle arrays
     // in the band frame would (a) bloat the shuffle ~50× and (b) force
