@@ -813,10 +813,14 @@ object Queries {
       val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
         .withColumn("tfidf", round(
           col("tf") * (log((lit(1.0) + col("__n")) / (lit(1.0) + col("df"))) + lit(1.0)), 6))
-      // top term per doc as ONE hash aggregate (min_by over the
-      // (−tfidf, term) struct ≡ tfidf desc, term asc) — replaces the
-      // row_number window, whose partition-sort is a per-doc full sort
-      // of the vocabulary at scale
+      // top term per doc as ONE partial+final aggregation (min_by over
+      // the (−tfidf, term) struct ≡ tfidf desc, term asc). The struct
+      // buffer makes it a SortAggregate (string buffers aren't
+      // UnsafeRow-mutable), but the win over the row_number window
+      // stands: the partial phase collapses each mapper to one row per
+      // doc BEFORE the shuffle, and the sort is on doc_id only — the
+      // window shuffled the whole (doc,term) frame and sorted it by
+      // (doc_id, tfidf, term)
       scored.groupBy("doc_id")
         .agg(min_by(struct(col("term"), col("tf"), col("df"), col("tfidf")),
                     struct(negate(col("tfidf")), col("term"))).as("p"))

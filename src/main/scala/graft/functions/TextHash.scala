@@ -1,10 +1,24 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+
+/** Shared input contract for the token-array expressions: the child
+  * must be `array<string>` (these are on the cluster-wide SQL surface,
+  * so analysis-time rejection beats a runtime ClassCastException), and
+  * NULL elements are skipped — the `concat_ws` semantics of the
+  * layered builtin forms they replaced. */
+trait TokenArrayExpression { self: UnaryExpression =>
+  override def checkInputDataTypes(): TypeCheckResult = self.child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"${self.prettyName} requires array<string>, got ${other.catalogString}")
+  }
+}
 
 /** 64-bit SimHash of a token array (`array<string>` → long) as a
   * native Catalyst expression.
@@ -18,7 +32,7 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * same span as the surrounding projection — the signature pass over a
   * corpus is now pure scan-parallel codegen with zero boxing.
   */
-case class SimHash64(child: Expression) extends UnaryExpression {
+case class SimHash64(child: Expression) extends UnaryExpression with TokenArrayExpression {
   override def dataType: DataType = LongType
 
   override def nullSafeEval(input: Any): Any = {
@@ -27,12 +41,14 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     val acc = new Array[Int](64)
     var i = 0
     while (i < n) {
-      val bs = arr.getUTF8String(i).getBytes
-      var h = 0xcbf29ce484222325L
-      var j = 0
-      while (j < bs.length) { h ^= (bs(j) & 0xffL); h *= 0x100000001b3L; j += 1 }
-      var b = 0
-      while (b < 64) { if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1; b += 1 }
+      if (!arr.isNullAt(i)) {
+        val bs = arr.getUTF8String(i).getBytes
+        var h = 0xcbf29ce484222325L
+        var j = 0
+        while (j < bs.length) { h ^= (bs(j) & 0xffL); h *= 0x100000001b3L; j += 1 }
+        var b = 0
+        while (b < 64) { if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1; b += 1 }
+      }
       i += 1
     }
     var sig = 0L
@@ -51,6 +67,7 @@ case class SimHash64(child: Expression) extends UnaryExpression {
          |int $n = $a.numElements();
          |int[] $acc = new int[64];
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) continue;
          |  byte[] $bs = $a.getUTF8String($i).getBytes();
          |  long $h = 0xcbf29ce484222325L;
          |  for (int $j = 0; $j < $bs.length; $j++) {
@@ -87,11 +104,11 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   * fingerprints) for docs with fewer than k + window − 1 tokens —
   * `explode` then drops them, matching the layered form's row filters. */
 case class WinnowFingerprints(child: Expression, k: Int, window: Int)
-    extends UnaryExpression
+    extends UnaryExpression with TokenArrayExpression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
   require(k >= 1 && window >= 1)
   override def dataType: DataType =
-    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType, false)
+    org.apache.spark.sql.types.ArrayType(StringType, false)
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -99,17 +116,21 @@ case class WinnowFingerprints(child: Expression, k: Int, window: Int)
     val nGrams = n - k + 1
     val nWins = nGrams - window + 1
     if (nWins <= 0) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = WinnowFingerprints.mdLocal.get()
     val hex = "0123456789abcdef".toCharArray
     val kh = new Array[String](nGrams)
     val sb = new java.lang.StringBuilder
     var i = 0
     while (i < nGrams) {
       sb.setLength(0)
+      var appended = 0
       var j = 0
       while (j < k) {
-        if (j > 0) sb.append(' ')
-        sb.append(arr.getUTF8String(i + j).toString)
+        if (!arr.isNullAt(i + j)) { // concat_ws semantics: skip nulls
+          if (appended > 0) sb.append(' ')
+          sb.append(arr.getUTF8String(i + j).toString)
+          appended += 1
+        }
         j += 1
       }
       md.reset()
@@ -140,6 +161,16 @@ case class WinnowFingerprints(child: Expression, k: Int, window: Int)
   override def prettyName: String = "winnow_fingerprints"
 }
 
+object WinnowFingerprints {
+  /** Per-thread digest: `MessageDigest.getInstance` does a synchronized
+    * JCA provider lookup — per ROW, that's measurable across a corpus
+    * scan; per thread it's free. (Task threads each deserialize their
+    * own expression tree, but a ThreadLocal is safe even if an
+    * instance is ever shared.) */
+  private val mdLocal: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+}
+
 /** Distinct k-word shingles of a token array (`array<string>` →
   * `array<string>`), one per-row JVM pass — replaces the interpreted
   * `transform(sequence(...), i -> concat_ws(...))` + `array_distinct`
@@ -147,10 +178,11 @@ case class WinnowFingerprints(child: Expression, k: Int, window: Int)
   * First-occurrence order, matching `array_distinct` semantics.
   * Returns an empty array for docs shorter than k tokens. */
 case class Shingles(child: Expression, k: Int) extends UnaryExpression
+    with TokenArrayExpression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
   require(k >= 1)
   override def dataType: DataType =
-    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType, false)
+    org.apache.spark.sql.types.ArrayType(StringType, false)
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -162,10 +194,14 @@ case class Shingles(child: Expression, k: Int) extends UnaryExpression
     var i = 0
     while (i < m) {
       sb.setLength(0)
+      var appended = 0
       var j = 0
       while (j < k) {
-        if (j > 0) sb.append(' ')
-        sb.append(arr.getUTF8String(i + j).toString)
+        if (!arr.isNullAt(i + j)) { // concat_ws semantics: skip nulls
+          if (appended > 0) sb.append(' ')
+          sb.append(arr.getUTF8String(i + j).toString)
+          appended += 1
+        }
         j += 1
       }
       out.add(org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString))
@@ -187,6 +223,7 @@ case class Shingles(child: Expression, k: Int) extends UnaryExpression
   * yields the same counts — the DuckDB oracle keeps the string
   * formulation and hash-matches). */
 case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression
+    with TokenArrayExpression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
   require(k >= 1)
   override def dataType: DataType =
@@ -201,12 +238,16 @@ case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression
     var i = 0
     while (i < m) {
       var h = 0xcbf29ce484222325L
+      var appended = 0
       var j = 0
       while (j < k) {
-        if (j > 0) { h ^= ' '.toLong; h *= 0x100000001b3L }
-        val bs = arr.getUTF8String(i + j).getBytes
-        var b = 0
-        while (b < bs.length) { h ^= (bs(b) & 0xffL); h *= 0x100000001b3L; b += 1 }
+        if (!arr.isNullAt(i + j)) { // concat_ws semantics: skip nulls
+          if (appended > 0) { h ^= ' '.toLong; h *= 0x100000001b3L }
+          val bs = arr.getUTF8String(i + j).getBytes
+          var b = 0
+          while (b < bs.length) { h ^= (bs(b) & 0xffL); h *= 0x100000001b3L; b += 1 }
+          appended += 1
+        }
         j += 1
       }
       out.add(java.lang.Long.valueOf(h))

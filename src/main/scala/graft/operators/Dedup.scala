@@ -144,8 +144,10 @@ object Dedup {
         simhash64(split(trim(col(textCol)), "\\s+")).as("sig"))
     val chunks = sig.select(col("doc_id"), col("sig"),
       posexplode(array((0 until nChunks).map(i =>
+        // mask as -1L >>> (64 - w): (1L << 64) - 1 would overflow to 0
+        // for the single-chunk maxHamming = 0 case (JVM shifts mod 64)
         shiftright(col("sig"), offsets(i))
-          .bitwiseAND(lit((1L << widths(i)) - 1))): _*)))
+          .bitwiseAND(lit(-1L >>> (64 - widths(i))))): _*)))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "ch")
     val cold = chunks.groupBy("chunk", "ch").agg(count(lit(1)).as("f"))
       .filter(col("f") <= bucketCap).select("chunk", "ch")

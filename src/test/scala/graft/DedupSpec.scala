@@ -85,6 +85,16 @@ class DedupSpec extends AnyFunSuite {
     assert(found.get((10L, 200L)).contains(0), "exact dup must be at hamming 0")
   }
 
+  test("simhash: maxHamming = 0 (single 64-bit chunk) finds exact-signature dups") {
+    // regression: the chunk mask was (1L << 64) - 1 == 0 here, which
+    // collapsed every doc into one bucket instead of keying on the
+    // full signature
+    val pairs = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 0)
+    val found = pairs.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(found.get((10L, 200L)).contains(0), s"exact dup missing: $found")
+    assert(found.values.forall(_ == 0))
+  }
+
   test("simhash: hot-bucket cap drops candidates but never errors") {
     // bucketCap = 1 drops every bucket with >1 member — output must be
     // a subset of the uncapped result (possibly empty), not a failure

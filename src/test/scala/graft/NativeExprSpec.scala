@@ -71,6 +71,19 @@ class NativeExprSpec extends AnyFunSuite {
     }
   }
 
+  test("null tokens are skipped with concat_ws semantics") {
+    val df = spark.sql("SELECT array('a', CAST(NULL AS STRING), 'b', 'c') AS w")
+    // layered concat_ws drops nulls: ('a',null,'b')→'a b', (null,'b','c')→'b c'
+    assert(df.select(TextHash.shingles(col("w"), 3)).head.getSeq[String](0)
+      == Seq("a b", "b c"))
+    assert(df.select(TextHash.simhash64(col("w"))).head.getLong(0) ==
+      spark.sql("SELECT array('a','b','c') AS w")
+        .select(TextHash.simhash64(col("w"))).head.getLong(0))
+    assert(df.select(TextHash.shingleHashes(col("w"), 3)).head.getSeq[Long](0).size == 2)
+    assert(df.select(TextHash.winnowFingerprints(col("w"), 2, 2)).head.getSeq[String](0)
+      .forall(_.length == 32))
+  }
+
   test("SimHash64 codegen and interpreted eval agree on every doc") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.util.GenericArrayData

@@ -44,12 +44,14 @@ class SqlSurfaceSpec extends AnyFunSuite {
     // can't be amended from a test sharing the context. withExtensions
     // drives the identical injection path (GraftExtensions.apply →
     // injectFunction) on a fresh session over the same context.
-    SparkSession.clearDefaultSession()
-    SparkSession.clearActiveSession()
-    val s2 = SparkSession.builder()
-      .withExtensions(new GraftExtensions())
-      .getOrCreate()
     try {
+      // inside the try so a getOrCreate failure still restores `base`
+      // as the default/active session for later suites
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      val s2 = SparkSession.builder()
+        .withExtensions(new GraftExtensions())
+        .getOrCreate()
       assert(s2 ne base)
       assert(s2.sql("SELECT array_dot(array(1.0D,2.0D), array(3.0D,4.0D))")
         .head.getDouble(0) == 11.0)
@@ -66,6 +68,10 @@ class SqlSurfaceSpec extends AnyFunSuite {
       // int-literal contract for shape params is enforced
       intercept[Exception] {
         s2.sql("SELECT shingles(split('a b',' '), cast(rand()*2 as int))").collect()
+      }
+      // wrong input type is rejected at analysis, not runtime
+      intercept[org.apache.spark.sql.AnalysisException] {
+        s2.sql("SELECT simhash64(array(1, 2))").collect()
       }
     } finally {
       SparkSession.setDefaultSession(base)
