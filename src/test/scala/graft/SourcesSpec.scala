@@ -54,6 +54,15 @@ class SourcesSpec extends AnyFunSuite {
     val parts = new java.io.File(s"$dir/log").listFiles()
       .filter(_.isDirectory).map(_.getName).filter(_.startsWith("score_date="))
     assert(parts.toSet == Set("score_date=2025-05-01", "score_date=2025-05-02"))
+    // a date predicate prunes at the PARTITION level (never reaches the
+    // row scan) — the 100 TB access pattern for the scored log
+    val pruned = back.filter(col("score_date") === "2025-05-01")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("score_date"),
+           s"no partition pruning in:\n${plan.take(800)}")
+    assert("PartitionFilters: \\[[^\\]]*score_date".r.findFirstIn(plan).isDefined,
+           s"score_date not in PartitionFilters:\n${plan.take(800)}")
+    assert(pruned.count() == 2) // both copies of tx 1
   }
 
   test("bucketed tables join without a shuffle on the bucket key") {
