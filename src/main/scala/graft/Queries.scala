@@ -1019,9 +1019,12 @@ object Queries {
     * exact-Jaccard verification are all independently recomputed by
     * the oracle and hash-compared. The xxhash64 form above stays the
     * production path (8-byte codegen keys); this variant exists to
-    * prove the pipeline, not to replace it. */
+    * prove the pipeline, not to replace it — so it runs a half-width
+    * 16-hash signature (same rows-per-band, J² band selectivity): md5
+    * is ~4× the per-hash cost of the codegen xxhash64, and the proof
+    * doesn't need the production signature width. */
   private val qDedupMinhashMd5 = {
-    val (nh, bands, thr) = (32, 16, 0.1)
+    val (nh, bands, thr) = (16, 8, 0.1)
     val rpb = nh / bands
     val minsSql = (0 until nh)
       .map(i => s"min(md5('$i:' || s)) AS mh_$i").mkString(",\n           |   ")
@@ -1197,6 +1200,180 @@ object Queries {
     },
     None)
 
+  /** SimHash near-dup pairs, ORACLE-PROVEN (the simhash analog of
+    * `dedup_minhash_md5`): md5-derived token hashes and 4×16-bit chunk
+    * arithmetic let DuckDB recompute signatures, banding, hot-bucket
+    * capping, candidates AND the Hamming verify — the whole pipeline
+    * hash-compared end to end. See `Dedup.simhashPairsPortableMd5`. */
+  private val qDedupSimhashMd5 = {
+    val (maxHamming, cap) = (3, 4096)
+    // 64 per-bit majority sums and the 4 chunk reconstructions, generated
+    // to keep the SQL and the Spark expressions structurally identical
+    val sums = (0 until 64).map { p =>
+      val (j, b) = (p / 16, p % 16)
+      s"sum((k$j >> ${15 - b}) & 1) AS s$p"
+    }.mkString(",\n           |  ")
+    val chunkExprs = (0 until 4).map { j =>
+      (0 until 16).map { b =>
+        val p = 16 * j + b
+        s"((CASE WHEN 2*s$p >= n THEN 1 ELSE 0 END) << ${15 - b})"
+      }.mkString(" + ") + s" AS c$j"
+    }.mkString(",\n           |  ")
+    val chunkUnion = (0 until 4)
+      .map(j => s"SELECT doc_id, $j AS chunk, c$j AS ch FROM sig")
+      .mkString("\n           |  UNION ALL ")
+    val hammingSql = (0 until 4)
+      .map(j => s"bit_count(xor(sa.c$j, sb.c$j))").mkString(" + ")
+    Q(
+      "dedup_simhash_md5",
+      (s, d) => operators.Dedup.simhashPairsPortableMd5(
+        Tables.documents(s, d), "doc_id", "text", maxHamming, cap),
+      Some(s"""WITH tok AS (SELECT doc_id,
+           |  md5(unnest(regexp_split_to_array(trim(text), '\\s+'))) AS h FROM documents),
+           |k AS (SELECT doc_id,
+           |  ('0x' || substr(h, 1, 4))::INT AS k0, ('0x' || substr(h, 5, 4))::INT AS k1,
+           |  ('0x' || substr(h, 9, 4))::INT AS k2, ('0x' || substr(h, 13, 4))::INT AS k3
+           | FROM tok),
+           |agg AS (SELECT doc_id, count(*) AS n,
+           |  $sums
+           | FROM k GROUP BY doc_id),
+           |sig AS (SELECT doc_id,
+           |  $chunkExprs
+           | FROM agg),
+           |chunks AS ($chunkUnion),
+           |cold AS (SELECT chunk, ch FROM (
+           |  SELECT chunk, ch, count(*) AS f FROM chunks GROUP BY chunk, ch) WHERE f <= $cap),
+           |kept AS (SELECT chunks.doc_id, chunks.chunk, chunks.ch
+           |         FROM chunks JOIN cold USING (chunk, ch)),
+           |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           | FROM kept a JOIN kept b
+           |   ON a.chunk = b.chunk AND a.ch = b.ch AND a.doc_id < b.doc_id)
+           |SELECT doc_a, doc_b, CAST($hammingSql AS INT) AS hamming
+           |FROM cand JOIN sig sa ON cand.doc_a = sa.doc_id
+           |          JOIN sig sb ON cand.doc_b = sb.doc_id
+           |WHERE $hammingSql <= $maxHamming
+           |ORDER BY doc_a, doc_b""".stripMargin))
+  }
+
+  // =====================================================================
+  // Temporal operators over events (sessionization, as-of join)
+  // =====================================================================
+
+  /** Gap-based sessionization (30-min gap) rolled up per session: the
+    * canonical event-pipeline operator. One shuffle on user_id; the
+    * running break-sum and the gap lag share a single Window node.
+    * Session bounds are epoch-µs longs (engine-portable). */
+  private val qSessionize = Q(
+    "q_sessionize",
+    (s, d) => operators.Temporal.sessionize(
+        Tables.events(s, d), "user_id", "ts", "event_id", "value", gapSeconds = 1800)
+      .orderBy("user_id", "session_id"),
+    Some("""WITH x AS (SELECT user_id, event_id, ts, value,
+           |  CASE WHEN lag(ts) OVER w IS NULL
+           |        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS brk
+           | FROM events
+           | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+           |s AS (SELECT user_id, ts, value,
+           |  CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |                      ROWS UNBOUNDED PRECEDING) AS INT) AS session_id
+           | FROM x)
+           |SELECT user_id, session_id, count(*) AS n_events,
+           | min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us,
+           | round(sum(value), 6) AS total_value
+           |FROM s GROUP BY user_id, session_id
+           |ORDER BY user_id, session_id""".stripMargin))
+
+  /** As-of join: seconds since the latest STRICTLY-prior 'error' event
+    * of the same user (a point-in-time feature read). Spark side is
+    * `Temporal.joinAsOf` — union + carry-forward, ONE shuffle, no
+    * inequality join; the oracle states the same semantics as a
+    * correlated max-subquery (which DuckDB decorrelates itself). */
+  private val qAsofJoin = Q(
+    "q_asof_join",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts").as("err_ts"))
+      operators.Temporal.joinAsOf(ev, errors, Seq("user_id"), "ts", "err_ts",
+          matchedCols = Seq("err_ts"))
+        .select(col("event_id"), col("user_id"),
+                round((unix_micros(col("ts")) - unix_micros(col("err_ts")))
+                        .cast("double") / lit(1000000.0), 6).as("secs_since_error"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT e.event_id, e.user_id,
+           | round((epoch_us(e.ts) - epoch_us((
+           |   SELECT max(r.ts) FROM events r
+           |   WHERE r.user_id = e.user_id AND r.event_type = 'error' AND r.ts < e.ts
+           | ))) / 1000000.0, 6) AS secs_since_error
+           |FROM events e ORDER BY e.event_id""".stripMargin))
+
+  // =====================================================================
+  // Corpus curation (documents table): quality gates, sampling, domains
+  // =====================================================================
+
+  /** Gopher-style repetition/quality stats + keep flag (Rae et al. 2021
+    * §A1.1, bounds tuned to this corpus). Two-level hash agg; the
+    * shuffle carries (doc, word, count) — distinct words, not tokens. */
+  private val qGopherQuality = Q(
+    "q_gopher_quality",
+    (s, d) => operators.Corpus.gopherStats(Tables.documents(s, d), "doc_id", "text"),
+    Some("""WITH tok AS (SELECT doc_id,
+           |  unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents),
+           |wf AS (SELECT doc_id, w, count(*) AS f, sum(length(w)) AS lsum
+           |       FROM tok GROUP BY doc_id, w),
+           |per AS (SELECT doc_id, sum(f) AS n_words, count(*) AS n_distinct,
+           |               max(f) AS top_f, sum(lsum) AS charsum
+           |        FROM wf GROUP BY doc_id),
+           |m AS (SELECT doc_id, CAST(n_words AS INT) AS n_words,
+           | round(charsum / CAST(n_words AS DOUBLE), 6) AS mean_word_len,
+           | round(n_distinct / CAST(n_words AS DOUBLE), 6) AS distinct_ratio,
+           | round(top_f / CAST(n_words AS DOUBLE), 6) AS top_word_frac
+           |FROM per)
+           |SELECT *, CAST(CASE WHEN n_words >= 30
+           |  AND mean_word_len BETWEEN 3.0 AND 10.0
+           |  AND distinct_ratio >= 0.4
+           |  AND top_word_frac <= 0.15 THEN 1 ELSE 0 END AS INT) AS keep
+           |FROM m ORDER BY doc_id""".stripMargin))
+
+  /** Deterministic stratified sample: first 30 docs per lang in
+    * md5(doc_id) order — reproducible across engines/runs/partitionings.
+    * The stateless threshold variant (`Corpus.hashFractionSample`, no
+    * sort) is the 100 TB path; this exact-n form is the oracle-checked
+    * one. */
+  private val qSampleStratified = Q(
+    "q_sample_stratified",
+    (s, d) => operators.Corpus.stratifiedSample(
+        Tables.documents(s, d), "doc_id", "lang", perStratum = 30)
+      .select(col("doc_id"), col("lang"), col("sample_rank"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id, lang, sample_rank FROM (
+           | SELECT doc_id, lang,
+           |  CAST(row_number() OVER (PARTITION BY lang
+           |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS sample_rank
+           | FROM documents)
+           |WHERE sample_rank <= 30 ORDER BY doc_id""".stripMargin))
+
+  /** Per-source (domain) curation rollup + keep flag (C4-style domain
+    * filtering). The exact-dup rate shuffles md5 digests, never text. */
+  private val qDomainFilter = Q(
+    "q_domain_filter",
+    (s, d) => operators.Corpus.domainStats(
+      Tables.documents(s, d), "doc_id", "text", "source"),
+    Some("""WITH d AS (SELECT source, md5(text) AS digest, length(text) AS len
+           |           FROM documents),
+           |per AS (SELECT source, count(*) AS n_docs,
+           |               round(avg(len), 6) AS avg_chars,
+           |               count(DISTINCT digest) AS n_unique
+           |        FROM d GROUP BY source),
+           |m AS (SELECT source, n_docs, avg_chars,
+           |             round(n_unique / CAST(n_docs AS DOUBLE), 6) AS uniq_ratio
+           |      FROM per)
+           |SELECT source, n_docs, avg_chars, uniq_ratio,
+           | CAST(CASE WHEN n_docs >= 10 AND uniq_ratio >= 0.8
+           |      THEN 1 ELSE 0 END AS INT) AS keep
+           |FROM m ORDER BY source""".stripMargin))
+
   // =====================================================================
   // All declared queries, in SURVEY §2 order
   // =====================================================================
@@ -1213,7 +1390,9 @@ object Queries {
     qTextStats, qLangId, qTokenCount, qTfidfTop, qFingerprint,
     qWinnowFingerprint, qCorpusClean,
     qDedupExact, qNgramJaccard, qSimBruteforce, qSimLshTopk, qSimIvfTopk,
-    qDedupMinhash, qDedupMinhashMd5, qDedupSimhash, qDedupEmbedding, qMediaFeatures,
+    qDedupMinhash, qDedupMinhashMd5, qDedupSimhash, qDedupSimhashMd5,
+    qDedupEmbedding, qMediaFeatures,
+    qSessionize, qAsofJoin, qGopherQuality, qSampleStratified, qDomainFilter,
     qScalerFit, qMlPreproc, qMlPcaRecon, qMlIforest, qMlLof, qMlEnsemble,
     qMlSplit, qScoreFallback)
 }

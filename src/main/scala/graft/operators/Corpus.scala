@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators — the document-level filters and samplers
+  * a training-data pipeline runs before dedup/tokenization (quality
+  * gating à la Gopher/C4, per-domain curation, reproducible sampling).
+  *
+  * All three are relational shapes: explode → two-level hash aggregate
+  * for the word statistics, hash-keyed window for the sampler, single
+  * hash aggregate for the domain rollup. No UDFs, no driver state.
+  */
+object Corpus {
+
+  /** Gopher-style repetition/quality statistics per document (Rae et
+    * al. 2021 §A1.1 adapted to this corpus): word count, mean word
+    * length, distinct-word ratio, top-word fraction, and the resulting
+    * keep flag.
+    *
+    * Shape: tokens explode once; the (doc, word) frequency aggregate is
+    * partial+final hash agg (map-side combine collapses each doc's
+    * repeated words before the shuffle), then a per-doc rollup. The
+    * shuffle carries (doc_id, word, count) — bounded by per-doc DISTINCT
+    * words, not token count. At 100 TB both aggs stay hash-based
+    * (scalar buffers only).
+    *
+    * Keep bounds (tuned to this corpus' measured ranges; the Gopher
+    * paper's own bounds assume web text): ≥ 30 words, mean word length
+    * in [3, 10], ≥ 40% distinct words, top word ≤ 15% of tokens. */
+  def gopherStats(docs: DataFrame, idCol: String, textCol: String,
+                  minWords: Int = 30, minMeanLen: Double = 3.0,
+                  maxMeanLen: Double = 10.0, minDistinctRatio: Double = 0.4,
+                  maxTopWordFrac: Double = 0.15): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(split(trim(col(textCol)), "\\s+")).as("w"))
+    val wf = tok.groupBy("doc_id", "w")
+      .agg(count(lit(1)).as("f"), sum(length(col("w"))).as("lsum"))
+    val per = wf.groupBy("doc_id").agg(
+      sum("f").as("n_words"), count(lit(1)).as("n_distinct"),
+      max("f").as("top_f"), sum("lsum").as("charsum"))
+    val nWords = col("n_words").cast("double")
+    per.select(
+        col("doc_id"),
+        col("n_words").cast("int").as("n_words"),
+        round(col("charsum") / nWords, 6).as("mean_word_len"),
+        round(col("n_distinct") / nWords, 6).as("distinct_ratio"),
+        round(col("top_f") / nWords, 6).as("top_word_frac"))
+      .withColumn("keep",
+        (col("n_words") >= minWords &&
+          col("mean_word_len").between(minMeanLen, maxMeanLen) &&
+          col("distinct_ratio") >= minDistinctRatio &&
+          col("top_word_frac") <= maxTopWordFrac).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic stratified sample: the first `perStratum` documents
+    * of each stratum in md5(id) order. Reproducible across engines,
+    * runs, and partitionings (the hash fixes the order; no RNG state).
+    *
+    * Shape at test scale: one window per stratum (rank over the hash).
+    * At 100 TB exact-n-per-stratum requires that per-stratum sort; the
+    * scale path is `hashFractionSample` below (stateless threshold on
+    * the same hash — no sort, no shuffle, approximately fractional),
+    * with this exact variant reserved for bounded strata counts. */
+  def stratifiedSample(docs: DataFrame, idCol: String, strataCol: String,
+                       perStratum: Int): DataFrame = {
+    val h = md5(col(idCol).cast("string").cast("binary"))
+    val w = Window.partitionBy(col(strataCol)).orderBy(h, col(idCol))
+    docs.withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= perStratum)
+  }
+
+  /** Stateless fractional sample: keep a row iff the first 8 hex chars
+    * of md5(id) fall under `fraction` of the 32-bit space. Zero shuffle,
+    * zero state, exactly reproducible — the 100 TB sampling path. */
+  def hashFractionSample(docs: DataFrame, idCol: String, fraction: Double): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, s"fraction in [0,1], got $fraction")
+    val bucket = conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long")
+    docs.filter(bucket < lit((fraction * 4294967296.0).toLong))
+  }
+
+  /** Per-source (domain) curation rollup: document count, size, exact
+    * duplicate-text rate, and a keep flag (C4-style domain filtering —
+    * drop tiny or heavily-duplicated sources). The md5 digest stands in
+    * for text equality, so the shuffle carries 128-bit digests, never
+    * documents; count(distinct digest) is planned as a two-phase
+    * partial-distinct aggregate. */
+  def domainStats(docs: DataFrame, idCol: String, textCol: String,
+                  sourceCol: String, minDocs: Int = 10,
+                  minUniqueRatio: Double = 0.8): DataFrame =
+    docs.select(col(sourceCol).as("source"),
+        md5(col(textCol).cast("binary")).as("digest"),
+        length(col(textCol)).as("__len"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           round(avg("__len"), 6).as("avg_chars"),
+           countDistinct(col("digest")).as("n_unique"))
+      .select(col("source"), col("n_docs"), col("avg_chars"),
+              round(col("n_unique") / col("n_docs").cast("double"), 6).as("uniq_ratio"))
+      .withColumn("keep",
+        (col("n_docs") >= minDocs && col("uniq_ratio") >= minUniqueRatio).cast("int"))
+      .orderBy("source")
+}

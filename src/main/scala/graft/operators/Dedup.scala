@@ -162,6 +162,69 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** SimHash near-dup pairs, ORACLE-PORTABLE variant (the simhash
+    * analog of `portableMd5` minhash): every step is recomputable
+    * verbatim in ANSI-ish SQL, so an independent engine can verify the
+    * whole pipeline — signatures, banding, candidates and the Hamming
+    * filter.
+    *
+    * Hash family: token hash = first 64 bits of md5(token), consumed as
+    * four 16-bit chunk ints (4 hex chars each — integer-parseable in
+    * any SQL dialect; no 64-bit unsigned parsing needed). Signature bit
+    * p is the majority vote over token occurrences (ties → 1, i.e.
+    * `2·Σbit_p ≥ n`). The four 16-bit signature chunks band exactly as
+    * `simhashPairs` does (maxHamming = 3 ⇒ 4 chunks, pigeonhole
+    * guarantee), hot chunk-buckets are capped, and candidates are
+    * verified with Σ bit_count(xor(chunk)) ≤ maxHamming.
+    *
+    * Shape: token explode → 64 codegen'd shift/mask bit columns off 4
+    * `conv` parses → one hash agg per doc (64 scalar sums — map-side
+    * combined) → chunk-key candidate join. Same 100 TB posture as the
+    * production `simhashPairs`; ~2× its per-token cost (md5 vs FNV),
+    * which buys the independent verifiability. */
+  def simhashPairsPortableMd5(docs: DataFrame, idCol: String, textCol: String,
+                              maxHamming: Int = 3, bucketCap: Int = 4096): DataFrame = {
+    require(maxHamming == 3, "portable variant is fixed at 4×16-bit chunks (maxHamming 3)")
+    val tok = docs.select(col(idCol).as("doc_id"),
+        explode(split(trim(col(textCol)), "\\s+")).as("w"))
+      .withColumn("h", md5(col("w").cast("binary")))
+    // 4-hex-char chunk ints k0..k3, then the 64 bits as shift/mask exprs
+    val withK = (0 until 4).foldLeft(tok) { (df, j) =>
+      df.withColumn(s"k$j", conv(substring(col("h"), 4 * j + 1, 4), 16, 10).cast("int"))
+    }
+    val bitSums = (0 until 64).map { p =>
+      val (j, b) = (p / 16, p % 16)
+      sum(shiftright(col(s"k$j"), 15 - b).bitwiseAND(lit(1))).as(s"s$p")
+    }
+    val agg = withK.groupBy("doc_id").agg(bitSums.head, (bitSums.tail :+ count(lit(1)).as("n")): _*)
+    // majority bit: 2·Σbit ≥ n; chunk int = Σ bit << (15 − b)
+    val chunkCols = (0 until 4).map { j =>
+      (0 until 16).map { b =>
+        val p = 16 * j + b
+        shiftleft(when(col(s"s$p") * 2 >= col("n"), 1).otherwise(0).cast("int"), 15 - b)
+      }.reduce(_ + _).as(s"c$j")
+    }
+    val sig = agg.select(col("doc_id") +: chunkCols: _*)
+    val chunks = sig.select(col("doc_id"),
+        posexplode(array((0 until 4).map(j => col(s"c$j")): _*)))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "ch")
+    val cold = chunks.groupBy("chunk", "ch").agg(count(lit(1)).as("f"))
+      .filter(col("f") <= bucketCap).select("chunk", "ch")
+    val kept = chunks.join(cold, Seq("chunk", "ch"))
+    val hamming = (0 until 4).map(j =>
+      bit_count(col(s"sa.c$j").bitwiseXOR(col(s"sb.c$j")))).reduce(_ + _)
+    kept.as("a").join(kept.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.ch") === col("b.ch") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .join(sig.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sig.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), hamming.cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Embedding-cosine near-dup pairs: LSH-bucketed candidate join at
     * the distance equivalent of the cosine threshold (unit-norm:
     * d = √(2−2cos)), verified with exact cosine. The scale path for

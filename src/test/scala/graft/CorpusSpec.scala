@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Corpus, Dedup}
+
+class CorpusSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // ---- Gopher quality stats -------------------------------------------
+
+  test("gopherStats computes word stats exactly on a hand-checked doc") {
+    // 6 tokens, 5 distinct, 'aa' twice, 14 chars total
+    val df = Seq((1L, "aa bb aa cc dddd eee")).toDF("doc_id", "text")
+    val r = Corpus.gopherStats(df, "doc_id", "text", minWords = 3,
+      minMeanLen = 1.0, maxMeanLen = 10.0, minDistinctRatio = 0.5,
+      maxTopWordFrac = 0.5).head
+    assert(r.getAs[Int]("n_words") == 6)
+    assert(math.abs(r.getAs[Double]("mean_word_len") - 15.0 / 6) < 1e-9)
+    assert(math.abs(r.getAs[Double]("distinct_ratio") - 5.0 / 6) < 1e-6)
+    assert(math.abs(r.getAs[Double]("top_word_frac") - 2.0 / 6) < 1e-6)
+    assert(r.getAs[Int]("keep") == 1)
+  }
+
+  test("gopherStats keep flag rejects repetitive and short docs") {
+    val df = Seq(
+      (1L, Seq.fill(50)("spam").mkString(" ")),          // top_word_frac = 1
+      (2L, "too short"),                                  // n_words < 30
+      (3L, (1 to 50).map(i => s"word$i").mkString(" "))) // clean
+      .toDF("doc_id", "text")
+    val keep = Corpus.gopherStats(df, "doc_id", "text")
+      .select("doc_id", "keep").as[(Long, Int)].collect().toMap
+    assert(keep == Map(1L -> 0, 2L -> 0, 3L -> 1))
+  }
+
+  test("gopherStats splits the real corpus non-trivially") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val counts = Corpus.gopherStats(docs, "doc_id", "text")
+      .groupBy("keep").count().as[(Int, Long)].collect().toMap
+    assert(counts.getOrElse(1, 0L) > 0, "no doc passed the quality gate")
+    assert(counts.getOrElse(0, 0L) > 0, "no doc failed the quality gate")
+  }
+
+  // ---- sampling --------------------------------------------------------
+
+  test("stratifiedSample: exact n per stratum, deterministic across runs") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val s1 = Corpus.stratifiedSample(docs, "doc_id", "lang", 10)
+    val perLang = s1.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val langSizes = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    perLang.foreach { case (l, n) => assert(n == math.min(10L, langSizes(l))) }
+    val ids1 = s1.select("doc_id").as[Long].collect().sorted.toSeq
+    val ids2 = Corpus.stratifiedSample(docs.repartition(7), "doc_id", "lang", 10)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids1 == ids2, "sample must not depend on partitioning")
+  }
+
+  test("hashFractionSample keeps roughly the requested fraction, deterministically") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val n = docs.count().toDouble
+    val kept = Corpus.hashFractionSample(docs, "doc_id", 0.3)
+    val k1 = kept.count()
+    assert(math.abs(k1 / n - 0.3) < 0.08, s"kept ${k1 / n}, wanted ~0.3")
+    assert(Corpus.hashFractionSample(docs, "doc_id", 0.3).count() == k1)
+    // monotone: a larger fraction keeps a superset
+    val k2 = Corpus.hashFractionSample(docs, "doc_id", 0.5)
+    val sub = kept.select("doc_id").exceptAll(k2.select("doc_id")).count()
+    assert(sub == 0, "0.3-sample must be a subset of the 0.5-sample")
+  }
+
+  // ---- domain rollup ---------------------------------------------------
+
+  test("domainStats counts docs and exact-dup rate per source") {
+    val df = Seq(
+      (1L, "alpha beta", "s1"), (2L, "alpha beta", "s1"), (3L, "gamma", "s1"),
+      (4L, "unique text", "s2"))
+      .toDF("doc_id", "text", "source")
+    val got = Corpus.domainStats(df, "doc_id", "text", "source",
+        minDocs = 2, minUniqueRatio = 0.8)
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Double]("uniq_ratio"), r.getAs[Int]("keep"))).toMap
+    assert(got("s1") == ((3L, 0.666667, 0)))  // 2 unique / 3 docs
+    assert(got("s2") == ((1L, 1.0, 0)))       // too few docs
+  }
+
+  // ---- portable simhash ------------------------------------------------
+
+  test("simhashPairsPortableMd5 candidates are COMPLETE at maxHamming=3 (brute force)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val got = Dedup.simhashPairsPortableMd5(docs, "doc_id", "text")
+      .select("doc_a", "doc_b", "hamming")
+      .as[(Long, Long, Int)].collect().toSet
+    // brute-force reference: recompute the md5-bit signature per doc in
+    // Scala, enumerate all pairs within Hamming 3
+    val texts = docs.select("doc_id", "text").as[(Long, String)].collect()
+    def sig(text: String): Long = {
+      val toks = text.trim.split("\\s+")
+      val sums = new Array[Int](64)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      toks.foreach { w =>
+        val h = md.digest(w.getBytes("UTF-8"))
+        var p = 0
+        while (p < 64) {
+          val bit = (h(p / 8) >> (7 - p % 8)) & 1
+          sums(p) += 2 * bit - 1
+          p += 1
+        }
+      }
+      (0 until 64).foldLeft(0L)((acc, p) =>
+        if (sums(p) >= 0) acc | (1L << (63 - p)) else acc)
+    }
+    val sigs = texts.map { case (id, t) => id -> sig(t) }
+    val expect = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (ia, ib, h)).toSet
+    assert(got == expect, s"got=$got expect=$expect")
+  }
+
+  test("simhashPairsPortableMd5 finds a planted near-duplicate") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = base.replace("tok20", "tok20x")
+    val far = (1 to 40).map(i => s"other$i").mkString(" ")
+    val df = Seq((1L, base), (2L, nearDup), (3L, far)).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairsPortableMd5(df, "doc_id", "text")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"planted near-dup not found: $pairs")
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+}
