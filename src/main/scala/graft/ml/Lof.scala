@@ -79,8 +79,18 @@ object Lof {
   }
 
   /** kNN edge list → (id, lrd, lof). lrd = 1/(mean reach + 1e-10)
-    * (sklearn's stabilizer); LOF = mean(lrd_neighbor)/lrd. */
-  def fromNeighbors(nb: DataFrame): DataFrame = {
+    * (sklearn's stabilizer); LOF = mean(lrd_neighbor)/lrd.
+    *
+    * The edge list is referenced three times (kdist, reach, the
+    * neighbor-lrd join); without materialization each reference
+    * re-executes the upstream kNN DAG — measured 3.9 s → 1.9 s at
+    * sf0.1 for the LSH path. `localCheckpoint` materializes the O(n·k)
+    * edges once and is cleaned by the ContextCleaner when unreachable
+    * (unlike `persist`, which registers in the session CacheManager
+    * and leaks per call — the r1 minhash lesson). On a cluster the
+    * same role is played by a checkpoint/intermediate table. */
+  def fromNeighbors(nbIn: DataFrame): DataFrame = {
+    val nb = nbIn.localCheckpoint()
     val kdist = nb.groupBy("id").agg(max("dist").as("kdist"))
     val reach = nb.join(kdist.withColumnRenamed("id", "nid"), Seq("nid"))
       .withColumn("reach", greatest(col("dist"), col("kdist")))
