@@ -1308,6 +1308,48 @@ object Queries {
            | ))) / 1000000.0, 6) AS secs_since_error
            |FROM events e ORDER BY e.event_id""".stripMargin))
 
+  /** Range join: concurrent-activity count per session — every event of
+    * OTHER users (id ≥ 10) falling inside each user-<10 session
+    * interval. Spark side is `Temporal.rangeJoinBinned` (interval →
+    * overlapped hour bins, point → its bin, EQUI-join + exact
+    * containment filter — never a BroadcastNestedLoop); the oracle
+    * states the same join as a plain inequality join, which DuckDB
+    * executes natively (IEJoin). */
+  private val qRangeJoin = Q(
+    "q_range_join",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val sess = operators.Temporal.sessionize(
+          ev, "user_id", "ts", "event_id", "value", gapSeconds = 1800)
+        .filter(col("user_id") < 10)
+        .select(col("user_id").as("sess_user"), col("session_id"),
+                col("start_us"), col("end_us"))
+      val pts = ev.filter(col("user_id") >= 10)
+        .select(unix_micros(col("ts")).as("ts_us"))
+      operators.Temporal.rangeJoinBinned(pts, sess,
+          "ts_us", "start_us", "end_us", binSize = 3600L * 1000000L)
+        .groupBy("sess_user", "session_id")
+        .agg(count(lit(1)).as("n_concurrent"))
+        .orderBy("sess_user", "session_id")
+    },
+    Some("""WITH x AS (SELECT user_id, event_id, ts, value,
+           |  CASE WHEN lag(ts) OVER w IS NULL
+           |        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS brk
+           | FROM events
+           | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+           |s AS (SELECT user_id, ts,
+           |  CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |                      ROWS UNBOUNDED PRECEDING) AS INT) AS session_id
+           | FROM x),
+           |sess AS (SELECT user_id AS sess_user, session_id,
+           |         min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us
+           |         FROM s WHERE user_id < 10 GROUP BY user_id, session_id)
+           |SELECT sess.sess_user, sess.session_id, count(*) AS n_concurrent
+           |FROM sess JOIN events e
+           |  ON e.user_id >= 10 AND epoch_us(e.ts) BETWEEN sess.start_us AND sess.end_us
+           |GROUP BY sess.sess_user, sess.session_id
+           |ORDER BY sess.sess_user, sess.session_id""".stripMargin))
+
   // =====================================================================
   // Corpus curation (documents table): quality gates, sampling, domains
   // =====================================================================
@@ -1392,7 +1434,8 @@ object Queries {
     qDedupExact, qNgramJaccard, qSimBruteforce, qSimLshTopk, qSimIvfTopk,
     qDedupMinhash, qDedupMinhashMd5, qDedupSimhash, qDedupSimhashMd5,
     qDedupEmbedding, qMediaFeatures,
-    qSessionize, qAsofJoin, qGopherQuality, qSampleStratified, qDomainFilter,
+    qSessionize, qAsofJoin, qRangeJoin,
+    qGopherQuality, qSampleStratified, qDomainFilter,
     qScalerFit, qMlPreproc, qMlPcaRecon, qMlIforest, qMlLof, qMlEnsemble,
     qMlSplit, qScoreFallback)
 }

@@ -55,6 +55,37 @@ object Temporal {
            max(unix_micros(col(tsCol))).as("end_us"),
            round(sum(col(valueCol)), 6).as("total_value"))
 
+  /** Range (interval) join: pair each point with every interval
+    * containing it — `start ≤ point ≤ end`, all three numeric (e.g.
+    * epoch µs). A naive inequality join plans as BroadcastNestedLoop
+    * (O(|points|·|intervals|)); this binned form stays an EQUI-join:
+    * each interval explodes to the `⌈len/binSize⌉` bins it overlaps,
+    * each point maps to its one bin, bins equi-join (shuffle or
+    * broadcast — Catalyst's choice), and the exact containment
+    * predicate filters at the join. A point's bin is unique, so every
+    * matching (point, interval) pair meets exactly once — no dedup
+    * pass.
+    *
+    * `binSize` trades interval fan-out (len/binSize copies) against
+    * join selectivity (points per bin); set it near the typical
+    * interval length. At 100 TB the bin key shuffles, AQE splits hot
+    * bins, and the interval side usually broadcasts (intervals ≪
+    * points). Column names of `points` and `intervals` must be
+    * disjoint. */
+  def rangeJoinBinned(points: DataFrame, intervals: DataFrame,
+                      pointCol: String, startCol: String, endCol: String,
+                      binSize: Long): DataFrame = {
+    require(binSize > 0, s"binSize must be positive, got $binSize")
+    val overlap = points.columns.toSet intersect intervals.columns.toSet
+    require(overlap.isEmpty, s"point/interval column collision: $overlap")
+    val binned = intervals.withColumn("__bin",
+      explode(sequence(expr(s"$startCol div $binSize"), expr(s"$endCol div $binSize"))))
+    val p = points.withColumn("__bin", expr(s"$pointCol div $binSize"))
+    p.join(binned, Seq("__bin"))
+      .filter(col(pointCol).between(col(startCol), col(endCol)))
+      .drop("__bin")
+  }
+
   /** As-of join: for every left row, the latest right row of the same
     * key with `right.tsCol` STRICTLY before `left.tsCol` (the
     * point-in-time lookup semantic — a feature store read, a

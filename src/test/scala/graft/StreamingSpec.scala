@@ -4,7 +4,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.streaming.{ScoreStream, StatefulProfiles}
+import graft.streaming.{ScoreStream, SessionStream, StatefulProfiles}
 
 /** MemoryStream micro-batches through the streaming surface
   * (SURVEY §5.2.5): scoring parity with batch, cross-batch dedup,
@@ -46,6 +46,48 @@ class StreamingSpec extends AnyFunSuite {
       val batchRow = Pipelines.applyScoring(
         graft.operators.Profiles.joinProfiles(batchDf, profile, "user_id")).head
       assert(batchRow.getDouble(3) == out(1L)._1)
+    } finally q.stop()
+  }
+
+  test("streaming sessionization emits closed sessions matching the batch rollup") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[SessionStream.EventIn]
+    val q = SessionStream.closedSessions(mem.toDS(), gapSeconds = 1800,
+        watermarkDelay = "0 seconds").writeStream
+      .format("memory").queryName("sessions_out").outputMode("append").start()
+    try {
+      // user 1: two sessions; user 2: one session. Events arrive out of
+      // event-time order WITHIN a batch (the state fn must sort).
+      mem.addData(
+        SessionStream.EventIn(2L, ts("2024-01-10 03:10:00"), 1L, 5.0),
+        SessionStream.EventIn(1L, ts("2024-01-10 03:00:00"), 1L, 10.0),
+        SessionStream.EventIn(3L, ts("2024-01-10 03:15:00"), 2L, 2.0))
+      q.processAllAvailable()
+      // gap > 30 min closes user 1's first session mid-batch
+      mem.addData(
+        SessionStream.EventIn(4L, ts("2024-01-10 06:00:00"), 1L, 1.0))
+      q.processAllAvailable()
+      // watermark advance past end+gap times out user 2 and session 2
+      mem.addData(
+        SessionStream.EventIn(5L, ts("2024-01-10 09:00:00"), 3L, 0.5))
+      q.processAllAvailable()
+      mem.addData(
+        SessionStream.EventIn(6L, ts("2024-01-10 12:00:00"), 3L, 0.5))
+      q.processAllAvailable()
+      val got = spark.table("sessions_out")
+        .select("user_id", "start_us", "end_us", "n_events", "total_value")
+        .as[(Long, Long, Long, Long, Double)].collect().toSet
+      // batch twin on the SAME closed sessions (user 3's last is still open)
+      val batch = Seq(
+        (1L, ts("2024-01-10 03:00:00"), 1L, 10.0), (2L, ts("2024-01-10 03:10:00"), 1L, 5.0),
+        (3L, ts("2024-01-10 03:15:00"), 2L, 2.0), (4L, ts("2024-01-10 06:00:00"), 1L, 1.0),
+        (5L, ts("2024-01-10 09:00:00"), 3L, 0.5))
+        .toDF("event_id", "ts", "user_id", "value")
+      val expect = graft.operators.Temporal.sessionize(
+          batch, "user_id", "ts", "event_id", "value", 1800)
+        .select("user_id", "start_us", "end_us", "n_events", "total_value")
+        .as[(Long, Long, Long, Long, Double)].collect().toSet
+      assert(got == expect, s"stream=$got batch=$expect")
     } finally q.stop()
   }
 

@@ -54,6 +54,31 @@ class TemporalSpec extends AnyFunSuite {
     assert(bad == 0, "session ids must be dense 1..n per user")
   }
 
+  // ---- range join ------------------------------------------------------
+
+  test("rangeJoinBinned: inclusive bounds, multi-bin intervals match once") {
+    val points = Seq(5L, 10L, 25L, 99L, 100L, 101L).toDF("p")
+    val intervals = Seq((1L, 10L, 100L)).toDF("iid", "lo", "hi")  // spans bins 0..10 at bin=10
+    val got = Temporal.rangeJoinBinned(points, intervals, "p", "lo", "hi", binSize = 10L)
+      .select("p").as[Long].collect().sorted.toSeq
+    assert(got == Seq(10L, 25L, 99L, 100L))  // inclusive both ends, exactly once each
+  }
+
+  test("rangeJoinBinned agrees with a naive inequality join on real sessions") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val sess = Temporal.sessionize(ev, "user_id", "ts", "event_id", "value", 1800)
+      .filter(col("user_id") < 5)
+      .select(col("user_id").as("su"), col("session_id").as("sid"),
+              col("start_us"), col("end_us"))
+    val pts = ev.filter(col("user_id") >= 5).select(unix_micros(col("ts")).as("ts_us"))
+    val fast = Temporal.rangeJoinBinned(pts, sess, "ts_us", "start_us", "end_us",
+        binSize = 3600L * 1000000L)
+      .groupBy("su", "sid").count().as[(Long, Int, Long)].collect().toSet
+    val naive = pts.join(sess, col("ts_us").between(col("start_us"), col("end_us")))
+      .groupBy("su", "sid").count().as[(Long, Int, Long)].collect().toSet
+    assert(fast == naive)
+  }
+
   // ---- as-of join ------------------------------------------------------
 
   test("joinAsOf matches the latest strictly-prior right row per key") {
