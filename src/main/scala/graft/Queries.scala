@@ -1023,47 +1023,89 @@ object Queries {
     * 16-hash signature (same rows-per-band, J² band selectivity): md5
     * is ~4× the per-hash cost of the codegen xxhash64, and the proof
     * doesn't need the production signature width. */
-  private val qDedupMinhashMd5 = {
-    val (nh, bands, thr) = (16, 8, 0.1)
+  /** Shared CTE chain for the md5-portable minhash oracle: shingles →
+    * 16-hash signatures → 8 band keys → candidate pairs → exact-Jaccard
+    * verified `pairs(doc_a, doc_b, jaccard)`. Used by both the pair
+    * query and the connected-components clustering query so their
+    * oracles derive pairs identically. */
+  private def minhashMd5PairCtes(nh: Int, bands: Int, thr: Double): String = {
     val rpb = nh / bands
     val minsSql = (0 until nh)
-      .map(i => s"min(md5('$i:' || s)) AS mh_$i").mkString(",\n           |   ")
+      .map(i => s"min(md5('$i:' || s)) AS mh_$i").mkString(",\n   ")
     val bandList = (0 until bands).map { b =>
       val parts = (b * rpb until (b + 1) * rpb).map(r => s"mh_$r").mkString(" || '|' || ")
       s"md5('$b' || '|' || $parts)"
-    }.mkString(",\n           |   ")
+    }.mkString(",\n   ")
+    s"""w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+       |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |   generate_series(1, len(w)-2),
+       |   i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS s
+       | FROM w WHERE len(w) >= 3),
+       |sig AS (SELECT doc_id,
+       |   $minsSql
+       | FROM sh GROUP BY doc_id),
+       |bands AS (SELECT doc_id,
+       |   unnest(generate_series(0, ${bands - 1})) AS band,
+       |   unnest([$bandList]) AS bh
+       | FROM sig),
+       |cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       | FROM bands a JOIN bands b
+       |   ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |sets AS (SELECT doc_id, list(s) AS ss FROM sh GROUP BY doc_id),
+       |pairs AS (SELECT doc_a, doc_b,
+       |   round(CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)
+       |     / (CAST(len(sa.ss) + len(sb.ss) AS DOUBLE)
+       |        - CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)), 6) AS jaccard
+       | FROM cands
+       | JOIN sets sa ON cands.doc_a = sa.doc_id
+       | JOIN sets sb ON cands.doc_b = sb.doc_id
+       | WHERE round(CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)
+       |     / (CAST(len(sa.ss) + len(sb.ss) AS DOUBLE)
+       |        - CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)), 6) >= $thr)""".stripMargin
+  }
+
+  private val qDedupMinhashMd5 = {
+    val (nh, bands, thr) = (16, 8, 0.1)
     Q(
       "dedup_minhash_md5",
       (s, d) => operators.Dedup.minhashPairs(
         Tables.documents(s, d), "doc_id", "text",
         numHashes = nh, bands = bands, threshold = thr, portableMd5 = true),
-      Some(s"""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
-           |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
-           |   generate_series(1, len(w)-2),
-           |   i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS s
-           | FROM w WHERE len(w) >= 3),
-           |sig AS (SELECT doc_id,
-           |   $minsSql
-           | FROM sh GROUP BY doc_id),
-           |bands AS (SELECT doc_id,
-           |   unnest(generate_series(0, ${bands - 1})) AS band,
-           |   unnest([$bandList]) AS bh
-           | FROM sig),
-           |cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           | FROM bands a JOIN bands b
-           |   ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
-           |sets AS (SELECT doc_id, list(s) AS ss FROM sh GROUP BY doc_id)
-           |SELECT doc_a, doc_b,
-           |   round(CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)
-           |     / (CAST(len(sa.ss) + len(sb.ss) AS DOUBLE)
-           |        - CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)), 6) AS jaccard
-           |FROM cands
-           |JOIN sets sa ON cands.doc_a = sa.doc_id
-           |JOIN sets sb ON cands.doc_b = sb.doc_id
-           |WHERE round(CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)
-           |     / (CAST(len(sa.ss) + len(sb.ss) AS DOUBLE)
-           |        - CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)), 6) >= $thr
+      Some(s"""WITH ${minhashMd5PairCtes(nh, bands, thr)}
+           |SELECT doc_a, doc_b, jaccard FROM pairs
            |ORDER BY doc_a, doc_b""".stripMargin))
+  }
+
+  /** Pairs → dedup GROUPS: connected components over the verified
+    * minhash near-dup pairs (A~B, B~C ⇒ {A,B,C} even though A~C was
+    * never a candidate), cluster id = min reachable doc_id, survivor =
+    * the canonical keeper. The Spark side is iterative hash-min label
+    * propagation (`Dedup.connectedComponents` — one shuffle join + one
+    * hash agg per round, O(diameter) rounds); the oracle recomputes the
+    * SAME pair set and closes it transitively with a recursive CTE, so
+    * candidate generation, verification, AND the transitive closure are
+    * all independently hash-checked. */
+  private val qDedupClusters = {
+    val (nh, bands, thr) = (16, 8, 0.1)
+    Q(
+      "q_dedup_clusters",
+      (s, d) => operators.Dedup.connectedComponents(
+          operators.Dedup.minhashPairs(
+            Tables.documents(s, d), "doc_id", "text",
+            numHashes = nh, bands = bands, threshold = thr, portableMd5 = true),
+          "doc_a", "doc_b")
+        .withColumnRenamed("node", "doc_id")
+        .orderBy("doc_id"),
+      Some(s"""WITH RECURSIVE ${minhashMd5PairCtes(nh, bands, thr)},
+           |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+           |          UNION SELECT doc_b, doc_a FROM pairs),
+           |reach(node, label) AS (
+           | SELECT src, src FROM edges
+           | UNION
+           | SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node)
+           |SELECT node AS doc_id, min(label) AS cluster_id,
+           | CAST(CASE WHEN node = min(label) THEN 1 ELSE 0 END AS INT) AS is_survivor
+           |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin))
   }
 
   /** SimHash near-dup pairs (rows-only). maxHamming = 3 matches the
@@ -1433,6 +1475,7 @@ object Queries {
     qWinnowFingerprint, qCorpusClean,
     qDedupExact, qNgramJaccard, qSimBruteforce, qSimLshTopk, qSimIvfTopk,
     qDedupMinhash, qDedupMinhashMd5, qDedupSimhash, qDedupSimhashMd5,
+    qDedupClusters,
     qDedupEmbedding, qMediaFeatures,
     qSessionize, qAsofJoin, qRangeJoin,
     qGopherQuality, qSampleStratified, qDomainFilter,

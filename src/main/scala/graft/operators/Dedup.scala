@@ -250,4 +250,51 @@ object Dedup {
       .filter(col("cosine") >= minCosine)
       .orderBy("id_a", "id_b")
   }
+
+  /** Connected components over a duplicate-pair edge list — the step
+    * that turns pairwise near-dup hits into dedup GROUPS (A~B and B~C
+    * place A, B, C in one cluster even when A~C was never generated).
+    * Returns one row per vertex that appears in any pair:
+    * (node, cluster_id, is_survivor), where cluster_id is the minimum
+    * id reachable from the node and the survivor is the cluster's
+    * canonical keeper (min id — deterministic across runs/engines).
+    *
+    * Algorithm: hash-min label propagation. Each round joins the edge
+    * list with the current labels and takes the per-node min — one
+    * shuffle join + one hash aggregate per round, converging in
+    * O(graph diameter) rounds. Near-dup graphs are dense clique-ish
+    * clusters (tiny diameters), so rounds stay single-digit; a
+    * `maxRounds` guard bounds pathological chains. Both the edge list
+    * and each round's labels are `localCheckpoint`ed: edges are read
+    * every round (don't re-derive the candidate DAG), and checkpointing
+    * cuts the iterative lineage that would otherwise deepen each round.
+    * State per round is O(|V| + |E|) — never corpus text. At larger
+    * diameters the two-phase large-star/small-star scheme (Kiveris et
+    * al., "Connected Components in MapReduce") halves round count; the
+    * plain hash-min form is kept for its single-join simplicity. */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxRounds: Int = 15): DataFrame = {
+    val dir = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val edges = dir.union(dir.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint()
+    var round = 0
+    var changed = 1L
+    while (changed > 0 && round < maxRounds) {
+      val viaEdge = edges.as("e")
+        .join(labels.as("l"), col("e.src") === col("l.node"))
+        .select(col("e.dst").as("node"), col("l.label").as("label"))
+      val next = labels.union(viaEdge)
+        .groupBy("node").agg(min("label").as("label"))
+        .localCheckpoint()
+      changed = next.as("n")
+        .join(labels.as("o"), col("n.node") === col("o.node"))
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels = next
+      round += 1
+    }
+    labels.select(col("node"), col("label").as("cluster_id"),
+      (col("node") === col("label")).cast("int").as("is_survivor"))
+  }
 }

@@ -127,4 +127,28 @@ class DedupSpec extends AnyFunSuite {
     val g = grouped.join(dup10, "fp").head
     assert(g.getAs[Long]("n") >= 2 && g.getAs[Long]("keeper") == 10L)
   }
+
+  test("connected components merge transitive chains and pick min-id survivors") {
+    // chain 1-2-3-4 (no direct 1-3/1-4/2-4 edges), pair 10-11, singleton edge 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L))
+      .toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(cc.keySet == Set(1L, 2L, 3L, 4L, 10L, 11L, 20L, 21L))
+    Seq(1L, 2L, 3L, 4L).foreach(n => assert(cc(n)._1 == 1L, s"node $n"))
+    Seq(10L, 11L).foreach(n => assert(cc(n)._1 == 10L))
+    Seq(20L, 21L).foreach(n => assert(cc(n)._1 == 20L))
+    assert(cc.collect { case (n, (c, s)) if s == 1 => n }.toSet == Set(1L, 10L, 20L))
+  }
+
+  test("connected components over minhash pairs cluster the planted dups") {
+    val pairs = Dedup.minhashPairs(corpus, "doc_id", "text",
+      numHashes = 32, bands = 16, threshold = 0.5)
+    val cc = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+    val clusters = cc.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the exact dup (10, 200) must share a cluster labeled by the min id
+    assert(clusters(200L) == clusters(10L) && clusters(10L) == 10L)
+    // every node labels to a cluster id ≤ itself
+    clusters.foreach { case (n, c) => assert(c <= n) }
+  }
 }
