@@ -1126,6 +1126,21 @@ object Queries {
       Tables.embeddings(s, d), "vec_id", "embedding", minCosine = 0.35),
     None)
 
+  /** SemDeDup-style semantic dedup verdict over the embeddings table:
+    * k-means cells → within-cell cosine pairs → transitive closure →
+    * one (id, cluster_id, is_survivor) row per vector (rows-only; the
+    * clustering algebra is oracle-proven on q_dedup_clusters, and
+    * DedupSpec checks planted semantic dups here). minCosine = 0.3
+    * because this corpus has no true dups (max pairwise cos ≈ 0.4) —
+    * the threshold is lowered to exercise the clustering on the natural
+    * cosine tail; production semantic dedup runs 0.95+. */
+  private val qDedupSemantic = Q(
+    "dedup_semantic",
+    (s, d) => operators.Dedup.semanticDedup(
+      Tables.embeddings(s, d), "vec_id", "embedding",
+      nlist = 16, minCosine = 0.3),
+    None)
+
   // =====================================================================
   // §7.4 similarity search (embeddings table)
   // =====================================================================
@@ -1476,7 +1491,7 @@ object Queries {
     qDedupExact, qNgramJaccard, qSimBruteforce, qSimLshTopk, qSimIvfTopk,
     qDedupMinhash, qDedupMinhashMd5, qDedupSimhash, qDedupSimhashMd5,
     qDedupClusters,
-    qDedupEmbedding, qMediaFeatures,
+    qDedupEmbedding, qDedupSemantic, qMediaFeatures,
     qSessionize, qAsofJoin, qRangeJoin,
     qGopherQuality, qSampleStratified, qDomainFilter,
     qScalerFit, qMlPreproc, qMlPcaRecon, qMlIforest, qMlLof, qMlEnsemble,

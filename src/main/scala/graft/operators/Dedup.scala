@@ -251,6 +251,51 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication"): a coarse k-means partitions the embedding space
+    * into `nlist` cells (constant-size driver-fit centroids, codegen
+    * cell assignment — shared with `Ivf`), and ONLY within-cell pairs
+    * are exact-cosine compared. Per-cell membership is capped
+    * deterministically (md5-order first `cellCap`), so the quadratic
+    * term is bounded by nlist·cellCap² — a hot cell degrades recall,
+    * never runtime. Cross-cell true pairs are the approximation cost,
+    * same trade as the paper (near-identical vectors quantize to the
+    * same centroid). */
+  def semanticPairs(emb: DataFrame, idCol: String, vecCol: String,
+                    nlist: Int = 16, minCosine: Double = 0.95,
+                    cellCap: Int = 4096, sampleSize: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val centroids = Ivf.fitCentroids(emb, idCol, vecCol, nlist, sampleSize = sampleSize)
+    val assigned = Ivf.assign(emb, idCol, vecCol, centroids)
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(md5(col("nid").cast("string").cast("binary")), col("nid"))
+    val capped = assigned.withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= cellCap).drop("__r")
+    capped.as("a").join(capped.as("b"),
+        col("a.cell") === col("b.cell") && col("a.nid") < col("b.nid"))
+      .select(col("a.nid").as("id_a"), col("b.nid").as("id_b"),
+              round(VectorOps.cosine(col("a.nf"), col("b.nf")), 6).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+  }
+
+  /** Full semantic dedup verdict: one row per input vector with its
+    * semantic cluster and keep decision — `semanticPairs` transitively
+    * closed by `connectedComponents`, unpaired vectors surviving as
+    * their own singleton clusters. */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+                    nlist: Int = 16, minCosine: Double = 0.95,
+                    cellCap: Int = 4096, sampleSize: Int = 4096): DataFrame = {
+    val pairs = semanticPairs(emb, idCol, vecCol, nlist, minCosine, cellCap, sampleSize)
+    val cc = connectedComponents(pairs, "id_a", "id_b")
+      .withColumnRenamed("node", "id")
+    emb.select(col(idCol).as("id")).join(cc, Seq("id"), "left")
+      .select(col("id"),
+              coalesce(col("cluster_id"), col("id")).as("cluster_id"),
+              coalesce(col("is_survivor"), lit(1)).as("is_survivor"))
+      .orderBy("id")
+  }
+
   /** Connected components over a duplicate-pair edge list — the step
     * that turns pairwise near-dup hits into dedup GROUPS (A~B and B~C
     * place A, B, C in one cluster even when A~C was never generated).

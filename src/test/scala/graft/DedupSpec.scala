@@ -141,6 +141,33 @@ class DedupSpec extends AnyFunSuite {
     assert(cc.collect { case (n, (c, s)) if s == 1 => n }.toSet == Set(1L, 10L, 20L))
   }
 
+  test("semantic dedup clusters planted near-identical vectors, keeps the rest") {
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Float] = {
+      val v = Array.fill(16)(rnd.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val base = (0L until 60L).map(i => (i, vec()))
+    // two planted semantic-dup groups: {3, 100, 101} (chain via tiny
+    // perturbations) and {9, 200}
+    val dups = Seq(
+      (100L, base(3)._2.map(x => x * 1.0005f)),
+      (101L, base(3)._2.map(x => x * 0.9995f)),
+      (200L, base(9)._2.map(x => x * 1.001f)))
+    val df = (base ++ dups).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(df, "vec_id", "embedding",
+        nlist = 4, minCosine = 0.99, sampleSize = 64)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    // every input vector gets a verdict row
+    assert(out.size == 63)
+    Seq(3L, 100L, 101L).foreach(n => assert(out(n)._1 == 3L, s"node $n: ${out(n)}"))
+    Seq(9L, 200L).foreach(n => assert(out(n)._1 == 9L, s"node $n: ${out(n)}"))
+    // survivors: cluster minima only; all other vectors are singleton keepers
+    assert(out.count(_._2._2 == 0) == 3)
+    assert(out(3L)._2 == 1 && out(100L)._2 == 0 && out(101L)._2 == 0 && out(200L)._2 == 0)
+  }
+
   test("connected components over minhash pairs cluster the planted dups") {
     val pairs = Dedup.minhashPairs(corpus, "doc_id", "text",
       numHashes = 32, bands = 16, threshold = 0.5)
