@@ -1473,6 +1473,42 @@ object Queries {
            |      THEN 1 ELSE 0 END AS INT) AS keep
            |FROM m ORDER BY source""".stripMargin))
 
+  /** Benchmark decontamination: docs with doc_id % 10 == 0 stand in
+    * for the held-out eval set; every other doc is reported with its
+    * 8-gram overlap against that set (any hit ⇒ contaminated — at
+    * k = 8 a random collision is ~impossible, so hits are real quotes
+    * /near-dups). The oracle re-derives shingling, the distinct bench
+    * set, the overlap join and the per-doc rollup independently. */
+  private val qDecontaminate = {
+    val k = 8
+    val terms = (0 until k).map(j => s"w[i+$j]").mkString(", ")
+    Q(
+      "q_decontaminate",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        operators.Corpus.decontaminate(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0),
+          "doc_id", "text", k = k)
+      },
+      Some(s"""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+           |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+           |   generate_series(1, len(w)-${k - 1}),
+           |   i -> concat_ws(' ', $terms)))) AS s
+           | FROM w WHERE len(w) >= $k),
+           |bsh AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 = 0),
+           |csh AS (SELECT doc_id, s FROM sh WHERE doc_id % 10 <> 0),
+           |stats AS (SELECT doc_id, count(*) AS n_shingles,
+           |       sum(CASE WHEN bsh.s IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+           |  FROM csh LEFT JOIN bsh ON csh.s = bsh.s GROUP BY doc_id)
+           |SELECT d.doc_id,
+           | CAST(coalesce(n_shingles, 0) AS INT) AS n_shingles,
+           | CAST(coalesce(n_hits, 0) AS INT) AS n_hits,
+           | CAST(CASE WHEN coalesce(n_hits, 0) > 0 THEN 1 ELSE 0 END AS INT) AS contaminated
+           |FROM documents d LEFT JOIN stats ON d.doc_id = stats.doc_id
+           |WHERE d.doc_id % 10 <> 0 ORDER BY d.doc_id""".stripMargin))
+  }
+
   // =====================================================================
   // All declared queries, in SURVEY §2 order
   // =====================================================================
@@ -1493,7 +1529,7 @@ object Queries {
     qDedupClusters,
     qDedupEmbedding, qDedupSemantic, qMediaFeatures,
     qSessionize, qAsofJoin, qRangeJoin,
-    qGopherQuality, qSampleStratified, qDomainFilter,
+    qGopherQuality, qSampleStratified, qDomainFilter, qDecontaminate,
     qScalerFit, qMlPreproc, qMlPcaRecon, qMlIforest, qMlLof, qMlEnsemble,
     qMlSplit, qScoreFallback)
 }

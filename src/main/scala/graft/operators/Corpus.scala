@@ -82,6 +82,39 @@ object Corpus {
     docs.filter(bucket < lit((fraction * 4294967296.0).toLong))
   }
 
+  /** Benchmark decontamination (the GPT-3 appendix-C / PaLM procedure):
+    * flag every training document that shares at least one k-word
+    * shingle with a held-out benchmark/eval set, reporting per-doc
+    * overlap counts. High-order k (default 8; GPT-3 used 13) makes a
+    * false random collision essentially impossible, so any hit means
+    * the doc quotes benchmark text.
+    *
+    * Shape: the benchmark shingle set is DISTINCT and tiny relative to
+    * the corpus (eval suites, not training data) → broadcast hash join
+    * against the scan-parallel corpus shingle stream; one hash
+    * aggregate by doc_id. Corpus text never shuffles — at 100 TB the
+    * only movement is the (doc_id, counts) aggregate. Docs too short
+    * to carry a k-shingle report n_shingles = 0, clean. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                    idCol: String, textCol: String, k: Int = 8): DataFrame = {
+    val csh = Dedup.shingleDocs(corpus, idCol, textCol, k)
+      .select(col("doc_id"), explode(col("shingles")).as("s"))
+    val bsh = broadcast(Dedup.shingleDocs(benchmark, idCol, textCol, k)
+      .select(explode(col("shingles")).as("s")).distinct()
+      .withColumn("__hit", lit(1)))
+    val stats = csh.join(bsh, Seq("s"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+           sum(coalesce(col("__hit"), lit(0))).as("n_hits"))
+    corpus.select(col(idCol).as("doc_id"))
+      .join(stats, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+              coalesce(col("n_shingles"), lit(0L)).cast("int").as("n_shingles"),
+              coalesce(col("n_hits"), lit(0L)).cast("int").as("n_hits"))
+      .withColumn("contaminated", (col("n_hits") > 0).cast("int"))
+      .orderBy("doc_id")
+  }
+
   /** Per-source (domain) curation rollup: document count, size, exact
     * duplicate-text rate, and a keep flag (C4-style domain filtering —
     * drop tiny or heavily-duplicated sources). The md5 digest stands in

@@ -128,4 +128,20 @@ class CorpusSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 2L)), s"planted near-dup not found: $pairs")
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
+
+  test("decontaminate flags docs quoting benchmark text, clears the rest") {
+    val bench = Seq((900L, (1 to 20).map(i => s"b$i").mkString(" ")))
+    val corpus = Seq(
+      // quotes benchmark words 5..14 (a 10-word run ⊃ several 8-grams)
+      (1L, "x1 x2 " + (5 to 14).map(i => s"b$i").mkString(" ") + " x3 x4"),
+      (2L, (1 to 20).map(i => s"c$i").mkString(" ")),   // clean
+      (3L, "short doc"))                                 // < 8 words
+    val out = operators.Corpus.decontaminate(
+        corpus.toDF("doc_id", "text"), bench.toDF("doc_id", "text"),
+        "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3))).toMap
+    assert(out(1L)._3 == 1 && out(1L)._2 == 3)  // 10-word run → 3 shared 8-grams
+    assert(out(2L) == ((13, 0, 0)))             // 20 words → 13 8-grams, none shared
+    assert(out(3L) == ((0, 0, 0)))              // too short: no shingles, clean
+  }
 }
