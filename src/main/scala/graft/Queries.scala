@@ -1509,6 +1509,52 @@ object Queries {
            |WHERE d.doc_id % 10 <> 0 ORDER BY d.doc_id""".stripMargin))
   }
 
+  /** MassiveText/Gopher duplicate-n-gram repetition stats for n=2,3,
+    * oracle-recomputed from the raw token stream. */
+  private val qDupNgrams = {
+    val ns = Seq(2, 3)
+    val perN = ns.map { n =>
+      val terms = (0 until n).map(j => s"w[i+$j]").mkString(", ")
+      s"""g$n AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-${n - 1}),
+         |    i -> concat_ws(' ', $terms))) AS g FROM w WHERE len(w) >= $n),
+         |c$n AS (SELECT doc_id, g, count(*) AS c FROM g$n GROUP BY doc_id, g),
+         |s$n AS (SELECT doc_id, $n AS n, CAST(sum(c) AS INT) AS total_ngrams,
+         |   round(sum(CASE WHEN c > 1 THEN c ELSE 0 END) / CAST(sum(c) AS DOUBLE), 6) AS dup_frac,
+         |   round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top_frac
+         |  FROM c$n GROUP BY doc_id)""".stripMargin
+    }.mkString(",\n")
+    val unioned = ns.map(n => s"SELECT * FROM s$n").mkString(" UNION ALL ")
+    Q(
+      "q_dup_ngrams",
+      (s, d) => operators.Corpus.dupNgramStats(
+        Tables.documents(s, d), "doc_id", "text", ns),
+      Some(s"""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+           |$perN
+           |SELECT * FROM ($unioned) ORDER BY doc_id, n""".stripMargin))
+  }
+
+  /** CCNet-style unigram-LM quality score + head/middle/tail buckets;
+    * LM fit, scoring join, and tertile cutoffs all re-derived by the
+    * oracle. */
+  private val qUnigramLogprob = Q(
+    "q_unigram_logprob",
+    (s, d) => operators.Corpus.unigramLogprob(
+      Tables.documents(s, d), "doc_id", "text"),
+    Some("""WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents),
+           |freq AS (SELECT w, count(*) AS wn FROM tok GROUP BY w),
+           |tot AS (SELECT sum(wn) AS wtotal FROM freq),
+           |scored AS (SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
+           |   round(avg(ln(CAST(wn AS DOUBLE) / wtotal)), 6) AS avg_logprob
+           |  FROM tok JOIN freq USING (w) CROSS JOIN tot GROUP BY doc_id),
+           |cut AS (SELECT round(quantile_cont(avg_logprob, 0.3333333333333333), 6) AS p33,
+           |               round(quantile_cont(avg_logprob, 0.6666666666666666), 6) AS p66
+           |        FROM scored)
+           |SELECT doc_id, n_tokens, avg_logprob,
+           | CAST(CASE WHEN avg_logprob >= p66 THEN 1
+           |           WHEN avg_logprob >= p33 THEN 2
+           |           ELSE 3 END AS INT) AS ppl_bucket
+           |FROM scored CROSS JOIN cut ORDER BY doc_id""".stripMargin))
+
   // =====================================================================
   // All declared queries, in SURVEY §2 order
   // =====================================================================
@@ -1530,6 +1576,7 @@ object Queries {
     qDedupEmbedding, qDedupSemantic, qMediaFeatures,
     qSessionize, qAsofJoin, qRangeJoin,
     qGopherQuality, qSampleStratified, qDomainFilter, qDecontaminate,
+    qDupNgrams, qUnigramLogprob,
     qScalerFit, qMlPreproc, qMlPcaRecon, qMlIforest, qMlLof, qMlEnsemble,
     qMlSplit, qScoreFallback)
 }

@@ -177,7 +177,8 @@ object WinnowFingerprints {
   * layering (per-element boxed dispatch) in the dedup shingling paths.
   * First-occurrence order, matching `array_distinct` semantics.
   * Returns an empty array for docs shorter than k tokens. */
-case class Shingles(child: Expression, k: Int) extends UnaryExpression
+case class Shingles(child: Expression, k: Int, distinct: Boolean = true)
+    extends UnaryExpression
     with TokenArrayExpression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
   require(k >= 1)
@@ -189,7 +190,10 @@ case class Shingles(child: Expression, k: Int) extends UnaryExpression
     val n = arr.numElements()
     val m = n - k + 1
     if (m <= 0) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
-    val out = new java.util.LinkedHashSet[Any]
+    // distinct=false keeps the full multiset (repetition statistics);
+    // LinkedHashSet vs ArrayList both preserve first-occurrence order
+    val out: java.util.Collection[Any] =
+      if (distinct) new java.util.LinkedHashSet[Any] else new java.util.ArrayList[Any](m)
     val sb = new java.lang.StringBuilder
     var i = 0
     while (i < m) {
@@ -275,6 +279,12 @@ object TextHash {
   /** `array<string>` tokens → distinct k-word shingle strings. */
   def shingles(tokens: Column, k: Int): Column =
     column(Shingles(expression(tokens.cast("array<string>")), k))
+
+  /** `array<string>` tokens → ALL k-word shingles (multiset, in
+    * position order) — for repetition statistics, where duplicate
+    * shingles are the signal. */
+  def shinglesAll(tokens: Column, k: Int): Column =
+    column(Shingles(expression(tokens.cast("array<string>")), k, distinct = false))
 
   /** `array<string>` tokens → distinct 64-bit shingle hashes. */
   def shingleHashes(tokens: Column, k: Int): Column =

@@ -82,6 +82,76 @@ object Corpus {
     docs.filter(bucket < lit((fraction * 4294967296.0).toLong))
   }
 
+  /** Duplicate-n-gram repetition statistics (the MassiveText/Gopher
+    * §A1.1 n-gram rules, token-count form): for each document and each
+    * n in `ns`, the total n-gram count, the fraction of n-gram
+    * occurrences whose n-gram appears more than once in the doc
+    * (`dup_frac`), and the most frequent n-gram's share (`top_frac`).
+    * High values mean boilerplate/templated text.
+    *
+    * Shape per n: one native non-distinct shingle pass (multiset —
+    * duplicates ARE the signal), explode, partial+final hash agg on
+    * (doc, gram), per-doc rollup — the same two-level aggregate as
+    * `gopherStats`, shuffle bounded by per-doc distinct n-grams. The
+    * per-n frames union at the end (plan-level union of independent
+    * aggs; each keeps its own map-side combine). */
+  def dupNgramStats(docs: DataFrame, idCol: String, textCol: String,
+                    ns: Seq[Int] = Seq(2, 3)): DataFrame = {
+    require(ns.nonEmpty)
+    val perN = ns.map { n =>
+      val grams = docs.select(col(idCol).as("doc_id"),
+        explode(graft.functions.TextHash.shinglesAll(
+          split(trim(col(textCol)), "\\s+"), n)).as("g"))
+      grams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(
+          sum("c").as("total"),
+          sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup"),
+          max("c").as("topc"))
+        .select(col("doc_id"), lit(n).as("n"),
+                col("total").cast("int").as("total_ngrams"),
+                round(col("dup") / col("total").cast("double"), 6).as("dup_frac"),
+                round(col("topc") / col("total").cast("double"), 6).as("top_frac"))
+    }
+    perN.reduce(_ unionByName _).orderBy("doc_id", "n")
+  }
+
+  /** CCNet-style unigram language-model quality score: fit a unigram
+    * LM on the corpus itself (word → count / total), score each doc by
+    * its mean token log-probability, and bucket docs into
+    * head/middle/tail thirds (1/2/3) like CCNet's perplexity buckets.
+    *
+    * Shape: one agg builds the LM (shuffle carries (word, count));
+    * scoring joins the token stream back to the LM on the word key —
+    * Catalyst/AQE broadcasts the LM when the vocabulary is small, and
+    * falls back to a shuffle join when it isn't (natural-text vocabs
+    * grow slowly — Heaps' law — but are not broadcast-safe at 100 TB).
+    * The total-token count and the two bucket cutoffs ride 1-row
+    * broadcasts (the `withNow` pattern — never a driver collect). The
+    * tertile cutoffs use exact `percentile` for oracle parity; at
+    * production scale swap in `percentile_approx` (mergeable sketch),
+    * same as the documented `q_ae_threshold` trade. */
+  def unigramLogprob(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(split(trim(col(textCol)), "\\s+")).as("w"))
+    val freq = tok.groupBy("w").agg(count(lit(1)).as("wn"))
+    val total = freq.agg(sum("wn").as("wtotal"))
+    val scored = tok.join(freq, "w")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_tokens"),
+           round(avg(log(col("wn").cast("double") / col("wtotal"))), 6)
+             .as("avg_logprob"))
+    val cuts = scored.agg(
+      round(expr("percentile(avg_logprob, 0.3333333333333333)"), 6).as("p33"),
+      round(expr("percentile(avg_logprob, 0.6666666666666666)"), 6).as("p66"))
+    scored.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("n_tokens"), col("avg_logprob"),
+        when(col("avg_logprob") >= col("p66"), 1)
+          .when(col("avg_logprob") >= col("p33"), 2)
+          .otherwise(3).as("ppl_bucket"))
+      .orderBy("doc_id")
+  }
+
   /** Benchmark decontamination (the GPT-3 appendix-C / PaLM procedure):
     * flag every training document that shares at least one k-word
     * shingle with a held-out benchmark/eval set, reporting per-doc

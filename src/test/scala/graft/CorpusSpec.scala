@@ -129,6 +129,33 @@ class CorpusSpec extends AnyFunSuite {
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
 
+  test("dupNgramStats: hand-checked repetition fractions") {
+    // "a b a b c": bigrams = [a b, b a, a b, b c] → total 4,
+    // dup (a b ×2) = 2/4, top = 2/4; trigrams all distinct → dup 0, top 1/3
+    val df = Seq((1L, "a b a b c")).toDF("doc_id", "text")
+    val out = operators.Corpus.dupNgramStats(df, "doc_id", "text", Seq(2, 3))
+      .collect().map(r => r.getInt(1) -> (r.getInt(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out(2) == ((4, 0.5, 0.5)))
+    assert(out(3)._1 == 3 && out(3)._2 == 0.0 && math.abs(out(3)._3 - 0.333333) < 1e-6)
+  }
+
+  test("unigramLogprob: repeated-word docs score higher, buckets cover 1..3") {
+    val docs = (1L to 9L).map { i =>
+      // three score tiers: all-common / half-common / all-unique words
+      val words = if (i <= 3) Seq.fill(10)("common")
+      else if (i <= 6) Seq.fill(5)("common") ++ (1 to 5).map(j => s"mid_${i}_$j")
+      else (1 to 10).map(j => s"rare_${i}_$j")
+      (i, words.mkString(" "))
+    }
+    val out = operators.Corpus.unigramLogprob(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getInt(3))).toMap
+    (1L to 3L).foreach(i => assert(out(i)._2 == 1, s"doc $i: ${out(i)}"))
+    (4L to 6L).foreach(i => assert(out(i)._2 == 2, s"doc $i: ${out(i)}"))
+    (7L to 9L).foreach(i => assert(out(i)._2 == 3, s"doc $i: ${out(i)}"))
+    // monotone: more common words → higher mean logprob
+    assert(out(1L)._1 > out(4L)._1 && out(4L)._1 > out(7L)._1)
+  }
+
   test("decontaminate flags docs quoting benchmark text, clears the rest") {
     val bench = Seq((900L, (1 to 20).map(i => s"b$i").mkString(" ")))
     val corpus = Seq(
