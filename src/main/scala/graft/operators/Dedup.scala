@@ -304,19 +304,22 @@ object Dedup {
     * id reachable from the node and the survivor is the cluster's
     * canonical keeper (min id — deterministic across runs/engines).
     *
-    * Algorithm: hash-min label propagation. Each round joins the edge
-    * list with the current labels and takes the per-node min — one
-    * shuffle join + one hash aggregate per round, converging in
-    * O(graph diameter) rounds. Near-dup graphs are dense clique-ish
-    * clusters (tiny diameters), so rounds stay single-digit; a
-    * `maxRounds` guard bounds pathological chains. Both the edge list
-    * and each round's labels are `localCheckpoint`ed: edges are read
-    * every round (don't re-derive the candidate DAG), and checkpointing
-    * cuts the iterative lineage that would otherwise deepen each round.
-    * State per round is O(|V| + |E|) — never corpus text. At larger
-    * diameters the two-phase large-star/small-star scheme (Kiveris et
-    * al., "Connected Components in MapReduce") halves round count; the
-    * plain hash-min form is kept for its single-join simplicity. */
+    * Algorithm: hash-min label propagation with pointer jumping. Each
+    * round (a) joins the edge list with the current labels and takes
+    * the per-node min (one shuffle join + one hash aggregate), then
+    * (b) shortcuts every label to its label's label (one self-join) —
+    * the pointer-doubling step that turns O(diameter) convergence into
+    * O(log diameter), the same round bound as the large-star/small-star
+    * scheme (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond"). Near-dup graphs are clique-ish (2–3 rounds); a 60-node
+    * chain converges in 5 (DedupSpec). If `maxRounds` is ever hit with
+    * labels still moving the operator THROWS rather than returning
+    * silently-split clusters (survivor picks would be wrong — callers
+    * without an oracle would never notice). Both the edge list and each
+    * round's labels are `localCheckpoint`ed: edges are re-read every
+    * round (don't re-derive the candidate DAG), and checkpointing cuts
+    * the iterative lineage. State per round is O(|V| + |E|) — never
+    * corpus text. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxRounds: Int = 15): DataFrame = {
     val dir = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
@@ -330,8 +333,16 @@ object Dedup {
       val viaEdge = edges.as("e")
         .join(labels.as("l"), col("e.src") === col("l.node"))
         .select(col("e.dst").as("node"), col("l.label").as("label"))
-      val next = labels.union(viaEdge)
+      val propagated = labels.union(viaEdge)
         .groupBy("node").agg(min("label").as("label"))
+      // pointer jump: label := min(label, label(label)). Every label
+      // value is itself a node (labels start as node ids and only
+      // min-combine), so the lookup side is the same frame.
+      val next = propagated
+        .join(propagated.select(col("node").as("label"), col("label").as("gl")),
+              Seq("label"), "left")
+        .select(col("node"),
+                least(col("label"), coalesce(col("gl"), col("label"))).as("label"))
         .localCheckpoint()
       changed = next.as("n")
         .join(labels.as("o"), col("n.node") === col("o.node"))
@@ -339,6 +350,10 @@ object Dedup {
       labels = next
       round += 1
     }
+    if (changed > 0) throw new IllegalStateException(
+      s"connectedComponents: labels still moving after $maxRounds rounds " +
+        s"(component diameter > 2^$maxRounds is implausible — check the pair input); " +
+        "raise maxRounds to proceed")
     labels.select(col("node"), col("label").as("cluster_id"),
       (col("node") === col("label")).cast("int").as("is_survivor"))
   }

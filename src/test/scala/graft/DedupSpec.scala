@@ -168,6 +168,16 @@ class DedupSpec extends AnyFunSuite {
     assert(out(3L)._2 == 1 && out(100L)._2 == 0 && out(101L)._2 == 0 && out(200L)._2 == 0)
   }
 
+  test("connected components: 60-node chain converges in log rounds (pointer jumping)") {
+    val chain = (0L until 59L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    // maxRounds = 6: plain hash-min would need ~59 rounds and throw;
+    // pointer doubling needs ~log2(59) ≈ 6
+    val cc = Dedup.connectedComponents(chain, "doc_a", "doc_b", maxRounds = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.size == 60)
+    cc.foreach { case (n, c) => assert(c == 0L, s"node $n labeled $c") }
+  }
+
   test("connected components over minhash pairs cluster the planted dups") {
     val pairs = Dedup.minhashPairs(corpus, "doc_id", "text",
       numHashes = 32, bands = 16, threshold = 0.5)

@@ -91,6 +91,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("session backward-extends on an in-watermark earlier event, at full µs precision") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[SessionStream.EventIn]
+    val q = SessionStream.closedSessions(mem.toDS(), gapSeconds = 1800,
+        watermarkDelay = "10 minutes").writeStream
+      .format("memory").queryName("sessions_ooo").outputMode("append").start()
+    try {
+      // batch 1 opens [10:05.000123]; watermark → 09:55
+      mem.addData(SessionStream.EventIn(1L, ts("2024-01-10 10:05:00.000123"), 1L, 1.0))
+      q.processAllAvailable()
+      // batch 2: earlier event 10:00 is ABOVE the 09:55 watermark →
+      // must extend the session backwards (start_us moves), not fork
+      mem.addData(
+        SessionStream.EventIn(2L, ts("2024-01-10 10:00:00"), 1L, 2.0),
+        SessionStream.EventIn(9L, ts("2024-01-10 12:00:00"), 7L, 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("sessions_ooo")
+        .select("user_id", "start_us", "end_us", "n_events", "total_value")
+        .as[(Long, Long, Long, Long, Double)].collect().toSet
+      def us(s: String) = ts(s).toInstant.getEpochSecond * 1000000L +
+        ts(s).toInstant.getNano / 1000L
+      // closed by the 11:50 watermark; start is the LATE event, end
+      // keeps its microsecond component (.000123 — getTime would drop it)
+      assert(rows.contains((1L, us("2024-01-10 10:00:00"),
+        us("2024-01-10 10:05:00.000123"), 2L, 3.0)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("streaming corpus dedup drops exact and simhash dupes across batches") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, String)]
