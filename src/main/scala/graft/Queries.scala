@@ -1555,6 +1555,39 @@ object Queries {
            |           ELSE 3 END AS INT) AS ppl_bucket
            |FROM scored CROSS JOIN cut ORDER BY doc_id""".stripMargin))
 
+  /** The end-product of the near-dup pipeline: the corpus minus
+    * non-survivor cluster members (broadcast LEFT ANTI join on the
+    * pairs-bounded drop list — corpus text never shuffles). The oracle
+    * recomputes pairs, the recursive closure, AND the anti join. */
+  private val qCorpusDedup = {
+    val (nh, bands, thr) = (16, 8, 0.1)
+    Q(
+      "q_corpus_dedup",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        operators.Dedup.dedupCorpus(
+            docs,
+            operators.Dedup.minhashPairs(docs, "doc_id", "text",
+              numHashes = nh, bands = bands, threshold = thr, portableMd5 = true),
+            "doc_id")
+          .select(col("doc_id"), col("source"), col("lang"),
+                  length(col("text")).cast("int").as("n_chars"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE ${minhashMd5PairCtes(nh, bands, thr)},
+           |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+           |          UNION SELECT doc_b, doc_a FROM pairs),
+           |reach(node, label) AS (
+           | SELECT src, src FROM edges
+           | UNION
+           | SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node),
+           |drop_ids AS (SELECT node FROM reach GROUP BY node
+           |             HAVING node <> min(label))
+           |SELECT doc_id, source, lang, CAST(length(text) AS INT) AS n_chars
+           |FROM documents WHERE doc_id NOT IN (SELECT node FROM drop_ids)
+           |ORDER BY doc_id""".stripMargin))
+  }
+
   // =====================================================================
   // All declared queries, in SURVEY §2 order
   // =====================================================================
@@ -1572,7 +1605,7 @@ object Queries {
     qWinnowFingerprint, qCorpusClean,
     qDedupExact, qNgramJaccard, qSimBruteforce, qSimLshTopk, qSimIvfTopk,
     qDedupMinhash, qDedupMinhashMd5, qDedupSimhash, qDedupSimhashMd5,
-    qDedupClusters,
+    qDedupClusters, qCorpusDedup,
     qDedupEmbedding, qDedupSemantic, qMediaFeatures,
     qSessionize, qAsofJoin, qRangeJoin,
     qGopherQuality, qSampleStratified, qDomainFilter, qDecontaminate,

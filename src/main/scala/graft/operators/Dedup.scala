@@ -251,6 +251,20 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** The final corpus-dedup step: drop every non-survivor cluster
+    * member, keep survivors and untouched singletons — i.e.
+    * `docs LEFT ANTI JOIN (clusters WHERE NOT survivor)`. The anti
+    * join's build side is the non-survivor id list (pairs-bounded,
+    * ≪ corpus), so Catalyst broadcasts it; corpus text never
+    * shuffles. */
+  def dedupCorpus(docs: DataFrame, pairs: DataFrame, idCol: String,
+                  aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+    val drop = connectedComponents(pairs, aCol, bCol)
+      .filter(col("is_survivor") === 0)
+      .select(col("node").as(idCol))
+    docs.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
     * "SemDeDup: Data-efficient learning at web-scale through semantic
     * deduplication"): a coarse k-means partitions the embedding space
