@@ -119,6 +119,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs events with scores within tolerance") {
+    implicit val sc = spark.sqlContext
+    val evMem = MemoryStream[(Long, Timestamp, Long)]
+    val scMem = MemoryStream[(Long, Timestamp, Double)]
+    val events = evMem.toDF().toDF("event_id", "ts", "user_id")
+    val scores = scMem.toDF().toDF("score_user", "score_ts", "score")
+    val joined = graft.streaming.StreamJoin.intervalJoin(
+      events, "ts", scores, "score_ts",
+      col("user_id") === col("score_user"), toleranceSeconds = 600)
+    val q = joined.select("event_id", "score").writeStream
+      .format("memory").queryName("joined_out").outputMode("append").start()
+    try {
+      // scores arrive in a LATER batch than their events (async worker)
+      evMem.addData(
+        (1L, ts("2024-01-10 10:00:00"), 7L),
+        (2L, ts("2024-01-10 10:02:00"), 8L),
+        (3L, ts("2024-01-10 12:00:00"), 7L))  // same user, outside tolerance
+      q.processAllAvailable()
+      scMem.addData((7L, ts("2024-01-10 10:05:00"), 0.9),
+                    (8L, ts("2024-01-10 10:20:00"), 0.2))  // 18 min > tolerance
+      q.processAllAvailable()
+      val got = spark.table("joined_out").as[(Long, Double)].collect().toSet
+      // event 1 ⋈ score@10:05 (5 min); event 2's score is outside ±10 min;
+      // event 3 is the same user 2 h away — must NOT pair
+      assert(got == Set((1L, 0.9)), s"got $got")
+    } finally q.stop()
+  }
+
   test("streaming corpus dedup drops exact and simhash dupes across batches") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, String)]
