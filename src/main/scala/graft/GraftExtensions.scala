@@ -10,7 +10,8 @@ import graft.functions._
   * `spark.sql.extensions=graft.GraftExtensions` (spark-submit conf or
   * builder) and EVERY session on the cluster gets the SQL surface —
   * `array_dot`, `array_sqdiff_sum`, `simhash64`, `shingles`,
-  * `shingle_hashes`, `winnow_fingerprints` — with no per-session
+  * `shingles_all`, `shingle_hashes`, `winnow_fingerprints` — with no
+  * per-session
   * `registerSql` calls. This is the standard extension-library
   * deployment path (`SparkSessionExtensions.injectFunction`); the
   * per-session `ArrayMath.registerSql` / `TextHash.registerSql`
@@ -36,6 +37,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("array_sqdiff_sum") { es => ArraySquaredDiffSum(es(0), es(1)) }
     inject("simhash64") { es => SimHash64(es.head) }
     inject("shingles") { es => Shingles(es(0), intArg(es(1), "k")) }
+    // full multiset (repetition statistics — duplicates are the signal)
+    inject("shingles_all") { es => Shingles(es(0), intArg(es(1), "k"), distinct = false) }
     inject("shingle_hashes") { es => ShingleHashes(es(0), intArg(es(1), "k")) }
     inject("winnow_fingerprints") { es =>
       WinnowFingerprints(es(0), intArg(es(1), "k"), intArg(es(2), "window"))

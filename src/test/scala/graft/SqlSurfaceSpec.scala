@@ -59,6 +59,9 @@ class SqlSurfaceSpec extends AnyFunSuite {
         s2.sql("SELECT simhash64(split('a b c',' '))").head.getLong(0))
       assert(s2.sql("SELECT shingles(split('a b c d',' '), 3)")
         .head.getSeq[String](0) == Seq("a b c", "b c d"))
+      // multiset form keeps the duplicate ("a b a b a" has "a b a" twice)
+      assert(s2.sql("SELECT shingles_all(split('a b a b a',' '), 3)")
+        .head.getSeq[String](0) == Seq("a b a", "b a b", "a b a"))
       assert(s2.sql("SELECT size(shingle_hashes(split('a b c d',' '), 3))")
         .head.getInt(0) == 2)
       // 8 tokens, k=3 → 6 k-grams, window=4 → 3 window minima (≤3 distinct)
