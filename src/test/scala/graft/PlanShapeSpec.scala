@@ -1,0 +1,71 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions for the round-3 operators — the
+  * scale properties PLANS.md claims, pinned as tests so a regression
+  * (a lost broadcast, an accidental nested-loop join, an extra
+  * shuffle) fails CI instead of surfacing at 100 TB. */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("binned range join plans an equi-join — never a nested loop or cartesian") {
+    val plan = planOf("q_range_join")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+  }
+
+  test("as-of join is join-free: one key shuffle, carry-forward window") {
+    val left = Seq((1L, ts("2024-01-10 10:00:00"), "q1"))
+      .toDF("user_id", "ts", "tag")
+    val right = Seq((1L, ts("2024-01-10 09:00:00"), 5.0))
+      .toDF("user_id", "rts", "score")
+    val plan = operators.Temporal.joinAsOf(
+        left, right, Seq("user_id"), "ts", "rts", Seq("score"))
+      .queryExecution.executedPlan.toString
+    Seq("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin",
+        "ShuffledHashJoin", "CartesianProduct").foreach(j =>
+      assert(!plan.contains(j), s"unexpected $j:\n${plan.take(800)}"))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 key shuffle, got $exchanges:\n${plan.take(800)}")
+  }
+
+  test("sessionization costs exactly one data shuffle") {
+    val ev = Seq((1L, ts("2024-01-10 10:00:00"), 1L, 1.0))
+      .toDF("event_id", "ts", "user_id", "value")
+    val plan = operators.Temporal.sessionize(
+        ev, "user_id", "ts", "event_id", "value", 1800)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 shuffle, got $exchanges:\n${plan.take(800)}")
+  }
+
+  test("decontamination broadcasts the benchmark shingle set") {
+    val plan = planOf("q_decontaminate")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+  }
+
+  test("corpus dedup anti join: AQE converts to broadcast at runtime") {
+    // the drop list sits behind connectedComponents' localCheckpoint, so
+    // Catalyst has NO size stats and statically plans sort-merge — the
+    // honest default (on a dup-heavy corpus the drop list can be a
+    // large fraction of |V|, so a static broadcast hint would be a
+    // scale hazard). AQE measures the actual build side at runtime and
+    // converts; assert the FINAL adaptive plan did so.
+    val df = SparkEntry.queries("q_corpus_dedup")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), plan.take(800))
+    assert("BroadcastHashJoin[^\n]*LeftAnti".r.findFirstIn(plan).isDefined,
+           s"anti join not broadcast in the final adaptive plan:\n${plan.take(1500)}")
+  }
+}
