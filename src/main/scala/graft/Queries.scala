@@ -1588,6 +1588,28 @@ object Queries {
            |ORDER BY doc_id""".stripMargin))
   }
 
+  /** Sequence packing (concat-and-chunk layout, 512-token sequences,
+    * sharded by source): the windowed-cumsum assignment re-derived by
+    * the oracle. */
+  private val qPackSequences = Q(
+    "q_pack_sequences",
+    (s, d) => operators.Corpus.packSequences(
+        Tables.documents(s, d), "doc_id", "text", "source", seqLen = 512)
+      .orderBy("doc_id"),
+    Some("""WITH t AS (SELECT doc_id, source AS shard,
+           |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+           | FROM documents),
+           |c AS (SELECT doc_id, shard, n_tokens,
+           |  sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+           |                      ROWS UNBOUNDED PRECEDING) AS end_tok
+           | FROM t)
+           |SELECT doc_id, shard, CAST(n_tokens AS INT) AS n_tokens,
+           | end_tok - n_tokens AS start_tok,
+           | CAST((end_tok - n_tokens) // 512 AS INT) AS seq_first,
+           | CAST((end_tok - 1) // 512 AS INT) AS seq_last,
+           | CAST((end_tok - n_tokens) % 512 AS INT) AS seq_offset
+           |FROM c ORDER BY doc_id""".stripMargin))
+
   // =====================================================================
   // All declared queries, in SURVEY §2 order
   // =====================================================================
@@ -1609,7 +1631,7 @@ object Queries {
     qDedupEmbedding, qDedupSemantic, qMediaFeatures,
     qSessionize, qAsofJoin, qRangeJoin,
     qGopherQuality, qSampleStratified, qDomainFilter, qDecontaminate,
-    qDupNgrams, qUnigramLogprob,
+    qDupNgrams, qUnigramLogprob, qPackSequences,
     qScalerFit, qMlPreproc, qMlPcaRecon, qMlIforest, qMlLof, qMlEnsemble,
     qMlSplit, qScoreFallback)
 }

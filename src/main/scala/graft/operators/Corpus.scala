@@ -185,6 +185,36 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** Sequence packing — the step between curation and the tokenizer:
+    * lay the corpus out as fixed-length training sequences (GPT/T5
+    * style concat-and-chunk). Documents pack greedily in deterministic
+    * (shard, id) order; a document may span a sequence boundary. Each
+    * doc reports the global token interval it occupies within its
+    * shard and the first/last sequence it touches.
+    *
+    * Shape: token counts are a scan-side projection; the running
+    * offset is ONE windowed cumsum partitioned by shard — exactly how
+    * production packing shards (per output file), so no global-order
+    * single-partition window exists at any scale. Everything after the
+    * cumsum is per-row arithmetic. */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+                    shardCol: String, seqLen: Int): DataFrame = {
+    require(seqLen > 0)
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+    docs.select(col(idCol).as("doc_id"), col(shardCol).as("shard"),
+        size(split(trim(col(textCol)), "\\s+")).cast("long").as("n_tokens"))
+      .withColumn("end_tok", sum("n_tokens").over(w))
+      .select(col("doc_id"), col("shard"),
+              col("n_tokens").cast("int").as("n_tokens"),
+              (col("end_tok") - col("n_tokens")).as("start_tok"),
+              col("end_tok"))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+              col("start_tok"),
+              expr(s"start_tok div $seqLen").cast("int").as("seq_first"),
+              expr(s"(end_tok - 1) div $seqLen").cast("int").as("seq_last"),
+              (col("start_tok") % seqLen).cast("int").as("seq_offset"))
+  }
+
   /** Per-source (domain) curation rollup: document count, size, exact
     * duplicate-text rate, and a keep flag (C4-style domain filtering —
     * drop tiny or heavily-duplicated sources). The md5 digest stands in

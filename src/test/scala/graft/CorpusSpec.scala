@@ -156,6 +156,20 @@ class CorpusSpec extends AnyFunSuite {
     assert(out(1L)._1 > out(4L)._1 && out(4L)._1 > out(7L)._1)
   }
 
+  test("packSequences: boundary-spanning docs get the right seq interval") {
+    val docs = Seq(
+      (1L, "a b c", "A"),          // 3 tokens: seqs 0..0, offset 0
+      (2L, "d e f g", "A"),        // 4 tokens at start 3: spans seqs 0..1, offset 3
+      (3L, "h i j k l m", "B"))    // fresh shard: starts at 0 again, spans 0..1
+      .toDF("doc_id", "text", "source")
+    val out = operators.Corpus.packSequences(docs, "doc_id", "text", "source", seqLen = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(2), r.getLong(3), r.getInt(4), r.getInt(5), r.getInt(6))).toMap
+    assert(out(1L) == ((3, 0L, 0, 0, 0)))
+    assert(out(2L) == ((4, 3L, 0, 1, 3)))
+    assert(out(3L) == ((6, 0L, 0, 1, 0)))
+  }
+
   test("decontaminate flags docs quoting benchmark text, clears the rest") {
     val bench = Seq((900L, (1 to 20).map(i => s"b$i").mkString(" ")))
     val corpus = Seq(
