@@ -1556,9 +1556,11 @@ object Queries {
            |FROM scored CROSS JOIN cut ORDER BY doc_id""".stripMargin))
 
   /** The end-product of the near-dup pipeline: the corpus minus
-    * non-survivor cluster members (broadcast LEFT ANTI join on the
-    * pairs-bounded drop list — corpus text never shuffles). The oracle
-    * recomputes pairs, the recursive closure, AND the anti join. */
+    * non-survivor cluster members (LEFT ANTI join on the drop list —
+    * statically sort-merge because the list is stats-blind behind the
+    * CC checkpoint; AQE converts to broadcast at runtime, asserted in
+    * PlanShapeSpec). The oracle recomputes pairs, the recursive
+    * closure, AND the anti join. */
   private val qCorpusDedup = {
     val (nh, bands, thr) = (16, 8, 0.1)
     Q(
@@ -1597,7 +1599,9 @@ object Queries {
         Tables.documents(s, d), "doc_id", "text", "source", seqLen = 512)
       .orderBy("doc_id"),
     Some("""WITH t AS (SELECT doc_id, source AS shard,
-           |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+           |  CASE WHEN coalesce(trim(text), '') = '' THEN CAST(0 AS BIGINT)
+           |       ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+           |  END AS n_tokens
            | FROM documents),
            |c AS (SELECT doc_id, shard, n_tokens,
            |  sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
@@ -1606,7 +1610,8 @@ object Queries {
            |SELECT doc_id, shard, CAST(n_tokens AS INT) AS n_tokens,
            | end_tok - n_tokens AS start_tok,
            | CAST((end_tok - n_tokens) // 512 AS INT) AS seq_first,
-           | CAST((end_tok - 1) // 512 AS INT) AS seq_last,
+           | CAST(CASE WHEN n_tokens = 0 THEN (end_tok - n_tokens) // 512
+           |      ELSE (end_tok - 1) // 512 END AS INT) AS seq_last,
            | CAST((end_tok - n_tokens) % 512 AS INT) AS seq_offset
            |FROM c ORDER BY doc_id""".stripMargin))
 

@@ -201,8 +201,13 @@ object Corpus {
                     shardCol: String, seqLen: Int): DataFrame = {
     require(seqLen > 0)
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+    // empty/null text is 0 tokens (split of "" yields [""]  — without
+    // the guard an empty doc would occupy a phantom token slot and
+    // shift every later doc in its shard)
+    val nTokens = when(coalesce(trim(col(textCol)), lit("")) === "", lit(0L))
+      .otherwise(size(split(trim(col(textCol)), "\\s+")).cast("long"))
     docs.select(col(idCol).as("doc_id"), col(shardCol).as("shard"),
-        size(split(trim(col(textCol)), "\\s+")).cast("long").as("n_tokens"))
+        nTokens.as("n_tokens"))
       .withColumn("end_tok", sum("n_tokens").over(w))
       .select(col("doc_id"), col("shard"),
               col("n_tokens").cast("int").as("n_tokens"),
@@ -211,7 +216,12 @@ object Corpus {
       .select(col("doc_id"), col("shard"), col("n_tokens"),
               col("start_tok"),
               expr(s"start_tok div $seqLen").cast("int").as("seq_first"),
-              expr(s"(end_tok - 1) div $seqLen").cast("int").as("seq_last"),
+              // a 0-token doc occupies nothing: pin seq_last to
+              // seq_first (also avoids (−1) div, where JVM truncation
+              // and SQL floor division disagree)
+              when(col("n_tokens") === 0, expr(s"start_tok div $seqLen"))
+                .otherwise(expr(s"(end_tok - 1) div $seqLen"))
+                .cast("int").as("seq_last"),
               (col("start_tok") % seqLen).cast("int").as("seq_offset"))
   }
 

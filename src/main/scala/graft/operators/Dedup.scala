@@ -253,10 +253,14 @@ object Dedup {
 
   /** The final corpus-dedup step: drop every non-survivor cluster
     * member, keep survivors and untouched singletons — i.e.
-    * `docs LEFT ANTI JOIN (clusters WHERE NOT survivor)`. The anti
-    * join's build side is the non-survivor id list (pairs-bounded,
-    * ≪ corpus), so Catalyst broadcasts it; corpus text never
-    * shuffles. */
+    * `docs LEFT ANTI JOIN (clusters WHERE NOT survivor)`. The drop
+    * list sits behind `connectedComponents`' localCheckpoint, so
+    * Catalyst has no size stats and statically plans sort-merge; AQE
+    * measures the build side at runtime and converts to a broadcast
+    * anti join when it fits (PlanShapeSpec asserts the conversion).
+    * That stats-blind default is deliberate: on a dup-heavy corpus the
+    * drop list is a large fraction of |V| and a static broadcast hint
+    * would be the scale hazard. */
   def dedupCorpus(docs: DataFrame, pairs: DataFrame, idCol: String,
                   aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
     val drop = connectedComponents(pairs, aCol, bCol)

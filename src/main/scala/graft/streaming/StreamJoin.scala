@@ -11,9 +11,11 @@ import org.apache.spark.sql.functions._
   *
   * The join condition is `key equality AND |rightTs − leftTs| ≤
   * tolerance`; the time-range bound is what lets Spark compute a state
-  * eviction horizon per side (watermark − tolerance) — without it the
-  * buffers grow forever and the engine rejects the query in Append
-  * mode. State per key is therefore bounded by (rate × (delay +
+  * eviction horizon per side (watermark − tolerance). NB: an INNER
+  * stream-stream join without that bound is ACCEPTED by the engine and
+  * silently buffers both sides forever (only outer/semi variants are
+  * rejected) — the bound here is load-bearing for memory, not just
+  * semantics. State per key is bounded by (rate × (delay +
   * tolerance)), independent of stream length — the 100 TB/day posture.
   *
   * Reference tie-in: the gateway zips request rows with ML-worker
@@ -31,6 +33,8 @@ object StreamJoin {
                    right: DataFrame, rightTs: String,
                    keyExpr: Column, toleranceSeconds: Long,
                    watermarkDelay: String = "10 minutes"): DataFrame = {
+    require(toleranceSeconds >= 0,
+      s"toleranceSeconds must be >= 0, got $toleranceSeconds (negative makes the interval unsatisfiable)")
     val overlap = left.columns.toSet intersect right.columns.toSet
     require(overlap.isEmpty, s"stream-join column collision: $overlap")
     val l = left.withWatermark(leftTs, watermarkDelay)
