@@ -890,18 +890,15 @@ object Queries {
     "q_corpus_clean",
     (s, d) => {
       val t = col("text")
-      val en = regexp_count(t, lit("\\b(the|and|of|is|to)\\b"))
-      val de = regexp_count(t, lit("\\b(der|die|und|ist|das)\\b"))
-      val fr = regexp_count(t, lit("\\b(le|la|et|est|les)\\b"))
-      val es = regexp_count(t, lit("\\b(el|los|y|es|las)\\b"))
       val nTokens = size(split(trim(t), "\\s+"))
       val stopRatio = regexp_count(t, lit("\\b(the|a|an|of|to|and|in|is|for|on|with)\\b"))
         .cast("double") / nTokens.cast("double")
       Tables.documents(s, d)
         .withColumn("n_tokens", nTokens)
         .withColumn("stopword_ratio", round(stopRatio, 6))
-        .filter(en >= de && en >= fr && en >= es)   // language gate
-        .filter(col("n_tokens") >= 20 && col("stopword_ratio") >= 0.05) // quality gate
+        // language + quality gates — the row-local predicate shared
+        // with the streaming curation path (CorpusStream.cleaned)
+        .filter(operators.Corpus.langQualityGate(t))
         .groupBy(md5(t.cast("binary")).as("fp"))     // exact-dedup keeper
         .agg(min(col("doc_id")).as("keeper_id"),
              count(lit(1)).as("n_copies"),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -183,6 +183,24 @@ object Corpus {
               coalesce(col("n_hits"), lit(0L)).cast("int").as("n_hits"))
       .withColumn("contaminated", (col("n_hits") > 0).cast("int"))
       .orderBy("doc_id")
+  }
+
+  /** The corpus-clean language gate (marker-stopword argmax = English)
+    * and quality gate (length + stopword density) as ONE row-local
+    * predicate — shared by the batch `q_corpus_clean` plan and the
+    * streaming curation path (`CorpusStream.cleaned`), so both gates
+    * stay scan-side (no shuffle, no state) in either mode. */
+  def langQualityGate(t: Column, minTokens: Int = 20,
+                      minStopRatio: Double = 0.05): Column = {
+    val en = regexp_count(t, lit("\\b(the|and|of|is|to)\\b"))
+    val de = regexp_count(t, lit("\\b(der|die|und|ist|das)\\b"))
+    val fr = regexp_count(t, lit("\\b(le|la|et|est|les)\\b"))
+    val es = regexp_count(t, lit("\\b(el|los|y|es|las)\\b"))
+    val nTokens = size(split(trim(t), "\\s+"))
+    val stopRatio = regexp_count(t, lit("\\b(the|a|an|of|to|and|in|is|for|on|with)\\b"))
+      .cast("double") / nTokens.cast("double")
+    en >= de && en >= fr && en >= es &&
+      nTokens >= minTokens && round(stopRatio, 6) >= minStopRatio
   }
 
   /** Sequence packing — the step between curation and the tokenizer:

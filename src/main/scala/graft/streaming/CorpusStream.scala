@@ -23,6 +23,20 @@ object CorpusStream {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
+  /** The full streaming curation pass: the SAME row-local language +
+    * quality gates as the batch `q_corpus_clean` plan
+    * (`Corpus.langQualityGate` — scan-side, zero state), then
+    * first-occurrence exact dedup within the watermark horizon. A
+    * streaming corpus lands curated exactly as the batch pipeline
+    * would curate it, with state bounded by the horizon's unique
+    * digests. */
+  def cleaned(docs: DataFrame, tsCol: String = "ts",
+              textCol: String = "text",
+              watermark: String = "1 day"): DataFrame =
+    dedupExact(
+      docs.filter(graft.operators.Corpus.langQualityGate(col(textCol))),
+      tsCol, textCol, watermark)
+
   /** Near-dup streaming heuristic: drop documents whose 64-bit SimHash
     * signature (native codegen expression) collides with an earlier
     * doc in the horizon. Hamming-0 collision ⇒ near-identical token

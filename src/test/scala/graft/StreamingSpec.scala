@@ -147,6 +147,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming curation gates + dedups exactly like the batch corpus-clean") {
+    implicit val sc = spark.sqlContext
+    val en = "the cat and the dog of the house is going to the market " +
+      "for a walk in the park with a friend on a sunny day today"
+    val de = "der hund und die katze ist das haus der die und ist das der die und ist das der die und ist"
+    val short = "the and of is to"
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val docs = mem.toDF().toDF("doc_id", "ts", "text")
+    val q = graft.streaming.CorpusStream.cleaned(docs).writeStream
+      .format("memory").queryName("cleaned_out").outputMode("append").start()
+    try {
+      mem.addData((1L, ts("2024-01-10 10:00:00"), en),
+                  (2L, ts("2024-01-10 10:01:00"), de),     // fails lang gate
+                  (3L, ts("2024-01-10 10:02:00"), short))  // fails length gate
+      q.processAllAvailable()
+      mem.addData((4L, ts("2024-01-10 10:30:00"), en))     // exact dup of 1
+      q.processAllAvailable()
+      val kept = spark.table("cleaned_out").select("doc_id")
+        .as[Long].collect().toSet
+      assert(kept == Set(1L), s"kept $kept")
+      // batch twin: same gate, same keeper
+      val batch = Seq((1L, en), (2L, de), (3L, short), (4L, en)).toDF("doc_id", "text")
+        .filter(graft.operators.Corpus.langQualityGate(col("text")))
+        .groupBy(md5(col("text").cast("binary"))).agg(min("doc_id").as("k"))
+        .select("k").as[Long].collect().toSet
+      assert(batch == kept)
+    } finally q.stop()
+  }
+
   test("streaming corpus dedup drops exact and simhash dupes across batches") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, String)]
