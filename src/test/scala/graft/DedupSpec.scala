@@ -178,6 +178,33 @@ class DedupSpec extends AnyFunSuite {
     cc.foreach { case (n, c) => assert(c == 0L, s"node $n labeled $c") }
   }
 
+  test("connected components match a union-find reference on random graphs") {
+    val rnd = new scala.util.Random(1234)
+    (1 to 5).foreach { trial =>
+      val n = 30 + rnd.nextInt(40)
+      val m = 10 + rnd.nextInt(50)
+      val pairs = Seq.fill(m) {
+        val a = rnd.nextInt(n).toLong; var b = rnd.nextInt(n).toLong
+        if (a == b) b = (a + 1) % n
+        (math.min(a, b), math.max(a, b))
+      }.distinct
+      // driver-side union-find ground truth
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+      pairs.foreach { case (a, b) => parent(find(a.toInt)) = find(b.toInt) }
+      val touched = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+      val expect = touched.map { v =>
+        val root = find(v.toInt)
+        // canonical label = min node of the component
+        v -> touched.filter(u => find(u.toInt) == root).min
+      }.toMap
+      val got = Dedup.connectedComponents(
+          pairs.toDF("doc_a", "doc_b"), "doc_a", "doc_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expect, s"trial $trial (n=$n m=${pairs.size})")
+    }
+  }
+
   test("connected components over minhash pairs cluster the planted dups") {
     val pairs = Dedup.minhashPairs(corpus, "doc_id", "text",
       numHashes = 32, bands = 16, threshold = 0.5)
