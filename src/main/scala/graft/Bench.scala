@@ -18,7 +18,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional comma-separated name filter for targeted re-timing; unknown
+    // names fail fast (a typo must not look like a clean run).
+    val selected = sys.env.get("SPARK_GRAFT_QUERIES") match {
+      case None => SparkEntry.queries
+      case Some(csv) =>
+        val names = csv.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val unknown = names.filterNot(SparkEntry.queries.contains)
+        require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(",")}")
+        names.map(n => n -> SparkEntry.queries(n)).toMap
+    }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val w0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () } // warm
       val t0 = System.nanoTime()
@@ -28,7 +38,19 @@ object Bench {
       val t1 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val t2 = System.nanoTime()
-      val timed = math.min(t1 - t0, t2 - t1) / 1e9
+      // Two samples disagreeing by >1.5x means one was poisoned by
+      // transient host noise (GC, co-tenant load) — buy a third sample
+      // for that query only, so a single noisy window can't inflate the
+      // recorded number. min-of-k is the steady-state plan cost.
+      val (a, b) = (t1 - t0, t2 - t1)
+      val timed =
+        if (math.max(a, b) <= 1.5 * math.min(a, b)) math.min(a, b) / 1e9
+        else {
+          val t3 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          val t4 = System.nanoTime()
+          math.min(math.min(a, b), t4 - t3) / 1e9
+        }
       System.err.println(f"[bench] $name warm=${(t0 - w0) / 1e9}%.2f timed=$timed%.2f")
       name -> timed
     }

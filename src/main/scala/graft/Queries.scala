@@ -1605,7 +1605,7 @@ object Queries {
            |                      ROWS UNBOUNDED PRECEDING) AS end_tok
            | FROM t)
            |SELECT doc_id, shard, CAST(n_tokens AS INT) AS n_tokens,
-           | end_tok - n_tokens AS start_tok,
+           | CAST(end_tok - n_tokens AS BIGINT) AS start_tok,
            | CAST((end_tok - n_tokens) // 512 AS INT) AS seq_first,
            | CAST(CASE WHEN n_tokens = 0 THEN (end_tok - n_tokens) // 512
            |      ELSE (end_tok - 1) // 512 END AS INT) AS seq_last,

@@ -88,9 +88,12 @@ object Lof {
     * edges once and is cleaned by the ContextCleaner when unreachable
     * (unlike `persist`, which registers in the session CacheManager
     * and leaks per call — the r1 minhash lesson). On a cluster the
-    * same role is played by a checkpoint/intermediate table. */
+    * same role is played by a checkpoint/intermediate table.
+    * `eager = false`: materialization happens on the FIRST action, not
+    * at plan-build time — merely declaring/explaining the query must
+    * not launch Spark jobs. */
   def fromNeighbors(nbIn: DataFrame): DataFrame = {
-    val nb = nbIn.localCheckpoint()
+    val nb = nbIn.localCheckpoint(eager = false)
     val kdist = nb.groupBy("id").agg(max("dist").as("kdist"))
     val reach = nb.join(kdist.withColumnRenamed("id", "nid"), Seq("nid"))
       .withColumn("reach", greatest(col("dist"), col("kdist")))

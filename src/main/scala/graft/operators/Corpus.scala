@@ -138,14 +138,16 @@ object Corpus {
     // materialized ONCE: both the cutoff aggregate and the final
     // projection read it, and without the checkpoint each reference
     // re-executes the token-join DAG (the ml_lof triple-execution
-    // lesson). O(docs) rows of 3 scalars.
+    // lesson). O(docs) rows of 3 scalars. `eager = false` so building
+    // (or explaining) the plan runs no jobs — it still materializes
+    // exactly once, on the first action.
     val scored = tok.join(freq, "w")
       .crossJoin(broadcast(total))
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("int").as("n_tokens"),
            round(avg(log(col("wn").cast("double") / col("wtotal"))), 6)
              .as("avg_logprob"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val cuts = scored.agg(
       round(expr("percentile(avg_logprob, 0.3333333333333333)"), 6).as("p33"),
       round(expr("percentile(avg_logprob, 0.6666666666666666)"), 6).as("p66"))

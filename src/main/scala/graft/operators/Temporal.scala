@@ -109,6 +109,16 @@ object Temporal {
                matchedCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
     require(matchedCols.nonEmpty, "matchedCols must name ≥1 right column")
+    // Internal scratch names and output-collision guards — a silent
+    // collision would produce ambiguous/duplicate output columns
+    // (rangeJoinBinned and StreamJoin.intervalJoin guard the same way).
+    val reserved = Set("__ts", "__side", "__p", "__l", "__m")
+    val usedReserved = (left.columns ++ right.columns).filter(reserved).toSet
+    require(usedReserved.isEmpty,
+      s"input columns collide with joinAsOf internals: $usedReserved")
+    val matchedClash = matchedCols.toSet intersect leftCols.toSet
+    require(matchedClash.isEmpty,
+      s"matchedCols collide with left columns: $matchedClash")
     val payload = struct(matchedCols.map(col): _*)
     val l = left.select(
       keyCols.map(col) :+ col(leftTs).as("__ts") :+ lit(0).as("__side") :+
