@@ -68,8 +68,37 @@ object ScoreStream {
                col("user_id"))
       .agg(avg("value").as("cust_avg"), count(lit(1)).as("cust_txn_count"))
 
-  /** File-source → scored → parquet-append runner (the deployable
-    * shape: exactly-once via checkpoint + idempotent batch ids). */
+  /** Source selection, behind config: a Kafka subscription when
+    * `kafka` is set (requires the spark-sql-kafka connector on the
+    * classpath), else a JSON drop-dir. Everything downstream of the
+    * returned frame is identical — the transforms never know which
+    * source fed them. */
+  final case class SourceConfig(jsonDir: String = "",
+                                kafka: Option[KafkaSource.Config] = None)
+
+  def source(spark: SparkSession, cfg: SourceConfig): DataFrame = cfg.kafka match {
+    case Some(k) => KafkaSource.events(KafkaSource.raw(spark, k))
+    case None =>
+      require(cfg.jsonDir.nonEmpty, "SourceConfig needs jsonDir or kafka")
+      spark.readStream.schema(eventSchema).json(cfg.jsonDir)
+  }
+
+  /** Configured-source → scored → parquet-append runner (the
+    * deployable shape: exactly-once via checkpoint + idempotent batch
+    * ids). Kafka wiring:
+    * `start(spark, SourceConfig(kafka = Some(KafkaSource.Config(
+    *   "broker:9092", "events"))), profile, out, ckpt)`. */
+  def start(spark: SparkSession, src: SourceConfig, custProfile: DataFrame,
+            outDir: String, checkpointDir: String): StreamingQuery =
+    scored(source(spark, src), custProfile).writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(outDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** File-source convenience form of `start`. */
   def start(spark: SparkSession, inputDir: String, custProfile: DataFrame,
             outDir: String, checkpointDir: String): StreamingQuery = {
     val events = spark.readStream.schema(eventSchema).json(inputDir)
