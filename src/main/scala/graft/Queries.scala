@@ -1337,6 +1337,44 @@ object Queries {
            |FROM s GROUP BY user_id, session_id
            |ORDER BY user_id, session_id""".stripMargin))
 
+  /** The AS-BUILT streaming sessionization, oracle-checked end to end:
+    * the events parquet streamed through `SessionStream.closedSessions`
+    * (watermark → flatMapGroupsWithState → Append emissions), compared
+    * against the batch rollup restricted to sessions the final
+    * watermark can close. The oracle recomputes that closure condition
+    * independently: final watermark = ⌊max µs / 1000⌋ms − 10 min (the
+    * ms-floor is Spark's event-time-stats granularity), a session is
+    * emitted iff `end_us + gap ≤ watermark`. Everything else (grouping,
+    * µs precision, HALF_UP rounding) must match the batch semantics or
+    * the hash fails — this is the driver-gated proof that the streaming
+    * twin computes the batch answer. */
+  private val qSessionizeStream = Q(
+    "q_sessionize_stream",
+    (s, d) => streaming.SessionStream
+      .closedSessionsOverFile(s, s"$d/events.parquet")
+      .select(col("user_id"), col("start_us"), col("end_us"),
+              col("n_events"), col("total_value"))
+      .orderBy("user_id", "start_us"),
+    Some("""WITH x AS (SELECT user_id, event_id, ts, value,
+           |  CASE WHEN lag(ts) OVER w IS NULL
+           |        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS brk
+           | FROM events
+           | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+           |s AS (SELECT user_id, ts, value,
+           |  CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |                      ROWS UNBOUNDED PRECEDING) AS INT) AS session_id
+           | FROM x),
+           |roll AS (SELECT user_id,
+           |  CAST(min(epoch_us(ts)) AS BIGINT) AS start_us,
+           |  CAST(max(epoch_us(ts)) AS BIGINT) AS end_us,
+           |  count(*) AS n_events, round(sum(value), 6) AS total_value
+           | FROM s GROUP BY user_id, session_id),
+           |wm AS (SELECT ((max(epoch_us(ts)) // 1000) - 600000) * 1000 AS wm_us
+           |       FROM events)
+           |SELECT r.user_id, r.start_us, r.end_us, r.n_events, r.total_value
+           |FROM roll r, wm WHERE r.end_us + 1800000000 <= wm.wm_us
+           |ORDER BY user_id, start_us""".stripMargin))
+
   /** As-of join: seconds since the latest STRICTLY-prior 'error' event
     * of the same user (a point-in-time feature read). Spark side is
     * `Temporal.joinAsOf` — union + carry-forward, ONE shuffle, no
@@ -1631,7 +1669,7 @@ object Queries {
     qDedupMinhash, qDedupMinhashMd5, qDedupSimhash, qDedupSimhashMd5,
     qDedupClusters, qCorpusDedup,
     qDedupEmbedding, qDedupSemantic, qMediaFeatures,
-    qSessionize, qAsofJoin, qRangeJoin,
+    qSessionize, qSessionizeStream, qAsofJoin, qRangeJoin,
     qGopherQuality, qSampleStratified, qDomainFilter, qDecontaminate,
     qDupNgrams, qUnigramLogprob, qPackSequences,
     qScalerFit, qMlPreproc, qMlPcaRecon, qMlIforest, qMlLof, qMlEnsemble,

@@ -1,8 +1,10 @@
 package graft.streaming
 
 import java.sql.Timestamp
-import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
 
 /** Streaming gap-based sessionization — the stream twin of
   * `operators.Temporal.sessionize` (same gap semantics, same rollup
@@ -94,5 +96,45 @@ object SessionStream {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update(gapSeconds))
+  }
+
+  private val runSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Finite-input form, for oracle verification of the AS-BUILT stream:
+    * stream the events parquet through `closedSessions` and return the
+    * emitted rows as a batch frame. `processAllAvailable` covers the
+    * trailing no-data micro-batch in which the final watermark
+    * (`⌊max ts⌋ms − delay`) fires the remaining event-time timeouts, so
+    * the returned set is exactly the sessions with
+    * `end + gap ≤ final watermark` — the condition the DuckDB oracle
+    * restates over the batch rollup. The memory sink is verify-scale
+    * plumbing; the deployable sink is the same foreachBatch parquet
+    * append as `ScoreStream.start`. */
+  def closedSessionsOverFile(spark: SparkSession, eventsPath: String,
+                             gapSeconds: Long = 1800,
+                             watermarkDelay: String = "10 minutes"): DataFrame = {
+    import spark.implicits._
+    // same nanos handling as Tables.events (parquet TIMESTAMP(NANOS))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val nanoSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    // The file source derives basePath from the path itself and, for a
+    // non-glob path, forces basePath = that path — which must be a
+    // directory. A single-file path (the testdata layout) therefore has
+    // to be passed as a glob: bracket the first character so the parent
+    // directory becomes the base and only this file matches.
+    val f = new java.io.File(eventsPath)
+    val globbed = s"${f.getParent}/[${f.getName.head}]${f.getName.tail}"
+    val events = spark.readStream.schema(nanoSchema).parquet(globbed)
+      .select(col("event_id"), timestamp_micros(expr("ts div 1000")).as("ts"),
+              col("user_id"), col("value"))
+      .as[EventIn]
+    val name = s"__graft_sessions_${runSeq.incrementAndGet()}"
+    val q = closedSessions(events, gapSeconds, watermarkDelay)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
   }
 }

@@ -91,6 +91,25 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("finite-input stream run matches the batch rollup under the final watermark") {
+    val sf = "/root/testdata/sf0.001"
+    val got = SessionStream.closedSessionsOverFile(spark, s"$sf/events.parquet")
+      .select("user_id", "start_us", "end_us", "n_events", "total_value")
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    // batch twin + the closure condition the stream's final watermark
+    // imposes: wm = floor(max µs / 1000)ms − 10 min, emit iff end+gap ≤ wm
+    val ev = Tables.events(spark, sf)
+    val maxUs = ev.agg(max(unix_micros(col("ts")))).as[Long].head()
+    val wmUs = (maxUs / 1000L - 600000L) * 1000L
+    val expect = graft.operators.Temporal.sessionize(
+        ev, "user_id", "ts", "event_id", "value", 1800)
+      .filter(col("end_us") + lit(1800000000L) <= lit(wmUs))
+      .select("user_id", "start_us", "end_us", "n_events", "total_value")
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    assert(got.nonEmpty && got == expect,
+      s"stream ${got.size} rows != batch ${expect.size} rows")
+  }
+
   test("session backward-extends on an in-watermark earlier event, at full µs precision") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[SessionStream.EventIn]
