@@ -1025,7 +1025,8 @@ object Queries {
     * verified `pairs(doc_a, doc_b, jaccard)`. Used by both the pair
     * query and the connected-components clustering query so their
     * oracles derive pairs identically. */
-  private def minhashMd5PairCtes(nh: Int, bands: Int, thr: Double): String = {
+  private def minhashMd5PairCtes(nh: Int, bands: Int, thr: Double,
+                                 bandCap: Option[Int] = None): String = {
     val rpb = nh / bands
     val minsSql = (0 until nh)
       .map(i => s"min(md5('$i:' || s)) AS mh_$i").mkString(",\n   ")
@@ -1033,6 +1034,28 @@ object Queries {
       val parts = (b * rpb until (b + 1) * rpb).map(r => s"mh_$r").mkString(" || '|' || ")
       s"md5('$b' || '|' || $parts)"
     }.mkString(",\n   ")
+    // candidate CTE: historical all-pairs, or the bandBucketCap variant
+    // (cold buckets all-pairs, hot buckets star-expanded to their min
+    // member) — re-deriving Dedup.minhashPairs' cap semantics in SQL
+    val candsSql = bandCap match {
+      case None =>
+        """cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          | FROM bands a JOIN bands b
+          |   ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),""".stripMargin
+      case Some(cap) =>
+        s"""freq AS (SELECT band, bh, count(*) AS f, min(doc_id) AS mn
+           | FROM bands GROUP BY band, bh),
+           |cands AS (SELECT DISTINCT doc_a, doc_b FROM (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+           |  JOIN freq f ON f.band = a.band AND f.bh = a.bh
+           |  WHERE f.f <= $cap
+           |  UNION
+           |  SELECT f.mn AS doc_a, e.doc_id AS doc_b
+           |  FROM bands e JOIN freq f ON f.band = e.band AND f.bh = e.bh
+           |  WHERE f.f > $cap AND e.doc_id <> f.mn)),""".stripMargin
+    }
     s"""w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
        |   generate_series(1, len(w)-2),
@@ -1045,9 +1068,7 @@ object Queries {
        |   unnest(generate_series(0, ${bands - 1})) AS band,
        |   unnest([$bandList]) AS bh
        | FROM sig),
-       |cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       | FROM bands a JOIN bands b
-       |   ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |$candsSql
        |sets AS (SELECT doc_id, list(s) AS ss FROM sh GROUP BY doc_id),
        |pairs AS (SELECT doc_a, doc_b,
        |   round(CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)
@@ -1069,6 +1090,27 @@ object Queries {
         Tables.documents(s, d), "doc_id", "text",
         numHashes = nh, bands = bands, threshold = thr, portableMd5 = true),
       Some(s"""WITH ${minhashMd5PairCtes(nh, bands, thr)}
+           |SELECT doc_a, doc_b, jaccard FROM pairs
+           |ORDER BY doc_a, doc_b""".stripMargin))
+  }
+
+  /** The skew cap of the minhash family, ORACLE-PROVEN: same portable
+    * pipeline with `bandBucketCap = 2`, so band buckets above the cap
+    * star-expand to their min member instead of going quadratic (the
+    * 100 TB guard against a boilerplate page mirrored 100k×). The
+    * oracle re-derives the exact cap semantics — bucket frequencies,
+    * the cold all-pairs branch AND the hot star branch — independently
+    * in SQL, so the bounded candidate generation itself is
+    * hash-checked, not just spot-tested. */
+  private val qDedupMinhashMd5Capped = {
+    val (nh, bands, thr, cap) = (16, 8, 0.1, 2)
+    Q(
+      "dedup_minhash_md5_capped",
+      (s, d) => operators.Dedup.minhashPairs(
+        Tables.documents(s, d), "doc_id", "text",
+        numHashes = nh, bands = bands, threshold = thr, portableMd5 = true,
+        bandBucketCap = cap),
+      Some(s"""WITH ${minhashMd5PairCtes(nh, bands, thr, bandCap = Some(cap))}
            |SELECT doc_a, doc_b, jaccard FROM pairs
            |ORDER BY doc_a, doc_b""".stripMargin))
   }
@@ -1337,6 +1379,18 @@ object Queries {
            |FROM s GROUP BY user_id, session_id
            |ORDER BY user_id, session_id""".stripMargin))
 
+  /** The AS-BUILT streaming scoring path, oracle-checked end to end:
+    * the events parquet streamed through `ScoreStream.scored`
+    * (watermark → within-watermark dedup → stream-static profile join
+    * → the shared `Pipelines.applyScoring` transform). Event ids are
+    * unique in the testdata, so the dedup is a semantic no-op and the
+    * oracle is the batch flagship SQL verbatim — streaming and batch
+    * must produce hash-identical rows. */
+  private val qScoreStream = Q(
+    "q_score_stream",
+    (s, d) => streaming.ScoreStream.scoredOverFile(s, d).orderBy("event_id"),
+    Some(flagshipOracle))
+
   /** The AS-BUILT streaming sessionization, oracle-checked end to end:
     * the events parquet streamed through `SessionStream.closedSessions`
     * (watermark → flatMapGroupsWithState → Append emissions), compared
@@ -1350,8 +1404,7 @@ object Queries {
     * twin computes the batch answer. */
   private val qSessionizeStream = Q(
     "q_sessionize_stream",
-    (s, d) => streaming.SessionStream
-      .closedSessionsOverFile(s, s"$d/events.parquet")
+    (s, d) => streaming.SessionStream.closedSessionsOverFile(s, d)
       .select(col("user_id"), col("start_us"), col("end_us"),
               col("n_events"), col("total_value"))
       .orderBy("user_id", "start_us"),
@@ -1666,10 +1719,11 @@ object Queries {
     qTextStats, qLangId, qTokenCount, qTfidfTop, qFingerprint,
     qWinnowFingerprint, qCorpusClean,
     qDedupExact, qNgramJaccard, qSimBruteforce, qSimLshTopk, qSimIvfTopk,
-    qDedupMinhash, qDedupMinhashMd5, qDedupSimhash, qDedupSimhashMd5,
+    qDedupMinhash, qDedupMinhashMd5, qDedupMinhashMd5Capped,
+    qDedupSimhash, qDedupSimhashMd5,
     qDedupClusters, qCorpusDedup,
     qDedupEmbedding, qDedupSemantic, qMediaFeatures,
-    qSessionize, qSessionizeStream, qAsofJoin, qRangeJoin,
+    qSessionize, qSessionizeStream, qScoreStream, qAsofJoin, qRangeJoin,
     qGopherQuality, qSampleStratified, qDomainFilter, qDecontaminate,
     qDupNgrams, qUnigramLogprob, qPackSequences,
     qScalerFit, qMlPreproc, qMlPcaRecon, qMlIforest, qMlLof, qMlEnsemble,

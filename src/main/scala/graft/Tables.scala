@@ -25,6 +25,24 @@ object Tables {
         org.apache.spark.sql.functions.expr("ts div 1000")))
   }
 
+  /** Streaming read of the events table — same nanos handling as
+    * `events`, as an unbounded frame. The file source derives basePath
+    * from the path and, for a non-glob path, forces basePath = that
+    * path (which must be a directory) — so the single-file testdata
+    * layout must be passed as a glob: bracket the first character and
+    * only this file matches, with the parent directory as base. */
+  def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val nanoSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    spark.readStream.schema(nanoSchema).parquet(s"$sfDir/[e]vents.parquet")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
+
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 

@@ -64,11 +64,25 @@ object Dedup {
     * Bands of `rowsPerBand` signature values hash to a band key;
     * docs sharing any band key become candidates (shuffle carries
     * (band, hash) keys — tiny); candidates are verified with exact
-    * shingle-set Jaccard and filtered at `threshold`. */
+    * shingle-set Jaccard and filtered at `threshold`.
+    *
+    * `bandBucketCap` bounds the per-band-bucket quadratic term for
+    * dup-HEAVY corpora: a band value shared by f docs contributes f²
+    * all-pairs candidates, and at 100 TB the common case — a boilerplate
+    * page mirrored 100k× — would alone emit 10¹⁰ pairs. Buckets hotter
+    * than the cap switch to STAR expansion: each member pairs only with
+    * the bucket's min doc id (f−1 rows). Connectivity through the
+    * bucket is preserved exactly — `connectedComponents` still places
+    * every member in one cluster — so dedup-clustering recall is
+    * unchanged for identical docs; only non-transitive borderline pairs
+    * inside a hot bucket can be missed (graceful, like the simhash
+    * cap). The default (MaxValue) keeps the historical all-pairs plan
+    * with no extra aggregate. */
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    numHashes: Int = 32, bands: Int = 8,
                    threshold: Double = 0.5, shingleK: Int = 3,
-                   portableMd5: Boolean = false): DataFrame = {
+                   portableMd5: Boolean = false,
+                   bandBucketCap: Int = Int.MaxValue): DataFrame = {
     val rowsPerBand = numHashes / bands
     // NOT cached: the shingle frame is a narrow projection off the doc
     // scan — recomputing it for the signature pass and the two survivor
@@ -92,11 +106,31 @@ object Dedup {
     val exploded = banded.select(col("doc_id"),
       posexplode(array((0 until bands).map(b => col(s"band_$b")): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
-    val cands = exploded.as("a").join(exploded.as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
+    val cands = (if (bandBucketCap == Int.MaxValue) {
+      exploded.as("a").join(exploded.as("b"),
+          col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    } else {
+      // one extra hash agg on the SAME (band, bh) key the join shuffles
+      // on; cold buckets keep all-pairs, hot buckets emit the f−1 star
+      // edges to their min member
+      val freq = exploded.groupBy("band", "bh")
+        .agg(count(lit(1)).as("__f"), min("doc_id").as("__mn"))
+      val cold = exploded.join(
+        freq.filter(col("__f") <= bandBucketCap).select("band", "bh"),
+        Seq("band", "bh"))
+      val coldPairs = cold.as("a").join(cold.as("b"),
+          col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      val starPairs = exploded.join(
+          freq.filter(col("__f") > bandBucketCap).select(col("band"), col("bh"), col("__mn")),
+          Seq("band", "bh"))
+        .filter(col("doc_id") =!= col("__mn"))
+        .select(col("__mn").as("doc_a"), col("doc_id").as("doc_b"))
+      coldPairs.union(starPairs)
+    }).dropDuplicates("doc_a", "doc_b")
     val withSets = cands
       .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb")), "doc_b")

@@ -98,6 +98,28 @@ object ScoreStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  private val runSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Finite-input form for oracle verification of the AS-BUILT
+    * streaming scoring path: the events parquet streamed through
+    * `scored` (watermark → within-watermark dedup → stream-static
+    * profile join → the shared scoring transform), returned as a batch
+    * frame. Event ids are unique in the driver testdata, so the dedup
+    * is a semantic no-op and the closed-form oracle is the batch
+    * flagship query itself — the driver-gated proof that the streaming
+    * twin computes the batch answer row for row. */
+  def scoredOverFile(spark: SparkSession, sfDir: String,
+                     cfg: Pipelines.EventScoringConfig =
+                       Pipelines.EventScoringConfig()): DataFrame = {
+    val ev = graft.Tables.events(spark, sfDir)
+    val prof = ev.groupBy("user_id").agg(avg("value").as("cust_avg"))
+    val name = s"__graft_scored_${runSeq.incrementAndGet()}"
+    val q = scored(graft.Tables.eventsStream(spark, sfDir), prof, cfg)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
   /** File-source convenience form of `start`. */
   def start(spark: SparkSession, inputDir: String, custProfile: DataFrame,
             outDir: String, checkpointDir: String): StreamingQuery = {

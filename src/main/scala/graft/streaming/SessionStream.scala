@@ -4,7 +4,6 @@ import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-import org.apache.spark.sql.types._
 
 /** Streaming gap-based sessionization — the stream twin of
   * `operators.Temporal.sessionize` (same gap semantics, same rollup
@@ -110,26 +109,12 @@ object SessionStream {
     * restates over the batch rollup. The memory sink is verify-scale
     * plumbing; the deployable sink is the same foreachBatch parquet
     * append as `ScoreStream.start`. */
-  def closedSessionsOverFile(spark: SparkSession, eventsPath: String,
+  def closedSessionsOverFile(spark: SparkSession, sfDir: String,
                              gapSeconds: Long = 1800,
                              watermarkDelay: String = "10 minutes"): DataFrame = {
     import spark.implicits._
-    // same nanos handling as Tables.events (parquet TIMESTAMP(NANOS))
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val nanoSchema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    // The file source derives basePath from the path itself and, for a
-    // non-glob path, forces basePath = that path — which must be a
-    // directory. A single-file path (the testdata layout) therefore has
-    // to be passed as a glob: bracket the first character so the parent
-    // directory becomes the base and only this file matches.
-    val f = new java.io.File(eventsPath)
-    val globbed = s"${f.getParent}/[${f.getName.head}]${f.getName.tail}"
-    val events = spark.readStream.schema(nanoSchema).parquet(globbed)
-      .select(col("event_id"), timestamp_micros(expr("ts div 1000")).as("ts"),
-              col("user_id"), col("value"))
+    val events = graft.Tables.eventsStream(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
       .as[EventIn]
     val name = s"__graft_sessions_${runSeq.incrementAndGet()}"
     val q = closedSessions(events, gapSeconds, watermarkDelay)

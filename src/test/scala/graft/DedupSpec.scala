@@ -215,4 +215,106 @@ class DedupSpec extends AnyFunSuite {
     // every node labels to a cluster id ≤ itself
     clusters.foreach { case (n, c) => assert(c <= n) }
   }
+
+  // =====================================================================
+  // Skew stress — the caps ARE the 100 TB story. Each test plants one
+  // hot key (a boilerplate page / dense cell) at 10× its cap and
+  // asserts the quadratic term stays bounded while recall degrades
+  // gracefully (cold pairs are still found; clustering recall for
+  // identical docs survives the minhash star expansion).
+  // =====================================================================
+
+  /** `hot` copies of one boilerplate page (ids 1000+), one cold exact-dup
+    * pair (ids 1, 2), 20 distinct fillers (ids 10–29). */
+  private def hotCorpus(hot: Int) = {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("spark", "query", "row", "table", "join", "filter",
+      "agg", "window", "scan", "merge", "sort", "hash", "key", "column",
+      "stream", "batch", "fast", "slow", "data", "plan")
+    def doc(): String = Seq.fill(30)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val boiler = doc()
+    val coldPage = doc()
+    val hotDocs = (0 until hot).map(i => (1000L + i, boiler))
+    val cold = Seq((1L, coldPage), (2L, coldPage))
+    val fillers = (10L until 30L).map(i => (i, doc()))
+    (hotDocs ++ cold ++ fillers).toDF("doc_id", "text")
+  }
+
+  test("skew: minhash bandBucketCap — 10×-cap hot bucket emits star edges, cluster stays whole") {
+    val (cap, hot) = (8, 80)
+    val pairs = Dedup.minhashPairs(hotCorpus(hot), "doc_id", "text",
+      numHashes = 16, bands = 8, threshold = 0.5, bandBucketCap = cap)
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hotPairs = got.filter { case (a, b) => a >= 1000L && b >= 1000L }
+    // star expansion: hot−1 edges to the min member, NOT C(80,2) = 3160
+    assert(hotPairs.size == hot - 1, s"expected ${hot - 1} star edges, got ${hotPairs.size}")
+    assert(hotPairs.forall(_._1 == 1000L), "every hot edge must anchor at the bucket min")
+    // cold exact dup unaffected by the hot bucket's cap
+    assert(got.contains((1L, 2L)), s"cold pair missing from $got")
+    // clustering recall for the identical docs is PRESERVED: the star
+    // keeps the whole mirror set one component with the min survivor
+    val cc = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .filter(col("node") >= 1000L).select("cluster_id").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    assert(cc == Seq(1000L), s"hot docs split across clusters: $cc")
+    // and the uncapped run really is quadratic on the same input —
+    // the cap is what bounds it
+    val uncapped = Dedup.minhashPairs(hotCorpus(hot), "doc_id", "text",
+      numHashes = 16, bands = 8, threshold = 0.5)
+      .filter(col("doc_a") >= 1000L && col("doc_b") >= 1000L).count()
+    assert(uncapped == hot.toLong * (hot - 1) / 2, s"uncapped hot pairs: $uncapped")
+  }
+
+  test("skew: simhash bucketCap — 10×-cap hot chunk-buckets dropped, cold pair kept, output bounded") {
+    val pairs = Dedup.simhashPairs(hotCorpus(80), "doc_id", "text",
+      maxHamming = 3, bucketCap = 8)
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!got.exists { case (a, b) => a >= 1000L && b >= 1000L },
+      "hot-bucket members must drop out of candidate generation")
+    assert(got.contains((1L, 2L)), s"cold exact dup (hamming 0) missing from $got")
+    assert(got.size <= 50, s"output not bounded: ${got.size} pairs")
+  }
+
+  test("skew: portable-md5 simhash bucketCap — same drop semantics as the production family") {
+    val pairs = Dedup.simhashPairsPortableMd5(hotCorpus(80), "doc_id", "text",
+      maxHamming = 3, bucketCap = 8)
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!got.exists { case (a, b) => a >= 1000L && b >= 1000L })
+    assert(got.contains((1L, 2L)), s"cold exact dup missing from $got")
+  }
+
+  test("skew: vector-LSH bucketCap — 10×-cap hot bucket dropped, cold dup kept") {
+    val rnd = new scala.util.Random(42)
+    val base = Seq.fill(16)(rnd.nextGaussian())
+    val hotVecs = (0 until 80).map(i => (1000L + i, base))
+    val spread = (0 until 30).map(i => (i.toLong, Seq.fill(16)(rnd.nextGaussian())))
+    val coldDup = (500L, spread(3)._2.map(_ * 1.0005))
+    val df = (hotVecs ++ spread :+ coldDup).toDF("vec_id", "embedding")
+    val pairs = graft.functions.VectorLsh.candidatePairs(
+      df, "vec_id", "embedding", dim = 16, L = 8, r = 2, w = 0.3,
+      seed = 42L, bucketCap = 8)
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!got.exists { case (a, b) => a >= 1000L && b >= 1000L },
+      "identical hot vectors must fall out of every table's candidate set")
+    assert(got.contains((3L, 500L)), s"cold planted dup missing from $got")
+    assert(got.size <= 200, s"output not bounded: ${got.size} pairs")
+  }
+
+  test("skew: semantic cellCap — 10×-cap hot cell capped at nlist·C(cellCap,2) pairs") {
+    val rnd = new scala.util.Random(1)
+    val base = Seq.fill(16)(rnd.nextGaussian())
+    val hot = (0 until 80).map(i =>
+      (1000L + i, base.map(x => (x + rnd.nextGaussian() * 1e-4).toFloat)))
+    val spread = (0 until 20).map(i =>
+      (i.toLong, Seq.fill(16)(rnd.nextGaussian().toFloat)))
+    val df = (hot ++ spread).toDF("vec_id", "embedding")
+    val pairs = Dedup.semanticPairs(df, "vec_id", "embedding",
+      nlist = 4, minCosine = 0.95, cellCap = 8, sampleSize = 128)
+    val n = pairs.count()
+    // the deterministic cap keeps ≤ 8 members per cell: the quadratic
+    // term is ≤ C(8,2) per cell regardless of how dense the hot cell is
+    assert(n >= 1 && n <= 4L * 28L, s"got $n pairs")
+    val hotPairs = pairs.filter(col("id_a") >= 1000L && col("id_b") >= 1000L).count()
+    assert(hotPairs <= 28, s"hot cell not capped: $hotPairs pairs")
+  }
 }

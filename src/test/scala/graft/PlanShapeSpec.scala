@@ -54,6 +54,43 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
   }
 
+  test("IVF probe over the bucketed corpus is exchange-free on the corpus side") {
+    // Ivf scaladoc promise: assign once, writeBucketed by cell, and
+    // every later probe shuffles ONLY the tiny probe side. Differential
+    // assertion: the same probe over the unbucketed corpus needs TWO
+    // cell exchanges (both join inputs), the bucketed one exactly ONE
+    // (probe side) — the corpus reads straight off the bucketed scan.
+    Seq("ivf_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(loc)
+      }
+    }
+    val emb = Tables.embeddings(spark, sf)
+    val cent = operators.Ivf.fitCentroids(emb, "vec_id", "embedding",
+      nlist = 4, sampleSize = 256)
+    val assigned = operators.Ivf.assign(emb, "vec_id", "embedding", cent)
+    sources.Sources.writeBucketed(assigned, "ivf_b", "cell", 4)
+    val queries = emb.limit(8)
+    def cellExchanges(corpus: org.apache.spark.sql.DataFrame): Int = {
+      val df = operators.Ivf.topkFromAssigned(corpus.hint("merge"),
+        queries, "vec_id", "embedding", k = 5, cent, nprobe = 2)
+      df.collect() // final adaptive plan
+      // AdaptiveSparkPlan.toString appends the pre-AQE plan under an
+      // "== Initial Plan ==" banner — count the final section only
+      val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      "Exchange hashpartitioning\\(cell".r.findAllIn(plan).size
+    }
+    assert(cellExchanges(assigned) == 2, "control: unbucketed corpus must shuffle both sides")
+    assert(cellExchanges(spark.table("ivf_b")) == 1,
+      "bucketed corpus must join straight off the bucketed scan")
+  }
+
   test("corpus dedup anti join: AQE converts to broadcast at runtime") {
     // the drop list sits behind connectedComponents' localCheckpoint, so
     // Catalyst has NO size stats and statically plans sort-merge — the

@@ -93,7 +93,7 @@ class StreamingSpec extends AnyFunSuite {
 
   test("finite-input stream run matches the batch rollup under the final watermark") {
     val sf = "/root/testdata/sf0.001"
-    val got = SessionStream.closedSessionsOverFile(spark, s"$sf/events.parquet")
+    val got = SessionStream.closedSessionsOverFile(spark, sf)
       .select("user_id", "start_us", "end_us", "n_events", "total_value")
       .as[(Long, Long, Long, Long, Double)].collect().toSet
     // batch twin + the closure condition the stream's final watermark
