@@ -1703,6 +1703,124 @@ object Queries {
            | CAST((end_tok - n_tokens) % 512 AS INT) AS seq_offset
            |FROM c ORDER BY doc_id""".stripMargin))
 
+  /** Span-level (CCNet-paragraph / C4-span) dedup: 5-word spans,
+    * global first-occurrence keep, documents reassembled from
+    * surviving spans. Chop, first-pick (min-struct hash agg — no
+    * hot-span window sort), keep-join and reassembly all re-derived
+    * verbatim by the oracle. */
+  private val qSpanDedup = {
+    val k = 5
+    Q(
+      "q_span_dedup",
+      (s, d) => operators.Dedup.dedupSpans(
+        Tables.documents(s, d), "doc_id", "text", spanLen = k),
+      Some(s"""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+           |sp AS (SELECT doc_id, unnest(generate_series(1, (len(w)+${k - 1})//$k)) AS span_idx, w FROM w),
+           |spans AS (SELECT doc_id, CAST(span_idx AS INT) AS span_idx,
+           |  array_to_string(list_slice(w, (span_idx-1)*$k+1, span_idx*$k), ' ') AS span FROM sp),
+           |k AS (SELECT doc_id, span_idx, span,
+           |  row_number() OVER (PARTITION BY span ORDER BY doc_id, span_idx) AS rn FROM spans)
+           |SELECT doc_id, CAST(count(*) AS INT) AS n_spans,
+           | CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS INT) AS n_kept,
+           | coalesce(string_agg(CASE WHEN rn = 1 THEN span END, ' ' ORDER BY span_idx), '') AS dedup_text
+           |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+  }
+
+  /** Exact all-pairs cosine near-dup pairs — the oracle-proof twin of
+    * `dedup_embedding` (which stays the LSH scale path; its recall is
+    * measured against exact pairs in DedupSpec/SimilaritySpec). O(n²)
+    * by design, bounded-slice use only. Threshold 0.35 as in
+    * `dedup_embedding` (this corpus' near-pair tail). */
+  private val qDedupEmbeddingExact = Q(
+    "dedup_embedding_exact",
+    (s, d) => operators.Dedup.embeddingPairsExact(
+      Tables.embeddings(s, d), "vec_id", "embedding", minCosine = 0.35),
+    Some("""WITH c AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           |  round(CASE WHEN sqrt(list_sum(list_transform(list_zip(a.embedding, a.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))))
+           |           * sqrt(list_sum(list_transform(list_zip(b.embedding, b.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))) > 0
+           |        THEN list_sum(list_transform(list_zip(a.embedding, b.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+           |           / (sqrt(list_sum(list_transform(list_zip(a.embedding, a.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))))
+           |            * sqrt(list_sum(list_transform(list_zip(b.embedding, b.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))))
+           |        ELSE 0.0 END, 6) AS cosine
+           | FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+           |SELECT id_a, id_b, cosine FROM c WHERE cosine >= 0.35
+           |ORDER BY id_a, id_b""".stripMargin))
+
+  /** Deterministic data-mixture construction (Pile/LLaMA-style domain
+    * weighting): src0 ×2.5, src1 ×2.0, src2 ×0.5 (subsampled), src3
+    * dropped, everything else ×1.0. The weight lookup, the
+    * lexicographic-hex fractional coin and the epoch explode are all
+    * re-derived by the oracle. */
+  private val qMixDomains = {
+    val weights = Seq("src0" -> 2.5, "src1" -> 2.0, "src2" -> 0.5, "src3" -> 0.0)
+    def fracHex(w: Double): String =
+      f"${((w - math.floor(w)) * 4294967296.0).toLong}%08x"
+    val valuesSql = weights
+      .map { case (s, w) => s"('$s', ${math.floor(w).toLong}, '${fracHex(w)}')" }
+      .mkString(", ")
+    Q(
+      "q_mix_domains",
+      (s, d) => operators.Corpus.mixDomains(
+        Tables.documents(s, d), "doc_id", "source",
+        weights.toMap, defaultWeight = 1.0),
+      Some(s"""WITH wt(source, fl, fx) AS (VALUES $valuesSql),
+           |d AS (SELECT doc_id, d.source,
+           |   coalesce(fl, 1) + CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+           |                               < coalesce(fx, '00000000')
+           |                     THEN 1 ELSE 0 END AS copies
+           |  FROM documents d LEFT JOIN wt ON d.source = wt.source)
+           |SELECT doc_id, source, CAST(e AS INT) AS epoch FROM
+           | (SELECT doc_id, source, unnest(generate_series(1, copies)) AS e
+           |  FROM d WHERE copies >= 1)
+           |ORDER BY doc_id, epoch""".stripMargin))
+  }
+
+  /** Per-language heavy hitters (top-10 terms): vocabulary-bounded
+    * two-level agg, rank window only on the aggregated frame. */
+  private val qTopTerms = Q(
+    "q_top_terms",
+    (s, d) => operators.Corpus.topTermsPerGroup(
+      Tables.documents(s, d), "lang", "text", k = 10),
+    Some("""WITH tok AS (SELECT lang AS grp, unnest(regexp_split_to_array(trim(text), '\s+')) AS term FROM documents),
+           |c AS (SELECT grp, term, count(*) AS n FROM tok GROUP BY grp, term),
+           |r AS (SELECT grp, term, n,
+           |  row_number() OVER (PARTITION BY grp ORDER BY n DESC, term ASC) AS term_rank FROM c)
+           |SELECT grp, term, n, CAST(term_rank AS INT) AS term_rank
+           |FROM r WHERE term_rank <= 10 ORDER BY grp, term_rank""".stripMargin))
+
+  /** Incremental (continuous-refresh) dedup: the incoming batch
+    * (doc_id % 5 = 4) against the existing corpus (the rest) — exact
+    * digest hits plus verified near-dup hits drop an incoming doc;
+    * existing×existing pairs are never generated. The oracle recomputes
+    * the full portable-md5 pair pipeline and restricts it to cross-set
+    * pairs, plus the digest anti-join. */
+  private val qDedupIncremental = {
+    val (nh, bands, thr) = (16, 8, 0.1)
+    Q(
+      "q_dedup_incremental",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        operators.Dedup.dedupIncremental(
+            docs.filter(col("doc_id") % 5 =!= 4),
+            docs.filter(col("doc_id") % 5 === 4),
+            "doc_id", "text",
+            numHashes = nh, bands = bands, threshold = thr, portableMd5 = true)
+          .select(col("doc_id"), col("source"), col("lang"),
+                  length(col("text")).cast("int").as("n_chars"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH ${minhashMd5PairCtes(nh, bands, thr)},
+           |near AS (SELECT CASE WHEN doc_a % 5 = 4 THEN doc_a ELSE doc_b END AS id
+           |  FROM pairs WHERE (doc_a % 5 = 4) <> (doc_b % 5 = 4)),
+           |exdig AS (SELECT DISTINCT md5(text) AS dg FROM documents WHERE doc_id % 5 <> 4)
+           |SELECT doc_id, source, lang, CAST(length(text) AS INT) AS n_chars
+           |FROM documents
+           |WHERE doc_id % 5 = 4
+           | AND md5(text) NOT IN (SELECT dg FROM exdig)
+           | AND doc_id NOT IN (SELECT id FROM near)
+           |ORDER BY doc_id""".stripMargin))
+  }
+
   // =====================================================================
   // All declared queries, in SURVEY §2 order
   // =====================================================================
@@ -1721,8 +1839,9 @@ object Queries {
     qDedupExact, qNgramJaccard, qSimBruteforce, qSimLshTopk, qSimIvfTopk,
     qDedupMinhash, qDedupMinhashMd5, qDedupMinhashMd5Capped,
     qDedupSimhash, qDedupSimhashMd5,
-    qDedupClusters, qCorpusDedup,
-    qDedupEmbedding, qDedupSemantic, qMediaFeatures,
+    qDedupClusters, qCorpusDedup, qSpanDedup, qDedupIncremental,
+    qDedupEmbedding, qDedupEmbeddingExact, qDedupSemantic, qMediaFeatures,
+    qMixDomains, qTopTerms,
     qSessionize, qSessionizeStream, qScoreStream, qAsofJoin, qRangeJoin,
     qGopherQuality, qSampleStratified, qDomainFilter, qDecontaminate,
     qDupNgrams, qUnigramLogprob, qPackSequences,

@@ -250,6 +250,69 @@ object Corpus {
               (col("start_tok") % seqLen).cast("int").as("seq_offset"))
   }
 
+  /** Deterministic data-mixture construction — the step that turns a
+    * curated corpus + per-domain weights into an epoch'd training mix
+    * (the Pile / LLaMA recipe: high-quality sources repeat >1 epoch,
+    * low-quality sources are subsampled, some are dropped). A source
+    * with weight w contributes ⌊w⌋ full copies of every doc plus one
+    * extra copy of a deterministic hash-selected frac(w) of its docs;
+    * w < 1 subsamples, w = 0 drops the source. Output one row per
+    * (doc, epoch) — the materialized mix order/sharding is downstream
+    * (`packSequences`).
+    *
+    * Determinism: the fractional keep is `md5(id) hex8 < threshold` —
+    * the same engine-portable coin as `hashFractionSample`, but the
+    * threshold compare is LEXICOGRAPHIC on the fixed-width hex prefix
+    * (no 64-bit unsigned parse needed, so any SQL engine re-derives it
+    * verbatim). Per-source thresholds precompute to 8-hex literals.
+    *
+    * Shape: weight lookup is a literal-map expression, the epoch copy
+    * is a per-row `sequence` explode — entirely scan-side, ZERO
+    * shuffle at any scale (the explode factor is ⌈max weight⌉). */
+  def mixDomains(docs: DataFrame, idCol: String, sourceCol: String,
+                 weights: Map[String, Double],
+                 defaultWeight: Double = 1.0): DataFrame = {
+    require((weights.values ++ Seq(defaultWeight)).forall(w => w >= 0 && w <= 100),
+      "weights must be in [0, 100]")
+    def fracHex(w: Double): String =
+      f"${((w - math.floor(w)) * 4294967296.0).toLong}%08x"
+    val floorMap = weights.map { case (k, v) => k -> math.floor(v).toLong }
+    val hexMap = weights.map { case (k, v) => k -> fracHex(v) }
+    val fl = coalesce(element_at(typedLit(floorMap), col(sourceCol)),
+      lit(math.floor(defaultWeight).toLong))
+    val fx = coalesce(element_at(typedLit(hexMap), col(sourceCol)),
+      lit(fracHex(defaultWeight)))
+    val extra = (substring(md5(col(idCol).cast("string").cast("binary")), 1, 8) < fx)
+      .cast("long")
+    docs.select(col(idCol).as("doc_id"), col(sourceCol).as("source"),
+        (fl + extra).cast("int").as("__copies"))
+      .filter(col("__copies") >= 1)
+      .select(col("doc_id"), col("source"),
+        explode(expr("sequence(1, __copies)")).as("epoch"))
+      .orderBy("doc_id", "epoch")
+  }
+
+  /** Per-group heavy hitters: the top `k` terms of each group (corpus
+    * vocabulary discovery, per-language stopword lists, domain-term
+    * profiling). Shape: the heavy lifting is the two-level hash
+    * aggregate — (group, word) counts with map-side combine — whose
+    * output is vocabulary-bounded (Heaps' law), NOT corpus-bounded;
+    * the rank window then runs on that small aggregated frame, so the
+    * few-groups-many-rows skew that makes naive per-group top-k
+    * explode never reaches the window. Ties break on term asc —
+    * deterministic across engines. */
+  def topTermsPerGroup(docs: DataFrame, groupCol: String, textCol: String,
+                       k: Int = 10): DataFrame = {
+    require(k >= 1)
+    val tok = docs.select(col(groupCol).as("grp"),
+      explode(split(trim(col(textCol)), "\\s+")).as("term"))
+    val cnt = tok.groupBy("grp", "term").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("grp").orderBy(col("n").desc, col("term").asc)
+    cnt.withColumn("term_rank", row_number().over(w)).filter(col("term_rank") <= k)
+      .select(col("grp"), col("term"), col("n"), col("term_rank"))
+      .orderBy("grp", "term_rank")
+  }
+
   /** Per-source (domain) curation rollup: document count, size, exact
     * duplicate-text rate, and a keep flag (C4-style domain filtering —
     * drop tiny or heavily-duplicated sources). The md5 digest stands in

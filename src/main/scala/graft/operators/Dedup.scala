@@ -60,6 +60,24 @@ object Dedup {
     ex.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
+  /** (doc_id, band, bh) exploded LSH band keys off a shingle frame —
+    * the candidate-generation key both `minhashPairs` (self-join) and
+    * `dedupIncremental` (incoming × existing join) shuffle on. */
+  private def bandedKeys(sh: DataFrame, numHashes: Int, bands: Int,
+                         portableMd5: Boolean): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sig = withMinhashSignature(sh, numHashes, portableMd5)
+    val bandCols = (0 until bands).map { b =>
+      val cols = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
+      if (portableMd5) md5(concat_ws("|", lit(b) +: cols: _*).cast("binary")).as(s"band_$b")
+      else hash(lit(b) +: cols: _*).as(s"band_$b")
+    }
+    sig.select(col("doc_id") +: bandCols: _*)
+      .select(col("doc_id"),
+        posexplode(array((0 until bands).map(b => col(s"band_$b")): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+  }
+
   /** MinHash-LSH candidate pairs + exact Jaccard verification.
     * Bands of `rowsPerBand` signature values hash to a band key;
     * docs sharing any band key become candidates (shuffle carries
@@ -83,7 +101,6 @@ object Dedup {
                    threshold: Double = 0.5, shingleK: Int = 3,
                    portableMd5: Boolean = false,
                    bandBucketCap: Int = Int.MaxValue): DataFrame = {
-    val rowsPerBand = numHashes / bands
     // NOT cached: the shingle frame is a narrow projection off the doc
     // scan — recomputing it for the signature pass and the two survivor
     // joins is scan-bound work, whereas pinning corpus-sized shingle
@@ -91,21 +108,12 @@ object Dedup {
     // fresh cache entry per call (each call builds a new plan; nothing
     // ever unpersists it — a long-lived session accumulates them).
     val sh = shingleDocs(docs, idCol, textCol, shingleK)
-    val sig = withMinhashSignature(sh, numHashes, portableMd5)
-    val bandCols = (0 until bands).map { b =>
-      val cols = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
-      if (portableMd5) md5(concat_ws("|", lit(b) +: cols: _*).cast("binary")).as(s"band_$b")
-      else hash(lit(b) +: cols: _*).as(s"band_$b")
-    }
     // Scalars only through the candidate join + dedup: shingle arrays
     // in the band frame would (a) bloat the shuffle ~50× and (b) force
     // sort-based aggregation in the pair dedup (array agg buffers are
     // not mutable) — measured 8–97 s vs ~1 s at 5k docs. The sets are
     // re-joined afterwards for the (few) surviving candidates.
-    val banded = sig.select(col("doc_id") +: bandCols: _*)
-    val exploded = banded.select(col("doc_id"),
-      posexplode(array((0 until bands).map(b => col(s"band_$b")): _*)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+    val exploded = bandedKeys(sh, numHashes, bands, portableMd5)
     val cands = (if (bandBucketCap == Int.MaxValue) {
       exploded.as("a").join(exploded.as("b"),
           col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
@@ -408,5 +416,114 @@ object Dedup {
         "raise maxRounds to proceed")
     labels.select(col("node"), col("label").as("cluster_id"),
       (col("node") === col("label")).cast("int").as("is_survivor"))
+  }
+
+  /** Span-level (sub-document) dedup — the CCNet-paragraph / C4-span
+    * procedure: chop each document into non-overlapping `spanLen`-word
+    * spans, keep only the globally FIRST occurrence of each span text
+    * (first in deterministic (doc_id, span_idx) order), and reassemble
+    * every document from its surviving spans. Boilerplate repeated
+    * across documents (headers, navigation, license blocks) disappears
+    * corpus-wide while each document keeps its unique content.
+    *
+    * Output per doc: (doc_id, n_spans, n_kept, dedup_text).
+    *
+    * Shape: span chop is a per-row expression (scan-parallel); the
+    * first-occurrence decision is a partial+final hash aggregate of
+    * min(struct(doc_id, span_idx)) keyed by span text — map-side
+    * combine collapses a span repeated 10⁹× before the shuffle, so a
+    * mega-duplicated boilerplate span costs one row per map task, not
+    * a sorted 10⁹-row window group (deliberately NOT row_number over a
+    * span-partitioned window, which would sort every hot group on one
+    * reducer). The keep verdict joins back on the same span key —
+    * shuffle-aligned with the aggregate, and AQE splits any residual
+    * hot key. Reassembly is one hash agg by doc_id. At 100 TB the
+    * shuffle key should be the span's 128-bit digest rather than its
+    * text; text keys keep this variant verbatim-recomputable by the
+    * DuckDB oracle (the md5-twin trade). */
+  def dedupSpans(docs: DataFrame, idCol: String, textCol: String,
+                 spanLen: Int = 5): DataFrame = {
+    require(spanLen >= 1, s"spanLen must be >= 1, got $spanLen")
+    val tok = docs.select(col(idCol).as("doc_id"),
+      split(trim(col(textCol)), "\\s+").as("__w"))
+    val spans = tok.select(col("doc_id"),
+        posexplode(expr(
+          s"""transform(sequence(1, (size(__w) + ${spanLen - 1}) div $spanLen),
+             |          i -> concat_ws(' ', slice(__w, (i - 1) * $spanLen + 1, $spanLen)))""".stripMargin)))
+      .select(col("doc_id"), (col("pos") + 1).as("span_idx"), col("col").as("span"))
+    val first = spans.groupBy("span")
+      .agg(min(struct(col("doc_id"), col("span_idx"))).as("__first"))
+    val marked = spans.join(first, Seq("span"))
+      .withColumn("keep",
+        (struct(col("doc_id"), col("span_idx")) === col("__first")).cast("int"))
+    marked.groupBy("doc_id").agg(
+        count(lit(1)).cast("int").as("n_spans"),
+        sum("keep").cast("int").as("n_kept"),
+        concat_ws(" ", transform(
+          sort_array(collect_list(when(col("keep") === 1,
+            struct(col("span_idx"), col("span"))))),
+          s => s.getField("span"))).as("dedup_text"))
+      .orderBy("doc_id")
+  }
+
+  /** Exact all-pairs embedding cosine pairs — the PROOF twin of
+    * `embeddingPairs` (the role the md5 variants play for minhash/
+    * simhash): no LSH, no sampling, every pair ≥ `minCosine` by direct
+    * computation, verbatim recomputable by a SQL oracle. O(n²) BY
+    * DESIGN — run it on bounded slices (eval sets, per-cluster members,
+    * test corpora), never the full corpus; `embeddingPairs` (LSH) and
+    * `semanticPairs` (IVF cells) are the 100 TB paths whose recall is
+    * measured against this. */
+  def embeddingPairsExact(emb: DataFrame, idCol: String, vecCol: String,
+                          minCosine: Double = 0.95): DataFrame = {
+    val v = emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("f"))
+    v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+              round(VectorOps.cosine(col("a.f"), col("b.f")), 6).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Incremental corpus dedup — the continuous-refresh shape: dedup an
+    * INCOMING batch against an EXISTING corpus without ever generating
+    * existing×existing pairs. An incoming doc is dropped iff (a) its
+    * exact content digest already exists, or (b) it has a verified
+    * near-dup (banded-minhash candidate + exact Jaccard ≥ `threshold`)
+    * in the existing corpus. Intra-batch duplicates are deliberately
+    * NOT handled here — run `dedupCorpus` on the batch first; keeping
+    * the two steps separate keeps each one's oracle exact.
+    *
+    * Shape: the existing side's signatures/band keys are recomputed
+    * here for self-containment, but in production they are the stored
+    * dedup index (computed once when each doc was admitted) — the
+    * per-batch cost is then O(|incoming|) signature work plus a
+    * band-key join whose left side is batch-sized, which is what makes
+    * daily refresh of a 100 TB corpus affordable. The digest anti-join
+    * shuffles 128-bit digests only; both anti-joins are AQE-sized. */
+  def dedupIncremental(existing: DataFrame, incoming: DataFrame,
+                       idCol: String, textCol: String,
+                       numHashes: Int = 16, bands: Int = 8,
+                       threshold: Double = 0.1, shingleK: Int = 3,
+                       portableMd5: Boolean = false): DataFrame = {
+    val exDigests = existing
+      .select(md5(col(textCol).cast("binary")).as("__digest")).distinct()
+    val shEx = shingleDocs(existing, idCol, textCol, shingleK)
+    val shIn = shingleDocs(incoming, idCol, textCol, shingleK)
+    val bEx = bandedKeys(shEx, numHashes, bands, portableMd5)
+      .select(col("band"), col("bh"), col("doc_id").as("ex_id"))
+    val cands = bandedKeys(shIn, numHashes, bands, portableMd5)
+      .join(bEx, Seq("band", "bh"))
+      .select(col("doc_id"), col("ex_id")).dropDuplicates("doc_id", "ex_id")
+    val withSets = cands
+      .join(shIn.select(col("doc_id"), col("shingles").as("sa")), "doc_id")
+      .join(shEx.select(col("doc_id").as("ex_id"), col("shingles").as("sb")), "ex_id")
+    val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
+    val uni = (size(col("sa")) + size(col("sb"))).cast("double") - inter
+    val nearHits = withSets.filter(round(inter / uni, 6) >= threshold)
+      .select(col("doc_id").as(idCol)).distinct()
+    incoming.withColumn("__digest", md5(col(textCol).cast("binary")))
+      .join(exDigests, Seq("__digest"), "left_anti")
+      .drop("__digest")
+      .join(nearHits, Seq(idCol), "left_anti")
   }
 }

@@ -185,4 +185,47 @@ class CorpusSpec extends AnyFunSuite {
     assert(out(2L) == ((13, 0, 0)))             // 20 words → 13 8-grams, none shared
     assert(out(3L) == ((0, 0, 0)))              // too short: no shingles, clean
   }
+
+  // ---- data mixing -----------------------------------------------------
+
+  test("mixDomains: integer weights copy exactly, zero drops, default is 1") {
+    val df = (1 to 10).map(i => (i.toLong, if (i <= 4) "A" else if (i <= 7) "C" else "D"))
+      .toDF("doc_id", "source")
+    val out = Corpus.mixDomains(df, "doc_id", "source",
+        Map("A" -> 2.0, "C" -> 0.0), defaultWeight = 1.0)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    val byDoc = out.groupBy(_._1).view.mapValues(_.map(_._3).sorted.toSeq).toMap
+    (1 to 4).foreach(i => assert(byDoc(i.toLong) == Seq(1, 2), s"doc $i: ${byDoc.get(i.toLong)}"))
+    (5 to 7).foreach(i => assert(!byDoc.contains(i.toLong), s"dropped source leaked doc $i"))
+    (8 to 10).foreach(i => assert(byDoc(i.toLong) == Seq(1), s"doc $i: ${byDoc.get(i.toLong)}"))
+  }
+
+  test("mixDomains: fractional weight gives floor or floor+1 copies, deterministically") {
+    val df = (1 to 200).map(i => (i.toLong, "B")).toDF("doc_id", "source")
+    val run = () => Corpus.mixDomains(df, "doc_id", "source", Map("B" -> 1.5))
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toSeq
+    val out = run()
+    val copies = out.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(copies.values.forall(c => c == 1 || c == 2))
+    val frac = copies.values.count(_ == 2).toDouble / copies.size
+    assert(frac > 0.3 && frac < 0.7, s"fractional keep ratio $frac far from 0.5")
+    assert(run() == out, "mix must be bit-deterministic across runs")
+    // epochs are contiguous from 1
+    assert(out.groupBy(_._1).values.forall(es => es.map(_._2).sorted == (1 to es.size)))
+  }
+
+  // ---- heavy hitters ---------------------------------------------------
+
+  test("topTermsPerGroup ranks by count desc then term asc, capped at k") {
+    val df = Seq(
+      (1L, "en", "x x x y y z"),
+      (2L, "en", "y z2 z2"),
+      (3L, "fr", "le le la"))
+      .toDF("doc_id", "lang", "text")
+    val out = Corpus.topTermsPerGroup(df, "lang", "text", k = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    assert(out.toSeq == Seq(
+      ("en", "x", 3L, 1), ("en", "y", 3L, 2),   // tie 3-3 → term asc
+      ("fr", "le", 2L, 1), ("fr", "la", 1L, 2)))
+  }
 }

@@ -317,4 +317,73 @@ class DedupSpec extends AnyFunSuite {
     val hotPairs = pairs.filter(col("id_a") >= 1000L && col("id_b") >= 1000L).count()
     assert(hotPairs <= 28, s"hot cell not capped: $hotPairs pairs")
   }
+
+  // ---- span-level dedup ------------------------------------------------
+
+  test("dedupSpans drops repeated spans globally, keeps first occurrence") {
+    val boiler = "nav home about contact legal"   // one exact 5-word span
+    val df = Seq(
+      (1L, boiler + " " + "u1 u2 u3 u4 u5"),
+      (2L, boiler + " " + "v1 v2 v3 v4 v5"),      // boilerplate span repeated
+      (3L, "w1 w2 w3 w4 w5 w6 w7"))               // 5 + 2-word tail spans
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupSpans(df, "doc_id", "text", spanLen = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(out(1L) == ((2, 2, boiler + " u1 u2 u3 u4 u5")))
+    assert(out(2L) == ((2, 1, "v1 v2 v3 v4 v5")), "doc 2 must lose the boilerplate span")
+    assert(out(3L) == ((2, 2, "w1 w2 w3 w4 w5 w6 w7")), "short tail span is its own span")
+  }
+
+  test("dedupSpans: exact-dup doc loses every span; first doc keeps all") {
+    val text = (1 to 12).map(i => s"t$i").mkString(" ")
+    val df = Seq((10L, text), (20L, text)).toDF("doc_id", "text")
+    val out = Dedup.dedupSpans(df, "doc_id", "text", spanLen = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(out(10L) == ((3, 3, text)))
+    assert(out(20L) == ((3, 0, "")), "later exact dup must reassemble to empty")
+  }
+
+  // ---- exact embedding pairs (proof twin) ------------------------------
+
+  test("embeddingPairsExact finds exactly the >=threshold pairs") {
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.05f)),  // cos ≈ 0.99875
+      (3L, Seq(0.0f, 1.0f)),                            // ⊥ to 1, 2
+      (4L, Seq(-1.0f, 0.0f)))                           // cos(1,4) = −1
+      .toDF("vec_id", "embedding")
+    val got = Dedup.embeddingPairsExact(df, "vec_id", "embedding", minCosine = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L)))
+  }
+
+  test("LSH embeddingPairs is a subset of exact pairs at the same threshold") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val exact = Dedup.embeddingPairsExact(emb, "vec_id", "embedding", minCosine = 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.embeddingPairs(emb, "vec_id", "embedding", minCosine = 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), s"LSH emitted non-pairs: ${lsh.diff(exact).take(5)}")
+    assert(lsh.nonEmpty, "LSH found nothing at the corpus' natural threshold")
+  }
+
+  // ---- incremental dedup ----------------------------------------------
+
+  test("dedupIncremental drops exact and near hits vs existing, keeps fresh docs") {
+    val existing = corpus  // 40 distinct + planted dups, ids < 201
+    val exactText = corpus.filter(col("doc_id") === 10L).head.getString(1)
+    val nearWords = corpus.filter(col("doc_id") === 20L).head.getString(1).split(" ")
+    nearWords(5) = "CHANGED"
+    val incoming = Seq(
+      (1000L, exactText),                      // exact dup of existing 10
+      (1001L, nearWords.mkString(" ")),        // near dup of existing 20
+      (1002L, (1 to 30).map(i => s"fresh$i").mkString(" ")), // novel
+      (1003L, (1 to 30).map(i => s"fresh$i").mkString(" "))) // intra-batch dup: kept
+      .toDF("doc_id", "text")
+    val kept = Dedup.dedupIncremental(existing, incoming, "doc_id", "text",
+        numHashes = 32, bands = 16, threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1002L, 1003L), s"got $kept")
+  }
 }
