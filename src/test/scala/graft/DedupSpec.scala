@@ -345,6 +345,20 @@ class DedupSpec extends AnyFunSuite {
     assert(out(20L) == ((3, 0, "")), "later exact dup must reassemble to empty")
   }
 
+  test("skew: dedupSpans — one span repeated across 2000 docs stays bounded and exact") {
+    val boiler = "cookie banner accept all terms"
+    val docs = (0 until 2000).map(i =>
+      (i.toLong, boiler + s" unique$i a$i b$i c$i d$i")).toDF("doc_id", "text")
+    val out = Dedup.dedupSpans(docs, "doc_id", "text", spanLen = 5)
+    assert(out.count() == 2000)
+    // only doc 0 keeps the boilerplate span; everyone keeps their tail
+    val kept = out.select("doc_id", "n_kept").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(kept(0L) == 2 && kept(1L) == 1 && kept(1999L) == 1)
+    val d5 = out.filter(col("doc_id") === 5L).head.getString(3)
+    assert(d5 == "unique5 a5 b5 c5 d5")
+  }
+
   // ---- exact embedding pairs (proof twin) ------------------------------
 
   test("embeddingPairsExact finds exactly the >=threshold pairs") {

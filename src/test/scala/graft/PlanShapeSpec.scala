@@ -91,6 +91,35 @@ class PlanShapeSpec extends AnyFunSuite {
       "bucketed corpus must join straight off the bucketed scan")
   }
 
+  test("span dedup: first-occurrence pick is a hash agg — no span-partitioned window sort") {
+    // the PLANS.md skew claim: a boilerplate span repeated 10⁹× must
+    // map-side combine in a partial aggregate, not sort as one window
+    // group on a single reducer — so the plan may not contain a Window
+    // over the span key at all
+    val plan = planOf("q_span_dedup")
+    assert(!plan.contains("Window"), s"span dedup regressed to a window:\n${plan.take(1200)}")
+    assert(plan.contains("HashAggregate") || plan.contains("ObjectHashAggregate"),
+      plan.take(800))
+  }
+
+  test("domain mixing is scan-side: no hash exchange anywhere in the plan") {
+    // weight lookup is a literal map, the epoch copy a per-row explode —
+    // the only exchange allowed is the presentation orderBy's range
+    // partitioning
+    val plan = planOf("q_mix_domains")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"mixDomains grew a shuffle:\n${plan.take(1200)}")
+  }
+
+  test("per-group top terms: rank window runs above the aggregate, not the token stream") {
+    val plan = planOf("q_top_terms")
+    val win = plan.indexOf("Window")
+    val agg = plan.indexOf("HashAggregate")
+    assert(win >= 0 && agg >= 0, plan.take(800))
+    assert(win < agg,
+      s"window must consume the vocabulary-bounded aggregate, not raw tokens:\n${plan.take(1200)}")
+  }
+
   test("corpus dedup anti join: AQE converts to broadcast at runtime") {
     // the drop list sits behind connectedComponents' localCheckpoint, so
     // Catalyst has NO size stats and statically plans sort-merge — the
