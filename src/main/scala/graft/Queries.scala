@@ -1703,6 +1703,60 @@ object Queries {
            | CAST((end_tok - n_tokens) % 512 AS INT) AS seq_offset
            |FROM c ORDER BY doc_id""".stripMargin))
 
+  /** DuckDB cosine between two list expressions — the shared oracle
+    * formulation (left-to-right sums, zero-norm guard) that matches
+    * `VectorOps.cosine` bit-for-bit. */
+  private def duckCosine(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"list_sum(list_transform(list_zip($x, $y), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    s"CASE WHEN sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}) > 0 " +
+      s"THEN ${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})) ELSE 0.0 END"
+  }
+
+  /** Semantic dedup, grid-cell ORACLE-PROOF twin of `dedup_semantic`:
+    * deterministic grid cells over the first 2 unit-normalized
+    * components replace the k-means coarse quantizer, so cell
+    * assignment, the md5-order cellCap, within-cell exact cosine AND
+    * the transitive closure are all independently re-derived by the
+    * oracle (k-means cells stay the production path — they adapt to
+    * density; the grid is the provable stand-in, as `portableMd5` is
+    * for minhash). Same 0.3 threshold as `dedup_semantic` (this
+    * corpus' natural cosine tail). */
+  private val qDedupSemanticGrid = {
+    val (gridDims, g, thr, cap) = (2, 0.25, 0.3, 64)
+    val cellSql = (1 to gridDims).map(d =>
+      s"CAST(CAST(floor(CAST(f[$d] AS DOUBLE) / n / $g) AS BIGINT) AS VARCHAR)")
+      .mkString("concat_ws(',', ", ", ", ")")
+    Q(
+      "dedup_semantic_grid",
+      (s, d) => operators.Dedup.semanticDedupGrid(
+        Tables.embeddings(s, d), "vec_id", "embedding",
+        gridDims = gridDims, gridSize = g, minCosine = thr, cellCap = cap),
+      Some(s"""WITH RECURSIVE v AS (SELECT vec_id AS id, embedding AS f,
+           |  sqrt(list_sum(list_transform(list_zip(embedding, embedding),
+           |       p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))) AS n
+           | FROM embeddings),
+           |a AS (SELECT id, f, $cellSql AS cell FROM v WHERE n > 0),
+           |c AS (SELECT id, f, cell,
+           |  row_number() OVER (PARTITION BY cell ORDER BY md5(CAST(id AS VARCHAR)), id) AS rn FROM a),
+           |k AS (SELECT id, f, cell FROM c WHERE rn <= $cap),
+           |pairs AS (SELECT x.id AS id_a, y.id AS id_b
+           | FROM k x JOIN k y ON x.cell = y.cell AND x.id < y.id
+           | WHERE round(${duckCosine("x.f", "y.f")}, 6) >= $thr),
+           |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+           |          UNION SELECT id_b, id_a FROM pairs),
+           |reach(node, label) AS (
+           | SELECT src, src FROM edges
+           | UNION
+           | SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node),
+           |cc AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node)
+           |SELECT e.vec_id AS id, coalesce(cc.cluster_id, e.vec_id) AS cluster_id,
+           | CAST(CASE WHEN cc.node IS NULL OR cc.node = cc.cluster_id
+           |      THEN 1 ELSE 0 END AS INT) AS is_survivor
+           |FROM embeddings e LEFT JOIN cc ON e.vec_id = cc.node
+           |ORDER BY id""".stripMargin))
+  }
+
   /** Span-level (CCNet-paragraph / C4-span) dedup: 5-word spans,
     * global first-occurrence keep, documents reassembled from
     * surviving spans. Chop, first-pick (min-struct hash agg — no
@@ -1821,6 +1875,64 @@ object Queries {
            |ORDER BY doc_id""".stripMargin))
   }
 
+  /** Writer-side packing manifest: per (shard, sequence) doc counts,
+    * id range and token fill — the cumsum, range explode and interval
+    * intersection all re-derived by the oracle. */
+  private val qPackManifest = Q(
+    "q_pack_manifest",
+    (s, d) => operators.Corpus.packManifest(
+      Tables.documents(s, d), "doc_id", "text", "source", seqLen = 512),
+    Some("""WITH t AS (SELECT doc_id, source AS shard,
+           |  CASE WHEN coalesce(trim(text), '') = '' THEN CAST(0 AS BIGINT)
+           |       ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+           |  END AS n_tokens
+           | FROM documents),
+           |c AS (SELECT doc_id, shard, n_tokens,
+           |  sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+           |                      ROWS UNBOUNDED PRECEDING) AS end_tok
+           | FROM t),
+           |p AS (SELECT doc_id, shard, n_tokens,
+           |  CAST(end_tok - n_tokens AS BIGINT) AS start_tok,
+           |  CAST((end_tok - n_tokens) // 512 AS BIGINT) AS seq_first,
+           |  CAST((end_tok - 1) // 512 AS BIGINT) AS seq_last
+           | FROM c WHERE n_tokens > 0),
+           |m AS (SELECT shard, doc_id, n_tokens, start_tok,
+           |  unnest(generate_series(seq_first, seq_last)) AS seq_id FROM p)
+           |SELECT shard, CAST(seq_id AS INT) AS seq_id,
+           | CAST(count(*) AS INT) AS n_docs,
+           | min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+           | CAST(sum(least(start_tok + n_tokens, (seq_id + 1) * 512)
+           |        - greatest(start_tok, seq_id * 512)) AS BIGINT) AS n_fill
+           |FROM m GROUP BY shard, seq_id ORDER BY shard, seq_id""".stripMargin))
+
+  /** CCNet-proper held-out LM scoring: unigram LM fit on the held-out
+    * tenth (doc_id % 10 = 0, the decontamination eval-set convention),
+    * add-one smoothing, every other doc scored by cross-entropy
+    * against it. LM fit, smoothing floor, OOV handling and the per-doc
+    * rollup all re-derived by the oracle. */
+  private val qLmCrossEntropy = Q(
+    "q_lm_crossentropy",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      operators.Corpus.lmCrossEntropy(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text")
+    },
+    Some("""WITH rtok AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+           |  FROM documents WHERE doc_id % 10 = 0),
+           |freq AS (SELECT w, count(*) AS wn FROM rtok GROUP BY w),
+           |st AS (SELECT sum(wn) AS n_ref, count(*) AS v_ref FROM freq),
+           |tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+           |  FROM documents WHERE doc_id % 10 <> 0),
+           |lp AS (SELECT doc_id,
+           |   ln(CAST(coalesce(wn, 0) + 1 AS DOUBLE)
+           |      / CAST(n_ref + v_ref + 1 AS DOUBLE)) AS lp
+           |  FROM tok LEFT JOIN freq USING (w) CROSS JOIN st)
+           |SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
+           | round(-avg(lp), 6) AS cross_entropy
+           |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
   // =====================================================================
   // All declared queries, in SURVEY §2 order
   // =====================================================================
@@ -1840,11 +1952,13 @@ object Queries {
     qDedupMinhash, qDedupMinhashMd5, qDedupMinhashMd5Capped,
     qDedupSimhash, qDedupSimhashMd5,
     qDedupClusters, qCorpusDedup, qSpanDedup, qDedupIncremental,
-    qDedupEmbedding, qDedupEmbeddingExact, qDedupSemantic, qMediaFeatures,
+    qDedupEmbedding, qDedupEmbeddingExact, qDedupSemantic,
+    qDedupSemanticGrid, qMediaFeatures,
     qMixDomains, qTopTerms,
     qSessionize, qSessionizeStream, qScoreStream, qAsofJoin, qRangeJoin,
     qGopherQuality, qSampleStratified, qDomainFilter, qDecontaminate,
-    qDupNgrams, qUnigramLogprob, qPackSequences,
+    qDupNgrams, qUnigramLogprob, qLmCrossEntropy,
+    qPackSequences, qPackManifest,
     qScalerFit, qMlPreproc, qMlPcaRecon, qMlIforest, qMlLof, qMlEnsemble,
     qMlSplit, qScoreFallback)
 }

@@ -313,6 +313,69 @@ object Corpus {
       .orderBy("grp", "term_rank")
   }
 
+  /** The writer-side view of `packSequences`: one row per (shard,
+    * sequence) with how many documents it holds, the id range, and its
+    * token fill level — what a training-shard writer needs to emit
+    * fixed-length sequence files (and what an auditor reads to check
+    * fill: every sequence is exactly `seqLen` full except each shard's
+    * last). Zero-token docs occupy nothing and are excluded.
+    *
+    * Shape: `packSequences`' one windowed cumsum, then a per-row
+    * explode of each doc's [seq_first, seq_last] range (a doc touches
+    * ⌈len/seqLen⌉+1 sequences at most — bounded fan-out), then one
+    * hash agg on (shard, seq_id). No new global ordering appears. */
+  def packManifest(docs: DataFrame, idCol: String, textCol: String,
+                   shardCol: String, seqLen: Int): DataFrame = {
+    val L = lit(seqLen.toLong)
+    val packed = packSequences(docs, idCol, textCol, shardCol, seqLen)
+      .filter(col("n_tokens") > 0)
+    packed.select(col("shard"), col("doc_id"),
+        col("n_tokens").cast("long").as("n_tokens"), col("start_tok"),
+        explode(expr("sequence(seq_first, seq_last)")).as("seq_id"))
+      .withColumn("fill",
+        least(col("start_tok") + col("n_tokens"), (col("seq_id").cast("long") + 1L) * L)
+          - greatest(col("start_tok"), col("seq_id").cast("long") * L))
+      .groupBy("shard", "seq_id")
+      .agg(count(lit(1)).cast("int").as("n_docs"),
+           min("doc_id").as("first_doc"), max("doc_id").as("last_doc"),
+           sum("fill").cast("long").as("n_fill"))
+      .orderBy("shard", "seq_id")
+  }
+
+  /** CCNet-proper language-model quality scoring: the LM is fit on a
+    * held-out REFERENCE corpus (CCNet uses Wikipedia; here the caller
+    * passes the reference frame), not on the corpus being scored —
+    * so quality means "looks like the reference", and out-of-vocabulary
+    * words must be handled: add-one smoothing,
+    * P(w) = (c_ref(w) + 1) / (N_ref + V_ref + 1), with unseen words
+    * getting the floor 1 / (N_ref + V_ref + 1). Output per doc: token
+    * count and mean negative log-likelihood (cross-entropy, nats —
+    * lower = more reference-like).
+    *
+    * Shape: one agg fits the reference LM (shuffle carries (word,
+    * count)); N/V ride a 1-row broadcast; scoring is a LEFT join of
+    * the corpus token stream to the LM (AQE broadcasts a small vocab,
+    * shuffles otherwise) + one per-doc agg. Same posture as
+    * `unigramLogprob`, plus the smoothing floor that makes a disjoint
+    * vocabulary score finite. */
+  def lmCrossEntropy(corpus: DataFrame, reference: DataFrame,
+                     idCol: String, textCol: String): DataFrame = {
+    val tok = corpus.select(col(idCol).as("doc_id"),
+      explode(split(trim(col(textCol)), "\\s+")).as("w"))
+    val freq = reference.select(explode(split(trim(col(textCol)), "\\s+")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wn"))
+    val stats = freq.agg(sum("wn").as("n_ref"), count(lit(1)).as("v_ref"))
+    tok.join(freq, Seq("w"), "left")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        log((coalesce(col("wn"), lit(0L)) + lit(1L)).cast("double")
+          / (col("n_ref") + col("v_ref") + lit(1L)).cast("double")).as("__lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_tokens"),
+           round(-avg(col("__lp")), 6).as("cross_entropy"))
+      .orderBy("doc_id")
+  }
+
   /** Per-source (domain) curation rollup: document count, size, exact
     * duplicate-text rate, and a keep flag (C4-style domain filtering —
     * drop tiny or heavily-duplicated sources). The md5 digest stands in

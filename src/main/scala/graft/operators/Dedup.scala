@@ -418,6 +418,49 @@ object Dedup {
       (col("node") === col("label")).cast("int").as("is_survivor"))
   }
 
+  /** Semantic dedup, ORACLE-PORTABLE variant — the coarse partitioner
+    * is a deterministic GRID over the first `gridDims` components of
+    * the unit-normalized vector (cell d = ⌊u_d / gridSize⌋) instead of
+    * k-means cells, so the whole pipeline — normalization, cell
+    * assignment, the md5-order `cellCap`, within-cell exact cosine,
+    * and the transitive closure — is recomputable verbatim in SQL.
+    * Same approximation contract as `semanticDedup`: only within-cell
+    * pairs are compared (straddling a grid boundary costs recall,
+    * exactly as straddling a k-means Voronoi face does), and the
+    * deterministic cap bounds the per-cell quadratic term. k-means
+    * cells adapt to density and stay the production path; the grid is
+    * the proof twin (the role `portableMd5` plays for minhash). */
+  def semanticDedupGrid(emb: DataFrame, idCol: String, vecCol: String,
+                        gridDims: Int = 2, gridSize: Double = 0.25,
+                        minCosine: Double = 0.95,
+                        cellCap: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(gridDims >= 1 && gridSize > 0)
+    val v = emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("f"))
+      .withColumn("__n", sqrt(VectorOps.dot(col("f"), col("f"))))
+      .filter(col("__n") > 0)
+    val cell = concat_ws(",", (1 to gridDims).map(d =>
+      floor(element_at(col("f"), d) / col("__n") / lit(gridSize))
+        .cast("long").cast("string")): _*)
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(md5(col("id").cast("string").cast("binary")), col("id"))
+    val capped = v.withColumn("cell", cell)
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= cellCap)
+    val pairs = capped.as("a").join(capped.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+              round(VectorOps.cosine(col("a.f"), col("b.f")), 6).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+    val cc = connectedComponents(pairs, "id_a", "id_b")
+      .withColumnRenamed("node", "id")
+    emb.select(col(idCol).as("id")).join(cc, Seq("id"), "left")
+      .select(col("id"),
+              coalesce(col("cluster_id"), col("id")).as("cluster_id"),
+              coalesce(col("is_survivor"), lit(1)).as("is_survivor"))
+      .orderBy("id")
+  }
+
   /** Span-level (sub-document) dedup — the CCNet-paragraph / C4-span
     * procedure: chop each document into non-overlapping `spanLen`-word
     * spans, keep only the globally FIRST occurrence of each span text

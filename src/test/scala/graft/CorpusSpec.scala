@@ -186,6 +186,44 @@ class CorpusSpec extends AnyFunSuite {
     assert(out(3L) == ((0, 0, 0)))              // too short: no shingles, clean
   }
 
+  // ---- packing manifest ------------------------------------------------
+
+  test("packManifest: hand-checked fills, every non-final sequence exactly full") {
+    val df = Seq(
+      (1L, "A", "t1 t2 t3 t4 t5"),       // 5 tokens: seqs 0 (4) + 1 (1)
+      (2L, "A", "u1 u2 u3 u4"),          // 4 tokens: seqs 1 (3) + 2 (1)
+      (3L, "B", "v1 v2"))                // 2 tokens: seq 0 (2)
+      .toDF("doc_id", "shard", "text")
+    val out = Corpus.packManifest(df, "doc_id", "text", "shard", seqLen = 4)
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getInt(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out(("A", 0)) == ((1, 1L, 1L, 4L)))
+    assert(out(("A", 1)) == ((2, 1L, 2L, 4L)), "boundary-spanning seq holds both docs")
+    assert(out(("A", 2)) == ((1, 2L, 2L, 1L)))
+    assert(out(("B", 0)) == ((1, 3L, 3L, 2L)))
+    // invariant: within each shard every sequence but the last is full
+    out.keys.map(_._1).foreach { sh =>
+      val seqs = out.filter(_._1._1 == sh).toSeq.sortBy(_._1._2)
+      seqs.dropRight(1).foreach { case (k, v) =>
+        assert(v._4 == 4L, s"non-final sequence $k not full: $v") }
+    }
+  }
+
+  // ---- held-out LM scoring ---------------------------------------------
+
+  test("lmCrossEntropy: hand-checked add-one smoothing and OOV floor") {
+    val ref = Seq((100L, "a a b")).toDF("doc_id", "text")     // N=3, V=2
+    val corpus = Seq((1L, "a c"), (2L, "a a")).toDF("doc_id", "text")
+    val out = Corpus.lmCrossEntropy(corpus, ref, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+    // P(a) = 3/6, P(c OOV) = 1/6
+    val exp1 = -(math.log(3.0 / 6) + math.log(1.0 / 6)) / 2
+    val exp2 = -math.log(3.0 / 6)
+    assert(out(1L)._1 == 2 && math.abs(out(1L)._2 - exp1) < 1e-6)
+    assert(math.abs(out(2L)._2 - exp2) < 1e-6)
+    assert(out(2L)._2 < out(1L)._2, "reference-like doc must score lower")
+  }
+
   // ---- data mixing -----------------------------------------------------
 
   test("mixDomains: integer weights copy exactly, zero drops, default is 1") {

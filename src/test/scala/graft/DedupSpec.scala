@@ -382,6 +382,25 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh.nonEmpty, "LSH found nothing at the corpus' natural threshold")
   }
 
+  test("semanticDedupGrid clusters planted near-identical vectors like the k-means path") {
+    val rnd = new scala.util.Random(7)
+    def unitish(): Seq[Float] = Seq.fill(16)(rnd.nextGaussian().toFloat)
+    val base = unitish()
+    val dups = (0 until 3).map(i =>
+      (100L + i, base.map(x => x + (rnd.nextGaussian() * 1e-4).toFloat)))
+    val rest = (0 until 30).map(i => (i.toLong, unitish()))
+    val df = (dups ++ rest).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedupGrid(df, "vec_id", "embedding",
+        gridDims = 2, gridSize = 0.25, minCosine = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val dupRows = out.filter(r => r._1 >= 100L)
+    // near-identical vectors share a grid cell (1e-4 jitter cannot
+    // cross a 0.25-wide bin except at a boundary — seed chosen clear)
+    assert(dupRows.map(_._2).distinct.length == 1, s"planted dups split: ${dupRows.toSeq}")
+    assert(dupRows.count(_._3 == 1) == 1, "exactly one survivor per cluster")
+    assert(out.length == 33 && out.count(_._3 == 1) == 31)
+  }
+
   // ---- incremental dedup ----------------------------------------------
 
   test("dedupIncremental drops exact and near hits vs existing, keeps fresh docs") {
