@@ -37,6 +37,49 @@ object CorpusStream {
       docs.filter(graft.operators.Corpus.langQualityGate(col(textCol))),
       tsCol, textCol, watermark)
 
+  /** Streaming span-level dedup — the streaming twin of
+    * `Dedup.dedupSpans`: chop each arriving document into
+    * non-overlapping `spanLen`-word spans, keep only the first
+    * occurrence of each span text within the watermark horizon
+    * (cross-document AND cross-micro-batch), and reassemble each
+    * document from its surviving spans once the watermark passes its
+    * window.
+    *
+    * Two chained stateful operators, both watermark-bounded:
+    * `dropDuplicatesWithinWatermark` on the span text (state = one
+    * entry per distinct span in the horizon — span hashes, never
+    * documents), then a tumbling-window aggregate keyed by
+    * (doc_id, window) that reassembles surviving spans in span_idx
+    * order and emits on window close (append mode). Keep choice
+    * follows ARRIVAL order, the streaming-native analog of the batch
+    * operator's (doc_id, span_idx) order — the kept-span SET is
+    * identical; which duplicate doc carries a shared span can differ
+    * (StreamingSpec pins the invariants). */
+  def dedupSpansStream(docs: DataFrame, tsCol: String = "ts",
+                       idCol: String = "doc_id", textCol: String = "text",
+                       spanLen: Int = 5, watermark: String = "1 day",
+                       window: String = "1 hour"): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"), col(tsCol).as("__ts"),
+      split(trim(col(textCol)), "\\s+").as("__w"))
+    val spans = tok.select(col("doc_id"), col("__ts"),
+        expr(s"size(__w) + ${spanLen - 1}").as("__szp"),
+        posexplode(expr(
+          s"""transform(sequence(1, (size(__w) + ${spanLen - 1}) div $spanLen),
+             |          i -> concat_ws(' ', slice(__w, (i - 1) * $spanLen + 1, $spanLen)))""".stripMargin)))
+      .select(col("doc_id"), col("__ts"),
+              expr(s"__szp div $spanLen").cast("int").as("n_spans"),
+              (col("pos") + 1).as("span_idx"), col("col").as("span"))
+    spans.withWatermark("__ts", watermark)
+      .dropDuplicatesWithinWatermark("span")
+      .groupBy(col("doc_id"), org.apache.spark.sql.functions.window(col("__ts"), window))
+      .agg(max("n_spans").as("n_spans"),
+           count(lit(1)).cast("int").as("n_kept"),
+           concat_ws(" ", transform(
+             sort_array(collect_list(struct(col("span_idx"), col("span")))),
+             s => s.getField("span"))).as("dedup_text"))
+      .select(col("doc_id"), col("n_spans"), col("n_kept"), col("dedup_text"))
+  }
+
   /** Near-dup streaming heuristic: drop documents whose 64-bit SimHash
     * signature (native codegen expression) collides with an earlier
     * doc in the horizon. Hamming-0 collision ⇒ near-identical token

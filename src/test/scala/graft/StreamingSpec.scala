@@ -231,6 +231,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("streaming span dedup keeps each span once across batches, reassembles docs") {
+    implicit val sc = spark.sqlContext
+    val boiler = "nav home about contact legal"
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val docs = mem.toDF().toDF("doc_id", "ts", "text")
+    val q = graft.streaming.CorpusStream.dedupSpansStream(docs).writeStream
+      .format("memory").queryName("span_out").outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, ts("2024-01-10 10:00:00"), boiler + " u1 u2 u3 u4 u5"),
+        (2L, ts("2024-01-10 10:01:00"), boiler + " v1 v2 v3 v4 v5"))
+      q.processAllAvailable()
+      mem.addData(
+        (3L, ts("2024-01-10 10:30:00"), boiler + " w1 w2 w3 w4 w5"), // later batch: span state hit
+        (4L, ts("2024-01-10 10:31:00"), boiler))                      // all spans dup → vanishes
+      q.processAllAvailable()
+      // advance the watermark far past the 10:00–11:00 window to flush it
+      mem.addData((99L, ts("2024-01-13 00:00:00"), "flush flush2 flush3 flush4 flush5"))
+      q.processAllAvailable()
+      val out = spark.table("span_out")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+      assert(!out.contains(4L), "fully-duplicate doc must vanish")
+      assert(!out.contains(99L), "open-window doc must not emit yet")
+      assert(out(3L) == ((2, 1, "w1 w2 w3 w4 w5")), s"got ${out.get(3L)}")
+      // exactly ONE of docs 1/2 carries the boilerplate span
+      val withBoiler = Seq(1L, 2L).filter(i => out(i)._3.startsWith(boiler))
+      assert(withBoiler.size == 1, s"boilerplate kept ${withBoiler.size} times: $out")
+      val loser = if (withBoiler.head == 1L) 2L else 1L
+      assert(out(withBoiler.head)._2 == 2 && out(loser)._2 == 1)
+      // every distinct span fed within the flushed window appears exactly once
+      val allKept = Seq(1L, 2L, 3L).flatMap(i =>
+        out(i)._3.split(" ").grouped(5).map(_.mkString(" ")))
+      assert(allKept.size == allKept.distinct.size)
+      assert(allKept.toSet == Set(boiler, "u1 u2 u3 u4 u5", "v1 v2 v3 v4 v5", "w1 w2 w3 w4 w5"))
+    } finally q.stop()
+  }
+
   test("windowed profile agg emits watermark-bounded windows") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
