@@ -1260,6 +1260,29 @@ object Queries {
     },
     None)
 
+  /** ANN top-k via product quantization (rows-only) — the MEMORY-bound
+    * scale path (LSH bounds candidates, IVF bounds probes, PQ bounds
+    * bytes/vector: 16 byte-codes replace 64 floats, a 16× corpus-scan
+    * reduction at 100 TB). Vectors are unit-normalized first so the
+    * ADC euclidean ranking is the cosine ranking; SimilaritySpec
+    * measures recall vs brute force. */
+  private val qSimPqTopk = Q(
+    "sim_pq_topk",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("f"))
+        .withColumn("n", sqrt(VectorOps.dot(col("f"), col("f"))))
+        .filter(col("n") > 0)
+        .withColumn("u", graft.functions.ArrayMath.scale(col("f"), lit(1.0) / col("n")))
+        .select(col("vec_id"), col("u"))
+      val model = operators.Pq.fit(e, "vec_id", "u", m = 16, ksub = 16)
+      operators.Pq.topkReranked(
+        operators.Pq.encode(e, "vec_id", "u", model), e,
+        e.filter(col("vec_id") < 10), "vec_id", "u",
+        k = 10, shortlist = 50, model)
+    },
+    None)
+
   /** Multimodal pipeline over the documents table AS binary media
     * (rows-only): text bytes stand in for encoded blobs — the binary/
     * metadata schema, per-partition iterator decode, metadata rewrite
@@ -1949,6 +1972,7 @@ object Queries {
     qTextStats, qLangId, qTokenCount, qTfidfTop, qFingerprint,
     qWinnowFingerprint, qCorpusClean,
     qDedupExact, qNgramJaccard, qSimBruteforce, qSimLshTopk, qSimIvfTopk,
+    qSimPqTopk,
     qDedupMinhash, qDedupMinhashMd5, qDedupMinhashMd5Capped,
     qDedupSimhash, qDedupSimhashMd5,
     qDedupClusters, qCorpusDedup, qSpanDedup, qDedupIncremental,

@@ -86,6 +86,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(viaTable == inMem)
   }
 
+  test("sim_pq_topk recall@10 >= 0.6 vs brute force on sf0.001") {
+    val exact = SparkEntry.queries("q_sim_bruteforce")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = SparkEntry.queries("sim_pq_topk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(s"pq recall@10 = $recall (${(exact & approx).size}/${exact.size})")
+    assert(recall >= 0.6, s"recall $recall too low")
+  }
+
+  test("pq encoding: m codes in [0, ksub), deterministic, dim-compressing") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, sf)
+    val model = graft.operators.Pq.fit(e, "vec_id", "embedding", m = 8, ksub = 16)
+    assert(model.dsub == 8 && model.codebooks.length == 8 &&
+      model.codebooks.forall(_.length == 16))
+    val enc = graft.operators.Pq.encode(e, "vec_id", "embedding", model)
+    val rows = enc.collect()
+    assert(rows.forall(_.getSeq[Int](1).length == 8), "m codes per vector")
+    assert(rows.forall(_.getSeq[Int](1).forall(c => c >= 0 && c < 16)))
+    val again = graft.operators.Pq.encode(e, "vec_id", "embedding", model).collect()
+    assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+    // quantization must actually discriminate: >= 32 distinct code words
+    assert(rows.map(_.getSeq[Int](1)).distinct.size >= 32)
+  }
+
   test("lsh candidates agree with exact distances (cos = 1 - d^2/2 check)") {
     val approx = SparkEntry.queries("sim_lsh_topk")(spark, sf).collect()
     val exactMap = SparkEntry.queries("q_sim_bruteforce")(spark, sf)
