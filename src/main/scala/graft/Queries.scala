@@ -1956,6 +1956,65 @@ object Queries {
            | round(-avg(lp), 6) AS cross_entropy
            |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
+  /** Overlapping sliding-window chunking (RAG / embedding-input
+    * layout): window 8, stride 4, last window clamped. Chunk count,
+    * boundaries and text re-derived by the oracle. */
+  private val qChunkOverlap = {
+    val (w, s) = (8, 4)
+    Q(
+      "q_chunk_overlap",
+      (sp, d) => operators.Corpus.chunkDocs(
+        Tables.documents(sp, d), "doc_id", "text", window = w, stride = s),
+      Some(s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+           |n AS (SELECT doc_id, w,
+           |  CASE WHEN len(w) <= $w THEN 1
+           |       ELSE (len(w) - $w + ${s - 1}) // $s + 1 END AS nc FROM t),
+           |e AS (SELECT doc_id, w, unnest(generate_series(1, nc)) AS chunk_idx FROM n),
+           |c AS (SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           |  array_to_string(list_slice(w, (chunk_idx - 1) * $s + 1,
+           |                             (chunk_idx - 1) * $s + $w), ' ') AS chunk
+           | FROM e)
+           |SELECT doc_id, chunk_idx, chunk,
+           | CAST(len(string_split(chunk, ' ')) AS INT) AS n_chunk_tokens
+           |FROM c ORDER BY doc_id, chunk_idx""".stripMargin))
+  }
+
+  /** Equal-frequency length buckets via exact quartile cutoffs —
+    * cutoffs and assignment re-derived by the oracle. */
+  private val qLengthBuckets = Q(
+    "q_length_buckets",
+    (s, d) => operators.Corpus.lengthBuckets(Tables.documents(s, d), "doc_id", "text"),
+    Some("""WITH n AS (SELECT doc_id,
+           |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens
+           | FROM documents),
+           |cuts AS (SELECT round(quantile_cont(n_tokens, 0.25), 6) AS p25,
+           |                round(quantile_cont(n_tokens, 0.5), 6) AS p50,
+           |                round(quantile_cont(n_tokens, 0.75), 6) AS p75 FROM n)
+           |SELECT doc_id, n_tokens,
+           | CAST(CASE WHEN n_tokens < p25 THEN 1
+           |           WHEN n_tokens < p50 THEN 2
+           |           WHEN n_tokens < p75 THEN 3
+           |           ELSE 4 END AS INT) AS length_bucket
+           |FROM n CROSS JOIN cuts ORDER BY doc_id""".stripMargin))
+
+  /** Cross-source overlap (contamination) matrix: shared 3-shingle
+    * types per source pair; the DISTINCT (source, shingle) frame
+    * bounds the join key's frequency by #domains. Shingling, distinct,
+    * pair join and rollup all re-derived by the oracle. */
+  private val qSourceOverlap = Q(
+    "q_source_overlap",
+    (s, d) => operators.Corpus.sourceOverlap(
+      Tables.documents(s, d), "doc_id", "text", "source", k = 3),
+    Some("""WITH w AS (SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+           |sh AS (SELECT DISTINCT source, unnest(list_distinct(list_transform(
+           |   generate_series(1, len(w)-2),
+           |   i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS s
+           | FROM w WHERE len(w) >= 3)
+           |SELECT a.source AS source_a, b.source AS source_b,
+           | CAST(count(*) AS INT) AS n_shared
+           |FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+           |GROUP BY a.source, b.source ORDER BY source_a, source_b""".stripMargin))
+
   // =====================================================================
   // All declared queries, in SURVEY §2 order
   // =====================================================================
@@ -1981,6 +2040,7 @@ object Queries {
     qMixDomains, qTopTerms,
     qSessionize, qSessionizeStream, qScoreStream, qAsofJoin, qRangeJoin,
     qGopherQuality, qSampleStratified, qDomainFilter, qDecontaminate,
+    qChunkOverlap, qLengthBuckets, qSourceOverlap,
     qDupNgrams, qUnigramLogprob, qLmCrossEntropy,
     qPackSequences, qPackManifest,
     qScalerFit, qMlPreproc, qMlPcaRecon, qMlIforest, qMlLof, qMlEnsemble,

@@ -376,6 +376,72 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** Overlapping sliding-window chunking — the retrieval/RAG layout
+    * step (and the long-document split before embedding): windows of
+    * `window` tokens every `stride` tokens, last window clamped, every
+    * doc yields ≥ 1 chunk. Pure per-row array expressions —
+    * scan-parallel, zero shuffle, the same shape at any scale. */
+  def chunkDocs(docs: DataFrame, idCol: String, textCol: String,
+                window: Int = 8, stride: Int = 4): DataFrame = {
+    require(window >= 1 && stride >= 1 && stride <= window,
+      s"need 1 <= stride <= window, got window=$window stride=$stride")
+    val tok = docs.select(col(idCol).as("doc_id"),
+      split(trim(col(textCol)), "\\s+").as("__w"))
+    tok.select(col("doc_id"),
+        posexplode(expr(
+          s"""transform(sequence(1, CASE WHEN size(__w) <= $window THEN 1
+             |                         ELSE (size(__w) - $window + ${stride - 1}) div $stride + 1 END),
+             |          i -> concat_ws(' ', slice(__w, (i - 1) * $stride + 1, $window)))""".stripMargin)))
+      .select(col("doc_id"), (col("pos") + 1).as("chunk_idx"),
+              col("col").as("chunk"),
+              size(split(col("col"), " ")).as("n_chunk_tokens"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** Equal-frequency length buckets (curriculum sharding / packing
+    * locality): quartile cutoffs of the token count, each doc assigned
+    * its bucket scan-side. Cutoffs ride a 1-row broadcast (the
+    * `withNow` pattern) — exact `percentile` for oracle parity, swap
+    * `percentile_approx` at production scale (the documented
+    * `q_ae_threshold` trade). */
+  def lengthBuckets(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val n = docs.select(col(idCol).as("doc_id"),
+      size(split(trim(col(textCol)), "\\s+")).cast("int").as("n_tokens"))
+    val cuts = n.agg(
+      round(expr("percentile(n_tokens, 0.25)"), 6).as("p25"),
+      round(expr("percentile(n_tokens, 0.5)"), 6).as("p50"),
+      round(expr("percentile(n_tokens, 0.75)"), 6).as("p75"))
+    n.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("n_tokens"),
+        when(col("n_tokens") < col("p25"), 1)
+          .when(col("n_tokens") < col("p50"), 2)
+          .when(col("n_tokens") < col("p75"), 3)
+          .otherwise(4).as("length_bucket"))
+      .orderBy("doc_id")
+  }
+
+  /** Cross-source overlap matrix — which domain pairs share verbatim
+    * k-gram content (mirror sites, syndication, template families):
+    * for every source pair, the count of k-shingle TYPES present in
+    * both. The (source, shingle) frame is DISTINCT first, so a
+    * shingle's post-distinct frequency is bounded by the number of
+    * sources — the self-join key can never go hotter than #domains
+    * regardless of how often a shingle repeats inside a source (the
+    * inherent-cap analog of `q_ngram_jaccard`'s df cap). Shuffles
+    * carry (source, shingle-hash)-sized rows only. */
+  def sourceOverlap(docs: DataFrame, idCol: String, textCol: String,
+                    sourceCol: String, k: Int = 3): DataFrame = {
+    val sh = Dedup.shingleDocs(docs, idCol, textCol, k)
+      .join(docs.select(col(idCol).as("doc_id"), col(sourceCol).as("source")), "doc_id")
+      .select(col("source"), explode(col("shingles")).as("s"))
+      .distinct()
+    sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).cast("int").as("n_shared"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** Per-source (domain) curation rollup: document count, size, exact
     * duplicate-text rate, and a keep flag (C4-style domain filtering —
     * drop tiny or heavily-duplicated sources). The md5 digest stands in

@@ -186,6 +186,43 @@ class CorpusSpec extends AnyFunSuite {
     assert(out(3L) == ((0, 0, 0)))              // too short: no shingles, clean
   }
 
+  // ---- chunking / sharding / overlap ----------------------------------
+
+  test("chunkDocs: stride windows with clamped tail, short docs yield one chunk") {
+    val df = Seq(
+      (1L, (1 to 12).map(i => s"t$i").mkString(" ")),  // 2 chunks: 1-8, 5-12
+      (2L, "a b c"),                                    // 1 short chunk
+      (3L, (1 to 16).map(i => s"u$i").mkString(" ")))  // 3 chunks, last 9-16
+      .toDF("doc_id", "text")
+    val out = Corpus.chunkDocs(df, "doc_id", "text", window = 8, stride = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> ((r.getString(2), r.getInt(3)))).toMap
+    assert(out.keys.count(_._1 == 1L) == 2)
+    assert(out((1L, 1))._1 == (1 to 8).map(i => s"t$i").mkString(" "))
+    assert(out((1L, 2))._1 == (5 to 12).map(i => s"t$i").mkString(" "))
+    assert(out((2L, 1)) == (("a b c", 3)))
+    assert(out.keys.count(_._1 == 3L) == 3)
+    assert(out((3L, 3))._1 == (9 to 16).map(i => s"u$i").mkString(" "))
+  }
+
+  test("lengthBuckets: quartile cutoffs split distinct lengths 1..4") {
+    val df = Seq((1L, "a"), (2L, "a b"), (3L, "a b c"), (4L, "a b c d"))
+      .toDF("doc_id", "text")
+    val out = Corpus.lengthBuckets(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(out == Map(1L -> 1, 2L -> 2, 3L -> 3, 4L -> 4))
+  }
+
+  test("sourceOverlap counts shared shingle types per source pair") {
+    val df = Seq(
+      (1L, "A", "x y z w"),            // shingles: "x y z", "y z w"
+      (2L, "B", "x y z q"),            // shares "x y z" with A
+      (3L, "C", "p q r s"))            // shares nothing
+      .toDF("doc_id", "source", "text")
+    val out = Corpus.sourceOverlap(df, "doc_id", "text", "source", k = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getInt(2)).toMap
+    assert(out == Map(("A", "B") -> 1))
+  }
+
   // ---- packing manifest ------------------------------------------------
 
   test("packManifest: hand-checked fills, every non-final sequence exactly full") {
