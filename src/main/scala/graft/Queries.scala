@@ -1283,6 +1283,26 @@ object Queries {
     },
     None)
 
+  /** ANN top-k via IVF-PQ (rows-only) — both scale axes composed:
+    * cells bound which rows a query touches, codes bound the bytes per
+    * touched row, exact re-rank on the shortlist only. */
+  private val qSimIvfPqTopk = Q(
+    "sim_ivfpq_topk",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("f"))
+        .withColumn("n", sqrt(VectorOps.dot(col("f"), col("f"))))
+        .filter(col("n") > 0)
+        .withColumn("u", graft.functions.ArrayMath.scale(col("f"), lit(1.0) / col("n")))
+        .select(col("vec_id"), col("u"))
+      val cent = operators.Ivf.fitCentroids(e, "vec_id", "u", nlist = 16)
+      val model = operators.Pq.fit(e, "vec_id", "u", m = 16, ksub = 16)
+      operators.Pq.topkIvfPq(e, "vec_id", "u",
+        e.filter(col("vec_id") < 10), k = 10, cent, nprobe = 8,
+        model, shortlist = 50)
+    },
+    None)
+
   /** Multimodal pipeline over the documents table AS binary media
     * (rows-only): text bytes stand in for encoded blobs — the binary/
     * metadata schema, per-partition iterator decode, metadata rewrite
@@ -2031,7 +2051,7 @@ object Queries {
     qTextStats, qLangId, qTokenCount, qTfidfTop, qFingerprint,
     qWinnowFingerprint, qCorpusClean,
     qDedupExact, qNgramJaccard, qSimBruteforce, qSimLshTopk, qSimIvfTopk,
-    qSimPqTopk,
+    qSimPqTopk, qSimIvfPqTopk,
     qDedupMinhash, qDedupMinhashMd5, qDedupMinhashMd5Capped,
     qDedupSimhash, qDedupSimhashMd5,
     qDedupClusters, qCorpusDedup, qSpanDedup, qDedupIncremental,

@@ -97,16 +97,17 @@ object Pq {
     array_min(array(dists: _*)).getField("code")
   }
 
+  /** All m codes as one array<int> column. */
+  def codesCol(vec: Column, model: Model): Column =
+    array((0 until model.m).map(s => codeCol(vec, model, s)): _*)
+
   /** Corpus compressed to (nid, codes array<int>): the 100 TB
     * persisted form — m ints per vector, the original embedding column
     * is DROPPED from everything downstream. */
-  def encode(emb: DataFrame, idCol: String, vecCol: String, model: Model): DataFrame = {
-    val v = col("__f")
+  def encode(emb: DataFrame, idCol: String, vecCol: String, model: Model): DataFrame =
     emb.select(col(idCol).as("nid"),
         col(vecCol).cast("array<double>").as("__f"))
-      .select(col("nid"),
-        array((0 until model.m).map(s => codeCol(v, model, s)): _*).as("codes"))
-  }
+      .select(col("nid"), codesCol(col("__f"), model).as("codes"))
 
   /** The query-side ADC lookup table: a flat m·ksub array,
     * `lut[s·ksub + c]` = ‖query_sub_s − codebook_s(c)‖². */
@@ -122,6 +123,14 @@ object Pq {
     * by approximate distance. Returns (query_id, neighbor_id,
     * approx_sqdist). Recall < 1 by construction (quantization error);
     * SimilaritySpec measures it against brute force. */
+  /** The ADC distance expression: m codegen `element_at` lookups into
+    * the row's query LUT — never a dim-length loop. */
+  private def adcDist(model: Model): Column =
+    (0 until model.m).map(s =>
+      element_at(col("__lut"),
+        element_at(col("codes"), s + 1) + lit(s * model.ksub + 1)))
+      .reduce(_ + _)
+
   def topk(encoded: DataFrame, queries: DataFrame, idCol: String,
            vecCol: String, k: Int, model: Model): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -129,16 +138,57 @@ object Pq {
         col(vecCol).cast("array<double>").as("__qf"))
       .withColumn("__lut", lutCol(col("__qf"), model))
       .select("query_id", "__lut")
-    val dist = (0 until model.m).map(s =>
-      element_at(col("__lut"),
-        element_at(col("codes"), s + 1) + lit(s * model.ksub + 1)))
-      .reduce(_ + _)
     val scored = encoded.join(broadcast(q), col("nid") =!= col("query_id"))
-      .select(col("query_id"), col("nid"), round(dist, 6).as("approx_sqdist"))
+      .select(col("query_id"), col("nid"), round(adcDist(model), 6).as("approx_sqdist"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("approx_sqdist").asc, col("nid").asc)
     scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
       .select(col("query_id"), col("nid").as("neighbor_id"), col("approx_sqdist"))
+      .orderBy("query_id", "neighbor_id")
+  }
+
+  /** IVF-PQ — both scale axes composed (the classic billion-scale ANN
+    * layout): IVF cells bound WHICH rows a query touches (~nprobe/
+    * nlist of the corpus), PQ codes bound the BYTES each touched row
+    * costs (m codes vs dim floats), ADC scores the candidates, and the
+    * exact re-rank fetches full vectors for the shortlist only. The
+    * corpus side is one scan computing (nid, cell, codes) — at 100 TB
+    * it is persisted bucketed by cell (`Sources.writeBucketed`) with
+    * the vector column kept ONLY in the side table the re-rank reads. */
+  def topkIvfPq(emb: DataFrame, idCol: String, vecCol: String,
+                queries: DataFrame, k: Int,
+                centroids: Array[Array[Double]], nprobe: Int,
+                model: Model, shortlist: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(shortlist >= k, s"shortlist $shortlist < k $k")
+    val corpus = emb.select(col(idCol).as("nid"),
+        col(vecCol).cast("array<double>").as("__f"))
+      .select(col("nid"), Ivf.cellCol(col("__f"), centroids).as("cell"),
+              codesCol(col("__f"), model).as("codes"))
+    val q = queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("__qf"))
+      .withColumn("__lut", lutCol(col("__qf"), model))
+      .withColumn("cell", explode(Ivf.probeCellsCol(col("__qf"), centroids, nprobe)))
+      .select("query_id", "__lut", "cell")
+    val scored = corpus.join(broadcast(q), Seq("cell"))
+      .filter(col("nid") =!= col("query_id"))
+      .select(col("query_id"), col("nid"), round(adcDist(model), 6).as("approx_sqdist"))
+    val ws = Window.partitionBy("query_id")
+      .orderBy(col("approx_sqdist").asc, col("nid").asc)
+    val short = scored.withColumn("__rn", row_number().over(ws))
+      .filter(col("__rn") <= shortlist)
+      .select(col("query_id"), col("nid").as("neighbor_id"))
+    val fv = emb.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("__nf"))
+    val qv = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("__qf"))
+    val cand = short.join(fv, Seq("neighbor_id")).join(broadcast(qv), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+              round(VectorOps.cosine(col("__qf"), col("__nf")), 6).as("cos"))
+    val wr = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    cand.withColumn("__rn", row_number().over(wr)).filter(col("__rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
       .orderBy("query_id", "neighbor_id")
   }
 

@@ -96,6 +96,16 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.6, s"recall $recall too low")
   }
 
+  test("sim_ivfpq_topk recall@10 >= 0.6 vs brute force on sf0.001") {
+    val exact = SparkEntry.queries("q_sim_bruteforce")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = SparkEntry.queries("sim_ivfpq_topk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(s"ivf-pq recall@10 = $recall (${(exact & approx).size}/${exact.size})")
+    assert(recall >= 0.6, s"recall $recall too low")
+  }
+
   test("pq encoding: m codes in [0, ksub), deterministic, dim-compressing") {
     import org.apache.spark.sql.functions._
     val e = Tables.embeddings(spark, sf)
