@@ -112,6 +112,36 @@ object Artifacts {
       cfg)
   }
 
+  // -- ANN index model state (train once, ship to every prober) --------
+
+  /** IVF coarse-quantizer centroids — the constant-size half of an IVF
+    * index (the assigned/bucketed corpus table is the other half). */
+  def saveIvfCentroids(centroids: Array[Array[Double]], path: String): Unit =
+    write(path, s"""{"centroids":${jArr(centroids.map(row => jArr(row.map(jNum))))}}""")
+
+  def loadIvfCentroids(path: String): Array[Array[Double]] = {
+    val p = new P(read(path))
+    p.objField("centroids")
+    p.arr(() => p.arr(() => p.num()).toArray).toArray
+  }
+
+  /** PQ codebooks — with the encoded (nid, cell, codes) table these
+    * fully define an IVF-PQ index; scorers rebuild LUTs from this. */
+  def savePq(m: graft.operators.Pq.Model, path: String): Unit = {
+    val books = jArr(m.codebooks.map(b => jArr(b.map(c => jArr(c.map(jNum))))))
+    write(path, s"""{"m":${m.m},"ksub":${m.ksub},"dsub":${m.dsub},"codebooks":$books}""")
+  }
+
+  def loadPq(path: String): graft.operators.Pq.Model = {
+    val p = new P(read(path))
+    p.objField("m"); val m = p.num().toInt
+    p.objField("ksub"); val ksub = p.num().toInt
+    p.objField("dsub"); val dsub = p.num().toInt
+    p.objField("codebooks")
+    val books = p.arr(() => p.arr(() => p.arr(() => p.num()).toArray).toArray).toArray
+    graft.operators.Pq.Model(m, ksub, dsub, books)
+  }
+
   private def write(path: String, content: String): Unit = {
     val p = Paths.get(path)
     if (p.getParent != null) Files.createDirectories(p.getParent)

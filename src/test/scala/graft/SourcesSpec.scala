@@ -128,6 +128,29 @@ class SourcesSpec extends AnyFunSuite {
     assert(s1.sameElements(s2))
   }
 
+  test("ANN index artifacts: IVF centroids and PQ codebooks reload bit-identically") {
+    val dir = tmp()
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cent = graft.operators.Ivf.fitCentroids(e, "vec_id", "embedding", nlist = 8)
+    Artifacts.saveIvfCentroids(cent, s"$dir/ivf.json")
+    val cent2 = Artifacts.loadIvfCentroids(s"$dir/ivf.json")
+    assert(cent2.map(_.toSeq).toSeq == cent.map(_.toSeq).toSeq)
+
+    val pq = graft.operators.Pq.fit(e, "vec_id", "embedding", m = 8, ksub = 16)
+    Artifacts.savePq(pq, s"$dir/pq.json")
+    val pq2 = Artifacts.loadPq(s"$dir/pq.json")
+    assert(pq2.m == pq.m && pq2.ksub == pq.ksub && pq2.dsub == pq.dsub)
+    assert(pq2.codebooks.map(_.map(_.toSeq).toSeq).toSeq ==
+      pq.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    // a prober using the reloaded state returns identical neighbors
+    val q = e.filter(col("vec_id") < 5)
+    val r1 = graft.operators.Pq.topkIvfPq(e, "vec_id", "embedding", q,
+      k = 5, cent, nprobe = 4, pq, shortlist = 20).collect().map(_.toString)
+    val r2 = graft.operators.Pq.topkIvfPq(e, "vec_id", "embedding", q,
+      k = 5, cent2, nprobe = 4, pq2, shortlist = 20).collect().map(_.toString)
+    assert(r1.sameElements(r2))
+  }
+
   test("ensemble bundle round-trip: loaded bundle scores identically") {
     val dir = tmp()
     val fitted = graft.ml.Ensemble.fit(spark, "/root/testdata/sf0.001")
