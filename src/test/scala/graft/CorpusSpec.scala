@@ -289,6 +289,58 @@ class CorpusSpec extends AnyFunSuite {
     assert(out.groupBy(_._1).values.forall(es => es.map(_._2).sorted == (1 to es.size)))
   }
 
+  // ---- cross-operator invariants on the real corpus --------------------
+
+  test("packManifest ⟷ packSequences: fills conserve tokens, memberships agree") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val packed = Corpus.packSequences(docs, "doc_id", "text", "source", 512)
+      .filter(col("n_tokens") > 0).collect()
+    val manifest = Corpus.packManifest(docs, "doc_id", "text", "source", 512).collect()
+    // token conservation: per shard, Σ seq fills == Σ doc token counts
+    val tokByShard = packed.groupBy(_.getString(1)).view
+      .mapValues(_.map(_.getInt(2).toLong).sum).toMap
+    val fillByShard = manifest.groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getLong(5)).sum).toMap
+    assert(fillByShard == tokByShard)
+    // membership count: Σ n_docs == Σ (seq_last - seq_first + 1)
+    val memberships = packed.map(r => r.getInt(5) - r.getInt(4) + 1L).sum
+    assert(manifest.map(_.getInt(2).toLong).sum == memberships)
+    // last sequence per shard is the only non-full one
+    manifest.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getInt(1))
+      sorted.dropRight(1).foreach(r => assert(r.getLong(5) == 512L))
+    }
+  }
+
+  test("dedupSpans on an all-unique corpus is the identity") {
+    val df = (0 until 40).map(i =>
+      (i.toLong, (0 until 13).map(j => s"w${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Dedup.dedupSpans(df, "doc_id", "text", spanLen = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    val orig = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    orig.foreach { case (id, text) =>
+      assert(out(id) == ((3, 3, text)), s"doc $id mutated: ${out(id)}") }
+  }
+
+  test("chunkDocs covers every token: first chunk at 1, last chunk reaches len") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val lens = docs.select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).as("len"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val chunks = Corpus.chunkDocs(docs, "doc_id", "text", window = 8, stride = 4)
+      .collect().groupBy(_.getLong(0))
+    lens.foreach { case (id, len) =>
+      val cs = chunks(id).sortBy(_.getInt(1))
+      val expected = if (len <= 8) 1 else (len - 8 + 3) / 4 + 1
+      assert(cs.length == expected, s"doc $id: ${cs.length} chunks for len $len")
+      // token coverage: (nChunks-1)*stride + lastChunkTokens == len
+      val lastTokens = cs.last.getInt(3)
+      assert((cs.length - 1) * 4 + lastTokens == len,
+        s"doc $id: coverage gap (chunks ${cs.length}, last $lastTokens, len $len)")
+    }
+  }
+
   // ---- heavy hitters ---------------------------------------------------
 
   test("topTermsPerGroup ranks by count desc then term asc, capped at k") {
