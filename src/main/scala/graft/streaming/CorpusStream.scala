@@ -80,6 +80,35 @@ object CorpusStream {
       .select(col("doc_id"), col("n_spans"), col("n_kept"), col("dedup_text"))
   }
 
+  /** Streaming held-out-LM quality scoring — the serve side of
+    * `Corpus.lmCrossEntropy`: the LM is fit ONCE on a reference batch
+    * (the (word, count) frame plus the constant N/V totals), and an
+    * unbounded document stream is scored against it. Token explode and
+    * the add-one-smoothed log-prob are scan-side; the LM join is
+    * stream-static (stateless — Spark re-plans the static side per
+    * micro-batch, broadcast when small); the only stateful operator is
+    * the per-doc windowed aggregate that sums each document's token
+    * log-probs and emits on window close. Same output schema as the
+    * batch operator: (doc_id, n_tokens, cross_entropy). */
+  def scoredByLm(docs: DataFrame, lmFreq: DataFrame, nRef: Long, vRef: Long,
+                 tsCol: String = "ts", idCol: String = "doc_id",
+                 textCol: String = "text", watermark: String = "1 day",
+                 window: String = "1 hour"): DataFrame = {
+    val denom = (nRef + vRef + 1).toDouble
+    val tok = docs.select(col(idCol).as("doc_id"), col(tsCol).as("__ts"),
+      explode(split(trim(col(textCol)), "\\s+")).as("w"))
+    val lp = tok.join(lmFreq, Seq("w"), "left")
+      .select(col("doc_id"), col("__ts"),
+        log((coalesce(col("wn"), lit(0L)) + lit(1L)).cast("double") / lit(denom))
+          .as("__lp"))
+    lp.withWatermark("__ts", watermark)
+      .groupBy(col("doc_id"),
+        org.apache.spark.sql.functions.window(col("__ts"), window))
+      .agg(count(lit(1)).cast("int").as("n_tokens"),
+           round(-avg(col("__lp")), 6).as("cross_entropy"))
+      .select(col("doc_id"), col("n_tokens"), col("cross_entropy"))
+  }
+
   /** Near-dup streaming heuristic: drop documents whose 64-bit SimHash
     * signature (native codegen expression) collides with an earlier
     * doc in the horizon. Hamming-0 collision ⇒ near-identical token

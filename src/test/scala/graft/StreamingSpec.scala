@@ -269,6 +269,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming LM scoring matches the batch lmCrossEntropy exactly") {
+    implicit val sc = spark.sqlContext
+    val ref = Seq((100L, "a a b c"), (101L, "a b d")).toDF("doc_id", "text")
+    val lmFreq = ref.select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wn"))
+    val Array(nRef, vRef) = lmFreq.agg(sum("wn"), count(lit(1))).head
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    val corpus = Seq((1L, "a b zz"), (2L, "c c d a"), (3L, "qq rr"))
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val docs = mem.toDF().toDF("doc_id", "ts", "text")
+    val q = graft.streaming.CorpusStream.scoredByLm(docs, lmFreq, nRef, vRef)
+      .writeStream.format("memory").queryName("lm_out").outputMode("append").start()
+    try {
+      mem.addData(corpus.map { case (id, t) => (id, ts("2024-01-10 10:00:00"), t) }: _*)
+      q.processAllAvailable()
+      mem.addData((99L, ts("2024-01-13 00:00:00"), "flush")) // close the window
+      q.processAllAvailable()
+      val stream = spark.table("lm_out")
+        .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+      val batch = graft.operators.Corpus.lmCrossEntropy(
+          corpus.toDF("doc_id", "text"), ref, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+      assert(stream == batch, s"stream $stream vs batch $batch")
+    } finally q.stop()
+  }
+
   test("windowed profile agg emits watermark-bounded windows") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
