@@ -1260,21 +1260,25 @@ object Queries {
     },
     None)
 
+  /** Unit-normalized embeddings (vec_id, u) — shared by the PQ paths
+    * so their ADC euclidean ranking IS the cosine ranking. */
+  private def unitEmbeddings(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("f"))
+      .withColumn("n", sqrt(VectorOps.dot(col("f"), col("f"))))
+      .filter(col("n") > 0)
+      .withColumn("u", graft.functions.ArrayMath.scale(col("f"), lit(1.0) / col("n")))
+      .select(col("vec_id"), col("u"))
+
   /** ANN top-k via product quantization (rows-only) — the MEMORY-bound
     * scale path (LSH bounds candidates, IVF bounds probes, PQ bounds
     * bytes/vector: 16 byte-codes replace 64 floats, a 16× corpus-scan
-    * reduction at 100 TB). Vectors are unit-normalized first so the
-    * ADC euclidean ranking is the cosine ranking; SimilaritySpec
-    * measures recall vs brute force. */
+    * reduction at 100 TB). SimilaritySpec measures recall vs brute
+    * force. */
   private val qSimPqTopk = Q(
     "sim_pq_topk",
     (s, d) => {
-      val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("f"))
-        .withColumn("n", sqrt(VectorOps.dot(col("f"), col("f"))))
-        .filter(col("n") > 0)
-        .withColumn("u", graft.functions.ArrayMath.scale(col("f"), lit(1.0) / col("n")))
-        .select(col("vec_id"), col("u"))
+      val e = unitEmbeddings(s, d)
       val model = operators.Pq.fit(e, "vec_id", "u", m = 16, ksub = 16)
       operators.Pq.topkReranked(
         operators.Pq.encode(e, "vec_id", "u", model), e,
@@ -1289,12 +1293,7 @@ object Queries {
   private val qSimIvfPqTopk = Q(
     "sim_ivfpq_topk",
     (s, d) => {
-      val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("f"))
-        .withColumn("n", sqrt(VectorOps.dot(col("f"), col("f"))))
-        .filter(col("n") > 0)
-        .withColumn("u", graft.functions.ArrayMath.scale(col("f"), lit(1.0) / col("n")))
-        .select(col("vec_id"), col("u"))
+      val e = unitEmbeddings(s, d)
       val cent = operators.Ivf.fitCentroids(e, "vec_id", "u", nlist = 16)
       val model = operators.Pq.fit(e, "vec_id", "u", m = 16, ksub = 16)
       operators.Pq.topkIvfPq(e, "vec_id", "u",
