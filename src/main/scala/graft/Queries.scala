@@ -2034,6 +2034,75 @@ object Queries {
            |FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
            |GROUP BY a.source, b.source ORDER BY source_a, source_b""".stripMargin))
 
+  /** Z-order (Morton) layout key over lineitem's (orderkey, partkey)
+    * low 10 bits — the clustering key that makes min/max file pruning
+    * work on BOTH join dimensions at 100 TB. The bit interleave is
+    * re-derived verbatim by the oracle. */
+  private val qZorderKey = {
+    val bits = 10
+    val zSql = (0 until bits).flatMap(b => Seq(
+      s"((((l_orderkey & 1023) >> $b) & 1) << ${2 * b})",
+      s"((((l_partkey & 1023) >> $b) & 1) << ${2 * b + 1})")).mkString(" + ")
+    Q(
+      "q_zorder_key",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"),
+            operators.Layout.zValue(
+              Seq(col("l_orderkey"), col("l_partkey")), bits).as("zval"))
+          .orderBy("l_orderkey", "l_partkey", "l_linenumber"),
+      Some(s"""SELECT l_orderkey, l_partkey, l_linenumber, CAST($zSql AS BIGINT) AS zval
+           |FROM lineitem ORDER BY l_orderkey, l_partkey, l_linenumber""".stripMargin))
+  }
+
+  /** The composed corpus FLAGSHIP — what a real training-data run
+    * executes as one job: language/quality gates (scan-side) →
+    * exact-dedup keepers (one digest-keyed shuffle) → fixed-length
+    * sequence packing of the survivors (one per-shard windowed
+    * cumsum). One declarative plan end to end; every stage is the
+    * already-oracle-proven operator, and the chained oracle re-derives
+    * the whole pipeline. At 100 TB: gates prune at the scan, the only
+    * data movement is the digest agg + the per-shard pack window. */
+  private val qCorpusPipeline = Q(
+    "q_corpus_pipeline",
+    (s, d) => {
+      val gated = Tables.documents(s, d)
+        .filter(operators.Corpus.langQualityGate(col("text")))
+      val keepers = gated
+        .groupBy(md5(col("text").cast("binary")).as("fp"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      val kept = gated.join(keepers, Seq("doc_id"), "left_semi")
+      operators.Corpus.packSequences(kept, "doc_id", "text", "source", seqLen = 512)
+        .orderBy("doc_id")
+    },
+    Some("""WITH gated AS (SELECT doc_id, text, source FROM documents
+           | WHERE len(regexp_extract_all(text, '\b(the|and|of|is|to)\b')) >= len(regexp_extract_all(text, '\b(der|die|und|ist|das)\b'))
+           |  AND len(regexp_extract_all(text, '\b(the|and|of|is|to)\b')) >= len(regexp_extract_all(text, '\b(le|la|et|est|les)\b'))
+           |  AND len(regexp_extract_all(text, '\b(the|and|of|is|to)\b')) >= len(regexp_extract_all(text, '\b(el|los|y|es|las)\b'))
+           |  AND len(regexp_split_to_array(trim(text), '\s+')) >= 20
+           |  AND round(CAST(len(regexp_extract_all(text, '\b(the|a|an|of|to|and|in|is|for|on|with)\b')) AS DOUBLE)
+           |        / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 6) >= 0.05),
+           |keep AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text)),
+           |kept AS (SELECT g.doc_id, g.text, g.source FROM gated g
+           |         JOIN keep k ON g.doc_id = k.doc_id),
+           |t AS (SELECT doc_id, source AS shard,
+           |  CASE WHEN coalesce(trim(text), '') = '' THEN CAST(0 AS BIGINT)
+           |       ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+           |  END AS n_tokens
+           | FROM kept),
+           |c AS (SELECT doc_id, shard, n_tokens,
+           |  sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+           |                      ROWS UNBOUNDED PRECEDING) AS end_tok
+           | FROM t)
+           |SELECT doc_id, shard, CAST(n_tokens AS INT) AS n_tokens,
+           | CAST(end_tok - n_tokens AS BIGINT) AS start_tok,
+           | CAST((end_tok - n_tokens) // 512 AS INT) AS seq_first,
+           | CAST(CASE WHEN n_tokens = 0 THEN (end_tok - n_tokens) // 512
+           |      ELSE (end_tok - 1) // 512 END AS INT) AS seq_last,
+           | CAST((end_tok - n_tokens) % 512 AS INT) AS seq_offset
+           |FROM c ORDER BY doc_id""".stripMargin))
+
   // =====================================================================
   // All declared queries, in SURVEY §2 order
   // =====================================================================
@@ -2061,7 +2130,7 @@ object Queries {
     qGopherQuality, qSampleStratified, qDomainFilter, qDecontaminate,
     qChunkOverlap, qLengthBuckets, qSourceOverlap,
     qDupNgrams, qUnigramLogprob, qLmCrossEntropy,
-    qPackSequences, qPackManifest,
+    qPackSequences, qPackManifest, qCorpusPipeline, qZorderKey,
     qScalerFit, qMlPreproc, qMlPcaRecon, qMlIforest, qMlLof, qMlEnsemble,
     qMlSplit, qScoreFallback)
 }
