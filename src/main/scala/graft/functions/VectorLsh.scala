@@ -30,7 +30,7 @@ object VectorLsh {
   }
 
   private def dotLit(vec: Column, g: Array[Double]): Column =
-    ArrayMath.dot(vec, array(g.map(lit): _*))
+    ArrayMath.dot(vec, array(g.toIndexedSeq.map(lit): _*))
 
   /** `L` composite bucket keys for a vector column. */
   def bucketKeys(vec: Column, dim: Int, L: Int, r: Int, w: Double,

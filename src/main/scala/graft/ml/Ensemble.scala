@@ -53,7 +53,7 @@ object Ensemble {
     val Array(train, valid) = feats.randomSplit(Array(0.8, 0.2), cfg.seed)
     val pca = PcaRecon.fit(train, "features", cfg.pcaK)
     val aeThr = valid.select(pca.scoreCol(col("features")).as("m"))
-      .agg(expr("percentile_approx(m, 0.975, 10000)")).head.getDouble(0)
+      .agg(expr("percentile_approx(m, 0.975, 10000)")).head().getDouble(0)
     (ifModel, pca, aeThr, lofNov)
   }
 

@@ -142,7 +142,7 @@ object IsolationForest {
     // approx percentile (order-stable sketch) so fit never sorts the
     // full table at scale.
     val offset = df.select(pre.scoreSamplesCol(col(featuresCol)).as("s"))
-      .agg(expr(s"percentile_approx(s, $contamination, 10000)")).head.getDouble(0)
+      .agg(expr(s"percentile_approx(s, $contamination, 10000)")).head().getDouble(0)
     pre.copy(offset = offset)
   }
 }

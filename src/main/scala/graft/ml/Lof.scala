@@ -51,7 +51,7 @@ object Lof {
                    k: Int, radius: Double, seed: Long = 42L,
                    tables: Int = 8, projections: Int = 2,
                    bucketCap: Int = 128): DataFrame = {
-    val dim = df.select(size(col(featuresCol))).head.getInt(0)
+    val dim = df.select(size(col(featuresCol))).head().getInt(0)
     val edges = graft.functions.VectorLsh.candidateEdges(
       df.select(col(idCol), col(featuresCol)), idCol, featuresCol,
       dim, tables, projections, math.max(radius, 1e-6), seed, bucketCap)
@@ -75,7 +75,7 @@ object Lof {
                   VectorOps.dot(col("b.f"), col("b.f")) -
                   lit(2.0) * VectorOps.dot(col("a.f"), col("b.f")), lit(0.0)))
                 .as("dist"))
-    d.agg(expr(s"percentile_approx(dist, $q, 10000)")).head.getDouble(0)
+    d.agg(expr(s"percentile_approx(dist, $q, 10000)")).head().getDouble(0)
   }
 
   /** kNN edge list → (id, lrd, lof). lrd = 1/(mean reach + 1e-10)

@@ -281,7 +281,7 @@ object Dedup {
       // native codegen scale — not the interpreted transform(f, x -> x/n)
       .withColumn("u", graft.functions.ArrayMath.scale(col("f"), lit(1.0) / col("n")))
       .select(col("id"), col("u"))
-    val dim = norm.select(size(col("u"))).head.getInt(0)
+    val dim = norm.select(size(col("u"))).head().getInt(0)
     // unit-norm: cosine c ⇔ euclidean √(2−2c); bucket width = that radius
     val radius = math.sqrt(math.max(2.0 - 2.0 * minCosine, 1e-12))
     graft.functions.VectorLsh.candidatePairs(norm, "id", "u",

@@ -24,7 +24,7 @@ object Skew {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  buckets: Int): DataFrame = {
     require(buckets > 0)
-    val saltCol = pmod(xxhash64(struct(big.columns.map(col): _*)), lit(buckets))
+    val saltCol = pmod(xxhash64(struct(big.columns.toIndexedSeq.map(col): _*)), lit(buckets))
     val bigS = big.withColumn("__salt", saltCol)
     val smallS = small.withColumn("__salt",
       explode(array((0 until buckets).map(i => lit(i.toLong)): _*)))
