@@ -2055,6 +2055,45 @@ object Queries {
            |FROM lineitem ORDER BY l_orderkey, l_partkey, l_linenumber""".stripMargin))
   }
 
+  /** Quality-weighted mixture — CCNet's end move: score docs with the
+    * unigram LM, bucket head/middle/tail, then up/down-sample per
+    * bucket (head ×2, middle ×1, tail ×0.25) with the deterministic
+    * mixture coin. Composes `unigramLogprob` + `mixDomains`; the
+    * oracle re-derives the LM, the tertiles AND the epoch mixture. */
+  private val qMixQuality = Q(
+    "q_mix_quality",
+    (s, d) => {
+      val scored = operators.Corpus.unigramLogprob(
+        Tables.documents(s, d), "doc_id", "text")
+        .withColumn("qb", concat(lit("b"), col("ppl_bucket")))
+      operators.Corpus.mixDomains(scored, "doc_id", "qb",
+        Map("b1" -> 2.0, "b2" -> 1.0, "b3" -> 0.25), defaultWeight = 1.0)
+    },
+    Some("""WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents),
+           |freq AS (SELECT w, count(*) AS wn FROM tok GROUP BY w),
+           |tot AS (SELECT sum(wn) AS wtotal FROM freq),
+           |scored AS (SELECT doc_id,
+           |   round(avg(ln(CAST(wn AS DOUBLE) / wtotal)), 6) AS avg_logprob
+           |  FROM tok JOIN freq USING (w) CROSS JOIN tot GROUP BY doc_id),
+           |cut AS (SELECT round(quantile_cont(avg_logprob, 0.3333333333333333), 6) AS p33,
+           |               round(quantile_cont(avg_logprob, 0.6666666666666666), 6) AS p66
+           |        FROM scored),
+           |b AS (SELECT doc_id,
+           |   CASE WHEN avg_logprob >= p66 THEN 'b1'
+           |        WHEN avg_logprob >= p33 THEN 'b2'
+           |        ELSE 'b3' END AS source
+           |  FROM scored CROSS JOIN cut),
+           |wt(source, fl, fx) AS (VALUES ('b1', 2, '00000000'), ('b2', 1, '00000000'), ('b3', 0, '40000000')),
+           |d AS (SELECT doc_id, b.source,
+           |   coalesce(fl, 1) + CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+           |                               < coalesce(fx, '00000000')
+           |                     THEN 1 ELSE 0 END AS copies
+           |  FROM b LEFT JOIN wt ON b.source = wt.source)
+           |SELECT doc_id, source, CAST(e AS INT) AS epoch FROM
+           | (SELECT doc_id, source, unnest(generate_series(1, copies)) AS e
+           |  FROM d WHERE copies >= 1)
+           |ORDER BY doc_id, epoch""".stripMargin))
+
   /** The composed corpus FLAGSHIP — what a real training-data run
     * executes as one job: language/quality gates (scan-side) →
     * exact-dedup keepers (one digest-keyed shuffle) → fixed-length
@@ -2130,7 +2169,7 @@ object Queries {
     qGopherQuality, qSampleStratified, qDomainFilter, qDecontaminate,
     qChunkOverlap, qLengthBuckets, qSourceOverlap,
     qDupNgrams, qUnigramLogprob, qLmCrossEntropy,
-    qPackSequences, qPackManifest, qCorpusPipeline, qZorderKey,
+    qPackSequences, qPackManifest, qCorpusPipeline, qZorderKey, qMixQuality,
     qScalerFit, qMlPreproc, qMlPcaRecon, qMlIforest, qMlLof, qMlEnsemble,
     qMlSplit, qScoreFallback)
 }
