@@ -1338,6 +1338,38 @@ object Queries {
     },
     None)
 
+  /** Multimodal retrieval (rows-only): the media pipeline feeding the
+    * similarity family — binary media → per-partition decode to an
+    * embedding column → brute-force cosine top-k ("find similar
+    * media"). The decode is the documented stub; the flow (opaque
+    * bytes in, ANN-ready vectors out, same top-k machinery as the
+    * text-side paths) is the production shape. Scale path: persist the
+    * decoded vectors and switch the last stage to LSH/IVF/PQ exactly
+    * as the embeddings table does. */
+  private val qMediaEmbedTopk = Q(
+    "media_embed_topk",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val media = docs.select(col("doc_id").as("media_id"),
+        lit("image").as("kind"), col("text").cast("binary").as("bytes"),
+        struct(lit(64).as("width"), lit(64).as("height"),
+               lit(0).cast("int").as("sample_rate"),
+               lit(0).cast("int").as("n_frames")).as("meta"))
+      val emb = multimodal.Media.decodeFeatures(media, dim = 32)
+        .select(col("media_id"), col("features").cast("array<double>").as("f"))
+      val q = emb.filter(col("media_id") < 10)
+        .select(col("media_id").as("query_id"), col("f").as("qf"))
+      val cos = round(VectorOps.cosine(col("qf"), col("f")), 6)
+      val scored = emb.join(broadcast(q), col("media_id") =!= col("query_id"))
+        .select(col("query_id"), col("media_id").as("neighbor_id"), cos.as("cos"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("neighbor_id").asc)
+      scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= 10)
+        .drop("__rn").orderBy("query_id", "neighbor_id")
+    },
+    None)
+
   /** SimHash near-dup pairs, ORACLE-PROVEN (the simhash analog of
     * `dedup_minhash_md5`): md5-derived token hashes and 4×16-bit chunk
     * arithmetic let DuckDB recompute signatures, banding, hot-bucket
@@ -2163,7 +2195,7 @@ object Queries {
     qDedupSimhash, qDedupSimhashMd5,
     qDedupClusters, qCorpusDedup, qSpanDedup, qDedupIncremental,
     qDedupEmbedding, qDedupEmbeddingExact, qDedupSemantic,
-    qDedupSemanticGrid, qMediaFeatures,
+    qDedupSemanticGrid, qMediaFeatures, qMediaEmbedTopk,
     qMixDomains, qTopTerms,
     qSessionize, qSessionizeStream, qScoreStream, qAsofJoin, qRangeJoin,
     qGopherQuality, qSampleStratified, qDomainFilter, qDecontaminate,

@@ -65,4 +65,20 @@ class MediaSpec extends AnyFunSuite {
       assert(r.getDouble(2) > 0.0) // norm of the 16-dim stub features
     }
   }
+
+  test("media_embed_topk: decode -> embed -> top-k flow, deterministic") {
+    val run = () => SparkEntry.queries("media_embed_topk")(
+      spark, "/root/testdata/sf0.001").collect().map(_.toString)
+    val out = run()
+    assert(out.length == 100, s"expected 10 queries x 10 neighbors, got ${out.length}")
+    assert(run().sameElements(out), "media retrieval must be deterministic")
+    // identical texts decode to identical vectors -> an exact-dup doc
+    // must surface as some query's cos = 1.0 neighbor (the corpus has
+    // exact dups; if none land in the query set this still holds for
+    // at least self-similar content). Weak check: all cos in [-1, 1].
+    val r = SparkEntry.queries("media_embed_topk")(spark, "/root/testdata/sf0.001")
+      .collect()
+    r.foreach(row => assert(math.abs(row.getDouble(2)) <= 1.0 + 1e-9))
+    r.foreach(row => assert(row.getLong(0) != row.getLong(1)))
+  }
 }
