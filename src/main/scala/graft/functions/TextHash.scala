@@ -265,6 +265,55 @@ case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression
   override def prettyName: String = "shingle_hashes"
 }
 
+/** Strided window chunks of a token array, each joined by ' '
+  * (`array<string>` → `array<string>`): chunk i starts at token
+  * i·stride (0-based) and spans `window` tokens (clamped at the end);
+  * nChunks = 1 when n ≤ window, else ⌈(n−window)/stride⌉+1.
+  * stride = window is the span-dedup chop, stride < window the
+  * overlapping RAG chop. One native pass replacing a four-deep
+  * interpreted HOF stack (transform ∘ sequence ∘ slice ∘ concat_ws) —
+  * the same single-pass trade as `Shingles`. */
+case class ChunkSpans(child: Expression, window: Int, stride: Int)
+    extends UnaryExpression
+    with TokenArrayExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(window >= 1 && stride >= 1 && stride <= window,
+    s"need 1 <= stride <= window, got window=$window stride=$stride")
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val m = if (n <= window) 1 else (n - window + stride - 1) / stride + 1
+    val out = new Array[Any](m)
+    val sb = new java.lang.StringBuilder
+    var ci = 0
+    while (ci < m) {
+      val start = ci * stride
+      val end = math.min(start + window, n)
+      sb.setLength(0)
+      var appended = 0
+      var j = start
+      while (j < end) {
+        if (!arr.isNullAt(j)) { // concat_ws semantics: skip nulls
+          if (appended > 0) sb.append(' ')
+          sb.append(arr.getUTF8String(j).toString)
+          appended += 1
+        }
+        j += 1
+      }
+      out(ci) = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+      ci += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "chunk_spans"
+}
+
 object TextHash {
   import org.apache.spark.sql.graft.Bridge.{column, expression, registerFunction}
 
@@ -289,6 +338,10 @@ object TextHash {
   /** `array<string>` tokens → distinct 64-bit shingle hashes. */
   def shingleHashes(tokens: Column, k: Int): Column =
     column(ShingleHashes(expression(tokens.cast("array<string>")), k))
+
+  /** `array<string>` tokens → strided window chunks joined by ' '. */
+  def chunkSpans(tokens: Column, window: Int, stride: Int): Column =
+    column(ChunkSpans(expression(tokens.cast("array<string>")), window, stride))
 
   /** Expose to the SQL surface: `SELECT simhash64(split(text, ' '))`. */
   def registerSql(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -385,13 +385,9 @@ object Corpus {
                 window: Int = 8, stride: Int = 4): DataFrame = {
     require(window >= 1 && stride >= 1 && stride <= window,
       s"need 1 <= stride <= window, got window=$window stride=$stride")
-    val tok = docs.select(col(idCol).as("doc_id"),
-      split(trim(col(textCol)), "\\s+").as("__w"))
-    tok.select(col("doc_id"),
-        posexplode(expr(
-          s"""transform(sequence(1, CASE WHEN size(__w) <= $window THEN 1
-             |                         ELSE (size(__w) - $window + ${stride - 1}) div $stride + 1 END),
-             |          i -> concat_ws(' ', slice(__w, (i - 1) * $stride + 1, $window)))""".stripMargin)))
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(graft.functions.TextHash.chunkSpans(
+          split(trim(col(textCol)), "\\s+"), window, stride)))
       .select(col("doc_id"), (col("pos") + 1).as("chunk_idx"),
               col("col").as("chunk"),
               size(split(col("col"), " ")).as("n_chunk_tokens"))

@@ -487,12 +487,12 @@ object Dedup {
   def dedupSpans(docs: DataFrame, idCol: String, textCol: String,
                  spanLen: Int = 5): DataFrame = {
     require(spanLen >= 1, s"spanLen must be >= 1, got $spanLen")
-    val tok = docs.select(col(idCol).as("doc_id"),
-      split(trim(col(textCol)), "\\s+").as("__w"))
-    val spans = tok.select(col("doc_id"),
-        posexplode(expr(
-          s"""transform(sequence(1, (size(__w) + ${spanLen - 1}) div $spanLen),
-             |          i -> concat_ws(' ', slice(__w, (i - 1) * $spanLen + 1, $spanLen)))""".stripMargin)))
+    // single-pass native chop (ChunkSpans; stride == window) — the
+    // transform∘sequence∘slice∘concat_ws HOF stack it replaces is
+    // interpreted per element (NativeExprSpec pins the equivalence)
+    val spans = docs.select(col(idCol).as("doc_id"),
+        posexplode(graft.functions.TextHash.chunkSpans(
+          split(trim(col(textCol)), "\\s+"), spanLen, spanLen)))
       .select(col("doc_id"), (col("pos") + 1).as("span_idx"), col("col").as("span"))
     val first = spans.groupBy("span")
       .agg(min(struct(col("doc_id"), col("span_idx"))).as("__first"))

@@ -59,15 +59,13 @@ object CorpusStream {
                        idCol: String = "doc_id", textCol: String = "text",
                        spanLen: Int = 5, watermark: String = "1 day",
                        window: String = "1 hour"): DataFrame = {
-    val tok = docs.select(col(idCol).as("doc_id"), col(tsCol).as("__ts"),
-      split(trim(col(textCol)), "\\s+").as("__w"))
-    val spans = tok.select(col("doc_id"), col("__ts"),
-        expr(s"size(__w) + ${spanLen - 1}").as("__szp"),
-        posexplode(expr(
-          s"""transform(sequence(1, (size(__w) + ${spanLen - 1}) div $spanLen),
-             |          i -> concat_ws(' ', slice(__w, (i - 1) * $spanLen + 1, $spanLen)))""".stripMargin)))
+    val spans = docs.select(col(idCol).as("doc_id"), col(tsCol).as("__ts"),
+        graft.functions.TextHash.chunkSpans(
+          split(trim(col(textCol)), "\\s+"), spanLen, spanLen).as("__spans"))
       .select(col("doc_id"), col("__ts"),
-              expr(s"__szp div $spanLen").cast("int").as("n_spans"),
+              size(col("__spans")).cast("int").as("n_spans"),
+              posexplode(col("__spans")))
+      .select(col("doc_id"), col("__ts"), col("n_spans"),
               (col("pos") + 1).as("span_idx"), col("col").as("span"))
     spans.withWatermark("__ts", watermark)
       .dropDuplicatesWithinWatermark("span")

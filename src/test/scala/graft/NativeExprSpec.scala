@@ -37,6 +37,23 @@ class NativeExprSpec extends AnyFunSuite {
     assert(native == layered)
   }
 
+  test("ChunkSpans == transform/sequence/slice/concat_ws stack on random docs") {
+    for ((w, s) <- Seq((5, 5), (8, 4), (3, 1), (1, 1))) {
+      val native = corpus.select(col("doc_id"),
+        TextHash.chunkSpans(tokens, w, s).as("c")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      val layered = corpus
+        .select(col("doc_id"), tokens.as("w"))
+        .select(col("doc_id"), expr(
+          s"""transform(sequence(1, CASE WHEN size(w) <= $w THEN 1
+             |                         ELSE (size(w) - $w + ${s - 1}) div $s + 1 END),
+             |          i -> concat_ws(' ', slice(w, (i - 1) * $s + 1, $w)))""".stripMargin)
+          .as("c")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      assert(native == layered, s"window=$w stride=$s")
+    }
+  }
+
   test("WinnowFingerprints == layered md5/slice/array_min form on random docs") {
     val (k, w) = (3, 4)
     val native = corpus.select(col("doc_id"),
