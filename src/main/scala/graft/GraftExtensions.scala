@@ -43,5 +43,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("winnow_fingerprints") { es =>
       WinnowFingerprints(es(0), intArg(es(1), "k"), intArg(es(2), "window"))
     }
+    inject("chunk_spans") { es =>
+      ChunkSpans(es(0), intArg(es(1), "window"), intArg(es(2), "stride"))
+    }
   }
 }

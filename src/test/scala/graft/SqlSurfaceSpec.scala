@@ -68,6 +68,9 @@ class SqlSurfaceSpec extends AnyFunSuite {
       val wf = s2.sql("SELECT winnow_fingerprints(split('a b c d e f g h',' '), 3, 4)")
         .head.getSeq[String](0)
       assert(wf.nonEmpty && wf.size <= 3 && wf.forall(_.length == 32))
+      // strided chunks: 7 tokens, window 5, stride 5 → 2 spans
+      assert(s2.sql("SELECT chunk_spans(split('a b c d e f g',' '), 5, 5)")
+        .head.getSeq[String](0) == Seq("a b c d e", "f g"))
       // int-literal contract for shape params is enforced
       intercept[Exception] {
         s2.sql("SELECT shingles(split('a b',' '), cast(rand()*2 as int))").collect()
