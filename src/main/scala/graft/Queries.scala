@@ -2174,6 +2174,163 @@ object Queries {
            | CAST((end_tok - n_tokens) % 512 AS INT) AS seq_offset
            |FROM c ORDER BY doc_id""".stripMargin))
 
+  /** PII scrub (release gate): category counts + fixed-order masking.
+    * The synthetic corpus carries no organic PII, so the query plants a
+    * deterministic email/IP per doc (phone on doc_id%3=0, SSN on %5=0)
+    * via the SAME concat on both engines, then the oracle re-derives
+    * every count and the full redacted text with RE2 — proving the
+    * pattern set behaves identically under Java regex and RE2. Scan-
+    * side per-row regexes; zero shuffle at any scale. */
+  private val qPiiRedact = {
+    import operators.Corpus.Pii
+    Q(
+      "q_pii_redact",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val planted = docs.select(col("doc_id"),
+          concat(col("text"),
+            lit(" contact user"), col("doc_id").cast("string"), lit("@example.com"),
+            lit(" from 10."), (col("doc_id") % 200).cast("string"),
+            lit(".0."), (col("doc_id") % 250).cast("string"),
+            when(col("doc_id") % 3 === 0,
+              concat(lit(" call 555-867-"),
+                lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+              .otherwise(lit("")),
+            when(col("doc_id") % 5 === 0, lit(" ssn 123-45-6789"))
+              .otherwise(lit(""))).as("text"))
+        operators.Corpus.redactPii(planted, "doc_id", "text")
+      },
+      Some(s"""WITH planted AS (SELECT doc_id,
+           |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+           |   || ' from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.' || CAST(doc_id % 250 AS VARCHAR)
+           |   || CASE WHEN doc_id % 3 = 0 THEN ' call 555-867-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+           |   || CASE WHEN doc_id % 5 = 0 THEN ' ssn 123-45-6789' ELSE '' END AS text
+           | FROM documents)
+           |SELECT doc_id,
+           | CAST(len(regexp_extract_all(text, '${Pii.Email}')) AS INT) AS n_emails,
+           | CAST(len(regexp_extract_all(text, '${Pii.Ssn}')) AS INT) AS n_ssns,
+           | CAST(len(regexp_extract_all(text, '${Pii.Phone}')) AS INT) AS n_phones,
+           | CAST(len(regexp_extract_all(text, '${Pii.Ipv4}')) AS INT) AS n_ips,
+           | regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+           |   '${Pii.Email}', '<EMAIL>', 'g'), '${Pii.Ssn}', '<SSN>', 'g'),
+           |   '${Pii.Phone}', '<PHONE>', 'g'), '${Pii.Ipv4}', '<IP>', 'g') AS clean_text,
+           | CAST(len(regexp_extract_all(text, '${Pii.Email}'))
+           |  + len(regexp_extract_all(text, '${Pii.Ssn}'))
+           |  + len(regexp_extract_all(text, '${Pii.Phone}'))
+           |  + len(regexp_extract_all(text, '${Pii.Ipv4}')) AS INT) AS pii_total
+           |FROM planted ORDER BY doc_id""".stripMargin))
+  }
+
+  /** MassiveText repetition filter APPLIED (not just measured): the
+    * gopher lexical keep composed with dup/top n-gram cuts for n = 2, 3
+    * into one verdict. The oracle re-derives all three aggregates and
+    * the vacuous-pass semantics for docs too short to carry an n-gram. */
+  private val qRepetitionFilter = Q(
+    "q_repetition_filter",
+    (s, d) => operators.Corpus.repetitionFilter(
+      Tables.documents(s, d), "doc_id", "text"),
+    Some("""WITH tok AS (SELECT doc_id,
+           |  unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents),
+           |wf AS (SELECT doc_id, w, count(*) AS f, sum(length(w)) AS lsum
+           |       FROM tok GROUP BY doc_id, w),
+           |per AS (SELECT doc_id, sum(f) AS n_words, count(*) AS n_distinct,
+           |               max(f) AS top_f, sum(lsum) AS charsum
+           |        FROM wf GROUP BY doc_id),
+           |gk AS (SELECT doc_id, CAST(CASE WHEN n_words >= 30
+           |  AND round(charsum / CAST(n_words AS DOUBLE), 6) BETWEEN 3.0 AND 10.0
+           |  AND round(n_distinct / CAST(n_words AS DOUBLE), 6) >= 0.4
+           |  AND round(top_f / CAST(n_words AS DOUBLE), 6) <= 0.15
+           |  THEN 1 ELSE 0 END AS INT) AS gopher_keep FROM per),
+           |w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+           |g2 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-1),
+           |    i -> concat_ws(' ', w[i], w[i+1]))) AS g FROM w WHERE len(w) >= 2),
+           |c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g),
+           |s2 AS (SELECT doc_id,
+           |   round(sum(CASE WHEN c > 1 THEN c ELSE 0 END) / CAST(sum(c) AS DOUBLE), 6) AS dup_frac_2,
+           |   round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top_frac_2
+           |  FROM c2 GROUP BY doc_id),
+           |g3 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-2),
+           |    i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS g FROM w WHERE len(w) >= 3),
+           |c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY doc_id, g),
+           |s3 AS (SELECT doc_id,
+           |   round(sum(CASE WHEN c > 1 THEN c ELSE 0 END) / CAST(sum(c) AS DOUBLE), 6) AS dup_frac_3,
+           |   round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top_frac_3
+           |  FROM c3 GROUP BY doc_id)
+           |SELECT gk.doc_id, gopher_keep,
+           | coalesce(dup_frac_2, 0.0) AS dup_frac_2,
+           | coalesce(top_frac_2, 0.0) AS top_frac_2,
+           | coalesce(dup_frac_3, 0.0) AS dup_frac_3,
+           | coalesce(top_frac_3, 0.0) AS top_frac_3,
+           | CAST(CASE WHEN gopher_keep = 1
+           |   AND coalesce(dup_frac_2, 0.0) <= 0.08 AND coalesce(top_frac_2, 0.0) <= 0.06
+           |   AND coalesce(dup_frac_3, 0.0) <= 0.05 AND coalesce(top_frac_3, 0.0) <= 0.05
+           |  THEN 1 ELSE 0 END AS INT) AS keep
+           |FROM gk LEFT JOIN s2 ON gk.doc_id = s2.doc_id
+           |        LEFT JOIN s3 ON gk.doc_id = s3.doc_id
+           |ORDER BY gk.doc_id""".stripMargin))
+
+  /** Top-50 adjacent-token-pair frequencies — the BPE merge-candidate
+    * table. Pair-vocabulary-bounded hash agg + TakeOrderedAndProject;
+    * ties break on pair text so the cutoff is engine-stable. */
+  private val qBpePairs = Q(
+    "q_bpe_pairs",
+    (s, d) => operators.Corpus.bpePairs(Tables.documents(s, d), "text", k = 50),
+    Some("""WITH w AS (SELECT regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+           |g AS (SELECT unnest(list_transform(generate_series(1, len(w)-1),
+           |   i -> concat_ws(' ', w[i], w[i+1]))) AS pair FROM w WHERE len(w) >= 2)
+           |SELECT pair, count(*) AS n FROM g GROUP BY pair
+           |ORDER BY n DESC, pair ASC LIMIT 50""".stripMargin))
+
+  /** CCNet-style normalization + canonical digest (the dedup key form).
+    * Pure scan-side string expressions; oracle re-derives the full
+    * normalized text and its md5. */
+  private val qNormalizeText = Q(
+    "q_normalize_text",
+    (s, d) => operators.Corpus.normalizeText(Tables.documents(s, d), "doc_id", "text"),
+    Some("""WITH n AS (SELECT doc_id,
+           |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+           |       '\s+', ' ', 'g')) AS norm_text
+           | FROM documents)
+           |SELECT doc_id, norm_text,
+           | CAST(CASE WHEN norm_text = '' THEN 0
+           |      ELSE len(string_split(norm_text, ' ')) END AS INT) AS n_tokens,
+           | md5(norm_text) AS norm_digest
+           |FROM n ORDER BY doc_id""".stripMargin))
+
+  /** Per-source dataset-card profile: one hash agg keyed by source;
+    * exact percentiles for the oracle (`percentile_approx` is the
+    * production swap, same trade as q_ae_threshold). */
+  private val qCorpusProfile = Q(
+    "q_corpus_profile",
+    (s, d) => operators.Corpus.corpusProfile(Tables.documents(s, d), "text", "source"),
+    Some("""WITH n AS (SELECT source,
+           |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens,
+           |  CAST(length(text) AS BIGINT) AS n_chars FROM documents)
+           |SELECT source, CAST(count(*) AS INT) AS n_docs,
+           | CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           | round(avg(n_tokens), 6) AS avg_tokens,
+           | round(quantile_cont(n_tokens, 0.5), 6) AS p50_tokens,
+           | round(quantile_cont(n_tokens, 0.95), 6) AS p95_tokens,
+           | round(avg(n_chars), 6) AS avg_chars
+           |FROM n GROUP BY source ORDER BY source""".stripMargin))
+
+  /** Bloom-filter decontamination (the too-big-to-broadcast-exactly
+    * scale twin of `q_decontaminate`, same bench/eval split). No SQL
+    * oracle — DuckDB has no compatible Bloom sketch; correctness is
+    * pinned by CorpusSpec instead: zero false negatives vs the exact
+    * join (superset row-for-row) and an fpp-bounded false-positive
+    * count. */
+  private val qDecontaminateBloom = Q(
+    "q_decontaminate_bloom",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      operators.Corpus.decontaminateBloom(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", k = 8)
+    },
+    None)
+
   // =====================================================================
   // All declared queries, in SURVEY §2 order
   // =====================================================================
@@ -2199,6 +2356,8 @@ object Queries {
     qMixDomains, qTopTerms,
     qSessionize, qSessionizeStream, qScoreStream, qAsofJoin, qRangeJoin,
     qGopherQuality, qSampleStratified, qDomainFilter, qDecontaminate,
+    qDecontaminateBloom, qPiiRedact, qRepetitionFilter, qBpePairs,
+    qNormalizeText, qCorpusProfile,
     qChunkOverlap, qLengthBuckets, qSourceOverlap,
     qDupNgrams, qUnigramLogprob, qLmCrossEntropy,
     qPackSequences, qPackManifest, qCorpusPipeline, qZorderKey, qMixQuality,

@@ -192,6 +192,48 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** The Bloom-filter form of `decontaminate` — the shape that survives
+    * benchmark suites too large to broadcast exactly: the held-out
+    * shingle set compresses to a constant-size Bloom filter (~3.6
+    * bytes/shingle at the 1e-6 default fpp vs ~50-byte strings), fit
+    * once driver-side like every other model artifact and broadcast to
+    * executors. One-sided error: NO false negatives — every truly
+    * contaminated doc is flagged (the property decontamination actually
+    * needs). The fpp default is deliberately tight: doc-level verdicts
+    * OR hundreds of per-shingle probes, so doc false-positive rate ≈
+    * n_shingles·fpp (at 1e-2 a 200-shingle doc is ~87% likely to
+    * false-flag; at 1e-6 it is ~0.02%). `n_hits` remains an upper
+    * bound; flagged docs can be re-checked with the exact join on the
+    * flagged slice only.
+    *
+    * The membership probe is a UDF by necessity (sketch lookup is not
+    * expressible in builtin expressions); it is a pure in-memory hash
+    * probe against broadcast state — the same justified-UDF class as
+    * the LOF/iForest scorers. */
+  def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame,
+                         idCol: String, textCol: String, k: Int = 8,
+                         fpp: Double = 1e-6): DataFrame = {
+    val spark = corpus.sparkSession
+    val bsh = Dedup.shingleDocs(benchmark, idCol, textCol, k)
+      .select(explode(col("shingles")).as("s")).distinct()
+    // constant-size model fit (benchmark-suite-sized, never corpus-sized)
+    val bf = bsh.stat.bloomFilter("s", math.max(bsh.count(), 1L), fpp)
+    val bfB = spark.sparkContext.broadcast(bf)
+    val mightContain = udf((s: String) => s != null && bfB.value.mightContainString(s))
+    val stats = Dedup.shingleDocs(corpus, idCol, textCol, k)
+      .select(col("doc_id"), explode(col("shingles")).as("s"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+           sum(when(mightContain(col("s")), 1L).otherwise(0L)).as("n_hits"))
+    corpus.select(col(idCol).as("doc_id"))
+      .join(stats, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+              coalesce(col("n_shingles"), lit(0L)).cast("int").as("n_shingles"),
+              coalesce(col("n_hits"), lit(0L)).cast("int").as("n_hits"),
+              (coalesce(col("n_hits"), lit(0L)) > 0).cast("int").as("contaminated"))
+      .orderBy("doc_id")
+  }
+
   /** The corpus-clean language gate (marker-stopword argmax = English)
     * and quality gate (length + stopword density) as ONE row-local
     * predicate — shared by the batch `q_corpus_clean` plan and the
@@ -437,6 +479,155 @@ object Corpus {
       .agg(count(lit(1)).cast("int").as("n_shared"))
       .orderBy("source_a", "source_b")
   }
+
+  /** The four PII patterns every release-gate scrubber runs first:
+    * email, SSN, North-American phone, dotted-quad IP. Deliberately the
+    * RE2-compatible subset (no lookaround, no backreferences) so the
+    * exact same pattern strings run under Java regex (Spark) and RE2
+    * (DuckDB/production scanners) with identical semantics. */
+  object Pii {
+    val Email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val Ssn   = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+    val Phone = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+    val Ipv4  = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  }
+
+  /** The masking pass, shared by the batch query and the streaming
+    * twin. Applied in a fixed order (email → SSN → phone → IP); the
+    * patterns are mutually exclusive on well-formed text (3-2-4 digit
+    * groups never parse as 3-3-4, 4 dotted groups never as 3), so the
+    * order only matters for pathological overlaps — fixing it makes
+    * the output deterministic everywhere. */
+  def piiRedacted(t: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+      Pii.Email, "<EMAIL>"), Pii.Ssn, "<SSN>"), Pii.Phone, "<PHONE>"),
+      Pii.Ipv4, "<IP>")
+
+  /** PII detection + redaction — the scrub step a training corpus runs
+    * before release (C4 strips lines with bad words; The Pile and most
+    * production pipelines regex-scrub emails/IPs/phones/SSNs). Per-doc
+    * category counts are measured on the ORIGINAL text; `clean_text`
+    * applies the fixed-order masking above.
+    *
+    * Shape: pure per-row regex expressions — scan-parallel, zero
+    * shuffle, the same plan at any scale; in streaming mode it is a
+    * stateless select (see `CorpusStream`). */
+  def redactPii(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    piiStats(docs, idCol, textCol).orderBy("doc_id")
+
+  /** The order-free core of `redactPii` — also the streaming twin's
+    * whole transform (`CorpusStream.scrubbed`): stateless per-row
+    * expressions, so batch and stream share the plan verbatim. */
+  def piiStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    docs.select(col(idCol).as("doc_id"),
+        regexp_count(t, lit(Pii.Email)).cast("int").as("n_emails"),
+        regexp_count(t, lit(Pii.Ssn)).cast("int").as("n_ssns"),
+        regexp_count(t, lit(Pii.Phone)).cast("int").as("n_phones"),
+        regexp_count(t, lit(Pii.Ipv4)).cast("int").as("n_ips"),
+        piiRedacted(t).as("clean_text"))
+      .withColumn("pii_total",
+        (col("n_emails") + col("n_ssns") + col("n_phones") + col("n_ips"))
+          .cast("int"))
+  }
+
+  /** The MassiveText repetition FILTER (Rae et al. 2021 §A1.1 applied,
+    * not just measured): compose `gopherStats`' lexical keep with
+    * duplicate-n-gram cuts for n = 2, 3 into one per-doc verdict —
+    * the actual drop decision a Gopher-style pipeline makes. Docs too
+    * short to carry an n-gram pass that n's cut vacuously (no
+    * repetition evidence ⇒ no drop), matching the paper's treatment.
+    *
+    * Shape: three independent two-level hash aggregates (words, 2-grams,
+    * 3-grams) joined on doc_id — each shuffle bounded by per-doc
+    * DISTINCT terms; AQE broadcasts the smaller aggregated sides. No
+    * new shuffle kind appears beyond the proven component operators. */
+  def repetitionFilter(docs: DataFrame, idCol: String, textCol: String,
+                       maxDupFrac2: Double = 0.08, maxTopFrac2: Double = 0.06,
+                       maxDupFrac3: Double = 0.05, maxTopFrac3: Double = 0.05)
+      : DataFrame = {
+    val g = gopherStats(docs, idCol, textCol)
+      .select(col("doc_id"), col("keep").as("gopher_keep"))
+    val d = dupNgramStats(docs, idCol, textCol, Seq(2, 3))
+    def slice(n: Int) = d.filter(col("n") === n)
+      .select(col("doc_id"), col("dup_frac").as(s"dup_frac_$n"),
+              col("top_frac").as(s"top_frac_$n"))
+    g.join(slice(2), Seq("doc_id"), "left")
+      .join(slice(3), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("gopher_keep"),
+        coalesce(col("dup_frac_2"), lit(0.0)).as("dup_frac_2"),
+        coalesce(col("top_frac_2"), lit(0.0)).as("top_frac_2"),
+        coalesce(col("dup_frac_3"), lit(0.0)).as("dup_frac_3"),
+        coalesce(col("top_frac_3"), lit(0.0)).as("top_frac_3"))
+      .withColumn("keep",
+        (col("gopher_keep") === 1 &&
+          col("dup_frac_2") <= maxDupFrac2 && col("top_frac_2") <= maxTopFrac2 &&
+          col("dup_frac_3") <= maxDupFrac3 && col("top_frac_3") <= maxTopFrac3)
+          .cast("int"))
+      .orderBy("doc_id")
+  }
+
+  /** Adjacent-token-pair frequencies, top k — the first merge-candidate
+    * table a BPE/WordPiece trainer computes (and recomputes each merge
+    * round; this is the one relational primitive the whole training
+    * loop repeats). Ties break on pair text asc so the cutoff is
+    * deterministic across engines and partitionings.
+    *
+    * Shape: one native non-distinct shingle pass (n = 2), then a
+    * partial+final hash agg whose output is PAIR-VOCABULARY-bounded
+    * (Heaps' law), not corpus-bounded; top-k plans as
+    * TakeOrderedAndProject over that small aggregate — no global sort
+    * of the full pair stream at any scale. */
+  def bpePairs(docs: DataFrame, textCol: String, k: Int = 50): DataFrame = {
+    require(k >= 1)
+    docs.select(explode(graft.functions.TextHash.shinglesAll(
+        split(trim(col(textCol)), "\\s+"), 2)).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair").asc)
+      .limit(k)
+  }
+
+  /** CCNet-style text normalization — the canonical form dedup keys on
+    * (lowercase, strip non-alphanumerics, collapse whitespace) plus the
+    * md5 digest of that form, so near-identical page variants ("Hello,
+    * World!" / "hello world") collapse to one digest. ASCII-scoped here;
+    * a production scrubber adds Unicode NFKC first (not available as a
+    * builtin on either engine — it would be a custom Expression).
+    *
+    * Shape: pure per-row regex/string expressions, zero shuffle; the
+    * digest feeds the existing exact-dedup machinery unchanged. */
+  def normalizeText(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val collapsed = trim(regexp_replace(
+      regexp_replace(lower(col(textCol)), "[^a-z0-9\\s]", " "), "\\s+", " "))
+    docs.select(col(idCol).as("doc_id"), collapsed.as("norm_text"))
+      .withColumn("n_tokens",
+        when(col("norm_text") === "", 0)
+          .otherwise(size(split(col("norm_text"), " "))).cast("int"))
+      .withColumn("norm_digest", md5(col("norm_text").cast("binary")))
+      .orderBy("doc_id")
+  }
+
+  /** Per-source dataset-card profile: doc counts, token totals, mean
+    * and p50/p95 token lengths, mean size — the rollup every corpus
+    * release ships and every mixture designer reads before setting
+    * `mixDomains` weights.
+    *
+    * Shape: scan-side token counting, then ONE hash agg keyed by
+    * source. Exact `percentile` keeps the oracle bit-stable; at
+    * production scale swap `percentile_approx` (mergeable sketch, no
+    * per-group sort) — the documented `q_ae_threshold` trade. */
+  def corpusProfile(docs: DataFrame, textCol: String, sourceCol: String): DataFrame =
+    docs.select(col(sourceCol).as("source"),
+        size(split(trim(col(textCol)), "\\s+")).cast("int").as("n_tokens"),
+        length(col(textCol)).cast("long").as("n_chars"))
+      .groupBy("source")
+      .agg(count(lit(1)).cast("int").as("n_docs"),
+           sum("n_tokens").cast("long").as("total_tokens"),
+           round(avg("n_tokens"), 6).as("avg_tokens"),
+           round(expr("percentile(n_tokens, 0.5)"), 6).as("p50_tokens"),
+           round(expr("percentile(n_tokens, 0.95)"), 6).as("p95_tokens"),
+           round(avg("n_chars"), 6).as("avg_chars"))
+      .orderBy("source")
 
   /** Per-source (domain) curation rollup: document count, size, exact
     * duplicate-text rate, and a keep flag (C4-style domain filtering —

@@ -107,6 +107,16 @@ object CorpusStream {
       .select(col("doc_id"), col("n_tokens"), col("cross_entropy"))
   }
 
+  /** Streaming PII scrub — the release gate applied at ingestion time
+    * instead of at export: the batch `Corpus.redactPii` transform IS
+    * the streaming transform (stateless per-row regexes, no watermark,
+    * no state), so a document never lands unscrubbed anywhere
+    * downstream. Exact batch parity by construction; StreamingSpec
+    * pins it row-for-row. */
+  def scrubbed(docs: DataFrame, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame =
+    graft.operators.Corpus.piiStats(docs, idCol, textCol)
+
   /** Near-dup streaming heuristic: drop documents whose 64-bit SimHash
     * signature (native codegen expression) collides with an earlier
     * doc in the horizon. Hamming-0 collision ⇒ near-identical token

@@ -343,6 +343,126 @@ class CorpusSpec extends AnyFunSuite {
 
   // ---- heavy hitters ---------------------------------------------------
 
+  // ---- PII redaction ---------------------------------------------------
+
+  test("redactPii: hand-checked counts and masking for all four categories") {
+    val df = Seq(
+      (1L, "mail a@b.co and x.y+z@sub.example.org ssn 123-45-6789 " +
+           "call 555-867-5309 or 303.555.1234 host 10.0.0.1"),
+      (2L, "no pii here at all")).toDF("doc_id", "text")
+    val r = Corpus.redactPii(df, "doc_id", "text").collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(1L).getAs[Int]("n_emails") == 2)
+    assert(r(1L).getAs[Int]("n_ssns") == 1)
+    assert(r(1L).getAs[Int]("n_phones") == 2)
+    assert(r(1L).getAs[Int]("n_ips") == 1)
+    assert(r(1L).getAs[Int]("pii_total") == 6)
+    assert(r(1L).getAs[String]("clean_text") ==
+      "mail <EMAIL> and <EMAIL> ssn <SSN> call <PHONE> or <PHONE> host <IP>")
+    assert(r(2L).getAs[Int]("pii_total") == 0)
+    assert(r(2L).getAs[String]("clean_text") == "no pii here at all")
+  }
+
+  test("redactPii: SSN/phone/IP digit shapes never cross-match") {
+    // 3-2-4 is only an SSN, 3-3-4 only a phone, dotted quad only an IP
+    val df = Seq((1L, "987-65-4321 987-654-3210 192.168.001.255")).toDF("doc_id", "text")
+    val r = Corpus.redactPii(df, "doc_id", "text").head
+    assert(r.getAs[Int]("n_ssns") == 1 && r.getAs[Int]("n_phones") == 1 &&
+           r.getAs[Int]("n_ips") == 1)
+    assert(r.getAs[String]("clean_text") == "<SSN> <PHONE> <IP>")
+  }
+
+  // ---- repetition filter -------------------------------------------------
+
+  test("repetitionFilter: boilerplate dropped, clean doc kept, short doc passes n-gram cuts vacuously") {
+    val clean = (1 to 40).map(i => s"word$i").mkString(" ")
+    val boiler = Seq.fill(20)("buy cheap pills now").mkString(" ")
+    val df = Seq((1L, clean), (2L, boiler), (3L, "tiny doc")).toDF("doc_id", "text")
+    val r = Corpus.repetitionFilter(df, "doc_id", "text").collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(1L).getAs[Int]("keep") == 1)
+    assert(r(1L).getAs[Double]("dup_frac_2") == 0.0)
+    // every 4-token phrase repeats 20x: dup_frac = 1 for n=2 and 3
+    assert(r(2L).getAs[Double]("dup_frac_2") == 1.0)
+    assert(r(2L).getAs[Double]("dup_frac_3") == 1.0)
+    assert(r(2L).getAs[Int]("keep") == 0)
+    // 2 tokens: no 3-grams exist — the n=3 cut must pass vacuously (0.0),
+    // the verdict failing only on the gopher length gate
+    assert(r(3L).getAs[Double]("dup_frac_3") == 0.0)
+    assert(r(3L).getAs[Int]("gopher_keep") == 0 && r(3L).getAs[Int]("keep") == 0)
+  }
+
+  test("repetitionFilter splits the real corpus non-trivially") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val counts = Corpus.repetitionFilter(docs, "doc_id", "text")
+      .groupBy("keep").count().as[(Int, Long)].collect().toMap
+    assert(counts.getOrElse(1, 0L) > 0, "no doc survived the repetition filter")
+    assert(counts.getOrElse(0, 0L) > 0, "no doc was dropped by the repetition filter")
+  }
+
+  // ---- BPE pair counting -------------------------------------------------
+
+  test("bpePairs: hand-checked adjacent-pair counts, tie-break on pair text, k cap") {
+    val df = Seq((1L, "a b a b c"), (2L, "b c d")).toDF("doc_id", "text")
+    // pairs: doc1 = [a b, b a, a b, b c], doc2 = [b c, c d]
+    val all = Corpus.bpePairs(df, "text", k = 10)
+      .as[(String, Long)].collect().toSeq
+    assert(all == Seq(("a b", 2L), ("b c", 2L), ("b a", 1L), ("c d", 1L)))
+    val top2 = Corpus.bpePairs(df, "text", k = 2).as[(String, Long)].collect().toSeq
+    assert(top2 == Seq(("a b", 2L), ("b c", 2L)), "cutoff tie must break on pair asc")
+  }
+
+  // ---- normalization -----------------------------------------------------
+
+  test("normalizeText: case/punct/whitespace variants collapse to one digest") {
+    val df = Seq((1L, "Hello, WORLD!"), (2L, "hello world"),
+                 (3L, "  hello   world  "), (4L, "!!!")).toDF("doc_id", "text")
+    val r = Corpus.normalizeText(df, "doc_id", "text").collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(1L).getAs[String]("norm_text") == "hello world")
+    assert(Seq(1L, 2L, 3L).map(r(_).getAs[String]("norm_digest")).distinct.size == 1)
+    assert(r(1L).getAs[Int]("n_tokens") == 2)
+    assert(r(4L).getAs[String]("norm_text") == "" && r(4L).getAs[Int]("n_tokens") == 0)
+  }
+
+  // ---- corpus profile ----------------------------------------------------
+
+  test("corpusProfile: hand-checked per-source stats and exact percentiles") {
+    val df = Seq((1L, "a b", "s1"), (2L, "a b c d", "s1"), (3L, "a", "s2"))
+      .toDF("doc_id", "text", "source")
+    val r = Corpus.corpusProfile(df, "text", "source").collect()
+      .map(x => x.getAs[String]("source") -> x).toMap
+    assert(r("s1").getAs[Int]("n_docs") == 2)
+    assert(r("s1").getAs[Long]("total_tokens") == 6L)
+    assert(r("s1").getAs[Double]("avg_tokens") == 3.0)
+    assert(r("s1").getAs[Double]("p50_tokens") == 3.0) // interpolated between 2 and 4
+    assert(r("s2").getAs[Double]("p95_tokens") == 1.0)
+  }
+
+  // ---- Bloom decontamination ----------------------------------------------
+
+  test("decontaminateBloom: superset of exact (no false negatives), FP docs bounded at fpp=1e-6") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+    val exact = Corpus.decontaminate(corpus, bench, "doc_id", "text", k = 8)
+      .select(col("doc_id"), col("n_hits").as("eh"), col("contaminated").as("ec"))
+    val bloom = Corpus.decontaminateBloom(corpus, bench, "doc_id", "text", k = 8)
+      .select(col("doc_id"), col("n_hits").as("bh"), col("contaminated").as("bc"))
+    val j = exact.join(bloom, "doc_id").collect()
+    assert(j.nonEmpty)
+    j.foreach { r =>
+      assert(r.getAs[Int]("bh") >= r.getAs[Int]("eh"),
+        s"bloom lost a true hit on doc ${r.getAs[Long]("doc_id")}")
+      assert(r.getAs[Int]("bc") >= r.getAs[Int]("ec"),
+        s"bloom false negative on doc ${r.getAs[Long]("doc_id")}")
+    }
+    val fpDocs = j.count(r => r.getAs[Int]("bc") == 1 && r.getAs[Int]("ec") == 0)
+    val cleanDocs = j.count(r => r.getAs[Int]("ec") == 0)
+    assert(fpDocs <= math.max(1, cleanDocs / 100),
+      s"$fpDocs false-positive docs out of $cleanDocs clean")
+  }
+
   test("topTermsPerGroup ranks by count desc then term asc, capped at k") {
     val df = Seq(
       (1L, "en", "x x x y y z"),

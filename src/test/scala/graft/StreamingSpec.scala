@@ -195,6 +195,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming PII scrub matches batch redactPii row-for-row") {
+    implicit val sc = spark.sqlContext
+    val rows = Seq(
+      (1L, ts("2024-01-10 10:00:00"),
+        "write to jane.doe+x@corp.example.com or call 555-867-5309"),
+      (2L, ts("2024-01-10 10:01:00"), "ssn 123-45-6789 from 10.0.0.1"),
+      (3L, ts("2024-01-10 10:02:00"), "nothing sensitive here"))
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val docs = mem.toDF().toDF("doc_id", "ts", "text")
+    val q = graft.streaming.CorpusStream.scrubbed(docs).writeStream
+      .format("memory").queryName("scrubbed_out").outputMode("append").start()
+    try {
+      mem.addData(rows.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("scrubbed_out").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("clean_text"),
+                   r.getAs[Int]("pii_total"))).sortBy(_._1).toSeq
+      val batch = graft.operators.Corpus.redactPii(
+          rows.map(r => (r._1, r._3)).toDF("doc_id", "text"), "doc_id", "text")
+        .collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("clean_text"),
+                   r.getAs[Int]("pii_total"))).sortBy(_._1).toSeq
+      assert(streamed == batch)
+      assert(streamed.map(_._3) == Seq(2, 2, 0))
+      assert(!streamed.exists(_._2.contains("@")), "an email survived the scrub")
+    } finally q.stop()
+  }
+
   test("streaming corpus dedup drops exact and simhash dupes across batches") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, String)]
