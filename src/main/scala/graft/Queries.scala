@@ -2331,6 +2331,97 @@ object Queries {
     },
     None)
 
+  /** PMI collocations ("new york" phrase discovery): pair + unigram
+    * aggs, PMI re-derived by the oracle with the identical expression
+    * shape; minCount = 5, top-50 with text tie-break. */
+  private val qCollocations = Q(
+    "q_collocations",
+    (s, d) => operators.Corpus.collocations(Tables.documents(s, d), "text",
+      minCount = 5, k = 50),
+    Some("""WITH w AS (SELECT regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+           |p AS (SELECT unnest(list_transform(generate_series(1, len(w)-1),
+           |   i -> concat_ws(' ', w[i], w[i+1]))) AS pair FROM w WHERE len(w) >= 2),
+           |sp AS (SELECT string_split(pair, ' ')[1] AS w1,
+           |              string_split(pair, ' ')[2] AS w2 FROM p),
+           |pc AS (SELECT w1, w2, count(*) AS n_ab FROM sp GROUP BY w1, w2),
+           |tok AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS wd FROM documents),
+           |wc AS (SELECT wd, count(*) AS n_w FROM tok GROUP BY wd),
+           |t1 AS (SELECT sum(n_w) AS n1 FROM wc),
+           |t2 AS (SELECT sum(n_ab) AS n2 FROM pc)
+           |SELECT w1, w2, n_ab,
+           | round(ln((CAST(n_ab AS DOUBLE) / CAST(n2 AS DOUBLE))
+           |   / ((CAST(a.n_w AS DOUBLE) / CAST(n1 AS DOUBLE))
+           |    * (CAST(b.n_w AS DOUBLE) / CAST(n1 AS DOUBLE)))), 6) AS pmi
+           |FROM pc JOIN wc a ON pc.w1 = a.wd JOIN wc b ON pc.w2 = b.wd, t1, t2
+           |WHERE n_ab >= 5
+           |ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 50""".stripMargin))
+
+  /** Efraimidis–Spirakis weighted sample (weight = token count): the
+    * deterministic md5 coin parsed numerically, key = ln(u)/w, top-100.
+    * The oracle re-derives u, the key and the cutoff. */
+  private val qWeightedSample = Q(
+    "q_weighted_sample",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).as("n_tokens"))
+      operators.Corpus.weightedSample(docs, "doc_id", "n_tokens", k = 100)
+    },
+    Some("""WITH d AS (SELECT doc_id,
+           |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS w
+           | FROM documents)
+           |SELECT doc_id, CAST(w AS INT) AS weight,
+           | round(ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 1)
+           |       / 4294967296.0) / w, 6) AS es_key
+           |FROM d WHERE w > 0
+           |ORDER BY es_key DESC, doc_id ASC LIMIT 100""".stripMargin))
+
+  /** Per-source percent-rank of document length — the per-domain score
+    * normalization move (quality scores are only comparable within a
+    * domain; CCNet buckets per-snapshot for the same reason). One
+    * shuffle keyed by source, rank within partition. */
+  private val qQualityRank = Q(
+    "q_quality_rank",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      Tables.documents(s, d).select(col("doc_id"), col("source"),
+          size(split(trim(col("text")), "\\s+")).cast("int").as("n_tokens"))
+        .withColumn("pct_rank", round(percent_rank().over(
+          Window.partitionBy("source").orderBy("n_tokens")), 6))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, source, n_tokens,
+           | round(percent_rank() OVER (PARTITION BY source ORDER BY n_tokens), 6) AS pct_rank
+           |FROM (SELECT doc_id, source,
+           |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens
+           | FROM documents)
+           |ORDER BY doc_id""".stripMargin))
+
+  /** Per-label embedding centroids (class prototypes), exploded to
+    * (label, dim_idx, centroid) scalars — the ml_preproc output
+    * convention. One hash agg keyed by (label, dim). */
+  private val qEmbedCentroid = Q(
+    "q_embed_centroid",
+    (s, d) => operators.Embeddings.centroids(
+      Tables.embeddings(s, d), "label", "embedding")
+      .withColumnRenamed("grp", "label"),
+    Some("""WITH e AS (SELECT label, unnest(embedding) AS v,
+           |  generate_subscripts(embedding, 1) AS i FROM embeddings)
+           |SELECT label, CAST(i - 1 AS INT) AS dim_idx,
+           | round(avg(CAST(v AS DOUBLE)), 6) AS centroid,
+           | CAST(count(*) AS INT) AS n_vectors
+           |FROM e GROUP BY label, i ORDER BY label, dim_idx""".stripMargin))
+
+  /** BPE/word2phrase merge training (8 rounds) — a model-training op
+    * like ml_*: building the frame runs the loop (per round: one
+    * pair-vocab-bounded agg, a 1-row driver argmax, a scan-side
+    * rewrite). No SQL oracle — single SQL statements cannot iterate
+    * argmax+rewrite (and RE2 lacks the boundary lookarounds the
+    * rewrite needs); CorpusSpec pins hand-checked merges instead. */
+  private val qBpeTrain = Q(
+    "q_bpe_train",
+    (s, d) => operators.Corpus.bpeTrain(Tables.documents(s, d), "text", nMerges = 8),
+    None)
+
   // =====================================================================
   // All declared queries, in SURVEY §2 order
   // =====================================================================
@@ -2357,7 +2448,8 @@ object Queries {
     qSessionize, qSessionizeStream, qScoreStream, qAsofJoin, qRangeJoin,
     qGopherQuality, qSampleStratified, qDomainFilter, qDecontaminate,
     qDecontaminateBloom, qPiiRedact, qRepetitionFilter, qBpePairs,
-    qNormalizeText, qCorpusProfile,
+    qNormalizeText, qCorpusProfile, qCollocations, qWeightedSample,
+    qQualityRank, qEmbedCentroid, qBpeTrain,
     qChunkOverlap, qLengthBuckets, qSourceOverlap,
     qDupNgrams, qUnigramLogprob, qLmCrossEntropy,
     qPackSequences, qPackManifest, qCorpusPipeline, qZorderKey, qMixQuality,

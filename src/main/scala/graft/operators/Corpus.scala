@@ -629,6 +629,125 @@ object Corpus {
            round(avg("n_chars"), 6).as("avg_chars"))
       .orderBy("source")
 
+  /** PMI collocation extraction — the corpus-analysis pass that finds
+    * statistically-bound adjacent pairs ("new york"-style phrases;
+    * word2phrase's scoring core). pmi = log(P(ab) / (P(a)·P(b))) over
+    * adjacent-pair and unigram frequencies; `minCount` suppresses the
+    * high-variance rare pairs (PMI's classic failure mode), ties break
+    * on pair text.
+    *
+    * Shape: one unigram agg (vocabulary-bounded) + one pair agg
+    * (pair-vocabulary-bounded), two key joins of the SMALL aggregated
+    * frames (AQE broadcasts the unigram side), totals on 1-row
+    * broadcasts, TakeOrderedAndProject top-k. The corpus token stream
+    * is read twice but never shuffled raw — both shuffles carry
+    * (term, count) rows. */
+  def collocations(docs: DataFrame, textCol: String,
+                   minCount: Int = 5, k: Int = 50): DataFrame = {
+    require(minCount >= 1 && k >= 1)
+    val pair = split(col("pair"), " ")
+    val pc = docs.select(explode(graft.functions.TextHash.shinglesAll(
+        split(trim(col(textCol)), "\\s+"), 2)).as("pair"))
+      .select(pair.getItem(0).as("w1"), pair.getItem(1).as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n_ab"))
+    val wc = docs.select(explode(split(trim(col(textCol)), "\\s+")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n_w"))
+    val n1 = wc.agg(sum("n_w").as("n1"))
+    val n2 = pc.agg(sum("n_ab").as("n2"))
+    pc.filter(col("n_ab") >= minCount)
+      .join(wc.select(col("w").as("w1"), col("n_w").as("n_a")), "w1")
+      .join(wc.select(col("w").as("w2"), col("n_w").as("n_b")), "w2")
+      .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+      .select(col("w1"), col("w2"), col("n_ab"),
+        round(log((col("n_ab").cast("double") / col("n2").cast("double"))
+          / ((col("n_a").cast("double") / col("n1").cast("double"))
+           * (col("n_b").cast("double") / col("n1").cast("double")))), 6)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+  }
+
+  /** Weighted sampling without replacement (Efraimidis–Spirakis 2006):
+    * each row draws a deterministic uniform u from its id's md5 and
+    * keeps key = ln(u)/w — the top-k keys ARE a weight-proportional
+    * sample (quality-weighted subcorpus selection, eval-slice drawing).
+    * Deterministic across engines, runs and partitionings: u is the
+    * same 32-bit md5 coin as `hashFractionSample`, parsed numerically
+    * (u ∈ (0,1], never 0, so ln is finite).
+    *
+    * Shape: the key is a scan-side expression; top-k plans as
+    * TakeOrderedAndProject — no sort of the full corpus, no shuffle
+    * beyond the k-row gather. The classic reservoir formulation keeps
+    * the same keys in per-partition heaps; Spark's TakeOrdered IS that
+    * (partial top-k per partition, merged at the driver). */
+  def weightedSample(docs: DataFrame, idCol: String, weightCol: String,
+                     k: Int = 100): DataFrame = {
+    require(k >= 1)
+    val h = conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 8),
+      16, 10).cast("long")
+    val u = (h + lit(1L)).cast("double") / lit(4294967296.0)
+    docs.select(col(idCol).as("doc_id"),
+        col(weightCol).cast("double").as("__w"))
+      .filter(col("__w") > 0)
+      .select(col("doc_id"), col("__w").cast("int").as("weight"),
+        round(log(u) / col("__w"), 6).as("es_key"))
+      .orderBy(col("es_key").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** BPE-style merge training, token-level (the word2phrase/BPE merge
+    * loop as relational operations): each round counts adjacent-pair
+    * frequencies (`bpePairs`' aggregate), takes the argmax — ONE row to
+    * the driver, constant-size model state like every other fit — and
+    * rewrites the corpus merging that pair left-to-right non-overlapping
+    * (`a b` → `a_b`, so later rounds can chain `a_b c`). Returns the
+    * merge table (rank, pair, merged, freq) — the artifact a tokenizer
+    * trainer ships. Stops early when no pair repeats.
+    *
+    * Shape per round: one pair-vocabulary-bounded hash agg + a
+    * scan-side regex rewrite; the corpus is lazily checkpointed each
+    * round so plan lineage stays O(1) and round r's agg reads round
+    * r-1's materialization — exactly how a distributed BPE trainer
+    * iterates (frequencies are corpus-wide, merges are per-row).
+    * Counting is occurrence-based (overlaps counted, as in reference
+    * BPE implementations); the rewrite is non-overlapping left-to-right.
+    *
+    * Like the `ml_*` fits, building the frame RUNS the training loop
+    * (nMerges driver-argmax rounds) — this is a model-training op, not
+    * a declarative query. */
+  def bpeTrain(docs: DataFrame, textCol: String, nMerges: Int = 8): DataFrame = {
+    require(nMerges >= 1)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var corpus = docs.select(trim(col(textCol)).as("__t"))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 1
+    var done = false
+    while (rank <= nMerges && !done) {
+      val top = corpus.select(explode(graft.functions.TextHash.shinglesAll(
+          split(col("__t"), " +"), 2)).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair").asc).limit(1)
+        .as[(String, Long)].collect().headOption
+      top match {
+        case Some((pair, n)) if n >= 2 =>
+          val Array(a, b) = pair.split(" ", 2)
+          val merged = a + "_" + b
+          // boundary lookarounds keep the match zero-width at both ends,
+          // so consecutive occurrences ("a b a b") merge independently
+          val pat = "(?<=^| )" + java.util.regex.Pattern.quote(a) + " " +
+            java.util.regex.Pattern.quote(b) + "(?= |$)"
+          corpus = corpus.select(regexp_replace(col("__t"), pat,
+              java.util.regex.Matcher.quoteReplacement(merged)).as("__t"))
+            .localCheckpoint(eager = false)
+          merges += ((rank, pair, merged, n))
+          rank += 1
+        case _ => done = true
+      }
+    }
+    merges.toSeq.toDF("merge_rank", "pair", "merged", "freq")
+  }
+
   /** Per-source (domain) curation rollup: document count, size, exact
     * duplicate-text rate, and a keep flag (C4-style domain filtering —
     * drop tiny or heavily-duplicated sources). The md5 digest stands in

@@ -463,6 +463,84 @@ class CorpusSpec extends AnyFunSuite {
       s"$fpDocs false-positive docs out of $cleanDocs clean")
   }
 
+  // ---- collocations (PMI) ------------------------------------------------
+
+  test("collocations: a planted phrase dominates PMI; rare pairs suppressed by minCount") {
+    // 'san francisco' always adjacent (PMI max); filler words pair randomly
+    val phrase = Seq.fill(6)("san francisco").mkString(" ")
+    val noise = (1 to 6).map(i => s"the of and in to at the of and in to at").mkString(" ")
+    val df = Seq((1L, phrase), (2L, noise), (3L, noise)).toDF("doc_id", "text")
+    val top = Corpus.collocations(df, "text", minCount = 5, k = 5).collect()
+    assert(top.head.getAs[String]("w1") == "san" &&
+           top.head.getAs[String]("w2") == "francisco",
+      s"expected (san, francisco) first, got ${top.head}")
+    // 'francisco san' occurs 5 times (interior adjacencies) — present;
+    // nothing below minCount appears
+    assert(top.forall(_.getAs[Long]("n_ab") >= 5))
+  }
+
+  // ---- weighted sampling ---------------------------------------------------
+
+  test("weightedSample: deterministic across partitionings, k respected, heavy doc always in") {
+    val df = (1 to 200).map(i => (i.toLong, if (i == 7) 1000000 else 1))
+      .toDF("doc_id", "n_tokens")
+    val s1 = Corpus.weightedSample(df, "doc_id", "n_tokens", k = 20)
+      .select("doc_id").as[Long].collect().toSeq
+    val s2 = Corpus.weightedSample(df.repartition(13), "doc_id", "n_tokens", k = 20)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(s1.size == 20 && s1.sorted == s2.sorted,
+      "sample must not depend on partitioning")
+    assert(s1.contains(7L), "a 10^6-weight doc must dominate the top-20 keys")
+    // zero-weight rows are excluded, never division-by-zero
+    val withZero = Corpus.weightedSample(
+      df.withColumn("n_tokens", when(col("doc_id") <= 100, 0).otherwise(col("n_tokens"))),
+      "doc_id", "n_tokens", k = 200).select("doc_id").as[Long].collect()
+    assert(withZero.forall(_ > 100) && withZero.length == 100)
+  }
+
+  // ---- BPE merge training ---------------------------------------------------
+
+  test("bpeTrain: planted phrase merges first, later rounds chain onto merged tokens") {
+    // 'new york' 8x dominates round 1; after merging, 'new_york city' 6x
+    // is the top remaining pair — round 2 must chain onto the merged token
+    val df = Seq(
+      (1L, Seq.fill(8)("new york city").mkString(" a b ")),
+      (2L, "c d c d")).toDF("doc_id", "text")
+    val m = Corpus.bpeTrain(df, "text", nMerges = 2)
+      .orderBy("merge_rank").collect()
+    assert(m(0).getAs[String]("pair") == "new york")
+    assert(m(0).getAs[String]("merged") == "new_york")
+    assert(m(0).getAs[Long]("freq") == 8L)
+    assert(m(1).getAs[String]("pair") == "new_york city",
+      s"round 2 must see round 1's merge, got ${m(1)}")
+  }
+
+  test("bpeTrain: left-to-right non-overlap on runs; stops early when nothing repeats") {
+    // 'a a a a' in two docs: pair 'a a' counted 3x per doc (overlapping),
+    // merged as 2 non-overlapping occurrences per doc in round 1; round 2
+    // then sees 'a_a a_a' twice (once per doc) and merges it; round 3 has
+    // no repeating pair (one 'a_a_a_a' per doc) and must stop early
+    val df = Seq((1L, "a a a a"), (2L, "a a a a")).toDF("doc_id", "text")
+    val m = Corpus.bpeTrain(df, "text", nMerges = 5).orderBy("merge_rank").collect()
+    assert(m(0).getAs[String]("pair") == "a a" && m(0).getAs[Long]("freq") == 6L)
+    assert(m(1).getAs[String]("pair") == "a_a a_a" && m(1).getAs[Long]("freq") == 2L)
+    assert(m.length == 2, s"no repeating pair remains after 2 merges: ${m.toSeq}")
+  }
+
+  // ---- embedding centroids ---------------------------------------------------
+
+  test("Embeddings.centroids: hand-checked per-label means, exploded shape") {
+    val df = Seq((1L, Array(1.0f, 2.0f), 0), (2L, Array(3.0f, 6.0f), 0),
+                 (3L, Array(10.0f, 20.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val r = graft.operators.Embeddings.centroids(df, "label", "embedding")
+      .collect().map(x => (x.getAs[Int]("grp"), x.getAs[Int]("dim_idx")) -> x).toMap
+    assert(r((0, 0)).getAs[Double]("centroid") == 2.0)
+    assert(r((0, 1)).getAs[Double]("centroid") == 4.0)
+    assert(r((1, 0)).getAs[Double]("centroid") == 10.0)
+    assert(r((0, 0)).getAs[Int]("n_vectors") == 2 && r((1, 1)).getAs[Int]("n_vectors") == 1)
+  }
+
   test("topTermsPerGroup ranks by count desc then term asc, capped at k") {
     val df = Seq(
       (1L, "en", "x x x y y z"),
