@@ -1026,7 +1026,8 @@ object Queries {
     * query and the connected-components clustering query so their
     * oracles derive pairs identically. */
   private def minhashMd5PairCtes(nh: Int, bands: Int, thr: Double,
-                                 bandCap: Option[Int] = None): String = {
+                                 bandCap: Option[Int] = None,
+                                 docWhere: String = ""): String = {
     val rpb = nh / bands
     val minsSql = (0 until nh)
       .map(i => s"min(md5('$i:' || s)) AS mh_$i").mkString(",\n   ")
@@ -1056,7 +1057,7 @@ object Queries {
            |  FROM bands e JOIN freq f ON f.band = e.band AND f.bh = e.bh
            |  WHERE f.f > $cap AND e.doc_id <> f.mn)),""".stripMargin
     }
-    s"""w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+    s"""w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents $docWhere),
        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
        |   generate_series(1, len(w)-2),
        |   i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS s
@@ -2422,6 +2423,113 @@ object Queries {
     (s, d) => operators.Corpus.bpeTrain(Tables.documents(s, d), "text", nMerges = 8),
     None)
 
+  /** Diversified top-k retrieval: cosine top-10 with ≤2 results per
+    * unit-normalized grid cell (the relational quota form of MMR; IVF
+    * cells are the production swap). Cells, cosine, both rank windows
+    * and the quota all re-derived by the oracle. */
+  private val qSimDiverse = {
+    def cos(av: String, bv: String) =
+      s"""round(CASE WHEN sqrt(list_sum(list_transform(list_zip($av, $av), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))))
+         |           * sqrt(list_sum(list_transform(list_zip($bv, $bv), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))) > 0
+         |        THEN list_sum(list_transform(list_zip($av, $bv), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+         |           / (sqrt(list_sum(list_transform(list_zip($av, $av), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))))
+         |            * sqrt(list_sum(list_transform(list_zip($bv, $bv), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))))
+         |        ELSE 0.0 END, 6)""".stripMargin
+    Q(
+      "q_sim_diverse",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        operators.Embeddings.topkDiverse(e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", "vec_id", "embedding",
+          k = 10, perCell = 2, gridDims = 2, gridSize = 0.25)
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+           |v AS (SELECT vec_id AS neighbor_id, embedding,
+           |   sqrt(list_sum(list_transform(list_zip(embedding, embedding),
+           |     p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))) AS nrm
+           |  FROM embeddings),
+           |c AS (SELECT query_id, neighbor_id,
+           |   concat_ws(',', CAST(floor(CAST(v.embedding[1] AS DOUBLE) / nrm / 0.25) AS BIGINT),
+           |                  CAST(floor(CAST(v.embedding[2] AS DOUBLE) / nrm / 0.25) AS BIGINT)) AS cell,
+           |   ${cos("qv", "v.embedding")} AS cos
+           | FROM v, q WHERE v.neighbor_id <> q.query_id AND nrm > 0),
+           |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id, cell
+           |        ORDER BY cos DESC, neighbor_id ASC) AS INT) AS cell_rank FROM c),
+           |g AS (SELECT *, row_number() OVER (PARTITION BY query_id
+           |        ORDER BY cos DESC, neighbor_id ASC) AS rn
+           |      FROM r WHERE cell_rank <= 2)
+           |SELECT query_id, neighbor_id, cell, cos, cell_rank
+           |FROM g WHERE rn <= 10 ORDER BY query_id, neighbor_id""".stripMargin))
+  }
+
+  /** Corpus snapshot diff (incremental-refresh audit): v1 drops
+    * doc_id%10=7, v2 drops %10=3 and rewrites %10=1 — both versions
+    * derived deterministically on both engines; the full outer
+    * digest-join classifies every id. */
+  private val qCorpusDiff = Q(
+    "q_corpus_diff",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val prev = docs.filter(col("doc_id") % 10 =!= 7)
+      val cur = docs.filter(col("doc_id") % 10 =!= 3)
+        .withColumn("text", when(col("doc_id") % 10 === 1,
+          concat(col("text"), lit(" updated"))).otherwise(col("text")))
+      operators.Corpus.corpusDiff(prev, cur, "doc_id", "text")
+    },
+    Some("""WITH prev AS (SELECT doc_id, md5(text) AS digest_prev
+           |  FROM documents WHERE doc_id % 10 <> 7),
+           |cur AS (SELECT doc_id,
+           |  md5(CASE WHEN doc_id % 10 = 1 THEN text || ' updated' ELSE text END) AS digest_cur
+           |  FROM documents WHERE doc_id % 10 <> 3)
+           |SELECT coalesce(prev.doc_id, cur.doc_id) AS doc_id, digest_prev, digest_cur,
+           | CASE WHEN digest_prev IS NULL THEN 'added'
+           |      WHEN digest_cur IS NULL THEN 'removed'
+           |      WHEN digest_prev = digest_cur THEN 'unchanged'
+           |      ELSE 'changed' END AS status
+           |FROM prev FULL OUTER JOIN cur ON prev.doc_id = cur.doc_id
+           |ORDER BY doc_id""".stripMargin))
+
+  /** Minhash-LSH recall harness on the %5=0 evaluation slice: the
+    * oracle re-derives the exact all-pairs Jaccard set, the full LSH
+    * pipeline AND the confusion counts — recall is the tuning number,
+    * n_false must be 0 (candidates are exact-verified). */
+  private val qDedupEval = {
+    val (nh, bands, thr) = (16, 8, 0.1)
+    Q(
+      "q_dedup_eval",
+      (s, d) => operators.Dedup.minhashEval(
+        Tables.documents(s, d).filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", numHashes = nh, bands = bands, threshold = thr),
+      Some(s"""WITH ${minhashMd5PairCtes(nh, bands, thr, docWhere = "WHERE doc_id % 5 = 0")},
+           |exact AS (SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b
+           |  FROM sets sa JOIN sets sb ON sa.doc_id < sb.doc_id
+           |  WHERE round(CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)
+           |      / (CAST(len(sa.ss) + len(sb.ss) AS DOUBLE)
+           |         - CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)), 6) >= $thr),
+           |m AS (SELECT
+           |  (SELECT count(*) FROM exact) AS n_exact,
+           |  (SELECT count(*) FROM exact e JOIN pairs p
+           |     ON e.doc_a = p.doc_a AND e.doc_b = p.doc_b) AS n_found,
+           |  (SELECT count(*) FROM exact e LEFT JOIN pairs p
+           |     ON e.doc_a = p.doc_a AND e.doc_b = p.doc_b WHERE p.doc_a IS NULL) AS n_missed,
+           |  (SELECT count(*) FROM pairs p LEFT JOIN exact e
+           |     ON e.doc_a = p.doc_a AND e.doc_b = p.doc_b WHERE e.doc_a IS NULL) AS n_false)
+           |SELECT CAST(n_exact AS INT) AS n_exact, CAST(n_found AS INT) AS n_found,
+           | CAST(n_missed AS INT) AS n_missed, CAST(n_false AS INT) AS n_false,
+           | CASE WHEN n_exact = 0 THEN 1.0
+           |      ELSE round(CAST(n_found AS DOUBLE) / CAST(n_exact AS DOUBLE), 6) END AS recall
+           |FROM m""".stripMargin))
+  }
+
+  /** HLL++ sketch twin of the domain rollup — constant-size mergeable
+    * partials instead of the exact two-phase distinct. Rows-only
+    * (DuckDB's sketch differs); CorpusSpec bounds the relative error. */
+  private val qDomainApprox = Q(
+    "q_domain_approx",
+    (s, d) => operators.Corpus.domainStatsApprox(
+      Tables.documents(s, d), "doc_id", "text", "source"),
+    None)
+
   // =====================================================================
   // All declared queries, in SURVEY §2 order
   // =====================================================================
@@ -2449,7 +2557,8 @@ object Queries {
     qGopherQuality, qSampleStratified, qDomainFilter, qDecontaminate,
     qDecontaminateBloom, qPiiRedact, qRepetitionFilter, qBpePairs,
     qNormalizeText, qCorpusProfile, qCollocations, qWeightedSample,
-    qQualityRank, qEmbedCentroid, qBpeTrain,
+    qQualityRank, qEmbedCentroid, qBpeTrain, qSimDiverse, qCorpusDiff,
+    qDedupEval, qDomainApprox,
     qChunkOverlap, qLengthBuckets, qSourceOverlap,
     qDupNgrams, qUnigramLogprob, qLmCrossEntropy,
     qPackSequences, qPackManifest, qCorpusPipeline, qZorderKey, qMixQuality,

@@ -748,6 +748,43 @@ object Corpus {
     merges.toSeq.toDF("merge_rank", "pair", "merged", "freq")
   }
 
+  /** Snapshot diff — what an incremental corpus refresh audits before
+    * committing a new version: per doc id, `added` / `removed` /
+    * `changed` / `unchanged` plus both content digests. Text never
+    * moves: each side reduces to (id, md5) scan-side, then ONE
+    * id-keyed full outer join — the shuffle carries 128-bit digests
+    * (the `domainStats` posture applied to versioning). */
+  def corpusDiff(prev: DataFrame, cur: DataFrame,
+                 idCol: String, textCol: String): DataFrame = {
+    def digests(df: DataFrame, alias: String) =
+      df.select(col(idCol).as("doc_id"),
+        md5(col(textCol).cast("binary")).as(alias))
+    digests(prev, "digest_prev")
+      .join(digests(cur, "digest_cur"), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("digest_prev"), col("digest_cur"),
+        when(col("digest_prev").isNull, "added")
+          .when(col("digest_cur").isNull, "removed")
+          .when(col("digest_prev") === col("digest_cur"), "unchanged")
+          .otherwise("changed").as("status"))
+      .orderBy("doc_id")
+  }
+
+  /** The sketch twin of `domainStats`' exact distinct count:
+    * `approx_count_distinct` (HyperLogLog++) replaces the two-phase
+    * exact distinct — at 100 TB the exact form shuffles every distinct
+    * digest once, while the HLL partials are constant-size mergeable
+    * buffers (the same trade as `percentile_approx`). No SQL oracle
+    * (DuckDB's approx sketch differs); CorpusSpec bounds the relative
+    * error against the exact rollup instead. */
+  def domainStatsApprox(docs: DataFrame, idCol: String, textCol: String,
+                        sourceCol: String, rsd: Double = 0.05): DataFrame =
+    docs.select(col(sourceCol).as("source"),
+        md5(col(textCol).cast("binary")).as("digest"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           approx_count_distinct(col("digest"), rsd).as("n_unique_approx"))
+      .orderBy("source")
+
   /** Per-source (domain) curation rollup: document count, size, exact
     * duplicate-text rate, and a keep flag (C4-style domain filtering —
     * drop tiny or heavily-duplicated sources). The md5 digest stands in

@@ -96,6 +96,45 @@ object Dedup {
     * inside a hot bucket can be missed (graceful, like the simhash
     * cap). The default (MaxValue) keeps the historical all-pairs plan
     * with no extra aggregate. */
+  /** Candidate-quality evaluation harness for the minhash-LSH pipeline:
+    * recall of `minhashPairs` against EXACT all-pairs Jaccard over the
+    * same corpus — the number a dedup operator tunes (numHashes, bands)
+    * against before a production run. One summary row: exact-pair
+    * count, found/missed counts, false count (0 by construction — the
+    * pipeline verifies exact Jaccard on every candidate) and recall.
+    *
+    * The exact side is O(n²) BY DESIGN and bounded to evaluation
+    * slices — the same proof-twin posture as `embeddingPairsExact`
+    * (recall is estimated on a sample, never computed corpus-wide). */
+  def minhashEval(docs: DataFrame, idCol: String, textCol: String,
+                  numHashes: Int = 16, bands: Int = 8,
+                  threshold: Double = 0.1, shingleK: Int = 3): DataFrame = {
+    val sh = shingleDocs(docs, idCol, textCol, shingleK)
+    val inter = size(array_intersect(col("a.shingles"), col("b.shingles"))).cast("double")
+    val union = (size(col("a.shingles")) + size(col("b.shingles"))).cast("double") - inter
+    val exact = sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+              round(inter / union, 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), lit(1).as("__e"))
+    val found = minhashPairs(docs, idCol, textCol, numHashes, bands,
+        threshold, shingleK, portableMd5 = true)
+      .select(col("doc_a"), col("doc_b"), lit(1).as("__f"))
+    exact.join(found, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(
+        sum(coalesce(col("__e"), lit(0))).cast("int").as("n_exact"),
+        sum(when(col("__e") === 1 && col("__f") === 1, 1).otherwise(0))
+          .cast("int").as("n_found"),
+        sum(when(col("__e") === 1 && col("__f").isNull, 1).otherwise(0))
+          .cast("int").as("n_missed"),
+        sum(when(col("__e").isNull && col("__f") === 1, 1).otherwise(0))
+          .cast("int").as("n_false"))
+      .select(col("n_exact"), col("n_found"), col("n_missed"), col("n_false"),
+        when(col("n_exact") === 0, lit(1.0))
+          .otherwise(round(col("n_found").cast("double")
+            / col("n_exact").cast("double"), 6)).as("recall"))
+  }
+
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    numHashes: Int = 32, bands: Int = 8,
                    threshold: Double = 0.5, shingleK: Int = 3,

@@ -1,7 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.VectorOps
 
 /** Whole-corpus embedding statistics — the vector-column analogs of the
   * dataset-card rollups in `Corpus`: class prototypes (centroids),
@@ -30,4 +32,48 @@ object Embeddings {
       .select(col("grp"), col("pos").cast("int").as("dim_idx"),
               col("centroid"), col("n_vectors"))
       .orderBy("grp", "dim_idx")
+
+  /** Diversified top-k retrieval: cosine top-k with an at-most-
+    * `perCell` quota per semantic cell — the result-diversity move a
+    * retrieval layer makes so k near-identical chunks don't crowd out
+    * the answer (the quota form of MMR, relational instead of greedy-
+    * iterative). Cells here are the deterministic unit-normalized grid
+    * of `Dedup.semanticDedupGrid` (oracle-provable); the production
+    * swap is the IVF cell id the corpus already carries — same plan,
+    * coarser cells.
+    *
+    * Shape: scoring is the brute-force broadcast pattern (bounded
+    * query sets by contract); the quota is a rank window keyed by
+    * (query, cell) and the final cut a rank window keyed by query —
+    * both windows run on the scored frame, whose size is
+    * |queries| × |corpus| only in the brute-force baseline; with IVF
+    * cells the candidate frame is already cell-pruned. */
+  def topkDiverse(corpus: DataFrame, queries: DataFrame,
+                  idCol: String, vecCol: String,
+                  queryIdCol: String, queryVecCol: String,
+                  k: Int = 10, perCell: Int = 2,
+                  gridDims: Int = 2, gridSize: Double = 0.25): DataFrame = {
+    require(k >= 1 && perCell >= 1 && gridDims >= 1 && gridSize > 0)
+    val v = corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("f"))
+      .withColumn("__n", sqrt(VectorOps.dot(col("f"), col("f"))))
+      .filter(col("__n") > 0)
+      .withColumn("cell", concat_ws(",", (1 to gridDims).map(d =>
+        floor(element_at(col("f"), d) / col("__n") / lit(gridSize))
+          .cast("long").cast("string")): _*))
+    val q = queries.select(col(queryIdCol).as("query_id"),
+      col(queryVecCol).cast("array<double>").as("qv"))
+    val scored = v.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("cell"),
+        round(VectorOps.cosine(col("qv"), col("f")), 6).as("cos"))
+    val wCell = Window.partitionBy("query_id", "cell")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    val wAll = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("cell_rank", row_number().over(wCell))
+      .filter(col("cell_rank") <= perCell)
+      .withColumn("__rn", row_number().over(wAll)).filter(col("__rn") <= k)
+      .drop("__rn")
+      .orderBy("query_id", "neighbor_id")
+  }
 }

@@ -541,6 +541,37 @@ class CorpusSpec extends AnyFunSuite {
     assert(r((0, 0)).getAs[Int]("n_vectors") == 2 && r((1, 1)).getAs[Int]("n_vectors") == 1)
   }
 
+  // ---- corpus diff -----------------------------------------------------
+
+  test("corpusDiff classifies added/removed/changed/unchanged") {
+    val prev = Seq((1L, "same"), (2L, "old body"), (3L, "goes away")).toDF("doc_id", "text")
+    val cur = Seq((1L, "same"), (2L, "new body"), (4L, "brand new")).toDF("doc_id", "text")
+    val r = Corpus.corpusDiff(prev, cur, "doc_id", "text").collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[String]("status")).toMap
+    assert(r == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed", 4L -> "added"))
+  }
+
+  // ---- HLL domain rollup -------------------------------------------------
+
+  test("domainStatsApprox tracks the exact distinct count within sketch error") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val exact = Corpus.domainStats(docs, "doc_id", "text", "source")
+      .select("source", "n_docs").as[(String, Long)].collect().toMap
+    val uniq = docs.groupBy("source")
+      .agg(countDistinct(md5(col("text").cast("binary"))).as("u"))
+      .as[(String, Long)].collect().toMap
+    val approx = Corpus.domainStatsApprox(docs, "doc_id", "text", "source")
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_unique_approx"))).toMap
+    assert(approx.keySet == exact.keySet)
+    approx.foreach { case (s, (nd, nu)) =>
+      assert(nd == exact(s), s"doc count must stay exact for $s")
+      val ex = uniq(s).toDouble
+      assert(math.abs(nu - ex) / ex <= 0.15,
+        s"sketch error too large for $s: approx $nu vs exact ${uniq(s)}")
+    }
+  }
+
   test("topTermsPerGroup ranks by count desc then term asc, capped at k") {
     val df = Seq(
       (1L, "en", "x x x y y z"),

@@ -403,6 +403,23 @@ class DedupSpec extends AnyFunSuite {
 
   // ---- incremental dedup ----------------------------------------------
 
+  test("minhashEval: planted dup found, counts consistent, zero false positives") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = (Seq((1L, base), (2L, base)) ++                  // exact dup pair
+      (3 to 30).map(i => (i.toLong, s"unique document number $i " +
+        (1 to 12).map(j => s"tok${i}_$j").mkString(" "))))
+      .toDF("doc_id", "text")
+    val r = Dedup.minhashEval(docs, "doc_id", "text",
+      numHashes = 16, bands = 8, threshold = 0.5).head
+    val (ne, nf, nm, nx) = (r.getAs[Int]("n_exact"), r.getAs[Int]("n_found"),
+      r.getAs[Int]("n_missed"), r.getAs[Int]("n_false"))
+    assert(ne >= 1, "the planted exact dup must be an exact pair")
+    assert(nf >= 1, "an exact dup collides in every band — it cannot be missed")
+    assert(ne == nf + nm, "confusion counts must partition the exact set")
+    assert(nx == 0, "verified candidates can never be false positives")
+    assert(r.getAs[Double]("recall") >= nf.toDouble / ne - 1e-9)
+  }
+
   test("dedupIncremental drops exact and near hits vs existing, keeps fresh docs") {
     val existing = corpus  // 40 distinct + planted dups, ids < 201
     val exactText = corpus.filter(col("doc_id") === 10L).head.getString(1)

