@@ -120,15 +120,18 @@ object Dedup {
     val found = minhashPairs(docs, idCol, textCol, numHashes, bands,
         threshold, shingleK, portableMd5 = true)
       .select(col("doc_a"), col("doc_b"), lit(1).as("__f"))
+    // sums coalesce to 0: an eval slice with NO qualifying pair must
+    // report a 0-count row (like the oracle's count(*)), not NULLs
     exact.join(found, Seq("doc_a", "doc_b"), "full_outer")
       .agg(
-        sum(coalesce(col("__e"), lit(0))).cast("int").as("n_exact"),
-        sum(when(col("__e") === 1 && col("__f") === 1, 1).otherwise(0))
-          .cast("int").as("n_found"),
-        sum(when(col("__e") === 1 && col("__f").isNull, 1).otherwise(0))
-          .cast("int").as("n_missed"),
-        sum(when(col("__e").isNull && col("__f") === 1, 1).otherwise(0))
-          .cast("int").as("n_false"))
+        coalesce(sum(coalesce(col("__e"), lit(0))), lit(0L))
+          .cast("int").as("n_exact"),
+        coalesce(sum(when(col("__e") === 1 && col("__f") === 1, 1).otherwise(0)),
+          lit(0L)).cast("int").as("n_found"),
+        coalesce(sum(when(col("__e") === 1 && col("__f").isNull, 1).otherwise(0)),
+          lit(0L)).cast("int").as("n_missed"),
+        coalesce(sum(when(col("__e").isNull && col("__f") === 1, 1).otherwise(0)),
+          lit(0L)).cast("int").as("n_false"))
       .select(col("n_exact"), col("n_found"), col("n_missed"), col("n_false"),
         when(col("n_exact") === 0, lit(1.0))
           .otherwise(round(col("n_found").cast("double")
