@@ -2489,20 +2489,24 @@ object Queries {
            |FROM prev FULL OUTER JOIN cur ON prev.doc_id = cur.doc_id
            |ORDER BY doc_id""".stripMargin))
 
-  /** Minhash-LSH recall harness on the %2=0 evaluation slice (the
-    * slice carries real near-dup pairs at every SF, so the confusion
-    * matrix is non-trivial): the oracle re-derives the exact all-pairs
-    * Jaccard set, the full LSH pipeline AND the confusion counts —
-    * recall is the tuning number, n_false must be 0 (candidates are
-    * exact-verified). */
+  /** Minhash-LSH recall harness on a CONSTANT-SIZE evaluation slice
+    * (doc_id < 500, %2 = 0 — carries real near-dup pairs at every SF
+    * so the confusion matrix is non-trivial, and stays 250 docs no
+    * matter how large the corpus grows: the exact side is O(slice²),
+    * which must never scale with the table). The oracle re-derives the
+    * exact all-pairs Jaccard set, the full LSH pipeline AND the
+    * confusion counts — recall is the tuning number, n_false must be
+    * 0 (candidates are exact-verified). */
   private val qDedupEval = {
     val (nh, bands, thr) = (16, 8, 0.1)
     Q(
       "q_dedup_eval",
       (s, d) => operators.Dedup.minhashEval(
-        Tables.documents(s, d).filter(col("doc_id") % 2 === 0),
+        Tables.documents(s, d)
+          .filter(col("doc_id") % 2 === 0 && col("doc_id") < 500),
         "doc_id", "text", numHashes = nh, bands = bands, threshold = thr),
-      Some(s"""WITH ${minhashMd5PairCtes(nh, bands, thr, docWhere = "WHERE doc_id % 2 = 0")},
+      Some(s"""WITH ${minhashMd5PairCtes(nh, bands, thr,
+                docWhere = "WHERE doc_id % 2 = 0 AND doc_id < 500")},
            |exact AS (SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b
            |  FROM sets sa JOIN sets sb ON sa.doc_id < sb.doc_id
            |  WHERE round(CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)

@@ -116,6 +116,20 @@ object Artifacts {
 
   /** IVF coarse-quantizer centroids — the constant-size half of an IVF
     * index (the assigned/bucketed corpus table is the other half). */
+  /** Decontamination Bloom filter — the sketch is its own wire format
+    * (`BloomFilter.writeTo`), so the artifact is the binary sketch
+    * directly: fit once against a benchmark release, ship to every
+    * scrub job (`Corpus.decontaminateWithBloom`). */
+  def saveBloom(bf: org.apache.spark.util.sketch.BloomFilter, path: String): Unit = {
+    val out = Files.newOutputStream(Paths.get(path))
+    try bf.writeTo(out) finally out.close()
+  }
+
+  def loadBloom(path: String): org.apache.spark.util.sketch.BloomFilter = {
+    val in = Files.newInputStream(Paths.get(path))
+    try org.apache.spark.util.sketch.BloomFilter.readFrom(in) finally in.close()
+  }
+
   def saveIvfCentroids(centroids: Array[Array[Double]], path: String): Unit =
     write(path, s"""{"centroids":${jArr(centroids.map(row => jArr(row.map(jNum))))}}""")
 

@@ -212,13 +212,28 @@ object Corpus {
     * the LOF/iForest scorers. */
   def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame,
                          idCol: String, textCol: String, k: Int = 8,
-                         fpp: Double = 1e-6): DataFrame = {
-    val spark = corpus.sparkSession
+                         fpp: Double = 1e-6): DataFrame =
+    decontaminateWithBloom(corpus,
+      fitDecontaminationBloom(benchmark, idCol, textCol, k, fpp), idCol, textCol, k)
+
+  /** The fit half: the benchmark shingle set compressed to the sketch —
+    * a constant-size model artifact (persist with `Artifacts.saveBloom`,
+    * re-serve with `decontaminateWithBloom`). */
+  def fitDecontaminationBloom(benchmark: DataFrame, idCol: String,
+                              textCol: String, k: Int = 8, fpp: Double = 1e-6)
+      : org.apache.spark.util.sketch.BloomFilter = {
     val bsh = Dedup.shingleDocs(benchmark, idCol, textCol, k)
       .select(explode(col("shingles")).as("s")).distinct()
     // constant-size model fit (benchmark-suite-sized, never corpus-sized)
-    val bf = bsh.stat.bloomFilter("s", math.max(bsh.count(), 1L), fpp)
-    val bfB = spark.sparkContext.broadcast(bf)
+    bsh.stat.bloomFilter("s", math.max(bsh.count(), 1L), fpp)
+  }
+
+  /** The serve half: scrub any corpus against a (possibly reloaded)
+    * fitted sketch. */
+  def decontaminateWithBloom(corpus: DataFrame,
+                             bf: org.apache.spark.util.sketch.BloomFilter,
+                             idCol: String, textCol: String, k: Int = 8): DataFrame = {
+    val bfB = corpus.sparkSession.sparkContext.broadcast(bf)
     val mightContain = udf((s: String) => s != null && bfB.value.mightContainString(s))
     val stats = Dedup.shingleDocs(corpus, idCol, textCol, k)
       .select(col("doc_id"), explode(col("shingles")).as("s"))

@@ -48,6 +48,39 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected 1 shuffle, got $exchanges:\n${plan.take(800)}")
   }
 
+  test("PII scrub and text normalization never shuffle data — hash exchanges absent") {
+    // the declared queries end in an orderBy for the verify dump (one
+    // range exchange for presentation); the TRANSFORM itself must stay
+    // scan-side — the order-free core has zero exchanges of any kind
+    val core = operators.Corpus.piiStats(
+        Tables.documents(spark, sf), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!core.contains("Exchange"),
+      s"piiStats claims scan-side-only but shuffles:\n${core.take(800)}")
+    Seq("q_pii_redact", "q_normalize_text").foreach { q =>
+      val plan = planOf(q)
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"$q transform must not reshuffle data:\n${plan.take(800)}")
+    }
+  }
+
+  test("BPE pair counting and weighted sampling plan TakeOrderedAndProject — no full sort") {
+    Seq("q_bpe_pairs", "q_weighted_sample").foreach { q =>
+      val plan = planOf(q)
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"$q top-k must be TakeOrdered:\n${plan.take(800)}")
+    }
+  }
+
+  test("corpus diff shuffles digests on the id key only — no text in the join") {
+    val plan = planOf("q_corpus_diff")
+    // one hash-keyed exchange per side of the full outer join, keyed by doc_id
+    assert("Exchange hashpartitioning\\(doc_id".r.findAllIn(plan).size == 2,
+      plan.take(800))
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+  }
+
   test("decontamination broadcasts the benchmark shingle set") {
     val plan = planOf("q_decontaminate")
     assert(plan.contains("BroadcastHashJoin"), plan.take(800))

@@ -151,6 +151,22 @@ class SourcesSpec extends AnyFunSuite {
     assert(r1.sameElements(r2))
   }
 
+  test("bloom artifact round-trip: reloaded sketch scrubs identically") {
+    import org.apache.spark.sql.functions.col
+    val dir = tmp()
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0).limit(100)
+    val bf = graft.operators.Corpus.fitDecontaminationBloom(bench, "doc_id", "text")
+    Artifacts.saveBloom(bf, s"$dir/bench.bloom")
+    val bf2 = Artifacts.loadBloom(s"$dir/bench.bloom")
+    val a = graft.operators.Corpus
+      .decontaminateWithBloom(corpus, bf, "doc_id", "text").collect().toSeq
+    val b = graft.operators.Corpus
+      .decontaminateWithBloom(corpus, bf2, "doc_id", "text").collect().toSeq
+    assert(a == b && a.nonEmpty, "reloaded sketch must scrub bit-identically")
+  }
+
   test("ensemble bundle round-trip: loaded bundle scores identically") {
     val dir = tmp()
     val fitted = graft.ml.Ensemble.fit(spark, "/root/testdata/sf0.001")
