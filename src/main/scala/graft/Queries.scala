@@ -2536,6 +2536,35 @@ object Queries {
       Tables.documents(s, d), "doc_id", "text", "source"),
     None)
 
+  /** BPE merge APPLY (the serve half of `q_bpe_train`): a fixed 3-merge
+    * table — the third merge chains onto the first's output — rewritten
+    * with the engine-portable double-space plain-replace (exact
+    * left-to-right non-overlap, no regex lookaround needed), so the
+    * oracle re-derives the entire rewrite including chaining. */
+  private val qBpeApply = {
+    val merges = Seq(
+      "batch batch" -> "batch_batch",
+      "window window" -> "window_window",
+      "batch_batch batch" -> "batch_batch_batch")
+    val nested = merges.foldLeft("t0") { case (acc, (p, m)) =>
+      val Array(a, b) = p.split(" ", 2)
+      s"replace($acc, ' $a  $b ', ' $m ')"
+    }
+    Q(
+      "q_bpe_apply",
+      (s, d) => operators.Corpus.bpeApply(
+        Tables.documents(s, d), "doc_id", "text", merges),
+      Some(s"""WITH t AS (SELECT doc_id,
+           |  ' ' || regexp_replace(trim(text), '\\s+', '  ', 'g') || ' ' AS t0
+           | FROM documents),
+           |o AS (SELECT doc_id,
+           |  trim(regexp_replace($nested, '\\s+', ' ', 'g')) AS bpe_text FROM t)
+           |SELECT doc_id, bpe_text,
+           | CAST(CASE WHEN bpe_text = '' THEN 0
+           |      ELSE len(string_split(bpe_text, ' ')) END AS INT) AS n_tokens
+           |FROM o ORDER BY doc_id""".stripMargin))
+  }
+
   // =====================================================================
   // All declared queries, in SURVEY §2 order
   // =====================================================================
@@ -2563,8 +2592,8 @@ object Queries {
     qGopherQuality, qSampleStratified, qDomainFilter, qDecontaminate,
     qDecontaminateBloom, qPiiRedact, qRepetitionFilter, qBpePairs,
     qNormalizeText, qCorpusProfile, qCollocations, qWeightedSample,
-    qQualityRank, qEmbedCentroid, qBpeTrain, qSimDiverse, qCorpusDiff,
-    qDedupEval, qDomainApprox,
+    qQualityRank, qEmbedCentroid, qBpeTrain, qBpeApply, qSimDiverse,
+    qCorpusDiff, qDedupEval, qDomainApprox,
     qChunkOverlap, qLengthBuckets, qSourceOverlap,
     qDupNgrams, qUnigramLogprob, qLmCrossEntropy,
     qPackSequences, qPackManifest, qCorpusPipeline, qZorderKey, qMixQuality,

@@ -710,6 +710,42 @@ object Corpus {
       .limit(k)
   }
 
+  /** One left-to-right non-overlapping token-pair merge as a pure
+    * string expression — the double-space trick: with tokens separated
+    * by TWO spaces (one "owned" by each neighbor), the literal pattern
+    * `␣a␣␣b␣` consumes only its own boundary spaces, so consecutive
+    * occurrences (`a b a b`) merge independently and plain `replace`
+    * (non-overlapping, left-to-right in every engine) implements exact
+    * BPE apply semantics with no regex at all — portable to engines
+    * whose regex lacks lookaround (RE2). Input/output are in doubled-
+    * space form; see `bpeApply` for the wrapping. */
+  private def mergeOnce(doubled: Column, pair: String, merged: String): Column = {
+    val Array(a, b) = pair.split(" ", 2)
+    org.apache.spark.sql.functions.replace(
+      doubled, lit(s" $a  $b "), lit(s" $merged "))
+  }
+
+  /** Apply a fixed merge table to a corpus — the SERVE half of
+    * `bpeTrain` (ship the merge list, rewrite any text with it, in
+    * order). Scan-side only: pad to doubled-space form once, fold the
+    * merges, collapse back. Exactly the training rewrite's semantics
+    * (left-to-right, non-overlapping, later merges see earlier merges'
+    * output). */
+  def bpeApply(docs: DataFrame, idCol: String, textCol: String,
+               merges: Seq[(String, String)]): DataFrame = {
+    val doubled = concat(lit(" "),
+      regexp_replace(trim(col(textCol)), "\\s+", "  "), lit(" "))
+    val rewritten = merges.foldLeft(doubled) { case (t, (pair, merged)) =>
+      mergeOnce(t, pair, merged)
+    }
+    val outText = trim(regexp_replace(rewritten, "\\s+", " "))
+    docs.select(col(idCol).as("doc_id"), outText.as("bpe_text"))
+      .withColumn("n_tokens",
+        when(col("bpe_text") === "", 0)
+          .otherwise(size(split(col("bpe_text"), " "))).cast("int"))
+      .orderBy("doc_id")
+  }
+
   /** BPE-style merge training, token-level (the word2phrase/BPE merge
     * loop as relational operations): each round counts adjacent-pair
     * frequencies (`bpePairs`' aggregate), takes the argmax — ONE row to
@@ -734,26 +770,23 @@ object Corpus {
     require(nMerges >= 1)
     val spark = docs.sparkSession
     import spark.implicits._
-    var corpus = docs.select(trim(col(textCol)).as("__t"))
+    // the corpus iterates in doubled-space form so each round's rewrite
+    // is the same `mergeOnce` the serve path (`bpeApply`) uses
+    var corpus = docs.select(concat(lit(" "),
+      regexp_replace(trim(col(textCol)), "\\s+", "  "), lit(" ")).as("__t"))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var rank = 1
     var done = false
     while (rank <= nMerges && !done) {
       val top = corpus.select(explode(graft.functions.TextHash.shinglesAll(
-          split(col("__t"), " +"), 2)).as("pair"))
+          split(trim(col("__t")), " +"), 2)).as("pair"))
         .groupBy("pair").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("pair").asc).limit(1)
         .as[(String, Long)].collect().headOption
       top match {
         case Some((pair, n)) if n >= 2 =>
-          val Array(a, b) = pair.split(" ", 2)
-          val merged = a + "_" + b
-          // boundary lookarounds keep the match zero-width at both ends,
-          // so consecutive occurrences ("a b a b") merge independently
-          val pat = "(?<=^| )" + java.util.regex.Pattern.quote(a) + " " +
-            java.util.regex.Pattern.quote(b) + "(?= |$)"
-          corpus = corpus.select(regexp_replace(col("__t"), pat,
-              java.util.regex.Matcher.quoteReplacement(merged)).as("__t"))
+          val merged = pair.split(" ", 2).mkString("_")
+          corpus = corpus.select(mergeOnce(col("__t"), pair, merged).as("__t"))
             .localCheckpoint(eager = false)
           merges += ((rank, pair, merged, n))
           rank += 1

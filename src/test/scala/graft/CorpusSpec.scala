@@ -527,6 +527,34 @@ class CorpusSpec extends AnyFunSuite {
     assert(m.length == 2, s"no repeating pair remains after 2 merges: ${m.toSeq}")
   }
 
+  test("bpeApply: ordered merges, non-overlap on runs, idempotent on merged text") {
+    val df = Seq((1L, "a b a b c"), (2L, "x a b y"), (3L, "a a a")).toDF("doc_id", "text")
+    val merges = Seq("a b" -> "a_b", "a_b c" -> "a_b_c")
+    val r = Corpus.bpeApply(df, "doc_id", "text", merges).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[String]("bpe_text")).toMap
+    // merge 2 chains onto merge 1's output: "a b a b c" → "a_b a_b c" → "a_b a_b_c"
+    assert(r(1L) == "a_b a_b_c")
+    assert(r(2L) == "x a_b y")
+    assert(r(3L) == "a a a", "no pair 'a b' here — text untouched")
+    // idempotent: the merged corpus contains no un-merged pair anymore
+    val again = Corpus.bpeApply(
+        Corpus.bpeApply(df, "doc_id", "text", merges)
+          .withColumnRenamed("bpe_text", "text"), "doc_id", "text", merges)
+      .collect().map(x => x.getAs[Long]("doc_id") -> x.getAs[String]("bpe_text")).toMap
+    assert(again == r)
+  }
+
+  test("bpeApply replays bpeTrain's merge table to the trained end-state semantics") {
+    val df = Seq((1L, "new york city new york"), (2L, "new york is big")).toDF("doc_id", "text")
+    val table = Corpus.bpeTrain(df, "text", nMerges = 2).orderBy("merge_rank")
+      .collect().map(r => r.getAs[String]("pair") -> r.getAs[String]("merged")).toSeq
+    val applied = Corpus.bpeApply(df, "doc_id", "text", table).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[String]("bpe_text")).toMap
+    // 'new york' merges everywhere; the second round merged the next pair
+    assert(applied(1L).contains("new_york") && applied(2L).startsWith("new_york"))
+    assert(!applied.values.exists(_.matches(".*\\bnew york\\b.*")))
+  }
+
   // ---- embedding centroids ---------------------------------------------------
 
   test("Embeddings.centroids: hand-checked per-label means, exploded shape") {
