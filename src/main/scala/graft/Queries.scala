@@ -2565,6 +2565,35 @@ object Queries {
            |FROM o ORDER BY doc_id""".stripMargin))
   }
 
+  /** Canonical-form dedup — CCNet's actual dedup move (normalize, then
+    * first-occurrence keep on the NORMALIZED digest, so case/punct/
+    * spacing variants of the same page collapse): `normalizeText` →
+    * min-doc_id per norm_digest → survivors with their canonical form.
+    * One scan-side normalization + one digest-keyed hash agg + a
+    * semi-join — the q_dedup_exact shape upgraded to canonical keys. */
+  private val qCanonicalDedup = Q(
+    "q_canonical_dedup",
+    (s, d) => {
+      val n = operators.Corpus.normalizeText(Tables.documents(s, d), "doc_id", "text")
+      val keep = n.groupBy("norm_digest").agg(min("doc_id").as("doc_id"))
+        .select("doc_id")
+      n.join(keep, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("norm_digest"), col("n_tokens"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH n AS (SELECT doc_id,
+           |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+           |       '\s+', ' ', 'g')) AS norm_text
+           | FROM documents),
+           |m AS (SELECT doc_id, md5(norm_text) AS norm_digest,
+           |  CAST(CASE WHEN norm_text = '' THEN 0
+           |       ELSE len(string_split(norm_text, ' ')) END AS INT) AS n_tokens
+           | FROM n),
+           |keep AS (SELECT min(doc_id) AS doc_id FROM m GROUP BY norm_digest)
+           |SELECT m.doc_id, norm_digest, n_tokens
+           |FROM m JOIN keep ON m.doc_id = keep.doc_id
+           |ORDER BY m.doc_id""".stripMargin))
+
   // =====================================================================
   // All declared queries, in SURVEY §2 order
   // =====================================================================
@@ -2592,8 +2621,8 @@ object Queries {
     qGopherQuality, qSampleStratified, qDomainFilter, qDecontaminate,
     qDecontaminateBloom, qPiiRedact, qRepetitionFilter, qBpePairs,
     qNormalizeText, qCorpusProfile, qCollocations, qWeightedSample,
-    qQualityRank, qEmbedCentroid, qBpeTrain, qBpeApply, qSimDiverse,
-    qCorpusDiff, qDedupEval, qDomainApprox,
+    qQualityRank, qEmbedCentroid, qBpeTrain, qBpeApply, qCanonicalDedup,
+    qSimDiverse, qCorpusDiff, qDedupEval, qDomainApprox,
     qChunkOverlap, qLengthBuckets, qSourceOverlap,
     qDupNgrams, qUnigramLogprob, qLmCrossEntropy,
     qPackSequences, qPackManifest, qCorpusPipeline, qZorderKey, qMixQuality,

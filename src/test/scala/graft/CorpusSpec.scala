@@ -425,6 +425,17 @@ class CorpusSpec extends AnyFunSuite {
     assert(r(4L).getAs[String]("norm_text") == "" && r(4L).getAs[Int]("n_tokens") == 0)
   }
 
+  test("canonical dedup collapses case/punct/spacing variants to the first doc") {
+    val df = Seq((1L, "Hello, World!"), (2L, "hello world"),
+                 (3L, "  HELLO   world.  "), (4L, "different text")).toDF("doc_id", "text")
+    val n = Corpus.normalizeText(df, "doc_id", "text")
+    val keep = n.groupBy("norm_digest").agg(min("doc_id").as("doc_id")).select("doc_id")
+    val survivors = n.join(keep, Seq("doc_id"), "left_semi")
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors == Set(1L, 4L),
+      s"three variants must collapse to doc 1, got $survivors")
+  }
+
   // ---- corpus profile ----------------------------------------------------
 
   test("corpusProfile: hand-checked per-source stats and exact percentiles") {
