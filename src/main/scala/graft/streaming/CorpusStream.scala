@@ -107,6 +107,22 @@ object CorpusStream {
       .select(col("doc_id"), col("n_tokens"), col("cross_entropy"))
   }
 
+  /** Streaming canonical-form dedup — the streaming twin of
+    * `q_canonical_dedup`: the CCNet normalization (lower/strip/
+    * collapse) is a stateless per-row expression, so the only state is
+    * the watermark-bounded set of NORMALIZED digests; case/punct/
+    * spacing variants of an already-seen page are dropped on arrival. */
+  def dedupCanonical(docs: DataFrame, tsCol: String = "ts",
+                     textCol: String = "text",
+                     watermark: String = "1 day"): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col(textCol)), "[^a-z0-9\\s]", " "), "\\s+", " "))
+    docs.withColumn("__fp", md5(norm.cast("binary")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+  }
+
   /** Streaming PII scrub — the release gate applied at ingestion time
     * instead of at export: the batch `Corpus.redactPii` transform IS
     * the streaming transform (stateless per-row regexes, no watermark,

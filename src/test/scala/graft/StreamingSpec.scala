@@ -225,6 +225,25 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming canonical dedup drops case/punct variants across batches") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val docs = mem.toDF().toDF("doc_id", "ts", "text")
+    val q = graft.streaming.CorpusStream.dedupCanonical(docs).writeStream
+      .format("memory").queryName("canon_out").outputMode("append").start()
+    try {
+      mem.addData((1L, ts("2024-01-10 03:00:00"), "Hello, World!"),
+                  (2L, ts("2024-01-10 04:00:00"), "entirely other text"))
+      q.processAllAvailable()
+      // batch 2: a spacing/case variant of doc 1 arrives — must drop
+      mem.addData((3L, ts("2024-01-10 05:00:00"), "  hello   WORLD  "),
+                  (4L, ts("2024-01-10 06:00:00"), "yet another doc"))
+      q.processAllAvailable()
+      val kept = spark.table("canon_out").select("doc_id").as[Long].collect().toSet
+      assert(kept == Set(1L, 2L, 4L), s"kept $kept")
+    } finally q.stop()
+  }
+
   test("streaming corpus dedup drops exact and simhash dupes across batches") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, String)]
