@@ -2305,7 +2305,8 @@ object Queries {
     "q_corpus_profile",
     (s, d) => operators.Corpus.corpusProfile(Tables.documents(s, d), "text", "source"),
     Some("""WITH n AS (SELECT source,
-           |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens,
+           |  CAST(CASE WHEN coalesce(trim(text), '') = '' THEN 0
+           |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS INT) AS n_tokens,
            |  CAST(length(text) AS BIGINT) AS n_chars FROM documents)
            |SELECT source, CAST(count(*) AS INT) AS n_docs,
            | CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
@@ -2370,7 +2371,7 @@ object Queries {
     Some("""WITH d AS (SELECT doc_id,
            |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS w
            | FROM documents)
-           |SELECT doc_id, CAST(w AS INT) AS weight,
+           |SELECT doc_id, round(w, 6) AS weight,
            | round(ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 1)
            |       / 4294967296.0) / w, 6) AS es_key
            |FROM d WHERE w > 0

@@ -114,8 +114,6 @@ object Artifacts {
 
   // -- ANN index model state (train once, ship to every prober) --------
 
-  /** IVF coarse-quantizer centroids — the constant-size half of an IVF
-    * index (the assigned/bucketed corpus table is the other half). */
   /** Decontamination Bloom filter — the sketch is its own wire format
     * (`BloomFilter.writeTo`), so the artifact is the binary sketch
     * directly: fit once against a benchmark release, ship to every
@@ -130,6 +128,8 @@ object Artifacts {
     try org.apache.spark.util.sketch.BloomFilter.readFrom(in) finally in.close()
   }
 
+  /** IVF coarse-quantizer centroids — the constant-size half of an IVF
+    * index (the assigned/bucketed corpus table is the other half). */
   def saveIvfCentroids(centroids: Array[Array[Double]], path: String): Unit =
     write(path, s"""{"centroids":${jArr(centroids.map(row => jArr(row.map(jNum))))}}""")
 

@@ -224,8 +224,12 @@ object Corpus {
       : org.apache.spark.util.sketch.BloomFilter = {
     val bsh = Dedup.shingleDocs(benchmark, idCol, textCol, k)
       .select(explode(col("shingles")).as("s")).distinct()
-    // constant-size model fit (benchmark-suite-sized, never corpus-sized)
-    bsh.stat.bloomFilter("s", math.max(bsh.count(), 1L), fpp)
+    // constant-size model fit (benchmark-suite-sized, never corpus-
+    // sized); persisted so the sizing count and the filter build read
+    // one materialization of the shingle pipeline, not two
+    bsh.persist()
+    try bsh.stat.bloomFilter("s", math.max(bsh.count(), 1L), fpp)
+    finally bsh.unpersist()
   }
 
   /** The serve half: scrub any corpus against a (possibly reloaded)
@@ -611,10 +615,15 @@ object Corpus {
     *
     * Shape: pure per-row regex/string expressions, zero shuffle; the
     * digest feeds the existing exact-dedup machinery unchanged. */
+  /** The canonical form itself, shared by the batch `normalizeText`
+    * and the streaming `CorpusStream.dedupCanonical` — one definition
+    * so the batch and streaming digests can never diverge (the
+    * `piiRedacted` pattern). */
+  def canonicalText(t: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(t), "[^a-z0-9\\s]", " "), "\\s+", " "))
+
   def normalizeText(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val collapsed = trim(regexp_replace(
-      regexp_replace(lower(col(textCol)), "[^a-z0-9\\s]", " "), "\\s+", " "))
-    docs.select(col(idCol).as("doc_id"), collapsed.as("norm_text"))
+    docs.select(col(idCol).as("doc_id"), canonicalText(col(textCol)).as("norm_text"))
       .withColumn("n_tokens",
         when(col("norm_text") === "", 0)
           .otherwise(size(split(col("norm_text"), " "))).cast("int"))
@@ -633,7 +642,11 @@ object Corpus {
     * per-group sort) — the documented `q_ae_threshold` trade. */
   def corpusProfile(docs: DataFrame, textCol: String, sourceCol: String): DataFrame =
     docs.select(col(sourceCol).as("source"),
-        size(split(trim(col(textCol)), "\\s+")).cast("int").as("n_tokens"),
+        // empty/whitespace-only text is 0 tokens (split of "" yields
+        // [""] — the packSequences guard, applied to the statistic)
+        when(coalesce(trim(col(textCol)), lit("")) === "", 0)
+          .otherwise(size(split(trim(col(textCol)), "\\s+")))
+          .cast("int").as("n_tokens"),
         length(col(textCol)).cast("long").as("n_chars"))
       .groupBy("source")
       .agg(count(lit(1)).cast("int").as("n_docs"),
@@ -698,14 +711,16 @@ object Corpus {
   def weightedSample(docs: DataFrame, idCol: String, weightCol: String,
                      k: Int = 100): DataFrame = {
     require(k >= 1)
+    // the coin reads the ORIGINAL id column — key and rename happen in
+    // the same select so any idCol name resolves
     val h = conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 8),
       16, 10).cast("long")
     val u = (h + lit(1L)).cast("double") / lit(4294967296.0)
-    docs.select(col(idCol).as("doc_id"),
-        col(weightCol).cast("double").as("__w"))
-      .filter(col("__w") > 0)
-      .select(col("doc_id"), col("__w").cast("int").as("weight"),
-        round(log(u) / col("__w"), 6).as("es_key"))
+    val w = col(weightCol).cast("double")
+    docs.filter(w > 0)
+      .select(col(idCol).as("doc_id"),
+        round(w, 6).as("weight"),
+        round(log(u) / w, 6).as("es_key"))
       .orderBy(col("es_key").desc, col("doc_id").asc)
       .limit(k)
   }
@@ -733,6 +748,10 @@ object Corpus {
     * output). */
   def bpeApply(docs: DataFrame, idCol: String, textCol: String,
                merges: Seq[(String, String)]): DataFrame = {
+    // caveat (as in reference BPE trainers): the merged-token joiner is
+    // '_' by convention in bpeTrain's tables — a corpus whose organic
+    // vocabulary already contains '_'-joined forms of merge pairs can
+    // conflate them; pick merge names outside the vocabulary there
     val doubled = concat(lit(" "),
       regexp_replace(trim(col(textCol)), "\\s+", "  "), lit(" "))
     val rewritten = merges.foldLeft(doubled) { case (t, (pair, merged)) =>
@@ -766,8 +785,13 @@ object Corpus {
     * Like the `ml_*` fits, building the frame RUNS the training loop
     * (nMerges driver-argmax rounds) — this is a model-training op, not
     * a declarative query. */
-  def bpeTrain(docs: DataFrame, textCol: String, nMerges: Int = 8): DataFrame = {
-    require(nMerges >= 1)
+  def bpeTrain(docs: DataFrame, textCol: String, nMerges: Int = 8,
+               joiner: String = "_"): DataFrame = {
+    // a corpus whose organic vocabulary already contains joiner-joined
+    // forms ("new_york" as a literal token) would conflate them with
+    // merge products — pass a joiner outside the vocabulary there
+    // (sentencepiece uses U+2581 for exactly this reason)
+    require(nMerges >= 1 && joiner.nonEmpty && !joiner.contains(" "))
     val spark = docs.sparkSession
     import spark.implicits._
     // the corpus iterates in doubled-space form so each round's rewrite
@@ -785,7 +809,7 @@ object Corpus {
         .as[(String, Long)].collect().headOption
       top match {
         case Some((pair, n)) if n >= 2 =>
-          val merged = pair.split(" ", 2).mkString("_")
+          val merged = pair.split(" ", 2).mkString(joiner)
           corpus = corpus.select(mergeOnce(col("__t"), pair, merged).as("__t"))
             .localCheckpoint(eager = false)
           merges += ((rank, pair, merged, n))

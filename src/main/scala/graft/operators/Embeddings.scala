@@ -52,7 +52,12 @@ object Embeddings {
                   idCol: String, vecCol: String,
                   queryIdCol: String, queryVecCol: String,
                   k: Int = 10, perCell: Int = 2,
-                  gridDims: Int = 2, gridSize: Double = 0.25): DataFrame = {
+                  gridDims: Int = 2, gridSize: Double = 0.25,
+                  excludeSelf: Boolean = true): DataFrame = {
+    // excludeSelf compares neighbor and query ids — correct when the
+    // queries ARE corpus rows (the self-query idiom); pass false when
+    // the two frames have unrelated id spaces, or an unlucky id
+    // equality would silently drop a legitimate neighbor
     require(k >= 1 && perCell >= 1 && gridDims >= 1 && gridSize > 0)
     val v = corpus.select(col(idCol).as("neighbor_id"),
         col(vecCol).cast("array<double>").as("f"))
@@ -63,7 +68,9 @@ object Embeddings {
           .cast("long").cast("string")): _*))
     val q = queries.select(col(queryIdCol).as("query_id"),
       col(queryVecCol).cast("array<double>").as("qv"))
-    val scored = v.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+    val joinCond =
+      if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true)
+    val scored = v.join(broadcast(q), joinCond)
       .select(col("query_id"), col("neighbor_id"), col("cell"),
         round(VectorOps.cosine(col("qv"), col("f")), 6).as("cos"))
     val wCell = Window.partitionBy("query_id", "cell")

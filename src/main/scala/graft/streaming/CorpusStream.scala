@@ -115,8 +115,7 @@ object CorpusStream {
   def dedupCanonical(docs: DataFrame, tsCol: String = "ts",
                      textCol: String = "text",
                      watermark: String = "1 day"): DataFrame = {
-    val norm = trim(regexp_replace(
-      regexp_replace(lower(col(textCol)), "[^a-z0-9\\s]", " "), "\\s+", " "))
+    val norm = graft.operators.Corpus.canonicalText(col(textCol))
     docs.withColumn("__fp", md5(norm.cast("binary")))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("__fp")

@@ -502,6 +502,18 @@ class CorpusSpec extends AnyFunSuite {
     assert(s1.size == 20 && s1.sorted == s2.sorted,
       "sample must not depend on partitioning")
     assert(s1.contains(7L), "a 10^6-weight doc must dominate the top-20 keys")
+    // generic id column names resolve (the coin reads the ORIGINAL
+    // column; a rename-then-reference bug once broke any idCol ≠ doc_id)
+    val renamed = Corpus.weightedSample(
+      df.withColumnRenamed("doc_id", "vec_id"), "vec_id", "n_tokens", k = 20)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(renamed.sorted == s1.sorted)
+    // fractional weights survive in the output (no int truncation)
+    val frac = Corpus.weightedSample(
+      df.withColumn("n_tokens", col("n_tokens") * 0.5), "doc_id", "n_tokens", k = 5)
+      .select("weight").as[Double].collect()
+    assert(frac.forall(w => w > 0 && w != w.floor || w >= 1),
+      s"fractional weights must not truncate to 0: ${frac.toSeq}")
     // zero-weight rows are excluded, never division-by-zero
     val withZero = Corpus.weightedSample(
       df.withColumn("n_tokens", when(col("doc_id") <= 100, 0).otherwise(col("n_tokens"))),
