@@ -54,10 +54,36 @@ object Bench {
       System.err.println(f"[bench] $name warm=${(t0 - w0) / 1e9}%.2f timed=$timed%.2f")
       name -> timed
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Emission contract (BENCH_r04 lesson): the harness tail-captures
+    // the last 2000 chars of combined output (measured constant across
+    // BENCH_r01–r04), and the trailing sbt success line eats ~75 of
+    // them. The 100 declared query NAMES alone are ~1450 chars, so a
+    // map with all per-query times can never transit that window —
+    // r4's full line clipped its front off, losing "metric":"total".
+    // So the LAST stdout line is guaranteed to fit: total first (the
+    // number of record), then per-query times packed greedily by
+    // descending cost (the headline queries) until the byte budget is
+    // spent; the COMPLETE full-precision breakdown is written to
+    // BENCH_FULL.json, which is committed with the repo each round.
+    def r3(d: Double): String =
+      BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qsFull = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"sf":"$sfDir"}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
+      s""""sf":"$sfDir","n_queries":${results.size},"queries_full":"$fullPath","queries":{"""
+    val budget = 1800 - head.length - 2 // "}}" closer
+    val entries = results.sortBy(-_._2).map { case (k, v) => "\"" + k + "\":" + r3(v) }
+    val packed = scala.collection.mutable.ArrayBuffer.empty[String]
+    var used = 0
+    entries.foreach { e =>
+      if (used + e.length + 1 <= budget) { packed += e; used += e.length + 1 }
+    }
     spark.stop()
+    println(head + packed.mkString(",") + "}}")
   }
 }

@@ -119,7 +119,9 @@ object Artifacts {
     * directly: fit once against a benchmark release, ship to every
     * scrub job (`Corpus.decontaminateWithBloom`). */
   def saveBloom(bf: org.apache.spark.util.sketch.BloomFilter, path: String): Unit = {
-    val out = Files.newOutputStream(Paths.get(path))
+    val p = Paths.get(path)
+    if (p.getParent != null) Files.createDirectories(p.getParent)
+    val out = Files.newOutputStream(p)
     try bf.writeTo(out) finally out.close()
   }
 

@@ -233,7 +233,14 @@ object Corpus {
   }
 
   /** The serve half: scrub any corpus against a (possibly reloaded)
-    * fitted sketch. */
+    * fitted sketch.
+    *
+    * Broadcast lifetime: each call ships one broadcast of the sketch
+    * (a few MB) that lives until the session ends — the same per-call
+    * lifetime as the minhash signature cache in Dedup. A long-lived
+    * session scrubbing many corpora should fit the sketch once and
+    * reuse one returned frame per corpus rather than re-calling with
+    * the same filter in a loop. */
   def decontaminateWithBloom(corpus: DataFrame,
                              bf: org.apache.spark.util.sketch.BloomFilter,
                              idCol: String, textCol: String, k: Int = 8): DataFrame = {
@@ -286,7 +293,11 @@ object Corpus {
   def packSequences(docs: DataFrame, idCol: String, textCol: String,
                     shardCol: String, seqLen: Int): DataFrame = {
     require(seqLen > 0)
+    // ROWS frame, not the default RANGE: under RANGE, duplicate
+    // (shard, doc_id) rows are frame peers and collapse into one
+    // end_tok, silently corrupting every later token interval
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // empty/null text is 0 tokens (split of "" yields [""]  — without
     // the guard an empty doc would occupy a phantom token slot and
     // shift every later doc in its shard)
@@ -451,7 +462,12 @@ object Corpus {
           split(trim(col(textCol)), "\\s+"), window, stride)))
       .select(col("doc_id"), (col("pos") + 1).as("chunk_idx"),
               col("col").as("chunk"),
-              size(split(col("col"), " ")).as("n_chunk_tokens"))
+              // split("") yields [""]: an empty/whitespace-only doc
+              // still emits its one (empty) chunk but carries 0 tokens,
+              // so chunk-level token accounting matches packSequences /
+              // corpusProfile (no phantom token)
+              when(col("col") === "", lit(0))
+                .otherwise(size(split(col("col"), " "))).as("n_chunk_tokens"))
       .orderBy("doc_id", "chunk_idx")
   }
 
