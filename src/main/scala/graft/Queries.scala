@@ -1304,10 +1304,11 @@ object Queries {
     None)
 
   /** Multimodal pipeline over the documents table AS binary media
-    * (rows-only): text bytes stand in for encoded blobs — the binary/
-    * metadata schema, per-partition iterator decode, metadata rewrite
-    * (resize) and frame-sampling explode are the real plumbing under
-    * test; only the codec byte-decode is the documented stub. Output is
+    * (rows-only): text bytes are wrapped into GENUINE containers —
+    * P5 images and PCM WAV clips parse/decode for real
+    * (`multimodal.Codecs`), video rows remain the documented stub —
+    * so the per-partition iterator decode, real pixel resize and
+    * frame-sampling explode run on true codec output. Output is
     * scalar-only (norm + first component + sampled-frame count): the
     * driver's rows-only harness sorts every output column, and array
     * columns are unsortable there (the r1 ml_preproc lesson). */
@@ -1315,16 +1316,7 @@ object Queries {
     "media_features",
     (s, d) => {
       val docs = Tables.documents(s, d)
-      val media = docs.select(
-        col("doc_id").as("media_id"),
-        element_at(array(lit("image"), lit("audio"), lit("video")),
-                   (col("doc_id") % 3 + 1).cast("int")).as("kind"),
-        col("text").cast("binary").as("bytes"),
-        struct(lit(64).as("width"), lit(48).as("height"),
-               lit(16000).as("sample_rate"),
-               when(col("doc_id") % 3 === 2,
-                    least(size(split(trim(col("text")), "\\s+")), lit(24)))
-                 .otherwise(lit(0)).cast("int").as("n_frames")).as("meta"))
+      val media = multimodal.Media.fromDocuments(docs, "doc_id", "text")
       val feats = multimodal.Media
         .decodeFeatures(multimodal.Media.resize(media, 32, 32), dim = 16)
         .withColumn("f", col("features").cast("array<double>"))
@@ -1340,9 +1332,9 @@ object Queries {
     None)
 
   /** Multimodal retrieval (rows-only): the media pipeline feeding the
-    * similarity family — binary media → per-partition decode to an
-    * embedding column → brute-force cosine top-k ("find similar
-    * media"). The decode is the documented stub; the flow (opaque
+    * similarity family — every document wrapped as a GENUINE P5 image,
+    * per-partition real pixel decode to an embedding column →
+    * brute-force cosine top-k ("find similar media"). The flow (opaque
     * bytes in, ANN-ready vectors out, same top-k machinery as the
     * text-side paths) is the production shape. Scale path: persist the
     * decoded vectors and switch the last stage to LSH/IVF/PQ exactly
@@ -1352,11 +1344,7 @@ object Queries {
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, d)
-      val media = docs.select(col("doc_id").as("media_id"),
-        lit("image").as("kind"), col("text").cast("binary").as("bytes"),
-        struct(lit(64).as("width"), lit(64).as("height"),
-               lit(0).cast("int").as("sample_rate"),
-               lit(0).cast("int").as("n_frames")).as("meta"))
+      val media = multimodal.Media.imagesFromDocuments(docs, "doc_id", "text")
       val emb = multimodal.Media.decodeFeatures(media, dim = 32)
         .select(col("media_id"), col("features").cast("array<double>").as("f"))
       val q = emb.filter(col("media_id") < 10)
@@ -2027,7 +2015,8 @@ object Queries {
            |                             (chunk_idx - 1) * $s + $w), ' ') AS chunk
            | FROM e)
            |SELECT doc_id, chunk_idx, chunk,
-           | CAST(len(string_split(chunk, ' ')) AS INT) AS n_chunk_tokens
+           | CAST(CASE WHEN chunk = '' THEN 0
+           |      ELSE len(string_split(chunk, ' ')) END AS INT) AS n_chunk_tokens
            |FROM c ORDER BY doc_id, chunk_idx""".stripMargin))
   }
 

@@ -11,12 +11,14 @@ import org.apache.spark.sql.types._
   * "codec" init per partition, then iterator-streamed rows, constant
   * memory).
   *
-  * The actual byte decoding is a clearly-marked STUB (no image/audio
-  * codecs in this container): `fakeDecode` derives deterministic
-  * pseudo-features from the byte content. Everything AROUND the stub —
-  * schema contracts, partition-preserving iterator transform, batch
-  * shape, metadata propagation — is the real production plumbing and
-  * is tested.
+  * Byte decoding is REAL for the dependency-free formats `Codecs`
+  * parses — Netpbm P5/P6 images and 16-bit PCM WAV audio: recognized
+  * containers decode to genuine pixels/samples and pool to features.
+  * Anything else (JPEG, MP3, video containers — no codec libs in this
+  * container) falls through to the clearly-marked `fakeDecode` STUB,
+  * which derives deterministic pseudo-features from the byte content;
+  * the call sites are identical, so binding a real codec library later
+  * changes only the dispatch table.
   */
 object Media {
 
@@ -29,10 +31,41 @@ object Media {
       StructField("width", IntegerType), StructField("height", IntegerType),
       StructField("sample_rate", IntegerType), StructField("n_frames", IntegerType))))))
 
-  /** STUB — stands in for a real codec (e.g. JPEG decode → CHW floats).
-    * Deterministic FNV-1a-seeded pseudo-features so tests can assert
-    * shape + determinism. Replace the body with a real decoder binding
-    * to productionize; the call sites don't change. */
+  /** Decode recognized containers for real; everything else hits the
+    * stub. Images pool decoded gray pixels to `dim` block means; audio
+    * pools decoded samples to `dim` block RMS energies — both are
+    * genuine content-derived features (a brighter image region or a
+    * louder audio span moves its feature), the standard cheap baseline
+    * before a learned encoder. */
+  def realDecode(bytes: Array[Byte], dim: Int): Array[Float] =
+    Codecs.detect(bytes) match {
+      case Codecs.Pgm  => poolMean(Codecs.decodePgm(bytes).gray, dim)
+      case Codecs.Ppm  => poolMean(Codecs.decodePpm(bytes).gray, dim)
+      case Codecs.Wav  => poolRms(Codecs.decodeWav(bytes).samples, dim)
+      case Codecs.Unknown => fakeDecode(bytes, dim)
+    }
+
+  /** Mean over `dim` contiguous equal blocks (image pooling). */
+  private[multimodal] def poolMean(xs: Array[Float], dim: Int): Array[Float] =
+    pool(xs, dim)(seg => seg.sum / seg.length)
+
+  /** RMS over `dim` contiguous equal blocks (audio energy envelope). */
+  private[multimodal] def poolRms(xs: Array[Float], dim: Int): Array[Float] =
+    pool(xs, dim)(seg => math.sqrt(seg.map(x => x * x).sum / seg.length).toFloat)
+
+  private def pool(xs: Array[Float], dim: Int)(f: Array[Float] => Float): Array[Float] = {
+    require(xs.nonEmpty, "empty decoded payload")
+    Array.tabulate(dim) { i =>
+      val lo = math.min(i * xs.length / dim, xs.length - 1)
+      val hi = math.max(math.min((i + 1) * xs.length / dim, xs.length), lo + 1)
+      f(java.util.Arrays.copyOfRange(xs, lo, hi))
+    }
+  }
+
+  /** STUB — stands in for codecs this container lacks (JPEG, MP3, mp4
+    * …). Deterministic FNV-1a-seeded pseudo-features so tests can
+    * assert shape + determinism. Replace the body with a real decoder
+    * binding to productionize; the call sites don't change. */
   def fakeDecode(bytes: Array[Byte], dim: Int): Array[Float] = {
     var h = 0xcbf29ce484222325L
     var i = 0
@@ -60,22 +93,33 @@ object Media {
       case (f, i) if f.name != "bytes" => i
     }
     df.mapPartitions { rows =>
-      // [codec init would happen here, once per partition]
+      // [codec-library init would happen here, once per partition]
       rows.map { r =>
-        val feats = fakeDecode(r.getAs[Array[Byte]](bytesIdx), dim)
+        val feats = realDecode(r.getAs[Array[Byte]](bytesIdx), dim)
         Row.fromSeq(keepIdx.map(r.get).toSeq :+ feats.toSeq)
       }
     }(enc)
   }
 
-  /** STUB resize: a real implementation re-encodes pixels; the stub
-    * rewrites the metadata and passes bytes through — the schema/
-    * metadata contract is what downstream operators depend on. */
-  def resize(df: DataFrame, w: Int, h: Int): DataFrame =
-    df.withColumn("meta", struct(
-      lit(w).as("width"), lit(h).as("height"),
-      col("meta.sample_rate").as("sample_rate"),
-      col("meta.n_frames").as("n_frames")))
+  /** Resize: REAL nearest-neighbour resample + P5 re-encode for
+    * recognized image bytes (`Codecs.resizePgm`); other containers
+    * pass bytes through with the metadata rewritten — the schema/
+    * metadata contract downstream operators depend on is identical
+    * either way. */
+  def resize(df: DataFrame, w: Int, h: Int): DataFrame = {
+    val enc = Encoders.row(df.schema)
+    val bytesIdx = df.schema.fieldIndex("bytes")
+    val metaIdx = df.schema.fieldIndex("meta")
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val b = r.getAs[Array[Byte]](bytesIdx)
+        val m = r.getStruct(metaIdx)
+        val b2 = if (Codecs.detect(b) == Codecs.Pgm) Codecs.resizePgm(b, w, h) else b
+        Row.fromSeq(r.toSeq.updated(bytesIdx, b2)
+          .updated(metaIdx, Row(w, h, m.get(2), m.get(3))))
+      }
+    }(enc)
+  }
 
   /** Frame sampling for video rows: every `stride`-th frame index up
     * to `meta.n_frames`, each decoded (stub) to a feature vector →
@@ -97,6 +141,57 @@ object Media {
         // stub: frame idx salts the decode so frames differ deterministically
         val salted = b :+ (idx & 0xff).toByte :+ ((idx >> 8) & 0xff).toByte
         Row(r.getLong(0), idx, fakeDecode(salted, dim).toSeq)
+      }
+    }(enc)
+  }
+
+  /** Documents → media table with REAL containers: text bytes become
+    * genuine P5 image rasters (doc_id % 3 == 0), genuine 16-bit PCM
+    * WAV clips (== 1), or raw blobs standing in for a video container
+    * (== 2 — the remaining stub format). The downstream pipeline then
+    * exercises the real parse/decode path end to end on two formats
+    * while keeping the unknown-container fallback under test. */
+  def fromDocuments(docs: DataFrame, idCol: String, textCol: String,
+                    imgW: Int = 64, imgH: Int = 48,
+                    sampleRate: Int = 16000, maxSamples: Int = 2048): DataFrame = {
+    val in = docs.select(col(idCol).cast("long").as("media_id"),
+      coalesce(col(textCol), lit("")).as("__text"))
+    val enc = Encoders.row(mediaSchema)
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val tb = r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        def cyc(i: Int): Byte = if (tb.isEmpty) 0 else tb(i % tb.length)
+        (id % 3) match {
+          case 0 =>
+            val px = Array.tabulate[Byte](imgW * imgH)(cyc)
+            Row(id, "image", Codecs.encodePgm(px, imgW, imgH),
+                Row(imgW, imgH, 0, 0))
+          case 1 =>
+            val n = math.max(math.min(tb.length, maxSamples), 16)
+            val samples = Array.tabulate[Short](n)(i => (((cyc(i) & 0xff) - 128) << 8).toShort)
+            Row(id, "audio", Codecs.encodeWav(samples, sampleRate),
+                Row(0, 0, sampleRate, 0))
+          case _ =>
+            val nFrames = math.min(r.getString(1).trim.split("\\s+").length, 24)
+            Row(id, "video", tb, Row(0, 0, 0, nFrames))
+        }
+      }
+    }(enc)
+  }
+
+  /** Every document as a genuine P5 image (retrieval-query shape:
+    * one modality, whole corpus). */
+  def imagesFromDocuments(docs: DataFrame, idCol: String, textCol: String,
+                          w: Int = 64, h: Int = 64): DataFrame = {
+    val in = docs.select(col(idCol).cast("long").as("media_id"),
+      coalesce(col(textCol), lit("")).as("__text"))
+    val enc = Encoders.row(mediaSchema)
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        val tb = r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val px = Array.tabulate[Byte](w * h)(i => if (tb.isEmpty) 0 else tb(i % tb.length))
+        Row(r.getLong(0), "image", Codecs.encodePgm(px, w, h), Row(w, h, 0, 0))
       }
     }(enc)
   }

@@ -2,14 +2,143 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.multimodal.Media
+import graft.multimodal.{Codecs, Media}
 
-/** Multimodal plumbing tests: the decode stub is fake by design, but
-  * schema contracts, batching, determinism, and fan-out shape are real. */
+/** Multimodal tests: REAL byte-exact codec coverage for the two
+  * dependency-free formats (Netpbm P5/P6, PCM WAV) plus the plumbing
+  * contracts (schema, batching, determinism, fan-out) that also cover
+  * the unknown-container stub fallback. */
 class MediaSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
   private lazy val media = Media.synthetic(spark, 30).cache()
+
+  // -- real codecs, byte-exact ------------------------------------------
+
+  test("decodePgm parses a hand-written P5 fixture byte-exactly") {
+    val raster = Array[Byte](0, 51, 102, -103, 17, 34, 68, -1) // 153, 255 as signed
+    val bytes = "P5\n4 2\n255\n".getBytes("US-ASCII") ++ raster
+    val img = Codecs.decodePgm(bytes)
+    assert(img.width == 4 && img.height == 2)
+    val expected = Array(0, 51, 102, 153, 17, 34, 68, 255).map(_ / 255f)
+    assert(img.gray.sameElements(expected))
+  }
+
+  test("decodePgm handles header comments and arbitrary whitespace") {
+    val bytes = "P5 # a comment\n# another\n 2\t2 # dims\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](10, 20, 30, 40)
+    val img = Codecs.decodePgm(bytes)
+    assert(img.width == 2 && img.height == 2)
+    assert(img.gray.sameElements(Array(10, 20, 30, 40).map(_ / 255f)))
+  }
+
+  test("encodePgm -> decodePgm round-trips and re-encodes byte-identically") {
+    val px = Array.tabulate[Byte](12 * 5)(i => ((i * 37) % 256).toByte)
+    val enc = Codecs.encodePgm(px, 12, 5)
+    val img = Codecs.decodePgm(enc)
+    assert(img.width == 12 && img.height == 5)
+    val back = Codecs.encodePgm(
+      img.gray.map(g => math.round(g * 255f).toByte), 12, 5)
+    assert(back.sameElements(enc), "decode->re-encode must be byte-identical")
+  }
+
+  test("decodePpm reduces RGB to Rec.601 luminance") {
+    val raster = Array[Byte](-1, 0, 0, /**/ 0, -1, 0, /**/ 0, 0, -1, /**/ -1, -1, -1)
+    val bytes = "P6\n2 2\n255\n".getBytes("US-ASCII") ++ raster
+    val img = Codecs.decodePpm(bytes)
+    assert(img.width == 2 && img.height == 2)
+    assert(math.abs(img.gray(0) - 0.299f) < 1e-6)
+    assert(math.abs(img.gray(1) - 0.587f) < 1e-6)
+    assert(math.abs(img.gray(2) - 0.114f) < 1e-6)
+    assert(math.abs(img.gray(3) - 1.0f) < 1e-6)
+  }
+
+  test("resizePgm nearest-neighbour downsample is exact") {
+    // 4x4 with distinct quadrant values; 2x2 NN picks the top-left of each
+    val px = Array[Byte](
+      10, 10, 20, 20,
+      10, 10, 20, 20,
+      30, 30, 40, 40,
+      30, 30, 40, 40)
+    val small = Codecs.decodePgm(Codecs.resizePgm(Codecs.encodePgm(px, 4, 4), 2, 2))
+    assert(small.width == 2 && small.height == 2)
+    assert(small.gray.sameElements(Array(10, 20, 30, 40).map(_ / 255f)))
+  }
+
+  test("decodeWav parses a hand-built PCM16 file byte-exactly, skipping extra chunks") {
+    // RIFF | LIST (odd-sized, word-aligned) | fmt | data
+    val samples = Array[Short](0, 16384, -16384, 32767, -32768, 1)
+    val data = java.nio.ByteBuffer.allocate(samples.length * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    samples.foreach(data.putShort)
+    val list = Array[Byte]('L', 'I', 'S', 'T', 3, 0, 0, 0, 'x', 'y', 'z', 0) // padded
+    val fmt = java.nio.ByteBuffer.allocate(24).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000).putShort(2).putShort(16)
+    val body = list ++ fmt.array() ++
+      "data".getBytes("US-ASCII") ++
+      java.nio.ByteBuffer.allocate(4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .putInt(samples.length * 2).array() ++ data.array()
+    val riff = java.nio.ByteBuffer.allocate(12).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("RIFF".getBytes("US-ASCII")).putInt(4 + body.length)
+      .put("WAVE".getBytes("US-ASCII"))
+    val audio = Codecs.decodeWav(riff.array() ++ body)
+    assert(audio.sampleRate == 8000)
+    assert(audio.samples.sameElements(samples.map(_.toFloat / 32768f)))
+  }
+
+  test("encodeWav -> decodeWav round-trips samples exactly") {
+    val samples = Array.tabulate[Short](300)(i => (math.sin(i * 0.1) * 20000).toShort)
+    val audio = Codecs.decodeWav(Codecs.encodeWav(samples, 16000))
+    assert(audio.sampleRate == 16000)
+    assert(audio.samples.sameElements(samples.map(_.toFloat / 32768f)))
+  }
+
+  test("realDecode dispatches: real pixels for PGM, real RMS for WAV, stub for unknown") {
+    // constant-gray image: every pooled block mean = 100/255
+    val img = Codecs.encodePgm(Array.fill[Byte](64)(100), 8, 8)
+    assert(Media.realDecode(img, 4).forall(f => math.abs(f - 100 / 255f) < 1e-6))
+    // constant-amplitude audio: every pooled RMS = 0.25
+    val wav = Codecs.encodeWav(Array.fill[Short](64)(8192), 16000)
+    assert(Media.realDecode(wav, 4).forall(f => math.abs(f - 0.25f) < 1e-6))
+    // unknown container: exactly the stub's output
+    val blob = Array[Byte](1, 2, 3, 4, 5)
+    assert(Media.realDecode(blob, 8).sameElements(Media.fakeDecode(blob, 8)))
+  }
+
+  test("fromDocuments wraps text into genuine containers that really decode") {
+    import spark.implicits._
+    val docs = Seq((0L, "an image document"), (1L, "an audio document"),
+                   (2L, "a video document with several words here"))
+      .toDF("doc_id", "text")
+    val rows = Media.fromDocuments(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val imgBytes = rows(0L).getAs[Array[Byte]](2)
+    assert(Codecs.detect(imgBytes) == Codecs.Pgm)
+    val img = Codecs.decodePgm(imgBytes)
+    assert(img.width == 64 && img.height == 48)
+    // pixel 0 is 'a' = 97, cycled from the text bytes
+    assert(math.abs(img.gray(0) - 97 / 255f) < 1e-6)
+    val wavBytes = rows(1L).getAs[Array[Byte]](2)
+    assert(Codecs.detect(wavBytes) == Codecs.Wav)
+    val audio = Codecs.decodeWav(wavBytes)
+    assert(audio.sampleRate == 16000 && audio.samples.length >= 16)
+    // sample 0 from 'a': ((97 - 128) << 8) / 32768
+    assert(math.abs(audio.samples(0) - ((97 - 128) << 8) / 32768f) < 1e-6)
+    assert(Codecs.detect(rows(2L).getAs[Array[Byte]](2)) == Codecs.Unknown)
+  }
+
+  test("resize really resamples PGM bytes, passes other containers through") {
+    import spark.implicits._
+    val docs = Seq((0L, "image text"), (1L, "audio text")).toDF("doc_id", "text")
+    val out = Media.resize(Media.fromDocuments(docs, "doc_id", "text"), 32, 32)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val img = Codecs.decodePgm(out(0L).getAs[Array[Byte]](2))
+    assert(img.width == 32 && img.height == 32, "image bytes must really resample")
+    assert(Codecs.detect(out(1L).getAs[Array[Byte]](2)) == Codecs.Wav,
+      "non-image bytes pass through")
+    assert(out(0L).getStruct(3).getInt(0) == 32)
+  }
 
   test("decodeFeatures: schema keeps all non-binary cols + fixed-dim features") {
     val out = Media.decodeFeatures(media, dim = 32)
