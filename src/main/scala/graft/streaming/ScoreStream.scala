@@ -83,6 +83,17 @@ object ScoreStream {
       spark.readStream.schema(eventSchema).json(cfg.jsonDir)
   }
 
+  /** Idempotent per-batch parquet sink: each micro-batch OVERWRITES
+    * its own `batch_id=<id>` partition directory. A batch replayed
+    * after a crash in the window between sink write and checkpoint
+    * commit re-executes with the SAME batch id over the SAME offsets,
+    * so the overwrite lands identical bytes — exactly-once output from
+    * an at-least-once engine without a transactional sink (the
+    * standard foreachBatch idempotence recipe). Readers see one
+    * logical table via partition discovery (`spark.read.parquet(out)`). */
+  private def idempotentParquetSink(outDir: String)(batch: DataFrame, id: Long): Unit =
+    batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
+
   /** Configured-source → scored → parquet-append runner (the
     * deployable shape: exactly-once via checkpoint + idempotent batch
     * ids). Kafka wiring:
@@ -91,9 +102,7 @@ object ScoreStream {
   def start(spark: SparkSession, src: SourceConfig, custProfile: DataFrame,
             outDir: String, checkpointDir: String): StreamingQuery =
     scored(source(spark, src), custProfile).writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").parquet(outDir)
-      }
+      .foreachBatch(idempotentParquetSink(outDir) _)
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
@@ -120,14 +129,17 @@ object ScoreStream {
     spark.table(name)
   }
 
-  /** File-source convenience form of `start`. */
+  /** File-source convenience form of `start`. `maxFilesPerTrigger`
+    * bounds micro-batch size (and gives kill/restart tests a
+    * deterministic batch structure). */
   def start(spark: SparkSession, inputDir: String, custProfile: DataFrame,
-            outDir: String, checkpointDir: String): StreamingQuery = {
-    val events = spark.readStream.schema(eventSchema).json(inputDir)
+            outDir: String, checkpointDir: String,
+            maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val reader = spark.readStream.schema(eventSchema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val events = reader.json(inputDir)
     scored(events, custProfile).writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").parquet(outDir)
-      }
+      .foreachBatch(idempotentParquetSink(outDir) _)
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()

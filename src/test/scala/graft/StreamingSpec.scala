@@ -436,6 +436,132 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  // -- checkpoint recovery (the remaining Kafka-path risk: resuming a
+  // killed run from its checkpoint with exactly-once output) ----------
+
+  private def eventJson(id: Long, hour: Int, userId: Long, value: Double): String =
+    s"""{"event_id":$id,"ts":"2024-01-10T${f"$hour%02d"}:00:00.000Z","user_id":$userId,""" +
+      s""""event_type":"purchase","value":$value,"props":"{}"}"""
+
+  private def outIds(out: String): Seq[Long] = {
+    val d = new java.io.File(out)
+    if (!d.exists || d.listFiles() == null || d.listFiles().isEmpty) Seq.empty
+    else spark.read.parquet(out).select("event_id").collect().map(_.getLong(0)).toSeq
+  }
+
+  test("checkpoint recovery: kill mid-input, restart resumes exactly once") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_kill").toString
+    val in = s"$dir/in"; val out = s"$dir/out"; val ckpt = s"$dir/ckpt"
+    new java.io.File(in).mkdirs()
+    val nFiles = 8
+    (0 until nFiles).foreach { i =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/f$i.json"),
+        Seq(eventJson(2L * i + 1, i, 13L, 250.0), eventJson(2L * i + 2, i, 12L, 10.0))
+          .mkString("\n").getBytes)
+    }
+    // one file per micro-batch; kill as soon as the first batch commits
+    val q = ScoreStream.start(spark, in, profile, out, ckpt,
+      maxFilesPerTrigger = Some(1))
+    val deadline = System.currentTimeMillis + 60000
+    while (q.recentProgress.count(_.numInputRows > 0) < 1 &&
+           System.currentTimeMillis < deadline) Thread.sleep(25)
+    q.stop()
+    val partial = outIds(out)
+    assert(partial.nonEmpty, "kill landed before any batch committed")
+    assert(partial.size < 2 * nFiles,
+      s"kill landed after all input (got ${partial.size}); raise nFiles")
+    // restart from the same checkpoint: must pick up the unprocessed
+    // files and ONLY those — no dupes of the pre-kill batches, no gaps
+    val q2 = ScoreStream.start(spark, in, profile, out, ckpt,
+      maxFilesPerTrigger = Some(1))
+    q2.awaitTermination()
+    val ids = outIds(out)
+    assert(ids.size == 2 * nFiles, s"expected ${2 * nFiles} rows, got ${ids.size} (dupes or gaps)")
+    assert(ids.sorted == (1L to 2L * nFiles), s"id set wrong: ${ids.sorted}")
+  }
+
+  test("checkpoint recovery: batch replayed after a lost commit marker lands idempotently") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_replay").toString
+    val in = s"$dir/in"; val out = s"$dir/out"; val ckpt = s"$dir/ckpt"
+    new java.io.File(in).mkdirs()
+    (0 until 3).foreach { i =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/f$i.json"),
+        Seq(eventJson(2L * i + 1, i, 13L, 250.0), eventJson(2L * i + 2, i, 12L, 10.0))
+          .mkString("\n").getBytes)
+    }
+    val q = ScoreStream.start(spark, in, profile, out, ckpt,
+      maxFilesPerTrigger = Some(1))
+    q.awaitTermination()
+    assert(outIds(out).sorted == (1L to 6L))
+    // simulate a crash in the window between the sink write and the
+    // checkpoint commit: the output of the newest batch exists but its
+    // commit marker does not — on restart the engine MUST re-execute
+    // that batch (at-least-once), and the idempotent batch_id=N
+    // overwrite must absorb the replay (exactly-once observable output)
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    assert(commits.nonEmpty)
+    val dropped = commits.last
+    assert(dropped.delete(), s"could not delete $dropped")
+    // the local ChecksumFileSystem keeps a hidden .N.crc twin; left
+    // stale it makes the replayed commit's rename fail, which Spark
+    // reports as a concurrent-query conflict — a test-env artifact, not
+    // part of the simulated crash (a real lost-commit crash loses both)
+    new java.io.File(dropped.getParentFile, "." + dropped.getName + ".crc").delete()
+    val q2 = ScoreStream.start(spark, in, profile, out, ckpt,
+      maxFilesPerTrigger = Some(1))
+    q2.awaitTermination()
+    val ids = outIds(out)
+    assert(ids.size == 6, s"replayed batch duplicated rows: ${ids.sorted}")
+    assert(ids.sorted == (1L to 6L))
+  }
+
+  test("checkpoint recovery: stateful profile state survives a restart") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_state").toString
+    val in = s"$dir/in"; val out = s"$dir/out"; val ckpt = s"$dir/ckpt"
+    new java.io.File(in).mkdirs()
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("value", DoubleType)))
+    def runOnce(): Unit = {
+      val events = spark.readStream.schema(schema).json(in)
+        .as[StatefulProfiles.EventIn]
+      val q = StatefulProfiles.running(events).toDF().writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          b.write.mode("overwrite").parquet(s"$out/batch_id=$id")
+        }
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/f0.json"),
+      Seq("""{"event_id":1,"ts":"2024-01-10T03:00:00.000Z","user_id":7,"value":100.0}""",
+          """{"event_id":2,"ts":"2024-01-10T04:00:00.000Z","user_id":7,"value":200.0}""")
+        .mkString("\n").getBytes)
+    runOnce()
+    val first = spark.read.parquet(out).filter(col("user_id") === 7L)
+      .select("cust_avg", "cust_txn_count").collect()
+      .map(r => (r.getDouble(0), r.getLong(1))).toSet
+    assert(first.contains((150.0, 2L)), s"pre-kill profile wrong: $first")
+    // new events arrive after the "crash"; the restarted query must
+    // fold them into the RESTORED day buckets, not a fresh state
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/f1.json"),
+      Seq("""{"event_id":3,"ts":"2024-01-10T05:00:00.000Z","user_id":7,"value":50.0}""")
+        .mkString("\n").getBytes)
+    runOnce()
+    val all = spark.read.parquet(out).filter(col("user_id") === 7L)
+      .select("cust_avg", "cust_txn_count").collect()
+      .map(r => (r.getDouble(0), r.getLong(1))).toSet
+    assert(all.exists { case (avg, cnt) =>
+      cnt == 3L && math.abs(avg - 350.0 / 3) < 1e-9 },
+      s"state not restored across restart (no 3-event profile): $all")
+    assert(!all.contains((50.0, 1L)),
+      s"restart started from EMPTY state (fresh 1-event profile): $all")
+  }
+
   test("file-source runner writes scored parquet exactly once") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
     val in = s"$dir/in"; val out = s"$dir/out"; val ckpt = s"$dir/ckpt"
