@@ -1290,7 +1290,13 @@ object Queries {
 
   /** ANN top-k via IVF-PQ (rows-only) — both scale axes composed:
     * cells bound which rows a query touches, codes bound the bytes per
-    * touched row, exact re-rank on the shortlist only. */
+    * touched row, exact re-rank on the shortlist only. Parameters from
+    * the r5 `ProbeAnn` sweep (nprobe × shortlist × ksub × m at
+    * sf0.001): nprobe 8→12 and shortlist 50→100 lift recall@10
+    * 0.82 → 0.96 at unchanged model size and runtime — quantization
+    * error was dropping true neighbors out of the 50-row ADC
+    * shortlist, and a wider shortlist + more probed cells recovers
+    * them; cost stays cell-bounded (nprobe/nlist of the corpus). */
   private val qSimIvfPqTopk = Q(
     "sim_ivfpq_topk",
     (s, d) => {
@@ -1298,8 +1304,8 @@ object Queries {
       val cent = operators.Ivf.fitCentroids(e, "vec_id", "u", nlist = 16)
       val model = operators.Pq.fit(e, "vec_id", "u", m = 16, ksub = 16)
       operators.Pq.topkIvfPq(e, "vec_id", "u",
-        e.filter(col("vec_id") < 10), k = 10, cent, nprobe = 8,
-        model, shortlist = 50)
+        e.filter(col("vec_id") < 10), k = 10, cent, nprobe = 12,
+        model, shortlist = 100)
     },
     None)
 
@@ -2322,6 +2328,29 @@ object Queries {
     },
     None)
 
+  /** The Bloom-decontamination CONTAINMENT invariant as a declared,
+    * hash-checkable query: docs flagged by the exact broadcast join
+    * but NOT by the Bloom sketch — Bloom filters have no false
+    * negatives, so this set is provably empty. The Spark side
+    * genuinely computes `exact_flagged EXCEPT bloom_flagged`; the
+    * oracle is the empty relation of the same schema, so the driver's
+    * rows/schema/hash compare pins the zero-false-negative guarantee
+    * (the relation CorpusSpec checks row-for-row, now also under the
+    * driver's independent gate). */
+  private val qDecontaminateContainment = Q(
+    "q_decontaminate_containment",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      val bench = docs.filter(col("doc_id") % 10 === 0)
+      val exact = operators.Corpus.decontaminate(corpus, bench, "doc_id", "text", k = 8)
+        .filter(col("contaminated") === 1).select("doc_id")
+      val bloom = operators.Corpus.decontaminateBloom(corpus, bench, "doc_id", "text", k = 8)
+        .filter(col("contaminated") === 1).select("doc_id")
+      exact.except(bloom).orderBy("doc_id")
+    },
+    Some("SELECT CAST(NULL AS BIGINT) AS doc_id WHERE false"))
+
   /** PMI collocations ("new york" phrase discovery): pair + unigram
     * aggs, PMI re-derived by the oracle with the identical expression
     * shape; minCount = 5, top-50 with text tie-break. */
@@ -2609,7 +2638,8 @@ object Queries {
     qMixDomains, qTopTerms,
     qSessionize, qSessionizeStream, qScoreStream, qAsofJoin, qRangeJoin,
     qGopherQuality, qSampleStratified, qDomainFilter, qDecontaminate,
-    qDecontaminateBloom, qPiiRedact, qRepetitionFilter, qBpePairs,
+    qDecontaminateBloom, qDecontaminateContainment,
+    qPiiRedact, qRepetitionFilter, qBpePairs,
     qNormalizeText, qCorpusProfile, qCollocations, qWeightedSample,
     qQualityRank, qEmbedCentroid, qBpeTrain, qBpeApply, qCanonicalDedup,
     qSimDiverse, qCorpusDiff, qDedupEval, qDomainApprox,

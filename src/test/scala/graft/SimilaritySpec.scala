@@ -96,14 +96,18 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.6, s"recall $recall too low")
   }
 
-  test("sim_ivfpq_topk recall@10 >= 0.6 vs brute force on sf0.001") {
+  test("sim_ivfpq_topk recall@10 >= 0.9 vs brute force on sf0.001") {
+    // parameters fixed by the r5 ProbeAnn sweep (nprobe x shortlist x
+    // ksub x m): nprobe=12, shortlist=100 measured 0.96 — the
+    // quantization error that capped the old nprobe=8/shortlist=50
+    // config at 0.82 is absorbed by the wider ADC shortlist + probes
     val exact = SparkEntry.queries("q_sim_bruteforce")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val approx = SparkEntry.queries("sim_ivfpq_topk")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact & approx).size.toDouble / exact.size
     info(s"ivf-pq recall@10 = $recall (${(exact & approx).size}/${exact.size})")
-    assert(recall >= 0.6, s"recall $recall too low")
+    assert(recall >= 0.9, s"recall $recall too low")
   }
 
   test("pq encoding: m codes in [0, ksub), deterministic, dim-compressing") {
