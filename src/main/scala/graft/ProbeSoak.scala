@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale soak harness: synthesizes documents/embeddings corpora at
+  * 1×/4×/16×/48× the sf0.1 tables WITH planted pathological skew, then
+  * times the dedup/ANN family at each scale — the empirical check that
+  * the caps (bandBucketCap, bucketCap, cellCap, df cap, span hash-agg)
+  * bound runtime, i.e. growth stays near-linear where plan shape says
+  * it must.
+  *
+  * Planted pathologies (every scale):
+  *  - one boilerplate 5-word span appended to EVERY document — span df
+  *    = corpus size (240k at 48×, the ≥1e5 hot-key regime) stressing
+  *    `dedupSpans`' no-window hash agg and the shingle df caps;
+  *  - one mutual near-dup cluster of N/12 documents (20k members at
+  *    48×, the scaled analog of a 100k-member boilerplate cluster) —
+  *    every LSH band bucket it lands in goes hot, stressing
+  *    `bandBucketCap` star expansion;
+  *  - one dense embedding cluster of N/12 near-identical vectors
+  *    (cos ≈ 0.999) containing all 10 ANN query ids, stressing
+  *    semantic-dedup `cellCap` and the IVF hot cell.
+  *  - replicas of the base corpus are salted with a per-replica token
+  *    every 5 words so they do NOT near-duplicate each other (growth
+  *    in corpus size, not in duplicate density).
+  *
+  * `gen` writes soak dirs under soak/ (gitignored); `run` times the
+  * family. Usage: runMain graft.ProbeSoak gen|run [scales...]
+  */
+object ProbeSoak {
+  val Sf01 = "/root/testdata/sf0.1"
+  val OutRoot = "soak"
+  val DefaultScales = Seq(1, 4, 16, 48)
+  val Boiler = " the quick brown fox jumps"
+
+  val Queries = Seq("q_dedup_exact", "dedup_minhash", "q_span_dedup",
+    "q_ngram_jaccard", "q_dedup_incremental", "dedup_semantic",
+    "dedup_embedding", "sim_ivf_topk", "sim_ivfpq_topk")
+
+  private val lorem: String = {
+    val words = Seq("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+      "golf", "hotel", "india", "juliet", "kilo", "lima", "mike", "november")
+    (0 until 120).map(i => words(i % words.size) + (i % 9)).mkString(" ")
+  }
+
+  def genDocs(spark: SparkSession, s: Int): DataFrame = {
+    val base = spark.read.parquet(s"$Sf01/documents.parquet")
+    val n = base.count()
+    val reps = spark.range(s).select(col("id").as("rep"))
+    // replica 0 is the base corpus; others are salted every 5 words so
+    // replicas are NOT near-dups of each other
+    val salted = base.crossJoin(reps).select(
+      (col("doc_id") + col("rep") * lit(10000000L)).as("doc_id"),
+      when(col("rep") === 0, col("text"))
+        .otherwise(regexp_replace(col("text"),
+          lit("((\\S+\\s+){4}\\S+)"),
+          concat(lit("$1 zz"), col("rep").cast("string"), lit("x")))).as("text"),
+      col("lang"), col("source"))
+    val withBoiler = salted
+      .withColumn("text", concat(col("text"), lit(Boiler)))
+    // the planted near-dup cluster: n*s/12 docs, each the same lorem
+    // paragraph + the boilerplate span + ONE unique trailing token
+    val c = (n * s / 12).toInt
+    val cluster = spark.range(c).select(
+      (col("id") + lit(900000000L)).as("doc_id"),
+      concat(lit(lorem), lit(Boiler), lit(" filler"), col("id").cast("string")).as("text"),
+      lit("en").as("lang"), lit("soak_cluster").as("source"))
+    withBoiler.unionByName(cluster)
+      .withColumn("n_chars", length(col("text")))
+  }
+
+  def genEmbeddings(spark: SparkSession, s: Int): DataFrame = {
+    val nBase = 2000L * s
+    val c = nBase / 12
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("embedding",
+        ArrayType(FloatType, containsNull = false)), StructField("label", IntegerType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val baseDir = Array.tabulate(64) { j =>
+      val r = new java.util.Random(42L * 64 + j); r.nextGaussian().toFloat
+    }
+    spark.range(nBase + c).mapPartitions { ids =>
+      ids.map { idr =>
+        val id = idr
+        val vec =
+          if (id < c) {
+            // dense cluster (includes the ANN query ids 0..9): base
+            // direction + 1% jitter -> pairwise cos ~ 0.999
+            val r = new java.util.Random(id * 2654435761L + 7)
+            Array.tabulate(64)(j => baseDir(j) + 0.01f * r.nextGaussian().toFloat)
+          } else {
+            val r = new java.util.Random(id * 2654435761L + 7)
+            Array.tabulate(64)(_ => r.nextGaussian().toFloat)
+          }
+        val norm = math.sqrt(vec.map(x => x.toDouble * x).sum).toFloat
+        Row(id, vec.map(_ / norm).toSeq, (id % 10).toInt)
+      }
+    }(enc).toDF()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val mode = args.headOption.getOrElse("run")
+    val scales = if (args.length > 1) args.drop(1).map(_.toInt).toSeq else DefaultScales
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if (mode == "gen") {
+      scales.foreach { s =>
+        val dir = s"$OutRoot/x$s"
+        genDocs(spark, s).repartition(32).write.mode("overwrite")
+          .parquet(s"$dir/documents.parquet")
+        genEmbeddings(spark, s).repartition(32).write.mode("overwrite")
+          .parquet(s"$dir/embeddings.parquet")
+        val nd = spark.read.parquet(s"$dir/documents.parquet").count()
+        val ne = spark.read.parquet(s"$dir/embeddings.parquet").count()
+        println(s"[soak] generated x$s: $nd docs, $ne vectors")
+      }
+    } else {
+      scales.foreach { s =>
+        val dir = s"$OutRoot/x$s"
+        Queries.foreach { name =>
+          val fn = SparkEntry.queries(name)
+          val t0 = System.nanoTime()
+          val rows = fn(spark, dir).count()
+          val t1 = System.nanoTime()
+          println(f"[soak] scale=x$s%-3d query=$name%-22s t=${(t1 - t0) / 1e9}%8.2fs rows=$rows")
+        }
+      }
+    }
+    spark.stop()
+  }
+}
