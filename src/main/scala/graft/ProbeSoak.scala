@@ -22,8 +22,13 @@ import org.apache.spark.sql.functions._
   *    (cos ≈ 0.999) containing all 10 ANN query ids, stressing
   *    semantic-dedup `cellCap` and the IVF hot cell.
   *  - replicas of the base corpus are salted with a per-replica token
-  *    every 5 words so they do NOT near-duplicate each other (growth
-  *    in corpus size, not in duplicate density).
+  *    every 2 words, so NO 3-word shingle survives across replicas and
+  *    replicas do not near-duplicate each other at any threshold
+  *    (growth in corpus size, not in duplicate density; the first soak
+  *    salted every 5 words, which left 2 of every 5 shingles shared —
+  *    jaccard ≈ 0.25 across replicas, above the 0.1 pair threshold, so
+  *    pair counts grew quadratically in the replica count by
+  *    construction rather than by pathology).
   *
   * `gen` writes soak dirs under soak/ (gitignored); `run` times the
   * family. Usage: runMain graft.ProbeSoak gen|run [scales...]
@@ -54,7 +59,7 @@ object ProbeSoak {
       (col("doc_id") + col("rep") * lit(10000000L)).as("doc_id"),
       when(col("rep") === 0, col("text"))
         .otherwise(regexp_replace(col("text"),
-          lit("((\\S+\\s+){4}\\S+)"),
+          lit("((\\S+\\s+)\\S+)"),
           concat(lit("$1 zz"), col("rep").cast("string"), lit("x")))).as("text"),
       col("lang"), col("source"))
     val withBoiler = salted

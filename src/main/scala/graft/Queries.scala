@@ -1007,7 +1007,13 @@ object Queries {
     "dedup_minhash",
     (s, d) => operators.Dedup.minhashPairs(
       Tables.documents(s, d), "doc_id", "text",
-      numHashes = 32, bands = 16, threshold = 0.1),
+      numHashes = 32, bands = 16, threshold = 0.1,
+      // r5 soak lesson: uncapped, a planted K-member near-dup cluster
+      // emits its full K²/2 clique (103k pairs at 5k docs, 1.5M at
+      // 21k — the output itself goes quadratic). The cap star-expands
+      // hot band buckets so a boilerplate cluster costs O(K) edges;
+      // connectivity (what clustering consumes) is preserved exactly.
+      bandBucketCap = 512),
     None)
 
   /** The SAME minhash pipeline with a DuckDB-computable hash family
@@ -1918,7 +1924,7 @@ object Queries {
     * the full portable-md5 pair pipeline and restricts it to cross-set
     * pairs, plus the digest anti-join. */
   private val qDedupIncremental = {
-    val (nh, bands, thr) = (16, 8, 0.1)
+    val (nh, bands, thr, exCap) = (16, 8, 0.1, 64)
     Q(
       "q_dedup_incremental",
       (s, d) => {
@@ -1927,14 +1933,39 @@ object Queries {
             docs.filter(col("doc_id") % 5 =!= 4),
             docs.filter(col("doc_id") % 5 === 4),
             "doc_id", "text",
-            numHashes = nh, bands = bands, threshold = thr, portableMd5 = true)
+            numHashes = nh, bands = bands, threshold = thr, portableMd5 = true,
+            // r5 soak lesson: a K-member boilerplate cluster in the
+            // stored index makes the uncapped incoming×existing band
+            // join quadratic across the split; EXISTS semantics needs
+            // only the bucket's min-id representative (oracle below
+            // re-derives the cap)
+            exBucketCap = exCap)
           .select(col("doc_id"), col("source"), col("lang"),
                   length(col("text")).cast("int").as("n_chars"))
           .orderBy("doc_id")
       },
+      // reuses the shared CTE chain's `bands` (doc_id, band, bh) and
+      // `sets` (doc_id, ss) — its `cands`/`pairs` CTEs go unreferenced
+      // here because the incremental candidate rule differs: existing-
+      // side band buckets over the cap collapse to min(ex_id)
       Some(s"""WITH ${minhashMd5PairCtes(nh, bands, thr)},
-           |near AS (SELECT CASE WHEN doc_a % 5 = 4 THEN doc_a ELSE doc_b END AS id
-           |  FROM pairs WHERE (doc_a % 5 = 4) <> (doc_b % 5 = 4)),
+           |exb AS (SELECT band, bh, doc_id AS ex_id FROM bands WHERE doc_id % 5 <> 4),
+           |exf AS (SELECT band, bh, count(*) AS f, min(ex_id) AS mn
+           |  FROM exb GROUP BY band, bh),
+           |excap AS (SELECT e.band, e.bh, e.ex_id
+           |   FROM exb e JOIN exf f ON f.band = e.band AND f.bh = e.bh
+           |   WHERE f.f <= $exCap
+           |  UNION ALL
+           |  SELECT band, bh, mn AS ex_id FROM exf WHERE f > $exCap),
+           |icand AS (SELECT DISTINCT b.doc_id AS in_id, e.ex_id
+           |  FROM bands b JOIN excap e ON e.band = b.band AND e.bh = b.bh
+           |  WHERE b.doc_id % 5 = 4),
+           |near AS (SELECT DISTINCT in_id AS id FROM icand
+           |  JOIN sets sa ON sa.doc_id = icand.in_id
+           |  JOIN sets sb ON sb.doc_id = icand.ex_id
+           |  WHERE round(CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)
+           |      / (CAST(len(sa.ss) + len(sb.ss) AS DOUBLE)
+           |         - CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)), 6) >= $thr),
            |exdig AS (SELECT DISTINCT md5(text) AS dg FROM documents WHERE doc_id % 5 <> 4)
            |SELECT doc_id, source, lang, CAST(length(text) AS INT) AS n_chars
            |FROM documents

@@ -589,13 +589,35 @@ object Dedup {
                        idCol: String, textCol: String,
                        numHashes: Int = 16, bands: Int = 8,
                        threshold: Double = 0.1, shingleK: Int = 3,
-                       portableMd5: Boolean = false): DataFrame = {
+                       portableMd5: Boolean = false,
+                       exBucketCap: Int = Int.MaxValue): DataFrame = {
     val exDigests = existing
       .select(md5(col(textCol).cast("binary")).as("__digest")).distinct()
     val shEx = shingleDocs(existing, idCol, textCol, shingleK)
     val shIn = shingleDocs(incoming, idCol, textCol, shingleK)
-    val bEx = bandedKeys(shEx, numHashes, bands, portableMd5)
+    val bEx0 = bandedKeys(shEx, numHashes, bands, portableMd5)
       .select(col("band"), col("bh"), col("doc_id").as("ex_id"))
+    // The drop decision is EXISTS semantics — one verified existing
+    // match suffices — so a hot stored-index bucket (a K-member
+    // boilerplate cluster puts K existing docs behind one band key)
+    // doesn't need all K members as candidates: cap it to its min-id
+    // representative and candidates stay linear in the incoming batch.
+    // The representative is in the same near-dup cluster as every
+    // member, so a true near-dup of the cluster still verifies against
+    // it; recall degrades gracefully, never the runtime. Both phases
+    // are hash aggs on the join key (map-side combinable, skew-proof).
+    val bEx =
+      if (exBucketCap == Int.MaxValue) bEx0
+      else {
+        val freq = bEx0.groupBy("band", "bh")
+          .agg(count(lit(1)).as("__f"), min("ex_id").as("__mn"))
+        val cold = bEx0.join(
+          freq.filter(col("__f") <= exBucketCap).select("band", "bh"),
+          Seq("band", "bh"))
+        val hot = freq.filter(col("__f") > exBucketCap)
+          .select(col("band"), col("bh"), col("__mn").as("ex_id"))
+        cold.unionByName(hot)
+      }
     val cands = bandedKeys(shIn, numHashes, bands, portableMd5)
       .join(bEx, Seq("band", "bh"))
       .select(col("doc_id"), col("ex_id")).dropDuplicates("doc_id", "ex_id")

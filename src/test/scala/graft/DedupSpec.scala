@@ -436,4 +436,27 @@ class DedupSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(1002L, 1003L), s"got $kept")
   }
+
+  test("skew: dedupIncremental exBucketCap — hot stored-index bucket collapses to its representative, drops still verified") {
+    val (cap, hot) = (8, 80)
+    // existing side: an 80-member boilerplate cluster at 10× the cap,
+    // plus distinct fillers; incoming: one cluster member (must drop via
+    // the min-id representative), one fresh doc (must survive)
+    val existing = hotCorpus(hot)
+    val boiler = existing.filter(col("doc_id") === 1000L).head.getString(1)
+    val incoming = Seq(
+      (5000L, boiler + " tail5000"),  // near dup of the hot cluster
+      (5001L, (1 to 30).map(i => s"novel$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val kept = Dedup.dedupIncremental(existing, incoming, "doc_id", "text",
+        numHashes = 16, bands = 8, threshold = 0.5, exBucketCap = cap)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(5001L), s"got $kept")
+    // and the cap really bounds the candidate side: capped run must
+    // behave identically to uncapped on the DROP verdicts here
+    val uncapped = Dedup.dedupIncremental(existing, incoming, "doc_id", "text",
+        numHashes = 16, bands = 8, threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(uncapped == kept, s"cap changed verdicts: $uncapped vs $kept")
+  }
 }
