@@ -117,6 +117,49 @@ object ProbeSoak {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    if (mode == "ann") {
+      // staged, repeated timing of the IVF family — separates model
+      // fit (driver k-means off a hash-ordered sample) from corpus
+      // assignment from the probe join, 3 reps each, so one noisy host
+      // window can't masquerade as a plan property
+      scales.foreach { s =>
+        val dir = s"$OutRoot/x$s"
+        val e = Tables.embeddings(spark, dir)
+        (1 to 3).foreach { rep =>
+          val t0 = System.nanoTime()
+          val cent = operators.Ivf.fitCentroids(e, "vec_id", "embedding", nlist = 16)
+          val t1 = System.nanoTime()
+          val corpus = operators.Ivf.assign(e, "vec_id", "embedding", cent)
+          val cells = corpus.groupBy("cell").count().collect().map(_.getLong(1))
+          val t2 = System.nanoTime()
+          // decomposition: candidate join alone, then +cosine (agg, no
+          // window), then the full windowed top-k
+          val probes = e.filter(col("vec_id") < 10)
+            .select(col("vec_id").as("query_id"),
+              col("embedding").cast("array<double>").as("qf"))
+            .withColumn("cell",
+              explode(operators.Ivf.probeCellsCol(col("qf"), cent, 8)))
+          val candDf = probes.join(corpus, Seq("cell"))
+            .filter(col("query_id") =!= col("nid"))
+          if (rep == 1) candDf.explain("formatted")
+          val nCand = candDf.count()
+          val t3 = System.nanoTime()
+          val sumCos = probes.join(corpus, Seq("cell"))
+            .filter(col("query_id") =!= col("nid"))
+            .agg(sum(graft.functions.VectorOps.cosine(col("qf"), col("nf"))))
+            .collect()(0).getDouble(0)
+          val t4 = System.nanoTime()
+          val n = operators.Ivf.topk(e, "vec_id", "embedding",
+            e.filter(col("vec_id") < 10), k = 10, cent, nprobe = 8).count()
+          val t5 = System.nanoTime()
+          println(f"[ann] x$s%-3d rep=$rep fit=${(t1 - t0) / 1e9}%6.2fs " +
+            f"assign=${(t2 - t1) / 1e9}%6.2fs cand=${(t3 - t2) / 1e9}%6.2fs " +
+            f"cos=${(t4 - t3) / 1e9}%6.2fs topk=${(t5 - t4) / 1e9}%6.2fs " +
+            f"rows=$n nCand=$nCand sumCos=$sumCos%.1f maxCell=${cells.max}")
+        }
+      }
+      spark.stop(); return
+    }
     if (mode == "gen") {
       scales.foreach { s =>
         val dir = s"$OutRoot/x$s"

@@ -125,7 +125,12 @@ object Lof {
     // for the equivalent crossJoin+window Spark plan on the same data.
     // Only the sample selection itself is distributed.
     val pts = df.select(col(idCol).as("id"), col(featuresCol).as("f"))
-      .orderBy("id").limit(maxRefPoints)
+      // hash-ordered sample (same rationale as Ivf.fitCentroids): an
+      // id-ordered prefix is a biased "normal" reference set whenever
+      // ids correlate with content (time-ordered ingest, clustered
+      // appends); hash order is equally deterministic and unbiased
+      .orderBy(org.apache.spark.sql.functions.xxhash64(col("id")), col("id"))
+      .limit(maxRefPoints)
       .collect().map(_.getSeq[Double](1).toArray)
     val n = pts.length
     val kk = math.min(k, n - 1)

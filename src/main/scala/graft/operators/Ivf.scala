@@ -22,16 +22,25 @@ import graft.functions.VectorOps
   */
 object Ivf {
 
-  /** Lloyd's k-means on a deterministic sample (`orderBy(id) limit
-    * sampleSize`), iterated in primitive driver arrays — centroid fit
-    * cost is O(sample·nlist·dim·iters), independent of corpus size.
-    * Empty cells keep their previous centroid (deterministic). */
+  /** Lloyd's k-means on a deterministic sample, iterated in primitive
+    * driver arrays — centroid fit cost is O(sample·nlist·dim·iters),
+    * independent of corpus size. Empty cells keep their previous
+    * centroid (deterministic).
+    *
+    * The sample is HASH-ordered (`orderBy(xxhash64(id))`), not
+    * id-ordered: the r5 soak planted an 8.7k-vector dense cluster at
+    * the LOW end of the id space and `orderBy(id) limit 4096` fed
+    * k-means nothing but that cluster — 16 near-identical centroids,
+    * near-arbitrary cell assignment for the rest of the corpus, and a
+    * shared-centroid `semanticDedup` whose every cell filled to
+    * cellCap. Hash order is just as deterministic and stays unbiased
+    * under ANY id layout (time-ordered ingest, clustered appends). */
   def fitCentroids(emb: DataFrame, idCol: String, vecCol: String,
                    nlist: Int, iters: Int = 10,
                    sampleSize: Int = 4096): Array[Array[Double]] = {
     val pts = emb.select(col(idCol).as("id"),
         col(vecCol).cast("array<double>").as("f"))
-      .orderBy("id").limit(sampleSize)
+      .orderBy(xxhash64(col("id")), col("id")).limit(sampleSize)
       .collect().map(_.getSeq[Double](1).toArray)
     require(pts.length >= nlist, s"need >= $nlist sample points, got ${pts.length}")
     val dim = pts(0).length
@@ -71,9 +80,14 @@ object Ivf {
              lit(i).as("cell"))
     }
 
-  /** Nearest-centroid cell id (codegen: nlist fold loops + array_min). */
+  /** Nearest-centroid cell id — the native `NearestCentroidCell`
+    * expression (one tight codegen loop over a double[] reference
+    * object). Replaced the struct-literal `array_min` spelling after
+    * the r5 soak: joining on that column pushed `IsNotNull(<whole
+    * expression>)` into a per-row Filter that re-evaluated the matrix
+    * literals at ~200 µs/row (`PLANS.md` "r5 scale soak"). */
   def cellCol(vec: Column, centroids: Array[Array[Double]]): Column =
-    array_min(array(distStructs(vec, centroids): _*)).getField("cell")
+    graft.functions.ArrayMath.nearestCell(vec, centroids)
 
   /** The query's `nprobe` nearest cells, as an array column. The
     * array_sort runs over nlist structs per QUERY row only. */

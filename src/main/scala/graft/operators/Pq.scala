@@ -37,7 +37,7 @@ object Pq {
                          codebooks: Array[Array[Array[Double]]])
 
   /** Per-subspace Lloyd's k-means on a deterministic driver sample
-    * (`orderBy(id) limit sampleSize` — constant-size, corpus-
+    * (hash-ordered `limit sampleSize` — constant-size, corpus-
     * independent, like `Ivf.fitCentroids`). Empty codes keep their
     * previous centroid. */
   def fit(emb: DataFrame, idCol: String, vecCol: String,
@@ -45,7 +45,9 @@ object Pq {
           sampleSize: Int = 4096): Model = {
     val pts = emb.select(col(idCol).as("id"),
         col(vecCol).cast("array<double>").as("f"))
-      .orderBy("id").limit(sampleSize)
+      // hash-ordered sample, same rationale as Ivf.fitCentroids: an
+      // id-ordered prefix is biased under clustered id layouts
+      .orderBy(xxhash64(col("id")), col("id")).limit(sampleSize)
       .collect().map(_.getSeq[Double](1).toArray)
     require(pts.nonEmpty, "empty sample")
     val dim = pts(0).length
@@ -87,15 +89,12 @@ object Pq {
   private def subVec(vec: Column, model: Model, s: Int): Column =
     slice(vec, s * model.dsub + 1, model.dsub)
 
-  /** Codegen argmin over the subspace's ksub literal centroids. */
-  private def codeCol(vec: Column, model: Model, s: Int): Column = {
-    val dists = model.codebooks(s).zipWithIndex.toSeq.map { case (c, i) =>
-      struct(graft.functions.ArrayMath.sqDiffSum(subVec(vec, model, s),
-               typedLit(c.toSeq)).as("d"),
-             lit(i).as("code"))
-    }
-    array_min(array(dists: _*)).getField("code")
-  }
+  /** Argmin over the subspace's ksub centroids — the native
+    * `NearestCentroidCell` with a subspace offset (no slice, no
+    * per-centroid literals; same rationale as `Ivf.cellCol`). */
+  private def codeCol(vec: Column, model: Model, s: Int): Column =
+    graft.functions.ArrayMath.nearestCell(vec, model.codebooks(s),
+      offset = s * model.dsub)
 
   /** All m codes as one array<int> column. */
   def codesCol(vec: Column, model: Model): Column =

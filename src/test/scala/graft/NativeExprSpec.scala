@@ -119,4 +119,46 @@ class NativeExprSpec extends AnyFunSuite {
       assert(interp == colPath(r.getLong(0)), s"doc ${r.getLong(0)}")
     }
   }
+
+  test("NearestCentroidCell == array_min(array(struct(sqDiffSum, idx))) incl. subspace offsets") {
+    import graft.functions.ArrayMath
+    val vrnd = new scala.util.Random(11)
+    val dim = 8
+    val vecs = (0 until 300).map { i =>
+      (i.toLong, Seq.fill(dim)(vrnd.nextGaussian()))
+    }.toDF("id", "v")
+    val cents = Array.fill(5)(Array.fill(dim)(vrnd.nextGaussian()))
+    // full-width assignment: native vs the struct-literal spelling
+    val structForm = array_min(array(cents.zipWithIndex.toSeq.map { case (c, i) =>
+      struct(ArrayMath.sqDiffSum(col("v"), typedLit(c.toSeq)).as("d"),
+             lit(i).as("cell"))
+    }: _*)).getField("cell")
+    val both = vecs.select(col("id"),
+        ArrayMath.nearestCell(col("v"), cents).as("native"),
+        structForm.as("struct")).collect()
+    both.foreach(r => assert(r.getInt(1) == r.getInt(2), s"id ${r.getLong(0)}"))
+    // subspace offset (the PQ form): offset 4, width-4 codebooks vs
+    // the slice + struct spelling
+    val books = Array.fill(5)(Array.fill(4)(vrnd.nextGaussian()))
+    val sliceForm = array_min(array(books.zipWithIndex.toSeq.map { case (c, i) =>
+      struct(ArrayMath.sqDiffSum(slice(col("v"), 5, 4), typedLit(c.toSeq)).as("d"),
+             lit(i).as("code"))
+    }: _*)).getField("code")
+    val sub = vecs.select(col("id"),
+        ArrayMath.nearestCell(col("v"), books, offset = 4).as("native"),
+        sliceForm.as("struct")).collect()
+    sub.foreach(r => assert(r.getInt(1) == r.getInt(2), s"id ${r.getLong(0)} (offset)"))
+    // interpreted eval agrees with codegen (filter pushdown runs it
+    // interpreted in some paths)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val colPath = both.map(r => r.getLong(0) -> r.getInt(1)).toMap
+    vecs.collect().foreach { r =>
+      val arr = new GenericArrayData(r.getSeq[Double](1).toArray.map(_.asInstanceOf[Any]))
+      val interp = graft.functions.NearestCentroidCell(
+        Literal(arr, ArrayType(DoubleType)), cents, 0).eval(null).asInstanceOf[Int]
+      assert(interp == colPath(r.getLong(0)), s"interp id ${r.getLong(0)}")
+    }
+  }
 }
