@@ -156,6 +156,62 @@ object ProbeSoak {
             f"assign=${(t2 - t1) / 1e9}%6.2fs cand=${(t3 - t2) / 1e9}%6.2fs " +
             f"cos=${(t4 - t3) / 1e9}%6.2fs topk=${(t5 - t4) / 1e9}%6.2fs " +
             f"rows=$n nCand=$nCand sumCos=$sumCos%.1f maxCell=${cells.max}")
+          // IVF-PQ decomposition: unit-normalize, PQ fit, encode scan,
+          // then the full composed query
+          val u = e.select(col("vec_id"),
+              col("embedding").cast("array<double>").as("f"))
+            .withColumn("nrm", sqrt(graft.functions.ArrayMath.dot(col("f"), col("f"))))
+            .filter(col("nrm") > 0)
+            .withColumn("u", graft.functions.ArrayMath.scale(col("f"), lit(1.0) / col("nrm")))
+            .select(col("vec_id"), col("u"))
+          val p0 = System.nanoTime()
+          val cent2 = operators.Ivf.fitCentroids(u, "vec_id", "u", nlist = 16)
+          val model = operators.Pq.fit(u, "vec_id", "u", m = 16, ksub = 16)
+          val p1 = System.nanoTime()
+          val nEnc = operators.Pq.encode(u, "vec_id", "u", model).count()
+          val p2 = System.nanoTime()
+          val nq = operators.Pq.topkIvfPq(u, "vec_id", "u",
+            u.filter(col("vec_id") < 10), k = 10, cent2, nprobe = 12,
+            model, shortlist = 100).count()
+          val p3 = System.nanoTime()
+          // inline decomposition of the composed plan's three stages
+          val corpus2 = u.select(col("vec_id").as("nid"), col("u").as("__f"))
+            .select(col("nid"), operators.Ivf.cellCol(col("__f"), cent2).as("cell"),
+                    operators.Pq.codesCol(col("__f"), model).as("codes"))
+          val q2 = u.filter(col("vec_id") < 10)
+            .select(col("vec_id").as("query_id"), col("u").cast("array<double>").as("__qf"))
+            .withColumn("__lut", operators.Pq.lutCol(col("__qf"), model))
+            .withColumn("cell", explode(operators.Ivf.probeCellsCol(col("__qf"), cent2, 12)))
+            .select("query_id", "__lut", "cell")
+          val s0 = System.nanoTime()
+          val nScored = corpus2.join(broadcast(q2), Seq("cell"))
+            .filter(col("nid") =!= col("query_id")).count()
+          val s1 = System.nanoTime()
+          val nScored2 = corpus2.join(broadcast(q2), Seq("cell"))
+            .filter(col("nid") =!= col("query_id"))
+            .select(col("query_id"), col("nid"),
+              round(operators.Pq.adcDist(model), 6).as("approx_sqdist"))
+            .agg(sum("approx_sqdist")).collect()(0).getDouble(0)
+          val s2 = System.nanoTime()
+          // variant A: corpus repartitioned to 32 before the join
+          // (parallelism theory); variant B: codes materialized through
+          // an exchange so element_at cannot collapse back into the
+          // NearestCell exprs (expression-collapse theory)
+          val adcA = corpus2.repartition(32).join(broadcast(q2), Seq("cell"))
+            .filter(col("nid") =!= col("query_id"))
+            .select(round(operators.Pq.adcDist(model), 6).as("d"))
+            .agg(sum("d")).collect()(0).getDouble(0)
+          val s3 = System.nanoTime()
+          if (rep == 1) {
+            val scoredDf = corpus2.join(broadcast(q2), Seq("cell"))
+              .filter(col("nid") =!= col("query_id"))
+              .select(round(operators.Pq.adcDist(model), 6).as("d"))
+            scoredDf.explain("formatted")
+          }
+          println(f"[ann] x$s%-3d rep=$rep pqfit=${(p1 - p0) / 1e9}%6.2fs " +
+            f"encode=${(p2 - p1) / 1e9}%6.2fs ivfpq=${(p3 - p2) / 1e9}%6.2fs rows=$nq enc=$nEnc " +
+            f"scoredJoin=${(s1 - s0) / 1e9}%6.2fs adc=${(s2 - s1) / 1e9}%6.2fs " +
+            f"adcRepart=${(s3 - s2) / 1e9}%6.2fs nScored=$nScored sumAdc=$nScored2%.1f adcA=$adcA%.1f")
         }
       }
       spark.stop(); return

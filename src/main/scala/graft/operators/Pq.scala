@@ -92,7 +92,7 @@ object Pq {
   /** Argmin over the subspace's ksub centroids — the native
     * `NearestCentroidCell` with a subspace offset (no slice, no
     * per-centroid literals; same rationale as `Ivf.cellCol`). */
-  private def codeCol(vec: Column, model: Model, s: Int): Column =
+  private[graft] def codeCol(vec: Column, model: Model, s: Int): Column =
     graft.functions.ArrayMath.nearestCell(vec, model.codebooks(s),
       offset = s * model.dsub)
 
@@ -110,7 +110,7 @@ object Pq {
 
   /** The query-side ADC lookup table: a flat m·ksub array,
     * `lut[s·ksub + c]` = ‖query_sub_s − codebook_s(c)‖². */
-  private def lutCol(qvec: Column, model: Model): Column =
+  private[graft] def lutCol(qvec: Column, model: Model): Column =
     array((0 until model.m).flatMap(s =>
       model.codebooks(s).map(c =>
         graft.functions.ArrayMath.sqDiffSum(subVec(qvec, model, s),
@@ -122,13 +122,12 @@ object Pq {
     * by approximate distance. Returns (query_id, neighbor_id,
     * approx_sqdist). Recall < 1 by construction (quantization error);
     * SimilaritySpec measures it against brute force. */
-  /** The ADC distance expression: m codegen `element_at` lookups into
-    * the row's query LUT — never a dim-length loop. */
-  private def adcDist(model: Model): Column =
-    (0 until model.m).map(s =>
-      element_at(col("__lut"),
-        element_at(col("codes"), s + 1) + lit(s * model.ksub + 1)))
-      .reduce(_ + _)
+  /** The ADC distance expression — the native `AdcDistance` loop
+    * (one pass over the m codes into the row's query LUT; replaced a
+    * 2·m `element_at` chain that cost ~80 µs/row on the r5 soak,
+    * `PLANS.md` "r5 scale soak"). Never a dim-length loop. */
+  private[graft] def adcDist(model: Model): Column =
+    graft.functions.ArrayMath.adcDistance(col("codes"), col("__lut"), model.ksub)
 
   def topk(encoded: DataFrame, queries: DataFrame, idCol: String,
            vecCol: String, k: Int, model: Model): DataFrame = {

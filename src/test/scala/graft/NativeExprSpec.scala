@@ -161,4 +161,21 @@ class NativeExprSpec extends AnyFunSuite {
       assert(interp == colPath(r.getLong(0)), s"interp id ${r.getLong(0)}")
     }
   }
+
+  test("AdcDistance == the element_at chain on random codes/LUTs") {
+    import graft.functions.ArrayMath
+    val arnd = new scala.util.Random(13)
+    val (m, ksub) = (16, 16)
+    val rows = (0 until 300).map { i =>
+      (i.toLong, Seq.fill(m)(arnd.nextInt(ksub)),
+        Seq.fill(m * ksub)(arnd.nextDouble()))
+    }.toDF("id", "codes", "__lut")
+    val chain = (0 until m).map(s =>
+      element_at(col("__lut"), element_at(col("codes"), s + 1) + lit(s * ksub + 1)))
+      .reduce(_ + _)
+    val got = rows.select(col("id"),
+        ArrayMath.adcDistance(col("codes"), col("__lut"), ksub).as("native"),
+        chain.as("chain")).collect()
+    got.foreach(r => assert(r.getDouble(1) == r.getDouble(2), s"id ${r.getLong(0)}"))
+  }
 }
