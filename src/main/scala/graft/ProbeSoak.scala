@@ -39,9 +39,9 @@ object ProbeSoak {
   val DefaultScales = Seq(1, 4, 16, 48)
   val Boiler = " the quick brown fox jumps"
 
-  val Queries = Seq("q_dedup_exact", "dedup_minhash", "q_span_dedup",
-    "q_ngram_jaccard", "q_dedup_incremental", "dedup_semantic",
-    "dedup_embedding", "sim_ivf_topk", "sim_ivfpq_topk")
+  val Queries = Seq("q_dedup_exact", "dedup_minhash", "dedup_minhash_stop",
+    "q_span_dedup", "q_ngram_jaccard", "q_dedup_incremental",
+    "dedup_semantic", "dedup_embedding", "sim_ivf_topk", "sim_ivfpq_topk")
 
   private val lorem: String = {
     val words = Seq("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
@@ -216,6 +216,66 @@ object ProbeSoak {
       }
       spark.stop(); return
     }
+    if (mode == "mh") {
+      // minhash candidate-volume decomposition: per scale, the band
+      // bucket histogram and the pre-verification candidate count under
+      // several caps — the empirical check of the O(n·bands·cap) bound
+      // GRAFT_SOAK_STOPFRAC applies the stop-shingle df filter before
+      // banding, so the same decomposition isolates the filter's cost
+      val stopFrac = sys.env.get("GRAFT_SOAK_STOPFRAC").map(_.toDouble)
+      scales.foreach { s =>
+        val dir = s"$OutRoot/x$s"
+        val docs = Tables.documents(spark, dir)
+        val sh0 = operators.Dedup.shingleDocs(docs, "doc_id", "text", 3)
+        val sh = stopFrac.fold(sh0)(f => operators.Dedup.dropStopShingles(sh0, f))
+        val ex = operators.Dedup.bandedKeys(sh, 32, 16, portableMd5 = false)
+        val freq = ex.groupBy("band", "bh").agg(count(lit(1)).as("f"))
+        val hist = freq.agg(max("f").as("max"),
+          sum(when(col("f") > 512, 1).otherwise(0)).as("gt512"),
+          sum(when(col("f") > 128, 1).otherwise(0)).as("gt128"),
+          sum(when(col("f").between(65, 512), col("f") * col("f") / 2)
+            .otherwise(0)).as("pairs65_512"),
+          sum(when(col("f").between(2, 64), col("f") * col("f") / 2)
+            .otherwise(0)).as("pairs2_64")).collect()(0)
+        println(s"[mh] x$s hist max=${hist.get(0)} gt512=${hist.get(1)} " +
+          s"gt128=${hist.get(2)} pairVol65_512=${hist.get(3)} pairVol2_64=${hist.get(4)}")
+        Seq(512, 128, 64).foreach { cap =>
+          // stage decomposition INSIDE one host window: signature/band
+          // agg, candidate generation (scalars only), then the full
+          // pipeline whose tail is the array-verification join
+          val t0 = System.nanoTime()
+          val nSig = ex.count()
+          val t1 = System.nanoTime()
+          val freq2 = ex.groupBy("band", "bh")
+            .agg(count(lit(1)).as("__f"), min("doc_id").as("__mn"))
+          val cold = ex.join(
+            freq2.filter(col("__f") <= cap).select("band", "bh"), Seq("band", "bh"))
+          val coldPairs = cold.as("a").join(cold.as("b"),
+              col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+                col("a.doc_id") < col("b.doc_id"))
+            .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          val starPairs = ex.join(
+              freq2.filter(col("__f") > cap).select(col("band"), col("bh"), col("__mn")),
+              Seq("band", "bh"))
+            .filter(col("doc_id") =!= col("__mn"))
+            .select(col("__mn").as("doc_a"), col("doc_id").as("doc_b"))
+          val nCandRaw = coldPairs.union(starPairs).count()
+          val t2 = System.nanoTime()
+          val nCand = coldPairs.union(starPairs)
+            .dropDuplicates("doc_a", "doc_b").count()
+          val t3 = System.nanoTime()
+          val n = operators.Dedup.minhashPairs(docs, "doc_id", "text",
+            numHashes = 32, bands = 16, threshold = 0.1,
+            bandBucketCap = cap, stopShingleDfFrac = stopFrac).count()
+          val t4 = System.nanoTime()
+          println(f"[mh] x$s cap=$cap%-4d sig=${(t1 - t0) / 1e9}%6.2fs " +
+            f"cand=${(t2 - t1) / 1e9}%6.2fs dedup=${(t3 - t2) / 1e9}%6.2fs " +
+            f"full=${(t4 - t3) / 1e9}%8.2fs nSig=$nSig nCandRaw=$nCandRaw " +
+            f"nCand=$nCand rows=$n")
+        }
+      }
+      spark.stop(); return
+    }
     if (mode == "gen") {
       scales.foreach { s =>
         val dir = s"$OutRoot/x$s"
@@ -228,9 +288,12 @@ object ProbeSoak {
         println(s"[soak] generated x$s: $nd docs, $ne vectors")
       }
     } else {
+      // GRAFT_SOAK_ONLY=a,b,c narrows the timed family (re-soak one
+      // query across scales without paying for the rest)
+      val only = sys.env.get("GRAFT_SOAK_ONLY").map(_.split(",").toSet)
       scales.foreach { s =>
         val dir = s"$OutRoot/x$s"
-        Queries.foreach { name =>
+        Queries.filter(q => only.forall(_.contains(q))).foreach { name =>
           val fn = SparkEntry.queries(name)
           val t0 = System.nanoTime()
           val rows = fn(spark, dir).count()

@@ -1033,7 +1033,8 @@ object Queries {
     * oracles derive pairs identically. */
   private def minhashMd5PairCtes(nh: Int, bands: Int, thr: Double,
                                  bandCap: Option[Int] = None,
-                                 docWhere: String = ""): String = {
+                                 docWhere: String = "",
+                                 stopDfFrac: Option[Double] = None): String = {
     val rpb = nh / bands
     val minsSql = (0 until nh)
       .map(i => s"min(md5('$i:' || s)) AS mh_$i").mkString(",\n   ")
@@ -1063,11 +1064,24 @@ object Queries {
            |  FROM bands e JOIN freq f ON f.band = e.band AND f.bh = e.bh
            |  WHERE f.f > $cap AND e.doc_id <> f.mn)),""".stripMargin
     }
+    // stop-shingle CTEs re-derive Dedup.dropStopShingles: df over the
+    // exploded distinct shingles, the ≥ n·frac hot bar, anti-filter —
+    // docs with zero informative shingles vanish from sig AND sets
+    val shFilter = stopDfFrac match {
+      case None => "sh AS (SELECT doc_id, s FROM sh0),"
+      case Some(f) =>
+        s"""tot AS (SELECT count(DISTINCT doc_id) AS n FROM sh0),
+           |hot AS (SELECT s FROM sh0 GROUP BY s
+           |        HAVING count(*) >= (SELECT n FROM tot) * $f),
+           |sh AS (SELECT doc_id, s FROM sh0
+           |       WHERE s NOT IN (SELECT s FROM hot)),""".stripMargin
+    }
     s"""w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents $docWhere),
-       |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |sh0 AS (SELECT doc_id, unnest(list_distinct(list_transform(
        |   generate_series(1, len(w)-2),
        |   i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS s
        | FROM w WHERE len(w) >= 3),
+       |$shFilter
        |sig AS (SELECT doc_id,
        |   $minsSql
        | FROM sh GROUP BY doc_id),
@@ -1118,6 +1132,44 @@ object Queries {
         numHashes = nh, bands = bands, threshold = thr, portableMd5 = true,
         bandBucketCap = cap),
       Some(s"""WITH ${minhashMd5PairCtes(nh, bands, thr, bandCap = Some(cap))}
+           |SELECT doc_a, doc_b, jaccard FROM pairs
+           |ORDER BY doc_a, doc_b""".stripMargin))
+  }
+
+  /** Production minhash with the STOP-SHINGLE df filter (r5 soak
+    * lesson #2): shingles present on ≥ 50% of docs are dropped before
+    * signatures AND verification. A universal boilerplate span gives
+    * every doc pair jaccard ≈ |span|/|doc| ≫ 0, and LSH admits each
+    * pair as a candidate w.p. ~bands·j^rowsPerBand — a per-pair
+    * constant, so junk-candidate volume grows quadratically in corpus
+    * size (measured: 15k → 318k → 1.6M → 5.1M pre-verification pairs
+    * at 1×/4×/16×/48× soak) while every such pair fails verification.
+    * Dropping signal-free shingles at the source eliminates the junk
+    * candidates; true near-dups keep their informative shingles. */
+  private val qDedupMinhashStop = Q(
+    "dedup_minhash_stop",
+    (s, d) => operators.Dedup.minhashPairs(
+      Tables.documents(s, d), "doc_id", "text",
+      numHashes = 32, bands = 16, threshold = 0.1,
+      bandBucketCap = 512, stopShingleDfFrac = Some(0.5)),
+    None)
+
+  /** The stop-shingle filter ORACLE-PROVEN on the md5-portable
+    * pipeline: the oracle re-derives the shingle df counts, the
+    * ≥ n·frac hot bar, the anti-filter, and the downstream signatures
+    * / bands / cap / verification — so the frequency semantics of the
+    * filter (exactly which shingles drop, which docs vanish) are
+    * hash-checked, not just spot-tested. */
+  private val qDedupMinhashMd5Stop = {
+    val (nh, bands, thr, cap, frac) = (16, 8, 0.1, 2, 0.5)
+    Q(
+      "dedup_minhash_md5_stop",
+      (s, d) => operators.Dedup.minhashPairs(
+        Tables.documents(s, d), "doc_id", "text",
+        numHashes = nh, bands = bands, threshold = thr, portableMd5 = true,
+        bandBucketCap = cap, stopShingleDfFrac = Some(frac)),
+      Some(s"""WITH ${minhashMd5PairCtes(nh, bands, thr, bandCap = Some(cap),
+                stopDfFrac = Some(frac))}
            |SELECT doc_a, doc_b, jaccard FROM pairs
            |ORDER BY doc_a, doc_b""".stripMargin))
   }
@@ -2662,6 +2714,7 @@ object Queries {
     qDedupExact, qNgramJaccard, qSimBruteforce, qSimLshTopk, qSimIvfTopk,
     qSimPqTopk, qSimIvfPqTopk,
     qDedupMinhash, qDedupMinhashMd5, qDedupMinhashMd5Capped,
+    qDedupMinhashStop, qDedupMinhashMd5Stop,
     qDedupSimhash, qDedupSimhashMd5,
     qDedupClusters, qCorpusDedup, qSpanDedup, qDedupIncremental,
     qDedupEmbedding, qDedupEmbeddingExact, qDedupSemantic,

@@ -63,7 +63,7 @@ object Dedup {
   /** (doc_id, band, bh) exploded LSH band keys off a shingle frame —
     * the candidate-generation key both `minhashPairs` (self-join) and
     * `dedupIncremental` (incoming × existing join) shuffle on. */
-  private def bandedKeys(sh: DataFrame, numHashes: Int, bands: Int,
+  private[graft] def bandedKeys(sh: DataFrame, numHashes: Int, bands: Int,
                          portableMd5: Boolean): DataFrame = {
     val rowsPerBand = numHashes / bands
     val sig = withMinhashSignature(sh, numHashes, portableMd5)
@@ -138,18 +138,60 @@ object Dedup {
             / col("n_exact").cast("double"), 6)).as("recall"))
   }
 
+  /** Drop shingles whose document frequency is ≥ `dfFrac` of the
+    * shingled corpus — "stop shingles". The r5 soak's second minhash
+    * lesson: a boilerplate span present on EVERY document gives all
+    * n²/2 doc pairs a weak jaccard (~0.006 for a 5-word span on
+    * 250-word docs), and with b bands of r rows LSH admits each pair
+    * as a candidate w.p. ~b·j^r — a per-pair constant, so candidate
+    * volume grows QUADRATICALLY in corpus size even though every one
+    * of those pairs fails verification. No band-bucket cap catches
+    * them: the colliding buckets are many and individually small
+    * (each keyed on one boilerplate-shingle min combination, growing
+    * linearly from 2 members). Removing signal-free shingles at the
+    * source — the ngram df cap's analog, CCNet's "common n-grams
+    * carry no dedup signal" — eliminates the junk candidates
+    * entirely; true near-dups keep their informative shingles and
+    * their recall. Docs left with ZERO informative shingles drop out
+    * (they are boilerplate-only; exact/canonical dedup owns them).
+    *
+    * The hot list is vocab-bounded by construction (≤ shinglesPerDoc
+    * / dfFrac distinct shingles can exceed the frequency bar), so it
+    * travels as a 1-row broadcast array; the frame is lazily
+    * localCheckpointed so the df aggregate runs once even though
+    * `minhashPairs` references its shingle frame three times. */
+  private[graft] def dropStopShingles(sh: DataFrame, dfFrac: Double): DataFrame = {
+    val ex = sh.select(explode(col("shingles")).as("s"))
+    val tot = sh.agg(count(lit(1)).as("__n"))
+    val hot = ex.groupBy("s").agg(count(lit(1)).as("__df"))
+      .crossJoin(tot)
+      .filter(col("__df") >= col("__n") * dfFrac)
+      .agg(collect_list(col("s")).as("__hot"))
+      .localCheckpoint(false)
+    sh.crossJoin(hot)
+      .withColumn("shingles", array_except(col("shingles"), col("__hot")))
+      .drop("__hot")
+      .filter(size(col("shingles")) >= 1)
+  }
+
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    numHashes: Int = 32, bands: Int = 8,
                    threshold: Double = 0.5, shingleK: Int = 3,
                    portableMd5: Boolean = false,
-                   bandBucketCap: Int = Int.MaxValue): DataFrame = {
+                   bandBucketCap: Int = Int.MaxValue,
+                   stopShingleDfFrac: Option[Double] = None): DataFrame = {
     // NOT cached: the shingle frame is a narrow projection off the doc
     // scan — recomputing it for the signature pass and the two survivor
     // joins is scan-bound work, whereas pinning corpus-sized shingle
     // arrays in storage memory (a) can't fit at 100 TB and (b) leaks a
     // fresh cache entry per call (each call builds a new plan; nothing
     // ever unpersists it — a long-lived session accumulates them).
-    val sh = shingleDocs(docs, idCol, textCol, shingleK)
+    val sh0 = shingleDocs(docs, idCol, textCol, shingleK)
+    // stop-shingle filter applies to signatures AND verification: the
+    // pipeline dedups over informative content, so a pair sharing only
+    // boilerplate is neither a candidate nor (if caught another way) a
+    // verified dup
+    val sh = stopShingleDfFrac.fold(sh0)(f => dropStopShingles(sh0, f))
     // Scalars only through the candidate join + dedup: shingle arrays
     // in the band frame would (a) bloat the shuffle ~50× and (b) force
     // sort-based aggregation in the pair dedup (array agg buffers are

@@ -265,6 +265,35 @@ class DedupSpec extends AnyFunSuite {
     assert(uncapped == hot.toLong * (hot - 1) / 2, s"uncapped hot pairs: $uncapped")
   }
 
+  test("stop-shingle df filter: universal boilerplate stops pairing docs; true dups survive") {
+    // every doc = the SAME 22-word boilerplate + a unique 12-word tail:
+    // raw shingle jaccard between any two docs ≈ 20/(34+34-20) ≈ 0.4 —
+    // far above threshold, so the unfiltered pipeline calls ALL pairs
+    // near-dups on boilerplate alone. One planted exact-dup tail
+    // (ids 3, 103) and two pure-boilerplate docs (ids 500, 501).
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("spark", "query", "row", "table", "join", "filter",
+      "agg", "window", "scan", "merge", "sort", "hash", "key", "column")
+    val boiler = (0 until 22).map(i => s"bp${i}word").mkString(" ")
+    def tail(): String = Seq.fill(12)(vocab(rnd.nextInt(vocab.size)) + rnd.nextInt(1000)).mkString(" ")
+    val tails = (0 until 30).map(_ => tail())
+    val docs = (0 until 30).map(i => (i.toLong, s"$boiler ${tails(i)}")) ++
+      Seq((103L, s"$boiler ${tails(3)}"), (500L, boiler), (501L, boiler))
+    val df = docs.toDF("doc_id", "text")
+    val unfiltered = Dedup.minhashPairs(df, "doc_id", "text",
+      numHashes = 32, bands = 16, threshold = 0.1).count()
+    assert(unfiltered > 100, s"fixture broken: expected boilerplate to pair everything, got $unfiltered")
+    val stopped = Dedup.minhashPairs(df, "doc_id", "text",
+      numHashes = 32, bands = 16, threshold = 0.1,
+      stopShingleDfFrac = Some(0.5))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    // only the true dup pair remains: boilerplate-only pairs vanish,
+    // pure-boilerplate docs (zero informative shingles) drop out
+    assert(stopped.map(_._1).toSet == Set((3L, 103L)), s"got ${stopped.toSeq}")
+    // and its jaccard is over INFORMATIVE shingles: identical tails → 1.0
+    assert(stopped.head._2 == 1.0)
+  }
+
   test("skew: simhash bucketCap — 10×-cap hot chunk-buckets dropped, cold pair kept, output bounded") {
     val pairs = Dedup.simhashPairs(hotCorpus(80), "doc_id", "text",
       maxHamming = 3, bucketCap = 8)
