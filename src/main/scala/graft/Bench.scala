@@ -28,32 +28,62 @@ object Bench {
         require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(",")}")
         names.map(n => n -> SparkEntry.queries(n)).toMap
     }
+    // State hygiene (BENCH_r05 lesson): several queries persist blocks
+    // they cannot release themselves — localCheckpoint'ed edge lists in
+    // the dedup/CC family (unpersisting a localCheckpoint invalidates
+    // the frame, so the query can't clean up before returning) and
+    // memory-sink tables behind the streaming twins. Left alone, 103
+    // queries x 3 executions pile those blocks up in the executor store
+    // and the alphabetically-late queries (q_s*) pay for them —
+    // BENCH_r05 recorded 2.5-9.3x regressions on byte-identical code.
+    // So: after EVERY execution, unpersist all persisted RDDs, clear
+    // the DF cache, and drop the streams' memory-sink temp views. The
+    // sweep runs outside the timers; per-query leak counts (from the
+    // warm run) are recorded in BENCH_FULL so a new leak is visible.
+    def sweep(): (Int, Int) = {
+      val rdds = spark.sparkContext.getPersistentRDDs
+      rdds.values.foreach(_.unpersist(blocking = false))
+      spark.catalog.clearCache()
+      val views = spark.catalog.listTables().collect()
+        .filter(t => t.isTemporary && t.name.startsWith("__graft_"))
+      views.foreach(v => spark.catalog.dropTempView(v.name))
+      (rdds.size, views.length)
+    }
+    sweep()
+    val leaks = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val w0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () } // warm
-      val t0 = System.nanoTime()
+      val w1 = System.nanoTime()
+      val (leakedRdds, leakedViews) = sweep()
+      leaks(name) = leakedRdds + leakedViews
       // steady state = min of two timed runs: a single sample conflates
       // the plan's cost with transient host noise (GC, co-tenant load)
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val t1 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val t2 = System.nanoTime()
+      def timedRun(): Double = {
+        val s = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        val e = System.nanoTime()
+        sweep()
+        (e - s) / 1e9
+      }
+      val a = timedRun()
+      val b = timedRun()
       // Two samples disagreeing by >1.5x means one was poisoned by
       // transient host noise (GC, co-tenant load) — buy a third sample
       // for that query only, so a single noisy window can't inflate the
       // recorded number. min-of-k is the steady-state plan cost.
-      val (a, b) = (t1 - t0, t2 - t1)
       val timed =
-        if (math.max(a, b) <= 1.5 * math.min(a, b)) math.min(a, b) / 1e9
-        else {
-          val t3 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-          val t4 = System.nanoTime()
-          math.min(math.min(a, b), t4 - t3) / 1e9
-        }
-      System.err.println(f"[bench] $name warm=${(t0 - w0) / 1e9}%.2f timed=$timed%.2f")
+        if (math.max(a, b) <= 1.5 * math.min(a, b)) math.min(a, b)
+        else math.min(math.min(a, b), timedRun())
+      System.err.println(f"[bench] $name warm=${(w1 - w0) / 1e9}%.2f timed=$timed%.2f" +
+        (if (leakedRdds + leakedViews > 0) s" swept=${leakedRdds}r/${leakedViews}v" else ""))
       name -> timed
     }
+    // Post-sweep invariant: the store must be empty between queries —
+    // a nonzero residue here means sweep() missed a state class and the
+    // bench ordering is contaminating measurements again.
+    require(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "persisted RDDs survived the post-query sweep")
     // Emission contract (BENCH_r04 lesson): the harness tail-captures
     // the last 2000 chars of combined output (measured constant across
     // BENCH_r01–r04), and the trailing sbt success line eats ~75 of
@@ -71,8 +101,11 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json")
+    val leaksJson = leaks.filter(_._2 > 0)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"sf":"$sfDir"}"""
+      (s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,""" +
+        s""""swept_blocks_per_query":$leaksJson,"sf":"$sfDir"}""")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
       s""""sf":"$sfDir","n_queries":${results.size},"queries_full":"$fullPath","queries":{"""

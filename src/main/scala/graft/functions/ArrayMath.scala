@@ -130,14 +130,27 @@ case class NearestCentroidCell(child: Expression,
                                centroids: Array[Array[Double]],
                                offset: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(centroids.nonEmpty, "nearest_cell: empty centroid matrix")
   private val nlist = centroids.length
   private val dim = centroids(0).length
+  require(centroids.forall(_.length == dim),
+    s"nearest_cell: ragged centroid matrix (expected every row length $dim)")
+  require(offset >= 0, s"nearest_cell: negative offset $offset")
   @transient private lazy val flat: Array[Double] = centroids.flatten
   override def dataType: DataType = org.apache.spark.sql.types.IntegerType
 
+  // An input shorter than offset+dim is a model/data mismatch (wrong
+  // embedding dim, wrong subspace offset); silently scoring a truncated
+  // prefix would assign arbitrary cells, so fail loudly instead.
+  private def shortInput(got: Int): Nothing =
+    throw new IllegalArgumentException(
+      s"nearest_cell: input vector has $got elements, need >= ${offset + dim} " +
+        s"(offset=$offset, dim=$dim) — centroid model does not match the data")
+
   override def nullSafeEval(input: Any): Any = {
     val a = input.asInstanceOf[ArrayData]
-    val n = math.max(math.min(a.numElements() - offset, dim), 0)
+    if (a.numElements() < offset + dim) shortInput(a.numElements())
+    val n = dim
     var best = 0; var bestD = Double.MaxValue
     var c = 0
     while (c < nlist) {
@@ -159,7 +172,13 @@ case class NearestCentroidCell(child: Expression,
       val dv = ctx.freshName("d"); val off = ctx.freshName("off")
       val best = ctx.freshName("best"); val bestD = ctx.freshName("bestD")
       s"""
-         |int $n = java.lang.Math.max(java.lang.Math.min($a.numElements() - $offset, $dim), 0);
+         |if ($a.numElements() < ${offset + dim}) {
+         |  throw new IllegalArgumentException(
+         |    "nearest_cell: input vector has " + $a.numElements() +
+         |    " elements, need >= ${offset + dim} (offset=$offset, dim=$dim)" +
+         |    " — centroid model does not match the data");
+         |}
+         |int $n = $dim;
          |int $best = 0; double $bestD = Double.MAX_VALUE;
          |for (int $c = 0; $c < $nlist; $c++) {
          |  double $s = 0.0; int $off = $c * $dim;
@@ -195,23 +214,49 @@ case class AdcDistance(left: Expression, right: Expression, ksub: Int)
   // (length m·ksub)
   override def dataType: DataType = DoubleType
 
+  // Bounds discipline: UnsafeArrayData.getDouble does NOT bounds-check at
+  // runtime (asserts disabled), so a codes array from a mismatched model
+  // (wrong m or wrong ksub) would silently read out-of-range memory and
+  // return garbage distances. One compare per row (m·ksub vs LUT length)
+  // plus one per step (code in [0, ksub)) makes every access provably
+  // in-range: i·ksub + c < m·ksub ≤ lut.numElements().
   override def nullSafeEval(l: Any, r: Any): Any = {
     val codes = l.asInstanceOf[ArrayData]; val lut = r.asInstanceOf[ArrayData]
     val m = codes.numElements()
+    if (m * ksub > lut.numElements())
+      throw new IllegalArgumentException(
+        s"adc_distance: $m codes x ksub=$ksub exceeds LUT length ${lut.numElements()}" +
+          " — PQ model does not match the data")
     var s = 0.0; var i = 0
-    while (i < m) { s += lut.getDouble(i * ksub + codes.getInt(i)); i += 1 }
+    while (i < m) {
+      val c = codes.getInt(i)
+      if (c < 0 || c >= ksub)
+        throw new IllegalArgumentException(
+          s"adc_distance: code $c out of range [0, $ksub) at subspace $i")
+      s += lut.getDouble(i * ksub + c); i += 1
+    }
     s
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (codes, lut) => {
       val i = ctx.freshName("i"); val m = ctx.freshName("m")
-      val s = ctx.freshName("s")
+      val s = ctx.freshName("s"); val c = ctx.freshName("c")
       s"""
          |int $m = $codes.numElements();
+         |if ($m * $ksub > $lut.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "adc_distance: " + $m + " codes x ksub=$ksub exceeds LUT length " +
+         |    $lut.numElements() + " — PQ model does not match the data");
+         |}
          |double $s = 0.0;
          |for (int $i = 0; $i < $m; $i++) {
-         |  $s += $lut.getDouble($i * $ksub + $codes.getInt($i));
+         |  int $c = $codes.getInt($i);
+         |  if ($c < 0 || $c >= $ksub) {
+         |    throw new IllegalArgumentException(
+         |      "adc_distance: code " + $c + " out of range [0, $ksub) at subspace " + $i);
+         |  }
+         |  $s += $lut.getDouble($i * $ksub + $c);
          |}
          |${ev.value} = $s;
        """.stripMargin

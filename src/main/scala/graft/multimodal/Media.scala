@@ -95,8 +95,12 @@ object Media {
     df.mapPartitions { rows =>
       // [codec-library init would happen here, once per partition]
       rows.map { r =>
-        val feats = realDecode(r.getAs[Array[Byte]](bytesIdx), dim)
-        Row.fromSeq(keepIdx.map(r.get).toSeq :+ feats.toSeq)
+        // null bytes (possible on rows from external sources) → null
+        // features, not an NPE inside Codecs.detect
+        val feats =
+          if (r.isNullAt(bytesIdx)) null
+          else realDecode(r.getAs[Array[Byte]](bytesIdx), dim).toSeq
+        Row.fromSeq(keepIdx.map(r.get).toSeq :+ feats)
       }
     }(enc)
   }
@@ -112,11 +116,18 @@ object Media {
     val metaIdx = df.schema.fieldIndex("meta")
     df.mapPartitions { rows =>
       rows.map { r =>
-        val b = r.getAs[Array[Byte]](bytesIdx)
-        val m = r.getStruct(metaIdx)
-        val b2 = if (Codecs.detect(b) == Codecs.Pgm) Codecs.resizePgm(b, w, h) else b
+        // meta is nullable in mediaSchema and bytes may be null on rows
+        // from external sources — pass nulls through rather than NPE;
+        // the rewritten meta still records the requested target size.
+        val b = if (r.isNullAt(bytesIdx)) null else r.getAs[Array[Byte]](bytesIdx)
+        val m = if (r.isNullAt(metaIdx)) null else r.getStruct(metaIdx)
+        val b2 =
+          if (b != null && Codecs.detect(b) == Codecs.Pgm) Codecs.resizePgm(b, w, h)
+          else b
+        val sr = if (m == null) null else m.get(2)
+        val nf = if (m == null) null else m.get(3)
         Row.fromSeq(r.toSeq.updated(bytesIdx, b2)
-          .updated(metaIdx, Row(w, h, m.get(2), m.get(3))))
+          .updated(metaIdx, Row(w, h, sr, nf)))
       }
     }(enc)
   }

@@ -98,7 +98,14 @@ object ScoreStream {
     * deployable shape: exactly-once via checkpoint + idempotent batch
     * ids). Kafka wiring:
     * `start(spark, SourceConfig(kafka = Some(KafkaSource.Config(
-    *   "broker:9092", "events"))), profile, out, ckpt)`. */
+    *   "broker:9092", "events"))), profile, out, ckpt)`.
+    *
+    * OUTPUT LAYOUT CONTRACT: `outDir` is written as `batch_id=N`
+    * partition directories (the idempotence mechanism), so readers see
+    * an extra `batch_id` partition column via discovery, and a
+    * pre-existing FLAT parquet dir (from an appending sink) must NOT be
+    * reused as `outDir` — mixed layouts fail partition discovery. Start
+    * new deployments on an empty output directory. */
   def start(spark: SparkSession, src: SourceConfig, custProfile: DataFrame,
             outDir: String, checkpointDir: String): StreamingQuery =
     scored(source(spark, src), custProfile).writeStream

@@ -178,4 +178,41 @@ class NativeExprSpec extends AnyFunSuite {
         chain.as("chain")).collect()
     got.foreach(r => assert(r.getDouble(1) == r.getDouble(2), s"id ${r.getLong(0)}"))
   }
+
+  test("model-mismatch guards fail loudly instead of reading garbage") {
+    import graft.functions.ArrayMath
+    // AdcDistance: UnsafeArrayData.getDouble does not bounds-check at
+    // runtime, so a mismatched model (wrong ksub / wrong m / corrupt
+    // code) must be rejected, not silently scored
+    val bad = Seq(
+      (1L, Seq(0, 20), Seq.fill(2 * 16)(0.5)),   // code 20 >= ksub 16
+      (2L, Seq(0, -1), Seq.fill(2 * 16)(0.5)))   // negative code
+      .toDF("id", "codes", "__lut")
+    val e1 = intercept[Exception] {
+      bad.select(ArrayMath.adcDistance(col("codes"), col("__lut"), 16)).collect()
+    }
+    assert(e1.getMessage.contains("out of range") ||
+      Option(e1.getCause).exists(_.getMessage.contains("out of range")))
+    val shortLut = Seq((1L, Seq(0, 1, 2), Seq.fill(2 * 16)(0.5)))
+      .toDF("id", "codes", "__lut")                // 3 codes x 16 > 32
+    val e2 = intercept[Exception] {
+      shortLut.select(ArrayMath.adcDistance(col("codes"), col("__lut"), 16)).collect()
+    }
+    assert(e2.getMessage.contains("exceeds LUT length") ||
+      Option(e2.getCause).exists(_.getMessage.contains("exceeds LUT length")))
+    // NearestCentroidCell: vector shorter than offset+dim is a
+    // model/data mismatch (was: silent cell-0 assignment)
+    val shortVec = Seq((1L, Seq(1.0, 2.0))).toDF("id", "v")
+    val cents2 = Array(Array(0.0, 0.0, 0.0, 0.0), Array(1.0, 1.0, 1.0, 1.0))
+    val e3 = intercept[Exception] {
+      shortVec.select(ArrayMath.nearestCell(col("v"), cents2)).collect()
+    }
+    assert(e3.getMessage.contains("centroid model does not match") ||
+      Option(e3.getCause).exists(_.getMessage.contains("centroid model does not match")))
+    // ragged centroid matrix rejected at construction
+    val e4 = intercept[IllegalArgumentException] {
+      ArrayMath.nearestCell(col("v"), Array(Array(0.0, 0.0), Array(1.0)))
+    }
+    assert(e4.getMessage.contains("ragged"))
+  }
 }

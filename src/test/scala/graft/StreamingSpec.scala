@@ -454,12 +454,17 @@ class StreamingSpec extends AnyFunSuite {
     val in = s"$dir/in"; val out = s"$dir/out"; val ckpt = s"$dir/ckpt"
     new java.io.File(in).mkdirs()
     val nFiles = 8
-    (0 until nFiles).foreach { i =>
+    def writeFile(i: Int): Unit =
       java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/f$i.json"),
         Seq(eventJson(2L * i + 1, i, 13L, 250.0), eventJson(2L * i + 2, i, 12L, 10.0))
           .mkString("\n").getBytes)
-    }
-    // one file per micro-batch; kill as soon as the first batch commits
+    // Deterministic mid-input kill: only HALF the input exists when the
+    // first run is stopped, so the kill provably lands before all input
+    // regardless of how fast batches commit (the previous version raced
+    // q.stop() against 8 one-file batches and could observe a completed
+    // run on a fast machine). The rest of the input appears only before
+    // the restart.
+    (0 until nFiles / 2).foreach(writeFile)
     val q = ScoreStream.start(spark, in, profile, out, ckpt,
       maxFilesPerTrigger = Some(1))
     val deadline = System.currentTimeMillis + 60000
@@ -468,8 +473,9 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
     val partial = outIds(out)
     assert(partial.nonEmpty, "kill landed before any batch committed")
-    assert(partial.size < 2 * nFiles,
-      s"kill landed after all input (got ${partial.size}); raise nFiles")
+    assert(partial.size <= nFiles,
+      s"first run saw input that did not exist yet (got ${partial.size})")
+    (nFiles / 2 until nFiles).foreach(writeFile)
     // restart from the same checkpoint: must pick up the unprocessed
     // files and ONLY those — no dupes of the pre-kill batches, no gaps
     val q2 = ScoreStream.start(spark, in, profile, out, ckpt,
