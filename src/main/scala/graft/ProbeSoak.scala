@@ -39,7 +39,9 @@ object ProbeSoak {
   val DefaultScales = Seq(1, 4, 16, 48)
   val Boiler = " the quick brown fox jumps"
 
-  val Queries = Seq("q_dedup_exact", "dedup_minhash", "dedup_minhash_stop",
+  // (r6: dedup_minhash_stop was folded into dedup_minhash — the
+  // stop-shingle filter is the production default now)
+  val Queries = Seq("q_dedup_exact", "dedup_minhash",
     "q_span_dedup", "q_ngram_jaccard", "q_dedup_incremental",
     "dedup_semantic", "dedup_embedding", "sim_ivf_topk", "sim_ivfpq_topk")
 
@@ -287,6 +289,75 @@ object ProbeSoak {
         val ne = spark.read.parquet(s"$dir/embeddings.parquet").count()
         println(s"[soak] generated x$s: $nd docs, $ne vectors")
       }
+    } else if (mode == "stream") {
+      // Streaming soak: the 16×-class corpora (planted universal
+      // boilerplate span) driven through the streaming span-dedup twin.
+      // What 100 TB-scale needs to hold: (a) state is bounded by UNIQUE
+      // content in the watermark horizon — the hot span that appears on
+      // EVERY document costs ONE state entry, not N; (b) the hot span
+      // survives into exactly one reassembled document; (c) wall time
+      // tracks corpus size (no superlinear blowup from the hot key).
+      // (a) and (b) are hard gates (require); (c) is the printed table.
+      import org.apache.spark.sql.types._
+      val docSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", IntegerType)))
+      scales.foreach { s =>
+        val dir = s"$OutRoot/x$s"
+        // event time: every doc in one 10:00–11:00 window; sparse
+        // sentinel docs land 3 days later so the final watermark
+        // (max ts − 1 day) closes the main window and flushes it.
+        // Sentinels are drawn from the base corpus only (doc_id <
+        // 900000000) so no planted-cluster doc can win a span-keep
+        // race from the open sentinel window.
+        val tsExpr = "CASE WHEN doc_id % 9973 = 0 AND doc_id < 900000000 " +
+          "THEN timestamp '2024-01-13 00:00:00' " +
+          "ELSE timestamp '2024-01-10 10:00:00' + make_interval(0,0,0,0,0,0, doc_id % 1800) END"
+        val docs = spark.readStream.schema(docSchema)
+          .parquet(s"$dir/documents.parquet")
+          .withColumn("ts", expr(tsExpr))
+        val name = s"__soak_spans_x$s"
+        val t0 = System.nanoTime()
+        val q = graft.streaming.CorpusStream.dedupSpansStream(docs)
+          .writeStream.format("memory").queryName(name).outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        val t1 = System.nanoTime()
+        // state rows from the run's final progress: entry 0 = the span
+        // dedup store, entry 1 = the window reassembly store
+        val st = q.recentProgress.flatMap(p => Option(p.stateOperators))
+          .filter(_.nonEmpty).lastOption.map(_.map(_.numRowsTotal).toSeq)
+          .getOrElse(Seq.empty)
+        val out = spark.table(name)
+        val nOut = out.count()
+        // batch-side ground truth over the whole fed corpus
+        val batchDocs = spark.read.parquet(s"$dir/documents.parquet")
+        val spans = batchDocs.select(explode(graft.functions.TextHash.chunkSpans(
+          split(trim(col("text")), "\\s+"), 5, 5)).as("span"))
+        val totalSpans = spans.count()
+        val uniqueSpans = spans.distinct().count()
+        val dedupState = st.headOption.getOrElse(-1L)
+        // (a) hot-span state boundedness: the span store holds one row
+        // per DISTINCT span in the horizon, never one per occurrence —
+        // the planted cluster makes total ≫ unique, so this is the
+        // state-blowup check
+        require(dedupState <= uniqueSpans + 64,
+          s"x$s: span-dedup state $dedupState exceeds unique spans $uniqueSpans")
+        require(dedupState < totalSpans / 2,
+          s"x$s: span-dedup state $dedupState not bounded by unique content " +
+            s"(total fed: $totalSpans)")
+        // (b) the planted hot span (every cluster doc starts with the
+        // same aligned 5 lorem words; df = cluster size = n·s/12)
+        // survives into EXACTLY one reassembled document
+        val hotSpan = lorem.split(" ").take(5).mkString(" ")
+        val nHot = out.filter(col("dedup_text").contains(hotSpan)).count()
+        require(nHot == 1L,
+          s"x$s: hot cluster span kept $nHot times (want exactly 1)")
+        println(f"[stream-soak] x$s%-3d wall=${(t1 - t0) / 1e9}%7.2fs docsOut=$nOut " +
+          s"stateRows=${st.mkString("/")} uniqueSpans=$uniqueSpans totalSpans=$totalSpans " +
+          s"hotKeptOnce=true")
+        spark.catalog.dropTempView(name)
+      }
     } else {
       // GRAFT_SOAK_ONLY=a,b,c narrows the timed family (re-soak one
       // query across scales without paying for the rest)
@@ -295,10 +366,25 @@ object ProbeSoak {
         val dir = s"$OutRoot/x$s"
         Queries.filter(q => only.forall(_.contains(q))).foreach { name =>
           val fn = SparkEntry.queries(name)
-          val t0 = System.nanoTime()
-          val rows = fn(spark, dir).count()
-          val t1 = System.nanoTime()
-          println(f"[soak] scale=x$s%-3d query=$name%-22s t=${(t1 - t0) / 1e9}%8.2fs rows=$rows")
+          // min-of-2 per cell (the growth table's contract) with the
+          // same state sweep Bench runs — localCheckpoint'ed edge lists
+          // otherwise pile up across the 9-query × 4-scale sweep and
+          // later cells pay for earlier ones
+          def sweep(): Unit = {
+            spark.sparkContext.getPersistentRDDs.values
+              .foreach(_.unpersist(blocking = false))
+            spark.catalog.clearCache()
+          }
+          def once(): (Double, Long) = {
+            val t0 = System.nanoTime()
+            val rows = fn(spark, dir).count()
+            val t1 = System.nanoTime()
+            sweep()
+            ((t1 - t0) / 1e9, rows)
+          }
+          val (ta, rows) = once()
+          val (tb, _) = once()
+          println(f"[soak] scale=x$s%-3d query=$name%-22s t=${math.min(ta, tb)}%8.2fs rows=$rows")
         }
       }
     }

@@ -1002,18 +1002,28 @@ object Queries {
 
   /** MinHash-LSH near-dup pairs (rows-only: banding probabilities are
     * not SQL-expressible; exactness is covered by DedupSpec's planted
-    * near-dups + the q_ngram_jaccard oracle on the same corpus). */
+    * near-dups + the q_ngram_jaccard oracle on the same corpus).
+    *
+    * This is the PRODUCTION configuration — both scale defenses on:
+    *  - `bandBucketCap = 512` (r5 soak lesson: uncapped, a planted
+    *    K-member near-dup cluster emits its full K²/2 clique — 103k
+    *    pairs at 5k docs, 1.5M at 21k; the cap star-expands hot band
+    *    buckets so a boilerplate cluster costs O(K) edges, and
+    *    connectivity — what clustering consumes — is preserved exactly);
+    *  - `stopShingleDfFrac = 0.5` (promoted to the default r6:
+    *    shingles present in ≥ half the corpus are universal boilerplate
+    *    carrying zero dedup signal, and they both flood the band
+    *    buckets with junk candidates AND inflate the verified jaccard
+    *    of unrelated docs. DedupSpec proves true near-dups keep their
+    *    informative shingles and their recall; the md5 proof twin
+    *    `dedup_minhash_md5_stop` pins the filtered pipeline's algebra
+    *    oracle-green). */
   private val qDedupMinhash = Q(
     "dedup_minhash",
     (s, d) => operators.Dedup.minhashPairs(
       Tables.documents(s, d), "doc_id", "text",
       numHashes = 32, bands = 16, threshold = 0.1,
-      // r5 soak lesson: uncapped, a planted K-member near-dup cluster
-      // emits its full K²/2 clique (103k pairs at 5k docs, 1.5M at
-      // 21k — the output itself goes quadratic). The cap star-expands
-      // hot band buckets so a boilerplate cluster costs O(K) edges;
-      // connectivity (what clustering consumes) is preserved exactly.
-      bandBucketCap = 512),
+      bandBucketCap = 512, stopShingleDfFrac = Some(0.5)),
     None)
 
   /** The SAME minhash pipeline with a DuckDB-computable hash family
@@ -1136,23 +1146,12 @@ object Queries {
            |ORDER BY doc_a, doc_b""".stripMargin))
   }
 
-  /** Production minhash with the STOP-SHINGLE df filter (r5 soak
-    * lesson #2): shingles present on ≥ 50% of docs are dropped before
-    * signatures AND verification. A universal boilerplate span gives
-    * every doc pair jaccard ≈ |span|/|doc| ≫ 0, and LSH admits each
-    * pair as a candidate w.p. ~bands·j^rowsPerBand — a per-pair
-    * constant, so junk-candidate volume grows quadratically in corpus
-    * size (measured: 15k → 318k → 1.6M → 5.1M pre-verification pairs
-    * at 1×/4×/16×/48× soak) while every such pair fails verification.
-    * Dropping signal-free shingles at the source eliminates the junk
-    * candidates; true near-dups keep their informative shingles. */
-  private val qDedupMinhashStop = Q(
-    "dedup_minhash_stop",
-    (s, d) => operators.Dedup.minhashPairs(
-      Tables.documents(s, d), "doc_id", "text",
-      numHashes = 32, bands = 16, threshold = 0.1,
-      bandBucketCap = 512, stopShingleDfFrac = Some(0.5)),
-    None)
+  // (The former `dedup_minhash_stop` twin was folded into the declared
+  // `dedup_minhash` in r6 — the stop-shingle df filter IS the
+  // production default now, so a separate filtered variant was a
+  // byte-identical duplicate. The rationale lives on `dedup_minhash`'s
+  // scaladoc; the filter's frequency semantics stay oracle-pinned by
+  // `dedup_minhash_md5_stop` below.)
 
   /** The stop-shingle filter ORACLE-PROVEN on the md5-portable
     * pipeline: the oracle re-derives the shingle df counts, the
@@ -1775,9 +1774,16 @@ object Queries {
     * statically sort-merge because the list is stats-blind behind the
     * CC checkpoint; AQE converts to broadcast at runtime, asserted in
     * PlanShapeSpec). The oracle recomputes pairs, the recursive
-    * closure, AND the anti join. */
+    * closure, AND the anti join.
+    *
+    * r6: runs the PRODUCTION minhash defenses — `bandBucketCap = 512`
+    * (hot buckets star-expand; CC connectivity, the only thing this
+    * query consumes from pairs, is preserved exactly) and
+    * `stopShingleDfFrac = 0.5` (universal boilerplate carries no dedup
+    * signal) — and the oracle re-derives BOTH, so the production
+    * configuration itself is hash-checked end to end. */
   private val qCorpusDedup = {
-    val (nh, bands, thr) = (16, 8, 0.1)
+    val (nh, bands, thr, cap, frac) = (16, 8, 0.1, 512, 0.5)
     Q(
       "q_corpus_dedup",
       (s, d) => {
@@ -1785,13 +1791,15 @@ object Queries {
         operators.Dedup.dedupCorpus(
             docs,
             operators.Dedup.minhashPairs(docs, "doc_id", "text",
-              numHashes = nh, bands = bands, threshold = thr, portableMd5 = true),
+              numHashes = nh, bands = bands, threshold = thr, portableMd5 = true,
+              bandBucketCap = cap, stopShingleDfFrac = Some(frac)),
             "doc_id")
           .select(col("doc_id"), col("source"), col("lang"),
                   length(col("text")).cast("int").as("n_chars"))
           .orderBy("doc_id")
       },
-      Some(s"""WITH RECURSIVE ${minhashMd5PairCtes(nh, bands, thr)},
+      Some(s"""WITH RECURSIVE ${minhashMd5PairCtes(nh, bands, thr,
+                bandCap = Some(cap), stopDfFrac = Some(frac))},
            |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
            |          UNION SELECT doc_b, doc_a FROM pairs),
            |reach(node, label) AS (
@@ -2714,7 +2722,7 @@ object Queries {
     qDedupExact, qNgramJaccard, qSimBruteforce, qSimLshTopk, qSimIvfTopk,
     qSimPqTopk, qSimIvfPqTopk,
     qDedupMinhash, qDedupMinhashMd5, qDedupMinhashMd5Capped,
-    qDedupMinhashStop, qDedupMinhashMd5Stop,
+    qDedupMinhashMd5Stop,
     qDedupSimhash, qDedupSimhashMd5,
     qDedupClusters, qCorpusDedup, qSpanDedup, qDedupIncremental,
     qDedupEmbedding, qDedupEmbeddingExact, qDedupSemantic,

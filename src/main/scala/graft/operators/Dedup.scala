@@ -174,6 +174,12 @@ object Dedup {
       .filter(size(col("shingles")) >= 1)
   }
 
+  /** PRODUCTION DEFAULTS (what the declared `dedup_minhash` /
+    * `q_corpus_dedup` run, decided r6): `bandBucketCap = 512` and
+    * `stopShingleDfFrac = Some(0.5)`. The parameter defaults below stay
+    * permissive (∞ / None) because the proof twins and the eval harness
+    * need the unfiltered algebra; new callers should pass the
+    * production pair unless they have the same reason not to. */
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    numHashes: Int = 32, bands: Int = 8,
                    threshold: Double = 0.5, shingleK: Int = 3,
