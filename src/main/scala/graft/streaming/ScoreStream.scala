@@ -116,6 +116,26 @@ object ScoreStream {
 
   private val runSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Run `body` with `spark.sql.shuffle.partitions` temporarily set to
+    * `n`, restoring the previous value after. For the FINITE-INPUT
+    * streaming twins: their stateful operators pay a fixed per-batch
+    * cost per state-store partition (init + commit + offset-log entry),
+    * and with one data micro-batch over test-scale input, 32 stores is
+    * pure scheduler overhead — the verify/bench twins run 8. Streaming
+    * queries pin this conf into the offset-log metadata at query start,
+    * so the restore cannot affect a stream already running; shuffle
+    * partition COUNT never changes query results, so a concurrent batch
+    * plan observing the temporary value stays correct (it may just
+    * shuffle into fewer partitions; AQE re-coalesces anyway). At
+    * production scale the deployable `start` runners use the session
+    * default untouched. */
+  private[streaming] def withShufflePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, old)
+  }
+
   /** Finite-input form for oracle verification of the AS-BUILT
     * streaming scoring path: the events parquet streamed through
     * `scored` (watermark → within-watermark dedup → stream-static
@@ -130,9 +150,11 @@ object ScoreStream {
     val ev = graft.Tables.events(spark, sfDir)
     val prof = ev.groupBy("user_id").agg(avg("value").as("cust_avg"))
     val name = s"__graft_scored_${runSeq.incrementAndGet()}"
-    val q = scored(graft.Tables.eventsStream(spark, sfDir), prof, cfg)
-      .writeStream.format("memory").queryName(name).outputMode("append").start()
-    try q.processAllAvailable() finally q.stop()
+    withShufflePartitions(spark, 8) {
+      val q = scored(graft.Tables.eventsStream(spark, sfDir), prof, cfg)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
     spark.table(name)
   }
 

@@ -117,9 +117,14 @@ object SessionStream {
       .select(col("event_id"), col("ts"), col("user_id"), col("value"))
       .as[EventIn]
     val name = s"__graft_sessions_${runSeq.incrementAndGet()}"
-    val q = closedSessions(events, gapSeconds, watermarkDelay)
-      .writeStream.format("memory").queryName(name).outputMode("append").start()
-    try q.processAllAvailable() finally q.stop()
+    // 8 state-store partitions: the finite-input run's cost is fixed
+    // per-partition store overhead, not data (see
+    // ScoreStream.withShufflePartitions)
+    ScoreStream.withShufflePartitions(spark, 8) {
+      val q = closedSessions(events, gapSeconds, watermarkDelay)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
     spark.table(name)
   }
 }
