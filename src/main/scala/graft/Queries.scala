@@ -1230,12 +1230,15 @@ object Queries {
     * DedupSpec checks planted semantic dups here). minCosine = 0.3
     * because this corpus has no true dups (max pairwise cos ≈ 0.4) —
     * the threshold is lowered to exercise the clustering on the natural
-    * cosine tail; production semantic dedup runs 0.95+. */
+    * cosine tail; production semantic dedup runs 0.95+. nlist is the
+    * adaptive default (corpus-sized cells — at the driver table sizes
+    * it resolves to the old fixed 16, so test-scale output is
+    * unchanged; the r6 48× soak is where fixed-16 went quadratic). */
   private val qDedupSemantic = Q(
     "dedup_semantic",
     (s, d) => operators.Dedup.semanticDedup(
       Tables.embeddings(s, d), "vec_id", "embedding",
-      nlist = 16, minCosine = 0.3),
+      minCosine = 0.3),
     None)
 
   // =====================================================================

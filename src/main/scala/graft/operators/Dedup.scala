@@ -407,26 +407,73 @@ object Dedup {
     * into `nlist` cells (constant-size driver-fit centroids, codegen
     * cell assignment — shared with `Ivf`), and ONLY within-cell pairs
     * are exact-cosine compared. Per-cell membership is capped
-    * deterministically (md5-order first `cellCap`), so the quadratic
-    * term is bounded by nlist·cellCap² — a hot cell degrades recall,
+    * deterministically (md5-order first `cellCap`), and within a cell
+    * only the first `pairCap` members are all-pairs compared — the
+    * rest star through the cell representative — so the quadratic term
+    * is bounded by nlist·pairCap² and a hot cell degrades recall,
     * never runtime. Cross-cell true pairs are the approximation cost,
     * same trade as the paper (near-identical vectors quantize to the
-    * same centroid). */
+    * same centroid).
+    *
+    * `nlist <= 0` (the production default) sizes the partitioner to
+    * the corpus: nlist = n / `TargetCellSize`, so EXPECTED cell size
+    * stays constant and total pair volume stays LINEAR in n
+    * ((n/cell)·cell²/2 = n·cell/2). A fixed nlist is a fixed model
+    * capacity: once every cell saturates `cellCap` the pair volume
+    * sits at the full nlist·cellCap² ceiling and growth turns
+    * quadratic until the cap bites — the r6 48× soak measured exactly
+    * that (84 s vs 14 s at 16×, every cell capped). cellCap stays as
+    * the SKEW guard (one dense cluster can still flood one cell), not
+    * the operating point. The paper's regime is the same: cell count
+    * grows with corpus, per-cell work stays bounded. */
+  val TargetCellSize = 512
+
+  /** nlist for `n` vectors at constant expected cell size; bounded
+    * below (tiny corpora: one k-means fit must still see >= nlist
+    * sample points) and above (centroid matrix is a driver/codegen
+    * reference object — 4096 x dim doubles ~ 2 MB at dim 64). */
+  def adaptiveNlist(n: Long): Int =
+    math.max(16L, math.min(4096L, n / TargetCellSize)).toInt
+
   def semanticPairs(emb: DataFrame, idCol: String, vecCol: String,
-                    nlist: Int = 16, minCosine: Double = 0.95,
-                    cellCap: Int = 4096, sampleSize: Int = 4096): DataFrame = {
+                    nlist: Int = 0, minCosine: Double = 0.95,
+                    cellCap: Int = 4096, sampleSize: Int = 4096,
+                    pairCap: Int = 1024): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val centroids = Ivf.fitCentroids(emb, idCol, vecCol, nlist, sampleSize = sampleSize)
+    val k = if (nlist > 0) nlist else adaptiveNlist(emb.count())
+    // enough sample for ~20 points per centroid, bounded: 16384 rows
+    // of dim-64 doubles collect ~8 MB to the driver
+    val sample = math.min(math.max(sampleSize, 20 * k), 16384)
+    val centroids = Ivf.fitCentroids(emb, idCol, vecCol, k, sampleSize = sample)
     val assigned = Ivf.assign(emb, idCol, vecCol, centroids)
     val w = Window.partitionBy(col("cell"))
       .orderBy(md5(col("nid").cast("string").cast("binary")), col("nid"))
-    val capped = assigned.withColumn("__r", row_number().over(w))
-      .filter(col("__r") <= cellCap).drop("__r")
-    capped.as("a").join(capped.as("b"),
+    val ranked = assigned.withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= cellCap)
+    // Dense-cell discipline (the bandBucketCap star-expansion shape):
+    // a cell at the adaptive operating point (~TargetCellSize members)
+    // gets the full SemDeDup within-cell pairwise compare; a cell
+    // flooded by a dense cluster would put C(cellCap, 2) near-identical
+    // edges into the transitive closure (8.4M at cellCap 4096 — the r6
+    // 48x soak's dominant cost), so members ranked past `pairCap` get
+    // ONE cosine-verified edge to the cell's md5-first member instead.
+    // Connectivity through the star keeps a genuinely-dense cluster
+    // whole (every member is near the representative); tail-tail pairs
+    // whose members are NOT near the representative are the recall
+    // cost, paid only inside skew-flooded cells.
+    val head = ranked.filter(col("__r") <= pairCap).drop("__r")
+    val headPairs = head.as("a").join(head.as("b"),
         col("a.cell") === col("b.cell") && col("a.nid") < col("b.nid"))
       .select(col("a.nid").as("id_a"), col("b.nid").as("id_b"),
               round(VectorOps.cosine(col("a.nf"), col("b.nf")), 6).as("cosine"))
-      .filter(col("cosine") >= minCosine)
+    val rep = ranked.filter(col("__r") === 1)
+      .select(col("cell"), col("nid").as("__rid"), col("nf").as("__rf"))
+    val starPairs = ranked.filter(col("__r") > pairCap).drop("__r")
+      .join(rep, Seq("cell"))
+      .select(least(col("nid"), col("__rid")).as("id_a"),
+              greatest(col("nid"), col("__rid")).as("id_b"),
+              round(VectorOps.cosine(col("nf"), col("__rf")), 6).as("cosine"))
+    headPairs.unionByName(starPairs).filter(col("cosine") >= minCosine)
   }
 
   /** Full semantic dedup verdict: one row per input vector with its
@@ -434,9 +481,11 @@ object Dedup {
     * closed by `connectedComponents`, unpaired vectors surviving as
     * their own singleton clusters. */
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
-                    nlist: Int = 16, minCosine: Double = 0.95,
-                    cellCap: Int = 4096, sampleSize: Int = 4096): DataFrame = {
-    val pairs = semanticPairs(emb, idCol, vecCol, nlist, minCosine, cellCap, sampleSize)
+                    nlist: Int = 0, minCosine: Double = 0.95,
+                    cellCap: Int = 4096, sampleSize: Int = 4096,
+                    pairCap: Int = 1024): DataFrame = {
+    val pairs = semanticPairs(emb, idCol, vecCol, nlist, minCosine, cellCap,
+      sampleSize, pairCap)
     val cc = connectedComponents(pairs, "id_a", "id_b")
       .withColumnRenamed("node", "id")
     emb.select(col(idCol).as("id")).join(cc, Seq("id"), "left")

@@ -141,6 +141,83 @@ class DedupSpec extends AnyFunSuite {
     assert(cc.collect { case (n, (c, s)) if s == 1 => n }.toSet == Set(1L, 10L, 20L))
   }
 
+  test("adaptiveNlist: constant expected cell size, bounded both ends") {
+    // tiny corpora keep the floor (k-means sample must cover nlist)
+    assert(Dedup.adaptiveNlist(0) == 16)
+    assert(Dedup.adaptiveNlist(8192) == 16)
+    // growth regime: nlist tracks n / TargetCellSize, so expected cell
+    // size — and with it the within-cell pair volume per row — is flat
+    assert(Dedup.adaptiveNlist(104000) == 104000 / Dedup.TargetCellSize)
+    assert(Dedup.adaptiveNlist(1 << 20) == (1 << 20) / Dedup.TargetCellSize)
+    // ceiling: the centroid matrix stays a bounded reference object
+    assert(Dedup.adaptiveNlist(Long.MaxValue) == 4096)
+  }
+
+  test("skew: semantic pairCap — dense cell stars through its representative, cluster stays whole") {
+    // one dense near-identical cluster 4x over pairCap: the head is
+    // all-pairs, the tail gets exactly one verified star edge each, so
+    // edge volume is C(pairCap,2) + (members - pairCap) instead of
+    // C(members, 2) — and the transitive closure still yields ONE
+    // cluster because every member is near the representative
+    val rnd = new scala.util.Random(23)
+    val base = {
+      val v = Array.fill(16)(rnd.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val members = 32
+    val dense = (0 until members).map(i =>
+      (100L + i, base.map(x => (x + rnd.nextGaussian() * 1e-5).toFloat)))
+    // spread background so k-means gives the dense cluster ITS OWN
+    // cell instead of bisecting it (cross-cell pairs are never
+    // compared — the documented approximation, not under test here)
+    val spread = (0 until 20).map { i =>
+      val v = Array.fill(16)(rnd.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x * x).sum).toFloat
+      (i.toLong, v.map(_ / n))
+    }
+    val df = (dense ++ spread).toDF("vec_id", "embedding")
+    val pairCap = 8
+    val pairs = Dedup.semanticPairs(df, "vec_id", "embedding",
+      nlist = 4, minCosine = 0.99, cellCap = 4096, sampleSize = 64,
+      pairCap = pairCap)
+      .filter(col("id_a") >= 100L && col("id_b") >= 100L)
+    val n = pairs.count()
+    val maxEdges = pairCap.toLong * (pairCap - 1) / 2 + (members - pairCap)
+    assert(n <= maxEdges, s"dense cell not star-capped: $n edges")
+    assert(n >= members - 1, s"too few edges to connect the cluster: $n")
+    val out = Dedup.semanticDedup(df, "vec_id", "embedding",
+      nlist = 4, minCosine = 0.99, sampleSize = 64, pairCap = pairCap)
+      .filter(col("id") >= 100L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.values.toSet.size == 1, s"cluster split: ${out.values.toSet}")
+    assert(out.values.head == 100L)
+  }
+
+  test("semantic dedup under ADAPTIVE nlist still clusters planted near-dups") {
+    // same planted-group shape as the fixed-nlist case below, run
+    // through the production default (nlist = 0 -> adaptive): near-
+    // identical vectors quantize to the same centroid at ANY k, so
+    // recall on true near-dups must not depend on the cell count
+    val rnd = new scala.util.Random(11)
+    def vec(): Array[Float] = {
+      val v = Array.fill(16)(rnd.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val base = (0L until 60L).map(i => (i, vec()))
+    val dups = Seq(
+      (100L, base(5)._2.map(x => x * 1.0005f)),
+      (101L, base(5)._2.map(x => x * 0.9995f)))
+    val df = (base ++ dups).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(df, "vec_id", "embedding",
+        minCosine = 0.99, sampleSize = 64)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(out.size == 62)
+    Seq(5L, 100L, 101L).foreach(n => assert(out(n)._1 == 5L, s"node $n: ${out(n)}"))
+    assert(out(5L)._2 == 1 && out(100L)._2 == 0 && out(101L)._2 == 0)
+  }
+
   test("semantic dedup clusters planted near-identical vectors, keeps the rest") {
     val rnd = new scala.util.Random(7)
     def vec(): Array[Float] = {
