@@ -229,9 +229,20 @@ object Dedup {
         .select(col("__mn").as("doc_a"), col("doc_id").as("doc_b"))
       coldPairs.union(starPairs)
     }).dropDuplicates("doc_a", "doc_b")
+    // Verification payload: the candidate pairs are ~99% false hits at
+    // permissive thresholds, and BOTH set arrays ride the verify joins'
+    // shuffles — with raw k-word strings that is ~2.4 KB/doc and the
+    // 48× soak measured the exact-jaccard stage falling off a memory
+    // cliff (7.6 s at 16× → ~81 s at 48× for 3.3× the candidates).
+    // The production path intersects xxhash64(shingle) longs instead:
+    // identical set algebra (a 64-bit in-pair collision is ~|union|²/2⁶⁴),
+    // ~2.5× less shuffle, primitive equality. The md5 proof twins keep
+    // the portable string sets — exactness there is the oracle contract.
+    val shv = if (portableMd5) sh
+      else sh.withColumn("shingles", transform(col("shingles"), s => xxhash64(s)))
     val withSets = cands
-      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb")), "doc_b")
+      .join(shv.select(col("doc_id").as("doc_a"), col("shingles").as("sa")), "doc_a")
+      .join(shv.select(col("doc_id").as("doc_b"), col("shingles").as("sb")), "doc_b")
     val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
     val union = (size(col("sa")) + size(col("sb"))).cast("double") - inter
     withSets.select(col("doc_a"), col("doc_b"), round(inter / union, 6).as("jaccard"))
