@@ -14,33 +14,43 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark has no native
-    * type for — read it as a long (SPARK-40819) and truncate to µs,
-    * exactly what DuckDB does when scanning the same file (its TIMESTAMP
-    * is µs-precision), keeping oracle parity. */
-  private def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+  /** `events.ts` has shipped in two physical encodings across testdata
+    * generations: TIMESTAMP(NANOS) — which Spark has no native type
+    * for, read as a long (SPARK-40819) and truncated to µs — and
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark infers as
+    * TIMESTAMP_NTZ. Both are normalized to a session-TZ TimestampType
+    * (sessions here run UTC), which is exactly what DuckDB's
+    * µs-precision TIMESTAMP sees when scanning the same file, keeping
+    * oracle parity regardless of which encoding the file carries. */
+  private def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
   }
 
-  /** Streaming read of the events table — same nanos handling as
-    * `events`, as an unbounded frame. The file source derives basePath
-    * from the path and, for a non-glob path, forces basePath = that
-    * path (which must be a directory) — so the single-file testdata
-    * layout must be passed as a glob: bracket the first character and
-    * only this file matches, with the parent directory as base. */
-  def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.types._
+  private def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val nanoSchema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    spark.readStream.schema(nanoSchema).parquet(s"$sfDir/[e]vents.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    normalizeTs(spark.read.parquet(s"$sfDir/events.parquet"))
+  }
+
+  /** Streaming read of the events table — same ts handling as
+    * `events`, as an unbounded frame. The declared schema mirrors
+    * whatever the batch reader inferred from the footer (one extra
+    * footer read at plan time — negligible). The file source derives
+    * basePath from the path and, for a non-glob path, forces basePath =
+    * that path (which must be a directory) — so the single-file
+    * testdata layout must be passed as a glob: bracket the first
+    * character and only this file matches, with the parent directory
+    * as base. */
+  def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val fileSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    normalizeTs(
+      spark.readStream.schema(fileSchema).parquet(s"$sfDir/[e]vents.parquet"))
   }
 
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
