@@ -1918,6 +1918,42 @@ object Queries {
            |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   }
 
+  /** Exact repeated-substring removal (Lee et al. 2022) as duplicated
+    * overlapping-window coverage — catches repeated spans ≥ L tokens
+    * at ANY offset, unlike the alignment-sensitive `q_span_dedup`
+    * chunks. The oracle re-derives the whole pipeline: window chop via
+    * list_slice, global first-occurrence via a gram-partitioned
+    * row_number, coverage via a running max of cut-window ends. */
+  private val qDedupSubstrings = {
+    val L = 20
+    Q(
+      "q_dedup_substrings",
+      (s, d) => operators.Dedup.dedupExactSubstrings(
+        Tables.documents(s, d), "doc_id", "text", gramLen = L),
+      Some(s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+           |tok AS (SELECT doc_id, CAST(p AS INT)-1 AS tpos, w[CAST(p AS INT)] AS tok
+           |        FROM t, unnest(generate_series(1, len(w))) AS u(p)),
+           |grams AS (SELECT doc_id, CAST(p AS INT)-1 AS pos,
+           |          array_to_string(list_slice(w, CAST(p AS INT), CAST(p AS INT)+$L-1), ' ') AS gram
+           |          FROM t, unnest(generate_series(1, len(w)-$L+1)) AS u(p)
+           |          WHERE len(w) >= $L),
+           |k AS (SELECT doc_id, pos,
+           |        count(*) OVER (PARTITION BY gram) AS cnt,
+           |        row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+           |      FROM grams),
+           |masked AS (SELECT doc_id, pos, pos + $L AS cut_end FROM k WHERE cnt > 1 AND rn > 1),
+           |m AS (SELECT tok.doc_id, tok.tpos, tok.tok,
+           |        max(masked.cut_end)
+           |          OVER (PARTITION BY tok.doc_id ORDER BY tok.tpos
+           |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mask_end
+           |      FROM tok LEFT JOIN masked
+           |        ON tok.doc_id = masked.doc_id AND tok.tpos = masked.pos)
+           |SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
+           |  CAST(sum(CASE WHEN mask_end IS NOT NULL AND mask_end > tpos THEN 1 ELSE 0 END) AS INT) AS n_cut,
+           |  coalesce(string_agg(CASE WHEN mask_end IS NULL OR mask_end <= tpos THEN tok END, ' ' ORDER BY tpos), '') AS dedup_text
+           |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+  }
+
   /** Exact all-pairs cosine near-dup pairs — the oracle-proof twin of
     * `dedup_embedding` (which stays the LSH scale path; its recall is
     * measured against exact pairs in DedupSpec/SimilaritySpec). O(n²)
@@ -2727,7 +2763,8 @@ object Queries {
     qDedupMinhash, qDedupMinhashMd5, qDedupMinhashMd5Capped,
     qDedupMinhashMd5Stop,
     qDedupSimhash, qDedupSimhashMd5,
-    qDedupClusters, qCorpusDedup, qSpanDedup, qDedupIncremental,
+    qDedupClusters, qCorpusDedup, qSpanDedup, qDedupSubstrings,
+    qDedupIncremental,
     qDedupEmbedding, qDedupEmbeddingExact, qDedupSemantic,
     qDedupSemanticGrid, qMediaFeatures, qMediaEmbedTopk,
     qMixDomains, qTopTerms,

@@ -659,6 +659,73 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Exact repeated-substring removal — the suffix-array dedup of Lee
+    * et al. 2022 ("Deduplicating Training Data Makes Language Models
+    * Better"), re-expressed shuffle-first: a token run of length ≥
+    * `gramLen` is repeated (anywhere in the corpus, including within
+    * one document) iff every overlapping `gramLen`-token window inside
+    * it is duplicated — so duplicated-window COVERAGE marks exactly
+    * the union of repeated spans ≥ gramLen, with no suffix array at
+    * all. The globally first occurrence (min (doc_id, pos)) of each
+    * duplicated window is kept; every token covered by a non-first
+    * occurrence is cut, and documents are reassembled from the
+    * surviving tokens. Unlike `dedupSpans` (C4-style disjoint chunks,
+    * alignment-sensitive), this catches repeats at ANY offset.
+    *
+    * Output per doc: (doc_id, n_tokens, n_cut, dedup_text).
+    *
+    * Shape: window chop is one native expression per row (ChunkSpans,
+    * stride 1 — scan-parallel); the duplicate/first-occurrence
+    * decision is a partial+final hash agg keyed by window text, so a
+    * boilerplate span repeated 10⁹× collapses to one row per map task
+    * before the shuffle; the keep verdict joins back shuffle-aligned
+    * on the same key. Coverage is a running max of cut-window ends
+    * over one doc-partitioned sort — per-group size is one document's
+    * tokens, never the corpus. At 100 TB the agg/join key should be
+    * the window's 128-bit digest rather than its text; text keys keep
+    * this variant verbatim-recomputable by the DuckDB oracle (the same
+    * md5-twin trade `dedupSpans` makes). Cf. reference scope: the
+    * reference has no sub-document dedup; this is part of the
+    * training-data-pipeline family the engine adds. */
+  def dedupExactSubstrings(docs: DataFrame, idCol: String, textCol: String,
+                           gramLen: Int = 20): DataFrame = {
+    require(gramLen >= 2, s"gramLen must be >= 2, got $gramLen")
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("doc_id"),
+      split(trim(col(textCol)), "\\s+").as("w"))
+    // overlapping windows at every start position; docs shorter than
+    // gramLen contain no substring of length >= gramLen and emit none
+    val grams = toks.filter(size(col("w")) >= gramLen)
+      .select(col("doc_id"),
+        posexplode(graft.functions.TextHash.chunkSpans(col("w"), gramLen, 1)))
+      .select(col("doc_id"), col("pos"), col("col").as("gram"))
+    val dup = grams.groupBy("gram")
+      .agg(count(lit(1)).as("__n"),
+           min(struct(col("doc_id"), col("pos"))).as("__first"))
+      .filter(col("__n") > 1)
+    val maskedStarts = grams.join(dup, Seq("gram"))
+      .filter(struct(col("doc_id"), col("pos")) =!= col("__first"))
+      .select(col("doc_id"), col("pos").as("tpos"),
+              (col("pos") + gramLen).as("__cut_end"))
+    val tokens = toks.select(col("doc_id"), posexplode(col("w")))
+      .select(col("doc_id"), col("pos").as("tpos"), col("col").as("tok"))
+    val cover = Window.partitionBy("doc_id").orderBy("tpos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val marked = tokens
+      .join(maskedStarts, Seq("doc_id", "tpos"), "left")
+      .withColumn("__mask_end", max(col("__cut_end")).over(cover))
+      .withColumn("keep",
+        (col("__mask_end").isNull || col("__mask_end") <= col("tpos")).cast("int"))
+    marked.groupBy("doc_id").agg(
+        count(lit(1)).cast("int").as("n_tokens"),
+        (count(lit(1)) - sum("keep")).cast("int").as("n_cut"),
+        concat_ws(" ", transform(
+          sort_array(collect_list(when(col("keep") === 1,
+            struct(col("tpos"), col("tok"))))),
+          s => s.getField("tok"))).as("dedup_text"))
+      .orderBy("doc_id")
+  }
+
   /** Exact all-pairs embedding cosine pairs — the PROOF twin of
     * `embeddingPairs` (the role the md5 variants play for minhash/
     * simhash): no LSH, no sampling, every pair ≥ `minCosine` by direct

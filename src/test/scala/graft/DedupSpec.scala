@@ -441,6 +441,69 @@ class DedupSpec extends AnyFunSuite {
     assert(out(3L) == ((2, 2, "w1 w2 w3 w4 w5 w6 w7")), "short tail span is its own span")
   }
 
+  // ---- exact repeated-substring removal (Lee et al. 2022) --------------
+
+  test("dedupExactSubstrings cuts a repeated span at ANY offset; first kept") {
+    val span = "s1 s2 s3 s4 s5"
+    val df = Seq(
+      (1L, "p1 p2 " + span),              // span at token offset 2
+      (2L, "x1 x2 x3 " + span + " y1"))   // same span at offset 3
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupExactSubstrings(df, "doc_id", "text", gramLen = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(out(1L) == ((7, 0, "p1 p2 " + span)), "first occurrence keeps the span")
+    assert(out(2L) == ((9, 5, "x1 x2 x3 y1")),
+      "misaligned repeat must be cut — the case q_span_dedup's disjoint chunks miss")
+  }
+
+  test("dedupExactSubstrings: shared runs shorter than gramLen survive") {
+    val short = "c1 c2 c3 c4"                      // 4 < gramLen tokens
+    val df = Seq((1L, short + " a1 a2"), (2L, short + " b1 b2")).toDF("doc_id", "text")
+    val out = Dedup.dedupExactSubstrings(df, "doc_id", "text", gramLen = 5)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(out(1L) == 0 && out(2L) == 0, "no >= gramLen repeat, nothing cut")
+  }
+
+  test("dedupExactSubstrings: within-document repetition is cut too") {
+    val span = "r1 r2 r3 r4 r5"
+    val df = Seq((1L, span + " mid " + span)).toDF("doc_id", "text")
+    val out = Dedup.dedupExactSubstrings(df, "doc_id", "text", gramLen = 5)
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getString(3))).head
+    assert(out == ((11, 5, span + " mid")), "second in-doc occurrence cut")
+  }
+
+  test("dedupExactSubstrings: coverage union spans a repeat longer than gramLen") {
+    val long = (1 to 8).map(i => s"a$i").mkString(" ")
+    val df = Seq((1L, long), (2L, "z1 " + long + " z2")).toDF("doc_id", "text")
+    val out = Dedup.dedupExactSubstrings(df, "doc_id", "text", gramLen = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(out(1L) == ((8, 0, long)))
+    assert(out(2L) == ((10, 8, "z1 z2")),
+      "all four overlapping duplicated windows union to the full 8-token repeat")
+  }
+
+  test("dedupExactSubstrings: later exact-dup doc reassembles to empty") {
+    val text = (1 to 9).map(i => s"t$i").mkString(" ")
+    val df = Seq((10L, text), (20L, text)).toDF("doc_id", "text")
+    val out = Dedup.dedupExactSubstrings(df, "doc_id", "text", gramLen = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(out(10L) == ((9, 0, text)))
+    assert(out(20L) == ((9, 9, "")))
+  }
+
+  test("skew: dedupExactSubstrings — boilerplate on 2000 docs stays bounded") {
+    val boiler = "cookie banner accept all terms"
+    val docs = (0 until 2000).map(i =>
+      (i.toLong, boiler + s" u$i v$i w$i x$i y$i")).toDF("doc_id", "text")
+    val out = Dedup.dedupExactSubstrings(docs, "doc_id", "text", gramLen = 5)
+    val cut = out.agg(sum("n_cut")).collect()(0).getLong(0)
+    assert(out.count() == 2000)
+    assert(cut == (2000 - 1) * 5L, "every non-first boilerplate occurrence cut, tails kept")
+  }
+
   test("dedupSpans: exact-dup doc loses every span; first doc keeps all") {
     val text = (1 to 12).map(i => s"t$i").mkString(" ")
     val df = Seq((10L, text), (20L, text)).toDF("doc_id", "text")
