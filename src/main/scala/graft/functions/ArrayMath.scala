@@ -267,6 +267,103 @@ case class AdcDistance(left: Expression, right: Expression, ksub: Int)
     copy(left = l, right = r)
 }
 
+/** Isolation-forest `score_samples`: the whole forest traversal as ONE
+  * native loop — `-2^(-E[h(x)]/c(ψ))` over nTrees root-to-leaf walks.
+  *
+  * Versus the Scala UDF it replaces: measured THROUGHPUT PARITY
+  * (~0.7 µs/row both, 2M-row microbench — ψ=256 trees bottom out in
+  * 1–2-row leaves whose c() short-circuits before any log, and the
+  * JIT handles the boxed loop well), so this is NOT one of the
+  * measured 100× expression wins; what it adds is the model-mismatch
+  * guard below (the UDF walked garbage on a wrong-dim vector), leafC
+  * precomputed at flatten time (robust to configs with bigger
+  * leaves where c() does pay its log per tree per row), and staying
+  * inside whole-stage codegen instead of a deserialization fence.
+  *
+  * Node layout: all trees concatenated; `left`/`right` hold ABSOLUTE
+  * node indices (tree base already added), `roots(t)` is tree t's
+  * root, `feature(n) == -1` marks a leaf whose `leafC(n)` carries
+  * c(leaf size). Accumulation order (tree 0..n, depth + leafC) is
+  * identical to the UDF, so scores are bit-identical (NativeExprSpec
+  * pins this differentially). */
+case class IForestScoreSamples(child: Expression,
+                               feature: Array[Int], threshold: Array[Double],
+                               left: Array[Int], right: Array[Int],
+                               leafC: Array[Double], roots: Array[Int],
+                               cPsi: Double)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(roots.nonEmpty, "iforest_score: empty forest")
+  require(feature.length == threshold.length &&
+          feature.length == left.length && feature.length == right.length &&
+          feature.length == leafC.length,
+    "iforest_score: ragged flattened forest arrays")
+  // widest feature index any split consults — an input shorter than
+  // this is a model/data mismatch (wrong feature dim); fail loudly
+  // instead of silently walking on garbage (UnsafeArrayData.getDouble
+  // does not bounds-check at runtime).
+  private val minLen: Int = {
+    var m = 0; var i = 0
+    while (i < feature.length) { if (feature(i) >= m) m = feature(i) + 1; i += 1 }
+    m
+  }
+  override def dataType: DataType = DoubleType
+
+  private def shortInput(got: Int): Nothing =
+    throw new IllegalArgumentException(
+      s"iforest_score: input vector has $got elements, need >= $minLen " +
+        "— forest model does not match the data")
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    if (a.numElements() < minLen) shortInput(a.numElements())
+    var total = 0.0; var t = 0
+    while (t < roots.length) {
+      var node = roots(t); var depth = 0.0
+      while (feature(node) >= 0) {
+        node = if (a.getDouble(feature(node)) < threshold(node)) left(node)
+               else right(node)
+        depth += 1.0
+      }
+      total += depth + leafC(node); t += 1
+    }
+    -math.pow(2.0, -(total / roots.length) / cPsi)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val fe = ctx.addReferenceObj("ifFeature", feature, "int[]")
+      val th = ctx.addReferenceObj("ifThreshold", threshold, "double[]")
+      val lf = ctx.addReferenceObj("ifLeft", left, "int[]")
+      val rt = ctx.addReferenceObj("ifRight", right, "int[]")
+      val lc = ctx.addReferenceObj("ifLeafC", leafC, "double[]")
+      val ro = ctx.addReferenceObj("ifRoots", roots, "int[]")
+      val t = ctx.freshName("t"); val node = ctx.freshName("node")
+      val depth = ctx.freshName("depth"); val total = ctx.freshName("total")
+      s"""
+         |if ($a.numElements() < $minLen) {
+         |  throw new IllegalArgumentException(
+         |    "iforest_score: input vector has " + $a.numElements() +
+         |    " elements, need >= $minLen — forest model does not match the data");
+         |}
+         |double $total = 0.0;
+         |for (int $t = 0; $t < ${roots.length}; $t++) {
+         |  int $node = $ro[$t]; double $depth = 0.0;
+         |  while ($fe[$node] >= 0) {
+         |    $node = ($a.getDouble($fe[$node]) < $th[$node])
+         |      ? $lf[$node] : $rt[$node];
+         |    $depth += 1.0;
+         |  }
+         |  $total += $depth + $lc[$node];
+         |}
+         |${ev.value} = -Math.pow(2.0, -($total / ${roots.length}.0) / $cPsi);
+       """.stripMargin
+    })
+
+  override def prettyName: String = "iforest_score"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object ArrayMath {
   import org.apache.spark.sql.graft.Bridge.{column, expression, registerFunction}
   private def d(c: Column): Column = c.cast("array<double>")
@@ -281,6 +378,11 @@ object ArrayMath {
     column(NearestCentroidCell(expression(d(vec)), centroids, offset))
   def adcDistance(codes: Column, lut: Column, ksub: Int): Column =
     column(AdcDistance(expression(codes), expression(lut), ksub))
+  def iforestScore(vec: Column, feature: Array[Int], threshold: Array[Double],
+                   left: Array[Int], right: Array[Int], leafC: Array[Double],
+                   roots: Array[Int], cPsi: Double): Column =
+    column(IForestScoreSamples(expression(d(vec)), feature, threshold,
+      left, right, leafC, roots, cPsi))
 
   /** Expose the native expressions to the SQL surface:
     * `SELECT array_dot(a, b)`, `SELECT array_sqdiff_sum(a, b)`.

@@ -55,11 +55,24 @@ object Features {
     * Memoized per (session, sfDir) with the transformed frame cached:
     * four declared ML queries share this exact fit, and re-running it
     * per query would re-aggregate the same data. Model refresh =
-    * new session (Verify/Bench each run in a fresh one). */
-  def preprocessedEvents(spark: SparkSession, sfDir: String): (PreprocModel, DataFrame) =
-    memo.computeIfAbsent(s"${System.identityHashCode(spark)}:$sfDir", _ => {
-      val feats = eventFeatures(spark, sfDir)
-      val model = Preproc.fit(feats, NumericCols, CatCols)
-      (model, model.transform(feats).cache())
-    })
+    * new session (Verify/Bench each run in a fresh one).
+    *
+    * The cache is RE-registered on every fetch: an external
+    * `spark.catalog.clearCache()` (Bench's between-execution
+    * state-leak sweep) unpersists the frame but the memo keeps
+    * handing it out, and without re-registration every downstream
+    * action re-runs the whole enrichment+transform pipeline — the
+    * iForest fit alone takes three actions (count, subsample collect,
+    * offset percentile), which tripled ml_iforest/ml_ensemble_score
+    * in the first swept bench. persist() on an already-cached frame
+    * is a no-op, so steady state costs nothing. */
+  def preprocessedEvents(spark: SparkSession, sfDir: String): (PreprocModel, DataFrame) = {
+    val (model, df) = memo.computeIfAbsent(
+      s"${System.identityHashCode(spark)}:$sfDir", _ => {
+        val feats = eventFeatures(spark, sfDir)
+        val m = Preproc.fit(feats, NumericCols, CatCols)
+        (m, m.transform(feats))
+      })
+    (model, df.cache())
+  }
 }

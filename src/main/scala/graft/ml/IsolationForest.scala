@@ -17,9 +17,9 @@ import org.apache.spark.sql.functions._
   * Scale design: iForest trees train on constant-size subsamples
   * (ψ=256), so fitting collects at most nTrees·ψ rows — constant-size
   * model state independent of table size (the classic iForest recipe;
-  * Liu et al. 2008). Scoring broadcasts the forest (flat int/double
-  * arrays) and evaluates a deterministic UDF per row — embarrassingly
-  * parallel, no shuffle.
+  * Liu et al. 2008). Scoring attaches the forest as flat primitive
+  * arrays to one native codegen expression per row
+  * (IForestScoreSamples) — embarrassingly parallel, no shuffle.
   */
 final case class ITree(
     feature: Array[Int],       // -1 → leaf
@@ -31,8 +31,44 @@ final case class IForestModel(trees: Array[ITree], psi: Int, offset: Double) {
 
   import IsolationForest.c
 
-  /** sklearn `score_samples`: −2^(−E[h]/c(ψ)). */
+  /** Forest flattened to primitive arrays for the native scoring
+    * expression: trees concatenated, child pointers absolute, each
+    * leaf's c(size) precomputed (the UDF this replaces recomputed the
+    * log-bearing c() per tree per row). */
+  @transient private lazy val flat: (Array[Int], Array[Double], Array[Int],
+      Array[Int], Array[Double], Array[Int]) = {
+    val total = trees.iterator.map(_.feature.length).sum
+    val feature = new Array[Int](total); val threshold = new Array[Double](total)
+    val left = new Array[Int](total); val right = new Array[Int](total)
+    val leafC = new Array[Double](total); val roots = new Array[Int](trees.length)
+    var base = 0
+    var t = 0
+    while (t < trees.length) {
+      val tr = trees(t); roots(t) = base
+      var i = 0
+      while (i < tr.feature.length) {
+        val n = base + i
+        feature(n) = tr.feature(i); threshold(n) = tr.threshold(i)
+        left(n) = if (tr.left(i) < 0) -1 else base + tr.left(i)
+        right(n) = if (tr.right(i) < 0) -1 else base + tr.right(i)
+        leafC(n) = if (tr.feature(i) < 0) c(tr.size(i)) else 0.0
+        i += 1
+      }
+      base += tr.feature.length; t += 1
+    }
+    (feature, threshold, left, right, leafC, roots)
+  }
+
+  /** sklearn `score_samples`: −2^(−E[h]/c(ψ)) — one native codegen
+    * loop over the flattened forest (see IForestScoreSamples). */
   def scoreSamplesCol(features: Column): Column = {
+    val (fe, th, lf, rt, lc, ro) = flat
+    graft.functions.ArrayMath.iforestScore(features, fe, th, lf, rt, lc, ro, c(psi))
+  }
+
+  /** The r1–r5 Scala-UDF scorer, kept ONLY as the differential
+    * reference for NativeExprSpec (bit-identical scores required). */
+  private[graft] def scoreSamplesUdfCol(features: Column): Column = {
     val ts = trees; val cPsi = c(psi)
     val f = udf { (x: Seq[Double]) =>
       val xa = x.toArray

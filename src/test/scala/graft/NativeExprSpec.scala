@@ -215,4 +215,30 @@ class NativeExprSpec extends AnyFunSuite {
     }
     assert(e4.getMessage.contains("ragged"))
   }
+
+  test("IForestScoreSamples == the r1-r5 UDF scorer, bit-identical") {
+    val rnd = new scala.util.Random(7)
+    val dim = 6
+    val rows = (0 until 400).map(i =>
+      (i.toLong, Seq.fill(dim)(rnd.nextGaussian() * 10)))
+    val df = rows.toDF("id", "features")
+    val m = graft.ml.IsolationForest.fit(df, "features",
+      nTrees = 50, subsample = 64, contamination = 0.02, seed = 11L)
+    val both = df.select(
+        m.scoreSamplesCol(col("features")).as("native"),
+        m.scoreSamplesUdfCol(col("features")).as("udf"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1),
+        s"native ${r.getDouble(0)} != udf ${r.getDouble(1)}")
+    }
+    // model-mismatch guard: vector narrower than the widest split
+    // feature fails loudly (UnsafeArrayData would read garbage)
+    val short = Seq((1L, Seq(0.5))).toDF("id", "features")
+    val e = intercept[Exception] {
+      short.select(m.scoreSamplesCol(col("features"))).collect()
+    }
+    assert(e.getMessage.contains("forest model does not match") ||
+      Option(e.getCause).exists(_.getMessage.contains("forest model does not match")))
+  }
 }
