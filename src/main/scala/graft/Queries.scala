@@ -2458,6 +2458,19 @@ object Queries {
     },
     None)
 
+  /** The STREAMING serve half of Bloom decontamination, drained to its
+    * end state: same benchmark/corpus split as `q_decontaminate_bloom`,
+    * probe running stateless in append mode over the documents stream.
+    * Rows-only for the same reason as the batch bloom query (DuckDB
+    * has no compatible sketch); StreamingSpec pins row-for-row batch
+    * parity and q_decontaminate_containment pins the no-false-negative
+    * invariant of the shared sketch. */
+  private val qDecontaminateStream = Q(
+    "q_decontaminate_stream",
+    (s, d) => streaming.CorpusStream.decontaminatedOverFile(s, d, k = 8)
+      .orderBy("doc_id"),
+    None)
+
   /** The Bloom-decontamination CONTAINMENT invariant as a declared,
     * hash-checkable query: docs flagged by the exact broadcast join
     * but NOT by the Bloom sketch — Bloom filters have no false
@@ -2770,7 +2783,7 @@ object Queries {
     qMixDomains, qTopTerms,
     qSessionize, qSessionizeStream, qScoreStream, qAsofJoin, qRangeJoin,
     qGopherQuality, qSampleStratified, qDomainFilter, qDecontaminate,
-    qDecontaminateBloom, qDecontaminateContainment,
+    qDecontaminateBloom, qDecontaminateContainment, qDecontaminateStream,
     qPiiRedact, qRepetitionFilter, qBpePairs,
     qNormalizeText, qCorpusProfile, qCollocations, qWeightedSample,
     qQualityRank, qEmbedCentroid, qBpeTrain, qBpeApply, qCanonicalDedup,

@@ -53,6 +53,15 @@ object Tables {
       spark.readStream.schema(fileSchema).parquet(s"$sfDir/[e]vents.parquet"))
   }
 
+  /** Streaming read of the documents table (same bracket-glob trick as
+    * `eventsStream`; schema mirrored from the batch footer). The
+    * corpus-curation streaming twins treat this as a live ingestion
+    * feed. */
+  def documentsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val fileSchema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    spark.readStream.schema(fileSchema).parquet(s"$sfDir/[d]ocuments.parquet")
+  }
+
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 

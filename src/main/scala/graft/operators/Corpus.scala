@@ -243,21 +243,36 @@ object Corpus {
     * the same filter in a loop. */
   def decontaminateWithBloom(corpus: DataFrame,
                              bf: org.apache.spark.util.sketch.BloomFilter,
-                             idCol: String, textCol: String, k: Int = 8): DataFrame = {
+                             idCol: String, textCol: String, k: Int = 8): DataFrame =
+    decontaminateRows(corpus, bf, idCol, textCol, k).orderBy("doc_id")
+
+  /** The probe itself, ROW-LOCAL: shingle the doc (one native
+    * expression) and count sketch hits over the array in one UDF call
+    * per row — no shuffle at all. This replaced an
+    * explode→groupBy(doc_id)→join-back formulation that shuffled the
+    * entire corpus twice to recount an array it already had per row;
+    * scan-side is also what makes the serve half STREAMING-safe
+    * (stateless, append-mode — see `CorpusStream.decontaminated`),
+    * so one transform serves both the batch query and a live
+    * ingestion feed. Output contract unchanged:
+    * (doc_id, n_shingles, n_hits, contaminated). */
+  def decontaminateRows(corpus: DataFrame,
+                        bf: org.apache.spark.util.sketch.BloomFilter,
+                        idCol: String, textCol: String, k: Int = 8): DataFrame = {
     val bfB = corpus.sparkSession.sparkContext.broadcast(bf)
-    val mightContain = udf((s: String) => s != null && bfB.value.mightContainString(s))
-    val stats = Dedup.shingleDocs(corpus, idCol, textCol, k)
-      .select(col("doc_id"), explode(col("shingles")).as("s"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_shingles"),
-           sum(when(mightContain(col("s")), 1L).otherwise(0L)).as("n_hits"))
-    corpus.select(col(idCol).as("doc_id"))
-      .join(stats, Seq("doc_id"), "left")
+    val nHits = udf((ss: Seq[String]) =>
+      if (ss == null) 0
+      else ss.count(s => s != null && bfB.value.mightContainString(s)))
+    corpus
+      .select(col(idCol).as("doc_id"),
+        graft.functions.TextHash.shingles(
+          split(trim(col(textCol)), "\\s+"), k).as("__sh"))
       .select(col("doc_id"),
-              coalesce(col("n_shingles"), lit(0L)).cast("int").as("n_shingles"),
-              coalesce(col("n_hits"), lit(0L)).cast("int").as("n_hits"),
-              (coalesce(col("n_hits"), lit(0L)) > 0).cast("int").as("contaminated"))
-      .orderBy("doc_id")
+              // null text → null shingles; match the old left-join's
+              // coalesce-to-zero contract
+              coalesce(size(col("__sh")), lit(0)).cast("int").as("n_shingles"),
+              nHits(col("__sh")).cast("int").as("n_hits"))
+      .withColumn("contaminated", (col("n_hits") > 0).cast("int"))
   }
 
   /** The corpus-clean language gate (marker-stopword argmax = English)

@@ -147,4 +147,41 @@ object CorpusStream {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("__sig")
       .drop("__sig")
+
+  /** Streaming benchmark decontamination — the serve half of the Bloom
+    * sketch over a live ingestion feed. The batch fit
+    * (`Corpus.fitDecontaminationBloom`) runs once over the benchmark
+    * suite (constant-size model, persistable via Artifacts.saveBloom);
+    * serving is `Corpus.decontaminateRows` — a row-local shingle +
+    * sketch-probe projection with NO state, NO watermark, NO shuffle,
+    * so a 100 TB/day feed scrubs at scan speed in append mode. Exact
+    * batch parity by construction (same transform); StreamingSpec pins
+    * it row-for-row against `decontaminateWithBloom`. */
+  def decontaminated(docs: DataFrame,
+                     bf: org.apache.spark.util.sketch.BloomFilter,
+                     idCol: String = "doc_id", textCol: String = "text",
+                     k: Int = 8): DataFrame =
+    graft.operators.Corpus.decontaminateRows(docs, bf, idCol, textCol, k)
+
+  private val runSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** The declared `q_decontaminate_stream` runner: fit the sketch on
+    * the benchmark split (doc_id % 10 == 0) batch-side, stream the
+    * remaining corpus from the documents parquet through the probe,
+    * return the drained end state as a batch frame. Mirrors the
+    * `q_decontaminate_bloom` split exactly, so the end state must
+    * equal the batch query row-for-row (modulo its final sort). */
+  def decontaminatedOverFile(spark: org.apache.spark.sql.SparkSession,
+                             sfDir: String, k: Int = 8): DataFrame = {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val bf = graft.operators.Corpus.fitDecontaminationBloom(
+      docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", k)
+    val name = s"__graft_decon_${runSeq.incrementAndGet()}"
+    val stream = graft.Tables.documentsStream(spark, sfDir)
+      .filter(col("doc_id") % 10 =!= 0)
+    val q = decontaminated(stream, bf, "doc_id", "text", k)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
 }
