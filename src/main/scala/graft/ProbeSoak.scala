@@ -42,7 +42,8 @@ object ProbeSoak {
   // (r6: dedup_minhash_stop was folded into dedup_minhash — the
   // stop-shingle filter is the production default now)
   val Queries = Seq("q_dedup_exact", "dedup_minhash",
-    "q_span_dedup", "q_ngram_jaccard", "q_dedup_incremental",
+    "q_span_dedup", "q_dedup_substrings", "q_ngram_jaccard",
+    "q_dedup_incremental",
     "dedup_semantic", "dedup_embedding", "sim_ivf_topk", "sim_ivfpq_topk")
 
   private val lorem: String = {

@@ -681,11 +681,13 @@ object Dedup {
     * before the shuffle; the keep verdict joins back shuffle-aligned
     * on the same key. Coverage is a running max of cut-window ends
     * over one doc-partitioned sort — per-group size is one document's
-    * tokens, never the corpus. At 100 TB the agg/join key should be
-    * the window's 128-bit digest rather than its text; text keys keep
-    * this variant verbatim-recomputable by the DuckDB oracle (the same
-    * md5-twin trade `dedupSpans` makes). Cf. reference scope: the
-    * reference has no sub-document dedup; this is part of the
+    * tokens, never the corpus. The agg/join key is the window's
+    * 128-bit md5 digest computed scan-side — the ~120-byte window
+    * text never shuffles (~8× fewer shuffle bytes at L=20), collisions
+    * are negligible at any corpus size, and the DuckDB oracle keyed on
+    * the verbatim text stays value-identical because no key appears in
+    * the output. Cf. reference scope: the reference has no
+    * sub-document dedup; this is part of the
     * training-data-pipeline family the engine adds. */
   def dedupExactSubstrings(docs: DataFrame, idCol: String, textCol: String,
                            gramLen: Int = 20): DataFrame = {
@@ -698,7 +700,8 @@ object Dedup {
     val grams = toks.filter(size(col("w")) >= gramLen)
       .select(col("doc_id"),
         posexplode(graft.functions.TextHash.chunkSpans(col("w"), gramLen, 1)))
-      .select(col("doc_id"), col("pos"), col("col").as("gram"))
+      .select(col("doc_id"), col("pos"),
+              unhex(md5(col("col").cast("binary"))).as("gram"))
     val dup = grams.groupBy("gram")
       .agg(count(lit(1)).as("__n"),
            min(struct(col("doc_id"), col("pos"))).as("__first"))
