@@ -494,6 +494,48 @@ class DedupSpec extends AnyFunSuite {
     assert(out(20L) == ((9, 9, "")))
   }
 
+  test("dedupExactSubstrings == brute-force reference on 10 seeded random corpora") {
+    // differential property check: tiny vocab forces heavy L-gram
+    // collisions, ragged doc lengths cover the n<L / n==L boundaries
+    def reference(docs: Seq[(Long, String)], L: Int): Map[Long, (Int, Int, String)] = {
+      val toks = docs.map { case (id, t) => id -> t.trim.split("\\s+").toSeq }
+      val occ = for {
+        (id, w) <- toks; if w.length >= L
+        p <- 0 to w.length - L
+      } yield (w.slice(p, p + L).mkString(" "), id, p)
+      val masked: Set[(Long, Int)] = occ.groupBy(_._1).values
+        .filter(_.size > 1)
+        .flatMap(_.sortBy(o => (o._2, o._3)).tail.map(o => (o._2, o._3)))
+        .toSet
+      toks.map { case (id, w) =>
+        val cut = w.indices.map(t =>
+          (math.max(0, t - L + 1) to t).exists(s => masked((id, s))))
+        val kept = w.indices.filterNot(cut).map(w)
+        id -> ((w.length, cut.count(identity), kept.mkString(" ")))
+      }.toMap
+    }
+    val L = 3
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val rnd = new scala.util.Random(20260813L)
+    (1 to 10).foreach { trial =>
+      val docs = (0 until 12).map { i =>
+        val n = rnd.nextInt(25) // 0..24 tokens; 0 → empty-text edge
+        (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val expect = reference(docs, L)
+      val got = Dedup.dedupExactSubstrings(
+          docs.toDF("doc_id", "text"), "doc_id", "text", gramLen = L)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3))))
+        .toMap
+      assert(got == expect, s"trial $trial diverged: ${
+        got.keySet.union(expect.keySet).toSeq.sorted
+          .filter(k => got.get(k) != expect.get(k))
+          .map(k => s"doc $k got=${got.get(k)} expect=${expect.get(k)}")
+          .mkString("; ")}")
+    }
+  }
+
   test("skew: dedupExactSubstrings — boilerplate on 2000 docs stays bounded") {
     val boiler = "cookie banner accept all terms"
     val docs = (0 until 2000).map(i =>
