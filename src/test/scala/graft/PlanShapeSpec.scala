@@ -135,6 +135,39 @@ class PlanShapeSpec extends AnyFunSuite {
       plan.take(800))
   }
 
+  test("substring dedup: gram decision is a hash agg on digests; window only per doc") {
+    // same skew claim as span dedup for the duplicate/first-occurrence
+    // decision (a boilerplate window repeated 10⁹× must map-side
+    // combine, never sort as one gram-partitioned window group), PLUS:
+    // the only Window allowed is the coverage running-max partitioned
+    // by doc_id — bounded by one document's tokens — and the shuffled
+    // gram key must be the 16-byte digest, not the ~120-byte text
+    val plan = planOf("q_dedup_substrings")
+    assert(plan.contains("HashAggregate") || plan.contains("ObjectHashAggregate"),
+      plan.take(800))
+    val windowPartitions = "Window .*windowspecdefinition\\(([a-z_#0-9]+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(windowPartitions.nonEmpty && windowPartitions.forall(_.startsWith("doc_id")),
+      s"expected only doc_id-partitioned coverage windows, got $windowPartitions:\n${plan.take(1200)}")
+    assert(!plan.contains("hashpartitioning(gram#") ||
+           plan.contains("unhex(md5("),
+      s"gram shuffle key must be the digest:\n${plan.take(1200)}")
+  }
+
+  test("bloom decontamination serve half is scan-side: zero exchanges") {
+    // the row-local refactor's contract: shingle + sketch probe per
+    // row, no explode→groupBy→join-back — this is also what makes the
+    // same transform legal in append-mode streaming
+    val docs = Tables.documents(spark, sf)
+    val bf = operators.Corpus.fitDecontaminationBloom(
+      docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", k = 8)
+    val core = operators.Corpus.decontaminateRows(
+        docs.filter(col("doc_id") % 10 =!= 0), bf, "doc_id", "text", k = 8)
+      .queryExecution.executedPlan.toString
+    assert(!core.contains("Exchange"),
+      s"decontaminateRows claims scan-side-only but shuffles:\n${core.take(800)}")
+  }
+
   test("domain mixing is scan-side: no hash exchange anywhere in the plan") {
     // weight lookup is a literal map, the epoch copy a per-row explode —
     // the only exchange allowed is the presentation orderBy's range
