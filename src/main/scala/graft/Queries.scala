@@ -1954,6 +1954,51 @@ object Queries {
            |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   }
 
+  /** Incremental exact-substring scrub: the incoming batch
+    * (doc_id % 5 = 4, the q_dedup_incremental split) cleaned against
+    * the published corpus — existing windows always win; batch-internal
+    * repeats keep their batch-first occurrence. The oracle re-derives
+    * both rules over the verbatim window text. */
+  private val qDedupSubstringsInc = {
+    val L = 20
+    Q(
+      "q_dedup_substrings_inc",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        operators.Dedup.dedupExactSubstringsIncremental(
+          docs.filter(col("doc_id") % 5 =!= 4),
+          docs.filter(col("doc_id") % 5 === 4),
+          "doc_id", "text", gramLen = L)
+      },
+      Some(s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+           |tok AS (SELECT doc_id, CAST(p AS INT)-1 AS tpos, w[CAST(p AS INT)] AS tok
+           |        FROM t, unnest(generate_series(1, len(w))) AS u(p)
+           |        WHERE doc_id % 5 = 4),
+           |g AS (SELECT doc_id, CAST(p AS INT)-1 AS pos,
+           |      array_to_string(list_slice(w, CAST(p AS INT), CAST(p AS INT)+$L-1), ' ') AS gram
+           |      FROM t, unnest(generate_series(1, len(w)-$L+1)) AS u(p)
+           |      WHERE len(w) >= $L),
+           |ex AS (SELECT DISTINCT gram FROM g WHERE doc_id % 5 != 4),
+           |ing AS (SELECT * FROM g WHERE doc_id % 5 = 4),
+           |k AS (SELECT ing.doc_id, ing.pos,
+           |        CASE WHEN ex.gram IS NOT NULL THEN 1 ELSE 0 END AS in_ex,
+           |        count(*) OVER (PARTITION BY ing.gram) AS cnt,
+           |        row_number() OVER (PARTITION BY ing.gram ORDER BY ing.doc_id, ing.pos) AS rn
+           |      FROM ing LEFT JOIN ex ON ing.gram = ex.gram),
+           |masked AS (SELECT doc_id, pos, pos + $L AS cut_end FROM k
+           |           WHERE in_ex = 1 OR (cnt > 1 AND rn > 1)),
+           |m AS (SELECT tok.doc_id, tok.tpos, tok.tok,
+           |        max(masked.cut_end)
+           |          OVER (PARTITION BY tok.doc_id ORDER BY tok.tpos
+           |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mask_end
+           |      FROM tok LEFT JOIN masked
+           |        ON tok.doc_id = masked.doc_id AND tok.tpos = masked.pos)
+           |SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
+           |  CAST(sum(CASE WHEN mask_end IS NOT NULL AND mask_end > tpos THEN 1 ELSE 0 END) AS INT) AS n_cut,
+           |  coalesce(string_agg(CASE WHEN mask_end IS NULL OR mask_end <= tpos THEN tok END, ' ' ORDER BY tpos), '') AS dedup_text
+           |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+  }
+
   /** Exact all-pairs cosine near-dup pairs — the oracle-proof twin of
     * `dedup_embedding` (which stays the LSH scale path; its recall is
     * measured against exact pairs in DedupSpec/SimilaritySpec). O(n²)
@@ -2777,7 +2822,7 @@ object Queries {
     qDedupMinhashMd5Stop,
     qDedupSimhash, qDedupSimhashMd5,
     qDedupClusters, qCorpusDedup, qSpanDedup, qDedupSubstrings,
-    qDedupIncremental,
+    qDedupSubstringsInc, qDedupIncremental,
     qDedupEmbedding, qDedupEmbeddingExact, qDedupSemantic,
     qDedupSemanticGrid, qMediaFeatures, qMediaEmbedTopk,
     qMixDomains, qTopTerms,

@@ -729,6 +729,74 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Incremental exact repeated-substring removal — the
+    * continuous-refresh shape of `dedupExactSubstrings`: scrub an
+    * INCOMING batch against an EXISTING corpus without ever touching
+    * existing×existing windows. An incoming token is cut iff it is
+    * covered by a `gramLen`-window that (a) occurs ANYWHERE in the
+    * existing corpus (the published corpus always wins — its text is
+    * already admitted/trained on, so id order is irrelevant), or
+    * (b) repeats within the incoming batch itself, at any occurrence
+    * after the batch-first (min (doc_id, pos)). Only incoming docs are
+    * emitted; existing docs are never rewritten.
+    *
+    * Shape: ONE hash agg + ONE join-back, both keyed on the window's
+    * 128-bit digest — the existing side's digests union into the same
+    * aggregate as the incoming occurrences (an `__existing` max-flag
+    * per digest), so the decision costs no extra shuffle over the
+    * batch variant. The existing side's digests are recomputed here
+    * for self-containment, but in production they are the stored
+    * window index (computed once at admission) — per-refresh cost is
+    * O(|incoming|) window work plus a digest join, the same economics
+    * as `dedupIncremental`. Coverage/reassembly run on incoming docs
+    * only. */
+  def dedupExactSubstringsIncremental(existing: DataFrame, incoming: DataFrame,
+                                      idCol: String, textCol: String,
+                                      gramLen: Int = 20): DataFrame = {
+    require(gramLen >= 2, s"gramLen must be >= 2, got $gramLen")
+    import org.apache.spark.sql.expressions.Window
+    def toks(df: DataFrame) = df.select(col(idCol).as("doc_id"),
+      split(trim(col(textCol)), "\\s+").as("w"))
+    def grams(df: DataFrame) = toks(df).filter(size(col("w")) >= gramLen)
+      .select(col("doc_id"),
+        posexplode(graft.functions.TextHash.chunkSpans(col("w"), gramLen, 1)))
+      .select(col("doc_id"), col("pos"),
+              unhex(md5(col("col").cast("binary"))).as("gram"))
+    // the stored index side: digest + flag, no positions needed
+    val exIndex = grams(existing)
+      .select(col("gram"), lit(1).as("__ex"))
+    val inGrams = grams(incoming)
+    val decided = inGrams.select(col("gram"), col("doc_id"), col("pos"), lit(0).as("__ex"))
+      .unionByName(exIndex.select(col("gram"),
+        lit(Long.MaxValue).as("doc_id"), lit(0).as("pos"), col("__ex")))
+      .groupBy("gram")
+      .agg(max(col("__ex")).as("__in_existing"),
+           count(lit(1)).as("__n"),
+           min(struct(col("doc_id"), col("pos"))).as("__first"))
+    val maskedStarts = inGrams.join(decided, Seq("gram"))
+      .filter(col("__in_existing") === 1 ||
+        (col("__n") > 1 && struct(col("doc_id"), col("pos")) =!= col("__first")))
+      .select(col("doc_id"), col("pos").as("tpos"),
+              (col("pos") + gramLen).as("__cut_end"))
+    val tokens = toks(incoming).select(col("doc_id"), posexplode(col("w")))
+      .select(col("doc_id"), col("pos").as("tpos"), col("col").as("tok"))
+    val cover = Window.partitionBy("doc_id").orderBy("tpos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val marked = tokens
+      .join(maskedStarts, Seq("doc_id", "tpos"), "left")
+      .withColumn("__mask_end", max(col("__cut_end")).over(cover))
+      .withColumn("keep",
+        (col("__mask_end").isNull || col("__mask_end") <= col("tpos")).cast("int"))
+    marked.groupBy("doc_id").agg(
+        count(lit(1)).cast("int").as("n_tokens"),
+        (count(lit(1)) - sum("keep")).cast("int").as("n_cut"),
+        concat_ws(" ", transform(
+          sort_array(collect_list(when(col("keep") === 1,
+            struct(col("tpos"), col("tok"))))),
+          s => s.getField("tok"))).as("dedup_text"))
+      .orderBy("doc_id")
+  }
+
   /** Exact all-pairs embedding cosine pairs — the PROOF twin of
     * `embeddingPairs` (the role the md5 variants play for minhash/
     * simhash): no LSH, no sampling, every pair ≥ `minCosine` by direct

@@ -494,6 +494,46 @@ class DedupSpec extends AnyFunSuite {
     assert(out(20L) == ((9, 9, "")))
   }
 
+  test("incremental substring scrub: existing windows always win; batch repeats keep batch-first") {
+    val span = "s1 s2 s3 s4 s5"
+    val existing = Seq((100L, "e1 e2 " + span)).toDF("doc_id", "text")
+    val incoming = Seq(
+      (1L, "a1 " + span + " a2"),            // covered by existing → cut
+      (2L, "r1 r2 r3 r4 r5 q1"),             // batch-first of an in-batch repeat → kept
+      (3L, "z9 r1 r2 r3 r4 r5"),             // later in-batch repeat → cut
+      (4L, "c1 c2 c3 c4 d1 d2"))             // sub-L overlaps only → untouched
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupExactSubstringsIncremental(
+        existing, incoming, "doc_id", "text", gramLen = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L), "existing docs must not be emitted")
+    assert(out(1L) == ((7, 5, "a1 a2")), "existing wins even though incoming id is smaller")
+    assert(out(2L) == ((6, 0, "r1 r2 r3 r4 r5 q1")))
+    assert(out(3L) == ((6, 5, "z9")))
+    assert(out(4L) == ((6, 0, "c1 c2 c3 c4 d1 d2")))
+  }
+
+  test("incremental substring scrub matches batch restricted to incoming when existing ids precede") {
+    // with every existing id < every incoming id, batch first-occurrence
+    // == existing-wins, so the two variants must agree on incoming docs
+    val rnd = new scala.util.Random(99)
+    val vocab = Vector("x", "y", "z", "w")
+    val all = (0 until 16).map { i =>
+      (i.toLong, Seq.fill(6 + rnd.nextInt(14))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val (ex, inc) = (all.filter(_._1 < 10), all.filter(_._1 >= 10))
+    val batch = Dedup.dedupExactSubstrings(all.toDF("doc_id", "text"),
+        "doc_id", "text", gramLen = 4)
+      .filter(col("doc_id") >= 10)
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    val incr = Dedup.dedupExactSubstringsIncremental(
+        ex.toDF("doc_id", "text"), inc.toDF("doc_id", "text"),
+        "doc_id", "text", gramLen = 4)
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    assert(incr == batch, s"incremental diverges from batch: $incr vs $batch")
+  }
+
   test("dedupExactSubstrings == brute-force reference on 10 seeded random corpora") {
     // differential property check: tiny vocab forces heavy L-gram
     // collisions, ragged doc lengths cover the n<L / n==L boundaries
