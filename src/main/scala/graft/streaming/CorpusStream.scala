@@ -78,6 +78,83 @@ object CorpusStream {
       .select(col("doc_id"), col("n_spans"), col("n_kept"), col("dedup_text"))
   }
 
+  /** Streaming exact repeated-substring removal — the streaming twin
+    * of `Dedup.dedupExactSubstrings`, completing the dedup matrix
+    * (exact, canonical, span, simhash, substring all stream; only
+    * pairwise minhash cannot one-pass). Every overlapping
+    * `gramLen`-token window flows through a digest-keyed
+    * `dropDuplicatesWithinWatermark` — state is ONE entry per distinct
+    * window digest in the horizon, never window text or documents —
+    * and a window's occurrence is kept iff its digest was not seen
+    * earlier (arrival order replaces the batch operator's
+    * (doc_id, pos) order, as in `dedupSpansStream`). Reassembly:
+    * surviving windows explode to the tokens they cover; a token is
+    * CUT iff its surviving-cover count falls short of the expected
+    * cover count (every token of an n≥L doc is covered by
+    * min(t, n−L) − max(0, t−L+1) + 1 windows by construction, so any
+    * shortfall means a covering window was dropped as a duplicate).
+    * Docs shorter than gramLen contain no ≥L substring and bypass the
+    * dedup entirely. The L× cover amplification is survivors-only and
+    * scan-shaped; the per-doc windowed aggregate emits
+    * (doc_id, n_tokens, n_cut, dedup_text) on window close. */
+  def dedupSubstringsStream(docs: DataFrame, tsCol: String = "ts",
+                            idCol: String = "doc_id", textCol: String = "text",
+                            gramLen: Int = 20, watermark: String = "1 day",
+                            window: String = "1 hour"): DataFrame = {
+    require(gramLen >= 2, s"gramLen must be >= 2, got $gramLen")
+    // ONE watermark node on the shared base, BEFORE branching: a
+    // per-branch withWatermark would give the union two watermark
+    // operators and the global watermark is their MIN — a quiet branch
+    // (e.g. no short docs ever arrive) would pin it at epoch and no
+    // window would ever close. Both branches descend from this node,
+    // so every event advances both copies identically.
+    val base = docs.select(col(idCol).as("doc_id"), col(tsCol).as("__ts"),
+        split(trim(col(textCol)), "\\s+").as("__w"))
+      .select(col("doc_id"), col("__ts"), col("__w"),
+              size(col("__w")).cast("int").as("n_tokens"))
+      .withWatermark("__ts", watermark)
+    val covers = base.filter(col("n_tokens") >= gramLen)
+      .select(col("doc_id"), col("__ts"), col("n_tokens"),
+        posexplode(graft.functions.TextHash.chunkSpans(col("__w"), gramLen, 1)))
+      .select(col("doc_id"), col("__ts"), col("n_tokens"),
+              col("pos").as("gpos"), col("col").as("gram"),
+              unhex(md5(col("col").cast("binary"))).as("__dig"))
+      .dropDuplicatesWithinWatermark("__dig")
+      .select(col("doc_id"), col("__ts"), col("n_tokens"), col("gpos"),
+              posexplode(split(col("gram"), " ")))
+      .select(col("doc_id"), col("__ts"), col("n_tokens"),
+              (col("gpos") + col("pos")).cast("int").as("tpos"),
+              col("col").as("tok"))
+    val shorts = base.filter(col("n_tokens") < gramLen)
+      .select(col("doc_id"), col("__ts"), col("n_tokens"), posexplode(col("__w")))
+      .select(col("doc_id"), col("__ts"), col("n_tokens"),
+              col("pos").cast("int").as("tpos"), col("col").as("tok"))
+    val L = gramLen
+    val reassemble = udf((n: Int, rows: Seq[org.apache.spark.sql.Row]) => {
+      val cnt = new Array[Int](n); val tok = new Array[String](n)
+      rows.foreach { r =>
+        val t = r.getInt(0)
+        if (t >= 0 && t < n) { cnt(t) += 1; tok(t) = r.getString(1) }
+      }
+      val kept = (0 until n).filter { t =>
+        val exp = if (n < L) 1
+                  else math.min(t, n - L) - math.max(0, t - L + 1) + 1
+        cnt(t) == exp
+      }
+      (n - kept.length, kept.map(tok).mkString(" "))
+    })
+    covers.unionByName(shorts)
+      .groupBy(col("doc_id"),
+               org.apache.spark.sql.functions.window(col("__ts"), window))
+      .agg(max("n_tokens").as("n_tokens"),
+           collect_list(struct(col("tpos"), col("tok"))).as("__cov"))
+      .select(col("doc_id"), col("n_tokens"),
+              reassemble(col("n_tokens"), col("__cov")).as("__r"))
+      .select(col("doc_id"), col("n_tokens"),
+              col("__r._1").cast("int").as("n_cut"),
+              col("__r._2").as("dedup_text"))
+  }
+
   /** Streaming held-out-LM quality scoring — the serve side of
     * `Corpus.lmCrossEntropy`: the LM is fit ONCE on a reference batch
     * (the (word, count) frame plus the constant N/V totals), and an

@@ -318,6 +318,73 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming substring dedup cuts cross-batch repeats at any offset, state on digests") {
+    implicit val sc = spark.sqlContext
+    val span = "s1 s2 s3 s4 s5"
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val docs = mem.toDF().toDF("doc_id", "ts", "text")
+    val q = graft.streaming.CorpusStream.dedupSubstringsStream(docs, gramLen = 5)
+      .writeStream.format("memory").queryName("substr_out").outputMode("append").start()
+    try {
+      mem.addData((1L, ts("2024-01-10 10:00:00"), "p1 p2 " + span))
+      q.processAllAvailable()
+      mem.addData(
+        // later batch, same span at a DIFFERENT offset → state hit, cut
+        (2L, ts("2024-01-10 10:10:00"), "x1 x2 x3 " + span + " y1"),
+        // sub-L shared run (4 tokens) → untouched
+        (3L, ts("2024-01-10 10:11:00"), "s1 s2 s3 s4 q1"),
+        // shorter than gramLen → bypasses dedup wholesale
+        (4L, ts("2024-01-10 10:12:00"), "tiny doc"))
+      q.processAllAvailable()
+      mem.addData((99L, ts("2024-01-13 00:00:00"), "flush1 flush2 flush3 flush4 flush5"))
+      q.processAllAvailable()
+      val out = spark.table("substr_out")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+      assert(out(1L) == ((7, 0, "p1 p2 " + span)), "first arrival keeps the span")
+      assert(out(2L) == ((9, 5, "x1 x2 x3 y1")),
+        s"cross-batch offset repeat must be cut: ${out.get(2L)}")
+      assert(out(3L) == ((5, 0, "s1 s2 s3 s4 q1")), "sub-L run survives")
+      assert(out(4L) == ((2, 0, "tiny doc")), "short doc passes through")
+      assert(!out.contains(99L), "open-window doc must not emit yet")
+    } finally q.stop()
+  }
+
+  test("streaming substring dedup matches the batch operator on ordered single-doc batches") {
+    implicit val sc = spark.sqlContext
+    // planted cross-doc shared runs, NO in-doc gram repeats (arrival
+    // order pins which duplicate survives; in-doc keep choice would be
+    // micro-batch-order-dependent)
+    val docsSeq = (0 until 8).map { i =>
+      val shared = if (i % 2 == 0) "k1 k2 k3 k4" else "m1 m2 m3"
+      (i.toLong, s"u${i}a u${i}b $shared u${i}c u${i}d u${i}e")
+    }
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val stream = mem.toDF().toDF("doc_id", "ts", "text")
+    val q = graft.streaming.CorpusStream.dedupSubstringsStream(stream, gramLen = 3)
+      .writeStream.format("memory").queryName("substr_par").outputMode("append").start()
+    try {
+      // one doc per micro-batch in doc_id order → arrival order ==
+      // (doc_id, pos) order, so the batch operator's keep set applies
+      docsSeq.foreach { case (id, text) =>
+        mem.addData((id, ts(f"2024-01-10 10:${id}%02d:00"), text))
+        q.processAllAvailable()
+      }
+      mem.addData((99L, ts("2024-01-13 00:00:00"), "zz"))
+      q.processAllAvailable()
+      val batch = graft.operators.Dedup.dedupExactSubstrings(
+          docsSeq.toDF("doc_id", "text"), "doc_id", "text", gramLen = 3)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+      val stream_ = spark.table("substr_par")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+      docsSeq.map(_._1).foreach { id =>
+        assert(stream_(id) == batch(id), s"doc $id: stream ${stream_.get(id)} vs batch ${batch.get(id)}")
+      }
+    } finally q.stop()
+  }
+
   test("streaming LM scoring matches the batch lmCrossEntropy exactly") {
     implicit val sc = spark.sqlContext
     val ref = Seq((100L, "a a b c"), (101L, "a b d")).toDF("doc_id", "text")
