@@ -361,6 +361,57 @@ object ProbeSoak {
           s"peakState=${st.mkString("/")} uniqueSpans=$uniqueSpans totalSpans=$totalSpans " +
           s"hotKeptOnce=true")
         spark.catalog.dropTempView(name)
+
+        // ---- streaming SUBSTRING dedup over the same corpus ----
+        // gates: (a2) dedup-store state is one row per DISTINCT window
+        // digest (never per occurrence — the exact-dup replicas make
+        // occurrences ≫ distinct); (b2) every closed-window doc emits
+        // exactly once with its token count intact (cover-count
+        // reassembly loses nothing).
+        val gramLen = 20
+        val name2 = s"__soak_substr_x$s"
+        val docs2 = spark.readStream.schema(docSchema)
+          .parquet(s"$dir/documents.parquet")
+          .withColumn("ts", expr(tsExpr))
+        val t2 = System.nanoTime()
+        val q2 = graft.streaming.CorpusStream
+          .dedupSubstringsStream(docs2, gramLen = gramLen)
+          .writeStream.format("memory").queryName(name2).outputMode("append").start()
+        try q2.processAllAvailable() finally q2.stop()
+        val t3 = System.nanoTime()
+        val allSt2 = q2.recentProgress.toSeq.map(_.stateOperators)
+          .filter(_.nonEmpty).map(_.map(_.numRowsTotal).toSeq)
+        val st2 = if (allSt2.isEmpty) Seq.empty
+          else allSt2.transpose.map(_.max)
+        val out2 = spark.table(name2)
+        val grams2 = batchDocs.filter(
+            size(split(trim(col("text")), "\\s+")) >= gramLen)
+          .select(explode(graft.functions.TextHash.chunkSpans(
+            split(trim(col("text")), "\\s+"), gramLen, 1)).as("g"))
+        val totalGrams = grams2.count()
+        val uniqueGrams = grams2.distinct().count()
+        val peak2 = if (st2.isEmpty) -1L else st2.max
+        require(peak2 >= 0 && peak2 <= uniqueGrams + 64,
+          s"x$s: substr peak state $peak2 exceeds unique windows $uniqueGrams " +
+            s"(a per-occurrence store would need ~$totalGrams)")
+        val sentinels = spark.read.parquet(s"$dir/documents.parquet")
+          .filter(expr("doc_id % 9973 = 0 AND doc_id < 900000000")).count()
+        val fed = spark.read.parquet(s"$dir/documents.parquet").count()
+        val nOut2 = out2.count()
+        require(nOut2 == fed - sentinels,
+          s"x$s: substr emitted $nOut2 docs, want ${fed - sentinels}")
+        val tokensInClosed = spark.read.parquet(s"$dir/documents.parquet")
+          .filter(expr("NOT (doc_id % 9973 = 0 AND doc_id < 900000000)"))
+          .select(sum(size(split(trim(col("text")), "\\s+"))))
+          .head().getLong(0)
+        val tokensOut = out2.select(sum(col("n_tokens"))).head().getLong(0)
+        require(tokensOut == tokensInClosed,
+          s"x$s: substr token conservation broke: $tokensOut vs $tokensInClosed")
+        val cut = out2.select(sum(col("n_cut"))).head().getLong(0)
+        println(f"[stream-soak] x$s%-3d substr wall=${(t3 - t2) / 1e9}%7.2fs docsOut=$nOut2 " +
+          s"peakState=${st2.mkString("/")} uniqueWindows=$uniqueGrams " +
+          s"totalWindows=$totalGrams tokensCut=$cut")
+        spark.catalog.dropTempView(name2)
       }
     } else {
       // GRAFT_SOAK_ONLY=a,b,c narrows the timed family (re-soak one

@@ -129,6 +129,12 @@ object CorpusStream {
       .select(col("doc_id"), col("__ts"), col("n_tokens"), posexplode(col("__w")))
       .select(col("doc_id"), col("__ts"), col("n_tokens"),
               col("pos").cast("int").as("tpos"), col("col").as("tok"))
+    // one presence row per doc (tpos −1, ignored by reassembly): a doc
+    // whose EVERY window is dropped as a duplicate contributes zero
+    // cover rows and would otherwise vanish instead of emitting
+    // (n, n, "") like the batch operator
+    val presence = base.select(col("doc_id"), col("__ts"), col("n_tokens"),
+      lit(-1).cast("int").as("tpos"), lit(null).cast("string").as("tok"))
     val L = gramLen
     val reassemble = udf((n: Int, rows: Seq[org.apache.spark.sql.Row]) => {
       val cnt = new Array[Int](n); val tok = new Array[String](n)
@@ -143,7 +149,7 @@ object CorpusStream {
       }
       (n - kept.length, kept.map(tok).mkString(" "))
     })
-    covers.unionByName(shorts)
+    covers.unionByName(shorts).unionByName(presence)
       .groupBy(col("doc_id"),
                org.apache.spark.sql.functions.window(col("__ts"), window))
       .agg(max("n_tokens").as("n_tokens"),

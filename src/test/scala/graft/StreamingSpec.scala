@@ -334,7 +334,9 @@ class StreamingSpec extends AnyFunSuite {
         // sub-L shared run (4 tokens) → untouched
         (3L, ts("2024-01-10 10:11:00"), "s1 s2 s3 s4 q1"),
         // shorter than gramLen → bypasses dedup wholesale
-        (4L, ts("2024-01-10 10:12:00"), "tiny doc"))
+        (4L, ts("2024-01-10 10:12:00"), "tiny doc"),
+        // exact dup of doc 1 → fully cut, must still EMIT (n, n, "")
+        (5L, ts("2024-01-10 10:13:00"), "p1 p2 " + span))
       q.processAllAvailable()
       mem.addData((99L, ts("2024-01-13 00:00:00"), "flush1 flush2 flush3 flush4 flush5"))
       q.processAllAvailable()
@@ -346,6 +348,7 @@ class StreamingSpec extends AnyFunSuite {
         s"cross-batch offset repeat must be cut: ${out.get(2L)}")
       assert(out(3L) == ((5, 0, "s1 s2 s3 s4 q1")), "sub-L run survives")
       assert(out(4L) == ((2, 0, "tiny doc")), "short doc passes through")
+      assert(out(5L) == ((7, 7, "")), s"fully-cut doc must emit empty: ${out.get(5L)}")
       assert(!out.contains(99L), "open-window doc must not emit yet")
     } finally q.stop()
   }
