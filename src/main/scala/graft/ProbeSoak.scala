@@ -116,6 +116,11 @@ object ProbeSoak {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // the streaming peak-state gates take max over recentProgress,
+      // which keeps only the last N updates (default ~100) — raise it
+      // far past any soak run's micro-batch count so the true peak is
+      // never silently aged out of the window
+      .config("spark.sql.streaming.numRecentProgressUpdates", "10000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

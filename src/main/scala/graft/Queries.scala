@@ -2801,6 +2801,98 @@ object Queries {
            |FROM m JOIN keep ON m.doc_id = keep.doc_id
            |ORDER BY m.doc_id""".stripMargin))
 
+  /** The streaming span-dedup twin drained to its end state — the same
+    * driver-gated proof `q_score_stream` gives the scoring stream: the
+    * batch span-dedup oracle applies verbatim because the runner's
+    * ordered single-partition feed makes arrival order the batch
+    * (doc_id, span_idx) rule. Per-doc 1 s windows + 0 s watermark ⇒
+    * every doc's window closes except the one holding max(doc_id)
+    * (its end is past the final watermark), so the oracle excludes
+    * exactly that doc; keep decisions still range over ALL docs
+    * (safe — the excluded doc arrives last and can't claim a span). */
+  private val qSpanDedupStream = {
+    val k = 5
+    Q(
+      "q_span_dedup_stream",
+      (s, d) => streaming.CorpusStream.spanDedupOverFile(s, d, spanLen = k)
+        .orderBy("doc_id"),
+      Some(s"""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+           |sp AS (SELECT doc_id, unnest(generate_series(1, (len(w)+${k - 1})//$k)) AS span_idx, w FROM w),
+           |spans AS (SELECT doc_id, CAST(span_idx AS INT) AS span_idx,
+           |  array_to_string(list_slice(w, (span_idx-1)*$k+1, span_idx*$k), ' ') AS span FROM sp),
+           |k AS (SELECT doc_id, span_idx, span,
+           |  row_number() OVER (PARTITION BY span ORDER BY doc_id, span_idx) AS rn FROM spans)
+           |SELECT doc_id, CAST(count(*) AS INT) AS n_spans,
+           | CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS INT) AS n_kept,
+           | coalesce(string_agg(CASE WHEN rn = 1 THEN span END, ' ' ORDER BY span_idx), '') AS dedup_text
+           |FROM k WHERE doc_id < (SELECT max(doc_id) FROM documents)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+  }
+
+  /** The streaming exact repeated-substring twin drained to its end
+    * state — the batch `q_dedup_substrings` oracle with the same
+    * last-doc exclusion as `q_span_dedup_stream` (open final window).
+    * Cut decisions range over all docs; the excluded last arrival can
+    * only have its own windows cut, never cut an emitted doc's. */
+  private val qDedupSubstringsStream = {
+    val L = 20
+    Q(
+      "q_dedup_substrings_stream",
+      (s, d) => streaming.CorpusStream.substringsDedupOverFile(s, d, gramLen = L)
+        .orderBy("doc_id"),
+      Some(s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+           |tok AS (SELECT doc_id, CAST(p AS INT)-1 AS tpos, w[CAST(p AS INT)] AS tok
+           |        FROM t, unnest(generate_series(1, len(w))) AS u(p)),
+           |grams AS (SELECT doc_id, CAST(p AS INT)-1 AS pos,
+           |          array_to_string(list_slice(w, CAST(p AS INT), CAST(p AS INT)+$L-1), ' ') AS gram
+           |          FROM t, unnest(generate_series(1, len(w)-$L+1)) AS u(p)
+           |          WHERE len(w) >= $L),
+           |k AS (SELECT doc_id, pos,
+           |        count(*) OVER (PARTITION BY gram) AS cnt,
+           |        row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+           |      FROM grams),
+           |masked AS (SELECT doc_id, pos, pos + $L AS cut_end FROM k WHERE cnt > 1 AND rn > 1),
+           |m AS (SELECT tok.doc_id, tok.tpos, tok.tok,
+           |        max(masked.cut_end)
+           |          OVER (PARTITION BY tok.doc_id ORDER BY tok.tpos
+           |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mask_end
+           |      FROM tok LEFT JOIN masked
+           |        ON tok.doc_id = masked.doc_id AND tok.tpos = masked.pos)
+           |SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
+           |  CAST(sum(CASE WHEN mask_end IS NOT NULL AND mask_end > tpos THEN 1 ELSE 0 END) AS INT) AS n_cut,
+           |  coalesce(string_agg(CASE WHEN mask_end IS NULL OR mask_end <= tpos THEN tok END, ' ' ORDER BY tpos), '') AS dedup_text
+           |FROM m WHERE doc_id < (SELECT max(doc_id) FROM documents)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+  }
+
+  /** The streaming canonical-form dedup twin drained to its end state.
+    * Emission is immediate (no window agg), so no doc is excluded; the
+    * kept set is the batch rule (min doc_id per normalized digest) by
+    * the runner's ordered feed. */
+  private val qCanonicalDedupStream = Q(
+    "q_canonical_dedup_stream",
+    (s, d) => streaming.CorpusStream.canonicalDedupOverFile(s, d)
+      .orderBy("doc_id"),
+    Some("""WITH n AS (SELECT doc_id,
+           |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+           |       '\s+', ' ', 'g')) AS norm_text
+           | FROM documents),
+           |keep AS (SELECT min(doc_id) AS doc_id FROM n GROUP BY md5(norm_text))
+           |SELECT d.doc_id, d.source, d.n_chars
+           |FROM documents d JOIN keep ON d.doc_id = keep.doc_id
+           |ORDER BY d.doc_id""".stripMargin))
+
+  /** The streaming SimHash dedup twin drained to its end state.
+    * Rows-only: the FNV-based codegen signature is not
+    * SQL-recomputable (the portable-md5 batch twin `dedup_simhash_md5`
+    * oracle-pins the signature semantics); StreamingSpec pins the
+    * cross-batch collision-drop behavior. */
+  private val qSimhashDedupStream = Q(
+    "q_simhash_dedup_stream",
+    (s, d) => streaming.CorpusStream.simhashDedupOverFile(s, d)
+      .orderBy("doc_id"),
+    None)
+
   // =====================================================================
   // All declared queries, in SURVEY §2 order
   // =====================================================================
@@ -2823,6 +2915,8 @@ object Queries {
     qDedupSimhash, qDedupSimhashMd5,
     qDedupClusters, qCorpusDedup, qSpanDedup, qDedupSubstrings,
     qDedupSubstringsInc, qDedupIncremental,
+    qSpanDedupStream, qDedupSubstringsStream, qCanonicalDedupStream,
+    qSimhashDedupStream,
     qDedupEmbedding, qDedupEmbeddingExact, qDedupSemantic,
     qDedupSemanticGrid, qMediaFeatures, qMediaEmbedTopk,
     qMixDomains, qTopTerms,

@@ -25,6 +25,13 @@ object Tables {
   private def normalizeTs(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    // Both branches are epoch-correct only under a UTC session (the
+    // NTZ→TS cast reads wall time in the session zone); fail loudly
+    // rather than silently diverge from the µs-epoch oracle.
+    val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+    require(tz == "UTC",
+      s"Tables.normalizeTs requires spark.sql.session.timeZone=UTC (got $tz): " +
+      "the TIMESTAMP_NTZ cast and the nanos-long path are epoch-sensitive")
     df.schema("ts").dataType match {
       case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))

@@ -53,25 +53,46 @@ object CorpusStream {
     * order and emits on window close (append mode). Keep choice
     * follows ARRIVAL order, the streaming-native analog of the batch
     * operator's (doc_id, span_idx) order — the kept-span SET is
-    * identical; which duplicate doc carries a shared span can differ
-    * (StreamingSpec pins the invariants). */
+    * identical; which duplicate doc carries a shared span can differ.
+    * WITHIN one micro-batch the winner among same-batch occurrences is
+    * partition-order-arbitrary (the state store sees rows in shuffled
+    * iterator order), so run-to-run output is deterministic only when
+    * each span's first arrival is in an earlier batch than its
+    * duplicates OR the upstream is a single ordered partition — the
+    * `spanDedupOverFile` runner pins exactly that via `coalesce(1)`,
+    * which makes arrival order the batch rule (doc_id, span_idx) and
+    * the DuckDB oracle applicable (StreamingSpec pins the invariants).
+    *
+    * A doc whose EVERY span is dropped as a duplicate still emits
+    * (n_spans, 0, "") like the batch operator: a per-doc presence row
+    * bypasses the dedup and joins the reassembly agg (same structure
+    * as `dedupSubstringsStream`; both branches share ONE pre-branch
+    * watermark node — see the note there). */
   def dedupSpansStream(docs: DataFrame, tsCol: String = "ts",
                        idCol: String = "doc_id", textCol: String = "text",
                        spanLen: Int = 5, watermark: String = "1 day",
                        window: String = "1 hour"): DataFrame = {
-    val spans = docs.select(col(idCol).as("doc_id"), col(tsCol).as("__ts"),
+    val base = docs.select(col(idCol).as("doc_id"), col(tsCol).as("__ts"),
         graft.functions.TextHash.chunkSpans(
           split(trim(col(textCol)), "\\s+"), spanLen, spanLen).as("__spans"))
       .select(col("doc_id"), col("__ts"),
-              size(col("__spans")).cast("int").as("n_spans"),
+              size(col("__spans")).cast("int").as("n_spans"), col("__spans"))
+      .withWatermark("__ts", watermark)
+    val kept = base
+      .select(col("doc_id"), col("__ts"), col("n_spans"),
               posexplode(col("__spans")))
       .select(col("doc_id"), col("__ts"), col("n_spans"),
               (col("pos") + 1).as("span_idx"), col("col").as("span"))
-    spans.withWatermark("__ts", watermark)
       .dropDuplicatesWithinWatermark("span")
+    // presence row per doc (span_idx −1, null span — skipped by both
+    // the keep count and concat_ws): a fully-duplicate doc must still
+    // emit (n_spans, 0, "") instead of vanishing
+    val presence = base.select(col("doc_id"), col("__ts"), col("n_spans"),
+      lit(-1).cast("int").as("span_idx"), lit(null).cast("string").as("span"))
+    kept.unionByName(presence)
       .groupBy(col("doc_id"), org.apache.spark.sql.functions.window(col("__ts"), window))
       .agg(max("n_spans").as("n_spans"),
-           count(lit(1)).cast("int").as("n_kept"),
+           sum(when(col("span_idx") >= 0, 1).otherwise(0)).cast("int").as("n_kept"),
            concat_ws(" ", transform(
              sort_array(collect_list(struct(col("span_idx"), col("span")))),
              s => s.getField("span"))).as("dedup_text"))
@@ -87,7 +108,18 @@ object CorpusStream {
     * window digest in the horizon, never window text or documents —
     * and a window's occurrence is kept iff its digest was not seen
     * earlier (arrival order replaces the batch operator's
-    * (doc_id, pos) order, as in `dedupSpansStream`). Reassembly:
+    * (doc_id, pos) order, as in `dedupSpansStream`). NOTE on
+    * within-batch determinism: when a window digest repeats WITHIN one
+    * micro-batch (in-doc or cross-doc same-batch), the state store
+    * sees occurrences in shuffled-iterator order, so WHICH copy
+    * survives is partition-order-arbitrary and can diverge run-to-run
+    * and from the batch operator's (doc_id, pos)-first rule; output is
+    * deterministic when duplicates arrive in distinct micro-batches or
+    * when the upstream is a single ordered partition (streaming frames
+    * cannot sort pre-state, so the ordered-partition route is the
+    * deterministic one — `substringsDedupOverFile` pins it with
+    * `coalesce(1)`, making arrival order the batch rule and the batch
+    * DuckDB oracle applicable). Reassembly:
     * surviving windows explode to the tokens they cover; a token is
     * CUT iff its surviving-cover count falls short of the expected
     * cover count (every token of an n≥L doc is covered by
@@ -267,4 +299,81 @@ object CorpusStream {
     try q.processAllAvailable() finally q.stop()
     spark.table(name)
   }
+
+  // =====================================================================
+  // Finite-input runners for the declared streaming dedup twins
+  // =====================================================================
+
+  /** The documents parquet as an ordered single-partition stream with a
+    * synthetic deterministic event time (ts = 2024-01-01T00:00:00Z +
+    * doc_id seconds — the documents table carries no timestamp).
+    * `coalesce(1)` pins within-micro-batch arrival order to file order
+    * (= doc_id order in the driver testdata, verified ascending), so
+    * every `dropDuplicatesWithinWatermark` winner is the batch
+    * operator's (doc_id, pos)-first rule and the batch DuckDB oracles
+    * apply verbatim. Only the scan+tokenize segment is single-threaded;
+    * everything after the dedup's hash exchange runs on the full state
+    * partitioning (a one-map-partition shuffle preserves row order per
+    * reducer). Production streams stay fully partitioned — this runner
+    * is the finite-input proof harness, like `q_score_stream`'s. */
+  private def orderedDocStream(spark: org.apache.spark.sql.SparkSession,
+                               sfDir: String): DataFrame =
+    graft.Tables.documentsStream(spark, sfDir)
+      .coalesce(1)
+      .withColumn("ts",
+        timestamp_micros((lit(1704067200L) + col("doc_id")) * lit(1000000L)))
+
+  private def drainToTable(spark: org.apache.spark.sql.SparkSession,
+                           prefix: String, df: DataFrame): DataFrame = {
+    val name = s"__graft_${prefix}_${runSeq.incrementAndGet()}"
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
+  /** Declared `q_span_dedup_stream`: the span-dedup stream drained to
+    * its end state. Watermark 0 s + per-doc 1 s tumbling windows ⇒
+    * after the single data micro-batch the no-data batch closes every
+    * doc window except the one holding max(doc_id) (watermark = max
+    * event time; that window's end is past it) — the oracle excludes
+    * exactly that doc. Keep decisions are global across ALL docs
+    * including the unemitted last one, which is safe: it arrives last,
+    * so it can only lose spans to emitted docs, never claim one. */
+  def spanDedupOverFile(spark: org.apache.spark.sql.SparkSession,
+                        sfDir: String, spanLen: Int = 5): DataFrame =
+    drainToTable(spark, "spanstream",
+      dedupSpansStream(orderedDocStream(spark, sfDir), "ts", "doc_id", "text",
+        spanLen, watermark = "0 seconds", window = "1 second"))
+
+  /** Declared `q_dedup_substrings_stream`: the exact repeated-substring
+    * stream drained to its end state (same watermark/window/exclusion
+    * scheme as `spanDedupOverFile`). */
+  def substringsDedupOverFile(spark: org.apache.spark.sql.SparkSession,
+                              sfDir: String, gramLen: Int = 20): DataFrame =
+    drainToTable(spark, "substrstream",
+      dedupSubstringsStream(orderedDocStream(spark, sfDir), "ts", "doc_id",
+        "text", gramLen, watermark = "0 seconds", window = "1 second"))
+
+  /** Declared `q_canonical_dedup_stream`: canonical-form dedup drained
+    * to its end state. Stateless emission (no window agg), so every
+    * kept row lands in the sink — no last-doc exclusion needed; the
+    * ordered single-partition feed makes the kept set exactly the
+    * batch rule (min doc_id per normalized digest). */
+  def canonicalDedupOverFile(spark: org.apache.spark.sql.SparkSession,
+                             sfDir: String): DataFrame =
+    drainToTable(spark, "canonstream",
+      dedupCanonical(orderedDocStream(spark, sfDir), "ts", "text")
+        .select(col("doc_id"), col("source"), col("n_chars")))
+
+  /** Declared `q_simhash_dedup_stream`: first-occurrence keep per
+    * 64-bit SimHash signature drained to its end state. Rows-only at
+    * the driver (the FNV-based codegen signature is not
+    * SQL-recomputable; the portable-md5 batch twin `dedup_simhash_md5`
+    * carries the oracle for the signature semantics). */
+  def simhashDedupOverFile(spark: org.apache.spark.sql.SparkSession,
+                           sfDir: String): DataFrame =
+    drainToTable(spark, "simhashstream",
+      dedupBySimhash(orderedDocStream(spark, sfDir), "ts", "text")
+        .select(col("doc_id"), col("source"), col("n_chars")))
 }

@@ -149,9 +149,30 @@ class PlanShapeSpec extends AnyFunSuite {
       .findAllMatchIn(plan).map(_.group(1)).toSeq
     assert(windowPartitions.nonEmpty && windowPartitions.forall(_.startsWith("doc_id")),
       s"expected only doc_id-partitioned coverage windows, got $windowPartitions:\n${plan.take(1200)}")
-    assert(!plan.contains("hashpartitioning(gram#") ||
-           plan.contains("unhex(md5("),
-      s"gram shuffle key must be the digest:\n${plan.take(1200)}")
+    // inspect the exchanges' partitioning expressions directly (a
+    // string-plan disjunction here was vacuously true): no StringType
+    // gram/window-text column may feed a hashpartitioning node, and the
+    // dedup-decision shuffle must key on the 16-byte BinaryType digest
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.types.{BinaryType, StringType}
+    // plan with AQE off for this one inspection: the adaptive wrapper
+    // hides exchange nodes from collect(), and sparkPlan predates
+    // EnsureRequirements (no exchanges inserted yet)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val exec = try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      SparkEntry.queries("q_dedup_substrings")(spark, sf)
+        .queryExecution.executedPlan
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    val hashKeys = exec.collect { case e: ShuffleExchangeExec => e.outputPartitioning }
+      .collect { case HashPartitioning(exprs, _) => exprs }.flatten
+    val textKeys = hashKeys.filter(k => k.dataType == StringType &&
+      k.references.exists(a => a.name.contains("gram") || a.name.contains("tok")))
+    assert(textKeys.isEmpty,
+      s"verbatim gram/token text feeds a shuffle: $textKeys")
+    assert(hashKeys.exists(_.dataType == BinaryType),
+      s"no digest-keyed shuffle found — keys were: ${hashKeys.map(k => s"$k: ${k.dataType}")}")
   }
 
   test("bloom decontamination serve half is scan-side: zero exchanges") {

@@ -302,7 +302,7 @@ class StreamingSpec extends AnyFunSuite {
       val out = spark.table("span_out")
         .collect().map(r => r.getLong(0) ->
           ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
-      assert(!out.contains(4L), "fully-duplicate doc must vanish")
+      assert(out(4L) == ((1, 0, "")), s"fully-duplicate doc must emit empty: ${out.get(4L)}")
       assert(!out.contains(99L), "open-window doc must not emit yet")
       assert(out(3L) == ((2, 1, "w1 w2 w3 w4 w5")), s"got ${out.get(3L)}")
       // exactly ONE of docs 1/2 carries the boilerplate span
