@@ -66,18 +66,18 @@ object Bench {
         sweep()
         (e - s) / 1e9
       }
-      val a = timedRun()
-      val b = timedRun()
+      val samples = scala.collection.mutable.ArrayBuffer(timedRun(), timedRun())
       // Two samples disagreeing by >1.5x means one was poisoned by
       // transient host noise (GC, co-tenant load) — buy a third sample
       // for that query only, so a single noisy window can't inflate the
-      // recorded number. min-of-k is the steady-state plan cost.
-      val timed =
-        if (math.max(a, b) <= 1.5 * math.min(a, b)) math.min(a, b)
-        else math.min(math.min(a, b), timedRun())
+      // recorded number. min-of-k is the steady-state plan cost; the
+      // full per-query spread is recorded in BENCH_FULL so "is this
+      // total noise?" is answerable from the artifact alone.
+      if (samples.max > 1.5 * samples.min) samples += timedRun()
+      val timed = samples.min
       System.err.println(f"[bench] $name warm=${(w1 - w0) / 1e9}%.2f timed=$timed%.2f" +
         (if (leakedRdds + leakedViews > 0) s" swept=${leakedRdds}r/${leakedViews}v" else ""))
-      name -> timed
+      (name, timed, samples.sorted.toSeq)
     }
     // Post-sweep invariant: the store must be empty between queries —
     // a nonzero residue here means sweep() missed a state class and the
@@ -97,20 +97,29 @@ object Bench {
     // BENCH_FULL.json, which is committed with the repo each round.
     def r3(d: Double): String =
       BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qsFull = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qsFull = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // per-query [min, median, max] across the N timed executions —
+    // min is the number of record; the spread bounds host-noise claims
+    def median(xs: Seq[Double]): Double =
+      if (xs.size % 2 == 1) xs(xs.size / 2)
+      else (xs(xs.size / 2 - 1) + xs(xs.size / 2)) / 2.0
+    val spreadJson = results.map { case (k, _, s) =>
+      "\"" + k + "\":[" + r3(s.min) + "," + r3(median(s)) + "," + r3(s.max) + "]"
+    }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json")
     val leaksJson = leaks.filter(_._2 > 0)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
       (s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,""" +
+        s""""spread_min_med_max":$spreadJson,""" +
         s""""swept_blocks_per_query":$leaksJson,"sf":"$sfDir"}""")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
       s""""sf":"$sfDir","n_queries":${results.size},"queries_full":"$fullPath","queries":{"""
     val budget = 1800 - head.length - 2 // "}}" closer
-    val entries = results.sortBy(-_._2).map { case (k, v) => "\"" + k + "\":" + r3(v) }
+    val entries = results.sortBy(-_._2).map { case (k, v, _) => "\"" + k + "\":" + r3(v) }
     val packed = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = 0
     entries.foreach { e =>

@@ -18,6 +18,28 @@ object ProbeLof {
       val t0 = System.nanoTime(); val r = f
       System.err.println(f"[lof] $name ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
+    // GRAFT_LOF_SLICE=events: coverage + agreement probe for the
+    // full events feature slice (the ml_lof upgrade investigation)
+    if (sys.env.get("GRAFT_LOF_SLICE").contains("events")) {
+      val (_, feats) = ml.Features.preprocessedEvents(spark, d)
+      val fe = feats.select(col("event_id").as("vec_id"),
+        col("features").cast("array<double>").as("f"))
+      val n = fe.count()
+      Seq(60, 25).foreach { target =>
+        val radius = t("radius")(ml.Lof.estimateRadius(fe, "vec_id", "f", target, n))
+        System.err.println(s"[lof] events n=$n target=$target radius=$radius")
+        for (proj <- Seq(2, 3); cap <- Seq(128, 512)) {
+          val edges = ml.Lof.lshNeighbors(fe, "vec_id", "f", 20, radius,
+            projections = proj, bucketCap = cap)
+          val (cov, ecnt) = t(s"target=$target proj=$proj cap=$cap edges") {
+            val e = edges.localCheckpoint()
+            (e.select("id").distinct().count(), e.count())
+          }
+          System.err.println(s"[lof] target=$target proj=$proj cap=$cap coverage=$cov/$n edges=$ecnt")
+        }
+      }
+      spark.stop(); return
+    }
     // warm the JVM/codegen once
     Tables.embeddings(spark, d).count()
     (1 to 2).foreach { round =>

@@ -284,6 +284,48 @@ object ProbeSoak {
       }
       spark.stop(); return
     }
+    if (mode == "inc") {
+      // q_dedup_incremental stage decomposition (the 96x soak's
+      // least-linear row): digest anti join, band keys, candidate
+      // join, verification — which stage carries the growth?
+      scales.foreach { s =>
+        val dir = s"$OutRoot/x$s"
+        val docs = Tables.documents(spark, dir)
+        val existing = docs.filter(col("doc_id") % 5 =!= 4)
+        val incoming = docs.filter(col("doc_id") % 5 === 4)
+        def nt[T](name: String)(f: => T): T = {
+          val t0 = System.nanoTime(); val r = f
+          println(f"[inc] x$s $name ${(System.nanoTime() - t0) / 1e9}%8.2fs -> $r")
+          r
+        }
+        nt("digests")(existing
+          .select(md5(col("text").cast("binary")).as("d")).distinct().count())
+        val shEx = operators.Dedup.shingleDocs(existing, "doc_id", "text", 3)
+        val shIn = operators.Dedup.shingleDocs(incoming, "doc_id", "text", 3)
+        val bEx = operators.Dedup.bandedKeys(shEx, 16, 8, portableMd5 = true)
+        val bIn = operators.Dedup.bandedKeys(shIn, 16, 8, portableMd5 = true)
+        nt("bandEx")(bEx.count()); nt("bandIn")(bIn.count())
+        val freq = bEx.groupBy("band", "bh")
+          .agg(count(lit(1)).as("__f"), min("doc_id").as("__mn"))
+        val cold = bEx.join(freq.filter(col("__f") <= 64).select("band", "bh"),
+          Seq("band", "bh")).select(col("band"), col("bh"), col("doc_id").as("ex_id"))
+        val hot = freq.filter(col("__f") > 64)
+          .select(col("band"), col("bh"), col("__mn").as("ex_id"))
+        val bExCapped = cold.unionByName(hot)
+        val cands = bIn.join(bExCapped, Seq("band", "bh"))
+          .select(col("doc_id"), col("ex_id")).dropDuplicates("doc_id", "ex_id")
+        nt("cands")(cands.count())
+        val withSets = cands
+          .join(shIn.select(col("doc_id"), col("shingles").as("sa")), "doc_id")
+          .join(shEx.select(col("doc_id").as("ex_id"), col("shingles").as("sb")), "ex_id")
+        val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
+        val uni = (size(col("sa")) + size(col("sb"))).cast("double") - inter
+        nt("verify")(withSets.filter(round(inter / uni, 6) >= 0.1)
+          .select("doc_id").distinct().count())
+        nt("full")(SparkEntry.queries("q_dedup_incremental")(spark, dir).count())
+      }
+      spark.stop(); return
+    }
     if (mode == "gen") {
       scales.foreach { s =>
         val dir = s"$OutRoot/x$s"

@@ -650,9 +650,38 @@ object Queries {
     },
     None)
 
-  /** LOF over embeddings via LSH kNN (§2.8; approximate, scale path). */
+  /** LOF over the FULL events feature slice (§2.8) — the reference's
+    * actual configuration (sklearn `novelty=True`, `train.py:76`):
+    * a bounded-reference novelty model is fit once (≤2000 hash-ordered
+    * reference points, constant-size driver state like every other
+    * fit) and EVERY row scores against it — full coverage by
+    * construction, linear cost, streaming-safe. The transductive
+    * LSH-kNN variant stays declared as `ml_lof_lsh`; it is NOT used
+    * here because measured on this slice it is two orders costlier
+    * (one-hot-dense regions make LSH buckets quadratic: 10–220 s at
+    * sf0.1 vs ~2 s for the novelty scorer, r7 probe) and can drop
+    * uncovered points. Exact-vs-novelty and exact-vs-LSH agreement
+    * are pinned as MlSpec floors on a full slice. */
   private val qMlLof = Q(
     "ml_lof",
+    (s, d) => {
+      val (_, feats) = ml.Features.preprocessedEvents(s, d)
+      val fe = feats.select(col("event_id"),
+        col("features").cast("array<double>").as("f"))
+      val model = ml.Lof.fitNovelty(fe, "event_id", "f", k = 20)
+      fe.select(col("event_id"),
+                round(model.scoreCol(col("f")), 6).as("score_lof"))
+        .orderBy("event_id")
+    },
+    None)
+
+  /** Transductive LOF via LSH kNN over embeddings (§2.8 scale-path
+    * twin of `ml_lof`): kNN edge list from AND-OR LSH buckets, then
+    * the kdist→reach→lrd→LOF agg chain — the shape for scoring a
+    * BOUNDED vector slice in place (no model, mutual neighborhoods).
+    * MlSpec pins its rank agreement with exact LOF on a full slice. */
+  private val qMlLofLsh = Q(
+    "ml_lof_lsh",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("f"))
@@ -2930,6 +2959,6 @@ object Queries {
     qChunkOverlap, qLengthBuckets, qSourceOverlap,
     qDupNgrams, qUnigramLogprob, qLmCrossEntropy,
     qPackSequences, qPackManifest, qCorpusPipeline, qZorderKey, qMixQuality,
-    qScalerFit, qMlPreproc, qMlPcaRecon, qMlIforest, qMlLof, qMlEnsemble,
-    qMlSplit, qScoreFallback)
+    qScalerFit, qMlPreproc, qMlPcaRecon, qMlIforest, qMlLof, qMlLofLsh,
+    qMlEnsemble, qMlSplit, qScoreFallback)
 }

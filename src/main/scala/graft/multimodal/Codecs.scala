@@ -3,15 +3,19 @@ package graft.multimodal
 import java.nio.{ByteBuffer, ByteOrder}
 import java.nio.charset.StandardCharsets
 
-/** Dependency-free real codecs for the two formats parseable in plain
-  * JVM code: Netpbm images (binary P5 grayscale / P6 RGB) and PCM WAV
-  * audio (RIFF/WAVE, 16-bit little-endian). These replace the
-  * `Media.fakeDecode` stub for recognized containers; unrecognized
-  * bytes still fall through to the stub (documented) so the plumbing
-  * accepts any blob.
+/** Dependency-free real codecs for the formats parseable in plain
+  * JVM code: PNG (zlib inflate is `java.util.zip`; the filter
+  * algebra including Paeth is the spec), Netpbm images (binary P5
+  * grayscale / P6 RGB) and PCM WAV audio (RIFF/WAVE, 16-bit
+  * little-endian). These replace the `Media.fakeDecode` stub for
+  * recognized containers; unrecognized bytes (JPEG-class lossy
+  * formats, video) still fall through to the stub (documented) so the
+  * plumbing accepts any blob.
   *
-  * Format references are the public specs: Netpbm pgm(5)/ppm(5) and
-  * the Microsoft/IBM RIFF WAVE format (fmt chunk 16, PCM).
+  * Format references are the public specs: the PNG specification
+  * (W3C/ISO 15948 — chunk layout §5, filters §9, zlib datastream
+  * §10), Netpbm pgm(5)/ppm(5), and the Microsoft/IBM RIFF WAVE
+  * format (fmt chunk 16, PCM).
   */
 object Codecs {
 
@@ -26,10 +30,15 @@ object Codecs {
   case object Pgm extends Kind
   case object Ppm extends Kind
   case object Wav extends Kind
+  case object Png extends Kind
   case object Unknown extends Kind
 
+  private val PngSig: Array[Int] = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+
   def detect(bytes: Array[Byte]): Kind =
-    if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '5') Pgm
+    if (bytes.length >= 8 &&
+        (0 until 8).forall(i => (bytes(i) & 0xff) == PngSig(i))) Png
+    else if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '5') Pgm
     else if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6') Ppm
     else if (bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' &&
              bytes(2) == 'F' && bytes(3) == 'F' &&
@@ -120,6 +129,175 @@ object Codecs {
       y += 1
     }
     encodePgm(out, w2, h2)
+  }
+
+  // -- PNG (8-bit, non-interlaced; gray/RGB/gray+A/RGBA) ----------------
+
+  /** Decode a PNG to gray pixels in [0,1]. Supported: bit depth 8,
+    * color types 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA),
+    * interlace 0 — the overwhelmingly common byte layouts; palette
+    * (3) and sub-byte depths are rejected loudly. The zlib IDAT
+    * stream inflates through `java.util.zip.Inflater`; every chunk
+    * CRC is verified (a truncated or bit-flipped file fails here, not
+    * as garbage pixels); all five filter types (None/Sub/Up/Average/
+    * Paeth) are reconstructed per the spec's byte algebra. Color
+    * reduces to luminance with the same Rec.601 weights as `decodePpm`;
+    * alpha is ignored (feature pooling reads opaque content). */
+  def decodePng(bytes: Array[Byte]): Image = {
+    require(detect(bytes) == Png, "not a PNG")
+    val crc = new java.util.zip.CRC32
+    var pos = 8
+    var w = 0; var h = 0; var channels = 0
+    var seenIhdr = false; var seenIend = false
+    val idat = new java.io.ByteArrayOutputStream()
+    def be32(o: Int): Int =
+      ((bytes(o) & 0xff) << 24) | ((bytes(o + 1) & 0xff) << 16) |
+        ((bytes(o + 2) & 0xff) << 8) | (bytes(o + 3) & 0xff)
+    while (!seenIend) {
+      require(pos + 8 <= bytes.length, "truncated png (chunk header)")
+      val len = be32(pos)
+      require(len >= 0 && pos + 12 + len <= bytes.length, s"bad chunk length $len")
+      val typ = new String(bytes, pos + 4, 4, StandardCharsets.US_ASCII)
+      crc.reset(); crc.update(bytes, pos + 4, 4 + len)
+      require(crc.getValue.toInt == be32(pos + 8 + len), s"CRC mismatch in $typ")
+      typ match {
+        case "IHDR" =>
+          require(len == 13, s"IHDR length $len")
+          w = be32(pos + 8); h = be32(pos + 12)
+          val bitDepth = bytes(pos + 16) & 0xff
+          val colorType = bytes(pos + 17) & 0xff
+          val interlace = bytes(pos + 20) & 0xff
+          require(w > 0 && h > 0, s"bad dimensions ${w}x$h")
+          require(bitDepth == 8, s"only 8-bit PNG supported, got depth $bitDepth")
+          require(interlace == 0, "interlaced (Adam7) PNG not supported")
+          channels = colorType match {
+            case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4
+            case t => throw new IllegalArgumentException(
+              s"unsupported PNG color type $t (palette needs PLTE handling)")
+          }
+          seenIhdr = true
+        case "IDAT" =>
+          require(seenIhdr, "IDAT before IHDR")
+          idat.write(bytes, pos + 8, len)
+        case "IEND" => seenIend = true
+        case _ => () // ancillary chunk — CRC-checked above, content ignored
+      }
+      pos += 12 + len
+    }
+    require(seenIhdr && idat.size() > 0, "missing IHDR or IDAT")
+    // inflate the zlib stream to exactly h rows of (1 filter byte + stride)
+    val stride = w * channels
+    val raw = new Array[Byte]((stride + 1) * h)
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    var got = 0
+    while (got < raw.length && !inf.finished()) {
+      val n = inf.inflate(raw, got, raw.length - got)
+      require(n > 0 || inf.finished(),
+        "truncated or non-advancing zlib stream in IDAT")
+      got += n
+    }
+    inf.end()
+    require(got == raw.length, s"inflated $got bytes, want ${raw.length}")
+    // per-row unfilter (spec §9): a = left, b = up, c = up-left, per byte
+    val recon = new Array[Int](stride * h)
+    val bpp = channels
+    var y = 0
+    while (y < h) {
+      val f = raw(y * (stride + 1)) & 0xff
+      var i = 0
+      while (i < stride) {
+        val x = raw(y * (stride + 1) + 1 + i) & 0xff
+        val a = if (i >= bpp) recon(y * stride + i - bpp) else 0
+        val b = if (y > 0) recon((y - 1) * stride + i) else 0
+        val c = if (y > 0 && i >= bpp) recon((y - 1) * stride + i - bpp) else 0
+        val v = f match {
+          case 0 => x
+          case 1 => x + a
+          case 2 => x + b
+          case 3 => x + (a + b) / 2
+          case 4 =>
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+            x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+          case other => throw new IllegalArgumentException(s"bad filter type $other row $y")
+        }
+        recon(y * stride + i) = v & 0xff
+        i += 1
+      }
+      y += 1
+    }
+    // gray reduction per color type
+    val gray = new Array[Float](w * h)
+    var p = 0
+    while (p < w * h) {
+      val o = p * channels
+      gray(p) = channels match {
+        case 1 | 2 => recon(o) / 255f
+        case _ =>
+          (0.299f * recon(o) + 0.587f * recon(o + 1) + 0.114f * recon(o + 2)) / 255f
+      }
+      p += 1
+    }
+    Image(w, h, gray)
+  }
+
+  /** Encode 8-bit gray pixels as a minimal standard PNG (color type 0,
+    * filter 0 rows, one zlib IDAT, CRC'd chunks) — decodable by any
+    * compliant reader. */
+  def encodePngGray(pixels: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    require(pixels.length == w * h, s"${pixels.length} pixels for ${w}x$h")
+    val raw = new Array[Byte]((w + 1) * h)
+    var y = 0
+    while (y < h) {
+      raw(y * (w + 1)) = 0 // filter: None
+      System.arraycopy(pixels, y * w, raw, y * (w + 1) + 1, w)
+      y += 1
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val buf = new Array[Byte](raw.length + 64)
+    val out = new java.io.ByteArrayOutputStream()
+    while (!defl.finished()) out.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    val zdata = out.toByteArray
+    val bb = ByteBuffer.allocate(8 + 25 + (12 + zdata.length) + 12)
+    PngSig.foreach(s => bb.put(s.toByte))
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      bb.putInt(data.length)
+      val t = typ.getBytes(StandardCharsets.US_ASCII)
+      bb.put(t).put(data)
+      val crc = new java.util.zip.CRC32
+      crc.update(t); crc.update(data)
+      bb.putInt(crc.getValue.toInt)
+    }
+    val ihdr = ByteBuffer.allocate(13).putInt(w).putInt(h)
+      .put(8.toByte).put(0.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    chunk("IHDR", ihdr.array())
+    chunk("IDAT", zdata)
+    chunk("IEND", Array.emptyByteArray)
+    bb.array()
+  }
+
+  /** Nearest-neighbour resample of any supported PNG to (w2, h2),
+    * re-encoded as gray PNG — `Media.resize` for PNG rows (color
+    * inputs resample their luminance plane, the feature the pipeline
+    * reads). */
+  def resizePng(bytes: Array[Byte], w2: Int, h2: Int): Array[Byte] = {
+    val img = decodePng(bytes)
+    val out = new Array[Byte](w2 * h2)
+    var y = 0
+    while (y < h2) {
+      val sy = y * img.height / h2
+      var x = 0
+      while (x < w2) {
+        val sx = x * img.width / w2
+        out(y * w2 + x) = math.round(img.gray(sy * img.width + sx) * 255f).toByte
+        x += 1
+      }
+      y += 1
+    }
+    encodePngGray(out, w2, h2)
   }
 
   // -- PCM WAV (RIFF/WAVE, fmt chunk, 16-bit LE) -----------------------

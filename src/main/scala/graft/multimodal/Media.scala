@@ -39,6 +39,7 @@ object Media {
     * before a learned encoder. */
   def realDecode(bytes: Array[Byte], dim: Int): Array[Float] =
     Codecs.detect(bytes) match {
+      case Codecs.Png  => poolMean(Codecs.decodePng(bytes).gray, dim)
       case Codecs.Pgm  => poolMean(Codecs.decodePgm(bytes).gray, dim)
       case Codecs.Ppm  => poolMean(Codecs.decodePpm(bytes).gray, dim)
       case Codecs.Wav  => poolRms(Codecs.decodeWav(bytes).samples, dim)
@@ -122,8 +123,12 @@ object Media {
         val b = if (r.isNullAt(bytesIdx)) null else r.getAs[Array[Byte]](bytesIdx)
         val m = if (r.isNullAt(metaIdx)) null else r.getStruct(metaIdx)
         val b2 =
-          if (b != null && Codecs.detect(b) == Codecs.Pgm) Codecs.resizePgm(b, w, h)
-          else b
+          if (b == null) null
+          else Codecs.detect(b) match {
+            case Codecs.Pgm => Codecs.resizePgm(b, w, h)
+            case Codecs.Png => Codecs.resizePng(b, w, h)
+            case _          => b
+          }
         val sr = if (m == null) null else m.get(2)
         val nf = if (m == null) null else m.get(3)
         Row.fromSeq(r.toSeq.updated(bytesIdx, b2)
@@ -157,11 +162,14 @@ object Media {
   }
 
   /** Documents → media table with REAL containers: text bytes become
-    * genuine P5 image rasters (doc_id % 3 == 0), genuine 16-bit PCM
-    * WAV clips (== 1), or raw blobs standing in for a video container
-    * (== 2 — the remaining stub format). The downstream pipeline then
-    * exercises the real parse/decode path end to end on two formats
-    * while keeping the unknown-container fallback under test. */
+    * genuine image rasters (doc_id % 3 == 0 — standard PNG with a
+    * zlib IDAT for doc_id % 6 == 0, binary P5 for % 6 == 3; SAME
+    * pixels either way, so the container choice is provably
+    * feature-neutral), genuine 16-bit PCM WAV clips (== 1), or raw
+    * blobs standing in for a video container (== 2 — the remaining
+    * stub format). The downstream pipeline then exercises the real
+    * parse/decode path end to end on three formats while keeping the
+    * unknown-container fallback under test. */
   def fromDocuments(docs: DataFrame, idCol: String, textCol: String,
                     imgW: Int = 64, imgH: Int = 48,
                     sampleRate: Int = 16000, maxSamples: Int = 2048): DataFrame = {
@@ -176,8 +184,10 @@ object Media {
         (id % 3) match {
           case 0 =>
             val px = Array.tabulate[Byte](imgW * imgH)(cyc)
-            Row(id, "image", Codecs.encodePgm(px, imgW, imgH),
-                Row(imgW, imgH, 0, 0))
+            val container =
+              if (id % 6 == 0) Codecs.encodePngGray(px, imgW, imgH)
+              else Codecs.encodePgm(px, imgW, imgH)
+            Row(id, "image", container, Row(imgW, imgH, 0, 0))
           case 1 =>
             val n = math.max(math.min(tb.length, maxSamples), 16)
             val samples = Array.tabulate[Short](n)(i => (((cyc(i) & 0xff) - 128) << 8).toShort)

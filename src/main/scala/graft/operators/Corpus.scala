@@ -815,19 +815,36 @@ object Corpus {
     *
     * Like the `ml_*` fits, building the frame RUNS the training loop
     * (nMerges driver-argmax rounds) — this is a model-training op, not
-    * a declarative query. */
+    * a declarative query. The loop is DRIVER-PACED (one 1-row argmax
+    * collect + one corpus rewrite per merge — inherent to BPE's
+    * sequential merges), so it is TRAINING-side only: at 100 TB, fit
+    * the merge table on a bounded `sampleFraction` of documents (pair
+    * frequency RANKS are what the merges encode, and ranks are stable
+    * under uniform document sampling — standard tokenizer-training
+    * practice: vocabularies are fit on a few GB, served corpus-wide),
+    * then rewrite the full corpus with `bpeApply`, which is scan-side
+    * and shuffle-free. `sampleFraction` selects documents by a
+    * deterministic md5-of-text coin, so the fit is reproducible on any
+    * engine and independent of row order. */
   def bpeTrain(docs: DataFrame, textCol: String, nMerges: Int = 8,
-               joiner: String = "_"): DataFrame = {
+               joiner: String = "_", sampleFraction: Double = 1.0): DataFrame = {
     // a corpus whose organic vocabulary already contains joiner-joined
     // forms ("new_york" as a literal token) would conflate them with
     // merge products — pass a joiner outside the vocabulary there
     // (sentencepiece uses U+2581 for exactly this reason)
     require(nMerges >= 1 && joiner.nonEmpty && !joiner.contains(" "))
+    require(sampleFraction > 0 && sampleFraction <= 1,
+      s"sampleFraction in (0,1], got $sampleFraction")
     val spark = docs.sparkSession
     import spark.implicits._
+    val fitDocs =
+      if (sampleFraction >= 1.0) docs
+      else docs.filter(
+        conv(substring(md5(col(textCol).cast("binary")), 1, 8), 16, 10)
+          .cast("long") < lit((sampleFraction * 4294967296.0).toLong))
     // the corpus iterates in doubled-space form so each round's rewrite
     // is the same `mergeOnce` the serve path (`bpeApply`) uses
-    var corpus = docs.select(concat(lit(" "),
+    var corpus = fitDocs.select(concat(lit(" "),
       regexp_replace(trim(col(textCol)), "\\s+", "  "), lit(" ")).as("__t"))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var rank = 1

@@ -550,6 +550,33 @@ class CorpusSpec extends AnyFunSuite {
     assert(m.length == 2, s"no repeating pair remains after 2 merges: ${m.toSeq}")
   }
 
+  test("bpeTrain: sampled fit reproduces the full fit's merge table on a skew-free corpus") {
+    // 40 docs drawn from two homogeneous templates — pair-frequency
+    // RANKS are identical in any uniform document sample, so fitting
+    // merges on the md5-coin half must yield the same (rank, pair,
+    // merged) sequence as the full fit (frequencies shrink, order
+    // doesn't). This is the 100 TB posture: bounded-sample fit,
+    // corpus-wide bpeApply serve.
+    val docs = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) "new york city u" + i else "new york harbor v" + i
+      (i.toLong, base + " new york w" + i)
+    }.toDF("doc_id", "text")
+    val full = Corpus.bpeTrain(docs, "text", nMerges = 3)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getAs[Int]("merge_rank"), r.getAs[String]("pair"), r.getAs[String]("merged")))
+    val sampled = Corpus.bpeTrain(docs, "text", nMerges = 3, sampleFraction = 0.5)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getAs[Int]("merge_rank"), r.getAs[String]("pair"), r.getAs[String]("merged")))
+    assert(sampled.nonEmpty && sampled.toSeq == full.toSeq,
+      s"sampled-fit merges diverged:\nfull=${full.toSeq}\nsampled=${sampled.toSeq}")
+    // the sample genuinely subsets: re-fit on the sampled docs only and
+    // check the coin kept a strict, non-empty subset
+    val coin = conv(substring(md5(col("text").cast("binary")), 1, 8), 16, 10)
+      .cast("long") < lit((0.5 * 4294967296.0).toLong)
+    val nSampled = docs.filter(coin).count()
+    assert(nSampled > 0 && nSampled < 40, s"degenerate sample: $nSampled/40")
+  }
+
   test("bpeApply: ordered merges, non-overlap on runs, idempotent on merged text") {
     val df = Seq((1L, "a b a b c"), (2L, "x a b y"), (3L, "a a a")).toDF("doc_id", "text")
     val merges = Seq("a b" -> "a_b", "a_b c" -> "a_b_c")

@@ -4,10 +4,10 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.multimodal.{Codecs, Media}
 
-/** Multimodal tests: REAL byte-exact codec coverage for the two
-  * dependency-free formats (Netpbm P5/P6, PCM WAV) plus the plumbing
-  * contracts (schema, batching, determinism, fan-out) that also cover
-  * the unknown-container stub fallback. */
+/** Multimodal tests: REAL byte-exact codec coverage for the three
+  * dependency-free formats (PNG, Netpbm P5/P6, PCM WAV) plus the
+  * plumbing contracts (schema, batching, determinism, fan-out) that
+  * also cover the unknown-container stub fallback. */
 class MediaSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
@@ -65,6 +65,80 @@ class MediaSpec extends AnyFunSuite {
     assert(small.gray.sameElements(Array(10, 20, 30, 40).map(_ / 255f)))
   }
 
+  // -- PNG: hand-built fixtures over the full filter algebra ------------
+
+  /** Assemble a PNG from raw (filtered) scanlines — the fixture
+    * builder: deflate + chunk + CRC exactly per spec, so the decoder
+    * is tested against independently-constructed bytes, not its own
+    * encoder. */
+  private def buildPng(w: Int, h: Int, colorType: Int, raw: Array[Byte]): Array[Byte] = {
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val buf = new Array[Byte](raw.length + 64)
+    val z = new java.io.ByteArrayOutputStream()
+    while (!defl.finished()) z.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    val zd = z.toByteArray
+    val bb = java.nio.ByteBuffer.allocate(8 + 25 + 12 + zd.length + 12)
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).foreach(s => bb.put(s.toByte))
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      bb.putInt(data.length)
+      val t = typ.getBytes("US-ASCII")
+      bb.put(t).put(data)
+      val crc = new java.util.zip.CRC32
+      crc.update(t); crc.update(data)
+      bb.putInt(crc.getValue.toInt)
+    }
+    chunk("IHDR", java.nio.ByteBuffer.allocate(13).putInt(w).putInt(h)
+      .put(8.toByte).put(colorType.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+      .array())
+    chunk("IDAT", zd)
+    chunk("IEND", Array.emptyByteArray)
+    bb.array()
+  }
+
+  test("decodePng reconstructs all four non-trivial filters (Sub/Up/Average/Paeth) byte-exactly") {
+    // 3x4 gray image, one row per filter type; expected recon computed
+    // by hand from the spec's algebra (a = left, b = up, c = up-left)
+    val raw = Array[Byte](
+      1, 10, 20, 30, // Sub:     10, 30, 60
+      2, 5, 10, 15,  // Up:      15, 40, 75
+      3, 4, 6, 8,    // Average: 11, 31, 61
+      4, 1, 2, 3)    // Paeth:   12, 33, 64
+    val img = Codecs.decodePng(buildPng(3, 4, colorType = 0, raw))
+    assert(img.width == 3 && img.height == 4)
+    val expected = Array(10, 30, 60, 15, 40, 75, 11, 31, 61, 12, 33, 64).map(_ / 255f)
+    assert(img.gray.sameElements(expected),
+      s"got ${img.gray.map(g => math.round(g * 255)).mkString(",")}")
+  }
+
+  test("decodePng reduces RGB (color type 2) to Rec.601 luminance") {
+    val raw = Array[Byte](
+      0, -1, 0, 0,  // (255,0,0) -> .299
+      0, 0, -1, 0)  // (0,255,0) -> .587
+    val img = Codecs.decodePng(buildPng(1, 2, colorType = 2, raw))
+    assert(math.abs(img.gray(0) - 0.299f) < 1e-6)
+    assert(math.abs(img.gray(1) - 0.587f) < 1e-6)
+  }
+
+  test("encodePngGray -> decodePng round-trips pixels byte-exactly") {
+    val px = Array.tabulate[Byte](17 * 9)(i => ((i * 41) % 256).toByte)
+    val enc = Codecs.encodePngGray(px, 17, 9)
+    assert(Codecs.detect(enc) == Codecs.Png)
+    val img = Codecs.decodePng(enc)
+    assert(img.width == 17 && img.height == 9)
+    assert(img.gray.map(g => math.round(g * 255f).toByte).sameElements(px))
+  }
+
+  test("decodePng rejects corruption loudly: flipped IDAT bit fails CRC, not garbage pixels") {
+    val enc = Codecs.encodePngGray(Array.fill[Byte](16)(42), 4, 4)
+    // flip one bit inside the IDAT payload (byte 8+25+8+2 is comfortably
+    // inside the zlib stream)
+    val bad = enc.clone(); bad(8 + 25 + 8 + 2) = (bad(8 + 25 + 8 + 2) ^ 0x01).toByte
+    val e = intercept[IllegalArgumentException](Codecs.decodePng(bad))
+    assert(e.getMessage.contains("CRC"))
+  }
+
   test("decodeWav parses a hand-built PCM16 file byte-exactly, skipping extra chunks") {
     // RIFF | LIST (odd-sized, word-aligned) | fmt | data
     val samples = Array[Short](0, 16384, -16384, 32767, -32768, 1)
@@ -94,10 +168,13 @@ class MediaSpec extends AnyFunSuite {
     assert(audio.samples.sameElements(samples.map(_.toFloat / 32768f)))
   }
 
-  test("realDecode dispatches: real pixels for PGM, real RMS for WAV, stub for unknown") {
+  test("realDecode dispatches: real pixels for PGM/PNG, real RMS for WAV, stub for unknown") {
     // constant-gray image: every pooled block mean = 100/255
     val img = Codecs.encodePgm(Array.fill[Byte](64)(100), 8, 8)
     assert(Media.realDecode(img, 4).forall(f => math.abs(f - 100 / 255f) < 1e-6))
+    // the PNG container of the same pixels must decode identically
+    val png = Codecs.encodePngGray(Array.fill[Byte](64)(100), 8, 8)
+    assert(Media.realDecode(png, 4).sameElements(Media.realDecode(img, 4)))
     // constant-amplitude audio: every pooled RMS = 0.25
     val wav = Codecs.encodeWav(Array.fill[Short](64)(8192), 16000)
     assert(Media.realDecode(wav, 4).forall(f => math.abs(f - 0.25f) < 1e-6))
@@ -109,16 +186,23 @@ class MediaSpec extends AnyFunSuite {
   test("fromDocuments wraps text into genuine containers that really decode") {
     import spark.implicits._
     val docs = Seq((0L, "an image document"), (1L, "an audio document"),
-                   (2L, "a video document with several words here"))
+                   (2L, "a video document with several words here"),
+                   (3L, "an image document"))
       .toDF("doc_id", "text")
     val rows = Media.fromDocuments(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r).toMap
-    val imgBytes = rows(0L).getAs[Array[Byte]](2)
-    assert(Codecs.detect(imgBytes) == Codecs.Pgm)
-    val img = Codecs.decodePgm(imgBytes)
-    assert(img.width == 64 && img.height == 48)
+    // doc 0 (id % 6 == 0) ships as standard PNG, doc 3 as binary P5 —
+    // same text, same pixels, so the container choice is feature-neutral
+    val pngBytes = rows(0L).getAs[Array[Byte]](2)
+    assert(Codecs.detect(pngBytes) == Codecs.Png)
+    val png = Codecs.decodePng(pngBytes)
+    assert(png.width == 64 && png.height == 48)
     // pixel 0 is 'a' = 97, cycled from the text bytes
-    assert(math.abs(img.gray(0) - 97 / 255f) < 1e-6)
+    assert(math.abs(png.gray(0) - 97 / 255f) < 1e-6)
+    val pgmBytes = rows(3L).getAs[Array[Byte]](2)
+    assert(Codecs.detect(pgmBytes) == Codecs.Pgm)
+    assert(Codecs.decodePgm(pgmBytes).gray.sameElements(png.gray),
+      "PNG and P5 rows of the same text must decode to identical pixels")
     val wavBytes = rows(1L).getAs[Array[Byte]](2)
     assert(Codecs.detect(wavBytes) == Codecs.Wav)
     val audio = Codecs.decodeWav(wavBytes)
@@ -128,13 +212,18 @@ class MediaSpec extends AnyFunSuite {
     assert(Codecs.detect(rows(2L).getAs[Array[Byte]](2)) == Codecs.Unknown)
   }
 
-  test("resize really resamples PGM bytes, passes other containers through") {
+  test("resize really resamples PGM and PNG bytes, passes other containers through") {
     import spark.implicits._
-    val docs = Seq((0L, "image text"), (1L, "audio text")).toDF("doc_id", "text")
+    val docs = Seq((0L, "image text"), (3L, "image text"), (1L, "audio text"))
+      .toDF("doc_id", "text")
     val out = Media.resize(Media.fromDocuments(docs, "doc_id", "text"), 32, 32)
       .collect().map(r => r.getLong(0) -> r).toMap
-    val img = Codecs.decodePgm(out(0L).getAs[Array[Byte]](2))
-    assert(img.width == 32 && img.height == 32, "image bytes must really resample")
+    val png = Codecs.decodePng(out(0L).getAs[Array[Byte]](2))
+    assert(png.width == 32 && png.height == 32, "PNG bytes must really resample")
+    val img = Codecs.decodePgm(out(3L).getAs[Array[Byte]](2))
+    assert(img.width == 32 && img.height == 32, "P5 bytes must really resample")
+    assert(img.gray.sameElements(png.gray),
+      "resampled PNG and P5 of identical pixels must stay identical")
     assert(Codecs.detect(out(1L).getAs[Array[Byte]](2)) == Codecs.Wav,
       "non-image bytes pass through")
     assert(out(0L).getStruct(3).getInt(0) == 32)

@@ -124,4 +124,65 @@ class MlSpec extends AnyFunSuite {
     val lof = Lof.exact(sample, "id", "features", 5)
     assert(lof.count() == 100)
   }
+
+  test("lof full-slice agreement: exact vs LSH and exact vs novelty, pinned floors") {
+    // The declared ml_lof scores the FULL events slice with the
+    // novelty model; ml_lof_lsh is the transductive LSH twin. This
+    // pins both against brute-force exact LOF on the complete
+    // sf0.001 slice (1000 rows, 17 dims) — rank agreement over the
+    // whole population plus top-1% outlier overlap, not small-N parity.
+    val (_, feats) = ml.Features.preprocessedEvents(spark, "/root/testdata/sf0.001")
+    val fe = feats.select(col("event_id").as("id"),
+      col("features").cast("array<double>").as("f")).cache()
+    val n = fe.count()
+    assert(n == 1000L)
+    def toMap(df: org.apache.spark.sql.DataFrame, c: String): Map[Long, Double] =
+      df.collect().map(r => r.getAs[Long]("id") -> r.getAs[Double](c)).toMap
+    val exact = toMap(Lof.exact(fe, "id", "f", 20), "lof")
+    val radius = Lof.estimateRadius(fe, "id", "f", 25, n)
+    val lsh = toMap(Lof.fromNeighbors(
+      Lof.lshNeighbors(fe, "id", "f", 20, radius, bucketCap = 512)), "lof")
+    val model = Lof.fitNovelty(fe, "id", "f", k = 20)
+    // scoreCol returns -LOF (sklearn convention); negate back for ranks
+    val novelty = fe.select(col("id"), (-model.scoreCol(col("f"))).as("s"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("s")).toMap
+    fe.unpersist()
+
+    def spearman(a: Map[Long, Double], b: Map[Long, Double]): Double = {
+      val keys = (a.keySet intersect b.keySet).toSeq
+      def ranks(m: Map[Long, Double]): Map[Long, Double] = {
+        val sorted = keys.sortBy(m)
+        // average ranks over ties so duplicate scores don't bias
+        sorted.zipWithIndex.groupBy { case (k, _) => m(k) }.values.flatMap { g =>
+          val avg = g.map(_._2).sum.toDouble / g.size
+          g.map { case (k, _) => k -> avg }
+        }.toMap
+      }
+      val ra = ranks(a); val rb = ranks(b)
+      val ma = ra.values.sum / keys.size; val mb = rb.values.sum / keys.size
+      val cov = keys.map(k => (ra(k) - ma) * (rb(k) - mb)).sum
+      val va = keys.map(k => math.pow(ra(k) - ma, 2)).sum
+      val vb = keys.map(k => math.pow(rb(k) - mb, 2)).sum
+      cov / math.sqrt(va * vb)
+    }
+    def topOverlap(a: Map[Long, Double], b: Map[Long, Double], k: Int): Int = {
+      val ta = a.toSeq.sortBy(-_._2).take(k).map(_._1).toSet
+      val tb = b.toSeq.sortBy(-_._2).take(k).map(_._1).toSet
+      (ta intersect tb).size
+    }
+    val covLsh = lsh.size.toDouble / n
+    val sLsh = spearman(exact, lsh)
+    val sNov = spearman(exact, novelty)
+    val oLsh = topOverlap(exact, lsh, 10)
+    val oNov = topOverlap(exact, novelty, 10)
+    info(f"coverage(lsh)=$covLsh%.4f spearman(lsh)=$sLsh%.4f spearman(novelty)=$sNov%.4f " +
+      s"top1pct(lsh)=$oLsh/10 top1pct(novelty)=$oNov/10")
+    // floors pinned from the r7 measurement (1.0000 / 0.9628 / 0.9973 /
+    // 7 / 9) with margin for radius-estimate drift
+    assert(covLsh >= 0.99, s"LSH covered only $covLsh of the slice")
+    assert(sLsh >= 0.90, f"exact-vs-LSH rank correlation $sLsh%.4f under floor")
+    assert(sNov >= 0.95, f"exact-vs-novelty rank correlation $sNov%.4f under floor")
+    assert(oLsh >= 6, s"top-1% overlap exact-vs-LSH $oLsh/10 under floor")
+    assert(oNov >= 8, s"top-1% overlap exact-vs-novelty $oNov/10 under floor")
+  }
 }
