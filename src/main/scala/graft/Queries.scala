@@ -2612,6 +2612,41 @@ object Queries {
            |FROM d WHERE w > 0
            |ORDER BY es_key DESC, doc_id ASC LIMIT 100""".stripMargin))
 
+  /** DSIR-style importance resampling (Xie et al. 2023): select the
+    * k raw-pool docs most target-like under the target/raw unigram-LM
+    * log-likelihood ratio, drawn without replacement via deterministic
+    * Gumbel-top-k. Target domain = src0; pool = everything else. Both
+    * LM fits, the per-token ratio, the md5-coin Gumbel transform and
+    * the cut are all re-derived by the oracle. */
+  private val qDsirSelect = Q(
+    "q_dsir_select",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      operators.Corpus.dsirSelect(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"),
+        "doc_id", "text", k = 100)
+    },
+    Some("""WITH ttok AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+           |              FROM documents WHERE source = 'src0'),
+           |ft AS (SELECT w, count(*) AS wt FROM ttok GROUP BY w),
+           |st AS (SELECT sum(wt) AS n_t, count(*) AS v_t FROM ft),
+           |rtok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+           |         FROM documents WHERE source != 'src0'),
+           |fr AS (SELECT w, count(*) AS wr FROM rtok GROUP BY w),
+           |sr AS (SELECT sum(wr) AS n_r, count(*) AS v_r FROM fr),
+           |lp AS (SELECT doc_id,
+           |    ln((coalesce(ft.wt, 0) + 1) / CAST(st.n_t + st.v_t + 1 AS DOUBLE))
+           |  - ln((coalesce(fr.wr, 0) + 1) / CAST(sr.n_r + sr.v_r + 1 AS DOUBLE)) AS llr
+           |  FROM rtok LEFT JOIN ft USING (w) LEFT JOIN fr USING (w), st, sr),
+           |per AS (SELECT doc_id, CAST(count(*) AS INT) AS n_tokens, avg(llr) AS lir
+           |        FROM lp GROUP BY doc_id)
+           |SELECT doc_id, n_tokens, round(lir, 6) AS importance,
+           |  round(lir - ln(-ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 1)
+           |        / 4294967297.0)), 6) AS gumbel_key
+           |FROM per
+           |ORDER BY gumbel_key DESC, doc_id ASC LIMIT 100""".stripMargin))
+
   /** Per-source percent-rank of document length — the per-domain score
     * normalization move (quality scores are only comparable within a
     * domain; CCNet buckets per-snapshot for the same reason). One
@@ -2953,7 +2988,7 @@ object Queries {
     qGopherQuality, qSampleStratified, qDomainFilter, qDecontaminate,
     qDecontaminateBloom, qDecontaminateContainment, qDecontaminateStream,
     qPiiRedact, qRepetitionFilter, qBpePairs,
-    qNormalizeText, qCorpusProfile, qCollocations, qWeightedSample,
+    qNormalizeText, qCorpusProfile, qCollocations, qWeightedSample, qDsirSelect,
     qQualityRank, qEmbedCentroid, qBpeTrain, qBpeApply, qCanonicalDedup,
     qSimDiverse, qCorpusDiff, qDedupEval, qDomainApprox,
     qChunkOverlap, qLengthBuckets, qSourceOverlap,

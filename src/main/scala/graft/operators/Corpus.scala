@@ -756,6 +756,63 @@ object Corpus {
       .limit(k)
   }
 
+  /** DSIR-style data selection (importance resampling, Xie et al.
+    * 2023): score every raw-pool document by the average per-token
+    * log-likelihood RATIO between a target-domain unigram LM and the
+    * raw-pool unigram LM (both add-one smoothed — the `lmCrossEntropy`
+    * fit applied twice), then draw k docs WITHOUT replacement
+    * proportional to softmax(importance) via the Gumbel-top-k trick:
+    * key = importance + Gumbel(md5-coin), take the k largest. The
+    * deterministic md5 coin (the `weightedSample` construction) makes
+    * the draw reproducible on any engine, so the whole selection —
+    * both LM fits, the ratio, the Gumbel transform and the cut — is
+    * independently recomputable by the DuckDB oracle.
+    *
+    * The paper's raw form sums hashed n-gram feature log-ratios (doc
+    * likelihood ratio); this uses the length-normalized per-token
+    * average (the CCNet normalization) so a long document cannot buy
+    * selection by repetition alone — documented deviation, same
+    * ranking family.
+    *
+    * Shape at 100 TB: two vocab-bounded (word, count) aggs (Heaps'
+    * law), two 1-row stat broadcasts, one token-explode join against
+    * the broadcast-size LMs, one per-doc hash agg, and TakeOrdered
+    * for the cut — per-partition heaps + a k-row driver merge; no
+    * global sort, nothing quadratic, nothing driver-paced. */
+  def dsirSelect(raw: DataFrame, target: DataFrame, idCol: String,
+                 textCol: String, k: Int = 100): DataFrame = {
+    require(k >= 1)
+    def fit(df: DataFrame, cnt: String) =
+      df.select(explode(split(trim(col(textCol)), "\\s+")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as(cnt))
+    val ft = fit(target, "wt"); val fr = fit(raw, "wr")
+    val st = ft.agg(sum("wt").as("n_t"), count(lit(1)).as("v_t"))
+    val sr = fr.agg(sum("wr").as("n_r"), count(lit(1)).as("v_r"))
+    val tok = raw.select(col(idCol).as("doc_id"),
+      explode(split(trim(col(textCol)), "\\s+")).as("w"))
+    val llr =
+      log((coalesce(col("wt"), lit(0L)) + lit(1L)).cast("double")
+        / (col("n_t") + col("v_t") + lit(1L)).cast("double")) -
+      log((coalesce(col("wr"), lit(0L)) + lit(1L)).cast("double")
+        / (col("n_r") + col("v_r") + lit(1L)).cast("double"))
+    val per = tok
+      .join(ft, Seq("w"), "left").join(fr, Seq("w"), "left")
+      .crossJoin(broadcast(st)).crossJoin(broadcast(sr))
+      .select(col("doc_id"), llr.as("__llr"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_tokens"), avg("__llr").as("__lir"))
+    // Gumbel noise off the deterministic md5 coin; denominator 2³²+1
+    // keeps u strictly inside (0,1) so -ln(-ln(u)) is always finite
+    val h = conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8),
+      16, 10).cast("long")
+    val u = (h + lit(1L)).cast("double") / lit(4294967297.0)
+    per.select(col("doc_id"), col("n_tokens"),
+        round(col("__lir"), 6).as("importance"),
+        round(col("__lir") - log(-log(u)), 6).as("gumbel_key"))
+      .orderBy(col("gumbel_key").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** One left-to-right non-overlapping token-pair merge as a pure
     * string expression — the double-space trick: with tokens separated
     * by TWO spaces (one "owned" by each neighbor), the literal pattern

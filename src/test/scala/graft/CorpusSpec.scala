@@ -521,6 +521,38 @@ class CorpusSpec extends AnyFunSuite {
     assert(withZero.forall(_ > 100) && withZero.length == 100)
   }
 
+  // ---- DSIR importance resampling -------------------------------------------
+
+  test("dsirSelect: target-like pool docs win the Gumbel-top-k, disjoint-vocab docs lose") {
+    // target domain speaks one vocabulary, the pool carries 2 docs of
+    // that vocabulary and 8 of a disjoint one — the log-likelihood
+    // ratio gap (several nats) dwarfs Gumbel noise (std ~1.28), so the
+    // 2 target-like docs must be exactly the k=2 selection
+    val target = (0 until 5).map(i => (100L + i, "qubit lattice anneal decohere"))
+      .toDF("doc_id", "text")
+    val pool = (Seq(
+      (1L, "qubit lattice anneal decohere qubit lattice"),
+      (2L, "decohere anneal qubit qubit lattice anneal")) ++
+      (3 until 11).map(i => (i.toLong, s"stock bond yield coupon tick$i")))
+      .toDF("doc_id", "text")
+    val top2 = Corpus.dsirSelect(pool, target, "doc_id", "text", k = 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(top2 == Set(1L, 2L), s"selected $top2")
+    // importance must separate the vocabularies with a wide margin
+    val all = Corpus.dsirSelect(pool, target, "doc_id", "text", k = 10)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("importance")).toMap
+    val minTargetLike = Seq(1L, 2L).map(all).min
+    val maxOther = (3L until 11L).map(all).max
+    assert(minTargetLike > maxOther + 2.0,
+      s"importance gap too small: $minTargetLike vs $maxOther")
+    // deterministic: same inputs, same selection and keys
+    val again = Corpus.dsirSelect(pool, target, "doc_id", "text", k = 10)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("gumbel_key")).toMap
+    val first = Corpus.dsirSelect(pool, target, "doc_id", "text", k = 10)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("gumbel_key")).toMap
+    assert(again == first)
+  }
+
   // ---- BPE merge training ---------------------------------------------------
 
   test("bpeTrain: planted phrase merges first, later rounds chain onto merged tokens") {

@@ -122,6 +122,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(cellExchanges(assigned) == 2, "control: unbucketed corpus must shuffle both sides")
     assert(cellExchanges(spark.table("ivf_b")) == 1,
       "bucketed corpus must join straight off the bucketed scan")
+    // and the single-exchange result must be BECAUSE of bucketing: the
+    // corpus side must read as a bucketed scan (output partitioning
+    // supplied by the file layout, not by a runtime exchange)
+    val bdf = operators.Ivf.topkFromAssigned(spark.table("ivf_b").hint("merge"),
+      queries, "vec_id", "embedding", k = 5, cent, nprobe = 2)
+    bdf.collect()
+    val bplan = bdf.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(bplan.contains("Bucketed: true"),
+      s"corpus scan must report bucketed reading:\n${bplan.take(1200)}")
   }
 
   test("span dedup: first-occurrence pick is a hash agg — no span-partitioned window sort") {
