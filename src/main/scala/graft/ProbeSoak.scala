@@ -44,7 +44,8 @@ object ProbeSoak {
   val Queries = Seq("q_dedup_exact", "dedup_minhash",
     "q_span_dedup", "q_dedup_substrings", "q_ngram_jaccard",
     "q_dedup_incremental",
-    "dedup_semantic", "dedup_embedding", "sim_ivf_topk", "sim_ivfpq_topk")
+    "dedup_semantic", "dedup_embedding", "sim_ivf_topk", "sim_ivfpq_topk",
+    "q_dsir_select")
 
   private val lorem: String = {
     val words = Seq("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
@@ -459,6 +460,44 @@ object ProbeSoak {
           s"peakState=${st2.mkString("/")} uniqueWindows=$uniqueGrams " +
           s"totalWindows=$totalGrams tokensCut=$cut")
         spark.catalog.dropTempView(name2)
+
+        // ---- streaming CANONICAL and SIMHASH dedup over the same
+        // corpus (the stateless-emission half of the dedup matrix) ----
+        // gates: output rows == distinct normalized digests / distinct
+        // 64-bit signatures in the fed corpus (every distinct key emits
+        // exactly one doc, every repeat costs ZERO output and ZERO
+        // extra state); peak state ≤ distinct keys.
+        Seq(
+          ("canon", (df: org.apache.spark.sql.DataFrame) =>
+             graft.streaming.CorpusStream.dedupCanonical(df),
+           batchDocs.select(md5(graft.operators.Corpus.canonicalText(col("text"))
+             .cast("binary")).as("k")).distinct().count()),
+          ("simhash", (df: org.apache.spark.sql.DataFrame) =>
+             graft.streaming.CorpusStream.dedupBySimhash(df),
+           batchDocs.select(graft.functions.TextHash.simhash64(
+             split(trim(col("text")), "\\s+")).as("k")).distinct().count())
+        ).foreach { case (tag, op, uniqueKeys) =>
+          val nameT = s"__soak_${tag}_x$s"
+          val docsT = spark.readStream.schema(docSchema)
+            .parquet(s"$dir/documents.parquet")
+            .withColumn("ts", expr(tsExpr))
+          val s0 = System.nanoTime()
+          val qT = op(docsT).writeStream.format("memory").queryName(nameT)
+            .outputMode("append").start()
+          try qT.processAllAvailable() finally qT.stop()
+          val s1 = System.nanoTime()
+          val stT = qT.recentProgress.toSeq.map(_.stateOperators)
+            .filter(_.nonEmpty).flatMap(_.map(_.numRowsTotal))
+          val peakT = if (stT.isEmpty) -1L else stT.max
+          val outT = spark.table(nameT).count()
+          require(outT == uniqueKeys,
+            s"x$s: $tag emitted $outT docs, want one per distinct key $uniqueKeys")
+          require(peakT >= 0 && peakT <= uniqueKeys + 64,
+            s"x$s: $tag peak state $peakT exceeds distinct keys $uniqueKeys")
+          println(f"[stream-soak] x$s%-3d $tag%-7s wall=${(s1 - s0) / 1e9}%7.2fs " +
+            s"docsOut=$outT peakState=$peakT distinctKeys=$uniqueKeys fed=$fed")
+          spark.catalog.dropTempView(nameT)
+        }
       }
     } else {
       // GRAFT_SOAK_ONLY=a,b,c narrows the timed family (re-soak one
