@@ -364,6 +364,225 @@ case class IForestScoreSamples(child: Expression,
     copy(child = newChild)
 }
 
+/** LOF novelty score `-LOF(x)` against a fixed reference structure —
+  * the whole scorer (k-NN heap over the reference points, reach/lrd
+  * algebra) as ONE native expression, replacing the Scala UDF with
+  * the same motivation as `IForestScoreSamples`: stay inside
+  * whole-stage codegen (no deserialization fence), precomputed model
+  * state as flat primitive arrays, and a loud model-mismatch guard
+  * (a vector shorter than the reference dimension fails instead of
+  * silently scoring garbage — `UnsafeArrayData.getDouble` does not
+  * bounds-check). Accumulation and heap-insertion order are identical
+  * to the UDF it replaces, so scores are bit-identical
+  * (NativeExprSpec pins this differentially).
+  *
+  * Reference layout: `flatPoints` is n×dim row-major; `kdist`/`lrd`
+  * are per-reference-point; `k` is the neighborhood size the model
+  * was fit with (k < n by construction in `Lof.fitNovelty`). */
+case class LofNoveltyScore(child: Expression, flatPoints: Array[Double],
+                           dim: Int, kdist: Array[Double], lrd: Array[Double],
+                           k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(dim > 0 && flatPoints.length % dim == 0,
+    s"lof_score: flat points ${flatPoints.length} not a multiple of dim $dim")
+  private val n = flatPoints.length / dim
+  require(kdist.length == n && lrd.length == n,
+    s"lof_score: ragged model arrays (n=$n, kdist=${kdist.length}, lrd=${lrd.length})")
+  require(k >= 1 && k < n, s"lof_score: need 1 <= k < n, got k=$k n=$n")
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    if (a.numElements() < dim)
+      throw new IllegalArgumentException(
+        s"lof_score: input vector has ${a.numElements()} elements, need >= $dim " +
+          "— reference model does not match the data")
+    val heapD = new Array[Double](k); val heapI = new Array[Int](k)
+    var filled = 0
+    var i = 0
+    while (i < n) {
+      var s = 0.0; var j = 0
+      while (j < dim) {
+        val d0 = a.getDouble(j) - flatPoints(i * dim + j); s += d0 * d0; j += 1
+      }
+      val d = math.sqrt(s)
+      if (filled < k) {
+        heapD(filled) = d; heapI(filled) = i; filled += 1
+        if (filled == k) {
+          var m = k / 2 - 1
+          while (m >= 0) { siftDown(heapD, heapI, m, k); m -= 1 }
+        }
+      } else if (d < heapD(0)) {
+        heapD(0) = d; heapI(0) = i; siftDown(heapD, heapI, 0, k)
+      }
+      i += 1
+    }
+    var reachSum = 0.0; var lrdSum = 0.0
+    var t = 0
+    while (t < k) {
+      val o = heapI(t)
+      reachSum += math.max(heapD(t), kdist(o))
+      lrdSum += lrd(o)
+      t += 1
+    }
+    val lrdX = 1.0 / (reachSum / k + 1e-10)
+    -(lrdSum / k) / lrdX
+  }
+
+  private def siftDown(d: Array[Double], ix: Array[Int], start: Int, len: Int): Unit = {
+    var root = start
+    while (2 * root + 1 < len) {
+      var c = 2 * root + 1
+      if (c + 1 < len && d(c + 1) > d(c)) c += 1
+      if (d(root) >= d(c)) return
+      val td = d(root); d(root) = d(c); d(c) = td
+      val ti = ix(root); ix(root) = ix(c); ix(c) = ti
+      root = c
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val pts = ctx.addReferenceObj("lofPoints", flatPoints, "double[]")
+      val kd = ctx.addReferenceObj("lofKdist", kdist, "double[]")
+      val lr = ctx.addReferenceObj("lofLrd", lrd, "double[]")
+      val sift = ctx.addNewFunction("lofSiftDown",
+        s"""
+           |private void lofSiftDown(double[] d, int[] ix, int start, int len) {
+           |  int root = start;
+           |  while (2 * root + 1 < len) {
+           |    int c = 2 * root + 1;
+           |    if (c + 1 < len && d[c + 1] > d[c]) c++;
+           |    if (d[root] >= d[c]) return;
+           |    double td = d[root]; d[root] = d[c]; d[c] = td;
+           |    int ti = ix[root]; ix[root] = ix[c]; ix[c] = ti;
+           |    root = c;
+           |  }
+           |}
+         """.stripMargin)
+      val hd = ctx.freshName("heapD"); val hi = ctx.freshName("heapI")
+      val filled = ctx.freshName("filled"); val i = ctx.freshName("i")
+      val j = ctx.freshName("j"); val s = ctx.freshName("s")
+      val d0 = ctx.freshName("d0"); val dd = ctx.freshName("d")
+      val m = ctx.freshName("m"); val t = ctx.freshName("t")
+      val o = ctx.freshName("o"); val reach = ctx.freshName("reachSum")
+      val lrds = ctx.freshName("lrdSum"); val lrdX = ctx.freshName("lrdX")
+      s"""
+         |if ($a.numElements() < $dim) {
+         |  throw new IllegalArgumentException(
+         |    "lof_score: input vector has " + $a.numElements() +
+         |    " elements, need >= $dim — reference model does not match the data");
+         |}
+         |double[] $hd = new double[$k]; int[] $hi = new int[$k];
+         |int $filled = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $s = 0.0;
+         |  for (int $j = 0; $j < $dim; $j++) {
+         |    double $d0 = $a.getDouble($j) - $pts[$i * $dim + $j];
+         |    $s += $d0 * $d0;
+         |  }
+         |  double $dd = Math.sqrt($s);
+         |  if ($filled < $k) {
+         |    $hd[$filled] = $dd; $hi[$filled] = $i; $filled++;
+         |    if ($filled == $k) {
+         |      for (int $m = $k / 2 - 1; $m >= 0; $m--) $sift($hd, $hi, $m, $k);
+         |    }
+         |  } else if ($dd < $hd[0]) {
+         |    $hd[0] = $dd; $hi[0] = $i; $sift($hd, $hi, 0, $k);
+         |  }
+         |}
+         |double $reach = 0.0; double $lrds = 0.0;
+         |for (int $t = 0; $t < $k; $t++) {
+         |  int $o = $hi[$t];
+         |  $reach += Math.max($hd[$t], $kd[$o]);
+         |  $lrds += $lr[$o];
+         |}
+         |double $lrdX = 1.0 / ($reach / $k + 1e-10);
+         |${ev.value} = -($lrds / $k) / $lrdX;
+       """.stripMargin
+    })
+
+  override def prettyName: String = "lof_score"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** PCA reconstruction error `‖x − V Vᵀ x‖² / d` against a fixed
+  * component matrix — the third score-path UDF converted to a native
+  * codegen expression (same motivation and layout discipline as
+  * `IForestScoreSamples` / `LofNoveltyScore`: flat primitive model
+  * state, loud dimension guard, whole-stage codegen). Projection and
+  * reconstruction accumulate in the same index order as the retired
+  * UDF, so scores are bit-identical (NativeExprSpec). `flatComponents`
+  * is k×d row-major (component j at [j*d, (j+1)*d)). */
+case class PcaReconScore(child: Expression, flatComponents: Array[Double],
+                         d: Int, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(d > 0 && k >= 0 && flatComponents.length == k * d,
+    s"pca_recon: ${flatComponents.length} components for k=$k d=$d")
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    if (a.numElements() < d)
+      throw new IllegalArgumentException(
+        s"pca_recon: input vector has ${a.numElements()} elements, need >= $d " +
+          "— component model does not match the data")
+    val proj = new Array[Double](k)
+    var j = 0
+    while (j < k) {
+      var s = 0.0; var i = 0
+      while (i < d) { s += flatComponents(j * d + i) * a.getDouble(i); i += 1 }
+      proj(j) = s; j += 1
+    }
+    var err = 0.0; var i = 0
+    while (i < d) {
+      var r = 0.0; var jj = 0
+      while (jj < k) { r += flatComponents(jj * d + i) * proj(jj); jj += 1 }
+      val e = a.getDouble(i) - r; err += e * e; i += 1
+    }
+    err / d
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val comp = ctx.addReferenceObj("pcaComponents", flatComponents, "double[]")
+      val proj = ctx.freshName("proj"); val s = ctx.freshName("s")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val jj = ctx.freshName("jj"); val r = ctx.freshName("r")
+      val e = ctx.freshName("e"); val err = ctx.freshName("err")
+      s"""
+         |if ($a.numElements() < $d) {
+         |  throw new IllegalArgumentException(
+         |    "pca_recon: input vector has " + $a.numElements() +
+         |    " elements, need >= $d — component model does not match the data");
+         |}
+         |double[] $proj = new double[$k];
+         |for (int $j = 0; $j < $k; $j++) {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $d; $i++) {
+         |    $s += $comp[$j * $d + $i] * $a.getDouble($i);
+         |  }
+         |  $proj[$j] = $s;
+         |}
+         |double $err = 0.0;
+         |for (int $i = 0; $i < $d; $i++) {
+         |  double $r = 0.0;
+         |  for (int $jj = 0; $jj < $k; $jj++) {
+         |    $r += $comp[$jj * $d + $i] * $proj[$jj];
+         |  }
+         |  double $e = $a.getDouble($i) - $r;
+         |  $err += $e * $e;
+         |}
+         |${ev.value} = $err / $d;
+       """.stripMargin
+    })
+
+  override def prettyName: String = "pca_recon"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object ArrayMath {
   import org.apache.spark.sql.graft.Bridge.{column, expression, registerFunction}
   private def d(c: Column): Column = c.cast("array<double>")
@@ -383,6 +602,12 @@ object ArrayMath {
                    roots: Array[Int], cPsi: Double): Column =
     column(IForestScoreSamples(expression(d(vec)), feature, threshold,
       left, right, leafC, roots, cPsi))
+  def lofScore(vec: Column, flatPoints: Array[Double], dim: Int,
+               kdist: Array[Double], lrd: Array[Double], k: Int): Column =
+    column(LofNoveltyScore(expression(d(vec)), flatPoints, dim, kdist, lrd, k))
+  def pcaReconScore(vec: Column, flatComponents: Array[Double],
+                    dim: Int, k: Int): Column =
+    column(PcaReconScore(expression(d(vec)), flatComponents, dim, k))
 
   /** Expose the native expressions to the SQL surface:
     * `SELECT array_dot(a, b)`, `SELECT array_sqdiff_sum(a, b)`.

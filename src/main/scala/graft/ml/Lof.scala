@@ -175,8 +175,27 @@ object Lof {
 final case class LofNoveltyModel(points: Array[Array[Double]],
                                  kdist: Array[Double], lrd: Array[Double], k: Int) {
 
-  /** −LOF(x) (higher = more normal, sklearn score convention). */
+  /** −LOF(x) (higher = more normal, sklearn score convention) as a
+    * native codegen expression (`functions.LofNoveltyScore`) — model
+    * state rides as flat primitive reference arrays, the k-NN heap
+    * and reach/lrd algebra run inside whole-stage codegen, and a
+    * short input vector fails loudly. Bit-identical to the retired
+    * UDF (`scoreColUdf`, kept for the differential spec). */
   def scoreCol(features: Column): Column = {
+    require(points.nonEmpty, "lof model has no reference points")
+    val dim = points(0).length
+    val flat = new Array[Double](points.length * dim)
+    var i = 0
+    while (i < points.length) {
+      System.arraycopy(points(i), 0, flat, i * dim, dim); i += 1
+    }
+    graft.functions.ArrayMath.lofScore(features, flat, dim, kdist, lrd, k)
+  }
+
+  /** The original UDF scorer — retained ONLY as the differential
+    * reference for NativeExprSpec (proves `scoreCol`'s codegen path
+    * bit-identical); not used by any query path. */
+  private[graft] def scoreColUdf(features: Column): Column = {
     val pts = points; val kd = kdist; val lr = lrd; val kk = k
     val f = udf { (x: Seq[Double]) =>
       val xa = x.toArray

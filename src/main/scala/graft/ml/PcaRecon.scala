@@ -10,15 +10,26 @@ import org.apache.spark.sql.functions._
   * semantics — per-row reconstruction MSE as the anomaly score, P97.5
   * validation threshold — with a deterministic, shuffle-light trainer.
   *
-  * Scoring is a deterministic Scala UDF over the broadcast component
-  * matrix (k·d doubles — constant-size model state, SURVEY §4.3);
+  * Scoring is a native codegen expression over the component matrix
+  * (k·d doubles — constant-size model state, SURVEY §4.3);
   * everything else stays declarative.
   */
 final case class PcaReconModel(components: Array[Array[Double]], d: Int, k: Int) {
 
   /** score = ‖x − V Vᵀ x‖² / d  (per-row mean squared reconstruction
-    * error, `model_wrapper.py:44-49`). */
+    * error, `model_wrapper.py:44-49`) as a native codegen expression
+    * (`functions.PcaReconScore`) — bit-identical to the retired UDF
+    * (`scoreColUdf`, kept for the differential spec). */
   def scoreCol(features: Column): Column = {
+    val flat = new Array[Double](k * d)
+    var j = 0
+    while (j < k) { System.arraycopy(components(j), 0, flat, j * d, d); j += 1 }
+    graft.functions.ArrayMath.pcaReconScore(features, flat, d, k)
+  }
+
+  /** The original UDF scorer — retained ONLY as the differential
+    * reference for NativeExprSpec; not used by any query path. */
+  private[graft] def scoreColUdf(features: Column): Column = {
     val comp = components // (k rows, each of length d)
     val dd = d
     val f = udf { (x: Seq[Double]) =>

@@ -241,4 +241,59 @@ class NativeExprSpec extends AnyFunSuite {
     assert(e.getMessage.contains("forest model does not match") ||
       Option(e.getCause).exists(_.getMessage.contains("forest model does not match")))
   }
+
+  test("LofNoveltyScore == the retired UDF scorer, bit-identical") {
+    val rnd = new scala.util.Random(13)
+    val dim = 5
+    val train = (0 until 300).map(i =>
+      (i.toLong, Seq.fill(dim)(rnd.nextGaussian() * 3)))
+      .toDF("id", "features")
+    val model = graft.ml.Lof.fitNovelty(train, "id", "features", k = 15)
+    // score a DIFFERENT slice (novelty semantics) including far outliers
+    val unseen = ((0 until 200).map(i =>
+        (1000L + i, Seq.fill(dim)(rnd.nextGaussian() * 3))) ++
+      (0 until 5).map(i => (2000L + i, Seq.fill(dim)(25.0 + rnd.nextGaussian()))))
+      .toDF("id", "features")
+    val both = unseen.select(
+        model.scoreCol(col("features")).as("native"),
+        model.scoreColUdf(col("features")).as("udf"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1),
+        s"native ${r.getDouble(0)} != udf ${r.getDouble(1)}")
+    }
+    // model-mismatch guard: short vector fails loudly
+    val short = Seq((1L, Seq(0.5))).toDF("id", "features")
+    val e = intercept[Exception] {
+      short.select(model.scoreCol(col("features"))).collect()
+    }
+    assert(e.getMessage.contains("reference model does not match") ||
+      Option(e.getCause).exists(_.getMessage.contains("reference model does not match")))
+  }
+
+  test("PcaReconScore == the retired UDF scorer, bit-identical") {
+    val rnd = new scala.util.Random(29)
+    val dim = 7
+    val train = (0 until 250).map { i =>
+      // rank-2 structure + noise so components are meaningful
+      val a = rnd.nextGaussian(); val b = rnd.nextGaussian()
+      (i.toLong, Seq.tabulate(dim)(j => a * (j + 1) + b * math.sin(j) +
+        0.1 * rnd.nextGaussian()))
+    }.toDF("id", "features")
+    val model = graft.ml.PcaRecon.fit(train, "features", k = 3)
+    val both = train.select(
+        model.scoreCol(col("features")).as("native"),
+        model.scoreColUdf(col("features")).as("udf"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1),
+        s"native ${r.getDouble(0)} != udf ${r.getDouble(1)}")
+    }
+    val short = Seq((1L, Seq(0.5))).toDF("id", "features")
+    val e = intercept[Exception] {
+      short.select(model.scoreCol(col("features"))).collect()
+    }
+    assert(e.getMessage.contains("component model does not match") ||
+      Option(e.getCause).exists(_.getMessage.contains("component model does not match")))
+  }
 }
