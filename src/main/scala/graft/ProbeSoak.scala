@@ -122,6 +122,16 @@ object ProbeSoak {
       // far past any soak run's micro-batch count so the true peak is
       // never silently aged out of the window
       .config("spark.sql.streaming.numRecentProgressUpdates", "10000")
+      // GRAFT_SOAK_ROCKSDB=1 swaps the state store to RocksDB — the
+      // production answer once distinct-key state outgrows the heap
+      // (the x48 substring cell holds 15.27M digests): same gates,
+      // bounded memory, pure config. Proves the PLANS.md claim that
+      // the state-store CHOICE is orthogonal to the operator shape.
+      .config("spark.sql.streaming.stateStore.providerClass",
+        if (sys.env.get("GRAFT_SOAK_ROCKSDB").contains("1"))
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+        else
+          "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

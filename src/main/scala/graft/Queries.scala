@@ -1983,6 +1983,58 @@ object Queries {
            |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   }
 
+  /** Corpus duplication report — the dataset-card rollup of the
+    * exact-substring machinery: per source, how many tokens sit inside
+    * duplicated (≥L-token, any-offset) repeats, and the duplication
+    * fraction. The "how much of my corpus is copied text" number a
+    * curation run reports before and after dedup. Same plan as
+    * `q_dedup_substrings` plus one broadcast join back to sources and
+    * one rollup agg; the oracle re-derives the whole chain. */
+  private val qDupReport = {
+    val L = 20
+    Q(
+      "q_dup_report",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        operators.Dedup.dedupExactSubstrings(docs, "doc_id", "text", gramLen = L)
+          .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+          .groupBy("source")
+          .agg(count(lit(1)).cast("int").as("n_docs"),
+               sum("n_tokens").cast("bigint").as("total_tokens"),
+               sum("n_cut").cast("bigint").as("tokens_dup"),
+               round(sum("n_cut").cast("double") / sum("n_tokens").cast("double"), 6)
+                 .as("dup_frac"))
+          .orderBy("source")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+           |tok AS (SELECT doc_id, CAST(p AS INT)-1 AS tpos, w[CAST(p AS INT)] AS tok
+           |        FROM t, unnest(generate_series(1, len(w))) AS u(p)),
+           |grams AS (SELECT doc_id, CAST(p AS INT)-1 AS pos,
+           |          array_to_string(list_slice(w, CAST(p AS INT), CAST(p AS INT)+$L-1), ' ') AS gram
+           |          FROM t, unnest(generate_series(1, len(w)-$L+1)) AS u(p)
+           |          WHERE len(w) >= $L),
+           |k AS (SELECT doc_id, pos,
+           |        count(*) OVER (PARTITION BY gram) AS cnt,
+           |        row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+           |      FROM grams),
+           |masked AS (SELECT doc_id, pos, pos + $L AS cut_end FROM k WHERE cnt > 1 AND rn > 1),
+           |m AS (SELECT tok.doc_id, tok.tpos,
+           |        max(masked.cut_end)
+           |          OVER (PARTITION BY tok.doc_id ORDER BY tok.tpos
+           |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mask_end
+           |      FROM tok LEFT JOIN masked
+           |        ON tok.doc_id = masked.doc_id AND tok.tpos = masked.pos),
+           |perdoc AS (SELECT doc_id, count(*) AS n_tokens,
+           |  sum(CASE WHEN mask_end IS NOT NULL AND mask_end > tpos THEN 1 ELSE 0 END) AS n_cut
+           | FROM m GROUP BY doc_id)
+           |SELECT d.source, CAST(count(*) AS INT) AS n_docs,
+           | CAST(sum(p.n_tokens) AS BIGINT) AS total_tokens,
+           | CAST(sum(p.n_cut) AS BIGINT) AS tokens_dup,
+           | round(CAST(sum(p.n_cut) AS DOUBLE) / CAST(sum(p.n_tokens) AS DOUBLE), 6) AS dup_frac
+           |FROM perdoc p JOIN documents d ON p.doc_id = d.doc_id
+           |GROUP BY d.source ORDER BY d.source""".stripMargin))
+  }
+
   /** Incremental exact-substring scrub: the incoming batch
     * (doc_id % 5 = 4, the q_dedup_incremental split) cleaned against
     * the published corpus — existing windows always win; batch-internal
@@ -2205,6 +2257,48 @@ object Queries {
            |SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
            | round(-avg(lp), 6) AS cross_entropy
            |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
+  /** Per-domain held-out-LM perplexity rollup — the dataset-card
+    * number CCNet-style curation reports per source (and the quantity
+    * domain-mixture tuning reads): token-weighted cross-entropy and
+    * perplexity of each source against the held-out reference LM
+    * (same split and smoothing as `q_lm_crossentropy`, aggregated at
+    * token level so long docs weigh by their tokens, not once). */
+  private val qDomainPpl = Q(
+    "q_domain_ppl",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val tok = docs.filter(col("doc_id") % 10 =!= 0)
+        .select(col("source"), explode(split(trim(col("text")), "\\s+")).as("w"))
+      val freq = docs.filter(col("doc_id") % 10 === 0)
+        .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("wn"))
+      val stats = freq.agg(sum("wn").as("n_ref"), count(lit(1)).as("v_ref"))
+      tok.join(freq, Seq("w"), "left")
+        .crossJoin(broadcast(stats))
+        .select(col("source"),
+          log((coalesce(col("wn"), lit(0L)) + lit(1L)).cast("double")
+            / (col("n_ref") + col("v_ref") + lit(1L)).cast("double")).as("__lp"))
+        .groupBy("source")
+        .agg(count(lit(1)).cast("bigint").as("n_tokens"),
+             round(-avg(col("__lp")), 6).as("cross_entropy"),
+             round(exp(-avg(col("__lp"))), 6).as("perplexity"))
+        .orderBy("source")
+    },
+    Some("""WITH rtok AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+           |  FROM documents WHERE doc_id % 10 = 0),
+           |freq AS (SELECT w, count(*) AS wn FROM rtok GROUP BY w),
+           |st AS (SELECT sum(wn) AS n_ref, count(*) AS v_ref FROM freq),
+           |tok AS (SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+           |  FROM documents WHERE doc_id % 10 <> 0),
+           |lp AS (SELECT source,
+           |   ln(CAST(coalesce(wn, 0) + 1 AS DOUBLE)
+           |      / CAST(n_ref + v_ref + 1 AS DOUBLE)) AS lp
+           |  FROM tok LEFT JOIN freq USING (w) CROSS JOIN st)
+           |SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+           | round(-avg(lp), 6) AS cross_entropy,
+           | round(exp(-avg(lp)), 6) AS perplexity
+           |FROM lp GROUP BY source ORDER BY source""".stripMargin))
 
   /** Overlapping sliding-window chunking (RAG / embedding-input
     * layout): window 8, stride 4, last window clamped. Chunk count,
@@ -2978,7 +3072,7 @@ object Queries {
     qDedupMinhashMd5Stop,
     qDedupSimhash, qDedupSimhashMd5,
     qDedupClusters, qCorpusDedup, qSpanDedup, qDedupSubstrings,
-    qDedupSubstringsInc, qDedupIncremental,
+    qDupReport, qDedupSubstringsInc, qDedupIncremental,
     qSpanDedupStream, qDedupSubstringsStream, qCanonicalDedupStream,
     qSimhashDedupStream,
     qDedupEmbedding, qDedupEmbeddingExact, qDedupSemantic,
@@ -2992,7 +3086,7 @@ object Queries {
     qQualityRank, qEmbedCentroid, qBpeTrain, qBpeApply, qCanonicalDedup,
     qSimDiverse, qCorpusDiff, qDedupEval, qDomainApprox,
     qChunkOverlap, qLengthBuckets, qSourceOverlap,
-    qDupNgrams, qUnigramLogprob, qLmCrossEntropy,
+    qDupNgrams, qUnigramLogprob, qLmCrossEntropy, qDomainPpl,
     qPackSequences, qPackManifest, qCorpusPipeline, qZorderKey, qMixQuality,
     qScalerFit, qMlPreproc, qMlPcaRecon, qMlIforest, qMlLof, qMlLofLsh,
     qMlEnsemble, qMlSplit, qScoreFallback)
