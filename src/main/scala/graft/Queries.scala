@@ -2300,6 +2300,42 @@ object Queries {
            | round(exp(-avg(lp)), 6) AS perplexity
            |FROM lp GROUP BY source ORDER BY source""".stripMargin))
 
+  /** Token-budget selection: the best-quality documents (ascending
+    * held-out cross-entropy) until a 12k-token budget is spent (roughly the better half of the corpus at the verify scale) — the
+    * "give me the best N tokens" dataset-assembly op. The Spark side
+    * computes the global running total via a two-level distributed
+    * prefix sum (quantile buckets + bucket-partitioned windows — no
+    * single-reducer global sort; PlanShapeSpec gates it); the oracle
+    * states the same selection as one global cumsum window. */
+  private val qTokenBudget = Q(
+    "q_token_budget",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val scored = operators.Corpus.lmCrossEntropy(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text")
+      operators.Corpus.selectTokenBudget(
+        scored, "doc_id", "n_tokens", "cross_entropy", budget = 12000L)
+    },
+    Some("""WITH rtok AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+           |  FROM documents WHERE doc_id % 10 = 0),
+           |freq AS (SELECT w, count(*) AS wn FROM rtok GROUP BY w),
+           |st AS (SELECT sum(wn) AS n_ref, count(*) AS v_ref FROM freq),
+           |tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+           |  FROM documents WHERE doc_id % 10 <> 0),
+           |lp AS (SELECT doc_id,
+           |   ln(CAST(coalesce(wn, 0) + 1 AS DOUBLE)
+           |      / CAST(n_ref + v_ref + 1 AS DOUBLE)) AS lp
+           |  FROM tok LEFT JOIN freq USING (w) CROSS JOIN st),
+           |ce AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           |  round(-avg(lp), 6) AS key FROM lp GROUP BY doc_id),
+           |c AS (SELECT doc_id, n_tokens, key,
+           |  sum(n_tokens) OVER (ORDER BY key, doc_id ROWS UNBOUNDED PRECEDING) AS cum_tokens
+           | FROM ce)
+           |SELECT doc_id, n_tokens, key, CAST(cum_tokens AS BIGINT) AS cum_tokens
+           |FROM c WHERE cum_tokens <= 12000 ORDER BY doc_id""".stripMargin))
+
   /** Overlapping sliding-window chunking (RAG / embedding-input
     * layout): window 8, stride 4, last window clamped. Chunk count,
     * boundaries and text re-derived by the oracle. */
@@ -3086,7 +3122,7 @@ object Queries {
     qQualityRank, qEmbedCentroid, qBpeTrain, qBpeApply, qCanonicalDedup,
     qSimDiverse, qCorpusDiff, qDedupEval, qDomainApprox,
     qChunkOverlap, qLengthBuckets, qSourceOverlap,
-    qDupNgrams, qUnigramLogprob, qLmCrossEntropy, qDomainPpl,
+    qDupNgrams, qUnigramLogprob, qLmCrossEntropy, qDomainPpl, qTokenBudget,
     qPackSequences, qPackManifest, qCorpusPipeline, qZorderKey, qMixQuality,
     qScalerFit, qMlPreproc, qMlPcaRecon, qMlIforest, qMlLof, qMlLofLsh,
     qMlEnsemble, qMlSplit, qScoreFallback)

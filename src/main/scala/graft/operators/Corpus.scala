@@ -813,6 +813,56 @@ object Corpus {
       .limit(k)
   }
 
+  /** Token-budget selection: keep documents in ascending `keyCol`
+    * order (best quality first — e.g. held-out cross-entropy) until
+    * the cumulative token budget is spent — the dataset-assembly move
+    * ("give me the best N-token corpus") after scoring.
+    *
+    * The global running sum is computed WITHOUT a global window sort
+    * (`Window.orderBy` with no partition collapses to ONE reducer —
+    * the exact skew PlanShapeSpec polices elsewhere): a two-level
+    * distributed prefix sum instead. Level 1: bucket rows by ~`buckets`
+    * approximate quantile cutoffs of the key (constant-size driver
+    * fit, deterministic Greenwald–Khanna); per-bucket token totals
+    * (one tiny agg) prefix-summed on the driver into per-bucket
+    * offsets (≤ `buckets` rows of model state). Level 2: a
+    * bucket-PARTITIONED cumsum window (parallel across buckets) plus
+    * the broadcast offset. Exactness: bucket assignment is a pure
+    * function of the key, so (key, id) order within a bucket + bucket
+    * offsets reproduce the global cumsum bit-for-bit. The key is
+    * rounded to 6 dp BEFORE ordering so the (key, id) order — and
+    * with it every emitted running total — is reproducible across
+    * engines (raw-double last-ulp ties would otherwise reorder). */
+  def selectTokenBudget(scored: DataFrame, idCol: String, tokCol: String,
+                        keyCol: String, budget: Long,
+                        buckets: Int = 64): DataFrame = {
+    require(budget >= 0 && buckets >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val base = scored.select(col(idCol).as("doc_id"),
+      col(tokCol).cast("long").as("n_tokens"),
+      round(col(keyCol).cast("double"), 6).as("key"))
+    val cuts = base.stat.approxQuantile("key",
+      (1 until buckets).map(_.toDouble / buckets).toArray, 1e-4)
+      .distinct.sorted
+    val bucketCol =
+      if (cuts.isEmpty) lit(0)
+      else size(filter(array(cuts.toIndexedSeq.map(lit): _*), c => col("key") > c))
+    val withB = base.withColumn("__b", bucketCol)
+    val offsets = withB.groupBy("__b").agg(sum("n_tokens").as("__t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val prefix = offsets.scanLeft((0, 0L)) { case ((_, acc), (b, t)) => (b, acc + t) }
+      .sliding(2).collect { case Array((_, acc), (b, _)) => b -> acc }.toMap
+    val offExpr = offsets.map(_._1).foldLeft(lit(0L)) { (acc, b) =>
+      when(col("__b") === b, lit(prefix(b))).otherwise(acc)
+    }
+    val w = Window.partitionBy("__b").orderBy(col("key"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withB.withColumn("cum_tokens", sum("n_tokens").over(w) + offExpr)
+      .filter(col("cum_tokens") <= budget)
+      .select(col("doc_id"), col("n_tokens"), col("key"), col("cum_tokens"))
+      .orderBy("doc_id")
+  }
+
   /** One left-to-right non-overlapping token-pair merge as a pure
     * string expression — the double-space trick: with tokens separated
     * by TWO spaces (one "owned" by each neighbor), the literal pattern

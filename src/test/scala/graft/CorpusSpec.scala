@@ -553,6 +553,32 @@ class CorpusSpec extends AnyFunSuite {
     assert(again == first)
   }
 
+  // ---- token-budget selection ------------------------------------------------
+
+  test("selectTokenBudget: hand-checked boundary + equals the naive global cumsum") {
+    // hand case: keys 1.0 (10 toks), 2.0 (20), 3.0 (30), budget 35 —
+    // the third doc would overflow, so exactly the first two survive
+    val small = Seq((1L, 10L, 3.0), (2L, 20L, 2.0), (3L, 10L, 1.0))
+      .toDF("doc_id", "n_tokens", "key")
+    val sel = Corpus.selectTokenBudget(small, "doc_id", "n_tokens", "key", 35L)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cum_tokens")).toMap
+    assert(sel == Map(3L -> 10L, 2L -> 30L), s"got $sel")
+    // differential: bucketed two-level prefix sum == naive single
+    // global cumsum on a 200-doc random frame (many quantile buckets)
+    val rnd = new scala.util.Random(31)
+    val docs = (0 until 200).map(i =>
+      (i.toLong, (rnd.nextInt(50) + 1).toLong, rnd.nextDouble() * 10))
+    val df = docs.toDF("doc_id", "n_tokens", "key")
+    val got = Corpus.selectTokenBudget(df, "doc_id", "n_tokens", "key", 2000L)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cum_tokens"))).toSet
+    val naive = docs.map { case (id, t, k) =>
+      (id, t, BigDecimal(k).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy { case (id, _, k) => (k, id) }
+      .scanLeft((0L, 0L, 0.0)) { case ((_, acc, _), (id, t, k)) => (id, acc + t, k) }
+      .drop(1).takeWhile(_._2 <= 2000L).map { case (id, cum, _) => (id, cum) }.toSet
+    assert(got == naive, s"bucketed != naive:\nextra=${got -- naive}\nmissing=${naive -- got}")
+  }
+
   // ---- BPE merge training ---------------------------------------------------
 
   test("bpeTrain: planted phrase merges first, later rounds chain onto merged tokens") {

@@ -184,6 +184,22 @@ class PlanShapeSpec extends AnyFunSuite {
       s"no digest-keyed shuffle found — keys were: ${hashKeys.map(k => s"$k: ${k.dataType}")}")
   }
 
+  test("token-budget selection: every window is bucket-partitioned — no single-reducer global cumsum") {
+    // the operator's whole point: the global running total comes from
+    // quantile buckets + partitioned windows, never Window.orderBy
+    // with no partition (which collapses the corpus onto one reducer)
+    import org.apache.spark.sql.execution.window.WindowExec
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val exec = try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      SparkEntry.queries("q_token_budget")(spark, sf).queryExecution.executedPlan
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    val windows = exec.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, "expected the cumsum window in the plan")
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"unpartitioned window (single-reducer global sort):\n$w"))
+  }
+
   test("bloom decontamination serve half is scan-side: zero exchanges") {
     // the row-local refactor's contract: shingle + sketch probe per
     // row, no explode→groupBy→join-back — this is also what makes the
