@@ -1234,6 +1234,52 @@ object Queries {
            |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin))
   }
 
+  /** Leakage-free train/test split: evaluation-split assignment where
+    * every near-dup CLUSTER lands on one side atomically — the guard
+    * against train/test contamination through near-duplicate pages (a
+    * doc-level hash split leaks whenever a page's near-copy crosses
+    * the boundary). Clusters come from the oracle-proven minhash→CC
+    * pipeline; singleton docs are their own cluster; the side is a
+    * deterministic md5 coin on the CLUSTER id (80/20). Pairs, closure,
+    * coin and assignment are all re-derived by the oracle, so the
+    * no-straddle property is hash-checked end to end. */
+  private val qLeakageSplit = {
+    val (nh, bands, thr) = (16, 8, 0.1)
+    Q(
+      "q_leakage_split",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val cc = operators.Dedup.connectedComponents(
+            operators.Dedup.minhashPairs(docs, "doc_id", "text",
+              numHashes = nh, bands = bands, threshold = thr, portableMd5 = true),
+            "doc_a", "doc_b")
+          .select(col("node").as("doc_id"), col("cluster_id"))
+        val coin = conv(substring(
+          md5(col("cluster_id").cast("string").cast("binary")), 1, 8), 16, 10)
+          .cast("long")
+        docs.select(col("doc_id"))
+          .join(cc, Seq("doc_id"), "left")
+          .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+          .withColumn("split",
+            when(coin % 10 < 8, lit("train")).otherwise(lit("test")))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE ${minhashMd5PairCtes(nh, bands, thr)},
+           |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+           |          UNION SELECT doc_b, doc_a FROM pairs),
+           |reach(node, label) AS (
+           | SELECT src, src FROM edges
+           | UNION
+           | SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node),
+           |cc AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node),
+           |a AS (SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id
+           |      FROM documents d LEFT JOIN cc ON d.doc_id = cc.node)
+           |SELECT doc_id, cluster_id,
+           | CASE WHEN CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 < 8
+           |      THEN 'train' ELSE 'test' END AS split
+           |FROM a ORDER BY doc_id""".stripMargin))
+  }
+
   /** SimHash near-dup pairs (rows-only). maxHamming = 3 matches the
     * banding guarantee: 4 chunks ⇒ every pair within Hamming 3 shares
     * a chunk and is provably generated as a candidate (DedupSpec
@@ -3107,7 +3153,7 @@ object Queries {
     qDedupMinhash, qDedupMinhashMd5, qDedupMinhashMd5Capped,
     qDedupMinhashMd5Stop,
     qDedupSimhash, qDedupSimhashMd5,
-    qDedupClusters, qCorpusDedup, qSpanDedup, qDedupSubstrings,
+    qDedupClusters, qLeakageSplit, qCorpusDedup, qSpanDedup, qDedupSubstrings,
     qDupReport, qDedupSubstringsInc, qDedupIncremental,
     qSpanDedupStream, qDedupSubstringsStream, qCanonicalDedupStream,
     qSimhashDedupStream,

@@ -141,6 +141,44 @@ class DedupSpec extends AnyFunSuite {
     assert(cc.collect { case (n, (c, s)) if s == 1 => n }.toSet == Set(1L, 10L, 20L))
   }
 
+  test("leakage-free split: no near-dup pair straddles train/test") {
+    // planted near-dup pairs + singletons through the declared
+    // q_leakage_split composition shape: pairs -> CC -> cluster-coin
+    // split. The structural guarantee under test: any two docs sharing
+    // a cluster get the SAME side, whatever the coin says.
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = (Seq(
+      (1L, base + " one"), (2L, base + " two"),             // near-dups
+      (7L, base + " seven"),                                // third member
+      (20L, "completely different text about other things entirely unrelated")) ++
+      (30 until 40).map(i => (i.toLong, s"unique$i words nobody else has $i")))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+      numHashes = 16, bands = 8, threshold = 0.1, portableMd5 = true)
+    val cc = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .select(col("node").as("doc_id"), col("cluster_id"))
+    val coin = conv(substring(
+      md5(col("cluster_id").cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long")
+    val split = docs.select(col("doc_id")).join(cc, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("split", when(coin % 10 < 8, "train").otherwise("test"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("cluster_id"), r.getAs[String]("split")))).toMap
+    // the planted trio clusters together and shares one side
+    assert(Seq(1L, 2L, 7L).map(split(_)._1).distinct.size == 1)
+    assert(Seq(1L, 2L, 7L).map(split(_)._2).distinct.size == 1,
+      s"near-dups straddle the split: ${Seq(1L, 2L, 7L).map(split)}")
+    // no verified pair crosses sides, ever
+    pairs.collect().foreach { p =>
+      val (a, b) = (p.getAs[Long]("doc_a"), p.getAs[Long]("doc_b"))
+      assert(split(a)._2 == split(b)._2, s"pair ($a,$b) straddles")
+    }
+    // every doc got exactly one side; singletons keep their own cluster
+    assert(split.size == docs.count())
+    assert(split(20L)._1 == 20L)
+  }
+
   test("adaptiveNlist: constant expected cell size, bounded both ends") {
     // tiny corpora keep the floor (k-means sample must cover nlist)
     assert(Dedup.adaptiveNlist(0) == 16)
