@@ -2744,6 +2744,41 @@ object Queries {
     },
     Some("SELECT CAST(NULL AS BIGINT) AS doc_id WHERE false"))
 
+  /** Fuzzy (edit-distance) decontamination: canonical 32-char prefixes
+    * under a Levenshtein budget of 5 — catches lightly-paraphrased /
+    * OCR-mangled benchmark leakage that exact, Bloom and containment
+    * all miss. Benchmark = doc_id % 10 == 0 (the `q_decontaminate`
+    * split). Canonicalization strips non-ASCII, so the distance is
+    * engine-portable; the oracle re-derives the normalization, the
+    * length band, the DP distance, and the per-doc rollup. Both flag
+    * values and real nonzero distances occur at every tested SF. */
+  private val qDecontaminateFuzzy = {
+    val (dist, p) = (5, 32)
+    Q(
+      "q_decontaminate_fuzzy",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        operators.Corpus.decontaminateFuzzy(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0),
+          "doc_id", "text", maxDist = dist, prefixChars = p)
+      },
+      Some(s"""WITH n AS (SELECT doc_id,
+           |  substr(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),
+           |         '\\s+', ' ', 'g')), 1, $p) AS key FROM documents),
+           |b AS (SELECT DISTINCT key AS b_key FROM n WHERE doc_id % 10 = 0),
+           |c AS (SELECT doc_id, key AS c_key FROM n WHERE doc_id % 10 <> 0),
+           |hits AS (SELECT doc_id, CAST(count(*) AS INT) AS n_matches,
+           |                CAST(min(levenshtein(c_key, b_key)) AS INT) AS min_dist
+           |         FROM c JOIN b ON abs(length(c_key) - length(b_key)) <= $dist
+           |                      AND levenshtein(c_key, b_key) <= $dist
+           |         GROUP BY doc_id)
+           |SELECT c.doc_id, CAST(coalesce(n_matches, 0) AS INT) AS n_matches, min_dist,
+           | CAST(CASE WHEN n_matches IS NOT NULL THEN 1 ELSE 0 END AS INT) AS contaminated
+           |FROM c LEFT JOIN hits ON c.doc_id = hits.doc_id
+           |ORDER BY c.doc_id""".stripMargin))
+  }
+
   /** PMI collocations ("new york" phrase discovery): pair + unigram
     * aggs, PMI re-derived by the oracle with the identical expression
     * shape; minCount = 5, top-50 with text tie-break. */
@@ -2822,6 +2857,52 @@ object Queries {
            |        / 4294967297.0)), 6) AS gumbel_key
            |FROM per
            |ORDER BY gumbel_key DESC, doc_id ASC LIMIT 100""".stripMargin))
+
+  /** Trained model-based quality filter: Bernoulli Naive Bayes over
+    * md5-hashed token-presence features (4096 buckets), fit on
+    * lang = 'en' (positive) vs everything else, serving the whole
+    * corpus. Closed-form fit ⇒ the document frequencies, Laplace
+    * probabilities, presence/absence weights, class prior and the
+    * per-doc score all re-derive in SQL; both keep values occur at
+    * every tested SF (scores span roughly −1.9 .. +1.6). */
+  private val qQualityClassifier = {
+    val buckets = 4096
+    Q(
+      "q_quality_classifier",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        operators.Corpus.nbQualityScore(
+          docs,
+          docs.filter(col("lang") === "en"),
+          docs.filter(col("lang") =!= "en"),
+          "doc_id", "text", nBuckets = buckets)
+      },
+      Some(s"""WITH t AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+           |           FROM documents),
+           |f AS (SELECT DISTINCT doc_id,
+           |        CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) % $buckets AS f FROM t),
+           |pos AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+           |neg AS (SELECT doc_id FROM documents WHERE lang <> 'en'),
+           |np AS (SELECT count(*) AS n_pos FROM pos),
+           |nn AS (SELECT count(*) AS n_neg FROM neg),
+           |dfp AS (SELECT f.f, count(*) AS dfp FROM f JOIN pos USING (doc_id) GROUP BY f.f),
+           |dfn AS (SELECT f.f, count(*) AS dfn FROM f JOIN neg USING (doc_id) GROUP BY f.f),
+           |model AS (SELECT coalesce(dfp.f, dfn.f) AS f,
+           |    (coalesce(dfp, 0) + 1) / CAST(n_pos + 2 AS DOUBLE) AS pp,
+           |    (coalesce(dfn, 0) + 1) / CAST(n_neg + 2 AS DOUBLE) AS pn
+           |  FROM dfp FULL OUTER JOIN dfn ON dfp.f = dfn.f, np, nn),
+           |mw AS (SELECT f, ln(pp) - ln(1.0 - pp) - ln(pn) + ln(1.0 - pn) AS w_present,
+           |              ln(1.0 - pp) - ln(1.0 - pn) AS w_absent FROM model),
+           |base AS (SELECT sum(w_absent) AS base FROM mw),
+           |prior AS (SELECT ln(CAST(n_pos AS DOUBLE)) - ln(CAST(n_neg AS DOUBLE)) AS prior
+           |          FROM np, nn),
+           |per AS (SELECT doc_id, CAST(count(*) AS INT) AS n_features,
+           |               sum(coalesce(w_present, 0.0)) AS s
+           |        FROM f LEFT JOIN mw USING (f) GROUP BY doc_id)
+           |SELECT doc_id, n_features, round(prior + base + s, 6) AS score,
+           | CAST(CASE WHEN round(prior + base + s, 6) > 0 THEN 1 ELSE 0 END AS INT) AS keep
+           |FROM per, base, prior ORDER BY doc_id""".stripMargin))
+  }
 
   /** Per-source percent-rank of document length — the per-domain score
     * normalization move (quality scores are only comparable within a
@@ -3162,10 +3243,11 @@ object Queries {
     qMixDomains, qTopTerms,
     qSessionize, qSessionizeStream, qScoreStream, qAsofJoin, qRangeJoin,
     qGopherQuality, qSampleStratified, qDomainFilter, qDecontaminate,
-    qDecontaminateBloom, qDecontaminateContainment, qDecontaminateStream,
+    qDecontaminateBloom, qDecontaminateContainment, qDecontaminateFuzzy,
+    qDecontaminateStream,
     qPiiRedact, qRepetitionFilter, qBpePairs,
     qNormalizeText, qCorpusProfile, qCollocations, qWeightedSample, qDsirSelect,
-    qQualityRank, qEmbedCentroid, qBpeTrain, qBpeApply, qCanonicalDedup,
+    qQualityClassifier, qQualityRank, qEmbedCentroid, qBpeTrain, qBpeApply, qCanonicalDedup,
     qSimDiverse, qCorpusDiff, qDedupEval, qDomainApprox,
     qChunkOverlap, qLengthBuckets, qSourceOverlap,
     qDupNgrams, qUnigramLogprob, qLmCrossEntropy, qDomainPpl, qTokenBudget,

@@ -275,6 +275,53 @@ object Corpus {
       .withColumn("contaminated", (col("n_hits") > 0).cast("int"))
   }
 
+  /** Fuzzy (edit-distance) decontamination — the near-match form of
+    * the eval-set scrub: exact/Bloom/containment catch verbatim and
+    * shingle-level overlap, but a benchmark item that was lightly
+    * paraphrased or OCR-mangled into the crawl slips all three. The
+    * HumanEval/GSM8K-style guard compares CANONICAL text prefixes
+    * under a Levenshtein budget instead.
+    *
+    * Semantics: both sides normalize through `canonicalText` (lower,
+    * strip punctuation, collapse whitespace — canonicalization also
+    * strips every non-ASCII char, so the distance is over pure ASCII
+    * and engine-portable) and truncate to `prefixChars`. A corpus doc
+    * is contaminated iff some benchmark key is within `maxDist` edits
+    * of its key. Output: one row per corpus doc with the match count,
+    * the minimum distance among matches (null if none), and the flag.
+    *
+    * Shape at 100 TB: the benchmark key set is DISTINCT + broadcast
+    * (eval suites are tiny — the `decontaminate` posture); the
+    * candidate step is a broadcast join on an |len_c − len_b| ≤
+    * maxDist length band (a necessary condition for edit distance ≤
+    * maxDist, costing one integer compare per (doc, bench) pair), so
+    * the O(prefixChars²) Levenshtein DP runs only on length-compatible
+    * pairs. Per-row work is bounded by the benchmark size — a scan,
+    * not a shuffle; no corpus-side state. */
+  def decontaminateFuzzy(corpus: DataFrame, benchmark: DataFrame,
+                         idCol: String, textCol: String,
+                         maxDist: Int = 3, prefixChars: Int = 64): DataFrame = {
+    require(maxDist >= 0 && prefixChars >= 1)
+    def key(c: Column) = substring(canonicalText(c), 1, prefixChars)
+    val bench = broadcast(
+      benchmark.select(key(col(textCol)).as("b_key")).distinct()
+        .withColumn("b_len", length(col("b_key"))))
+    val docs = corpus.select(col(idCol).as("doc_id"), key(col(textCol)).as("c_key"))
+      .withColumn("c_len", length(col("c_key")))
+    // LEFT outer keeps zero-candidate docs in the SAME single pass —
+    // no corpus-wide join-back; the per-doc verdict is one hash agg
+    val inBudget = col("__dist") <= maxDist
+    docs
+      .join(bench, abs(col("c_len") - col("b_len")) <= maxDist, "left")
+      .withColumn("__dist", levenshtein(col("c_key"), col("b_key")))
+      .groupBy("doc_id")
+      .agg(count(when(inBudget, lit(1))).cast("int").as("n_matches"),
+           min(when(inBudget, col("__dist"))).cast("int").as("min_dist"))
+      .select(col("doc_id"), col("n_matches"), col("min_dist"),
+              (col("n_matches") > 0).cast("int").as("contaminated"))
+      .orderBy("doc_id")
+  }
+
   /** The corpus-clean language gate (marker-stopword argmax = English)
     * and quality gate (length + stopword density) as ONE row-local
     * predicate — shared by the batch `q_corpus_clean` plan and the
@@ -754,6 +801,77 @@ object Corpus {
         round(log(u) / w, 6).as("es_key"))
       .orderBy(col("es_key").desc, col("doc_id").asc)
       .limit(k)
+  }
+
+  /** Trained model-based quality filter — Bernoulli Naive Bayes over
+    * hashed token-presence features (the GPT-3/LLaMA-style "classifier
+    * trained on a high-quality reference vs the raw crawl" gate,
+    * re-expressed with a closed-form fit so both the fit AND the serve
+    * are pure relational algebra — no iterative optimizer).
+    *
+    * Distinct from `dsirSelect`'s multinomial LM ratio: Bernoulli NB
+    * models feature PRESENCE per document (a repeated word counts
+    * once), carries explicit absence mass (the Σ log(1−p) base term
+    * over the trained feature set), and a class prior — the standard
+    * discriminative-filter family, not an importance weight.
+    *
+    * Fit: per class, document-frequency per hashed feature bucket
+    * (md5-derived, `nBuckets` buckets — the hashing trick bounds the
+    * model at `nBuckets` rows even on an unbounded vocabulary, and the
+    * md5 bucket recomputes identically on any engine). Laplace:
+    * p_f = (df_f + 1) / (N_class + 2).
+    *
+    * Score(doc) = ln(N⁺/N⁻) + Σ_{f∈F} [ln(1−p⁺_f) − ln(1−p⁻_f)]
+    *            + Σ_{f∈doc∩F} [ln p⁺_f − ln(1−p⁺_f) − ln p⁻_f + ln(1−p⁻_f)]
+    * where F is the trained feature set; features unseen in training
+    * contribute nothing. keep = score > 0.
+    *
+    * Shape at 100 TB: two class-side (feature, df) hash aggs bounded
+    * by `nBuckets` (map-side combinable after the per-doc distinct),
+    * the model and its two 1-row stats broadcast, one per-doc distinct
+    * + hash agg over the serve corpus, zero driver collects. The serve
+    * side touches each corpus token once — scan-bound. */
+  def nbQualityScore(corpus: DataFrame, positive: DataFrame, negative: DataFrame,
+                     idCol: String, textCol: String,
+                     nBuckets: Int = 4096): DataFrame = {
+    require(nBuckets >= 2)
+    def feats(df: DataFrame) =
+      df.select(col(idCol).as("doc_id"),
+          explode(split(trim(col(textCol)), "\\s+")).as("w"))
+        .select(col("doc_id"),
+          (conv(substring(md5(col("w").cast("binary")), 1, 8), 16, 10)
+            .cast("long") % nBuckets).as("f"))
+        .distinct()
+    val dfPos = feats(positive).groupBy("f").agg(count(lit(1)).as("dfp"))
+    val dfNeg = feats(negative).groupBy("f").agg(count(lit(1)).as("dfn"))
+    val nPos = positive.agg(count(lit(1)).as("n_pos"))
+    val nNeg = negative.agg(count(lit(1)).as("n_neg"))
+    // model: one row per trained feature; ≤ nBuckets rows by construction
+    val model = dfPos.join(dfNeg, Seq("f"), "full_outer")
+      .crossJoin(broadcast(nPos)).crossJoin(broadcast(nNeg))
+      .select(col("f"),
+        ((coalesce(col("dfp"), lit(0L)) + lit(1L)).cast("double")
+          / (col("n_pos") + lit(2L)).cast("double")).as("pp"),
+        ((coalesce(col("dfn"), lit(0L)) + lit(1L)).cast("double")
+          / (col("n_neg") + lit(2L)).cast("double")).as("pn"))
+      .select(col("f"),
+        (log(col("pp")) - log(lit(1.0) - col("pp"))
+          - log(col("pn")) + log(lit(1.0) - col("pn"))).as("w_present"),
+        (log(lit(1.0) - col("pp")) - log(lit(1.0) - col("pn"))).as("w_absent"))
+    val base = model.agg(sum("w_absent").as("base"))
+    val prior = nPos.crossJoin(nNeg)
+      .select((log(col("n_pos").cast("double"))
+        - log(col("n_neg").cast("double"))).as("prior"))
+    feats(corpus)
+      .join(broadcast(model), Seq("f"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_features"),
+           sum(coalesce(col("w_present"), lit(0.0))).as("__sum"))
+      .crossJoin(broadcast(base)).crossJoin(broadcast(prior))
+      .select(col("doc_id"), col("n_features"),
+        round(col("prior") + col("base") + col("__sum"), 6).as("score"))
+      .withColumn("keep", (col("score") > 0).cast("int"))
+      .orderBy("doc_id")
   }
 
   /** DSIR-style data selection (importance resampling, Xie et al.

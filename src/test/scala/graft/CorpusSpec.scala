@@ -186,6 +186,78 @@ class CorpusSpec extends AnyFunSuite {
     assert(out(3L) == ((0, 0, 0)))              // too short: no shingles, clean
   }
 
+  test("decontaminateFuzzy: paraphrase within budget flagged, exact copy dist 0, far doc clean") {
+    val bench = Seq((900L, "The quick brown fox jumps over the lazy dog"))
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),   // exact after canon
+      (2L, "The quick brown fax jumps over the lady dog!"),  // 2 edits
+      (3L, "completely different words about spark plans"),  // far
+      (4L, "quick brown fox"))                               // length band excludes
+    val out = Corpus.decontaminateFuzzy(
+        corpus.toDF("doc_id", "text"), bench.toDF("doc_id", "text"),
+        "doc_id", "text", maxDist = 3, prefixChars = 64)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), Option(r.get(2)).map(_.asInstanceOf[Int]), r.getInt(3))).toMap
+    assert(out(1L) == ((1, Some(0), 1)))
+    assert(out(2L) == ((1, Some(2), 1)))
+    assert(out(3L) == ((0, None, 0)))
+    assert(out(4L) == ((0, None, 0)))
+  }
+
+  test("decontaminateFuzzy: min over several benchmark entries; non-ASCII stripped pre-distance") {
+    val bench = Seq(
+      (900L, "alpha beta gamma delta"),
+      (901L, "alpha beta gamma delka"))   // 1 edit from the corpus doc's canon
+    val corpus = Seq((1L, "Alpha—beta gamma délka"))  // é stripped → "alpha beta gamma d lka"
+    val out = Corpus.decontaminateFuzzy(
+        corpus.toDF("doc_id", "text"), bench.toDF("doc_id", "text"),
+        "doc_id", "text", maxDist = 3, prefixChars = 64).head
+    // canon corpus key "alpha beta gamma d lka": dist 2 to entry 900, 1 to 901
+    assert(out.getInt(1) == 2 && out.getInt(2) == 1 && out.getInt(3) == 1)
+  }
+
+  // ---- NB quality classifier ------------------------------------------
+
+  test("nbQualityScore separates planted class vocabularies; scores hand-checked") {
+    val pos = Seq((1L, "good clean prose text"), (2L, "clean good text here"))
+    val neg = Seq((3L, "spam junk noise garbage"), (4L, "junk spam garbage words"))
+    val corpus = Seq(
+      (10L, "good clean text"),      // pos-vocab only
+      (11L, "spam junk garbage"),    // neg-vocab only
+      (12L, "quantum flux widget"))  // unseen vocab → prior + base only
+    val out = Corpus.nbQualityScore(
+        corpus.toDF("doc_id", "text"), pos.toDF("doc_id", "text"),
+        neg.toDF("doc_id", "text"), "doc_id", "text", nBuckets = 4096)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getDouble(2), r.getInt(3))).toMap
+    assert(out(10L)._3 == 1, s"pos-vocab doc must be kept: ${out(10L)}")
+    assert(out(11L)._3 == 0, s"neg-vocab doc must be cut: ${out(11L)}")
+    assert(out(10L)._2 > out(12L)._2 && out(12L)._2 > out(11L)._2)
+    assert(out.values.forall(_._1 == 3))
+    // hand-check doc 12 (features all unseen): N⁺=N⁻=2 ⇒ prior = 0;
+    // per trained feature (8 distinct, each df=1 in its class, 0 in the
+    // other): w_absent = ln(1−2/4) − ln(1−1/4) on the pos-only features
+    // and the negation on neg-only ⇒ base = 0 by symmetry.
+    assert(math.abs(out(12L)._2) < 1e-9,
+      s"symmetric model must score unseen-vocab doc 0, got ${out(12L)._2}")
+  }
+
+  test("nbQualityScore: repeated words count once (Bernoulli, not multinomial)") {
+    val pos = Seq((1L, "good text"))
+    val neg = Seq((2L, "bad text"))
+    val once = Corpus.nbQualityScore(
+      Seq((10L, "good extra")).toDF("doc_id", "text"),
+      pos.toDF("doc_id", "text"), neg.toDF("doc_id", "text"),
+      "doc_id", "text").head
+    val many = Corpus.nbQualityScore(
+      Seq((10L, "good good good good extra")).toDF("doc_id", "text"),
+      pos.toDF("doc_id", "text"), neg.toDF("doc_id", "text"),
+      "doc_id", "text").head
+    assert(once.getDouble(2) == many.getDouble(2),
+      "presence model must ignore token multiplicity")
+    assert(once.getInt(1) == 2 && many.getInt(1) == 2)
+  }
+
   // ---- chunking / sharding / overlap ----------------------------------
 
   test("chunkDocs: stride windows with clamped tail, short docs yield one chunk") {

@@ -87,6 +87,27 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
   }
 
+  test("fuzzy decontamination: benchmark side broadcast, corpus never shuffled before the rollup") {
+    val plan = planOf("q_decontaminate_fuzzy")
+    // the length-band join is a non-equi broadcast nested loop over the
+    // TINY benchmark side — the corpus-side cost is a scan, not a
+    // shuffle; the only hash exchange is the per-doc rollup + order
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+    assert(!plan.contains("SortMergeJoin"), plan.take(800))
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+  }
+
+  test("NB quality classifier: model and stats joins are all broadcast — serve side is one doc-keyed agg") {
+    val plan = planOf("q_quality_classifier")
+    // the ≤nBuckets-row model meets the corpus feature stream in a
+    // BroadcastHashJoin; the 1-row base/prior frames ride broadcast
+    // nested loops. The fit-side full-outer of the two class df aggs
+    // is nBuckets-bounded, so the only thing forbidden is a sort-merge
+    // join carrying the corpus (doc_id-keyed).
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert("SortMergeJoin \\[doc_id".r.findFirstIn(plan).isEmpty, plan.take(800))
+  }
+
   test("IVF probe over the bucketed corpus is exchange-free on the corpus side") {
     // Ivf scaladoc promise: assign once, writeBucketed by cell, and
     // every later probe shuffles ONLY the tiny probe side. Differential
