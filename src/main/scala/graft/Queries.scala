@@ -2752,18 +2752,9 @@ object Queries {
     * engine-portable; the oracle re-derives the normalization, the
     * length band, the DP distance, and the per-doc rollup. Both flag
     * values and real nonzero distances occur at every tested SF. */
-  private val qDecontaminateFuzzy = {
+  private val fuzzyOracleSql = {
     val (dist, p) = (5, 32)
-    Q(
-      "q_decontaminate_fuzzy",
-      (s, d) => {
-        val docs = Tables.documents(s, d)
-        operators.Corpus.decontaminateFuzzy(
-          docs.filter(col("doc_id") % 10 =!= 0),
-          docs.filter(col("doc_id") % 10 === 0),
-          "doc_id", "text", maxDist = dist, prefixChars = p)
-      },
-      Some(s"""WITH n AS (SELECT doc_id,
+    s"""WITH n AS (SELECT doc_id,
            |  substr(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),
            |         '\\s+', ' ', 'g')), 1, $p) AS key FROM documents),
            |b AS (SELECT DISTINCT key AS b_key FROM n WHERE doc_id % 10 = 0),
@@ -2776,8 +2767,29 @@ object Queries {
            |SELECT c.doc_id, CAST(coalesce(n_matches, 0) AS INT) AS n_matches, min_dist,
            | CAST(CASE WHEN n_matches IS NOT NULL THEN 1 ELSE 0 END AS INT) AS contaminated
            |FROM c LEFT JOIN hits ON c.doc_id = hits.doc_id
-           |ORDER BY c.doc_id""".stripMargin))
+           |ORDER BY c.doc_id""".stripMargin
   }
+
+  private val qDecontaminateFuzzy = Q(
+    "q_decontaminate_fuzzy",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      operators.Corpus.decontaminateFuzzy(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", maxDist = 5, prefixChars = 32)
+    },
+    Some(fuzzyOracleSql))
+
+  /** The streaming fuzzy-decontamination twin drained to its end
+    * state: batch-side key fit + the row-local HOF serve over the
+    * documents feed (stateless append — no watermark needed), so the
+    * batch oracle applies verbatim modulo sort. */
+  private val qDecontaminateFuzzyStream = Q(
+    "q_decontaminate_fuzzy_stream",
+    (s, d) => streaming.CorpusStream.fuzzyDecontaminatedOverFile(s, d)
+      .orderBy("doc_id"),
+    Some(fuzzyOracleSql))
 
   /** PMI collocations ("new york" phrase discovery): pair + unigram
     * aggs, PMI re-derived by the oracle with the identical expression
@@ -2865,19 +2877,9 @@ object Queries {
     * probabilities, presence/absence weights, class prior and the
     * per-doc score all re-derive in SQL; both keep values occur at
     * every tested SF (scores span roughly −1.9 .. +1.6). */
-  private val qQualityClassifier = {
+  private val nbOracleSql = {
     val buckets = 4096
-    Q(
-      "q_quality_classifier",
-      (s, d) => {
-        val docs = Tables.documents(s, d)
-        operators.Corpus.nbQualityScore(
-          docs,
-          docs.filter(col("lang") === "en"),
-          docs.filter(col("lang") =!= "en"),
-          "doc_id", "text", nBuckets = buckets)
-      },
-      Some(s"""WITH t AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+    s"""WITH t AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
            |           FROM documents),
            |f AS (SELECT DISTINCT doc_id,
            |        CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) % $buckets AS f FROM t),
@@ -2901,8 +2903,30 @@ object Queries {
            |        FROM f LEFT JOIN mw USING (f) GROUP BY doc_id)
            |SELECT doc_id, n_features, round(prior + base + s, 6) AS score,
            | CAST(CASE WHEN round(prior + base + s, 6) > 0 THEN 1 ELSE 0 END AS INT) AS keep
-           |FROM per, base, prior ORDER BY doc_id""".stripMargin))
+           |FROM per, base, prior ORDER BY doc_id""".stripMargin
   }
+
+  private val qQualityClassifier = Q(
+    "q_quality_classifier",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      operators.Corpus.nbQualityScore(
+        docs,
+        docs.filter(col("lang") === "en"),
+        docs.filter(col("lang") =!= "en"),
+        "doc_id", "text", nBuckets = 4096)
+    },
+    Some(nbOracleSql))
+
+  /** The streaming quality-classifier twin drained to its end state:
+    * batch-side NB fit (constant-size model) + the row-local
+    * weight-array fold over the documents feed (stateless append), so
+    * the batch oracle applies verbatim modulo sort. */
+  private val qQualityClassifierStream = Q(
+    "q_quality_classifier_stream",
+    (s, d) => streaming.CorpusStream.nbScoredOverFile(s, d)
+      .orderBy("doc_id"),
+    Some(nbOracleSql))
 
   /** Per-source percent-rank of document length — the per-domain score
     * normalization move (quality scores are only comparable within a
@@ -3244,10 +3268,10 @@ object Queries {
     qSessionize, qSessionizeStream, qScoreStream, qAsofJoin, qRangeJoin,
     qGopherQuality, qSampleStratified, qDomainFilter, qDecontaminate,
     qDecontaminateBloom, qDecontaminateContainment, qDecontaminateFuzzy,
-    qDecontaminateStream,
+    qDecontaminateFuzzyStream, qDecontaminateStream,
     qPiiRedact, qRepetitionFilter, qBpePairs,
     qNormalizeText, qCorpusProfile, qCollocations, qWeightedSample, qDsirSelect,
-    qQualityClassifier, qQualityRank, qEmbedCentroid, qBpeTrain, qBpeApply, qCanonicalDedup,
+    qQualityClassifier, qQualityClassifierStream, qQualityRank, qEmbedCentroid, qBpeTrain, qBpeApply, qCanonicalDedup,
     qSimDiverse, qCorpusDiff, qDedupEval, qDomainApprox,
     qChunkOverlap, qLengthBuckets, qSourceOverlap,
     qDupNgrams, qUnigramLogprob, qLmCrossEntropy, qDomainPpl, qTokenBudget,

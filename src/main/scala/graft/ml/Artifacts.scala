@@ -158,6 +158,31 @@ object Artifacts {
     graft.operators.Pq.Model(m, ksub, dsub, books)
   }
 
+  /** Bernoulli-NB quality model: dense per-bucket presence weights +
+    * absence base + class prior (`Corpus.NbQualityModel`). */
+  def saveNbQuality(m: graft.operators.Corpus.NbQualityModel, path: String): Unit =
+    write(path, s"""{"nBuckets":${m.nBuckets},"base":${jNum(m.base)},""" +
+      s""""prior":${jNum(m.prior)},"weights":${jArr(m.weights.map(jNum))}}""")
+
+  def loadNbQuality(path: String): graft.operators.Corpus.NbQualityModel = {
+    val p = new P(read(path))
+    p.objField("nBuckets"); val n = p.num().toInt
+    p.objField("base"); val base = p.num()
+    p.objField("prior"); val prior = p.num()
+    p.objField("weights"); val w = p.arr(() => p.num()).toArray
+    require(w.length == n, s"weight array ${w.length} != nBuckets $n")
+    graft.operators.Corpus.NbQualityModel(n, w, base, prior)
+  }
+
+  /** Fuzzy-decontamination key set (`Corpus.fitFuzzyKeys`). */
+  def saveFuzzyKeys(keys: Array[String], path: String): Unit =
+    write(path, s"""{"keys":${jArr(keys.map(jStr))}}""")
+
+  def loadFuzzyKeys(path: String): Array[String] = {
+    val p = new P(read(path))
+    p.objField("keys"); p.arr(() => p.str()).toArray
+  }
+
   private def write(path: String, content: String): Unit = {
     val p = Paths.get(path)
     if (p.getParent != null) Files.createDirectories(p.getParent)

@@ -322,6 +322,44 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** The fit half of fuzzy decontamination as constant-size model
+    * state: the benchmark's distinct canonical keys, driver-collected
+    * (eval suites are benchmark-sized, never corpus-sized — the
+    * `fitDecontaminationBloom` posture). Sorted for determinism. */
+  def fitFuzzyKeys(benchmark: DataFrame, textCol: String,
+                   prefixChars: Int = 64): Array[String] =
+    benchmark
+      .select(substring(canonicalText(col(textCol)), 1, prefixChars).as("k"))
+      .distinct().collect().map(_.getString(0)).sorted
+
+  /** The serve half, ROW-LOCAL: fold the literal key array over each
+    * doc in one projection — length-band prefilter then the
+    * Levenshtein DP, all inside builtin higher-order functions (no
+    * UDF, no join, no shuffle, no state), so a fitted fuzzy scrub
+    * runs on a live feed at scan speed (streaming twin:
+    * `CorpusStream.fuzzyDecontaminated`). Same output contract as
+    * `decontaminateFuzzy` minus its sort. */
+  def decontaminateFuzzyRows(corpus: DataFrame, keys: Array[String],
+                             idCol: String, textCol: String,
+                             maxDist: Int = 3, prefixChars: Int = 64): DataFrame = {
+    require(maxDist >= 0 && prefixChars >= 1)
+    val keysLit = lit(keys)
+    corpus
+      .select(col(idCol).as("doc_id"),
+        substring(canonicalText(col(textCol)), 1, prefixChars).as("c_key"))
+      .select(col("doc_id"),
+        filter(
+          transform(
+            filter(keysLit,
+              b => abs(length(b) - length(col("c_key"))) <= maxDist),
+            b => levenshtein(col("c_key"), b)),
+          d => d <= maxDist).as("__d"))
+      .select(col("doc_id"),
+        size(col("__d")).cast("int").as("n_matches"),
+        array_min(col("__d")).cast("int").as("min_dist"))
+      .withColumn("contaminated", (col("n_matches") > 0).cast("int"))
+  }
+
   /** The corpus-clean language gate (marker-stopword argmax = English)
     * and quality gate (length + stopword density) as ONE row-local
     * predicate — shared by the batch `q_corpus_clean` plan and the
@@ -831,38 +869,52 @@ object Corpus {
     * the model and its two 1-row stats broadcast, one per-doc distinct
     * + hash agg over the serve corpus, zero driver collects. The serve
     * side touches each corpus token once — scan-bound. */
-  def nbQualityScore(corpus: DataFrame, positive: DataFrame, negative: DataFrame,
-                     idCol: String, textCol: String,
-                     nBuckets: Int = 4096): DataFrame = {
-    require(nBuckets >= 2)
-    def feats(df: DataFrame) =
-      df.select(col(idCol).as("doc_id"),
-          explode(split(trim(col(textCol)), "\\s+")).as("w"))
-        .select(col("doc_id"),
-          (conv(substring(md5(col("w").cast("binary")), 1, 8), 16, 10)
-            .cast("long") % nBuckets).as("f"))
-        .distinct()
-    val dfPos = feats(positive).groupBy("f").agg(count(lit(1)).as("dfp"))
-    val dfNeg = feats(negative).groupBy("f").agg(count(lit(1)).as("dfn"))
+  /** One row per trained-feature weight, shared by the fully-relational
+    * `nbQualityScore` and the driver-side `fitNbQuality` so the two
+    * paths can never diverge. ≤ nBuckets rows by construction. */
+  private def nbFeats(df: DataFrame, idCol: String, textCol: String,
+                      nBuckets: Int): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        explode(split(trim(col(textCol)), "\\s+")).as("w"))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("w").cast("binary")), 1, 8), 16, 10)
+          .cast("long") % nBuckets).as("f"))
+      .distinct()
+
+  private def nbModelFrame(positive: DataFrame, negative: DataFrame,
+                           idCol: String, textCol: String,
+                           nBuckets: Int): DataFrame = {
+    val dfPos = nbFeats(positive, idCol, textCol, nBuckets)
+      .groupBy("f").agg(count(lit(1)).as("dfp"))
+    val dfNeg = nbFeats(negative, idCol, textCol, nBuckets)
+      .groupBy("f").agg(count(lit(1)).as("dfn"))
     val nPos = positive.agg(count(lit(1)).as("n_pos"))
     val nNeg = negative.agg(count(lit(1)).as("n_neg"))
-    // model: one row per trained feature; ≤ nBuckets rows by construction
-    val model = dfPos.join(dfNeg, Seq("f"), "full_outer")
+    dfPos.join(dfNeg, Seq("f"), "full_outer")
       .crossJoin(broadcast(nPos)).crossJoin(broadcast(nNeg))
-      .select(col("f"),
+      .select(col("f"), col("n_pos"), col("n_neg"),
         ((coalesce(col("dfp"), lit(0L)) + lit(1L)).cast("double")
           / (col("n_pos") + lit(2L)).cast("double")).as("pp"),
         ((coalesce(col("dfn"), lit(0L)) + lit(1L)).cast("double")
           / (col("n_neg") + lit(2L)).cast("double")).as("pn"))
-      .select(col("f"),
+      .select(col("f"), col("n_pos"), col("n_neg"),
         (log(col("pp")) - log(lit(1.0) - col("pp"))
           - log(col("pn")) + log(lit(1.0) - col("pn"))).as("w_present"),
         (log(lit(1.0) - col("pp")) - log(lit(1.0) - col("pn"))).as("w_absent"))
+  }
+
+  def nbQualityScore(corpus: DataFrame, positive: DataFrame, negative: DataFrame,
+                     idCol: String, textCol: String,
+                     nBuckets: Int = 4096): DataFrame = {
+    require(nBuckets >= 2)
+    val model = nbModelFrame(positive, negative, idCol, textCol, nBuckets)
+      .select("f", "w_present", "w_absent")
     val base = model.agg(sum("w_absent").as("base"))
-    val prior = nPos.crossJoin(nNeg)
+    val prior = positive.agg(count(lit(1)).as("n_pos"))
+      .crossJoin(negative.agg(count(lit(1)).as("n_neg")))
       .select((log(col("n_pos").cast("double"))
         - log(col("n_neg").cast("double"))).as("prior"))
-    feats(corpus)
+    nbFeats(corpus, idCol, textCol, nBuckets)
       .join(broadcast(model), Seq("f"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("int").as("n_features"),
@@ -872,6 +924,64 @@ object Corpus {
         round(col("prior") + col("base") + col("__sum"), 6).as("score"))
       .withColumn("keep", (col("score") > 0).cast("int"))
       .orderBy("doc_id")
+  }
+
+  /** Constant-size NB quality model: dense per-bucket presence weights
+    * (untrained buckets carry 0.0 — algebraically identical to the
+    * relational left join's coalesce-to-zero), plus the absence base
+    * and the class prior. nBuckets doubles ≈ 32 KB at the 4096
+    * default — IVF-centroid-class model state, persistable via
+    * `Artifacts.saveNbQuality`. */
+  final case class NbQualityModel(nBuckets: Int, weights: Array[Double],
+                                  base: Double, prior: Double)
+
+  /** The fit half of `nbQualityScore` as a driver-side constant-size
+    * model fit (the `fitDecontaminationBloom` posture): the same two
+    * nBuckets-bounded df aggs, collected into the dense weight array.
+    * `base` is taken from the SAME Spark aggregate the relational
+    * query uses, so fit→serve reproduces the declared query's floats
+    * bit-for-bit (a driver-side re-summation could drift a ulp). */
+  def fitNbQuality(positive: DataFrame, negative: DataFrame,
+                   idCol: String, textCol: String,
+                   nBuckets: Int = 4096): NbQualityModel = {
+    require(nBuckets >= 2)
+    val model = nbModelFrame(positive, negative, idCol, textCol, nBuckets)
+    model.persist()
+    try {
+      val rows = model.select("f", "w_present").collect()
+      require(rows.nonEmpty, "NB fit needs at least one training document")
+      val w = new Array[Double](nBuckets)
+      rows.foreach(r => w(r.getLong(0).toInt) = r.getDouble(1))
+      val agg = model.agg(sum("w_absent").as("base"),
+        first("n_pos").as("np"), first("n_neg").as("nn")).head
+      NbQualityModel(nBuckets, w, agg.getDouble(0),
+        math.log(agg.getLong(1).toDouble) - math.log(agg.getLong(2).toDouble))
+    } finally { model.unpersist(); () }
+  }
+
+  /** The serve half, ROW-LOCAL: hash + distinct the doc's tokens and
+    * fold the broadcast-literal weight array over them in one
+    * projection — no shuffle, no state, so a fitted quality gate
+    * scrubs a live feed at scan speed (streaming twin:
+    * `CorpusStream.nbScored`). Output contract = `nbQualityScore`
+    * minus its sort (null-text docs are absent there via the explode;
+    * here they are filtered explicitly). */
+  def nbScoreRows(corpus: DataFrame, m: NbQualityModel,
+                  idCol: String, textCol: String): DataFrame = {
+    val fs = array_distinct(transform(
+      split(trim(col(textCol)), "\\s+"),
+      w => conv(substring(md5(w.cast("binary")), 1, 8), 16, 10)
+        .cast("long") % m.nBuckets))
+    val wLit = lit(m.weights)
+    corpus.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), fs.as("__fs"))
+      .select(col("doc_id"),
+        size(col("__fs")).cast("int").as("n_features"),
+        round(lit(m.prior) + lit(m.base) +
+          aggregate(col("__fs"), lit(0.0),
+            (acc, f) => acc + element_at(wLit, f.cast("int") + 1)), 6)
+          .as("score"))
+      .withColumn("keep", (col("score") > 0).cast("int"))
   }
 
   /** DSIR-style data selection (importance resampling, Xie et al.

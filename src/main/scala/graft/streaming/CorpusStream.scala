@@ -300,6 +300,64 @@ object CorpusStream {
     spark.table(name)
   }
 
+  /** Streaming fuzzy decontamination — the edit-distance serve half
+    * over a live feed. Fit (`Corpus.fitFuzzyKeys`) collects the
+    * benchmark's canonical keys once (constant-size model,
+    * persistable via Artifacts.saveFuzzyKeys); serving is a row-local
+    * higher-order-function fold — no UDF, no state, no shuffle, append
+    * mode at scan speed. */
+  def fuzzyDecontaminated(docs: DataFrame, keys: Array[String],
+                          idCol: String = "doc_id", textCol: String = "text",
+                          maxDist: Int = 3, prefixChars: Int = 64): DataFrame =
+    graft.operators.Corpus.decontaminateFuzzyRows(
+      docs, keys, idCol, textCol, maxDist, prefixChars)
+
+  /** The declared `q_decontaminate_fuzzy_stream` runner: fit the key
+    * set on the benchmark split (doc_id % 10 == 0) batch-side, stream
+    * the rest through the row-local serve; the drained end state must
+    * equal the batch `q_decontaminate_fuzzy` row-for-row (modulo its
+    * final sort), so the batch DuckDB oracle applies verbatim. */
+  def fuzzyDecontaminatedOverFile(spark: org.apache.spark.sql.SparkSession,
+                                  sfDir: String, maxDist: Int = 5,
+                                  prefixChars: Int = 32): DataFrame = {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val keys = graft.operators.Corpus.fitFuzzyKeys(
+      docs.filter(col("doc_id") % 10 === 0), "text", prefixChars)
+    val name = s"__graft_fuzzy_${runSeq.incrementAndGet()}"
+    val stream = graft.Tables.documentsStream(spark, sfDir)
+      .filter(col("doc_id") % 10 =!= 0)
+    val q = fuzzyDecontaminated(stream, keys, "doc_id", "text", maxDist, prefixChars)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
+  /** Streaming model-based quality gate — the Bernoulli-NB serve half
+    * over a live feed. Fit (`Corpus.fitNbQuality`) runs batch-side
+    * (two nBuckets-bounded aggs, constant-size model, persistable via
+    * Artifacts.saveNbQuality); serving folds the literal weight array
+    * row-locally — no state, no shuffle, append mode. */
+  def nbScored(docs: DataFrame, m: graft.operators.Corpus.NbQualityModel,
+               idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    graft.operators.Corpus.nbScoreRows(docs, m, idCol, textCol)
+
+  /** The declared `q_quality_classifier_stream` runner: fit on the
+    * lang split batch-side (the `q_quality_classifier` configuration),
+    * stream the WHOLE corpus through the row-local scorer; end state
+    * equals the batch query row-for-row, so its oracle applies. */
+  def nbScoredOverFile(spark: org.apache.spark.sql.SparkSession,
+                       sfDir: String, nBuckets: Int = 4096): DataFrame = {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val m = graft.operators.Corpus.fitNbQuality(
+      docs.filter(col("lang") === "en"), docs.filter(col("lang") =!= "en"),
+      "doc_id", "text", nBuckets)
+    val name = s"__graft_nbq_${runSeq.incrementAndGet()}"
+    val q = nbScored(graft.Tables.documentsStream(spark, sfDir), m)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
   // =====================================================================
   // Finite-input runners for the declared streaming dedup twins
   // =====================================================================

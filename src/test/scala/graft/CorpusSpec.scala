@@ -242,6 +242,29 @@ class CorpusSpec extends AnyFunSuite {
       s"symmetric model must score unseen-vocab doc 0, got ${out(12L)._2}")
   }
 
+  test("fit/serve splits reproduce the declared relational queries row-for-row") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val pos = docs.filter(col("lang") === "en")
+    val neg = docs.filter(col("lang") =!= "en")
+    val declaredNb = Corpus.nbQualityScore(docs, pos, neg, "doc_id", "text")
+      .collect().map(_.toString).sorted.toSeq
+    val m = Corpus.fitNbQuality(pos, neg, "doc_id", "text")
+    val servedNb = Corpus.nbScoreRows(docs, m, "doc_id", "text")
+      .collect().map(_.toString).sorted.toSeq
+    assert(servedNb == declaredNb && declaredNb.nonEmpty)
+
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+    val declaredFz = Corpus.decontaminateFuzzy(corpus, bench,
+        "doc_id", "text", maxDist = 5, prefixChars = 32)
+      .collect().map(_.toString).sorted.toSeq
+    val keys = Corpus.fitFuzzyKeys(bench, "text", prefixChars = 32)
+    val servedFz = Corpus.decontaminateFuzzyRows(corpus, keys,
+        "doc_id", "text", maxDist = 5, prefixChars = 32)
+      .collect().map(_.toString).sorted.toSeq
+    assert(servedFz == declaredFz && declaredFz.nonEmpty)
+  }
+
   test("nbQualityScore: repeated words count once (Bernoulli, not multinomial)") {
     val pos = Seq((1L, "good text"))
     val neg = Seq((2L, "bad text"))

@@ -167,6 +167,31 @@ class SourcesSpec extends AnyFunSuite {
     assert(a == b && a.nonEmpty, "reloaded sketch must scrub bit-identically")
   }
 
+  test("NB quality model and fuzzy key set reload bit-identically and serve identically") {
+    import org.apache.spark.sql.functions.col
+    val dir = tmp()
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val m = graft.operators.Corpus.fitNbQuality(
+      docs.filter(col("lang") === "en"), docs.filter(col("lang") =!= "en"),
+      "doc_id", "text")
+    Artifacts.saveNbQuality(m, s"$dir/nb.json")
+    val m2 = Artifacts.loadNbQuality(s"$dir/nb.json")
+    assert(m2.nBuckets == m.nBuckets && m2.base == m.base &&
+      m2.prior == m.prior && m2.weights.sameElements(m.weights))
+    val probe = docs.limit(50)
+    val a = graft.operators.Corpus.nbScoreRows(probe, m, "doc_id", "text")
+      .collect().toSeq
+    val b = graft.operators.Corpus.nbScoreRows(probe, m2, "doc_id", "text")
+      .collect().toSeq
+    assert(a == b && a.nonEmpty)
+
+    val keys = graft.operators.Corpus.fitFuzzyKeys(
+      docs.filter(col("doc_id") % 10 === 0), "text", prefixChars = 32)
+    Artifacts.saveFuzzyKeys(keys, s"$dir/fuzzy.json")
+    assert(Artifacts.loadFuzzyKeys(s"$dir/fuzzy.json").sameElements(keys)
+      && keys.nonEmpty)
+  }
+
   test("ensemble bundle round-trip: loaded bundle scores identically") {
     val dir = tmp()
     val fitted = graft.ml.Ensemble.fit(spark, "/root/testdata/sf0.001")
