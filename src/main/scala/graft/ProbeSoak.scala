@@ -45,7 +45,7 @@ object ProbeSoak {
     "q_span_dedup", "q_dedup_substrings", "q_ngram_jaccard",
     "q_dedup_incremental",
     "dedup_semantic", "dedup_embedding", "sim_ivf_topk", "sim_ivfpq_topk",
-    "q_dsir_select")
+    "q_dsir_select", "q_decontaminate_fuzzy", "q_quality_classifier")
 
   private val lorem: String = {
     val words = Seq("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",

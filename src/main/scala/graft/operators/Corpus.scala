@@ -332,31 +332,31 @@ object Corpus {
       .select(substring(canonicalText(col(textCol)), 1, prefixChars).as("k"))
       .distinct().collect().map(_.getString(0)).sorted
 
-  /** The serve half, ROW-LOCAL: fold the literal key array over each
-    * doc in one projection — length-band prefilter then the
-    * Levenshtein DP, all inside builtin higher-order functions (no
-    * UDF, no join, no shuffle, no state), so a fitted fuzzy scrub
-    * runs on a live feed at scan speed (streaming twin:
-    * `CorpusStream.fuzzyDecontaminated`). Same output contract as
+  /** The serve half, ROW-LOCAL: one native codegen expression
+    * (`functions.FuzzyMatchStats`) folds the benchmark key set over
+    * each doc — length-band precheck then the engine's own
+    * threshold-bounded Levenshtein DP (early exit above the budget) in
+    * a primitive loop, no UDF, no join, no shuffle, no state — so a
+    * fitted fuzzy scrub runs on a live feed at scan speed (streaming
+    * twin: `CorpusStream.fuzzyDecontaminated`). A first cut layered
+    * builtin HOFs (filter∘transform∘filter with `levenshtein` in the
+    * lambda); Spark interprets HOF lambdas per element, which measured
+    * 92× slower than the codegen batch join at sf0.1 — the
+    * `WinnowFingerprints` lesson. Same output contract as
     * `decontaminateFuzzy` minus its sort. */
   def decontaminateFuzzyRows(corpus: DataFrame, keys: Array[String],
                              idCol: String, textCol: String,
                              maxDist: Int = 3, prefixChars: Int = 64): DataFrame = {
     require(maxDist >= 0 && prefixChars >= 1)
-    val keysLit = lit(keys)
+    val st = graft.functions.FuzzyMatch.stats(
+      substring(canonicalText(col(textCol)), 1, prefixChars),
+      keys.toSeq, maxDist)
     corpus
-      .select(col(idCol).as("doc_id"),
-        substring(canonicalText(col(textCol)), 1, prefixChars).as("c_key"))
+      .select(col(idCol).as("doc_id"), st.as("__st"))
       .select(col("doc_id"),
-        filter(
-          transform(
-            filter(keysLit,
-              b => abs(length(b) - length(col("c_key"))) <= maxDist),
-            b => levenshtein(col("c_key"), b)),
-          d => d <= maxDist).as("__d"))
-      .select(col("doc_id"),
-        size(col("__d")).cast("int").as("n_matches"),
-        array_min(col("__d")).cast("int").as("min_dist"))
+        element_at(col("__st"), 1).as("n_matches"),
+        when(element_at(col("__st"), 2) >= 0, element_at(col("__st"), 2))
+          .as("min_dist"))
       .withColumn("contaminated", (col("n_matches") > 0).cast("int"))
   }
 

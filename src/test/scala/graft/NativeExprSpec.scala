@@ -120,6 +120,45 @@ class NativeExprSpec extends AnyFunSuite {
     }
   }
 
+  test("FuzzyMatchStats == layered filter/transform/levenshtein HOFs on random keys") {
+    val rnd2 = new scala.util.Random(19)
+    val alpha = "abcde "
+    def randKey(n: Int) = (0 until n).map(_ => alpha(rnd2.nextInt(alpha.length))).mkString
+    // small alphabet + short strings → plenty of within-budget pairs
+    val bench = (0 until 40).map(_ => randKey(3 + rnd2.nextInt(10))).distinct
+    val docs = (0 until 300).map(i => (i.toLong, randKey(1 + rnd2.nextInt(14))))
+      .toDF("doc_id", "c_key")
+    for (maxDist <- Seq(0, 2, 4)) {
+      val native = docs.select(col("doc_id"),
+        graft.functions.FuzzyMatch.stats(col("c_key"), bench, maxDist).as("st"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      val layered = docs.select(col("doc_id"),
+        filter(
+          transform(
+            filter(lit(bench.toArray),
+              b => abs(length(b) - length(col("c_key"))) <= maxDist),
+            b => levenshtein(col("c_key"), b)),
+          d => d <= maxDist).as("ds"))
+        .collect().map { r =>
+          val ds = r.getSeq[Int](1)
+          r.getLong(0) -> Seq(ds.size, if (ds.isEmpty) -1 else ds.min)
+        }.toMap
+      assert(native == layered, s"maxDist=$maxDist")
+    }
+    // interpreted eval agrees with the column (codegen) path
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val colPath = docs.select(col("doc_id"),
+      graft.functions.FuzzyMatch.stats(col("c_key"), bench, 2).as("st"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    docs.collect().foreach { r =>
+      val interp = graft.functions.FuzzyMatchStats(
+        Literal(org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(1)),
+          org.apache.spark.sql.types.StringType), bench, 2)
+        .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      assert(interp.toIntArray().toSeq == colPath(r.getLong(0)), s"doc ${r.getLong(0)}")
+    }
+  }
+
   test("NearestCentroidCell == array_min(array(struct(sqDiffSum, idx))) incl. subspace offsets") {
     import graft.functions.ArrayMath
     val vrnd = new scala.util.Random(11)
