@@ -46,11 +46,16 @@ object CorpusStream {
     * window.
     *
     * Two chained stateful operators, both watermark-bounded:
-    * `dropDuplicatesWithinWatermark` on the span text (state = one
-    * entry per distinct span in the horizon — span hashes, never
-    * documents), then a tumbling-window aggregate keyed by
-    * (doc_id, window) that reassembles surviving spans in span_idx
-    * order and emits on window close (append mode). Keep choice
+    * `dropDuplicatesWithinWatermark` on the span's md5 digest (state =
+    * one entry per distinct span in the horizon; the 16-byte digest —
+    * never the span text — is both the state key and the only payload
+    * on the dedup shuffle, the same digest-not-text rule as the batch
+    * operator and `dedupSubstringsStream`), then a tumbling-window
+    * aggregate keyed by (doc_id, window) that reassembles surviving
+    * spans in span_idx order FROM THE DOC'S OWN TOKEN ARRAY (carried
+    * once per doc on its presence row — surviving spans cross the
+    * window-agg shuffle as span_idx ints) and emits on window close
+    * (append mode). Keep choice
     * follows ARRIVAL order, the streaming-native analog of the batch
     * operator's (doc_id, span_idx) order — the kept-span SET is
     * identical; which duplicate doc carries a shared span can differ.
@@ -73,30 +78,38 @@ object CorpusStream {
                        spanLen: Int = 5, watermark: String = "1 day",
                        window: String = "1 hour"): DataFrame = {
     val base = docs.select(col(idCol).as("doc_id"), col(tsCol).as("__ts"),
-        graft.functions.TextHash.chunkSpans(
-          split(trim(col(textCol)), "\\s+"), spanLen, spanLen).as("__spans"))
-      .select(col("doc_id"), col("__ts"),
+        split(trim(col(textCol)), "\\s+").as("__w"))
+      .select(col("doc_id"), col("__ts"), col("__w"),
+        graft.functions.TextHash.chunkSpans(col("__w"), spanLen, spanLen)
+          .as("__spans"))
+      .select(col("doc_id"), col("__ts"), col("__w"),
               size(col("__spans")).cast("int").as("n_spans"), col("__spans"))
       .withWatermark("__ts", watermark)
     val kept = base
       .select(col("doc_id"), col("__ts"), col("n_spans"),
               posexplode(col("__spans")))
       .select(col("doc_id"), col("__ts"), col("n_spans"),
-              (col("pos") + 1).as("span_idx"), col("col").as("span"))
-      .dropDuplicatesWithinWatermark("span")
-    // presence row per doc (span_idx −1, null span — skipped by both
-    // the keep count and concat_ws): a fully-duplicate doc must still
-    // emit (n_spans, 0, "") instead of vanishing
+              (col("pos") + 1).cast("int").as("span_idx"),
+              unhex(md5(col("col").cast("binary"))).as("__dig"))
+      .dropDuplicatesWithinWatermark("__dig")
+      .select(col("doc_id"), col("__ts"), col("n_spans"), col("span_idx"),
+              lit(null).cast("array<string>").as("__w"))
+    // presence row per doc (span_idx −1) carrying the token array: the
+    // reassembly's token source, and the reason a fully-duplicate doc
+    // still emits (n_spans, 0, "") instead of vanishing
     val presence = base.select(col("doc_id"), col("__ts"), col("n_spans"),
-      lit(-1).cast("int").as("span_idx"), lit(null).cast("string").as("span"))
+      lit(-1).cast("int").as("span_idx"), col("__w"))
+    val L = spanLen
     kept.unionByName(presence)
       .groupBy(col("doc_id"), org.apache.spark.sql.functions.window(col("__ts"), window))
       .agg(max("n_spans").as("n_spans"),
-           sum(when(col("span_idx") >= 0, 1).otherwise(0)).cast("int").as("n_kept"),
-           concat_ws(" ", transform(
-             sort_array(collect_list(struct(col("span_idx"), col("span")))),
-             s => s.getField("span"))).as("dedup_text"))
-      .select(col("doc_id"), col("n_spans"), col("n_kept"), col("dedup_text"))
+           first(col("__w"), ignoreNulls = true).as("__toks"),
+           sort_array(collect_list(when(col("span_idx") >= 0, col("span_idx"))))
+             .as("__idx"))
+      .select(col("doc_id"), col("n_spans"),
+              size(col("__idx")).cast("int").as("n_kept"),
+              concat_ws(" ", flatten(transform(col("__idx"),
+                i => slice(col("__toks"), (i - 1) * L + 1, lit(L))))).as("dedup_text"))
   }
 
   /** Streaming exact repeated-substring removal — the streaming twin
@@ -120,15 +133,19 @@ object CorpusStream {
     * deterministic one — `substringsDedupOverFile` pins it with
     * `coalesce(1)`, making arrival order the batch rule and the batch
     * DuckDB oracle applicable). Reassembly:
-    * surviving windows explode to the tokens they cover; a token is
-    * CUT iff its surviving-cover count falls short of the expected
-    * cover count (every token of an n≥L doc is covered by
+    * a token is CUT iff its surviving-cover count falls short of the
+    * expected cover count (every token of an n≥L doc is covered by
     * min(t, n−L) − max(0, t−L+1) + 1 windows by construction, so any
     * shortfall means a covering window was dropped as a duplicate).
-    * Docs shorter than gramLen contain no ≥L substring and bypass the
-    * dedup entirely. The L× cover amplification is survivors-only and
-    * scan-shaped; the per-doc windowed aggregate emits
-    * (doc_id, n_tokens, n_cut, dedup_text) on window close. */
+    * The cover counts are computed per doc by a difference array over
+    * the surviving window POSITIONS — the post-dedup stream carries
+    * only (doc_id, gpos) int rows plus one token-array presence row
+    * per doc, never an L× token explode, so the window-agg shuffle
+    * volume is O(windows + docs), not O(windows × L). Docs shorter
+    * than gramLen contain no ≥L substring, bypass the dedup entirely
+    * and reassemble verbatim from their presence row. The per-doc
+    * windowed aggregate emits (doc_id, n_tokens, n_cut, dedup_text)
+    * on window close. */
   def dedupSubstringsStream(docs: DataFrame, tsCol: String = "ts",
                             idCol: String = "doc_id", textCol: String = "text",
                             gramLen: Int = 20, watermark: String = "1 day",
@@ -149,45 +166,43 @@ object CorpusStream {
       .select(col("doc_id"), col("__ts"), col("n_tokens"),
         posexplode(graft.functions.TextHash.chunkSpans(col("__w"), gramLen, 1)))
       .select(col("doc_id"), col("__ts"), col("n_tokens"),
-              col("pos").as("gpos"), col("col").as("gram"),
+              col("pos").cast("int").as("gpos"),
               unhex(md5(col("col").cast("binary"))).as("__dig"))
       .dropDuplicatesWithinWatermark("__dig")
+      // post-dedup the window TEXT is gone already (digest + position
+      // only) — ints ride the window-agg shuffle, never an L× explode
       .select(col("doc_id"), col("__ts"), col("n_tokens"), col("gpos"),
-              posexplode(split(col("gram"), " ")))
-      .select(col("doc_id"), col("__ts"), col("n_tokens"),
-              (col("gpos") + col("pos")).cast("int").as("tpos"),
-              col("col").as("tok"))
-    val shorts = base.filter(col("n_tokens") < gramLen)
-      .select(col("doc_id"), col("__ts"), col("n_tokens"), posexplode(col("__w")))
-      .select(col("doc_id"), col("__ts"), col("n_tokens"),
-              col("pos").cast("int").as("tpos"), col("col").as("tok"))
-    // one presence row per doc (tpos −1, ignored by reassembly): a doc
-    // whose EVERY window is dropped as a duplicate contributes zero
-    // cover rows and would otherwise vanish instead of emitting
-    // (n, n, "") like the batch operator
+              lit(null).cast("array<string>").as("__w"))
+    // one presence row per doc (gpos −1) carrying the token array: the
+    // reassembly's token source, and the reason a doc whose EVERY
+    // window is dropped as a duplicate still emits (n, n, "") instead
+    // of vanishing. Docs shorter than gramLen have no cover rows and
+    // reassemble verbatim from this row alone.
     val presence = base.select(col("doc_id"), col("__ts"), col("n_tokens"),
-      lit(-1).cast("int").as("tpos"), lit(null).cast("string").as("tok"))
+      lit(-1).cast("int").as("gpos"), col("__w"))
     val L = gramLen
-    val reassemble = udf((n: Int, rows: Seq[org.apache.spark.sql.Row]) => {
-      val cnt = new Array[Int](n); val tok = new Array[String](n)
-      rows.foreach { r =>
-        val t = r.getInt(0)
-        if (t >= 0 && t < n) { cnt(t) += 1; tok(t) = r.getString(1) }
+    val reassemble = udf((n: Int, toks: Seq[String], gs: Seq[Int]) => {
+      if (n < L) (0, toks.mkString(" "))
+      else {
+        // difference array: window at g covers tokens [g, g+L)
+        val diff = new Array[Int](n + 1)
+        gs.foreach { g => diff(g) += 1; diff(math.min(g + L, n)) -= 1 }
+        var cnt = 0
+        val kept = (0 until n).filter { t =>
+          cnt += diff(t)
+          cnt == math.min(t, n - L) - math.max(0, t - L + 1) + 1
+        }
+        (n - kept.length, kept.map(toks).mkString(" "))
       }
-      val kept = (0 until n).filter { t =>
-        val exp = if (n < L) 1
-                  else math.min(t, n - L) - math.max(0, t - L + 1) + 1
-        cnt(t) == exp
-      }
-      (n - kept.length, kept.map(tok).mkString(" "))
     })
-    covers.unionByName(shorts).unionByName(presence)
+    covers.unionByName(presence)
       .groupBy(col("doc_id"),
                org.apache.spark.sql.functions.window(col("__ts"), window))
       .agg(max("n_tokens").as("n_tokens"),
-           collect_list(struct(col("tpos"), col("tok"))).as("__cov"))
+           first(col("__w"), ignoreNulls = true).as("__toks"),
+           collect_list(when(col("gpos") >= 0, col("gpos"))).as("__gs"))
       .select(col("doc_id"), col("n_tokens"),
-              reassemble(col("n_tokens"), col("__cov")).as("__r"))
+              reassemble(col("n_tokens"), col("__toks"), col("__gs")).as("__r"))
       .select(col("doc_id"), col("n_tokens"),
               col("__r._1").cast("int").as("n_cut"),
               col("__r._2").as("dedup_text"))
@@ -381,12 +396,22 @@ object CorpusStream {
       .withColumn("ts",
         timestamp_micros((lit(1704067200L) + col("doc_id")) * lit(1000000L)))
 
+  /** Drain a finite-input stream to a memory-sink table. Starts the
+    * query under 8 shuffle partitions (`ScoreStream
+    * .withShufflePartitions` — the stream pins the value into its
+    * offset log at start): the four dedup twins chain 1–2 stateful
+    * operators, and each state-store partition pays a fixed init +
+    * commit + offset-log cost per micro-batch, so 32 stores over one
+    * data batch of test-scale input is pure scheduler overhead. The
+    * deployable transforms take the session default untouched. */
   private def drainToTable(spark: org.apache.spark.sql.SparkSession,
                            prefix: String, df: DataFrame): DataFrame = {
     val name = s"__graft_${prefix}_${runSeq.incrementAndGet()}"
-    val q = df.writeStream.format("memory").queryName(name)
-      .outputMode("append").start()
-    try q.processAllAvailable() finally q.stop()
+    ScoreStream.withShufflePartitions(spark, 8) {
+      val q = df.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
     spark.table(name)
   }
 
