@@ -1325,6 +1325,21 @@ object Queries {
     * the ROUNDED score (engine-stable ties). Cosine is zip_with/
     * aggregate expression math — no UDF, no shuffle on the corpus side.
     * The LSH-bucketed variant is the scale path (rows-only op). */
+  private val simBruteforceSql =
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+           |c AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+           |  round(CASE WHEN sqrt(list_sum(list_transform(list_zip(q.qv, q.qv), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))))
+           |           * sqrt(list_sum(list_transform(list_zip(e.embedding, e.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))) > 0
+           |        THEN list_sum(list_transform(list_zip(q.qv, e.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+           |           / (sqrt(list_sum(list_transform(list_zip(q.qv, q.qv), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))))
+           |            * sqrt(list_sum(list_transform(list_zip(e.embedding, e.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))))
+           |        ELSE 0.0 END, 6) AS cos
+           | FROM embeddings e, q WHERE e.vec_id <> q.query_id)
+           |SELECT query_id, neighbor_id, cos FROM (
+           | SELECT query_id, neighbor_id, cos,
+           |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+           | FROM c) WHERE rn <= 10 ORDER BY query_id, neighbor_id""".stripMargin
+
   private val qSimBruteforce = Q(
     "q_sim_bruteforce",
     (s, d) => {
@@ -1340,19 +1355,38 @@ object Queries {
       scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= 10)
         .drop("__rn").orderBy("query_id", "neighbor_id")
     },
-    Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
-           |c AS (SELECT q.query_id, e.vec_id AS neighbor_id,
-           |  round(CASE WHEN sqrt(list_sum(list_transform(list_zip(q.qv, q.qv), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))))
-           |           * sqrt(list_sum(list_transform(list_zip(e.embedding, e.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))) > 0
-           |        THEN list_sum(list_transform(list_zip(q.qv, e.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-           |           / (sqrt(list_sum(list_transform(list_zip(q.qv, q.qv), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))))
-           |            * sqrt(list_sum(list_transform(list_zip(e.embedding, e.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))))
-           |        ELSE 0.0 END, 6) AS cos
-           | FROM embeddings e, q WHERE e.vec_id <> q.query_id)
-           |SELECT query_id, neighbor_id, cos FROM (
-           | SELECT query_id, neighbor_id, cos,
-           |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn
-           | FROM c) WHERE rn <= 10 ORDER BY query_id, neighbor_id""".stripMargin))
+    Some(simBruteforceSql))
+
+  /** The SERVE path for exact similarity (`operators.AnnServe`): fit an
+    * in-memory index shard once, answer each query row-locally with one
+    * native codegen top-k scan — no join, no shuffle, the shape a
+    * vector-search serving tier actually runs (index shards resident in
+    * RAM; at 100 TB the corpus shards across serving tasks and a
+    * per-query merge combines shard answers). Output is bit-identical
+    * to `q_sim_bruteforce` (the expression ranks on HALF_UP-rounded
+    * cosine with the same tie-break), so the same oracle hash-checks
+    * the serve engine end to end. */
+  private val qSimServe = Q(
+    "q_sim_serve",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val shard = operators.AnnServe.fitShard(e)
+      operators.AnnServe.topkRows(e.filter(col("vec_id") < 10), shard, k = 10)
+        .orderBy("query_id", "neighbor_id")
+    },
+    Some(simBruteforceSql))
+
+  /** The streaming ANN serve twin: the `vec_id < 10` slice of the
+    * embeddings table streamed as a live query feed through the same
+    * row-local serve (stateless append — no watermark, no state, every
+    * query answered in its arrival micro-batch). End state ≡ the batch
+    * `q_sim_serve` row set, so the brute-force oracle applies
+    * verbatim. */
+  private val qSimServeStream = Q(
+    "q_sim_serve_stream",
+    (s, d) => streaming.CorpusStream.annServeOverFile(s, d, k = 10)
+      .orderBy("query_id", "neighbor_id"),
+    Some(simBruteforceSql))
 
   /** ANN top-k via AND-OR LSH buckets (rows-only) — the scale path for
     * `q_sim_bruteforce`: per-query candidates come from bucket
@@ -3253,7 +3287,8 @@ object Queries {
     qRowwiseMse, qAeThreshold,
     qTextStats, qLangId, qTokenCount, qTfidfTop, qFingerprint,
     qWinnowFingerprint, qCorpusClean,
-    qDedupExact, qNgramJaccard, qSimBruteforce, qSimLshTopk, qSimIvfTopk,
+    qDedupExact, qNgramJaccard, qSimBruteforce, qSimServe, qSimServeStream,
+    qSimLshTopk, qSimIvfTopk,
     qSimPqTopk, qSimIvfPqTopk,
     qDedupMinhash, qDedupMinhashMd5, qDedupMinhashMd5Capped,
     qDedupMinhashMd5Stop,

@@ -69,6 +69,13 @@ object Tables {
     spark.readStream.schema(fileSchema).parquet(s"$sfDir/[d]ocuments.parquet")
   }
 
+  /** Streaming read of the embeddings table (same bracket-glob trick).
+    * The ANN serve twin treats this as a live query-vector feed. */
+  def embeddingsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val fileSchema = spark.read.parquet(s"$sfDir/embeddings.parquet").schema
+    spark.readStream.schema(fileSchema).parquet(s"$sfDir/[e]mbeddings.parquet")
+  }
+
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 

@@ -583,6 +583,117 @@ case class PcaReconScore(child: Expression, flatComponents: Array[Double],
     copy(child = newChild)
 }
 
+/** Row-local brute-force top-k cosine against a fixed index shard —
+  * the SERVE half of the similarity family (`AnnServe`): the shard
+  * (ids + row-major vectors, norms precomputed once at construction)
+  * rides the closure as flat primitive arrays, and each query row
+  * pays one O(n·dim) scan plus a k-slot insertion, emitting
+  * `array<struct<neighbor_id, cos>>` in (cos desc, neighbor_id asc)
+  * rank order with the query's own id excluded. Cosine is the exact
+  * `VectorOps.cosine` algebra (left-to-right double accumulation,
+  * 0 on zero norm) rounded HALF_UP to 6 dp BEFORE ranking — ranking
+  * on rounded values is what makes the output bit-identical to the
+  * batch `q_sim_bruteforce` window ranking and its DuckDB oracle.
+  * Codegen stays inside the enclosing whole-stage span; the scan loop
+  * itself runs in this class via a reference object (the per-row work
+  * is the loop body, not expression dispatch, so generating Janino
+  * for it would buy nothing). Loud dimension guard like every model
+  * expression here. */
+case class CosineTopK(left: Expression, right: Expression,
+                      ids: Array[Long], flatVecs: Array[Double],
+                      dim: Int, k: Int) extends BinaryExpression {
+  require(dim > 0 && flatVecs.length % dim == 0,
+    s"cosine_topk: flat shard ${flatVecs.length} not a multiple of dim $dim")
+  private val n = flatVecs.length / dim
+  require(ids.length == n, s"cosine_topk: ${ids.length} ids for $n vectors")
+  require(k >= 1, s"cosine_topk: need k >= 1, got $k")
+
+  private lazy val norms: Array[Double] = {
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      var s = 0.0; var j = 0
+      while (j < dim) { val v = flatVecs(i * dim + j); s += v * v; j += 1 }
+      out(i) = math.sqrt(s); i += 1
+    }
+    out
+  }
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("neighbor_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("cos", DoubleType,
+          nullable = false))),
+      containsNull = false)
+
+  /** The whole per-row computation; called from both eval and the
+    * generated code. */
+  def topk(qid: Long, qv: ArrayData): ArrayData = {
+    if (qv.numElements() < dim)
+      throw new IllegalArgumentException(
+        s"cosine_topk: query vector has ${qv.numElements()} elements, need >= $dim " +
+          "— index shard does not match the data")
+    val q = new Array[Double](dim)
+    var j = 0
+    while (j < dim) { q(j) = qv.getDouble(j); j += 1 }
+    var qq = 0.0
+    j = 0
+    while (j < dim) { qq += q(j) * q(j); j += 1 }
+    val qn = math.sqrt(qq)
+    val topCos = new Array[Double](k); val topId = new Array[Long](k)
+    var filled = 0
+    var i = 0
+    while (i < n) {
+      if (ids(i) != qid) {
+        var dp = 0.0
+        j = 0
+        while (j < dim) { dp += q(j) * flatVecs(i * dim + j); j += 1 }
+        val denom = qn * norms(i)
+        val raw = if (denom > 0) dp / denom else 0.0
+        val c = java.math.BigDecimal.valueOf(raw)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        val id = ids(i)
+        // insertion position among the current top slots: ranked by
+        // (cos desc, neighbor_id asc), the batch window's exact order
+        var p = filled
+        while (p > 0 && (topCos(p - 1) < c ||
+                 (topCos(p - 1) == c && topId(p - 1) > id))) p -= 1
+        if (p < k) {
+          val last = math.min(filled, k - 1)
+          var m = last
+          while (m > p) { topCos(m) = topCos(m - 1); topId(m) = topId(m - 1); m -= 1 }
+          topCos(p) = c; topId(p) = id
+          if (filled < k) filled += 1
+        }
+      }
+      i += 1
+    }
+    val rows = new Array[Any](filled)
+    var t = 0
+    while (t < filled) {
+      rows(t) = org.apache.spark.sql.catalyst.InternalRow(topId(t), topCos(t))
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    topk(l.asInstanceOf[Long], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (qid, qv) => {
+      val ref = ctx.addReferenceObj("annShardTopk", this, classOf[CosineTopK].getName)
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.topk($qid, $qv);"
+    })
+
+  override def prettyName: String = "cosine_topk"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object ArrayMath {
   import org.apache.spark.sql.graft.Bridge.{column, expression, registerFunction}
   private def d(c: Column): Column = c.cast("array<double>")
@@ -608,6 +719,10 @@ object ArrayMath {
   def pcaReconScore(vec: Column, flatComponents: Array[Double],
                     dim: Int, k: Int): Column =
     column(PcaReconScore(expression(d(vec)), flatComponents, dim, k))
+  def cosineTopK(queryId: Column, vec: Column, ids: Array[Long],
+                 flatVecs: Array[Double], dim: Int, k: Int): Column =
+    column(CosineTopK(expression(queryId.cast("long")), expression(d(vec)),
+      ids, flatVecs, dim, k))
 
   /** Expose the native expressions to the SQL surface:
     * `SELECT array_dot(a, b)`, `SELECT array_sqdiff_sum(a, b)`.

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The SERVE half of the similarity family: a query-vector FEED scored
+  * against a fitted in-memory index shard, row-locally — no join, no
+  * shuffle, no state, so a live stream of queries is answered at scan
+  * speed (the `fitNbQuality`/`fitFuzzyKeys` fit/serve pattern applied
+  * to ANN, and the Spark analog of how vector-search engines actually
+  * serve: index shards resident in RAM on each serving node, queries
+  * fanned out over them).
+  *
+  * Scale shape: the SHARD is the bounded quantity — at 100 TB the
+  * corpus is partitioned into shards sized to executor memory, each
+  * serving task holds one, and a per-query top-k merge combines shard
+  * answers (identical to the IVF probe's cell merge). The query side
+  * is the unbounded one and is never collected. For corpus-side scale
+  * WITHIN one Spark job, the LSH/IVF/PQ paths (`sim_lsh_topk`,
+  * `sim_ivf_topk`, `sim_pq_topk`) remain the candidates-first answer;
+  * this path is exact and shard-bounded. Fidelity: the serve output is
+  * bit-identical to the batch `q_sim_bruteforce` join+window plan (the
+  * expression ranks on HALF_UP-6dp-rounded cosine with the same
+  * tie-break), so the same DuckDB oracle hash-checks both, and the
+  * streaming twin's drained end state equals the batch answer
+  * row-for-row. */
+object AnnServe {
+
+  /** One in-memory index shard: ids + row-major vectors (doubles, the
+    * same float→double cast the batch plan applies). Constant-size per
+    * SHARD by deployment contract — see the class doc; the driver-side
+    * collect here is the shard build, bounded by the same executor-
+    * memory sizing that bounds every broadcast model in this repo. */
+  final case class AnnShard(ids: Array[Long], flatVecs: Array[Double], dim: Int) {
+    require(dim > 0 && flatVecs.length == ids.length * dim,
+      s"AnnShard: ${flatVecs.length} values for ${ids.length} ids at dim $dim")
+  }
+
+  /** Build the shard from an embeddings frame. */
+  def fitShard(embeddings: DataFrame, idCol: String = "vec_id",
+               vecCol: String = "embedding"): AnnShard = {
+    val rows = embeddings
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .collect()
+    require(rows.nonEmpty, "AnnShard: empty embeddings frame")
+    val dim = rows(0).getSeq[Double](1).length
+    val ids = new Array[Long](rows.length)
+    val flat = new Array[Double](rows.length * dim)
+    var i = 0
+    while (i < rows.length) {
+      ids(i) = rows(i).getLong(0)
+      val v = rows(i).getSeq[Double](1)
+      require(v.length == dim,
+        s"AnnShard: ragged vector at ${ids(i)} (${v.length} vs $dim)")
+      var j = 0
+      while (j < dim) { flat(i * dim + j) = v(j); j += 1 }
+      i += 1
+    }
+    AnnShard(ids, flat, dim)
+  }
+
+  /** Exact top-k cosine per query row against the shard — one native
+    * codegen expression (`functions.CosineTopK`), exploded to
+    * (query_id, neighbor_id, cos) rows. Works identically on batch and
+    * streaming frames (stateless append). */
+  def topkRows(queries: DataFrame, shard: AnnShard, k: Int = 10,
+               idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame =
+    queries
+      .select(col(idCol).cast("long").as("query_id"),
+        explode(graft.functions.ArrayMath.cosineTopK(
+          col(idCol), col(vecCol), shard.ids, shard.flatVecs, shard.dim, k))
+          .as("__nb"))
+      .select(col("query_id"), col("__nb.neighbor_id").as("neighbor_id"),
+              col("__nb.cos").as("cos"))
+}

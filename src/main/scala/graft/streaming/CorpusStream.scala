@@ -373,6 +373,34 @@ object CorpusStream {
     spark.table(name)
   }
 
+  /** Streaming ANN serve — a live query-vector feed answered against a
+    * fitted index shard (`AnnServe.topkRows`): row-local exact top-k
+    * cosine via one native codegen expression, no join, no shuffle, no
+    * state, append mode at scan speed. The fit (`AnnServe.fitShard`)
+    * runs batch-side once per shard. */
+  def annTopk(queries: DataFrame, shard: graft.operators.AnnServe.AnnShard,
+              k: Int = 10, idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame =
+    graft.operators.AnnServe.topkRows(queries, shard, k, idCol, vecCol)
+
+  /** The declared `q_sim_serve_stream` runner: fit the shard on the
+    * embeddings table batch-side, stream the `vec_id < 10` query slice
+    * through the row-local serve; the drained end state equals the
+    * batch `q_sim_serve` (and therefore `q_sim_bruteforce`)
+    * row-for-row, so that DuckDB oracle applies verbatim. */
+  def annServeOverFile(spark: org.apache.spark.sql.SparkSession,
+                       sfDir: String, k: Int = 10): DataFrame = {
+    val shard = graft.operators.AnnServe.fitShard(
+      graft.Tables.embeddings(spark, sfDir))
+    val name = s"__graft_annserve_${runSeq.incrementAndGet()}"
+    val q = annTopk(
+        graft.Tables.embeddingsStream(spark, sfDir).filter(col("vec_id") < 10),
+        shard, k)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
   // =====================================================================
   // Finite-input runners for the declared streaming dedup twins
   // =====================================================================

@@ -168,4 +168,50 @@ class SimilaritySpec extends AnyFunSuite {
     assert(both.nonEmpty)
     both.foreach { case (a, e) => assert(math.abs(a - e) < 1e-5, s"$a vs $e") }
   }
+
+  test("ann serve: row-local shard scan is bit-identical to the join+window plan") {
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val brute = SparkEntry.queries("q_sim_bruteforce")(spark, sf)
+      .collect().map(key)
+    val serve = SparkEntry.queries("q_sim_serve")(spark, sf)
+      .collect().map(key)
+    assert(serve.toSeq == brute.toSeq,
+      "serve path must reproduce the brute-force ranking exactly " +
+        "(rounded-cos ranking + neighbor_id tie-break)")
+  }
+
+  test("ann serve: ties at the top-k boundary follow (cos desc, id asc)") {
+    // planted shard where several neighbors round to the SAME cosine:
+    // vectors colinear with the query differ only at 1e-9 scale, so all
+    // round to cos = 1.0 — selection must then prefer the smallest ids
+    import spark.implicits._
+    val dim = 4
+    val mk = (s: Double) => Array.tabulate(dim)(j => (j + 1) * s)
+    val rows =
+      (0L, mk(1.0)) +: (1L to 6L).map(i => (i, mk(1.0 + i * 1e-9)))
+    val df = rows.toDF("vec_id", "embedding")
+    val shard = graft.operators.AnnServe.fitShard(df)
+    val out = graft.operators.AnnServe
+      .topkRows(df.filter($"vec_id" === 0L), shard, k = 3)
+      .orderBy("neighbor_id").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L, 2L, 3L),
+      s"tie-break must keep the smallest neighbor ids: ${out.mkString(",")}")
+    assert(out.forall(_.getDouble(2) == 1.0))
+  }
+
+  test("ann serve: dimension mismatch fails loudly") {
+    import spark.implicits._
+    val shard = graft.operators.AnnServe.fitShard(
+      Seq((1L, Array(1.0, 2.0, 3.0))).toDF("vec_id", "embedding"))
+    val bad = Seq((9L, Array(1.0, 2.0))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      graft.operators.AnnServe.topkRows(bad, shard, k = 1).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c =>
+      Option(c.getMessage).exists(_.contains("does not match"))),
+      s"expected the loud shard-mismatch guard, got: $e")
+  }
 }
