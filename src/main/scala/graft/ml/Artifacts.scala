@@ -183,6 +183,21 @@ object Artifacts {
     p.objField("keys"); p.arr(() => p.str()).toArray
   }
 
+  /** ANN serve index shard (`AnnServe.AnnShard`): ids + row-major
+    * vectors — with this file a serving node answers queries with no
+    * other state. jNum round-trips doubles exactly (17 sig digits). */
+  def saveAnnShard(sh: graft.operators.AnnServe.AnnShard, path: String): Unit =
+    write(path, s"""{"dim":${sh.dim},"ids":${jArr(sh.ids.map(_.toString))},""" +
+      s""""vecs":${jArr(sh.flatVecs.map(jNum))}}""")
+
+  def loadAnnShard(path: String): graft.operators.AnnServe.AnnShard = {
+    val p = new P(read(path))
+    p.objField("dim"); val dim = p.num().toInt
+    p.objField("ids"); val ids = p.arr(() => p.num().toLong).toArray
+    p.objField("vecs"); val vecs = p.arr(() => p.num()).toArray
+    graft.operators.AnnServe.AnnShard(ids, vecs, dim)
+  }
+
   private def write(path: String, content: String): Unit = {
     val p = Paths.get(path)
     if (p.getParent != null) Files.createDirectories(p.getParent)

@@ -192,6 +192,23 @@ class SourcesSpec extends AnyFunSuite {
       && keys.nonEmpty)
   }
 
+  test("ANN serve shard reloads bit-identically and serves identically") {
+    val dir = tmp()
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val sh = graft.operators.AnnServe.fitShard(e)
+    Artifacts.saveAnnShard(sh, s"$dir/shard.json")
+    val sh2 = Artifacts.loadAnnShard(s"$dir/shard.json")
+    assert(sh2.dim == sh.dim && sh2.ids.sameElements(sh.ids) &&
+      sh2.flatVecs.sameElements(sh.flatVecs))
+    import org.apache.spark.sql.functions.col
+    val q = e.filter(col("vec_id") < 5)
+    val a = graft.operators.AnnServe.topkRows(q, sh)
+      .orderBy("query_id", "neighbor_id").collect().toSeq
+    val b = graft.operators.AnnServe.topkRows(q, sh2)
+      .orderBy("query_id", "neighbor_id").collect().toSeq
+    assert(a == b && a.nonEmpty, "reloaded shard must serve bit-identically")
+  }
+
   test("ensemble bundle round-trip: loaded bundle scores identically") {
     val dir = tmp()
     val fitted = graft.ml.Ensemble.fit(spark, "/root/testdata/sf0.001")
