@@ -36,9 +36,21 @@ object AnnServe {
       s"AnnShard: ${flatVecs.length} values for ${ids.length} ids at dim $dim")
   }
 
-  /** Build the shard from an embeddings frame. */
+  /** Build the shard from an embeddings frame. `rowCap` is the loud
+    * scale guard: a shard is memory-resident by design, so exceeding
+    * the cap is a deployment error (shard the corpus and merge
+    * per-query answers), never something to let `collect()` discover
+    * as an executor OOM. The default bounds a float64×64-dim shard at
+    * ~0.5 GB. */
   def fitShard(embeddings: DataFrame, idCol: String = "vec_id",
-               vecCol: String = "embedding"): AnnShard = {
+               vecCol: String = "embedding",
+               rowCap: Int = 1 << 20): AnnShard = {
+    // bounded probe (scans at most rowCap+1 rows), so the guard fires
+    // before any corpus-sized driver materialization is attempted
+    require(embeddings.limit(rowCap + 1).count() <= rowCap,
+      s"AnnShard: embeddings exceed the per-shard cap $rowCap — an ANN " +
+        "serve shard must fit serving-node memory; partition the corpus " +
+        "into shards and merge per-query top-k answers instead")
     val rows = embeddings
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .collect()
