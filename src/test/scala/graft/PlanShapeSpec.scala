@@ -235,6 +235,23 @@ class PlanShapeSpec extends AnyFunSuite {
       s"decontaminateRows claims scan-side-only but shuffles:\n${core.take(800)}")
   }
 
+  test("ANN serve is scan-side: no join, no exchange — one codegen top-k scan per row") {
+    // the serve contract: shard rides the closure, each query row pays
+    // one CosineTopK scan + explode — the same plan shape that makes
+    // the transform legal in append-mode streaming
+    val e = Tables.embeddings(spark, sf)
+    val shard = operators.AnnServe.fitShard(e)
+    val core = operators.AnnServe
+      .topkRows(e.filter(col("vec_id") < 10), shard, k = 10)
+      .queryExecution.executedPlan.toString
+    assert(!core.contains("Exchange"),
+      s"AnnServe.topkRows claims scan-side-only but shuffles:\n${core.take(800)}")
+    Seq("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin",
+        "ShuffledHashJoin", "CartesianProduct").foreach(j =>
+      assert(!core.contains(j), s"unexpected $j:\n${core.take(800)}"))
+    assert(core.contains("cosine_topk"), s"native expression missing:\n${core.take(800)}")
+  }
+
   test("domain mixing is scan-side: no hash exchange anywhere in the plan") {
     // weight lookup is a literal map, the epoch copy a per-row explode —
     // the only exchange allowed is the presentation orderBy's range
