@@ -1457,6 +1457,27 @@ object Queries {
     },
     None)
 
+  /** The MEMORY-bound serve variant (rows-only): the PQ-compressed
+    * index shard (m byte codes/vector — 64× less serve RAM than the
+    * raw-double `q_sim_serve` shard at these settings) scanned
+    * row-locally per query by one native ADC expression
+    * (`functions.AdcTopK`): LUT build + m lookups per corpus vector.
+    * Output is bit-identical to the batch `Pq.topk` join+window plan
+    * over the same model (SimilaritySpec pins it), so the PQ recall
+    * floors carry over; no join, no shuffle, no state — append-mode
+    * streaming legal like every serve half. */
+  private val qSimPqServe = Q(
+    "sim_pq_serve",
+    (s, d) => {
+      val e = unitEmbeddings(s, d)
+      val model = operators.Pq.fit(e, "vec_id", "u", m = 16, ksub = 16)
+      val shard = operators.AnnServe.fitPqShard(e, model, "vec_id", "u")
+      operators.AnnServe.pqTopkRows(
+          e.filter(col("vec_id") < 10), shard, k = 10, "vec_id", "u")
+        .orderBy("query_id", "neighbor_id")
+    },
+    None)
+
   /** ANN top-k via IVF-PQ (rows-only) — both scale axes composed:
     * cells bound which rows a query touches, codes bound the bytes per
     * touched row, exact re-rank on the shortlist only. Parameters from
@@ -3289,7 +3310,7 @@ object Queries {
     qWinnowFingerprint, qCorpusClean,
     qDedupExact, qNgramJaccard, qSimBruteforce, qSimServe, qSimServeStream,
     qSimLshTopk, qSimIvfTopk,
-    qSimPqTopk, qSimIvfPqTopk,
+    qSimPqTopk, qSimPqServe, qSimIvfPqTopk,
     qDedupMinhash, qDedupMinhashMd5, qDedupMinhashMd5Capped,
     qDedupMinhashMd5Stop,
     qDedupSimhash, qDedupSimhashMd5,

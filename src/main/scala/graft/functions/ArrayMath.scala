@@ -694,6 +694,115 @@ case class CosineTopK(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/** Row-local ADC top-k against a PQ-COMPRESSED index shard — the
+  * memory-bound serve variant of `CosineTopK` (Jégou 2011): the shard
+  * holds m byte codes per vector instead of dim doubles (m=8/ksub=16
+  * at 64-dim float is a 32× RAM cut, which is what actually bounds a
+  * serving tier), each query row builds its m×ksub LUT once
+  * (m·ksub·dsub multiplies) and then pays m table lookups per corpus
+  * vector. Ranking is by HALF_UP-6dp-rounded approximate squared
+  * distance with the (dist asc, neighbor_id asc) tie-break and the
+  * query's own id excluded — the exact algebra of the batch `Pq.topk`
+  * join+window plan (LUT entries and the ADC sum accumulate in the
+  * same left-to-right order), so serve output is bit-identical to it
+  * (SimilaritySpec pins this). Same codegen shape as `CosineTopK`:
+  * the scan loop runs in this class via a reference object inside the
+  * enclosing whole-stage span. */
+case class AdcTopK(left: Expression, right: Expression,
+                   ids: Array[Long], flatCodes: Array[Byte],
+                   flatBooks: Array[Double], m: Int, ksub: Int, dsub: Int,
+                   k: Int) extends BinaryExpression {
+  require(m > 0 && ksub > 0 && dsub > 0, s"adc_topk: bad geometry $m/$ksub/$dsub")
+  require(flatBooks.length == m * ksub * dsub,
+    s"adc_topk: ${flatBooks.length} codebook values for m=$m ksub=$ksub dsub=$dsub")
+  require(flatCodes.length % m == 0,
+    s"adc_topk: flat codes ${flatCodes.length} not a multiple of m $m")
+  private val n = flatCodes.length / m
+  require(ids.length == n, s"adc_topk: ${ids.length} ids for $n code rows")
+  require(k >= 1, s"adc_topk: need k >= 1, got $k")
+  require(ksub <= 256, s"adc_topk: byte codes need ksub <= 256, got $ksub")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("neighbor_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("approx_sqdist", DoubleType,
+          nullable = false))),
+      containsNull = false)
+
+  def topk(qid: Long, qv: ArrayData): ArrayData = {
+    val dim = m * dsub
+    if (qv.numElements() < dim)
+      throw new IllegalArgumentException(
+        s"adc_topk: query vector has ${qv.numElements()} elements, need >= $dim " +
+          "— index shard does not match the data")
+    // per-query LUT: lut(s*ksub + c) = ||query_sub_s - book_s(c)||²,
+    // accumulated left-to-right like the batch sqDiffSum expression
+    val lut = new Array[Double](m * ksub)
+    var s = 0
+    while (s < m) {
+      var c = 0
+      while (c < ksub) {
+        var d2 = 0.0; var j = 0
+        while (j < dsub) {
+          val d = qv.getDouble(s * dsub + j) - flatBooks((s * ksub + c) * dsub + j)
+          d2 += d * d; j += 1
+        }
+        lut(s * ksub + c) = d2; c += 1
+      }
+      s += 1
+    }
+    val topD = new Array[Double](k); val topId = new Array[Long](k)
+    var filled = 0
+    var i = 0
+    while (i < n) {
+      if (ids(i) != qid) {
+        var dist = 0.0
+        var t = 0
+        while (t < m) {
+          dist += lut(t * ksub + (flatCodes(i * m + t) & 0xff)); t += 1
+        }
+        val d = java.math.BigDecimal.valueOf(dist)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        val id = ids(i)
+        var p = filled
+        while (p > 0 && (topD(p - 1) > d ||
+                 (topD(p - 1) == d && topId(p - 1) > id))) p -= 1
+        if (p < k) {
+          val last = math.min(filled, k - 1)
+          var w = last
+          while (w > p) { topD(w) = topD(w - 1); topId(w) = topId(w - 1); w -= 1 }
+          topD(p) = d; topId(p) = id
+          if (filled < k) filled += 1
+        }
+      }
+      i += 1
+    }
+    val rows = new Array[Any](filled)
+    var t = 0
+    while (t < filled) {
+      rows(t) = org.apache.spark.sql.catalyst.InternalRow(topId(t), topD(t))
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    topk(l.asInstanceOf[Long], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (qid, qv) => {
+      val ref = ctx.addReferenceObj("pqShardTopk", this, classOf[AdcTopK].getName)
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.topk($qid, $qv);"
+    })
+
+  override def prettyName: String = "adc_topk"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object ArrayMath {
   import org.apache.spark.sql.graft.Bridge.{column, expression, registerFunction}
   private def d(c: Column): Column = c.cast("array<double>")
@@ -723,6 +832,11 @@ object ArrayMath {
                  flatVecs: Array[Double], dim: Int, k: Int): Column =
     column(CosineTopK(expression(queryId.cast("long")), expression(d(vec)),
       ids, flatVecs, dim, k))
+  def adcTopK(queryId: Column, vec: Column, ids: Array[Long],
+              flatCodes: Array[Byte], flatBooks: Array[Double],
+              m: Int, ksub: Int, dsub: Int, k: Int): Column =
+    column(AdcTopK(expression(queryId.cast("long")), expression(d(vec)),
+      ids, flatCodes, flatBooks, m, ksub, dsub, k))
 
   /** Expose the native expressions to the SQL surface:
     * `SELECT array_dot(a, b)`, `SELECT array_sqdiff_sum(a, b)`.

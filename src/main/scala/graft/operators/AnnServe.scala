@@ -85,4 +85,76 @@ object AnnServe {
           .as("__nb"))
       .select(col("query_id"), col("__nb.neighbor_id").as("neighbor_id"),
               col("__nb.cos").as("cos"))
+
+  /** The MEMORY-bound serve shard: PQ byte codes instead of raw
+    * doubles — m bytes/vector vs dim·8 (64-dim/m=8 ⇒ 64× less shard
+    * RAM), the trade that decides how much corpus one serving node
+    * holds (Jégou 2011). Codes come from `Pq.encode` itself, so shard
+    * contents are definitionally the batch index's codes. */
+  final case class PqShard(ids: Array[Long], flatCodes: Array[Byte],
+                           model: Pq.Model) {
+    require(flatCodes.length == ids.length * model.m,
+      s"PqShard: ${flatCodes.length} codes for ${ids.length} ids at m=${model.m}")
+  }
+
+  /** Encode the corpus with the fitted PQ model and collect the
+    * (id, codes) table as a flat byte shard. Same `rowCap` contract as
+    * `fitShard`; the cap buys 64× more vectors here because each row
+    * is m bytes. */
+  def fitPqShard(embeddings: DataFrame, model: Pq.Model,
+                 idCol: String = "vec_id", vecCol: String = "embedding",
+                 rowCap: Int = 1 << 26): PqShard = {
+    require(model.ksub <= 256,
+      s"PqShard: byte codes need ksub <= 256, got ${model.ksub}")
+    require(embeddings.limit(rowCap + 1).count() <= rowCap,
+      s"PqShard: embeddings exceed the per-shard cap $rowCap — partition " +
+        "the corpus into shards and merge per-query top-k answers instead")
+    val rows = Pq.encode(embeddings, idCol, vecCol, model).collect()
+    require(rows.nonEmpty, "PqShard: empty embeddings frame")
+    val ids = new Array[Long](rows.length)
+    val codes = new Array[Byte](rows.length * model.m)
+    var i = 0
+    while (i < rows.length) {
+      ids(i) = rows(i).getLong(0)
+      val cs = rows(i).getSeq[Int](1)
+      require(cs.length == model.m,
+        s"PqShard: ragged codes at ${ids(i)} (${cs.length} vs ${model.m})")
+      var s = 0
+      while (s < model.m) { codes(i * model.m + s) = cs(s).toByte; s += 1 }
+      i += 1
+    }
+    PqShard(ids, codes, model)
+  }
+
+  /** ADC top-k per query row against the PQ shard — one native codegen
+    * expression (`functions.AdcTopK`): per-query LUT build + m table
+    * lookups per corpus vector, ranked on rounded approximate squared
+    * distance. Bit-identical to the batch `Pq.topk` join+window plan
+    * (SimilaritySpec). Stateless — batch and append-mode streaming
+    * alike. */
+  def pqTopkRows(queries: DataFrame, shard: PqShard, k: Int = 10,
+                 idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    val m = shard.model
+    val flatBooks = new Array[Double](m.m * m.ksub * m.dsub)
+    var s = 0
+    while (s < m.m) {
+      var c = 0
+      while (c < m.ksub) {
+        var j = 0
+        while (j < m.dsub) {
+          flatBooks((s * m.ksub + c) * m.dsub + j) = m.codebooks(s)(c)(j); j += 1
+        }
+        c += 1
+      }
+      s += 1
+    }
+    queries
+      .select(col(idCol).cast("long").as("query_id"),
+        explode(graft.functions.ArrayMath.adcTopK(
+          col(idCol), col(vecCol), shard.ids, shard.flatCodes, flatBooks,
+          m.m, m.ksub, m.dsub, k)).as("__nb"))
+      .select(col("query_id"), col("__nb.neighbor_id").as("neighbor_id"),
+              col("__nb.approx_sqdist").as("approx_sqdist"))
+  }
 }

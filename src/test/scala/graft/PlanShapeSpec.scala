@@ -250,6 +250,15 @@ class PlanShapeSpec extends AnyFunSuite {
         "ShuffledHashJoin", "CartesianProduct").foreach(j =>
       assert(!core.contains(j), s"unexpected $j:\n${core.take(800)}"))
     assert(core.contains("cosine_topk"), s"native expression missing:\n${core.take(800)}")
+    // the PQ-compressed shard serve has the same scan-side contract
+    val model = operators.Pq.fit(e, "vec_id", "embedding", m = 16, ksub = 16)
+    val pq = operators.AnnServe
+      .pqTopkRows(e.filter(col("vec_id") < 10),
+        operators.AnnServe.fitPqShard(e, model), k = 10)
+      .queryExecution.executedPlan.toString
+    assert(!pq.contains("Exchange") && !pq.contains("Join"),
+      s"pqTopkRows claims scan-side-only:\n${pq.take(800)}")
+    assert(pq.contains("adc_topk"), s"native expression missing:\n${pq.take(800)}")
   }
 
   test("domain mixing is scan-side: no hash exchange anywhere in the plan") {

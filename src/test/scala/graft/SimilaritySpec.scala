@@ -200,6 +200,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.forall(_.getDouble(2) == 1.0))
   }
 
+  test("pq serve: byte-code shard scan is bit-identical to the Pq.topk join plan") {
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("u"))
+    val model = graft.operators.Pq.fit(e, "vec_id", "u", m = 16, ksub = 16)
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val batch = graft.operators.Pq.topk(
+        graft.operators.Pq.encode(e, "vec_id", "u", model),
+        e.filter(col("vec_id") < 10), "vec_id", "u", k = 10, model)
+      .collect().map(key)
+    val serve = graft.operators.AnnServe.pqTopkRows(
+        e.filter(col("vec_id") < 10),
+        graft.operators.AnnServe.fitPqShard(e, model, "vec_id", "u"),
+        k = 10, "vec_id", "u")
+      .orderBy("query_id", "neighbor_id").collect().map(key)
+    assert(serve.toSeq == batch.toSeq,
+      "PQ serve must reproduce the batch ADC ranking exactly")
+  }
+
   test("ann serve: dimension mismatch fails loudly") {
     import spark.implicits._
     val shard = graft.operators.AnnServe.fitShard(
