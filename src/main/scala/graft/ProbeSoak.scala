@@ -235,6 +235,48 @@ object ProbeSoak {
       }
       spark.stop(); return
     }
+    if (mode == "serve") {
+      // ANN serve soak: shard growth 1x..96x against a FIXED 10-query
+      // feed. What 100 TB-scale needs to hold: (a) serve wall time is
+      // linear in shard size (one O(n*dim) / O(n*m) scan per query, no
+      // hidden superlinear term); (b) the PQ shard's byte footprint is
+      // dim*8/m times smaller than the raw shard (the claim that
+      // decides how much corpus one serving node holds); (c) results
+      // stay semantically right at every scale (the planted dense
+      // cluster dominates each query's top-1). (b) and (c) are hard
+      // gates; (a) is the printed table.
+      import graft.operators.AnnServe
+      scales.foreach { s =>
+        val dir = s"$OutRoot/x$s"
+        val e = spark.read.parquet(s"$dir/embeddings.parquet")
+        val queries = spark.read.parquet(s"$dir/embeddings.parquet")
+          .filter(col("vec_id") < 10).localCheckpoint(true)
+        val f0 = System.nanoTime()
+        val raw = AnnServe.fitShard(e)
+        val f1 = System.nanoTime()
+        val model = operators.Pq.fit(e, "vec_id", "embedding", m = 16, ksub = 16)
+        val pq = AnnServe.fitPqShard(e, model)
+        val f2 = System.nanoTime()
+        val rawBytes = raw.ids.length * 8L + raw.flatVecs.length * 8L
+        val pqBytes = pq.ids.length * 8L + pq.flatCodes.length
+        require(pqBytes * 8 < rawBytes,
+          s"PQ shard not smaller: $pqBytes vs $rawBytes") // 64-dim m=16 => 32x
+        def rep(body: => Long): Double = (1 to 3).map { _ =>
+          val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+        }.min
+        val tRaw = rep(AnnServe.topkRows(queries, raw).count())
+        val tPq = rep(AnnServe.pqTopkRows(queries, pq).count())
+        val top1 = AnnServe.topkRows(queries, raw, k = 1)
+          .agg(min(col("cos"))).head.getDouble(0)
+        require(top1 >= 0.99,
+          s"planted dense cluster must dominate every top-1, got $top1")
+        println(f"[soak-serve] x$s%-3d n=${raw.ids.length}%8d " +
+          f"fitRaw=${(f1 - f0) / 1e9}%5.2fs fitPq=${(f2 - f1) / 1e9}%5.2fs " +
+          f"serveRaw=$tRaw%5.2fs servePq=$tPq%5.2fs " +
+          f"rawMB=${rawBytes / 1e6}%8.1f pqMB=${pqBytes / 1e6}%6.2f top1=$top1%.4f")
+      }
+      spark.stop(); return
+    }
     if (mode == "mh") {
       // minhash candidate-volume decomposition: per scale, the band
       // bucket histogram and the pre-verification candidate count under

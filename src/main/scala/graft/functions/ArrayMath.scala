@@ -600,24 +600,20 @@ case class PcaReconScore(child: Expression, flatComponents: Array[Double],
   * for it would buy nothing). Loud dimension guard like every model
   * expression here. */
 case class CosineTopK(left: Expression, right: Expression,
-                      ids: Array[Long], flatVecs: Array[Double],
+                      shard: org.apache.spark.broadcast.Broadcast[(Array[Long], Array[Double], Array[Double])],
                       dim: Int, k: Int) extends BinaryExpression {
-  require(dim > 0 && flatVecs.length % dim == 0,
-    s"cosine_topk: flat shard ${flatVecs.length} not a multiple of dim $dim")
-  private val n = flatVecs.length / dim
-  require(ids.length == n, s"cosine_topk: ${ids.length} ids for $n vectors")
-  require(k >= 1, s"cosine_topk: need k >= 1, got $k")
-
-  private lazy val norms: Array[Double] = {
-    val out = new Array[Double](n)
-    var i = 0
-    while (i < n) {
-      var s = 0.0; var j = 0
-      while (j < dim) { val v = flatVecs(i * dim + j); s += v * v; j += 1 }
-      out(i) = math.sqrt(s); i += 1
-    }
-    out
-  }
+  // The shard — (ids, row-major vectors, PRECOMPUTED norms) — rides a
+  // BROADCAST, not the expression tree: task binaries are deserialized
+  // PER TASK, so an embedded 100 MB array would be re-materialized by
+  // every task in the stage (measured 18-40 s for a 10-row query feed
+  // at the x96 soak scale vs 1.4 s of actual scan work); a broadcast
+  // value deserializes once per executor JVM and is shared by
+  // reference after that. Norms are fitted once at shard build, never
+  // per task, and `topk` binds every shared array to a local before
+  // its scan loops — a lazy-val accessor (volatile check + call) per
+  // element would otherwise dominate the 13M-element/query scan
+  // (stack-sampled: tasks sat in norms$lzycompute for seconds).
+  require(dim > 0 && k >= 1, s"cosine_topk: bad dim=$dim k=$k")
 
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(
@@ -631,6 +627,12 @@ case class CosineTopK(left: Expression, right: Expression,
   /** The whole per-row computation; called from both eval and the
     * generated code. */
   def topk(qid: Long, qv: ArrayData): ArrayData = {
+    val (ids, flatVecs, norms) = shard.value
+    val n = flatVecs.length / dim
+    if (flatVecs.length != n * dim || ids.length != n || norms.length != n)
+      throw new IllegalArgumentException(
+        s"cosine_topk: ragged shard (${ids.length} ids, ${flatVecs.length} " +
+          s"values, ${norms.length} norms at dim $dim)")
     if (qv.numElements() < dim)
       throw new IllegalArgumentException(
         s"cosine_topk: query vector has ${qv.numElements()} elements, need >= $dim " +
@@ -652,20 +654,27 @@ case class CosineTopK(left: Expression, right: Expression,
         while (j < dim) { dp += q(j) * flatVecs(i * dim + j); j += 1 }
         val denom = qn * norms(i)
         val raw = if (denom > 0) dp / denom else 0.0
-        val c = java.math.BigDecimal.valueOf(raw)
-          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-        val id = ids(i)
-        // insertion position among the current top slots: ranked by
-        // (cos desc, neighbor_id asc), the batch window's exact order
-        var p = filled
-        while (p > 0 && (topCos(p - 1) < c ||
-                 (topCos(p - 1) == c && topId(p - 1) > id))) p -= 1
-        if (p < k) {
-          val last = math.min(filled, k - 1)
-          var m = last
-          while (m > p) { topCos(m) = topCos(m - 1); topId(m) = topId(m - 1); m -= 1 }
-          topCos(p) = c; topId(p) = id
-          if (filled < k) filled += 1
+        // HALF_UP rounding is BigDecimal work (~µs) — far costlier than
+        // the dot product at shard scale. Rounding moves a value by at
+        // most 5e-7, so a candidate with raw < worst − 1e-6 cannot
+        // reach the rounded top-k; skip it before paying BigDecimal.
+        // Conservative-only: every possible entrant is still rounded.
+        if (filled < k || raw >= topCos(k - 1) - 1e-6) {
+          val c = java.math.BigDecimal.valueOf(raw)
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+          val id = ids(i)
+          // insertion position among the current top slots: ranked by
+          // (cos desc, neighbor_id asc), the batch window's exact order
+          var p = filled
+          while (p > 0 && (topCos(p - 1) < c ||
+                   (topCos(p - 1) == c && topId(p - 1) > id))) p -= 1
+          if (p < k) {
+            val last = math.min(filled, k - 1)
+            var m = last
+            while (m > p) { topCos(m) = topCos(m - 1); topId(m) = topId(m - 1); m -= 1 }
+            topCos(p) = c; topId(p) = id
+            if (filled < k) filled += 1
+          }
         }
       }
       i += 1
@@ -709,18 +718,18 @@ case class CosineTopK(left: Expression, right: Expression,
   * the scan loop runs in this class via a reference object inside the
   * enclosing whole-stage span. */
 case class AdcTopK(left: Expression, right: Expression,
-                   ids: Array[Long], flatCodes: Array[Byte],
+                   shard: org.apache.spark.broadcast.Broadcast[(Array[Long], Array[Byte])],
                    flatBooks: Array[Double], m: Int, ksub: Int, dsub: Int,
                    k: Int) extends BinaryExpression {
+  // codes ride a broadcast like CosineTopK's vectors (same per-task
+  // deserialization hazard); the codebooks are m·ksub·dsub doubles
+  // (~32 KB at the defaults) and stay plain expression state
   require(m > 0 && ksub > 0 && dsub > 0, s"adc_topk: bad geometry $m/$ksub/$dsub")
   require(flatBooks.length == m * ksub * dsub,
     s"adc_topk: ${flatBooks.length} codebook values for m=$m ksub=$ksub dsub=$dsub")
-  require(flatCodes.length % m == 0,
-    s"adc_topk: flat codes ${flatCodes.length} not a multiple of m $m")
-  private val n = flatCodes.length / m
-  require(ids.length == n, s"adc_topk: ${ids.length} ids for $n code rows")
   require(k >= 1, s"adc_topk: need k >= 1, got $k")
   require(ksub <= 256, s"adc_topk: byte codes need ksub <= 256, got $ksub")
+
 
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(
@@ -732,6 +741,14 @@ case class AdcTopK(left: Expression, right: Expression,
       containsNull = false)
 
   def topk(qid: Long, qv: ArrayData): ArrayData = {
+    // bind broadcast arrays to locals before the loops (per-task lazy
+    // or accessor indirection in a 13M-element scan dominated the scan
+    // itself — see CosineTopK's note)
+    val (ids, flatCodes) = shard.value
+    val n = flatCodes.length / m
+    if (flatCodes.length != n * m || ids.length != n)
+      throw new IllegalArgumentException(
+        s"adc_topk: ragged shard (${ids.length} ids, ${flatCodes.length} codes at m=$m)")
     val dim = m * dsub
     if (qv.numElements() < dim)
       throw new IllegalArgumentException(
@@ -763,18 +780,23 @@ case class AdcTopK(left: Expression, right: Expression,
         while (t < m) {
           dist += lut(t * ksub + (flatCodes(i * m + t) & 0xff)); t += 1
         }
-        val d = java.math.BigDecimal.valueOf(dist)
-          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-        val id = ids(i)
-        var p = filled
-        while (p > 0 && (topD(p - 1) > d ||
-                 (topD(p - 1) == d && topId(p - 1) > id))) p -= 1
-        if (p < k) {
-          val last = math.min(filled, k - 1)
-          var w = last
-          while (w > p) { topD(w) = topD(w - 1); topId(w) = topId(w - 1); w -= 1 }
-          topD(p) = d; topId(p) = id
-          if (filled < k) filled += 1
+        // same BigDecimal-avoidance guard as CosineTopK (mirrored for
+        // ascending distance): a candidate with raw > worst + 1e-6
+        // cannot reach the rounded top-k
+        if (filled < k || dist <= topD(k - 1) + 1e-6) {
+          val d = java.math.BigDecimal.valueOf(dist)
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+          val id = ids(i)
+          var p = filled
+          while (p > 0 && (topD(p - 1) > d ||
+                   (topD(p - 1) == d && topId(p - 1) > id))) p -= 1
+          if (p < k) {
+            val last = math.min(filled, k - 1)
+            var w = last
+            while (w > p) { topD(w) = topD(w - 1); topId(w) = topId(w - 1); w -= 1 }
+            topD(p) = d; topId(p) = id
+            if (filled < k) filled += 1
+          }
         }
       }
       i += 1
@@ -828,15 +850,17 @@ object ArrayMath {
   def pcaReconScore(vec: Column, flatComponents: Array[Double],
                     dim: Int, k: Int): Column =
     column(PcaReconScore(expression(d(vec)), flatComponents, dim, k))
-  def cosineTopK(queryId: Column, vec: Column, ids: Array[Long],
-                 flatVecs: Array[Double], dim: Int, k: Int): Column =
+  def cosineTopK(queryId: Column, vec: Column,
+                 shard: org.apache.spark.broadcast.Broadcast[(Array[Long], Array[Double], Array[Double])],
+                 dim: Int, k: Int): Column =
     column(CosineTopK(expression(queryId.cast("long")), expression(d(vec)),
-      ids, flatVecs, dim, k))
-  def adcTopK(queryId: Column, vec: Column, ids: Array[Long],
-              flatCodes: Array[Byte], flatBooks: Array[Double],
+      shard, dim, k))
+  def adcTopK(queryId: Column, vec: Column,
+              shard: org.apache.spark.broadcast.Broadcast[(Array[Long], Array[Byte])],
+              flatBooks: Array[Double],
               m: Int, ksub: Int, dsub: Int, k: Int): Column =
     column(AdcTopK(expression(queryId.cast("long")), expression(d(vec)),
-      ids, flatCodes, flatBooks, m, ksub, dsub, k))
+      shard, flatBooks, m, ksub, dsub, k))
 
   /** Expose the native expressions to the SQL surface:
     * `SELECT array_dot(a, b)`, `SELECT array_sqdiff_sum(a, b)`.

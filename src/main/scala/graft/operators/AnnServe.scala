@@ -34,6 +34,28 @@ object AnnServe {
   final case class AnnShard(ids: Array[Long], flatVecs: Array[Double], dim: Int) {
     require(dim > 0 && flatVecs.length == ids.length * dim,
       s"AnnShard: ${flatVecs.length} values for ${ids.length} ids at dim $dim")
+    // cached broadcast handle (one serialization per shard per session;
+    // transient so the persisted artifact stays plain arrays). The
+    // broadcast carries the precomputed norms too — fitted once here,
+    // never per task.
+    @transient private var bc:
+        org.apache.spark.broadcast.Broadcast[(Array[Long], Array[Double], Array[Double])] = _
+    private[graft] def broadcastWith(sc: org.apache.spark.SparkContext):
+        org.apache.spark.broadcast.Broadcast[(Array[Long], Array[Double], Array[Double])] =
+      synchronized {
+        if (bc == null) {
+          val n = ids.length
+          val norms = new Array[Double](n)
+          var i = 0
+          while (i < n) {
+            var s = 0.0; var j = 0
+            while (j < dim) { val v = flatVecs(i * dim + j); s += v * v; j += 1 }
+            norms(i) = math.sqrt(s); i += 1
+          }
+          bc = sc.broadcast((ids, flatVecs, norms))
+        }
+        bc
+      }
   }
 
   /** Build the shard from an embeddings frame. `rowCap` is the loud
@@ -81,7 +103,9 @@ object AnnServe {
     queries
       .select(col(idCol).cast("long").as("query_id"),
         explode(graft.functions.ArrayMath.cosineTopK(
-          col(idCol), col(vecCol), shard.ids, shard.flatVecs, shard.dim, k))
+          col(idCol), col(vecCol),
+          shard.broadcastWith(queries.sparkSession.sparkContext),
+          shard.dim, k))
           .as("__nb"))
       .select(col("query_id"), col("__nb.neighbor_id").as("neighbor_id"),
               col("__nb.cos").as("cos"))
@@ -95,6 +119,14 @@ object AnnServe {
                            model: Pq.Model) {
     require(flatCodes.length == ids.length * model.m,
       s"PqShard: ${flatCodes.length} codes for ${ids.length} ids at m=${model.m}")
+    @transient private var bc:
+        org.apache.spark.broadcast.Broadcast[(Array[Long], Array[Byte])] = _
+    private[graft] def broadcastWith(sc: org.apache.spark.SparkContext):
+        org.apache.spark.broadcast.Broadcast[(Array[Long], Array[Byte])] =
+      synchronized {
+        if (bc == null) bc = sc.broadcast((ids, flatCodes))
+        bc
+      }
   }
 
   /** Encode the corpus with the fitted PQ model and collect the
@@ -152,7 +184,8 @@ object AnnServe {
     queries
       .select(col(idCol).cast("long").as("query_id"),
         explode(graft.functions.ArrayMath.adcTopK(
-          col(idCol), col(vecCol), shard.ids, shard.flatCodes, flatBooks,
+          col(idCol), col(vecCol),
+          shard.broadcastWith(queries.sparkSession.sparkContext), flatBooks,
           m.m, m.ksub, m.dsub, k)).as("__nb"))
       .select(col("query_id"), col("__nb.neighbor_id").as("neighbor_id"),
               col("__nb.approx_sqdist").as("approx_sqdist"))
