@@ -335,4 +335,64 @@ class NativeExprSpec extends AnyFunSuite {
     assert(e.getMessage.contains("component model does not match") ||
       Option(e.getCause).exists(_.getMessage.contains("component model does not match")))
   }
+
+  test("CosineTopK == naive rounded-rank reference on random shards incl. ties") {
+    // quantized coordinates (multiples of 0.25) make rounded-cosine
+    // collisions common, exercising the (cos desc, id asc) tie-break
+    // and the BigDecimal-avoidance guard's boundary
+    val r = new scala.util.Random(11)
+    val dim = 8; val n = 300; val k = 7
+    val vecs = Array.fill(n, dim)(r.nextInt(8) * 0.25 - 1.0)
+    val ids = Array.tabulate(n)(i => (i * 3 + 1).toLong)
+    def round6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dp = a.zip(b).map { case (x, y) => x * y }.sum
+      val den = math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum)
+      if (den > 0) dp / den else 0.0
+    }
+    val df = ids.zip(vecs).toSeq.toDF("vec_id", "embedding")
+    val shard = graft.operators.AnnServe.fitShard(df)
+    val queries = ids.take(20).zip(vecs.take(20)).toSeq.toDF("vec_id", "embedding")
+    val got = graft.operators.AnnServe.topkRows(queries, shard, k)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSet).toMap
+    (0 until 20).foreach { qi =>
+      val qid = ids(qi)
+      val expect = ids.indices.filter(ids(_) != qid)
+        .map(i => (ids(i), round6(cos(vecs(qi), vecs(i)))))
+        .sortBy { case (id, c) => (-c, id) }.take(k).toSet
+      assert(got(qid) == expect, s"query $qid: ${got(qid)} vs $expect")
+    }
+  }
+
+  test("AdcTopK == naive rounded-rank reference on random codes incl. ties") {
+    val r = new scala.util.Random(13)
+    val m = 4; val ksub = 4; val dsub = 2; val n = 250; val k = 6
+    val books = Array.fill(m, ksub, dsub)(r.nextInt(4) * 0.5)
+    val codes = Array.fill(n * m)(r.nextInt(ksub).toByte)
+    val ids = Array.tabulate(n)(i => (i * 2 + 5).toLong)
+    val model = graft.operators.Pq.Model(m, ksub, dsub, books)
+    val shard = graft.operators.AnnServe.PqShard(ids, codes, model)
+    val qvecs = Array.fill(15, m * dsub)(r.nextInt(4) * 0.5)
+    val queries = ids.take(15).zip(qvecs).toSeq.toDF("vec_id", "embedding")
+    def round6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val got = graft.operators.AnnServe.pqTopkRows(queries, shard, k)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSet).toMap
+    (0 until 15).foreach { qi =>
+      val qid = ids(qi)
+      val expect = (0 until n).filter(ids(_) != qid).map { i =>
+        val dist = (0 until m).map { s =>
+          val c = codes(i * m + s) & 0xff
+          (0 until dsub).map { j =>
+            val d = qvecs(qi)(s * dsub + j) - books(s)(c)(j); d * d
+          }.sum
+        }.sum
+        (ids(i), round6(dist))
+      }.sortBy { case (id, d) => (d, id) }.take(k).toSet
+      assert(got(qid) == expect, s"query $qid: ${got(qid)} vs $expect")
+    }
+  }
 }
