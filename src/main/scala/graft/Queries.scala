@@ -1458,8 +1458,9 @@ object Queries {
     None)
 
   /** The MEMORY-bound serve variant (rows-only): the PQ-compressed
-    * index shard (m byte codes/vector — 64× less serve RAM than the
-    * raw-double `q_sim_serve` shard at these settings) scanned
+    * index shard (m byte codes/vector — nominally 32× less vector
+    * payload than the raw-double `q_sim_serve` shard at 64-dim/m=16;
+    * 22× measured whole-shard incl. ids, PLANS.md serve soak) scanned
     * row-locally per query by one native ADC expression
     * (`functions.AdcTopK`): LUT build + m lookups per corpus vector.
     * Output is bit-identical to the batch `Pq.topk` join+window plan

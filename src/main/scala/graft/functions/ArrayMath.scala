@@ -633,10 +633,11 @@ case class CosineTopK(left: Expression, right: Expression,
       throw new IllegalArgumentException(
         s"cosine_topk: ragged shard (${ids.length} ids, ${flatVecs.length} " +
           s"values, ${norms.length} norms at dim $dim)")
-    if (qv.numElements() < dim)
+    if (qv.numElements() != dim)
       throw new IllegalArgumentException(
-        s"cosine_topk: query vector has ${qv.numElements()} elements, need >= $dim " +
-          "— index shard does not match the data")
+        s"cosine_topk: query vector has ${qv.numElements()} elements, need exactly $dim " +
+          "— index shard does not match the data (a longer vector would be " +
+          "silently truncated, diverging from the full-vector batch plan)")
     val q = new Array[Double](dim)
     var j = 0
     while (j < dim) { q(j) = qv.getDouble(j); j += 1 }
@@ -659,7 +660,11 @@ case class CosineTopK(left: Expression, right: Expression,
         // most 5e-7, so a candidate with raw < worst − 1e-6 cannot
         // reach the rounded top-k; skip it before paying BigDecimal.
         // Conservative-only: every possible entrant is still rounded.
-        if (filled < k || raw >= topCos(k - 1) - 1e-6) {
+        // Non-finite scores (NaN/Inf components in shard or query)
+        // never enter: BigDecimal.valueOf(NaN) would throw, and NaN
+        // comparisons would corrupt the insertion order silently.
+        if (java.lang.Double.isFinite(raw) &&
+            (filled < k || raw >= topCos(k - 1) - 1e-6)) {
           val c = java.math.BigDecimal.valueOf(raw)
             .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
           val id = ids(i)
@@ -750,10 +755,11 @@ case class AdcTopK(left: Expression, right: Expression,
       throw new IllegalArgumentException(
         s"adc_topk: ragged shard (${ids.length} ids, ${flatCodes.length} codes at m=$m)")
     val dim = m * dsub
-    if (qv.numElements() < dim)
+    if (qv.numElements() != dim)
       throw new IllegalArgumentException(
-        s"adc_topk: query vector has ${qv.numElements()} elements, need >= $dim " +
-          "— index shard does not match the data")
+        s"adc_topk: query vector has ${qv.numElements()} elements, need exactly $dim " +
+          "— index shard does not match the data (a longer vector would be " +
+          "silently truncated, diverging from the full-vector batch plan)")
     // per-query LUT: lut(s*ksub + c) = ||query_sub_s - book_s(c)||²,
     // accumulated left-to-right like the batch sqDiffSum expression
     val lut = new Array[Double](m * ksub)
@@ -780,10 +786,11 @@ case class AdcTopK(left: Expression, right: Expression,
         while (t < m) {
           dist += lut(t * ksub + (flatCodes(i * m + t) & 0xff)); t += 1
         }
-        // same BigDecimal-avoidance guard as CosineTopK (mirrored for
-        // ascending distance): a candidate with raw > worst + 1e-6
-        // cannot reach the rounded top-k
-        if (filled < k || dist <= topD(k - 1) + 1e-6) {
+        // same BigDecimal-avoidance and non-finite guards as CosineTopK
+        // (mirrored for ascending distance): a candidate with raw >
+        // worst + 1e-6 cannot reach the rounded top-k
+        if (java.lang.Double.isFinite(dist) &&
+            (filled < k || dist <= topD(k - 1) + 1e-6)) {
           val d = java.math.BigDecimal.valueOf(dist)
             .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
           val id = ids(i)

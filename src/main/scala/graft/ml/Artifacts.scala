@@ -185,17 +185,41 @@ object Artifacts {
 
   /** ANN serve index shard (`AnnServe.AnnShard`): ids + row-major
     * vectors — with this file a serving node answers queries with no
-    * other state. jNum round-trips doubles exactly (17 sig digits). */
-  def saveAnnShard(sh: graft.operators.AnnServe.AnnShard, path: String): Unit =
-    write(path, s"""{"dim":${sh.dim},"ids":${jArr(sh.ids.map(_.toString))},""" +
-      s""""vecs":${jArr(sh.flatVecs.map(jNum))}}""")
+    * other state. Binary, not the JSON the small models use: a
+    * rowCap-sized shard is ~0.5 GB of doubles, which as JSON would
+    * materialize a multi-GB transient string on save and push the
+    * 2³¹-char String limit on load; and 64-bit ids must round-trip
+    * EXACTLY (a Double-typed JSON number silently corrupts ids above
+    * 2⁵³). Streamed fixed-width big-endian: magic, dim, n, n longs,
+    * n·dim doubles. */
+  private val AnnShardMagic = 0x47414e53 // "GANS"
+
+  def saveAnnShard(sh: graft.operators.AnnServe.AnnShard, path: String): Unit = {
+    val p = Paths.get(path)
+    if (p.getParent != null) Files.createDirectories(p.getParent)
+    val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+      Files.newOutputStream(p), 1 << 20))
+    try {
+      out.writeInt(AnnShardMagic)
+      out.writeInt(sh.dim)
+      out.writeInt(sh.ids.length)
+      sh.ids.foreach(out.writeLong)
+      sh.flatVecs.foreach(out.writeDouble)
+    } finally out.close()
+  }
 
   def loadAnnShard(path: String): graft.operators.AnnServe.AnnShard = {
-    val p = new P(read(path))
-    p.objField("dim"); val dim = p.num().toInt
-    p.objField("ids"); val ids = p.arr(() => p.num().toLong).toArray
-    p.objField("vecs"); val vecs = p.arr(() => p.num()).toArray
-    graft.operators.AnnServe.AnnShard(ids, vecs, dim)
+    val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+      Files.newInputStream(Paths.get(path)), 1 << 20))
+    try {
+      require(in.readInt() == AnnShardMagic, s"$path is not an AnnShard artifact")
+      val dim = in.readInt()
+      val n = in.readInt()
+      require(dim > 0 && n >= 0, s"corrupt AnnShard header: dim=$dim n=$n")
+      val ids = Array.fill(n)(in.readLong())
+      val vecs = Array.fill(n * dim)(in.readDouble())
+      graft.operators.AnnServe.AnnShard(ids, vecs, dim)
+    } finally in.close()
   }
 
   private def write(path: String, content: String): Unit = {

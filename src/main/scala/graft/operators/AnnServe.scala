@@ -111,7 +111,7 @@ object AnnServe {
               col("__nb.cos").as("cos"))
 
   /** The MEMORY-bound serve shard: PQ byte codes instead of raw
-    * doubles — m bytes/vector vs dim·8 (64-dim/m=8 ⇒ 64× less shard
+    * doubles — m bytes/vector vs dim·8 (64-dim/m=8 ⇒ 64× less shard-vector
     * RAM), the trade that decides how much corpus one serving node
     * holds (Jégou 2011). Codes come from `Pq.encode` itself, so shard
     * contents are definitionally the batch index's codes. */

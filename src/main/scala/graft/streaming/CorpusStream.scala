@@ -181,18 +181,26 @@ object CorpusStream {
     val presence = base.select(col("doc_id"), col("__ts"), col("n_tokens"),
       lit(-1).cast("int").as("gpos"), col("__w"))
     val L = gramLen
+    // Bounds-guarded like the pre-r7 per-token form: duplicate doc_ids
+    // of DIFFERING lengths in one window are ill-defined input (the
+    // agg's n_tokens is the max arrival, __toks the first), but they
+    // must degrade like the old code did — positions outside the token
+    // array are ignored, never an index crash that kills the stream.
     val reassemble = udf((n: Int, toks: Seq[String], gs: Seq[Int]) => {
       if (n < L) (0, toks.mkString(" "))
       else {
         // difference array: window at g covers tokens [g, g+L)
         val diff = new Array[Int](n + 1)
-        gs.foreach { g => diff(g) += 1; diff(math.min(g + L, n)) -= 1 }
+        gs.foreach { g =>
+          if (g >= 0 && g <= n - L) { diff(g) += 1; diff(g + L) -= 1 }
+        }
         var cnt = 0
         val kept = (0 until n).filter { t =>
           cnt += diff(t)
           cnt == math.min(t, n - L) - math.max(0, t - L + 1) + 1
         }
-        (n - kept.length, kept.map(toks).mkString(" "))
+        (n - kept.length,
+         kept.filter(_ < toks.length).map(toks).mkString(" "))
       }
     })
     covers.unionByName(presence)
