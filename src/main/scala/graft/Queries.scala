@@ -1388,6 +1388,37 @@ object Queries {
       .orderBy("query_id", "neighbor_id"),
     Some(simBruteforceSql))
 
+  /** Exact k-NN GRAPH over the whole embeddings table — every vector's
+    * top-5 neighbors, the input structure for graph-based clustering
+    * and mutual-kNN dedup. One pass of the serve expression with the
+    * corpus as its own query feed: each row pays one shard scan, the
+    * whole graph is one narrow scan-side job (no O(n²) join
+    * materializes Spark-side — only the DuckDB oracle states it as
+    * the quadratic self-join). At scale, queries partition freely
+    * across executors while each holds the shard; corpus sizes past
+    * one shard fall back to the LSH/IVF candidate paths feeding the
+    * same per-row top-k. */
+  private val qKnnGraph = Q(
+    "q_knn_graph",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val shard = operators.AnnServe.fitShard(e)
+      operators.AnnServe.topkRows(e, shard, k = 5)
+        .orderBy("query_id", "neighbor_id")
+    },
+    Some("""WITH c AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           |  round(CASE WHEN sqrt(list_sum(list_transform(list_zip(q.embedding, q.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))))
+           |           * sqrt(list_sum(list_transform(list_zip(e.embedding, e.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))) > 0
+           |        THEN list_sum(list_transform(list_zip(q.embedding, e.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+           |           / (sqrt(list_sum(list_transform(list_zip(q.embedding, q.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))))
+           |            * sqrt(list_sum(list_transform(list_zip(e.embedding, e.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))))
+           |        ELSE 0.0 END, 6) AS cos
+           | FROM embeddings q, embeddings e WHERE e.vec_id <> q.vec_id)
+           |SELECT query_id, neighbor_id, cos FROM (
+           | SELECT query_id, neighbor_id, cos,
+           |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+           | FROM c) WHERE rn <= 5 ORDER BY query_id, neighbor_id""".stripMargin))
+
   /** ANN top-k via AND-OR LSH buckets (rows-only) — the scale path for
     * `q_sim_bruteforce`: per-query candidates come from bucket
     * collisions (cost tracks near-pair density, not |corpus|·|queries|),
@@ -3310,7 +3341,7 @@ object Queries {
     qTextStats, qLangId, qTokenCount, qTfidfTop, qFingerprint,
     qWinnowFingerprint, qCorpusClean,
     qDedupExact, qNgramJaccard, qSimBruteforce, qSimServe, qSimServeStream,
-    qSimLshTopk, qSimIvfTopk,
+    qKnnGraph, qSimLshTopk, qSimIvfTopk,
     qSimPqTopk, qSimPqServe, qSimIvfPqTopk,
     qDedupMinhash, qDedupMinhashMd5, qDedupMinhashMd5Capped,
     qDedupMinhashMd5Stop,
