@@ -1419,6 +1419,63 @@ object Queries {
            |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn
            | FROM c) WHERE rn <= 5 ORDER BY query_id, neighbor_id""".stripMargin))
 
+  /** Mutual-kNN clustering over the embeddings table — the standard
+    * robust graph clustering for vector corpora: an edge exists iff
+    * each endpoint is in the OTHER's top-`kNb` (mutuality kills the
+    * hub-node chaining that plain radius graphs suffer) and cosine ≥
+    * the floor; clusters are connected components with min-id
+    * survivors. The kNN graph is the one-scan serve pass
+    * (`q_knn_graph`), mutuality is a self-join on the (small) edge
+    * list — never on vectors — and the closure is the oracle-proven
+    * hash-min CC. Fully oracle-checked: the DuckDB side restates the
+    * graph, the mutual filter, and the recursive-CTE closure — the
+    * first FULL oracle for vector clustering (the semantic-dedup
+    * family's algebra was previously proven only via its grid twin +
+    * the text-side CC oracle). */
+  private val qKnnClusters = {
+    val (kNb, thr) = (5, 0.3)
+    Q(
+      "q_knn_clusters",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val shard = operators.AnnServe.fitShard(e)
+        val knn = operators.AnnServe.topkRows(e, shard, k = kNb)
+          .filter(col("cos") >= thr)
+        val mutual = knn.as("a").join(knn.as("b"),
+            col("b.query_id") === col("a.neighbor_id") &&
+              col("b.neighbor_id") === col("a.query_id") &&
+              col("a.query_id") < col("a.neighbor_id"))
+          .select(col("a.query_id").as("doc_a"), col("a.neighbor_id").as("doc_b"))
+        operators.Dedup.connectedComponents(mutual, "doc_a", "doc_b")
+          .withColumnRenamed("node", "vec_id")
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH RECURSIVE c AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           |  round(CASE WHEN sqrt(list_sum(list_transform(list_zip(q.embedding, q.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))))
+           |           * sqrt(list_sum(list_transform(list_zip(e.embedding, e.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))) > 0
+           |        THEN list_sum(list_transform(list_zip(q.embedding, e.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+           |           / (sqrt(list_sum(list_transform(list_zip(q.embedding, q.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))))
+           |            * sqrt(list_sum(list_transform(list_zip(e.embedding, e.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))))
+           |        ELSE 0.0 END, 6) AS cos
+           | FROM embeddings q, embeddings e WHERE e.vec_id <> q.vec_id),
+           |knn AS (SELECT query_id, neighbor_id, cos FROM (
+           |  SELECT query_id, neighbor_id, cos,
+           |   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+           |  FROM c) WHERE rn <= $kNb AND cos >= $thr),
+           |mutual AS (SELECT a.query_id AS doc_a, a.neighbor_id AS doc_b
+           |  FROM knn a JOIN knn b ON b.query_id = a.neighbor_id
+           |   AND b.neighbor_id = a.query_id WHERE a.query_id < a.neighbor_id),
+           |edges AS (SELECT doc_a AS src, doc_b AS dst FROM mutual
+           |          UNION SELECT doc_b, doc_a FROM mutual),
+           |reach(node, label) AS (
+           | SELECT src, src FROM edges
+           | UNION
+           | SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node)
+           |SELECT node AS vec_id, min(label) AS cluster_id,
+           | CAST(CASE WHEN node = min(label) THEN 1 ELSE 0 END AS INT) AS is_survivor
+           |FROM reach GROUP BY node ORDER BY vec_id""".stripMargin))
+  }
+
   /** ANN top-k via AND-OR LSH buckets (rows-only) — the scale path for
     * `q_sim_bruteforce`: per-query candidates come from bucket
     * collisions (cost tracks near-pair density, not |corpus|·|queries|),
@@ -3341,7 +3398,7 @@ object Queries {
     qTextStats, qLangId, qTokenCount, qTfidfTop, qFingerprint,
     qWinnowFingerprint, qCorpusClean,
     qDedupExact, qNgramJaccard, qSimBruteforce, qSimServe, qSimServeStream,
-    qKnnGraph, qSimLshTopk, qSimIvfTopk,
+    qKnnGraph, qKnnClusters, qSimLshTopk, qSimIvfTopk,
     qSimPqTopk, qSimPqServe, qSimIvfPqTopk,
     qDedupMinhash, qDedupMinhashMd5, qDedupMinhashMd5Capped,
     qDedupMinhashMd5Stop,
