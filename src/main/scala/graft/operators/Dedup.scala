@@ -531,10 +531,23 @@ object Dedup {
     * the iterative lineage. State per round is O(|V| + |E|) — never
     * corpus text. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxRounds: Int = 15): DataFrame = {
+                          maxRounds: Int = 15,
+                          driverEdgeCap: Int = 100000): DataFrame = {
     val dir = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
     val edges = dir.union(dir.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint()
+    // Adaptive algorithm choice, same spirit as `adaptiveNlist`: a
+    // verified near-dup edge list under `driverEdgeCap` is a
+    // driver-trivial graph — union-find closes it in milliseconds,
+    // where the distributed loop pays ~5 exchanges × O(log d) rounds
+    // of fixed job-scheduling cost (measured 1-2 s for a 257-edge
+    // list at bench scale, partition-count-invariant). Results are
+    // IDENTICAL (min-reachable-id labels); every CC consumer is
+    // oracle-checked, so the equivalence is hash-verified at every
+    // scale factor. Past the cap — the 100 TB regime — the hash-min
+    // pointer-jumping loop below is the path, unchanged.
+    val nEdges = edges.count()
+    if (nEdges <= driverEdgeCap) return ccDriverSide(edges, nEdges)
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")).localCheckpoint()
     var round = 0
@@ -566,6 +579,46 @@ object Dedup {
         "raise maxRounds to proceed")
     labels.select(col("node"), col("label").as("cluster_id"),
       (col("node") === col("label")).cast("int").as("is_survivor"))
+  }
+
+  /** Driver-side union-find for the small-graph fast path of
+    * `connectedComponents`. Labels are min-reachable node ids, exactly
+    * the loop's fixed point; output schema (node, cluster_id long;
+    * is_survivor int) matches the loop over the long-id tables every
+    * caller uses. */
+  private def ccDriverSide(edges: DataFrame, nEdges: Long): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val es = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // index nodes
+    val idx = scala.collection.mutable.HashMap.empty[Long, Int]
+    val nodes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def id(x: Long): Int = idx.getOrElseUpdate(x, { nodes += x; nodes.length - 1 })
+    es.foreach { case (a, b) => id(a); id(b) }
+    val parent = Array.tabulate(nodes.length)(identity)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+      r
+    }
+    es.foreach { case (a, b) =>
+      val ra = find(id(a)); val rb = find(id(b))
+      if (ra != rb) parent(rb) = ra
+    }
+    val minOfRoot = scala.collection.mutable.HashMap.empty[Int, Long]
+    nodes.indices.foreach { i =>
+      val r = find(i)
+      val m = minOfRoot.getOrElse(r, Long.MaxValue)
+      if (nodes(i) < m) minOfRoot(r) = nodes(i)
+    }
+    val rows = nodes.indices.map { i =>
+      val label = minOfRoot(find(i))
+      (nodes(i), label, if (nodes(i) == label) 1 else 0)
+    }
+    rows.toDF("node", "cluster_id", "is_survivor")
   }
 
   /** Semantic dedup, ORACLE-PORTABLE variant — the coarse partitioner

@@ -286,8 +286,11 @@ class DedupSpec extends AnyFunSuite {
   test("connected components: 60-node chain converges in log rounds (pointer jumping)") {
     val chain = (0L until 59L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     // maxRounds = 6: plain hash-min would need ~59 rounds and throw;
-    // pointer doubling needs ~log2(59) ≈ 6
-    val cc = Dedup.connectedComponents(chain, "doc_a", "doc_b", maxRounds = 6)
+    // pointer doubling needs ~log2(59) ≈ 6. driverEdgeCap = 0 forces
+    // the DISTRIBUTED loop — this test exists to prove the loop's
+    // convergence rate, which the small-graph fast path would bypass.
+    val cc = Dedup.connectedComponents(chain, "doc_a", "doc_b", maxRounds = 6,
+        driverEdgeCap = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cc.size == 60)
     cc.foreach { case (n, c) => assert(c == 0L, s"node $n labeled $c") }
@@ -313,10 +316,16 @@ class DedupSpec extends AnyFunSuite {
         // canonical label = min node of the component
         v -> touched.filter(u => find(u.toInt) == root).min
       }.toMap
+      // both paths must match the reference: the small-graph driver
+      // fast path (default cap) AND the distributed loop (cap = 0)
       val got = Dedup.connectedComponents(
           pairs.toDF("doc_a", "doc_b"), "doc_a", "doc_b")
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(got == expect, s"trial $trial (n=$n m=${pairs.size})")
+      assert(got == expect, s"trial $trial fast path (n=$n m=${pairs.size})")
+      val gotLoop = Dedup.connectedComponents(
+          pairs.toDF("doc_a", "doc_b"), "doc_a", "doc_b", driverEdgeCap = 0)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotLoop == expect, s"trial $trial loop (n=$n m=${pairs.size})")
     }
   }
 
