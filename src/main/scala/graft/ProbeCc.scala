@@ -3,8 +3,11 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Scratch probe: CC loop cost vs scoped shuffle-partition count, and
-  * the post-CC anti-join cost in q_corpus_dedup. */
+/** Staged timing of the connected-components family at sf0.1 — the
+  * probe behind the r7 driver-union-find fast path (the distributed
+  * loop's ~5-exchange × O(log d)-round scheduling cost measured 1-2 s
+  * on a 257-edge list regardless of partition count; the fast path
+  * closes it in milliseconds). */
 object ProbeCc {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
