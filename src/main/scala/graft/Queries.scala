@@ -1419,6 +1419,41 @@ object Queries {
            |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn
            | FROM c) WHERE rn <= 5 ORDER BY query_id, neighbor_id""".stripMargin))
 
+  /** The SCALE path for `q_knn_graph` (rows-only): IVF multi-probe
+    * graph construction — every vector explodes to its `nprobe`
+    * nearest k-means cells, candidate pairs are vectors sharing a
+    * probed cell, exact cosine re-ranks per node (the role
+    * `sim_ivf_topk` plays for `q_sim_bruteforce`, applied to
+    * whole-graph construction). Work is n²·nprobe²/nlist cosines —
+    * linear in n at fixed cell occupancy — and no corpus collect
+    * exists anywhere; recall < 1 by design (0.92 measured at
+    * sf0.001 with nlist=64/nprobe=6 — the r7 sweep also read
+    * nprobe=4 at 0.77 and an LSH variant at 0.62/14 s, both
+    * rejected; SimilaritySpec floors 0.85 against the exact
+    * graph). */
+  private val qKnnGraphIvf = Q(
+    "q_knn_graph_ivf",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("f"))
+      val cent = operators.Ivf.fitCentroids(e, "vec_id", "f", nlist = 64)
+      val probed = e.select(col("vec_id"), col("f"),
+        explode(operators.Ivf.probeCellsCol(col("f"), cent, nprobe = 6)).as("cell"))
+      val cos = round(VectorOps.cosine(col("a.f"), col("b.f")), 6)
+      val edges = probed.as("a").join(probed.as("b"),
+          col("a.cell") === col("b.cell") &&
+            col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("query_id"),
+                col("b.vec_id").as("neighbor_id"), cos.as("cos"))
+        .dropDuplicates("query_id", "neighbor_id")
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("neighbor_id").asc)
+      edges.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= 5)
+        .drop("__rn").orderBy("query_id", "neighbor_id")
+    },
+    None)
+
   /** Mutual-kNN clustering over the embeddings table — the standard
     * robust graph clustering for vector corpora: an edge exists iff
     * each endpoint is in the OTHER's top-`kNb` (mutuality kills the
@@ -3398,7 +3433,7 @@ object Queries {
     qTextStats, qLangId, qTokenCount, qTfidfTop, qFingerprint,
     qWinnowFingerprint, qCorpusClean,
     qDedupExact, qNgramJaccard, qSimBruteforce, qSimServe, qSimServeStream,
-    qKnnGraph, qKnnClusters, qSimLshTopk, qSimIvfTopk,
+    qKnnGraph, qKnnGraphIvf, qKnnClusters, qSimLshTopk, qSimIvfTopk,
     qSimPqTopk, qSimPqServe, qSimIvfPqTopk,
     qDedupMinhash, qDedupMinhashMd5, qDedupMinhashMd5Capped,
     qDedupMinhashMd5Stop,

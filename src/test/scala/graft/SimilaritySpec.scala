@@ -200,6 +200,16 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.forall(_.getDouble(2) == 1.0))
   }
 
+  test("knn graph: IVF scale path recovers most exact edges (recall floor)") {
+    val exact = SparkEntry.queries("q_knn_graph")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SparkEntry.queries("q_knn_graph_ivf")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & lsh).size.toDouble / exact.size
+    info(s"knn-graph recall@5 = $recall (${(exact & lsh).size}/${exact.size})")
+    assert(recall >= 0.85, s"recall $recall too low")
+  }
+
   test("pq serve: byte-code shard scan is bit-identical to the Pq.topk join plan") {
     import org.apache.spark.sql.functions.col
     val e = Tables.embeddings(spark, sf)
