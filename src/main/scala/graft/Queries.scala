@@ -1426,18 +1426,27 @@ object Queries {
     * `sim_ivf_topk` plays for `q_sim_bruteforce`, applied to
     * whole-graph construction). Work is n²·nprobe²/nlist cosines —
     * linear in n at fixed cell occupancy — and no corpus collect
-    * exists anywhere; recall < 1 by design (0.92 measured at
-    * sf0.001 with nlist=64/nprobe=6 — the r7 sweep also read
-    * nprobe=4 at 0.77 and an LSH variant at 0.62/14 s, both
-    * rejected; SimilaritySpec floors 0.85 against the exact
-    * graph). */
+    * exists anywhere; recall < 1 by design — measured 0.998 at
+    * sf0.001 and 0.89 at sf0.1 (`ProbeKnnRecall`) with adaptive
+    * nlist (~32/cell) / nprobe=6; the r7 sweep also read fixed
+    * nlist=64 at 0.77–0.92 and an LSH-bucket variant at 0.62/14 s,
+    * both rejected. SimilaritySpec floors 0.85 against the exact
+    * graph. */
   private val qKnnGraphIvf = Q(
     "q_knn_graph_ivf",
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("f"))
-      val cent = operators.Ivf.fitCentroids(e, "vec_id", "f", nlist = 64)
+      // ADAPTIVE nlist at ~32 vectors/cell (the r6 semantic-dedup
+      // lesson: a fixed nlist is a fixed model capacity — cells
+      // saturate as n grows and within-cell pairs go quadratic;
+      // constant occupancy keeps pair volume linear in n). Bounds as
+      // in Dedup.adaptiveNlist: k-means needs >= nlist sample points
+      // below, centroid matrix stays a small reference object above.
+      val nlist = math.max(16L,
+        math.min(4096L, e.count() / 32)).toInt
+      val cent = operators.Ivf.fitCentroids(e, "vec_id", "f", nlist = nlist)
       val probed = e.select(col("vec_id"), col("f"),
         explode(operators.Ivf.probeCellsCol(col("f"), cent, nprobe = 6)).as("cell"))
       val cos = round(VectorOps.cosine(col("a.f"), col("b.f")), 6)
