@@ -274,6 +274,40 @@ object ProbeSoak {
           f"fitRaw=${(f1 - f0) / 1e9}%5.2fs fitPq=${(f2 - f1) / 1e9}%5.2fs " +
           f"serveRaw=$tRaw%5.2fs servePq=$tPq%5.2fs " +
           f"rawMB=${rawBytes / 1e6}%8.1f pqMB=${pqBytes / 1e6}%6.2f top1=$top1%.4f")
+        // IVF multi-probe kNN GRAPH at this scale — the q_knn_graph_ivf
+        // shape with its adaptive nlist (~32/cell): work is
+        // n·occupancy·nprobe² cosines, so wall time must track n.
+        // Gate: the planted dense cluster keeps its members' top-1
+        // inside the cluster (ids < c are the cluster).
+        val g0 = System.nanoTime()
+        val f = e.select(col("vec_id"), col("embedding").cast("array<double>").as("f"))
+        val nlist = math.max(16L, math.min(4096L, raw.ids.length.toLong / 32)).toInt
+        val cent = operators.Ivf.fitCentroids(f, "vec_id", "f", nlist = nlist)
+        val probed = f.select(col("vec_id"), col("f"),
+          explode(operators.Ivf.probeCellsCol(col("f"), cent, nprobe = 6)).as("cell"))
+        val cosG = round(graft.functions.VectorOps.cosine(col("a.f"), col("b.f")), 6)
+        val edgesG = probed.as("a").join(probed.as("b"),
+            col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
+          .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"),
+                  cosG.as("cos"))
+          .dropDuplicates("query_id", "neighbor_id")
+        val wG = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+        val graph = edgesG.withColumn("__rn",
+            org.apache.spark.sql.functions.row_number().over(wG))
+          .filter(col("__rn") <= 5)
+        val nEdgesOut = graph.count()
+        val g1 = System.nanoTime()
+        val c = raw.ids.length / 13 // planted cluster ≈ n/12 of base+cluster total
+        val clusterTop1InCluster = graph.filter(col("__rn") === 1)
+          .filter(col("query_id") < c)
+          .filter(col("neighbor_id") < c).count()
+        val clusterTotal = graph.filter(col("__rn") === 1)
+          .filter(col("query_id") < c).count()
+        require(clusterTotal == 0 || clusterTop1InCluster >= clusterTotal * 9 / 10,
+          s"dense-cluster top-1 escaped the cluster: $clusterTop1InCluster/$clusterTotal")
+        println(f"[soak-serve] x$s%-3d knnGraph=${(g1 - g0) / 1e9}%6.2fs " +
+          f"nlist=$nlist%5d edges=$nEdgesOut%9d clusterTop1=$clusterTop1InCluster/$clusterTotal")
       }
       spark.stop(); return
     }
