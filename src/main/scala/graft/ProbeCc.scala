@@ -31,7 +31,6 @@ object ProbeCc {
       t(s"cc(adaptive) rep$rep")(
         operators.Dedup.connectedComponents(pairs, "doc_a", "doc_b").count())
     }
-    spark.conf.set("spark.sql.shuffle.partitions", "32")
     // full query end-to-end
     (1 to 2).foreach { rep =>
       t(s"q_corpus_dedup rep$rep")(

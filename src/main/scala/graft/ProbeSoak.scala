@@ -280,30 +280,24 @@ object ProbeSoak {
         // Gate: the planted dense cluster keeps its members' top-1
         // inside the cluster (ids < c are the cluster).
         val g0 = System.nanoTime()
-        val f = e.select(col("vec_id"), col("embedding").cast("array<double>").as("f"))
-        val nlist = math.max(16L, math.min(4096L, raw.ids.length.toLong / 32)).toInt
-        val cent = operators.Ivf.fitCentroids(f, "vec_id", "f", nlist = nlist)
-        val probed = f.select(col("vec_id"), col("f"),
-          explode(operators.Ivf.probeCellsCol(col("f"), cent, nprobe = 6)).as("cell"))
-        val cosG = round(graft.functions.VectorOps.cosine(col("a.f"), col("b.f")), 6)
-        val edgesG = probed.as("a").join(probed.as("b"),
-            col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
-          .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"),
-                  cosG.as("cos"))
-          .dropDuplicates("query_id", "neighbor_id")
-        val wG = org.apache.spark.sql.expressions.Window
-          .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
-        val graph = edgesG.withColumn("__rn",
-            org.apache.spark.sql.functions.row_number().over(wG))
-          .filter(col("__rn") <= 5)
+        // the SAME operator the declared query runs — not a copy, so
+        // query tuning can never silently diverge from the soak
+        val graph = operators.Ivf.knnGraph(e, "vec_id", "embedding",
+            k = 5, nprobe = 6, targetCell = 32)
+          .localCheckpoint()
         val nEdgesOut = graph.count()
         val g1 = System.nanoTime()
+        val nlist = math.max(16L,
+          math.min(4096L, raw.ids.length.toLong / 32)).toInt
         val c = raw.ids.length / 13 // planted cluster ≈ n/12 of base+cluster total
-        val clusterTop1InCluster = graph.filter(col("__rn") === 1)
-          .filter(col("query_id") < c)
+        import org.apache.spark.sql.expressions.Window
+        val wTop = Window.partitionBy("query_id")
+          .orderBy(col("cos").desc, col("neighbor_id").asc)
+        val gTop1 = graph.withColumn("__rn", row_number().over(wTop))
+          .filter(col("__rn") === 1)
+        val clusterTop1InCluster = gTop1.filter(col("query_id") < c)
           .filter(col("neighbor_id") < c).count()
-        val clusterTotal = graph.filter(col("__rn") === 1)
-          .filter(col("query_id") < c).count()
+        val clusterTotal = gTop1.filter(col("query_id") < c).count()
         require(clusterTotal == 0 || clusterTop1InCluster >= clusterTotal * 9 / 10,
           s"dense-cluster top-1 escaped the cluster: $clusterTop1InCluster/$clusterTotal")
         println(f"[soak-serve] x$s%-3d knnGraph=${(g1 - g0) / 1e9}%6.2fs " +

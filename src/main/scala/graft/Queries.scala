@@ -1434,33 +1434,10 @@ object Queries {
     * graph. */
   private val qKnnGraphIvf = Q(
     "q_knn_graph_ivf",
-    (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("f"))
-      // ADAPTIVE nlist at ~32 vectors/cell (the r6 semantic-dedup
-      // lesson: a fixed nlist is a fixed model capacity — cells
-      // saturate as n grows and within-cell pairs go quadratic;
-      // constant occupancy keeps pair volume linear in n). Bounds as
-      // in Dedup.adaptiveNlist: k-means needs >= nlist sample points
-      // below, centroid matrix stays a small reference object above.
-      val nlist = math.max(16L,
-        math.min(4096L, e.count() / 32)).toInt
-      val cent = operators.Ivf.fitCentroids(e, "vec_id", "f", nlist = nlist)
-      val probed = e.select(col("vec_id"), col("f"),
-        explode(operators.Ivf.probeCellsCol(col("f"), cent, nprobe = 6)).as("cell"))
-      val cos = round(VectorOps.cosine(col("a.f"), col("b.f")), 6)
-      val edges = probed.as("a").join(probed.as("b"),
-          col("a.cell") === col("b.cell") &&
-            col("a.vec_id") =!= col("b.vec_id"))
-        .select(col("a.vec_id").as("query_id"),
-                col("b.vec_id").as("neighbor_id"), cos.as("cos"))
-        .dropDuplicates("query_id", "neighbor_id")
-      val w = Window.partitionBy("query_id")
-        .orderBy(col("cos").desc, col("neighbor_id").asc)
-      edges.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= 5)
-        .drop("__rn").orderBy("query_id", "neighbor_id")
-    },
+    (s, d) => operators.Ivf.knnGraph(
+        Tables.embeddings(s, d), "vec_id", "embedding",
+        k = 5, nprobe = 6, targetCell = 32)
+      .orderBy("query_id", "neighbor_id"),
     None)
 
   /** Mutual-kNN clustering over the embeddings table — the standard
@@ -1483,8 +1460,11 @@ object Queries {
       (s, d) => {
         val e = Tables.embeddings(s, d)
         val shard = operators.AnnServe.fitShard(e)
+        // checkpoint before the mutuality self-join: the serve top-k
+        // scan (the dominant cost) must run once, not per join side
         val knn = operators.AnnServe.topkRows(e, shard, k = kNb)
           .filter(col("cos") >= thr)
+          .localCheckpoint()
         val mutual = knn.as("a").join(knn.as("b"),
             col("b.query_id") === col("a.neighbor_id") &&
               col("b.neighbor_id") === col("a.query_id") &&

@@ -396,14 +396,16 @@ object Dedup {
 
   /** The final corpus-dedup step: drop every non-survivor cluster
     * member, keep survivors and untouched singletons — i.e.
-    * `docs LEFT ANTI JOIN (clusters WHERE NOT survivor)`. The drop
-    * list sits behind `connectedComponents`' localCheckpoint, so
-    * Catalyst has no size stats and statically plans sort-merge; AQE
-    * measures the build side at runtime and converts to a broadcast
-    * anti join when it fits (PlanShapeSpec asserts the conversion).
-    * That stats-blind default is deliberate: on a dup-heavy corpus the
-    * drop list is a large fraction of |V| and a static broadcast hint
-    * would be the scale hazard. */
+    * `docs LEFT ANTI JOIN (clusters WHERE NOT survivor)`. In the CC
+    * fast-path regime (≤ driverEdgeCap edges) the drop list is a
+    * stats-bearing LocalRelation and Catalyst broadcasts statically;
+    * in the loop regime it sits behind a localCheckpoint with no
+    * stats, sort-merge is planned statically and AQE converts to a
+    * broadcast anti join at runtime after measuring the build side
+    * (PlanShapeSpec gates BOTH regimes). The loop's stats-blind
+    * default is deliberate: on a dup-heavy corpus the drop list is a
+    * large fraction of |V| and a static broadcast HINT would be the
+    * scale hazard. */
   def dedupCorpus(docs: DataFrame, pairs: DataFrame, idCol: String,
                   aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
     val drop = connectedComponents(pairs, aCol, bCol)
@@ -546,8 +548,21 @@ object Dedup {
     // oracle-checked, so the equivalence is hash-verified at every
     // scale factor. Past the cap — the 100 TB regime — the hash-min
     // pointer-jumping loop below is the path, unchanged.
+    // The fast path computes over longs; it engages only for integral
+    // id columns (every in-repo caller) and casts its output back to
+    // the INPUT id type, so the operator's schema contract never
+    // depends on data size. Non-integral ids (e.g. UUID strings) take
+    // the loop, which is type-generic.
+    val idType = edges.schema("src").dataType
+    val integral = idType == org.apache.spark.sql.types.LongType ||
+      idType == org.apache.spark.sql.types.IntegerType ||
+      idType == org.apache.spark.sql.types.ShortType
     val nEdges = edges.count()
-    if (nEdges <= driverEdgeCap) return ccDriverSide(edges, nEdges)
+    if (integral && nEdges <= driverEdgeCap)
+      return ccDriverSide(edges, nEdges)
+        .select(col("node").cast(idType).as("node"),
+                col("cluster_id").cast(idType).as("cluster_id"),
+                col("is_survivor"))
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")).localCheckpoint()
     var round = 0

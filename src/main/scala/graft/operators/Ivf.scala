@@ -139,4 +139,43 @@ object Ivf {
       .select(col("query_id"), col("nid").as("neighbor_id"), col("cos"))
       .orderBy("query_id", "neighbor_id")
   }
+
+  /** IVF multi-probe kNN GRAPH — every vector's top-`k` neighbors from
+    * candidates sharing a probed cell (the `topk` machinery applied
+    * with the corpus as its own query feed; the scale path for
+    * whole-graph construction, `q_knn_graph_ivf`). Work is
+    * n·occupancy·nprobe² cosines — linear in n at the fixed
+    * `targetCell` occupancy; the cell count adapts like
+    * `Dedup.adaptiveNlist` (the r6 fixed-capacity lesson: saturated
+    * cells go quadratic) and the k-means sample scales with the cell
+    * count like `Dedup.semanticPairs` (a sample equal to nlist fits
+    * one point per centroid — a degenerate model). The probed frame is
+    * localCheckpointed so the per-row centroid probe (nlist sq-dists +
+    * array_sort) runs ONCE, not once per self-join side. Returns
+    * (query_id, neighbor_id, cos), ranked (cos desc, id asc). */
+  def knnGraph(emb: DataFrame, idCol: String, vecCol: String,
+               k: Int = 5, nprobe: Int = 6,
+               targetCell: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb.select(col(idCol).as("vec_id"),
+      col(vecCol).cast("array<double>").as("f"))
+    val nlist = math.max(16L,
+      math.min(4096L, e.count() / targetCell)).toInt
+    val sample = math.min(math.max(4096, 20 * nlist), 16384)
+    val cent = fitCentroids(e, "vec_id", "f", nlist, sampleSize = sample)
+    val probed = e.select(col("vec_id"), col("f"),
+        explode(probeCellsCol(col("f"), cent, nprobe)).as("cell"))
+      .localCheckpoint()
+    val cos = round(graft.functions.VectorOps.cosine(col("a.f"), col("b.f")), 6)
+    val edges = probed.as("a").join(probed.as("b"),
+        col("a.cell") === col("b.cell") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("query_id"),
+              col("b.vec_id").as("neighbor_id"), cos.as("cos"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    edges.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
+      .drop("__rn")
+  }
 }

@@ -279,18 +279,34 @@ class PlanShapeSpec extends AnyFunSuite {
       s"window must consume the vocabulary-bounded aggregate, not raw tokens:\n${plan.take(1200)}")
   }
 
-  test("corpus dedup anti join: AQE converts to broadcast at runtime") {
-    // the drop list sits behind connectedComponents' localCheckpoint, so
-    // Catalyst has NO size stats and statically plans sort-merge — the
-    // honest default (on a dup-heavy corpus the drop list can be a
-    // large fraction of |V|, so a static broadcast hint would be a
-    // scale hazard). AQE measures the actual build side at runtime and
-    // converts; assert the FINAL adaptive plan did so.
+  test("corpus dedup anti join: broadcast in the final plan on BOTH CC paths") {
+    // Fast-path regime (test scale): the drop list is a driver
+    // LocalRelation with exact stats, so Catalyst broadcasts
+    // statically. Loop regime (past driverEdgeCap — the 100 TB shape):
+    // the drop list sits behind the loop's localCheckpoint with NO
+    // stats, sort-merge is planned statically (the honest default — a
+    // dup-heavy drop list can be a large fraction of |V|, so a static
+    // broadcast HINT would be the scale hazard) and AQE converts at
+    // runtime after measuring the build side. Assert the final plan
+    // broadcasts under both regimes.
     val df = SparkEntry.queries("q_corpus_dedup")(spark, sf)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("LeftAnti"), plan.take(800))
     assert("BroadcastHashJoin[^\n]*LeftAnti".r.findFirstIn(plan).isDefined,
-           s"anti join not broadcast in the final adaptive plan:\n${plan.take(1500)}")
+           s"anti join not broadcast in the final plan:\n${plan.take(1500)}")
+    // loop path, composed like Dedup.dedupCorpus but with the cap off
+    val docs = Tables.documents(spark, sf)
+    val pairs = operators.Dedup.minhashPairs(docs, "doc_id", "text",
+      numHashes = 16, bands = 8, threshold = 0.1, portableMd5 = false,
+      bandBucketCap = 512, stopShingleDfFrac = Some(0.5))
+    val drop = operators.Dedup.connectedComponents(
+        pairs, "doc_a", "doc_b", driverEdgeCap = 0)
+      .filter(col("is_survivor") === 0).select(col("node").as("doc_id"))
+    val loopDf = docs.join(drop, Seq("doc_id"), "left_anti")
+    loopDf.collect()
+    val loopPlan = loopDf.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin[^\n]*LeftAnti".r.findFirstIn(loopPlan).isDefined,
+           s"loop-path anti join not AQE-converted to broadcast:\n${loopPlan.take(1500)}")
   }
 }
