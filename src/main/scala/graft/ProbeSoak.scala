@@ -266,6 +266,26 @@ object ProbeSoak {
         }.min
         val tRaw = rep(AnnServe.topkRows(queries, raw).count())
         val tPq = rep(AnnServe.pqTopkRows(queries, pq).count())
+        // cross-shard merge invariance (r8): the sharded serve must
+        // return byte-identical answers for ANY shard count at every
+        // scale — the correctness half of the 100 TB fan-out contract
+        val tup = (r: org.apache.spark.sql.Row) =>
+          (r.getLong(0), r.getLong(1), r.getDouble(2))
+        val singleAns = AnnServe.topkRows(queries, raw)
+          .orderBy("query_id", "neighbor_id").collect().map(tup).toSeq
+        Seq(2, 5).foreach { ns =>
+          val sh0 = System.nanoTime()
+          val shards = AnnServe.fitShards(e, nShards = ns)
+          val sh1 = System.nanoTime()
+          val ans = AnnServe.topkRowsSharded(queries, shards)
+            .orderBy("query_id", "neighbor_id").collect().map(tup).toSeq
+          val sh2 = System.nanoTime()
+          require(ans == singleAns,
+            s"sharded serve diverged from single shard at nShards=$ns scale x$s")
+          println(f"[soak-serve] x$s%-3d nShards=$ns " +
+            f"fitShards=${(sh1 - sh0) / 1e9}%5.2fs " +
+            f"serveMerged=${(sh2 - sh1) / 1e9}%5.2fs invariant=true")
+        }
         val top1 = AnnServe.topkRows(queries, raw, k = 1)
           .agg(min(col("cos"))).head.getDouble(0)
         require(top1 >= 0.99,

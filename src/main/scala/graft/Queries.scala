@@ -1376,6 +1376,26 @@ object Queries {
     },
     Some(simBruteforceSql))
 
+  /** The CROSS-SHARD serve merge — the 100 TB half of the serve
+    * contract as code: the corpus hash-partitioned into independent
+    * in-memory shards (`fitShards`), each query answered per shard by
+    * the same row-local expression, answers merged per query on the
+    * identical (rounded-cos desc, neighbor_id asc) order
+    * (`topkRowsSharded`). Exact over the union of per-shard exact
+    * top-ks, so output is bit-identical to the single-shard
+    * `q_sim_serve` AND the brute-force oracle for any shard count —
+    * SimilaritySpec pins shard-count invariance across 1/2/4/7. */
+  private val qSimServeSharded = Q(
+    "q_sim_serve_sharded",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val shards = operators.AnnServe.fitShards(e, nShards = 4)
+      operators.AnnServe.topkRowsSharded(
+          e.filter(col("vec_id") < 10), shards, k = 10)
+        .orderBy("query_id", "neighbor_id")
+    },
+    Some(simBruteforceSql))
+
   /** The streaming ANN serve twin: the `vec_id < 10` slice of the
     * embeddings table streamed as a live query feed through the same
     * row-local serve (stateless append — no watermark, no state, every
@@ -3421,7 +3441,8 @@ object Queries {
     qRowwiseMse, qAeThreshold,
     qTextStats, qLangId, qTokenCount, qTfidfTop, qFingerprint,
     qWinnowFingerprint, qCorpusClean,
-    qDedupExact, qNgramJaccard, qSimBruteforce, qSimServe, qSimServeStream,
+    qDedupExact, qNgramJaccard, qSimBruteforce, qSimServe, qSimServeSharded,
+    qSimServeStream,
     qKnnGraph, qKnnGraphIvf, qKnnClusters, qSimLshTopk, qSimIvfTopk,
     qSimPqTopk, qSimPqServe, qSimIvfPqTopk,
     qDedupMinhash, qDedupMinhashMd5, qDedupMinhashMd5Capped,

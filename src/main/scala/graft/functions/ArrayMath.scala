@@ -640,7 +640,19 @@ case class CosineTopK(left: Expression, right: Expression,
           "silently truncated, diverging from the full-vector batch plan)")
     val q = new Array[Double](dim)
     var j = 0
-    while (j < dim) { q(j) = qv.getDouble(j); j += 1 }
+    while (j < dim) {
+      val x = qv.getDouble(j)
+      // loud, like the shard-side fit-time guard (AnnServe.buildShard):
+      // a NaN/Inf query component would make every cosine non-finite,
+      // silently emptying the serve answer while the batch window plan
+      // ranks NaN first — the bit-parity contract only holds for finite
+      // inputs, so contaminated queries fail here instead of diverging
+      if (!java.lang.Double.isFinite(x))
+        throw new IllegalArgumentException(
+          s"cosine_topk: non-finite query component $x at id $qid dim $j — " +
+            "clean the query feed before serving")
+      q(j) = x; j += 1
+    }
     var qq = 0.0
     j = 0
     while (j < dim) { qq += q(j) * q(j); j += 1 }
@@ -762,6 +774,18 @@ case class AdcTopK(left: Expression, right: Expression,
           "silently truncated, diverging from the full-vector batch plan)")
     // per-query LUT: lut(s*ksub + c) = ||query_sub_s - book_s(c)||²,
     // accumulated left-to-right like the batch sqDiffSum expression
+    var qj = 0
+    while (qj < dim) {
+      val x = qv.getDouble(qj)
+      // same loud finite-input contract as cosine_topk: a NaN query
+      // component poisons every LUT entry and silently empties the
+      // serve answer instead of matching the batch plan
+      if (!java.lang.Double.isFinite(x))
+        throw new IllegalArgumentException(
+          s"adc_topk: non-finite query component $x at id $qid dim $qj — " +
+            "clean the query feed before serving")
+      qj += 1
+    }
     val lut = new Array[Double](m * ksub)
     var s = 0
     while (s < m) {

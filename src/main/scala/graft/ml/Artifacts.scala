@@ -216,6 +216,19 @@ object Artifacts {
       val dim = in.readInt()
       val n = in.readInt()
       require(dim > 0 && n >= 0, s"corrupt AnnShard header: dim=$dim n=$n")
+      // overflow + plausibility checks BEFORE allocating: a corrupt
+      // header's n*dim can wrap the Int product (to 0 or a small
+      // positive) and surface as a confusing downstream AnnShard
+      // require failure or NegativeArraySizeException; and a header
+      // larger than the file itself should fail as the header error it
+      // is, not as a truncated-read EOFException mid-array
+      require(n.toLong * dim <= Int.MaxValue,
+        s"corrupt AnnShard header: n=$n x dim=$dim overflows an array size")
+      val expectedBytes = 12L + n.toLong * 8 + n.toLong * dim * 8
+      val fileBytes = Files.size(Paths.get(path))
+      require(fileBytes == expectedBytes,
+        s"corrupt/truncated AnnShard: header (dim=$dim n=$n) implies " +
+          s"$expectedBytes bytes but $path holds $fileBytes")
       val ids = Array.fill(n)(in.readLong())
       val vecs = Array.fill(n * dim)(in.readDouble())
       graft.operators.AnnServe.AnnShard(ids, vecs, dim)

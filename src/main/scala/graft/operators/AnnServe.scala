@@ -37,13 +37,19 @@ object AnnServe {
     // cached broadcast handle (one serialization per shard per session;
     // transient so the persisted artifact stays plain arrays). The
     // broadcast carries the precomputed norms too — fitted once here,
-    // never per task.
+    // never per task. The owning SparkContext is remembered alongside:
+    // a shard reused after a context restart (or from another session)
+    // must re-broadcast rather than hand back a handle whose driver
+    // state is gone — that failure mode surfaces as an obscure
+    // task-time "Failed to get broadcast_N" instead of a rebuild.
     @transient private var bc:
         org.apache.spark.broadcast.Broadcast[(Array[Long], Array[Double], Array[Double])] = _
+    @transient private var bcOwner: org.apache.spark.SparkContext = _
     private[graft] def broadcastWith(sc: org.apache.spark.SparkContext):
         org.apache.spark.broadcast.Broadcast[(Array[Long], Array[Double], Array[Double])] =
       synchronized {
-        if (bc == null) {
+        if (bc == null || (bcOwner ne sc) || sc.isStopped) {
+          require(!sc.isStopped, "AnnShard: cannot broadcast on a stopped SparkContext")
           val n = ids.length
           val norms = new Array[Double](n)
           var i = 0
@@ -53,6 +59,7 @@ object AnnServe {
             norms(i) = math.sqrt(s); i += 1
           }
           bc = sc.broadcast((ids, flatVecs, norms))
+          bcOwner = sc
         }
         bc
       }
@@ -71,11 +78,21 @@ object AnnServe {
     // before any corpus-sized driver materialization is attempted
     require(embeddings.limit(rowCap + 1).count() <= rowCap,
       s"AnnShard: embeddings exceed the per-shard cap $rowCap — an ANN " +
-        "serve shard must fit serving-node memory; partition the corpus " +
-        "into shards and merge per-query top-k answers instead")
-    val rows = embeddings
+        "serve shard must fit serving-node memory; use fitShards + " +
+        "topkRowsSharded to partition the corpus and merge per-query " +
+        "top-k answers instead")
+    buildShard(embeddings
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
-      .collect()
+      .collect())
+  }
+
+  /** The shared array build behind `fitShard`/`fitShards`. Rejects
+    * non-finite components AT FIT TIME: the serve expressions rank on
+    * rounded finite scores while the batch join+window plan ranks NaN
+    * cosines FIRST under Spark's descending NaN ordering — so a
+    * contaminated corpus would silently diverge between the two
+    * "bit-identical" paths instead of failing loudly here. */
+  private def buildShard(rows: Array[org.apache.spark.sql.Row]): AnnShard = {
     require(rows.nonEmpty, "AnnShard: empty embeddings frame")
     val dim = rows(0).getSeq[Double](1).length
     val ids = new Array[Long](rows.length)
@@ -87,10 +104,87 @@ object AnnServe {
       require(v.length == dim,
         s"AnnShard: ragged vector at ${ids(i)} (${v.length} vs $dim)")
       var j = 0
-      while (j < dim) { flat(i * dim + j) = v(j); j += 1 }
+      while (j < dim) {
+        val x = v(j)
+        require(java.lang.Double.isFinite(x),
+          s"AnnShard: non-finite component $x at id ${ids(i)} dim $j — " +
+            "the serve/batch bit-parity contract only holds for finite " +
+            "embeddings; clean the corpus before fitting")
+        flat(i * dim + j) = x; j += 1
+      }
       i += 1
     }
     AnnShard(ids, flat, dim)
+  }
+
+  /** Partition the corpus into `nShards` hash shards — the 100 TB
+    * deployment shape where one `fitShard` cap is exceeded: each shard
+    * is an independent exact index sized to one serving node, and
+    * `topkRowsSharded` merges per-query answers across them. The shard
+    * key is `pmod(xxhash64(id), nShards)` computed IN SPARK (never a
+    * driver-side re-hash that could drift from the engine's), and the
+    * split is one corpus scan — not nShards filtered re-scans. On a
+    * real cluster each shard's build would run on its serving node;
+    * in one JVM they coexist, which is the same total memory the
+    * serving tier holds anyway. */
+  def fitShards(embeddings: DataFrame, nShards: Int,
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                rowCap: Int = 1 << 20): IndexedSeq[AnnShard] = {
+    require(nShards >= 1, s"fitShards: need nShards >= 1, got $nShards")
+    val totalCap = nShards.toLong * rowCap
+    require(totalCap <= Int.MaxValue,
+      s"fitShards: nShards * rowCap = $totalCap exceeds a collectable row count")
+    require(embeddings.limit(totalCap.toInt + 1).count() <= totalCap,
+      s"fitShards: embeddings exceed $nShards shards x cap $rowCap — " +
+        "raise nShards so every shard fits serving-node memory")
+    val rows = embeddings
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"),
+        pmod(xxhash64(col(idCol).cast("long")), lit(nShards)).cast("int"))
+      .collect()
+    val byShard = rows.groupBy(_.getInt(2))
+    (0 until nShards).map { s =>
+      val part = byShard.getOrElse(s, Array.empty[org.apache.spark.sql.Row])
+      require(part.length <= rowCap,
+        s"fitShards: shard $s holds ${part.length} rows > cap $rowCap " +
+          "(skewed ids?) — raise nShards")
+      require(part.nonEmpty,
+        s"fitShards: shard $s is empty — nShards=$nShards is oversized " +
+          "for this corpus; lower it (an empty serving shard is a " +
+          "deployment mistake, not a state to serve from)")
+      buildShard(part)
+    }
+  }
+
+  /** Exact top-k across a SHARDED corpus: per-shard row-local serve
+    * (`topkRows`) unioned, then a per-query top-k merge — the cross-
+    * shard half of the serve tier's 100 TB contract. Correct because
+    * each shard's answer is exact over its subset: every global top-k
+    * neighbor wins its own shard's top-k (per-shard competition is a
+    * subset of global), so the union of per-shard top-ks contains the
+    * global top-k, and the merge window re-ranks on the SAME
+    * HALF_UP-6dp-rounded cosine and (cos desc, neighbor_id asc)
+    * tie-break the in-shard expression used — output is therefore
+    * bit-identical to the single-shard serve and to the batch
+    * brute-force oracle, for ANY shard count. Cost shape: the query
+    * feed scans each shard once (the serve fan-out every distributed
+    * vector store pays); the merge window shuffles only
+    * |queries| x k x nShards answer rows, never vectors. */
+  def topkRowsSharded(queries: DataFrame, shards: Seq[AnnShard], k: Int = 10,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(shards.nonEmpty, "topkRowsSharded: no shards")
+    require(shards.map(_.dim).distinct.size == 1,
+      s"topkRowsSharded: mixed shard dims ${shards.map(_.dim).distinct}")
+    val unioned = shards.map(sh => topkRows(queries, sh, k, idCol, vecCol))
+      .reduce(_ unionAll _)
+    if (shards.size == 1) unioned
+    else {
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("neighbor_id").asc)
+      unioned.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= k).drop("__rn")
+    }
   }
 
   /** Exact top-k cosine per query row against the shard — one native
@@ -119,29 +213,45 @@ object AnnServe {
                            model: Pq.Model) {
     require(flatCodes.length == ids.length * model.m,
       s"PqShard: ${flatCodes.length} codes for ${ids.length} ids at m=${model.m}")
+    // same owner-validated caching as AnnShard.broadcastWith: a handle
+    // from a stopped/replaced SparkContext must trigger a re-broadcast
     @transient private var bc:
         org.apache.spark.broadcast.Broadcast[(Array[Long], Array[Byte])] = _
+    @transient private var bcOwner: org.apache.spark.SparkContext = _
     private[graft] def broadcastWith(sc: org.apache.spark.SparkContext):
         org.apache.spark.broadcast.Broadcast[(Array[Long], Array[Byte])] =
       synchronized {
-        if (bc == null) bc = sc.broadcast((ids, flatCodes))
+        if (bc == null || (bcOwner ne sc) || sc.isStopped) {
+          require(!sc.isStopped, "PqShard: cannot broadcast on a stopped SparkContext")
+          bc = sc.broadcast((ids, flatCodes))
+          bcOwner = sc
+        }
         bc
       }
   }
 
   /** Encode the corpus with the fitted PQ model and collect the
     * (id, codes) table as a flat byte shard. Same `rowCap` contract as
-    * `fitShard`; the cap buys 64× more vectors here because each row
-    * is m bytes. */
+    * `fitShard`. The default cap is set by what the collect step
+    * ACTUALLY sustains, not by the final shard's footprint: each
+    * collected Row carries a boxed Seq[Int] of m codes (~150 B of
+    * object overhead at m=16 vs the 16 B the shard keeps), so 8M rows
+    * is ~1.5 GB of transient driver heap — a cap of 2^26 would OOM the
+    * collect long before the guard it exists to pre-empt could matter. */
   def fitPqShard(embeddings: DataFrame, model: Pq.Model,
                  idCol: String = "vec_id", vecCol: String = "embedding",
-                 rowCap: Int = 1 << 26): PqShard = {
+                 rowCap: Int = 1 << 23): PqShard = {
+    require(embeddings.limit(rowCap + 1).count() <= rowCap,
+      s"PqShard: embeddings exceed the per-shard cap $rowCap — use " +
+        "fitPqShards + pqTopkRowsSharded to partition the corpus and " +
+        "merge per-query top-k answers instead")
+    buildPqShard(Pq.encode(embeddings, idCol, vecCol, model).collect(), model)
+  }
+
+  private def buildPqShard(rows: Array[org.apache.spark.sql.Row],
+                           model: Pq.Model): PqShard = {
     require(model.ksub <= 256,
       s"PqShard: byte codes need ksub <= 256, got ${model.ksub}")
-    require(embeddings.limit(rowCap + 1).count() <= rowCap,
-      s"PqShard: embeddings exceed the per-shard cap $rowCap — partition " +
-        "the corpus into shards and merge per-query top-k answers instead")
-    val rows = Pq.encode(embeddings, idCol, vecCol, model).collect()
     require(rows.nonEmpty, "PqShard: empty embeddings frame")
     val ids = new Array[Long](rows.length)
     val codes = new Array[Byte](rows.length * model.m)
@@ -156,6 +266,62 @@ object AnnServe {
       i += 1
     }
     PqShard(ids, codes, model)
+  }
+
+  /** PQ twin of `fitShards`: hash-partition the encoded corpus into
+    * `nShards` byte-code shards (same Spark-computed
+    * `pmod(xxhash64(id), nShards)` key, same one-scan split). All
+    * shards share the one fitted model — shard-local codebooks would
+    * make ADC distances incomparable across shards at merge time. */
+  def fitPqShards(embeddings: DataFrame, model: Pq.Model, nShards: Int,
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  rowCap: Int = 1 << 23): IndexedSeq[PqShard] = {
+    require(nShards >= 1, s"fitPqShards: need nShards >= 1, got $nShards")
+    val totalCap = nShards.toLong * rowCap
+    require(totalCap <= Int.MaxValue,
+      s"fitPqShards: nShards * rowCap = $totalCap exceeds a collectable row count")
+    require(embeddings.limit(totalCap.toInt + 1).count() <= totalCap,
+      s"fitPqShards: embeddings exceed $nShards shards x cap $rowCap — raise nShards")
+    val rows = Pq.encode(embeddings, idCol, vecCol, model)
+      .withColumn("__shard",
+        pmod(xxhash64(col("nid").cast("long")), lit(nShards)).cast("int"))
+      .collect()
+    val byShard = rows.groupBy(_.getInt(2))
+    (0 until nShards).map { s =>
+      val part = byShard.getOrElse(s, Array.empty[org.apache.spark.sql.Row])
+      require(part.length <= rowCap,
+        s"fitPqShards: shard $s holds ${part.length} rows > cap $rowCap — raise nShards")
+      require(part.nonEmpty,
+        s"fitPqShards: shard $s is empty — nShards=$nShards is oversized " +
+          "for this corpus; lower it")
+      buildPqShard(part, model)
+    }
+  }
+
+  /** ADC top-k across sharded byte-code shards — `topkRowsSharded` for
+    * the PQ tier: per-shard serve unioned, per-query merge on the same
+    * rounded (approx_sqdist asc, neighbor_id asc) order the in-shard
+    * expression ranks by. Exact-over-union like the raw merge, so the
+    * answer is bit-identical to one whole-corpus PqShard for any shard
+    * count (all shards must come from one `fitPqShards` fit — asserted
+    * via the shared model reference). */
+  def pqTopkRowsSharded(queries: DataFrame, shards: Seq[PqShard], k: Int = 10,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(shards.nonEmpty, "pqTopkRowsSharded: no shards")
+    require(shards.forall(_.model eq shards.head.model),
+      "pqTopkRowsSharded: shards must share one fitted Pq.Model — " +
+        "per-shard models make ADC distances incomparable at merge time")
+    val unioned = shards.map(sh => pqTopkRows(queries, sh, k, idCol, vecCol))
+      .reduce(_ unionAll _)
+    if (shards.size == 1) unioned
+    else {
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("approx_sqdist").asc, col("neighbor_id").asc)
+      unioned.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= k).drop("__rn")
+    }
   }
 
   /** ADC top-k per query row against the PQ shard — one native codegen

@@ -152,7 +152,16 @@ object Ivf {
     * one point per centroid — a degenerate model). The probed frame is
     * localCheckpointed so the per-row centroid probe (nlist sq-dists +
     * array_sort) runs ONCE, not once per self-join side. Returns
-    * (query_id, neighbor_id, cos), ranked (cos desc, id asc). */
+    * (query_id, neighbor_id, cos), ranked (cos desc, id asc).
+    *
+    * Approximation contract — NODE coverage, not just edge recall: a
+    * vector whose probed cells contain no other vector emits NO row at
+    * all, so (unlike `q_knn_graph`, which always yields k neighbors
+    * per vector) query_ids can be absent from the graph entirely — a
+    * silent-miss hazard for downstream inner joins. Callers needing
+    * every id present should left-join the id set back (absent ids =
+    * isolated nodes); the soak gates measure both edge recall and
+    * planted-cluster node coverage. */
   def knnGraph(emb: DataFrame, idCol: String, vecCol: String,
                k: Int = 5, nprobe: Int = 6,
                targetCell: Int = 32): DataFrame = {

@@ -230,6 +230,71 @@ class SimilaritySpec extends AnyFunSuite {
       "PQ serve must reproduce the batch ADC ranking exactly")
   }
 
+  test("ann serve sharded: merge is bit-identical to single shard and brute force " +
+       "for every shard count") {
+    import org.apache.spark.sql.functions.col
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val e = Tables.embeddings(spark, sf)
+    val queries = e.filter(col("vec_id") < 10)
+    val brute = SparkEntry.queries("q_sim_bruteforce")(spark, sf)
+      .collect().map(key).toSeq
+    for (n <- Seq(1, 2, 4, 7)) {
+      val shards = graft.operators.AnnServe.fitShards(e, nShards = n)
+      assert(shards.map(_.ids.length).sum == e.count(),
+        s"shards must partition the corpus exactly (n=$n)")
+      val merged = graft.operators.AnnServe
+        .topkRowsSharded(queries, shards, k = 10)
+        .orderBy("query_id", "neighbor_id").collect().map(key).toSeq
+      assert(merged == brute,
+        s"sharded serve at n=$n must reproduce the brute-force ranking exactly")
+    }
+  }
+
+  test("pq serve sharded: merge is bit-identical to the whole-corpus PqShard") {
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("u"))
+    val model = graft.operators.Pq.fit(e, "vec_id", "u", m = 16, ksub = 16)
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val whole = graft.operators.AnnServe.pqTopkRows(
+        e.filter(col("vec_id") < 10),
+        graft.operators.AnnServe.fitPqShard(e, model, "vec_id", "u"),
+        k = 10, "vec_id", "u")
+      .orderBy("query_id", "neighbor_id").collect().map(key).toSeq
+    val shards = graft.operators.AnnServe.fitPqShards(e, model, nShards = 3,
+      idCol = "vec_id", vecCol = "u")
+    val merged = graft.operators.AnnServe.pqTopkRowsSharded(
+        e.filter(col("vec_id") < 10), shards, k = 10, "vec_id", "u")
+      .orderBy("query_id", "neighbor_id").collect().map(key).toSeq
+    assert(merged == whole,
+      "sharded PQ serve must reproduce the whole-shard ADC ranking exactly")
+  }
+
+  test("ann serve: non-finite embeddings fail loudly at fit time, " +
+       "non-finite queries at serve time") {
+    import spark.implicits._
+    val fitErr = intercept[IllegalArgumentException] {
+      graft.operators.AnnServe.fitShard(
+        Seq((1L, Array(1.0, Double.NaN)), (2L, Array(1.0, 2.0)))
+          .toDF("vec_id", "embedding"))
+    }
+    assert(fitErr.getMessage.contains("non-finite"))
+    val shard = graft.operators.AnnServe.fitShard(
+      Seq((1L, Array(1.0, 2.0)), (2L, Array(2.0, 1.0))).toDF("vec_id", "embedding"))
+    val badQ = Seq((9L, Array(Double.PositiveInfinity, 0.0)))
+      .toDF("vec_id", "embedding")
+    val serveErr = intercept[Exception] {
+      graft.operators.AnnServe.topkRows(badQ, shard, k = 1).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(serveErr).exists(c =>
+      Option(c.getMessage).exists(_.contains("non-finite query component"))),
+      s"expected the loud query-side finite guard, got: $serveErr")
+  }
+
   test("ann serve: dimension mismatch fails loudly") {
     import spark.implicits._
     val shard = graft.operators.AnnServe.fitShard(
