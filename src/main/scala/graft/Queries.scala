@@ -1562,6 +1562,43 @@ object Queries {
     },
     None)
 
+  /** Grid-cell ORACLE-PROOF twin of `sim_ivf_topk` — the
+    * `dedup_semantic_grid` pattern applied to ANN search: deterministic
+    * floor-grid cells replace k-means, the probe list is the query's
+    * cell ± 1 per grid dim, and the oracle re-derives cell assignment,
+    * probe expansion, candidate join AND top-k — pinning the IVF
+    * candidate algebra the way the md5 twins pinned minhash. K-means
+    * stays the production quantizer; this is the provable stand-in
+    * with the identical plan shape. */
+  private val qSimIvfTopkGrid = {
+    val (g, k) = (0.25, 10)
+    Q(
+      "sim_ivf_topk_grid",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        operators.Ivf.topkGrid(e, "vec_id", "embedding",
+          e.filter(col("vec_id") < 10), k = k, gridDims = 2, gridSize = g)
+      },
+      Some(s"""WITH v AS (SELECT vec_id AS id, embedding AS f,
+           |  sqrt(list_sum(list_transform(list_zip(embedding, embedding),
+           |       p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))) AS n
+           | FROM embeddings),
+           |a AS (SELECT id, f,
+           |  CAST(floor(CAST(f[1] AS DOUBLE) / n / $g) AS BIGINT) AS c1,
+           |  CAST(floor(CAST(f[2] AS DOUBLE) / n / $g) AS BIGINT) AS c2
+           | FROM v WHERE n > 0),
+           |probes AS (SELECT q.id, q.f, q.c1 + dx.o AS c1, q.c2 + dy.o AS c2
+           | FROM (SELECT * FROM a WHERE id < 10) q,
+           |      (VALUES (-1),(0),(1)) dx(o), (VALUES (-1),(0),(1)) dy(o)),
+           |cand AS (SELECT p.id AS query_id, c.id AS neighbor_id,
+           |  round(${duckCosine("p.f", "c.f")}, 6) AS cos
+           | FROM probes p JOIN a c ON c.c1 = p.c1 AND c.c2 = p.c2 AND c.id <> p.id)
+           |SELECT query_id, neighbor_id, cos FROM (
+           | SELECT query_id, neighbor_id, cos,
+           |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+           | FROM cand) WHERE rn <= $k ORDER BY query_id, neighbor_id""".stripMargin))
+  }
+
   /** Unit-normalized embeddings (vec_id, u) — shared by the PQ paths
     * so their ADC euclidean ranking IS the cosine ranking. */
   private def unitEmbeddings(s: SparkSession, d: String): DataFrame =
@@ -3444,7 +3481,7 @@ object Queries {
     qDedupExact, qNgramJaccard, qSimBruteforce, qSimServe, qSimServeSharded,
     qSimServeStream,
     qKnnGraph, qKnnGraphIvf, qKnnClusters, qSimLshTopk, qSimIvfTopk,
-    qSimPqTopk, qSimPqServe, qSimIvfPqTopk,
+    qSimIvfTopkGrid, qSimPqTopk, qSimPqServe, qSimIvfPqTopk,
     qDedupMinhash, qDedupMinhashMd5, qDedupMinhashMd5Capped,
     qDedupMinhashMd5Stop,
     qDedupSimhash, qDedupSimhashMd5,

@@ -140,6 +140,57 @@ object Ivf {
       .orderBy("query_id", "neighbor_id")
   }
 
+  /** Grid-cell ORACLE-PROOF twin of the IVF probe (`sim_ivf_topk_grid`)
+    * — the `dedup_semantic_grid` pattern applied to top-k search:
+    * deterministic floor-grid cells over the first `gridDims`
+    * unit-normalized components replace the k-means coarse quantizer,
+    * and the probe list is the query's own cell ± 1 per dim
+    * (3^gridDims cells) instead of "nprobe nearest centroids" — so
+    * cell assignment, probe expansion, the candidate equi-join and the
+    * per-query top-k window are ALL independently re-derived by a
+    * DuckDB oracle, pinning the IVF candidate algebra the way the md5
+    * twins pinned minhash. K-means cells stay the production path
+    * (they adapt to density; a fixed grid does not) — this is the
+    * provable stand-in with the identical plan shape: per-row cell
+    * expression on the scan, explode on the (tiny) query side, ONE
+    * equi-join keyed by small ints, window top-k. Zero-norm vectors
+    * are excluded on both sides (no cosine direction exists).
+    * Returns (query_id, neighbor_id, cos) ranked (cos desc, id asc). */
+  def topkGrid(emb: DataFrame, idCol: String, vecCol: String,
+               queries: DataFrame, k: Int,
+               gridDims: Int = 2, gridSize: Double = 0.25): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(gridDims >= 1 && gridSize > 0, s"bad grid $gridDims/$gridSize")
+    def prep(df: DataFrame, idAs: String, fAs: String): DataFrame =
+      df.select(col(idCol).as(idAs), col(vecCol).cast("array<double>").as(fAs))
+        .withColumn("__n", sqrt(VectorOps.dot(col(fAs), col(fAs))))
+        .filter(col("__n") > 0)
+    def cellCols(f: String, prefix: String): Seq[Column] =
+      (1 to gridDims).map(d =>
+        floor(element_at(col(f), d) / col("__n") / lit(gridSize))
+          .cast("long").as(s"$prefix$d"))
+    val corpus = prep(emb, "nid", "nf")
+      .select(col("nid") +: col("nf") +: cellCols("nf", "c"): _*)
+    val q0 = prep(queries, "query_id", "qf")
+      .select(col("query_id") +: col("qf") +: cellCols("qf", "qc"): _*)
+    // ± 1 multi-probe: the cross product of {-1,0,1} per grid dim
+    val offsets = (1 to gridDims).foldLeft(Seq(Seq.empty[Int]))((acc, _) =>
+      acc.flatMap(t => Seq(-1, 0, 1).map(o => t :+ o)))
+    val probes = q0.withColumn("__off",
+        explode(array(offsets.map(o => array(o.map(lit): _*)): _*)))
+      .select(col("query_id") +: col("qf") +:
+        (1 to gridDims).map(d =>
+          (col(s"qc$d") + element_at(col("__off"), d)).as(s"c$d")): _*)
+    val cand = probes.join(corpus, (1 to gridDims).map(d => s"c$d"))
+      .filter(col("query_id") =!= col("nid"))
+      .select(col("query_id"), col("nid"),
+              round(VectorOps.cosine(col("qf"), col("nf")), 6).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("nid").asc)
+    cand.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
+      .select(col("query_id"), col("nid").as("neighbor_id"), col("cos"))
+      .orderBy("query_id", "neighbor_id")
+  }
+
   /** IVF multi-probe kNN GRAPH — every vector's top-`k` neighbors from
     * candidates sharing a probed cell (the `topk` machinery applied
     * with the corpus as its own query feed; the scale path for
