@@ -2775,6 +2775,108 @@ object Queries {
            | CAST((end_tok - n_tokens) % 512 AS INT) AS seq_offset
            |FROM c ORDER BY doc_id""".stripMargin))
 
+  /** The full PRETRAINING-RUN flagship — `q_corpus_pipeline` extended
+    * with the two remaining production stages in the SAME declarative
+    * plan: language/quality gates (scan-side) → exact-dedup keepers
+    * (one digest-keyed shuffle) → benchmark DECONTAMINATION (the
+    * doc_id%10=0 slice stands in for the held-out eval set; its
+    * 8-gram shingle set is a constant-size Bloom sketch probed by a
+    * scan-side gate — zero shuffle) → DOMAIN MIXTURE (per-source
+    * epoch weights, scan-side explode with `text` carried through —
+    * no join-back) → fixed-length sequence packing of the mixed
+    * stream keyed by (doc, epoch). The closest thing to "the product"
+    * as one query; every stage is the already-oracle-proven operator
+    * and the chained oracle re-derives the whole pipeline including
+    * the mixture copies and the packed token intervals.
+    * PlanShapeSpec pins that the two new stages add ZERO hash
+    * exchanges over `q_corpus_pipeline`. */
+  private val qPretrainPipeline = {
+    val weights = Map("src0" -> 2.5, "src1" -> 2.0, "src2" -> 0.5, "src3" -> 0.0)
+    val k = 8
+    val terms = (0 until k).map(j => s"w[i+$j]").mkString(", ")
+    Q(
+      "q_pretrain_pipeline",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val bench = docs.filter(col("doc_id") % 10 === 0)
+        val gated = docs.filter(col("doc_id") % 10 =!= 0)
+          .filter(operators.Corpus.langQualityGate(col("text")))
+        val keepers = gated
+          .groupBy(md5(col("text").cast("binary")).as("fp"))
+          .agg(min(col("doc_id")).as("doc_id"))
+          .select("doc_id")
+        val kept = gated.join(keepers, Seq("doc_id"), "left_semi")
+        val bf = operators.Corpus.fitDecontaminationBloom(
+          bench, "doc_id", "text", k = k)
+        val clean = kept.filter(
+          operators.Corpus.decontaminationGate(s, bf, col("text"), k = k))
+        // (doc, epoch) identity for the pack window: copies <= 3 under
+        // these weights, so doc_id*4+epoch is collision-free and
+        // recovers both halves by div/mod
+        val mixed = operators.Corpus.mixDomains(clean, "doc_id", "source",
+            weights, defaultWeight = 1.0, carryCols = Seq("text"),
+            ordered = false)
+          .withColumn("doc_key", col("doc_id") * 4 + col("epoch"))
+        operators.Corpus.packSequences(mixed, "doc_key", "text", "source",
+            seqLen = 512)
+          .select(expr("doc_id div 4").as("doc_id"),
+                  (col("doc_id") % 4).cast("int").as("epoch"),
+                  col("shard"), col("n_tokens"), col("start_tok"),
+                  col("seq_first"), col("seq_last"), col("seq_offset"))
+          .orderBy("doc_id", "epoch")
+      },
+      Some(s"""WITH gated AS (SELECT doc_id, text, source FROM documents
+           | WHERE doc_id % 10 <> 0
+           |  AND len(regexp_extract_all(text, '\\b(the|and|of|is|to)\\b')) >= len(regexp_extract_all(text, '\\b(der|die|und|ist|das)\\b'))
+           |  AND len(regexp_extract_all(text, '\\b(the|and|of|is|to)\\b')) >= len(regexp_extract_all(text, '\\b(le|la|et|est|les)\\b'))
+           |  AND len(regexp_extract_all(text, '\\b(the|and|of|is|to)\\b')) >= len(regexp_extract_all(text, '\\b(el|los|y|es|las)\\b'))
+           |  AND len(regexp_split_to_array(trim(text), '\\s+')) >= 20
+           |  AND round(CAST(len(regexp_extract_all(text, '\\b(the|a|an|of|to|and|in|is|for|on|with)\\b')) AS DOUBLE)
+           |        / CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE), 6) >= 0.05),
+           |keep AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text)),
+           |kept AS (SELECT g.doc_id, g.text, g.source FROM gated g
+           |         JOIN keep k ON g.doc_id = k.doc_id),
+           |bw AS (SELECT regexp_split_to_array(trim(text), '\\s+') AS w
+           |       FROM documents WHERE doc_id % 10 = 0),
+           |bsh AS (SELECT DISTINCT unnest(list_transform(
+           |   generate_series(1, len(w)-${k - 1}), i -> concat_ws(' ', $terms))) AS s
+           | FROM bw WHERE len(w) >= $k),
+           |csh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+           |   generate_series(1, len(w)-${k - 1}), i -> concat_ws(' ', $terms)))) AS s
+           | FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+           |       FROM kept) WHERE len(w) >= $k),
+           |hits AS (SELECT DISTINCT doc_id FROM csh JOIN bsh USING (s)),
+           |clean AS (SELECT doc_id, text, source FROM kept
+           |          WHERE doc_id NOT IN (SELECT doc_id FROM hits)),
+           |wt(source, fl, fx) AS (VALUES ('src0', 2, '80000000'), ('src1', 2, '00000000'),
+           |                             ('src2', 0, '80000000'), ('src3', 0, '00000000')),
+           |m AS (SELECT doc_id, c.source, text,
+           |   coalesce(fl, 1) + CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+           |                               < coalesce(fx, '00000000')
+           |                     THEN 1 ELSE 0 END AS copies
+           |  FROM clean c LEFT JOIN wt ON c.source = wt.source),
+           |mx AS (SELECT doc_id * 4 + e AS doc_key, source, text FROM
+           |   (SELECT doc_id, source, text, unnest(generate_series(1, copies)) AS e
+           |    FROM m WHERE copies >= 1)),
+           |t AS (SELECT doc_key, source AS shard,
+           |  CASE WHEN coalesce(trim(text), '') = '' THEN CAST(0 AS BIGINT)
+           |       ELSE CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+           |  END AS n_tokens
+           | FROM mx),
+           |c AS (SELECT doc_key, shard, n_tokens,
+           |  sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_key
+           |                      ROWS UNBOUNDED PRECEDING) AS end_tok
+           | FROM t)
+           |SELECT doc_key // 4 AS doc_id, CAST(doc_key % 4 AS INT) AS epoch, shard,
+           | CAST(n_tokens AS INT) AS n_tokens,
+           | CAST(end_tok - n_tokens AS BIGINT) AS start_tok,
+           | CAST((end_tok - n_tokens) // 512 AS INT) AS seq_first,
+           | CAST(CASE WHEN n_tokens = 0 THEN (end_tok - n_tokens) // 512
+           |      ELSE (end_tok - 1) // 512 END AS INT) AS seq_last,
+           | CAST((end_tok - n_tokens) % 512 AS INT) AS seq_offset
+           |FROM c ORDER BY doc_id, epoch""".stripMargin))
+  }
+
   /** PII scrub (release gate): category counts + fixed-order masking.
     * The synthetic corpus carries no organic PII, so the query plants a
     * deterministic email/IP per doc (phone on doc_id%3=0, SSN on %5=0)
@@ -3502,7 +3604,8 @@ object Queries {
     qSimDiverse, qCorpusDiff, qDedupEval, qDomainApprox,
     qChunkOverlap, qLengthBuckets, qSourceOverlap,
     qDupNgrams, qUnigramLogprob, qLmCrossEntropy, qDomainPpl, qTokenBudget,
-    qPackSequences, qPackManifest, qCorpusPipeline, qZorderKey, qMixQuality,
+    qPackSequences, qPackManifest, qCorpusPipeline, qPretrainPipeline,
+    qZorderKey, qMixQuality,
     qScalerFit, qMlPreproc, qMlPcaRecon, qMlIforest, qMlLof, qMlLofLsh,
     qMlEnsemble, qMlSplit, qScoreFallback)
 }

@@ -275,6 +275,23 @@ object Corpus {
       .withColumn("contaminated", (col("n_hits") > 0).cast("int"))
   }
 
+  /** The decontamination verdict as a scan-side BOOLEAN GATE — true
+    * iff the row's k-shingle set has zero hits against the fitted
+    * benchmark sketch — for composing into larger plans
+    * (`q_pretrain_pipeline`) without the per-doc stats frame: zero
+    * shuffle, streaming-safe, early-exits on the first hit instead of
+    * counting them all. A doc too short to shingle (or null text) has
+    * nothing to hit and gates TRUE, matching `decontaminateRows`'
+    * n_hits=0 contract. */
+  def decontaminationGate(spark: org.apache.spark.sql.SparkSession,
+                          bf: org.apache.spark.util.sketch.BloomFilter,
+                          text: Column, k: Int = 8): Column = {
+    val bfB = spark.sparkContext.broadcast(bf)
+    val anyHit = udf((ss: Seq[String]) =>
+      ss != null && ss.exists(s => s != null && bfB.value.mightContainString(s)))
+    !anyHit(graft.functions.TextHash.shingles(split(trim(text), "\\s+"), k))
+  }
+
   /** Fuzzy (edit-distance) decontamination — the near-match form of
     * the eval-set scrub: exact/Bloom/containment catch verbatim and
     * shingle-level overlap, but a benchmark item that was lightly
@@ -443,7 +460,9 @@ object Corpus {
     * shuffle at any scale (the explode factor is ⌈max weight⌉). */
   def mixDomains(docs: DataFrame, idCol: String, sourceCol: String,
                  weights: Map[String, Double],
-                 defaultWeight: Double = 1.0): DataFrame = {
+                 defaultWeight: Double = 1.0,
+                 carryCols: Seq[String] = Nil,
+                 ordered: Boolean = true): DataFrame = {
     require((weights.values ++ Seq(defaultWeight)).forall(w => w >= 0 && w <= 100),
       "weights must be in [0, 100]")
     def fracHex(w: Double): String =
@@ -456,12 +475,20 @@ object Corpus {
       lit(fracHex(defaultWeight)))
     val extra = (substring(md5(col(idCol).cast("string").cast("binary")), 1, 8) < fx)
       .cast("long")
-    docs.select(col(idCol).as("doc_id"), col(sourceCol).as("source"),
-        (fl + extra).cast("int").as("__copies"))
+    // carryCols ride through the epoch explode unchanged (scan-side
+    // passthrough — what lets a composed pipeline keep `text` attached
+    // without a corpus-wide join-back after the mix)
+    val mixed = docs
+      .select(col(idCol).as("doc_id") +: col(sourceCol).as("source") +:
+        (fl + extra).cast("int").as("__copies") +: carryCols.map(col): _*)
       .filter(col("__copies") >= 1)
-      .select(col("doc_id"), col("source"),
-        explode(expr("sequence(1, __copies)")).as("epoch"))
-      .orderBy("doc_id", "epoch")
+      .select(col("doc_id") +: col("source") +:
+        explode(expr("sequence(1, __copies)")).as("epoch") +: carryCols.map(col): _*)
+    // `ordered=false` for composition into a larger plan: the global
+    // sort is presentation for the declared query's dump, and a
+    // downstream stage (e.g. the pack window) imposes its own order —
+    // leaving the range exchange in would be a wasted corpus-wide pass
+    if (ordered) mixed.orderBy("doc_id", "epoch") else mixed
   }
 
   /** Per-group heavy hitters: the top `k` terms of each group (corpus

@@ -81,6 +81,18 @@ class PlanShapeSpec extends AnyFunSuite {
            !plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
   }
 
+  test("pretrain pipeline: decontamination gate + domain mix add zero hash exchanges " +
+       "over the base corpus pipeline") {
+    def hashEx(p: String) = "Exchange hashpartitioning".r.findAllIn(p).size
+    val base = planOf("q_corpus_pipeline")
+    val full = planOf("q_pretrain_pipeline")
+    assert(hashEx(full) == hashEx(base),
+      s"the composed stages must stay scan-side: base=${hashEx(base)} " +
+        s"full=${hashEx(full)}\n${full.take(1200)}")
+    assert(!full.contains("CartesianProduct") &&
+           !full.contains("BroadcastNestedLoopJoin"), full.take(800))
+  }
+
   test("decontamination broadcasts the benchmark shingle set") {
     val plan = planOf("q_decontaminate")
     assert(plan.contains("BroadcastHashJoin"), plan.take(800))
