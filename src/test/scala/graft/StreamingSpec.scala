@@ -537,7 +537,36 @@ class StreamingSpec extends AnyFunSuite {
     else spark.read.parquet(out).select("event_id").collect().map(_.getLong(0)).toSeq
   }
 
-  test("checkpoint recovery: kill mid-input, restart resumes exactly once") {
+  /** Run `body` with the session pinned to the given state-store
+    * provider, restoring the previous value after. The 100 TB posture
+    * claims RocksDB-by-config (state larger than executor heap); the
+    * recovery suite therefore runs each kill/restart scenario under
+    * BOTH providers — the provider is pinned into each query's
+    * checkpoint at start, and both runs inside one scenario share one
+    * checkpoint, so the restore path is exercised per provider. */
+  private val stateProviders: Seq[(String, Option[String])] = Seq(
+    "default" -> None,
+    "rocksdb" -> Some(
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
+
+  private def withStateProvider[T](provider: Option[String])(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    provider.foreach(spark.conf.set(key, _))
+    try body
+    finally {
+      provider.foreach { _ =>
+        prev match {
+          case Some(v) => spark.conf.set(key, v)
+          case None => spark.conf.unset(key)
+        }
+      }
+    }
+  }
+
+  for ((provName, prov) <- stateProviders)
+  test(s"checkpoint recovery [$provName]: kill mid-input, restart resumes exactly once") {
+   withStateProvider(prov) {
     val dir = java.nio.file.Files.createTempDirectory("graft_kill").toString
     val in = s"$dir/in"; val out = s"$dir/out"; val ckpt = s"$dir/ckpt"
     new java.io.File(in).mkdirs()
@@ -572,9 +601,12 @@ class StreamingSpec extends AnyFunSuite {
     val ids = outIds(out)
     assert(ids.size == 2 * nFiles, s"expected ${2 * nFiles} rows, got ${ids.size} (dupes or gaps)")
     assert(ids.sorted == (1L to 2L * nFiles), s"id set wrong: ${ids.sorted}")
+   }
   }
 
-  test("checkpoint recovery: batch replayed after a lost commit marker lands idempotently") {
+  for ((provName, prov) <- stateProviders)
+  test(s"checkpoint recovery [$provName]: batch replayed after a lost commit marker lands idempotently") {
+   withStateProvider(prov) {
     val dir = java.nio.file.Files.createTempDirectory("graft_replay").toString
     val in = s"$dir/in"; val out = s"$dir/out"; val ckpt = s"$dir/ckpt"
     new java.io.File(in).mkdirs()
@@ -608,9 +640,12 @@ class StreamingSpec extends AnyFunSuite {
     val ids = outIds(out)
     assert(ids.size == 6, s"replayed batch duplicated rows: ${ids.sorted}")
     assert(ids.sorted == (1L to 6L))
+   }
   }
 
-  test("checkpoint recovery: stateful profile state survives a restart") {
+  for ((provName, prov) <- stateProviders)
+  test(s"checkpoint recovery [$provName]: stateful profile state survives a restart") {
+   withStateProvider(prov) {
     import org.apache.spark.sql.types._
     val dir = java.nio.file.Files.createTempDirectory("graft_state").toString
     val in = s"$dir/in"; val out = s"$dir/out"; val ckpt = s"$dir/ckpt"
@@ -654,6 +689,63 @@ class StreamingSpec extends AnyFunSuite {
       s"state not restored across restart (no 3-event profile): $all")
     assert(!all.contains((50.0, 1L)),
       s"restart started from EMPTY state (fresh 1-event profile): $all")
+   }
+  }
+
+  test("ann serve index refresh: versioned swap at batch boundaries, " +
+       "exact per-batch-version parity") {
+    import graft.operators.AnnServe
+    import graft.streaming.ServeRefresh
+    val sfd = "/root/testdata/sf0.001"
+    val dir = java.nio.file.Files.createTempDirectory("graft_refresh").toString
+    val in = s"$dir/in"; val out = s"$dir/out"; val ckpt = s"$dir/ckpt"
+    val e = Tables.embeddings(spark, sfd)
+    val corpusV1 = e.filter(col("vec_id") % 2 === 0)
+    val corpusV2 = e
+    val k = 5
+    val idx = new ServeRefresh.RefreshableIndex()
+    assert(idx.refresh(corpusV1) == 1)
+    def runOnce(): Unit = {
+      val q = ServeRefresh.start(idx,
+        spark.readStream.schema(e.schema).parquet(in), k, out, ckpt)
+      q.awaitTermination()
+    }
+    // batch 0 arrives and is served wholly against index v1
+    e.filter(col("vec_id") < 5).coalesce(1)
+      .write.mode("append").parquet(in)
+    runOnce()
+    // the corpus grows; the index is re-fit and swapped BETWEEN batches
+    assert(idx.refresh(corpusV2) == 2)
+    e.filter(col("vec_id") >= 5 && col("vec_id") < 10).coalesce(1)
+      .write.mode("append").parquet(in)
+    runOnce()
+    val got = spark.read.parquet(out)
+    // each batch served by exactly one version; both versions observed
+    val perBatch = got.groupBy("batch_id")
+      .agg(countDistinct("index_version").as("nv"))
+      .collect().map(_.getLong(1))
+    assert(perBatch.nonEmpty && perBatch.forall(_ == 1L),
+      "a batch mixed index versions")
+    assert(got.select("index_version").distinct().collect()
+      .map(_.getInt(0)).toSet == Set(1, 2))
+    // exact parity: version-v rows equal a fresh batch serve against
+    // that version's corpus (bit-identical — same expression, same
+    // rounded-cos ranking)
+    val tup = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    def served(v: Int): Seq[(Long, Long, Double)] = got
+      .filter(col("index_version") === v)
+      .select("query_id", "neighbor_id", "cos")
+      .collect().map(tup).toSeq.sorted
+    def expected(corpus: org.apache.spark.sql.DataFrame,
+                 qs: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double)] =
+      AnnServe.topkRows(qs, AnnServe.fitShard(corpus), k)
+        .collect().map(tup).toSeq.sorted
+    assert(served(1) == expected(corpusV1, e.filter(col("vec_id") < 5)),
+      "batch 0 answers must match the v1-corpus batch serve exactly")
+    assert(served(2) == expected(corpusV2,
+        e.filter(col("vec_id") >= 5 && col("vec_id") < 10)),
+      "batch 1 answers must match the v2-corpus batch serve exactly")
   }
 
   test("file-source runner writes scored parquet exactly once") {
