@@ -5,17 +5,19 @@ import java.nio.charset.StandardCharsets
 
 /** Dependency-free real codecs for the formats parseable in plain
   * JVM code: PNG (zlib inflate is `java.util.zip`; the filter
-  * algebra including Paeth is the spec), Netpbm images (binary P5
-  * grayscale / P6 RGB) and PCM WAV audio (RIFF/WAVE, 16-bit
-  * little-endian). These replace the `Media.fakeDecode` stub for
-  * recognized containers; unrecognized bytes (JPEG-class lossy
-  * formats, video) still fall through to the stub (documented) so the
-  * plumbing accepts any blob.
+  * algebra including Paeth is the spec), baseline sequential JPEG
+  * (Huffman entropy decode + dequant + IDCT per ITU-T T.81), Netpbm
+  * images (binary P5 grayscale / P6 RGB) and PCM WAV audio
+  * (RIFF/WAVE, 16-bit little-endian). These replace the
+  * `Media.fakeDecode` stub for recognized containers; unrecognized
+  * bytes (MP3-class audio, video) still fall through to the stub
+  * (documented) so the plumbing accepts any blob.
   *
   * Format references are the public specs: the PNG specification
   * (W3C/ISO 15948 — chunk layout §5, filters §9, zlib datastream
-  * §10), Netpbm pgm(5)/ppm(5), and the Microsoft/IBM RIFF WAVE
-  * format (fmt chunk 16, PCM).
+  * §10), ITU-T T.81 (baseline process — Huffman tables annex C,
+  * decoder flow annex F, IDCT A.3.3), Netpbm pgm(5)/ppm(5), and the
+  * Microsoft/IBM RIFF WAVE format (fmt chunk 16, PCM).
   */
 object Codecs {
 
@@ -31,6 +33,7 @@ object Codecs {
   case object Ppm extends Kind
   case object Wav extends Kind
   case object Png extends Kind
+  case object Jpeg extends Kind
   case object Unknown extends Kind
 
   private val PngSig: Array[Int] = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
@@ -38,6 +41,8 @@ object Codecs {
   def detect(bytes: Array[Byte]): Kind =
     if (bytes.length >= 8 &&
         (0 until 8).forall(i => (bytes(i) & 0xff) == PngSig(i))) Png
+    else if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xff &&
+             (bytes(1) & 0xff) == 0xd8 && (bytes(2) & 0xff) == 0xff) Jpeg
     else if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '5') Pgm
     else if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6') Ppm
     else if (bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' &&
@@ -283,8 +288,18 @@ object Codecs {
     * re-encoded as gray PNG — `Media.resize` for PNG rows (color
     * inputs resample their luminance plane, the feature the pipeline
     * reads). */
-  def resizePng(bytes: Array[Byte], w2: Int, h2: Int): Array[Byte] = {
-    val img = decodePng(bytes)
+  def resizePng(bytes: Array[Byte], w2: Int, h2: Int): Array[Byte] =
+    resampleToPngGray(decodePng(bytes), w2, h2)
+
+  /** Resample a JPEG's luminance plane to (w2, h2), re-encoded as gray
+    * PNG — there is no JPEG encoder here (lossy re-encode would also
+    * degrade the pixels a second time), and downstream reads the gray
+    * plane regardless of container, so the lossless gray PNG container
+    * is the faithful output. */
+  def resizeJpeg(bytes: Array[Byte], w2: Int, h2: Int): Array[Byte] =
+    resampleToPngGray(decodeJpeg(bytes), w2, h2)
+
+  private def resampleToPngGray(img: Image, w2: Int, h2: Int): Array[Byte] = {
     val out = new Array[Byte](w2 * h2)
     var y = 0
     while (y < h2) {
@@ -298,6 +313,307 @@ object Codecs {
       y += 1
     }
     encodePngGray(out, w2, h2)
+  }
+
+  // -- Baseline JPEG (ITU-T T.81 sequential DCT, Huffman) ---------------
+
+  /** JPEG zigzag order: zigzag index → natural (row-major) index. */
+  private val ZigZag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** Canonical Huffman decode tables (T.81 annex C/F): per code length
+    * the min code, max code and index of the first symbol. */
+  private final class Huff(bits: Array[Int], val vals: Array[Int]) {
+    val minCode = new Array[Int](17)
+    val maxCode = new Array[Int](17)
+    val valPtr = new Array[Int](17)
+    locally {
+      var code = 0; var k = 0; var l = 1
+      while (l <= 16) {
+        valPtr(l) = k; minCode(l) = code
+        code += bits(l - 1); k += bits(l - 1)
+        maxCode(l) = if (bits(l - 1) > 0) code - 1 else -1
+        code <<= 1; l += 1
+      }
+      require(k == vals.length, s"DHT: ${vals.length} values for $k codes")
+    }
+  }
+
+  /** IDCT basis: cosTab(u*8+x) = C(u)/2 · cos((2x+1)uπ/16). */
+  private val CosTab: Array[Double] = {
+    val t = new Array[Double](64)
+    var u = 0
+    while (u < 8) {
+      val cu = if (u == 0) math.sqrt(0.5) else 1.0
+      var x = 0
+      while (x < 8) {
+        t(u * 8 + x) = 0.5 * cu * math.cos((2 * x + 1) * u * math.Pi / 16.0)
+        x += 1
+      }
+      u += 1
+    }
+    t
+  }
+
+  /** Decode a BASELINE sequential JPEG (SOF0/SOF1, Huffman, 8-bit,
+    * optional restart markers) to its luminance plane in [0,1] — the
+    * gray contract every decoder here shares, and for JPEG the Y
+    * component IS the Rec.601 luma the other decoders compute, so no
+    * chroma upsampling or color conversion is needed: Cb/Cr blocks are
+    * entropy-decoded (the bit stream is sequential — they must be
+    * consumed) and discarded. Progressive (SOF2), arithmetic coding,
+    * 12-bit precision and hierarchical modes are rejected loudly.
+    * IDCT is the separable floating-point definition (T.81 A.3.3);
+    * the spec bounds IDCT accuracy rather than mandating bit-exact
+    * output, so cross-decoder comparisons are ±1/255 (MediaSpec pins
+    * our output byte-exactly on a fixed fixture AND cross-validates
+    * against the JDK's independent decoder within that tolerance). */
+  def decodeJpeg(bytes: Array[Byte]): Image = {
+    require(detect(bytes) == Jpeg, "not a JPEG")
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+
+    // ---- marker scan: tables + frame header up to SOS ----
+    val quant = new Array[Array[Int]](4) // zigzag order, per table id
+    val dcTabs = new Array[Huff](4); val acTabs = new Array[Huff](4)
+    var w = 0; var h = 0
+    // per component: id, hSamp, vSamp, quantTable, dcTable, acTable
+    var compId: Array[Int] = null; var compH: Array[Int] = null
+    var compV: Array[Int] = null; var compQ: Array[Int] = null
+    var scanDc: Array[Int] = null; var scanAc: Array[Int] = null
+    var scanOrder: Array[Int] = null // component indices in scan order
+    var restartInterval = 0
+    var p = 2
+    var scanStart = -1
+    while (scanStart < 0) {
+      require(p + 4 <= bytes.length, "truncated JPEG (marker)")
+      require(u8(p) == 0xff, f"expected marker at $p, got ${u8(p)}%02x")
+      val m = u8(p + 1)
+      require(m != 0xd9, "EOI before SOS — no image data")
+      if (m == 0xff) { p += 1 } // fill byte
+      else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) { p += 2 } // standalone
+      else {
+        val len = u16(p + 2)
+        require(len >= 2 && p + 2 + len <= bytes.length, s"bad segment length $len")
+        val seg = p + 4 // first payload byte
+        m match {
+          case 0xc0 | 0xc1 => // SOF0 baseline / SOF1 extended sequential
+            require(u8(seg) == 8, s"only 8-bit precision supported, got ${u8(seg)}")
+            h = u16(seg + 1); w = u16(seg + 3)
+            val nComp = u8(seg + 5)
+            require(w > 0 && h > 0, s"bad dimensions ${w}x$h")
+            require(nComp == 1 || nComp == 3, s"unsupported component count $nComp")
+            compId = new Array[Int](nComp); compH = new Array[Int](nComp)
+            compV = new Array[Int](nComp); compQ = new Array[Int](nComp)
+            var c = 0
+            while (c < nComp) {
+              compId(c) = u8(seg + 6 + 3 * c)
+              compH(c) = u8(seg + 7 + 3 * c) >> 4
+              compV(c) = u8(seg + 7 + 3 * c) & 15
+              compQ(c) = u8(seg + 8 + 3 * c)
+              require(compH(c) >= 1 && compH(c) <= 4 && compV(c) >= 1 && compV(c) <= 4,
+                s"bad sampling ${compH(c)}x${compV(c)}")
+              c += 1
+            }
+          case 0xc2 => throw new IllegalArgumentException(
+            "progressive JPEG (SOF2) not supported — baseline sequential only")
+          case x if x >= 0xc3 && x <= 0xcf && x != 0xc4 && x != 0xc8 && x != 0xcc =>
+            throw new IllegalArgumentException(
+              f"unsupported JPEG frame type SOF${x - 0xc0}%d — baseline sequential only")
+          case 0xc4 => // DHT: possibly several tables per segment
+            var q = seg
+            while (q < p + 2 + len) {
+              val tc = u8(q) >> 4; val th = u8(q) & 15
+              require(tc <= 1 && th <= 3, s"bad DHT class/id $tc/$th")
+              val bits = Array.tabulate(16)(i => u8(q + 1 + i))
+              val n = bits.sum
+              require(q + 17 + n <= p + 2 + len, "truncated DHT")
+              val vals = Array.tabulate(n)(i => u8(q + 17 + i))
+              val tab = new Huff(bits, vals)
+              if (tc == 0) dcTabs(th) = tab else acTabs(th) = tab
+              q += 17 + n
+            }
+          case 0xdb => // DQT: possibly several tables per segment
+            var q = seg
+            while (q < p + 2 + len) {
+              val pq = u8(q) >> 4; val tq = u8(q) & 15
+              require(pq <= 1 && tq <= 3, s"bad DQT precision/id $pq/$tq")
+              val tab = new Array[Int](64)
+              var i = 0
+              while (i < 64) {
+                tab(i) = if (pq == 0) u8(q + 1 + i) else u16(q + 1 + 2 * i)
+                i += 1
+              }
+              quant(tq) = tab
+              q += 1 + (if (pq == 0) 64 else 128)
+            }
+          case 0xdd => // DRI
+            restartInterval = u16(seg)
+          case 0xda => // SOS
+            require(compId != null, "SOS before SOF")
+            val ns = u8(seg)
+            require(ns == compId.length, s"partial scan ($ns of ${compId.length} components) not supported")
+            scanOrder = new Array[Int](ns)
+            scanDc = new Array[Int](compId.length); scanAc = new Array[Int](compId.length)
+            var c = 0
+            while (c < ns) {
+              val cid = u8(seg + 1 + 2 * c)
+              val idx = compId.indexOf(cid)
+              require(idx >= 0, s"scan references unknown component $cid")
+              scanOrder(c) = idx
+              scanDc(idx) = u8(seg + 2 + 2 * c) >> 4
+              scanAc(idx) = u8(seg + 2 + 2 * c) & 15
+              c += 1
+            }
+            require(u8(seg + 1 + 2 * ns) == 0 && u8(seg + 2 + 2 * ns) == 63,
+              "non-baseline spectral selection")
+            scanStart = p + 2 + len
+          case _ => () // APPn / COM / other — skipped
+        }
+        if (scanStart < 0) p += 2 + len
+      }
+    }
+    val nComp = compId.length
+    val hMax = compH.max; val vMax = compV.max
+    require(compH(0) == hMax && compV(0) == vMax,
+      "luma must be the max-resolution component")
+
+    // ---- entropy-coded segment: bit reader with FF00 unstuffing ----
+    var bp = scanStart; var bitBuf = 0; var bitCnt = 0
+    def align(): Unit = bitCnt = 0
+    def nextBit(): Int = {
+      if (bitCnt == 0) {
+        require(bp < bytes.length, "truncated entropy stream")
+        var b = u8(bp); bp += 1
+        if (b == 0xff) {
+          require(bp < bytes.length, "truncated entropy stream at FF")
+          val m2 = u8(bp)
+          if (m2 == 0x00) bp += 1
+          else {
+            // marker inside entropy data: legal only as trailing fill
+            // before EOI/RST — decoding past it means corrupt data
+            throw new IllegalArgumentException(
+              f"unexpected marker FF$m2%02x inside entropy-coded data")
+          }
+          b = 0xff
+        }
+        bitBuf = b; bitCnt = 8
+      }
+      bitCnt -= 1
+      (bitBuf >> bitCnt) & 1
+    }
+    def receive(n: Int): Int = {
+      var v = 0; var i = 0
+      while (i < n) { v = (v << 1) | nextBit(); i += 1 }
+      v
+    }
+    def extend(v: Int, t: Int): Int =
+      if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
+    def decodeSym(tab: Huff): Int = {
+      require(tab != null, "scan references an undefined Huffman table")
+      var code = nextBit(); var l = 1
+      while (code > tab.maxCode(l)) {
+        code = (code << 1) | nextBit(); l += 1
+        require(l <= 16, "invalid Huffman code (>16 bits)")
+      }
+      tab.vals(tab.valPtr(l) + code - tab.minCode(l))
+    }
+
+    // ---- MCU loop: decode every block, keep only luma ----
+    val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+    val lumaW = mcusX * 8 * hMax // padded plane, cropped at the end
+    val luma = new Array[Float](lumaW * mcusY * 8 * vMax)
+    val pred = new Array[Int](nComp)
+    val coef = new Array[Double](64)
+    val tmp = new Array[Double](64)
+    var mcu = 0
+    val nMcus = mcusX * mcusY
+    while (mcu < nMcus) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        align()
+        require(bp + 1 < bytes.length && u8(bp) == 0xff &&
+          u8(bp + 1) >= 0xd0 && u8(bp + 1) <= 0xd7,
+          s"expected restart marker before MCU $mcu")
+        bp += 2
+        java.util.Arrays.fill(pred, 0)
+      }
+      val mx = mcu % mcusX; val my = mcu / mcusX
+      var so = 0
+      while (so < scanOrder.length) {
+        val c = scanOrder(so)
+        val q = quant(compQ(c))
+        require(q != null, "frame references an undefined quant table")
+        var by = 0
+        while (by < compV(c)) {
+          var bx = 0
+          while (bx < compH(c)) {
+            // decode one 8x8 block into natural-order coef
+            java.util.Arrays.fill(coef, 0.0)
+            val t = decodeSym(dcTabs(scanDc(c)))
+            require(t <= 11, s"bad DC category $t")
+            pred(c) += extend(receive(t), t)
+            coef(0) = pred(c).toDouble * q(0)
+            var k = 1
+            var eob = false
+            while (k < 64 && !eob) {
+              val rs = decodeSym(acTabs(scanAc(c)))
+              val r = rs >> 4; val s = rs & 15
+              if (s == 0) {
+                if (r == 15) k += 16 else eob = true
+              } else {
+                k += r
+                require(k < 64, "AC run past block end")
+                coef(ZigZag(k)) = extend(receive(s), s).toDouble * q(k)
+                k += 1
+              }
+            }
+            if (c == 0) {
+              // separable IDCT: rows then columns, +128 level shift
+              var y0 = 0
+              while (y0 < 8) {
+                var x0 = 0
+                while (x0 < 8) {
+                  var s2 = 0.0; var u = 0
+                  while (u < 8) { s2 += CosTab(u * 8 + x0) * coef(y0 * 8 + u); u += 1 }
+                  tmp(y0 * 8 + x0) = s2; x0 += 1
+                }
+                y0 += 1
+              }
+              val px0 = (mx * compH(c) + bx) * 8
+              val py0 = (my * compV(c) + by) * 8
+              var x0 = 0
+              while (x0 < 8) {
+                var y1 = 0
+                while (y1 < 8) {
+                  var s2 = 0.0; var v = 0
+                  while (v < 8) { s2 += CosTab(v * 8 + y1) * tmp(v * 8 + x0); v += 1 }
+                  val pix = math.max(0, math.min(255, math.round(s2 + 128.0).toInt))
+                  luma((py0 + y1) * lumaW + px0 + x0) = pix / 255f
+                  y1 += 1
+                }
+                x0 += 1
+              }
+            }
+            bx += 1
+          }
+          by += 1
+        }
+        so += 1
+      }
+      mcu += 1
+    }
+    // crop the padded plane to the declared dimensions
+    val gray = new Array[Float](w * h)
+    var yy = 0
+    while (yy < h) {
+      System.arraycopy(luma, yy * lumaW, gray, yy * w, w)
+      yy += 1
+    }
+    Image(w, h, gray)
   }
 
   // -- PCM WAV (RIFF/WAVE, fmt chunk, 16-bit LE) -----------------------

@@ -12,13 +12,13 @@ import org.apache.spark.sql.types._
   * memory).
   *
   * Byte decoding is REAL for the dependency-free formats `Codecs`
-  * parses — Netpbm P5/P6 images and 16-bit PCM WAV audio: recognized
-  * containers decode to genuine pixels/samples and pool to features.
-  * Anything else (JPEG, MP3, video containers — no codec libs in this
-  * container) falls through to the clearly-marked `fakeDecode` STUB,
-  * which derives deterministic pseudo-features from the byte content;
-  * the call sites are identical, so binding a real codec library later
-  * changes only the dispatch table.
+  * parses — PNG, baseline JPEG, Netpbm P5/P6 images and 16-bit PCM
+  * WAV audio: recognized containers decode to genuine pixels/samples
+  * and pool to features. Anything else (MP3, video containers — no
+  * codec libs in this container) falls through to the clearly-marked
+  * `fakeDecode` STUB, which derives deterministic pseudo-features
+  * from the byte content; the call sites are identical, so binding a
+  * real codec library later changes only the dispatch table.
   */
 object Media {
 
@@ -40,6 +40,7 @@ object Media {
   def realDecode(bytes: Array[Byte], dim: Int): Array[Float] =
     Codecs.detect(bytes) match {
       case Codecs.Png  => poolMean(Codecs.decodePng(bytes).gray, dim)
+      case Codecs.Jpeg => poolMean(Codecs.decodeJpeg(bytes).gray, dim)
       case Codecs.Pgm  => poolMean(Codecs.decodePgm(bytes).gray, dim)
       case Codecs.Ppm  => poolMean(Codecs.decodePpm(bytes).gray, dim)
       case Codecs.Wav  => poolRms(Codecs.decodeWav(bytes).samples, dim)
@@ -125,9 +126,10 @@ object Media {
         val b2 =
           if (b == null) null
           else Codecs.detect(b) match {
-            case Codecs.Pgm => Codecs.resizePgm(b, w, h)
-            case Codecs.Png => Codecs.resizePng(b, w, h)
-            case _          => b
+            case Codecs.Pgm  => Codecs.resizePgm(b, w, h)
+            case Codecs.Png  => Codecs.resizePng(b, w, h)
+            case Codecs.Jpeg => Codecs.resizeJpeg(b, w, h)
+            case _           => b
           }
         val sr = if (m == null) null else m.get(2)
         val nf = if (m == null) null else m.get(3)

@@ -139,6 +139,130 @@ class MediaSpec extends AnyFunSuite {
     assert(e.getMessage.contains("CRC"))
   }
 
+
+  // -- baseline JPEG --------------------------------------------------
+
+  /** A 24x16 grayscale baseline JPEG (single component, JFIF) produced
+    * once by the JDK's ImageIO encoder from the deterministic pattern
+    * v = (x*10 + y*7 + ((x*y)%13)*5) % 256 — embedded so the
+    * regression pin is byte-fixed, independent of any encoder present
+    * at test time. */
+  private val jpegGrayFixture: Array[Byte] = {
+    val hex =
+    "ffd8ffe000104a46494600010200000100010000ffdb0043000806060706050807070709" +
+    "09080a0c140d0c0b0b0c1912130f141d1a1f1e1d1a1c1c20242e2720222c231c1c283729" +
+    "2c30313434341f27393d38323c2e333432ffc0000b080010001801011100ffc4001f0000" +
+    "010501010101010100000000000000000102030405060708090a0bffc400b51000020103" +
+    "03020403050504040000017d01020300041105122131410613516107227114328191a108" +
+    "2342b1c11552d1f02433627282090a161718191a25262728292a3435363738393a434445" +
+    "464748494a535455565758595a636465666768696a737475767778797a83848586878889" +
+    "8a92939495969798999aa2a3a4a5a6a7a8a9aab2b3b4b5b6b7b8b9bac2c3c4c5c6c7c8c9" +
+    "cad2d3d4d5d6d7d8d9dae1e2e3e4e5e6e7e8e9eaf1f2f3f4f5f6f7f8f9faffda00080101" +
+    "00003f00e4bc2fa0c1f66889891a465ce48ce33d001ebd3f4e0e6bd4746d1237582330c6" +
+    "81a4077ec0bc60e413d3fc83587f113c426c7ccd3f4e9aeecb6e510a192090cc9d4aba0e" +
+    "3fd621647c8640586cfddbcb2786f4f5786131c12b0445df9518e07241cf1c7ff5c574ba" +
+    "bea9258417167a75ddb5a6af69663543f6a8da48cdbabe246728a7395575c0f9b9e31c11" +
+    "e2599352d665996d205837b2c115aee8edc2ee2c7cb5918b2a1662fb78e5ba0e83ffd9"
+
+    hex.grouped(2).map(s => Integer.parseInt(s, 16).toByte).toArray
+  }
+
+  test("decodeJpeg: fixed gray fixture decodes byte-exactly (regression pin) " +
+       "and matches the JDK decoder within IDCT tolerance") {
+    assert(Codecs.detect(jpegGrayFixture) == Codecs.Jpeg)
+    val img = Codecs.decodeJpeg(jpegGrayFixture)
+    assert(img.width == 24 && img.height == 16)
+    val ourPx = img.gray.map(g => math.round(g * 255f).toByte)
+    // regression pin: our decoder's exact output on the fixed bytes
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(ourPx).map(b => f"$b%02x").mkString
+    assert(md == "5339b8e479a92d13d996d765c4b5d8f7",
+      s"pinned fixture decode changed: md5=$md")
+    // independent cross-check: the JDK's decoder on the same bytes —
+    // T.81 bounds IDCT accuracy instead of mandating bit-exactness,
+    // so two conforming decoders may differ by +-1/255 per pixel
+    val jdk = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpegGrayFixture))
+    assert(jdk != null, "JDK could not read the fixture")
+    assert(jdk.getWidth == 24 && jdk.getHeight == 16)
+    var maxDiff = 0
+    for (y <- 0 until 16; x <- 0 until 24) {
+      val ours = ourPx(y * 24 + x) & 0xff
+      val ref = jdk.getRaster.getSample(x, y, 0)
+      maxDiff = math.max(maxDiff, math.abs(ours - ref))
+    }
+    assert(maxDiff <= 1, s"gray decode diverges from the JDK by $maxDiff/255")
+  }
+
+  test("decodeJpeg: 4:2:0 color JPEG — luma plane matches the JDK's within tolerance, " +
+       "chroma blocks consumed correctly") {
+    // encode a color image at test time with the JDK (3 components,
+    // subsampled chroma -> multi-block MCUs whose Cb/Cr bits must be
+    // entropy-consumed even though only Y is kept)
+    val w = 19; val h = 13
+    val bi = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = (x * 13 + y * 3) % 256; val g = (x * 5 + y * 11) % 256
+      val b = (x * 7 + y * 17) % 256
+      bi.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val bo = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(bi, "jpg", bo), "JDK JPEG writer unavailable")
+    val bytes = bo.toByteArray
+    assert(Codecs.detect(bytes) == Codecs.Jpeg)
+    val img = Codecs.decodeJpeg(bytes)
+    assert(img.width == w && img.height == h)
+    // luma of the JDK's reconstructed RGB equals the coded Y up to
+    // rounding/clamping through the color transform (+-3/255)
+    val jdk = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    var maxDiff = 0.0
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = jdk.getRGB(x, y)
+      val luma = 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+        0.114 * (rgb & 0xff)
+      maxDiff = math.max(maxDiff, math.abs(img.gray(y * w + x) * 255.0 - luma))
+    }
+    assert(maxDiff <= 3.0, s"color-JPEG luma diverges from the JDK by $maxDiff/255")
+  }
+
+  test("decodeJpeg rejects progressive loudly") {
+    // minimal SOI + SOF2 header — must fail on the frame type, not parse on
+    val sof2 = Array[Int](0xff, 0xd8, 0xff, 0xc2, 0x00, 0x0b,
+      8, 0, 16, 0, 16, 1, 1, 0x11, 0).map(_.toByte)
+    val e = intercept[IllegalArgumentException](Codecs.decodeJpeg(sof2))
+    assert(e.getMessage.contains("progressive"))
+  }
+
+  test("jpeg: realDecode + decodeFeatures treat a real JPEG row as genuine pixels, " +
+       "resize re-encodes the luma plane") {
+    import org.apache.spark.sql.Row
+    // features = pooled means of OUR decode, not the stub
+    val feats = Media.realDecode(jpegGrayFixture, 8)
+    val expected = Codecs.decodeJpeg(jpegGrayFixture).gray
+    val pooled = Array.tabulate(8) { i =>
+      val seg = expected.slice(i * expected.length / 8, (i + 1) * expected.length / 8)
+      seg.sum / seg.length
+    }
+    assert(feats.zip(pooled).forall { case (a, b) => math.abs(a - b) < 1e-6 })
+    assert(!feats.sameElements(Media.fakeDecode(jpegGrayFixture, 8)),
+      "JPEG row fell through to the stub")
+    // through the Spark plumbing: media_features-shaped decode over a
+    // real JPEG row yields those same features
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, "image", jpegGrayFixture, Row(24, 16, 0, 0))), 1),
+      Media.mediaSchema)
+    val out = Media.decodeFeatures(df, dim = 8).collect()
+    assert(out.length == 1)
+    val sparkFeats = out(0).getAs[scala.collection.Seq[Float]]("features")
+    assert(sparkFeats.zip(feats).forall { case (a, b) => math.abs(a - b) < 1e-6 })
+    // resize: decode -> nearest-neighbour -> gray PNG container
+    val resized = Codecs.resizeJpeg(jpegGrayFixture, 12, 8)
+    assert(Codecs.detect(resized) == Codecs.Png)
+    val rimg = Codecs.decodePng(resized)
+    assert(rimg.width == 12 && rimg.height == 8)
+  }
+
   test("decodeWav parses a hand-built PCM16 file byte-exactly, skipping extra chunks") {
     // RIFF | LIST (odd-sized, word-aligned) | fmt | data
     val samples = Array[Short](0, 16384, -16384, 32767, -32768, 1)
