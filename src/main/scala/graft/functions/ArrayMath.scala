@@ -197,6 +197,115 @@ case class NearestCentroidCell(child: Expression,
     copy(child = newChild)
 }
 
+/** Two-level (residual) coarse-quantizer probe — the cell machinery
+  * that lifts the IVF family past the flat-nlist ceiling (Jégou 2011's
+  * residual coarse quantizer; the flat `NearestCentroidCell` fit walls
+  * at ~4096 cells because Lloyd's on a driver sample is O(sample·nlist)
+  * and per-row assignment is O(nlist·dim)): `nc` coarse centroids plus
+  * ONE shared codebook of `nf` fine centroids over coarse RESIDUALS
+  * give nc·nf effective cells from only nc+nf fitted vectors, with
+  * per-row probe cost nc·dim + npc·(dim + nf·dim) instead of
+  * nc·nf·dim. Emits the npc·npf probed cell ids (cell = c·nf + f) —
+  * top-npc coarse by (dist asc, idx asc), then per probed coarse the
+  * top-npf fine over the residual, in rank order. Assignment is the
+  * npc=npf=1 case (a vector's own cell is always its first probe).
+  * Same reference-object codegen shape as CosineTopK: the scan loops
+  * run in this class inside the enclosing whole-stage span. */
+case class TwoLevelProbeCells(child: Expression,
+                              flatCoarse: Array[Double], flatFine: Array[Double],
+                              nc: Int, nf: Int, dim: Int, npc: Int, npf: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(nc > 0 && nf > 0 && dim > 0,
+    s"two_level_probe: bad geometry nc=$nc nf=$nf dim=$dim")
+  require(flatCoarse.length == nc * dim,
+    s"two_level_probe: ${flatCoarse.length} coarse values for nc=$nc dim=$dim")
+  require(flatFine.length == nf * dim,
+    s"two_level_probe: ${flatFine.length} fine values for nf=$nf dim=$dim")
+  require(npc >= 1 && npc <= nc && npf >= 1 && npf <= nf,
+    s"two_level_probe: bad probe counts npc=$npc/$nc npf=$npf/$nf")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType, containsNull = false)
+
+  def probe(input: ArrayData): ArrayData = {
+    if (input.numElements() < dim)
+      throw new IllegalArgumentException(
+        s"two_level_probe: input vector has ${input.numElements()} elements, " +
+          s"need >= $dim — centroid model does not match the data")
+    val x = new Array[Double](dim)
+    var j = 0
+    while (j < dim) { x(j) = input.getDouble(j); j += 1 }
+    // top-npc coarse cells by (dist asc, idx asc); ties keep the
+    // earlier index because insertion only displaces strictly-greater
+    val cd = new Array[Double](npc); val ci = new Array[Int](npc)
+    var cFilled = 0
+    var c = 0
+    while (c < nc) {
+      var s = 0.0; var i = 0; val off = c * dim
+      while (i < dim) { val d = x(i) - flatCoarse(off + i); s += d * d; i += 1 }
+      if (cFilled < npc || s < cd(npc - 1)) {
+        var p = cFilled
+        while (p > 0 && cd(p - 1) > s) p -= 1
+        if (p < npc) {
+          var m = math.min(cFilled, npc - 1)
+          while (m > p) { cd(m) = cd(m - 1); ci(m) = ci(m - 1); m -= 1 }
+          cd(p) = s; ci(p) = c
+          if (cFilled < npc) cFilled += 1
+        }
+      }
+      c += 1
+    }
+    // per probed coarse (in rank order): residual, then top-npf fine
+    val r = new Array[Double](dim)
+    val fd = new Array[Double](npf); val fi = new Array[Int](npf)
+    val cells = new Array[Int](cFilled * npf)
+    var t = 0; var pc = 0
+    while (pc < cFilled) {
+      val cc = ci(pc); val coff = cc * dim
+      var i = 0
+      while (i < dim) { r(i) = x(i) - flatCoarse(coff + i); i += 1 }
+      var fFilled = 0
+      var f = 0
+      while (f < nf) {
+        var s = 0.0; var ii = 0; val foff = f * dim
+        while (ii < dim) { val d = r(ii) - flatFine(foff + ii); s += d * d; ii += 1 }
+        if (fFilled < npf || s < fd(npf - 1)) {
+          var p = fFilled
+          while (p > 0 && fd(p - 1) > s) p -= 1
+          if (p < npf) {
+            var m = math.min(fFilled, npf - 1)
+            while (m > p) { fd(m) = fd(m - 1); fi(m) = fi(m - 1); m -= 1 }
+            fd(p) = s; fi(p) = f
+            if (fFilled < npf) fFilled += 1
+          }
+        }
+        f += 1
+      }
+      var q = 0
+      while (q < fFilled) { cells(t) = cc * nf + fi(q); t += 1; q += 1 }
+      pc += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(if (t == cells.length) cells
+                          else java.util.Arrays.copyOf(cells, t))
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    probe(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val ref = ctx.addReferenceObj("twoLevelProbe", this,
+        classOf[TwoLevelProbeCells].getName)
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.probe($a);"
+    })
+
+  override def prettyName: String = "two_level_probe"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** PQ asymmetric-distance (ADC): Σₛ lut[s·ksub + codes[s]] — the whole
   * per-candidate lookup-table scoring as ONE native loop.
   *
@@ -868,6 +977,11 @@ object ArrayMath {
   def nearestCell(vec: Column, centroids: Array[Array[Double]],
                   offset: Int = 0): Column =
     column(NearestCentroidCell(expression(d(vec)), centroids, offset))
+  def twoLevelProbe(vec: Column, flatCoarse: Array[Double],
+                    flatFine: Array[Double], nc: Int, nf: Int, dim: Int,
+                    npc: Int, npf: Int): Column =
+    column(TwoLevelProbeCells(expression(d(vec)), flatCoarse, flatFine,
+      nc, nf, dim, npc, npf))
   def adcDistance(codes: Column, lut: Column, ksub: Int): Column =
     column(AdcDistance(expression(codes), expression(lut), ksub))
   def iforestScore(vec: Column, feature: Array[Int], threshold: Array[Double],

@@ -38,11 +38,23 @@ object Ivf {
   def fitCentroids(emb: DataFrame, idCol: String, vecCol: String,
                    nlist: Int, iters: Int = 10,
                    sampleSize: Int = 4096): Array[Array[Double]] = {
-    val pts = emb.select(col(idCol).as("id"),
+    val pts = hashOrderedSample(emb, idCol, vecCol, sampleSize)
+    require(pts.length >= nlist, s"need >= $nlist sample points, got ${pts.length}")
+    lloyd(pts, nlist, iters)
+  }
+
+  private def hashOrderedSample(emb: DataFrame, idCol: String, vecCol: String,
+                                sampleSize: Int): Array[Array[Double]] =
+    emb.select(col(idCol).as("id"),
         col(vecCol).cast("array<double>").as("f"))
       .orderBy(xxhash64(col("id")), col("id")).limit(sampleSize)
       .collect().map(_.getSeq[Double](1).toArray)
-    require(pts.length >= nlist, s"need >= $nlist sample points, got ${pts.length}")
+
+  /** Lloyd's iterations over driver-resident points (the shared fit
+    * kernel behind the flat and two-level quantizers). Empty cells
+    * keep their previous centroid (deterministic). */
+  private def lloyd(pts: Array[Array[Double]], nlist: Int,
+                    iters: Int): Array[Array[Double]] = {
     val dim = pts(0).length
     // init: evenly strided sample points (deterministic, spread out)
     var cent = Array.tabulate(nlist)(i => pts(i * pts.length / nlist).clone())
@@ -71,6 +83,58 @@ object Ivf {
     }
     cent
   }
+
+  /** Two-level (residual) coarse quantizer: `nc` coarse centroids plus
+    * ONE shared `nf`-centroid codebook over coarse residuals — nc·nf
+    * effective cells from nc+nf fitted vectors (Jégou 2011's IVFADC
+    * coarse stage). This is what lifts the IVF family past the flat
+    * ceiling: the flat fit walls at ~4096 cells (driver Lloyd's is
+    * O(sample·nlist·dim·iters) and per-row assignment O(nlist·dim));
+    * here both stay O(max(nc,nf)) and a 536M-vector corpus at 32/cell
+    * still needs only nc = nf = 4096. */
+  final case class Centroids2(coarse: Array[Array[Double]],
+                              fine: Array[Array[Double]]) {
+    require(coarse.nonEmpty && fine.nonEmpty, "Centroids2: empty codebook")
+    val dim: Int = coarse(0).length
+    require(coarse.forall(_.length == dim) && fine.forall(_.length == dim),
+      "Centroids2: ragged centroid matrix")
+    def nc: Int = coarse.length
+    def nf: Int = fine.length
+    def nCells: Int = nc * nf
+    private[Ivf] lazy val flatCoarse: Array[Double] = coarse.flatten
+    private[Ivf] lazy val flatFine: Array[Double] = fine.flatten
+  }
+
+  def fitCentroids2(emb: DataFrame, idCol: String, vecCol: String,
+                    nc: Int, nf: Int, iters: Int = 10,
+                    sampleSize: Int = 8192): Centroids2 = {
+    val pts = hashOrderedSample(emb, idCol, vecCol, sampleSize)
+    require(pts.length >= math.max(nc, nf),
+      s"need >= ${math.max(nc, nf)} sample points, got ${pts.length}")
+    val coarse = lloyd(pts, nc, iters)
+    val dim = pts(0).length
+    // residual of every sample point w.r.t. its nearest coarse centroid
+    val residuals = pts.map { p =>
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < nc) {
+        var s = 0.0; var j = 0
+        while (j < dim) { val d = p(j) - coarse(c)(j); s += d * d; j += 1 }
+        if (s < bestD) { bestD = s; best = c }
+        c += 1
+      }
+      Array.tabulate(dim)(j => p(j) - coarse(best)(j))
+    }
+    Centroids2(coarse, lloyd(residuals, nf, iters))
+  }
+
+  /** The query's npc·npf probed cells under the two-level quantizer,
+    * as an array column (one native codegen expression — top-npc
+    * coarse, then top-npf fine over each probed coarse's residual).
+    * Assignment is the npc=npf=1 case. */
+  def probeCells2Col(vec: Column, c2: Centroids2, npc: Int, npf: Int): Column =
+    graft.functions.ArrayMath.twoLevelProbe(vec, c2.flatCoarse, c2.flatFine,
+      c2.nc, c2.nf, c2.dim, npc, npf)
 
   /** (squared-distance, cell-index) struct per centroid — the codegen
     * building block for both assignment and probing. */
@@ -215,19 +279,78 @@ object Ivf {
     * planted-cluster node coverage. */
   def knnGraph(emb: DataFrame, idCol: String, vecCol: String,
                k: Int = 5, nprobe: Int = 6,
-               targetCell: Int = 32): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+               targetCell: Int = 32,
+               maxFlatNlist: Int = 4096,
+               cellCap: Int = 512,
+               probeSplit: Option[(Int, Int)] = None): DataFrame = {
     val e = emb.select(col(idCol).as("vec_id"),
       col(vecCol).cast("array<double>").as("f"))
-    val nlist = math.max(16L,
-      math.min(4096L, e.count() / targetCell)).toInt
-    val sample = math.min(math.max(4096, 20 * nlist), 16384)
-    val cent = fitCentroids(e, "vec_id", "f", nlist, sampleSize = sample)
-    val probed = e.select(col("vec_id"), col("f"),
-        explode(probeCellsCol(col("f"), cent, nprobe)).as("cell"))
-      .localCheckpoint()
+    val nlistNeeded = math.max(16L, e.count() / targetCell)
+    val probed =
+      if (nlistNeeded <= maxFlatNlist) {
+        // flat quantizer — one Lloyd's fit, one per-row nprobe probe
+        val nlist = nlistNeeded.toInt
+        val sample = math.min(math.max(4096, 20 * nlist), 16384)
+        val cent = fitCentroids(e, "vec_id", "f", nlist, sampleSize = sample)
+        e.select(col("vec_id"), col("f"),
+          explode(probeCellsCol(col("f"), cent, nprobe)).as("cell"))
+      } else {
+        // past the flat ceiling (the r7 PLANS.md boundary at ~2M
+        // vectors): two-level residual quantizer — nc·nc effective
+        // cells keep occupancy at targetCell while fit and per-row
+        // probe stay O(nc). Probe budget: npc = ~nprobe/2 coarse cells
+        // × npf = 3 fine cells ≈ 1.5x the flat path's cell count —
+        // the r8 ProbeSoak knn2sweep showed fine-cell BOUNDARIES are
+        // where product cells lose true neighbors (npf 2 → 3 lifted
+        // real-table recall 0.73 → 0.92 at 9 cells, while 12 cells at
+        // npf=2 managed only 0.84), and the extra candidates stay
+        // bounded by cellCap while the per-row probe remains
+        // O(nc + npc·nf) ≪ the flat O(nlist).
+        val nc = math.ceil(math.sqrt(nlistNeeded.toDouble)).toInt
+        require(nc <= 4096,
+          s"knnGraph: $nlistNeeded cells needs nc=$nc > 4096 coarse " +
+            "centroids (~536M vectors at targetCell=32) — shard the " +
+            "corpus and merge per-node top-k")
+        val (npc, npf) = probeSplit.getOrElse(
+          (math.max(2, (nprobe + 1) / 2), 3))
+        val sample = math.min(math.max(8192, 20 * nc), 32768)
+        val c2 = fitCentroids2(e, "vec_id", "f", nc, nc, sampleSize = sample)
+        e.select(col("vec_id"), col("f"),
+          explode(probeCells2Col(col("f"), c2, npc, npf)).as("cell"))
+      }
+    knnGraphFromProbed(probed, k, cellCap)
+  }
+
+  /** The shared candidate-join + per-node top-k behind both quantizer
+    * paths. The probed frame is localCheckpointed so the per-row
+    * centroid probe runs ONCE, not once per self-join side.
+    *
+    * `cellCap` is the repo-standard named per-key bound on the one
+    * pair-generating join (the bandBucketCap/cellCap philosophy:
+    * nothing all-pairs): the CANDIDATE side of each cell is capped at
+    * `cellCap` md5-ordered rows, the QUERY side stays uncapped — so a
+    * pathologically dense cell (a near-duplicate point mass that the
+    * quantizer cannot split into more cells than it has centroids;
+    * the two-level fine codebook has only nf units to give such a
+    * mass) costs |cell|·cellCap pairs instead of |cell|², while EVERY
+    * node still probes its cells and receives candidates. At healthy
+    * occupancy (~targetCell << cellCap) the cap never binds and the
+    * output is row-identical to the uncapped join; inside a point
+    * mass the dropped candidates are cosine-ties of the kept ones, so
+    * per-node top-k quality is unchanged (the soak's cluster gate
+    * measures exactly this).
+    * (private[graft]: the soak harness reuses it to force the old
+    * capped-flat path for the two-level head-to-head gate.) */
+  private[graft] def knnGraphFromProbed(probed0: DataFrame, k: Int,
+                                        cellCap: Int = 512): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val probed = probed0.localCheckpoint()
+    val wCap = Window.partitionBy("cell")
+      .orderBy(md5(col("vec_id").cast("string").cast("binary")), col("vec_id"))
+    val cand = probed.withColumn("__r", row_number().over(wCap))
+      .filter(col("__r") <= cellCap).drop("__r")
     val cos = round(graft.functions.VectorOps.cosine(col("a.f"), col("b.f")), 6)
-    val edges = probed.as("a").join(probed.as("b"),
+    val edges = probed.as("a").join(cand.as("b"),
         col("a.cell") === col("b.cell") &&
           col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("query_id"),

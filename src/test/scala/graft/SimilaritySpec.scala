@@ -210,6 +210,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.85, s"recall $recall too low")
   }
 
+  test("knn graph: two-level residual quantizer path recovers most exact edges " +
+       "(recall floor, forced past a tiny flat ceiling)") {
+    import org.apache.spark.sql.functions.col
+    val exact = SparkEntry.queries("q_knn_graph")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // maxFlatNlist=16 forces the two-level path on this small corpus
+    // (nlistNeeded ≈ 67 > 16 → nc = 9, shared residual codebook)
+    val two = graft.operators.Ivf.knnGraph(
+        Tables.embeddings(spark, sf), "vec_id", "embedding",
+        k = 5, nprobe = 6, targetCell = 32, maxFlatNlist = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & two).size.toDouble / exact.size
+    info(s"two-level knn-graph recall@5 = $recall (${(exact & two).size}/${exact.size})")
+    assert(recall >= 0.85, s"recall $recall too low")
+  }
+
   test("pq serve: byte-code shard scan is bit-identical to the Pq.topk join plan") {
     import org.apache.spark.sql.functions.col
     val e = Tables.embeddings(spark, sf)
