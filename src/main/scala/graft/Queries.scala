@@ -1648,6 +1648,101 @@ object Queries {
     },
     None)
 
+  /** Shared oracle for the INT8 scalar-quantization (SQ8) pair: the
+    * WHOLE quantizer is plain SQL algebra — per-dim min/max over the
+    * corpus, step=(max−min)/255, code=clamp(floor((x−min)/step+0.5)),
+    * dequantize through the same affine line, cosine of (raw query,
+    * dequantized candidate), windowed top-k — so unlike the PQ tier
+    * (rows-only, k-means codebooks), the compressed tier itself is
+    * fully DuckDB-re-derivable. `floor(t + 0.5)` (round-half-up) is
+    * deliberate: it is the one rounding Spark SQL and DuckDB state
+    * identically, making the byte codes engine-portable the way the
+    * md5 twins made minhash portable. */
+  private val simSqSql =
+    """WITH v AS (SELECT vec_id AS id, embedding AS f FROM embeddings),
+           |dm AS (SELECT d, min(CAST(x AS DOUBLE)) AS mn, max(CAST(x AS DOUBLE)) AS mx FROM (
+           |  SELECT unnest(f) AS x, unnest(generate_series(1, len(f))) AS d FROM v) GROUP BY d),
+           |mm AS (SELECT list(mn ORDER BY d) AS minl, list((mx - mn) / 255.0 ORDER BY d) AS stepl FROM dm),
+           |g AS (SELECT id, list_transform(generate_series(1, len(f)), j ->
+           |    CASE WHEN stepl[j] = 0 THEN minl[j]
+           |         ELSE minl[j] + least(255.0, greatest(0.0,
+           |                floor((CAST(f[j] AS DOUBLE) - minl[j]) / stepl[j] + 0.5))) * stepl[j] END) AS g
+           |  FROM v, mm),
+           |cand AS (SELECT q.id AS query_id, c.id AS neighbor_id,
+           |    round(CASE WHEN sqrt(list_sum(list_transform(list_zip(q.f, q.f), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))))
+           |             * sqrt(list_sum(list_transform(list_zip(c.g, c.g), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))) > 0
+           |          THEN list_sum(list_transform(list_zip(q.f, c.g), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+           |             / (sqrt(list_sum(list_transform(list_zip(q.f, q.f), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))))
+           |              * sqrt(list_sum(list_transform(list_zip(c.g, c.g), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))))
+           |          ELSE 0.0 END, 6) AS cos
+           |  FROM (SELECT * FROM v WHERE id < 10) q JOIN g c ON c.id <> q.id)
+           |SELECT query_id, neighbor_id, cos FROM (
+           | SELECT query_id, neighbor_id, cos,
+           |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+           | FROM cand) WHERE rn <= 10 ORDER BY query_id, neighbor_id""".stripMargin
+
+  /** SQ8 ANN top-k, BATCH form (FULL oracle): the int8 scalar
+    * quantizer as a declarative join+window plan — per-dim min/max in
+    * ONE pass (2·dim agg expressions, no explode, no shuffle beyond
+    * the partial agg), dequantization as a scan-side `transform`, then
+    * the brute-force candidate join ranked on rounded cosine of (raw
+    * query, dequantized candidate). Asymmetric like ADC: only the
+    * stored side pays quantization error. This is the tier's algebra
+    * twin; `sim_sq_serve` is the resident-shard serve path over the
+    * same algebra. */
+  private val qSimSqTopk = Q(
+    "sim_sq_topk",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("f"))
+      val dim = e.select(size(col("f"))).head.getInt(0)
+      val mm = e.agg(
+        array((1 to dim).map(j => min(element_at(col("f"), j))): _*).as("minl"),
+        array((1 to dim).map(j =>
+          (max(element_at(col("f"), j)) - min(element_at(col("f"), j))) / 255.0): _*)
+          .as("stepl"))
+      val dq = e.crossJoin(broadcast(mm))
+        .select(col("vec_id").as("nid"),
+          transform(col("f"), (x, i) => {
+            val mn = col("minl")(i)
+            val st = col("stepl")(i)
+            when(st === 0, mn).otherwise(
+              mn + least(lit(255.0), greatest(lit(0.0),
+                floor((x - mn) / st + lit(0.5)).cast("double"))) * st)
+          }).as("g"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("f").as("qf"))
+      val cos = round(VectorOps.cosine(col("qf"), col("g")), 6)
+      val scored = dq.join(broadcast(q), col("nid") =!= col("query_id"))
+        .select(col("query_id"), col("nid").as("neighbor_id"), cos.as("cos"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("neighbor_id").asc)
+      scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= 10)
+        .drop("__rn").orderBy("query_id", "neighbor_id")
+    },
+    Some(simSqSql))
+
+  /** SQ8 SERVE (FULL oracle — the first COMPRESSED serve tier the
+    * DuckDB gate checks end to end): the resident shard holds one byte
+    * per component (8× less vector RAM than the raw `q_sim_serve`
+    * shard) plus the per-dim dequantization line, scanned row-locally
+    * by one native codegen expression (`functions.SqTopK`) that
+    * dequantizes on the fly. Bit-identical to `sim_sq_topk` and the
+    * shared oracle by construction (same line, same clamp, same
+    * accumulation order, norms fitted once at build); no join, no
+    * shuffle, no state — append-mode streaming legal like every serve
+    * half. */
+  private val qSimSqServe = Q(
+    "sim_sq_serve",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val shard = operators.AnnServe.fitSqShard(e)
+      operators.AnnServe.sqTopkRows(e.filter(col("vec_id") < 10), shard, k = 10)
+        .orderBy("query_id", "neighbor_id")
+    },
+    Some(simSqSql))
+
   /** ANN top-k via IVF-PQ (rows-only) — both scale axes composed:
     * cells bound which rows a query touches, codes bound the bytes per
     * touched row, exact re-rank on the shortlist only. Parameters from
@@ -3583,7 +3678,8 @@ object Queries {
     qDedupExact, qNgramJaccard, qSimBruteforce, qSimServe, qSimServeSharded,
     qSimServeStream,
     qKnnGraph, qKnnGraphIvf, qKnnClusters, qSimLshTopk, qSimIvfTopk,
-    qSimIvfTopkGrid, qSimPqTopk, qSimPqServe, qSimIvfPqTopk,
+    qSimIvfTopkGrid, qSimPqTopk, qSimPqServe, qSimSqTopk, qSimSqServe,
+    qSimIvfPqTopk,
     qDedupMinhash, qDedupMinhashMd5, qDedupMinhashMd5Capped,
     qDedupMinhashMd5Stop,
     qDedupSimhash, qDedupSimhashMd5,

@@ -965,6 +965,133 @@ case class AdcTopK(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/** Row-local top-k cosine against an INT8 SCALAR-QUANTIZED index shard
+  * — the MIDDLE memory tier of the serve family, between `CosineTopK`
+  * (raw doubles, exact) and `AdcTopK` (PQ bytes, approximate): the
+  * shard holds ONE byte per vector component plus the per-dimension
+  * (min, step) dequantization line — 8× less resident vector RAM than
+  * raw at near-exact ranking quality — and the scan dequantizes on the
+  * fly, dq_j = min_j + code_j·step_j, trading two extra flops per
+  * component for the 8× RAM cut (the SQ8 layout vector stores ship as
+  * their default compression). Ranking is by HALF_UP-6dp-rounded
+  * cosine of (RAW query, dequantized candidate) — asymmetric, like
+  * ADC: only the stored side pays quantization error — with the
+  * (cos desc, neighbor_id asc) tie-break and the query's own id
+  * excluded. The dequantization line, clamp, and accumulation order
+  * are the EXACT algebra of the batch `sim_sq_topk` join+window plan
+  * and its full-SQL DuckDB oracle, so serve output is bit-identical to
+  * both (SimilaritySpec pins it). Same broadcast + codegen shape as
+  * `CosineTopK`; norms of the dequantized vectors are fitted once at
+  * shard build, never per task. */
+case class SqTopK(left: Expression, right: Expression,
+                  shard: org.apache.spark.broadcast.Broadcast[(Array[Long], Array[Byte], Array[Double])],
+                  minl: Array[Double], stepl: Array[Double], k: Int)
+    extends BinaryExpression {
+  // codes + norms ride a broadcast like CosineTopK's vectors (same
+  // per-task deserialization hazard); the dequantization line is
+  // 2·dim doubles (~1 KB at 64-dim) and stays plain expression state
+  require(minl.length > 0 && minl.length == stepl.length,
+    s"sq_topk: dequantization line ${minl.length}/${stepl.length}")
+  require(k >= 1, s"sq_topk: need k >= 1, got $k")
+
+  private def dim: Int = minl.length
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("neighbor_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("cos", DoubleType,
+          nullable = false))),
+      containsNull = false)
+
+  def topk(qid: Long, qv: ArrayData): ArrayData = {
+    // bind broadcast arrays to locals before the loops (see
+    // CosineTopK's note on per-task accessor indirection)
+    val (ids, codes, norms) = shard.value
+    val d = dim
+    val n = codes.length / d
+    if (codes.length != n * d || ids.length != n || norms.length != n)
+      throw new IllegalArgumentException(
+        s"sq_topk: ragged shard (${ids.length} ids, ${codes.length} " +
+          s"codes, ${norms.length} norms at dim $d)")
+    if (qv.numElements() != d)
+      throw new IllegalArgumentException(
+        s"sq_topk: query vector has ${qv.numElements()} elements, need exactly $d " +
+          "— index shard does not match the data (a longer vector would be " +
+          "silently truncated, diverging from the full-vector batch plan)")
+    val q = new Array[Double](d)
+    var j = 0
+    while (j < d) {
+      val x = qv.getDouble(j)
+      // same loud finite-input contract as cosine_topk
+      if (!java.lang.Double.isFinite(x))
+        throw new IllegalArgumentException(
+          s"sq_topk: non-finite query component $x at id $qid dim $j — " +
+            "clean the query feed before serving")
+      q(j) = x; j += 1
+    }
+    var qq = 0.0
+    j = 0
+    while (j < d) { qq += q(j) * q(j); j += 1 }
+    val qn = math.sqrt(qq)
+    val mn = minl; val st = stepl
+    val topCos = new Array[Double](k); val topId = new Array[Long](k)
+    var filled = 0
+    var i = 0
+    while (i < n) {
+      if (ids(i) != qid) {
+        var dp = 0.0
+        j = 0
+        while (j < d) {
+          dp += q(j) * (mn(j) + (codes(i * d + j) & 0xff) * st(j)); j += 1
+        }
+        val denom = qn * norms(i)
+        val raw = if (denom > 0) dp / denom else 0.0
+        // same BigDecimal-avoidance + non-finite guard as CosineTopK
+        if (java.lang.Double.isFinite(raw) &&
+            (filled < k || raw >= topCos(k - 1) - 1e-6)) {
+          val c = java.math.BigDecimal.valueOf(raw)
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+          val id = ids(i)
+          var p = filled
+          while (p > 0 && (topCos(p - 1) < c ||
+                   (topCos(p - 1) == c && topId(p - 1) > id))) p -= 1
+          if (p < k) {
+            val last = math.min(filled, k - 1)
+            var m = last
+            while (m > p) { topCos(m) = topCos(m - 1); topId(m) = topId(m - 1); m -= 1 }
+            topCos(p) = c; topId(p) = id
+            if (filled < k) filled += 1
+          }
+        }
+      }
+      i += 1
+    }
+    val rows = new Array[Any](filled)
+    var t = 0
+    while (t < filled) {
+      rows(t) = org.apache.spark.sql.catalyst.InternalRow(topId(t), topCos(t))
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    topk(l.asInstanceOf[Long], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (qid, qv) => {
+      val ref = ctx.addReferenceObj("sqShardTopk", this, classOf[SqTopK].getName)
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.topk($qid, $qv);"
+    })
+
+  override def prettyName: String = "sq_topk"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object ArrayMath {
   import org.apache.spark.sql.graft.Bridge.{column, expression, registerFunction}
   private def d(c: Column): Column = c.cast("array<double>")
@@ -1006,6 +1133,11 @@ object ArrayMath {
               m: Int, ksub: Int, dsub: Int, k: Int): Column =
     column(AdcTopK(expression(queryId.cast("long")), expression(d(vec)),
       shard, flatBooks, m, ksub, dsub, k))
+  def sqTopK(queryId: Column, vec: Column,
+             shard: org.apache.spark.broadcast.Broadcast[(Array[Long], Array[Byte], Array[Double])],
+             minl: Array[Double], stepl: Array[Double], k: Int): Column =
+    column(SqTopK(expression(queryId.cast("long")), expression(d(vec)),
+      shard, minl, stepl, k))
 
   /** Expose the native expressions to the SQL surface:
     * `SELECT array_dot(a, b)`, `SELECT array_sqdiff_sum(a, b)`.

@@ -235,6 +235,60 @@ object Artifacts {
     } finally in.close()
   }
 
+  /** SQ8 serve shard (`AnnServe.SqShard`): ids + byte codes + the
+    * per-dim dequantization line + fitted norms — the whole serving
+    * state of the compressed tier in one file. Same binary rationale
+    * and header-validation discipline as the AnnShard artifact.
+    * Layout: magic, dim, n, 2·dim doubles (min, step interleaved per
+    * dim), n longs, n doubles (norms), n·dim bytes. */
+  private val SqShardMagic = 0x47535153 // "GSQS"
+
+  def saveSqShard(sh: graft.operators.AnnServe.SqShard, path: String): Unit = {
+    val p = Paths.get(path)
+    if (p.getParent != null) Files.createDirectories(p.getParent)
+    val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+      Files.newOutputStream(p), 1 << 20))
+    try {
+      out.writeInt(SqShardMagic)
+      out.writeInt(sh.dim)
+      out.writeInt(sh.ids.length)
+      var j = 0
+      while (j < sh.dim) {
+        out.writeDouble(sh.minl(j)); out.writeDouble(sh.stepl(j)); j += 1
+      }
+      sh.ids.foreach(out.writeLong)
+      sh.norms.foreach(out.writeDouble)
+      out.write(sh.codes)
+    } finally out.close()
+  }
+
+  def loadSqShard(path: String): graft.operators.AnnServe.SqShard = {
+    val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+      Files.newInputStream(Paths.get(path)), 1 << 20))
+    try {
+      require(in.readInt() == SqShardMagic, s"$path is not an SqShard artifact")
+      val dim = in.readInt()
+      val n = in.readInt()
+      require(dim > 0 && n >= 0, s"corrupt SqShard header: dim=$dim n=$n")
+      require(n.toLong * dim <= Int.MaxValue,
+        s"corrupt SqShard header: n=$n x dim=$dim overflows an array size")
+      val expectedBytes = 12L + dim.toLong * 16 + n.toLong * 16 + n.toLong * dim
+      val fileBytes = Files.size(Paths.get(path))
+      require(fileBytes == expectedBytes,
+        s"corrupt/truncated SqShard: header (dim=$dim n=$n) implies " +
+          s"$expectedBytes bytes but $path holds $fileBytes")
+      val minl = new Array[Double](dim)
+      val stepl = new Array[Double](dim)
+      var j = 0
+      while (j < dim) { minl(j) = in.readDouble(); stepl(j) = in.readDouble(); j += 1 }
+      val ids = Array.fill(n)(in.readLong())
+      val norms = Array.fill(n)(in.readDouble())
+      val codes = new Array[Byte](n * dim)
+      in.readFully(codes)
+      graft.operators.AnnServe.SqShard(ids, codes, minl, stepl, norms)
+    } finally in.close()
+  }
+
   private def write(path: String, content: String): Unit = {
     val p = Paths.get(path)
     if (p.getParent != null) Files.createDirectories(p.getParent)

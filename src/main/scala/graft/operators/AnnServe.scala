@@ -356,4 +356,135 @@ object AnnServe {
       .select(col("query_id"), col("__nb.neighbor_id").as("neighbor_id"),
               col("__nb.approx_sqdist").as("approx_sqdist"))
   }
+
+  /** The INT8 scalar-quantized serve shard — the middle memory tier
+    * between the raw `AnnShard` (dim·8 bytes/vector, exact) and the
+    * `PqShard` (m bytes/vector, approximate): one byte per component
+    * (8× less vector RAM than raw) dequantized on the fly through a
+    * per-dimension affine line, at near-exact ranking quality (the
+    * SQ8 layout). Unlike PQ, the whole quantizer — per-dim min/max,
+    * round-half-up code, affine dequantization — is plain SQL algebra,
+    * so this tier's serve answers are checked by a FULL DuckDB oracle
+    * (`sim_sq_serve`), not just a parity spec. Norms are of the
+    * DEQUANTIZED vectors, fitted once at build. */
+  final case class SqShard(ids: Array[Long], codes: Array[Byte],
+                           minl: Array[Double], stepl: Array[Double],
+                           norms: Array[Double]) {
+    val dim: Int = minl.length
+    require(dim > 0 && stepl.length == dim,
+      s"SqShard: dequantization line ${minl.length}/${stepl.length}")
+    require(codes.length == ids.length * dim && norms.length == ids.length,
+      s"SqShard: ${codes.length} codes / ${norms.length} norms for " +
+        s"${ids.length} ids at dim $dim")
+    // same owner-validated broadcast caching as AnnShard/PqShard
+    @transient private var bc:
+        org.apache.spark.broadcast.Broadcast[(Array[Long], Array[Byte], Array[Double])] = _
+    @transient private var bcOwner: org.apache.spark.SparkContext = _
+    private[graft] def broadcastWith(sc: org.apache.spark.SparkContext):
+        org.apache.spark.broadcast.Broadcast[(Array[Long], Array[Byte], Array[Double])] =
+      synchronized {
+        if (bc == null || (bcOwner ne sc) || sc.isStopped) {
+          require(!sc.isStopped, "SqShard: cannot broadcast on a stopped SparkContext")
+          bc = sc.broadcast((ids, codes, norms))
+          bcOwner = sc
+        }
+        bc
+      }
+  }
+
+  /** Fit the SQ8 shard: per-dimension (min, step=(max−min)/255) line
+    * over the corpus, then code_j = clamp(floor((x_j−min_j)/step_j
+    * + 0.5), 0, 255) — round-half-up, NOT round-half-even, because
+    * `floor(t + 0.5)` is the one rounding both Spark SQL and DuckDB
+    * state identically (the batch twin and the oracle use the same
+    * expression, making the codes engine-portable). A constant
+    * dimension (step 0) stores code 0 and dequantizes to its min.
+    * Same `rowCap` contract and loud non-finite rejection as
+    * `fitShard` (quantizing a NaN would silently clamp; the serve/
+    * batch parity contract only holds for finite corpora). */
+  def fitSqShard(embeddings: DataFrame,
+                 idCol: String = "vec_id", vecCol: String = "embedding",
+                 rowCap: Int = 1 << 20): SqShard = {
+    require(embeddings.limit(rowCap + 1).count() <= rowCap,
+      s"SqShard: embeddings exceed the per-shard cap $rowCap — " +
+        "partition the corpus and merge per-query top-k answers instead")
+    val rows = embeddings
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .collect()
+    require(rows.nonEmpty, "SqShard: empty embeddings frame")
+    val dim = rows(0).getSeq[Double](1).length
+    val n = rows.length
+    val ids = new Array[Long](n)
+    val raw = new Array[Double](n * dim)
+    var i = 0
+    while (i < n) {
+      ids(i) = rows(i).getLong(0)
+      val v = rows(i).getSeq[Double](1)
+      require(v.length == dim,
+        s"SqShard: ragged vector at ${ids(i)} (${v.length} vs $dim)")
+      var j = 0
+      while (j < dim) {
+        val x = v(j)
+        require(java.lang.Double.isFinite(x),
+          s"SqShard: non-finite component $x at id ${ids(i)} dim $j — " +
+            "clean the corpus before fitting")
+        raw(i * dim + j) = x; j += 1
+      }
+      i += 1
+    }
+    val minl = Array.fill(dim)(Double.MaxValue)
+    val maxl = Array.fill(dim)(Double.MinValue)
+    i = 0
+    while (i < n) {
+      var j = 0
+      while (j < dim) {
+        val x = raw(i * dim + j)
+        if (x < minl(j)) minl(j) = x
+        if (x > maxl(j)) maxl(j) = x
+        j += 1
+      }
+      i += 1
+    }
+    val stepl = Array.tabulate(dim)(j => (maxl(j) - minl(j)) / 255.0)
+    val codes = new Array[Byte](n * dim)
+    val norms = new Array[Double](n)
+    i = 0
+    while (i < n) {
+      var s = 0.0
+      var j = 0
+      while (j < dim) {
+        val st = stepl(j)
+        val c =
+          if (st == 0) 0
+          else math.min(255.0,
+            math.max(0.0, math.floor((raw(i * dim + j) - minl(j)) / st + 0.5))).toInt
+        codes(i * dim + j) = c.toByte
+        val dq = minl(j) + c * st
+        s += dq * dq
+        j += 1
+      }
+      norms(i) = math.sqrt(s)
+      i += 1
+    }
+    SqShard(ids, codes, minl, stepl, norms)
+  }
+
+  /** SQ8 top-k per query row — one native codegen expression
+    * (`functions.SqTopK`): O(n·dim) dequantize-and-dot scan, ranked on
+    * rounded cosine of (raw query, dequantized candidate). Bit-
+    * identical to the batch `sim_sq_topk` join+window plan and its
+    * full-SQL DuckDB oracle. Stateless — batch and append-mode
+    * streaming alike. */
+  def sqTopkRows(queries: DataFrame, shard: SqShard, k: Int = 10,
+                 idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame =
+    queries
+      .select(col(idCol).cast("long").as("query_id"),
+        explode(graft.functions.ArrayMath.sqTopK(
+          col(idCol), col(vecCol),
+          shard.broadcastWith(queries.sparkSession.sparkContext),
+          shard.minl, shard.stepl, k))
+          .as("__nb"))
+      .select(col("query_id"), col("__nb.neighbor_id").as("neighbor_id"),
+              col("__nb.cos").as("cos"))
 }

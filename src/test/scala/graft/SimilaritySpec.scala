@@ -288,6 +288,61 @@ class SimilaritySpec extends AnyFunSuite {
       "sharded PQ serve must reproduce the whole-shard ADC ranking exactly")
   }
 
+  test("sq8 serve: dequantizing byte-shard scan is bit-identical to the " +
+       "sim_sq_topk join+window plan") {
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val batch = SparkEntry.queries("sim_sq_topk")(spark, sf)
+      .collect().map(key).toSeq
+    val serve = SparkEntry.queries("sim_sq_serve")(spark, sf)
+      .collect().map(key).toSeq
+    assert(serve == batch,
+      "SQ8 serve must reproduce the batch quantize+join+window ranking exactly")
+  }
+
+  test("sq8: near-exact ranking — recall@10 >= 0.9 vs brute force, and the " +
+       "shard stores exactly one byte per component") {
+    val exact = SparkEntry.queries("q_sim_bruteforce")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sq = SparkEntry.queries("sim_sq_topk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & sq).size.toDouble / exact.size
+    info(s"sq8 recall@10 = $recall (${(exact & sq).size}/${exact.size})")
+    // 8-bit/dim keeps cosine error ~1e-3 — far tighter than PQ's
+    // codebook error; the floor reflects the tier's near-exact claim
+    assert(recall >= 0.9, s"sq8 recall $recall below the near-exact floor")
+    val e = Tables.embeddings(spark, sf)
+    val shard = graft.operators.AnnServe.fitSqShard(e)
+    assert(shard.codes.length == shard.ids.length * shard.dim,
+      "SQ8 shard must store exactly dim bytes per vector (the 8x RAM claim)")
+  }
+
+  test("sq8: quantization round-trips a constant dimension and clamps " +
+       "out-of-line queries; non-finite corpus fails loudly at fit") {
+    import spark.implicits._
+    // dim 2: first dimension constant (step 0 -> code 0, dq = min),
+    // second spanning [0, 255] exactly (step 1 -> code = value)
+    val e = Seq((1L, Array(7.0, 0.0)), (2L, Array(7.0, 255.0)),
+                (3L, Array(7.0, 128.0)))
+      .toDF("vec_id", "embedding")
+    val shard = graft.operators.AnnServe.fitSqShard(e)
+    assert(shard.stepl(0) == 0.0 && shard.stepl(1) == 1.0)
+    assert(shard.codes.toSeq == Seq[Byte](0, 0, 0, -1, 0, -128),
+      "codes must be (0, value) per row under the identity line")
+    // serve answers rank by cosine against EXACT dequantized values
+    val ans = graft.operators.AnnServe
+      .sqTopkRows(Seq((9L, Array(7.0, 200.0))).toDF("vec_id", "embedding"),
+        shard, k = 3)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(ans.length == 3 && ans.head._1 == 2L,
+      s"nearest to (7,200) must be (7,255), got ${ans.toSeq}")
+    val fitErr = intercept[IllegalArgumentException] {
+      graft.operators.AnnServe.fitSqShard(
+        Seq((1L, Array(1.0, Double.NaN))).toDF("vec_id", "embedding"))
+    }
+    assert(fitErr.getMessage.contains("non-finite"))
+  }
+
   test("ann serve: non-finite embeddings fail loudly at fit time, " +
        "non-finite queries at serve time") {
     import spark.implicits._

@@ -209,6 +209,24 @@ class SourcesSpec extends AnyFunSuite {
     assert(a == b && a.nonEmpty, "reloaded shard must serve bit-identically")
   }
 
+  test("SQ8 serve shard reloads bit-identically and serves identically") {
+    val dir = tmp()
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val sh = graft.operators.AnnServe.fitSqShard(e)
+    Artifacts.saveSqShard(sh, s"$dir/sq.bin")
+    val sh2 = Artifacts.loadSqShard(s"$dir/sq.bin")
+    assert(sh2.dim == sh.dim && sh2.ids.sameElements(sh.ids) &&
+      sh2.codes.sameElements(sh.codes) && sh2.minl.sameElements(sh.minl) &&
+      sh2.stepl.sameElements(sh.stepl) && sh2.norms.sameElements(sh.norms))
+    import org.apache.spark.sql.functions.col
+    val q = e.filter(col("vec_id") < 5)
+    val a = graft.operators.AnnServe.sqTopkRows(q, sh)
+      .orderBy("query_id", "neighbor_id").collect().toSeq
+    val b = graft.operators.AnnServe.sqTopkRows(q, sh2)
+      .orderBy("query_id", "neighbor_id").collect().toSeq
+    assert(a == b && a.nonEmpty, "reloaded SQ8 shard must serve bit-identically")
+  }
+
   test("ensemble bundle round-trip: loaded bundle scores identically") {
     val dir = tmp()
     val fitted = graft.ml.Ensemble.fit(spark, "/root/testdata/sf0.001")
