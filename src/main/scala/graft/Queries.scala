@@ -1408,6 +1408,23 @@ object Queries {
       .orderBy("query_id", "neighbor_id"),
     Some(simBruteforceSql))
 
+  /** Shared oracle for the exact kNN-graph pair: the graph stated as
+    * the quadratic self-join + per-node top-5 window (only the oracle
+    * pays the O(n²) join — the Spark queries never materialize it). */
+  private val knnGraphSql =
+    """WITH c AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           |  round(CASE WHEN sqrt(list_sum(list_transform(list_zip(q.embedding, q.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))))
+           |           * sqrt(list_sum(list_transform(list_zip(e.embedding, e.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))) > 0
+           |        THEN list_sum(list_transform(list_zip(q.embedding, e.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+           |           / (sqrt(list_sum(list_transform(list_zip(q.embedding, q.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))))
+           |            * sqrt(list_sum(list_transform(list_zip(e.embedding, e.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))))
+           |        ELSE 0.0 END, 6) AS cos
+           | FROM embeddings q, embeddings e WHERE e.vec_id <> q.vec_id)
+           |SELECT query_id, neighbor_id, cos FROM (
+           | SELECT query_id, neighbor_id, cos,
+           |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+           | FROM c) WHERE rn <= 5 ORDER BY query_id, neighbor_id""".stripMargin
+
   /** Exact k-NN GRAPH over the whole embeddings table — every vector's
     * top-5 neighbors, the input structure for graph-based clustering
     * and mutual-kNN dedup. One pass of the serve expression with the
@@ -1426,18 +1443,26 @@ object Queries {
       operators.AnnServe.topkRows(e, shard, k = 5)
         .orderBy("query_id", "neighbor_id")
     },
-    Some("""WITH c AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-           |  round(CASE WHEN sqrt(list_sum(list_transform(list_zip(q.embedding, q.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))))
-           |           * sqrt(list_sum(list_transform(list_zip(e.embedding, e.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))) > 0
-           |        THEN list_sum(list_transform(list_zip(q.embedding, e.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-           |           / (sqrt(list_sum(list_transform(list_zip(q.embedding, q.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))))
-           |            * sqrt(list_sum(list_transform(list_zip(e.embedding, e.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))))
-           |        ELSE 0.0 END, 6) AS cos
-           | FROM embeddings q, embeddings e WHERE e.vec_id <> q.vec_id)
-           |SELECT query_id, neighbor_id, cos FROM (
-           | SELECT query_id, neighbor_id, cos,
-           |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn
-           | FROM c) WHERE rn <= 5 ORDER BY query_id, neighbor_id""".stripMargin))
+    Some(knnGraphSql))
+
+  /** The exact graph ACROSS SHARDS (same full oracle): the corpus
+    * hash-partitioned into independent serve shards and every node's
+    * top-k merged per query — the deployment shape the two-level
+    * quantizer's own ceiling guard points at ("shard the corpus and
+    * merge per-node top-k") as a declared, oracle-checked query.
+    * Exact-over-union like `q_sim_serve_sharded`, so the graph is
+    * bit-identical to the single-shard `q_knn_graph` for any shard
+    * count; the scan cost is the same n² the one-shard expression
+    * pays, now split across shard-holding serving nodes. */
+  private val qKnnGraphSharded = Q(
+    "q_knn_graph_sharded",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val shards = operators.AnnServe.fitShards(e, nShards = 3)
+      operators.AnnServe.topkRowsSharded(e, shards, k = 5)
+        .orderBy("query_id", "neighbor_id")
+    },
+    Some(knnGraphSql))
 
   /** The SCALE path for `q_knn_graph` (rows-only): IVF multi-probe
     * graph construction — every vector explodes to its `nprobe`
@@ -1459,6 +1484,46 @@ object Queries {
         k = 5, nprobe = 6, targetCell = 32)
       .orderBy("query_id", "neighbor_id"),
     None)
+
+  /** Grid-cell ORACLE-PROOF twin of `q_knn_graph_ivf` — the
+    * `sim_ivf_topk_grid` pattern applied to WHOLE-GRAPH construction:
+    * the corpus probes its own deterministic floor-grid cells (±1 per
+    * dim), candidates are cell-sharing pairs, exact cosine re-ranks
+    * per node — and the oracle re-derives cell assignment, probe
+    * expansion, the self-join AND the per-node top-k, pinning the
+    * graph-construction candidate algebra end to end (k-means cells
+    * stay the production path; the node-coverage contract — a vector
+    * alone in its probed cells emits no rows — is shared and equally
+    * re-derived). Cell size 0.05 on 2 unit-normalized dims keeps cell
+    * occupancy bounded at bench scale while leaving real neighbor
+    * structure inside cells. */
+  private val qKnnGraphGrid = {
+    val (g, k) = (0.05, 5)
+    Q(
+      "q_knn_graph_grid",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        operators.Ivf.topkGrid(e, "vec_id", "embedding", e,
+          k = k, gridDims = 2, gridSize = g)
+      },
+      Some(s"""WITH v AS (SELECT vec_id AS id, embedding AS f,
+           |  sqrt(list_sum(list_transform(list_zip(embedding, embedding),
+           |       p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))) AS n
+           | FROM embeddings),
+           |a AS (SELECT id, f,
+           |  CAST(floor(CAST(f[1] AS DOUBLE) / n / $g) AS BIGINT) AS c1,
+           |  CAST(floor(CAST(f[2] AS DOUBLE) / n / $g) AS BIGINT) AS c2
+           | FROM v WHERE n > 0),
+           |probes AS (SELECT q.id, q.f, q.c1 + dx.o AS c1, q.c2 + dy.o AS c2
+           | FROM a q, (VALUES (-1),(0),(1)) dx(o), (VALUES (-1),(0),(1)) dy(o)),
+           |cand AS (SELECT p.id AS query_id, c.id AS neighbor_id,
+           |  round(${duckCosine("p.f", "c.f")}, 6) AS cos
+           | FROM probes p JOIN a c ON c.c1 = p.c1 AND c.c2 = p.c2 AND c.id <> p.id)
+           |SELECT query_id, neighbor_id, cos FROM (
+           | SELECT query_id, neighbor_id, cos,
+           |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+           | FROM cand) WHERE rn <= $k ORDER BY query_id, neighbor_id""".stripMargin))
+  }
 
   /** Mutual-kNN clustering over the embeddings table — the standard
     * robust graph clustering for vector corpora: an edge exists iff
@@ -3677,7 +3742,8 @@ object Queries {
     qWinnowFingerprint, qCorpusClean,
     qDedupExact, qNgramJaccard, qSimBruteforce, qSimServe, qSimServeSharded,
     qSimServeStream,
-    qKnnGraph, qKnnGraphIvf, qKnnClusters, qSimLshTopk, qSimIvfTopk,
+    qKnnGraph, qKnnGraphSharded, qKnnGraphIvf, qKnnGraphGrid, qKnnClusters,
+    qSimLshTopk, qSimIvfTopk,
     qSimIvfTopkGrid, qSimPqTopk, qSimPqServe, qSimSqTopk, qSimSqServe,
     qSimIvfPqTopk,
     qDedupMinhash, qDedupMinhashMd5, qDedupMinhashMd5Capped,

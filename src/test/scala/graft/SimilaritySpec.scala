@@ -288,6 +288,26 @@ class SimilaritySpec extends AnyFunSuite {
       "sharded PQ serve must reproduce the whole-shard ADC ranking exactly")
   }
 
+  test("knn graph sharded: bit-identical to the single-shard exact graph; " +
+       "grid twin covers nearly all nodes") {
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val whole = SparkEntry.queries("q_knn_graph")(spark, sf)
+      .collect().map(key).toSeq
+    val sharded = SparkEntry.queries("q_knn_graph_sharded")(spark, sf)
+      .collect().map(key).toSeq
+    assert(sharded == whole,
+      "sharded kNN graph must reproduce the exact graph bit-for-bit")
+    // the grid twin's documented node-coverage contract: a vector alone
+    // in its probed cells emits nothing; on the real table that loss
+    // must stay marginal (the oracle re-derives whatever is emitted)
+    val gridNodes = SparkEntry.queries("q_knn_graph_grid")(spark, sf)
+      .select("query_id").distinct().count()
+    val n = Tables.embeddings(spark, sf).count()
+    assert(gridNodes >= n * 9 / 10,
+      s"grid graph covers only $gridNodes/$n nodes")
+  }
+
   test("sq8 serve: dequantizing byte-shard scan is bit-identical to the " +
        "sim_sq_topk join+window plan") {
     val key = (r: org.apache.spark.sql.Row) =>
