@@ -3575,6 +3575,39 @@ object Queries {
       Tables.documents(s, d), "doc_id", "text", "source"),
     None)
 
+  /** KMV bottom-k twin of `q_domain_approx` (FULL oracle): the
+    * estimator n̂ = (k−1)/v_(k) over the k smallest md5-derived hash
+    * fractions per source — md5 makes fractions, ranking, the k-th
+    * value and the estimate DuckDB-re-derivable, pinning the
+    * approximate-distinct algebra the way the md5 twins pinned
+    * minhash/simhash (HLL stays the production sketch). k=16 so the
+    * estimator genuinely estimates on this corpus (sources hold ~25
+    * distinct docs at sf0.01; a larger k would snap every source into
+    * the exact small-set case and prove nothing). */
+  private val qDomainApproxKmv = {
+    val k = 16
+    Q(
+      "q_domain_approx_kmv",
+      (s, d) => operators.Corpus.domainStatsKmv(
+        Tables.documents(s, d), "doc_id", "text", "source", k = k),
+      Some(s"""WITH h AS (SELECT source, md5(text) AS digest FROM documents),
+           |cnt AS (SELECT source, count(*) AS n_docs FROM h GROUP BY source),
+           |dv AS (SELECT source, digest,
+           |  CAST(('0x' || substr(digest, 1, 13))::UBIGINT AS DOUBLE) / power(16, 13) AS v
+           | FROM (SELECT DISTINCT source, digest FROM h)),
+           |rk AS (SELECT source, v,
+           |  row_number() OVER (PARTITION BY source ORDER BY v, digest) AS rn
+           | FROM dv),
+           |est AS (SELECT source, count(*) AS n_seen,
+           |  max(CASE WHEN rn = $k THEN v END) AS kth
+           | FROM rk WHERE rn <= $k GROUP BY source)
+           |SELECT e.source, c.n_docs,
+           | round(CASE WHEN e.n_seen < $k THEN CAST(e.n_seen AS DOUBLE)
+           |       ELSE ${k - 1}.0 / e.kth END, 6) AS n_unique_kmv
+           |FROM est e JOIN cnt c ON e.source = c.source
+           |ORDER BY e.source""".stripMargin))
+  }
+
   /** BPE merge APPLY (the serve half of `q_bpe_train`): a fixed 3-merge
     * table — the third merge chains onto the first's output — rewritten
     * with the engine-portable double-space plain-replace (exact
@@ -3763,7 +3796,7 @@ object Queries {
     qPiiRedact, qRepetitionFilter, qBpePairs,
     qNormalizeText, qCorpusProfile, qCollocations, qWeightedSample, qDsirSelect,
     qQualityClassifier, qQualityClassifierStream, qQualityRank, qEmbedCentroid, qBpeTrain, qBpeApply, qCanonicalDedup,
-    qSimDiverse, qCorpusDiff, qDedupEval, qDomainApprox,
+    qSimDiverse, qCorpusDiff, qDedupEval, qDomainApprox, qDomainApproxKmv,
     qChunkOverlap, qLengthBuckets, qSourceOverlap,
     qDupNgrams, qUnigramLogprob, qLmCrossEntropy, qDomainPpl, qTokenBudget,
     qPackSequences, qPackManifest, qCorpusPipeline, qPretrainPipeline,

@@ -1267,6 +1267,47 @@ object Corpus {
            approx_count_distinct(col("digest"), rsd).as("n_unique_approx"))
       .orderBy("source")
 
+  /** KMV (k-minimum-values) ORACLE-PROOF twin of `domainStatsApprox` —
+    * the md5-twin move applied to approximate distinct counting: the
+    * k smallest md5-derived hash fractions per source give the
+    * classic bottom-k estimator n̂ = (k−1)/v_(k) (Bar-Yossef 2002),
+    * and because the hash is md5 (not HLL's engine-private sketch)
+    * DuckDB re-derives fractions, ranking, the k-th value and the
+    * estimate exactly — pinning the approximate-distinct ALGEBRA the
+    * way `dedup_minhash_md5` pinned minhash. HLL stays the production
+    * sketch (`domainStatsApprox`: constant-size mergeable partials);
+    * this twin's per-source window is the proof-harness shape, and
+    * its estimate sits beside the exact count so the artifact itself
+    * shows the sketch error. Sources with fewer than k distinct
+    * digests report exactly (the estimator's standard small-set
+    * case). */
+  def domainStatsKmv(docs: DataFrame, idCol: String, textCol: String,
+                     sourceCol: String, k: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2, s"domainStatsKmv: need k >= 2, got $k")
+    val h = docs.select(col(sourceCol).as("source"),
+      md5(col(textCol).cast("binary")).as("digest"))
+    val counts = h.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    // 13 hex chars = 52 bits — exact in a double, max before precision
+    // loss; the fraction is uniform in [0, 1)
+    val dv = h.select(col("source"), col("digest")).distinct()
+      .withColumn("v",
+        conv(substring(col("digest"), 1, 13), 16, 10).cast("double")
+          / lit(math.pow(16.0, 13)))
+    val w = Window.partitionBy("source").orderBy(col("v"), col("digest"))
+    val topk = dv.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+    topk.groupBy("source")
+      .agg(count(lit(1)).as("n_seen"),
+           max(when(col("__rn") === k, col("v"))).as("kth"))
+      .join(counts, Seq("source"))
+      .select(col("source"), col("n_docs"),
+        round(when(col("n_seen") < k, col("n_seen").cast("double"))
+          .otherwise(lit((k - 1).toDouble) / col("kth")), 6)
+          .as("n_unique_kmv"))
+      .orderBy("source")
+  }
+
   /** Per-source (domain) curation rollup: document count, size, exact
     * duplicate-text rate, and a keep flag (C4-style domain filtering —
     * drop tiny or heavily-duplicated sources). The md5 digest stands in

@@ -803,6 +803,37 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("domainStatsKmv: bottom-k estimate within estimator error on the real " +
+       "corpus; small sources report exactly") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val k = 16
+    val uniq = docs.groupBy("source")
+      .agg(countDistinct(md5(col("text").cast("binary"))).as("u"))
+      .as[(String, Long)].collect().toMap
+    val kmv = Corpus.domainStatsKmv(docs, "doc_id", "text", "source", k = k)
+      .collect().map(r => r.getAs[String]("source") ->
+        r.getAs[Double]("n_unique_kmv")).toMap
+    assert(kmv.keySet == uniq.keySet)
+    // k=16 -> rsd ~ 1/sqrt(k-2) ~ 27%; per-source bound loose (3 sigma),
+    // the MEAN over 20 sources must be well inside one sigma
+    val relErrs = kmv.map { case (s, est) =>
+      val ex = uniq(s).toDouble
+      val re = math.abs(est / ex - 1)
+      assert(re <= 0.8, s"KMV estimate for $s off by $re: $est vs $ex")
+      re
+    }
+    val mean = relErrs.sum / relErrs.size
+    assert(mean <= 0.25, s"mean KMV relative error $mean too large")
+    // a source with fewer than k distinct docs is the estimator's
+    // small-set case: the count is reported exactly
+    val tiny = Seq((1L, "a", "s"), (2L, "b", "s"), (3L, "a", "s"))
+      .toDF("doc_id", "text", "source")
+    val est = Corpus.domainStatsKmv(tiny, "doc_id", "text", "source", k = k)
+      .collect()
+    assert(est.length == 1 && est(0).getAs[Double]("n_unique_kmv") == 2.0 &&
+      est(0).getAs[Long]("n_docs") == 3L)
+  }
+
   test("topTermsPerGroup ranks by count desc then term asc, capped at k") {
     val df = Seq(
       (1L, "en", "x x x y y z"),
