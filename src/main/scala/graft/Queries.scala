@@ -2186,6 +2186,55 @@ object Queries {
            |WHERE d.doc_id % 10 <> 0 ORDER BY d.doc_id""".stripMargin))
   }
 
+  /** md5-portable BLOOM twin of `q_decontaminate_bloom` (FULL oracle):
+    * the sketch's bit positions are the four 20-bit chunks of
+    * md5(shingle), so DuckDB re-derives the bench position set, all
+    * four per-shingle membership probes AND any false positive
+    * bit-for-bit — pinning the Bloom gate's algebra the way the md5
+    * twins pinned minhash (Spark's `BloomFilter` stays the production
+    * sketch; its engine-private hashing is why `q_decontaminate_bloom`
+    * is rows-only). Same corpus/bench split and output contract as
+    * the exact `q_decontaminate`. */
+  private val qDecontaminateBloomMd5 = {
+    val k = 8
+    val terms = (0 until k).map(j => s"w[i+$j]").mkString(", ")
+    val chunks = (0 until 4)
+      .map(i => s"('0x' || substr(md5(s), ${1 + 5 * i}, 5))::BIGINT AS p$i")
+      .mkString(",\n           |  ")
+    val hitCond = (0 until 4)
+      .map(i => s"p$i IN (SELECT pos FROM bpos)").mkString(" AND ")
+    Q(
+      "q_decontaminate_bloom_md5",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        operators.Corpus.decontaminateBloomMd5(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0),
+          "doc_id", "text", k = k)
+      },
+      Some(s"""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+           |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+           |   generate_series(1, len(w)-${k - 1}),
+           |   i -> concat_ws(' ', $terms)))) AS s
+           | FROM w WHERE len(w) >= $k),
+           |bpos AS (SELECT DISTINCT unnest([
+           |   ('0x' || substr(h, 1, 5))::BIGINT, ('0x' || substr(h, 6, 5))::BIGINT,
+           |   ('0x' || substr(h, 11, 5))::BIGINT, ('0x' || substr(h, 16, 5))::BIGINT]) AS pos
+           | FROM (SELECT DISTINCT md5(s) AS h FROM sh WHERE doc_id % 10 = 0)),
+           |cp AS (SELECT doc_id,
+           |  $chunks
+           | FROM (SELECT doc_id, s FROM sh WHERE doc_id % 10 <> 0)),
+           |stats AS (SELECT doc_id, count(*) AS n_shingles,
+           |   sum(CASE WHEN $hitCond THEN 1 ELSE 0 END) AS n_hits
+           |  FROM cp GROUP BY doc_id)
+           |SELECT d.doc_id,
+           | CAST(coalesce(n_shingles, 0) AS INT) AS n_shingles,
+           | CAST(coalesce(n_hits, 0) AS INT) AS n_hits,
+           | CAST(CASE WHEN coalesce(n_hits, 0) > 0 THEN 1 ELSE 0 END AS INT) AS contaminated
+           |FROM documents d LEFT JOIN stats ON d.doc_id = stats.doc_id
+           |WHERE d.doc_id % 10 <> 0 ORDER BY d.doc_id""".stripMargin))
+  }
+
   /** MassiveText/Gopher duplicate-n-gram repetition stats for n=2,3,
     * oracle-recomputed from the raw token stream. */
   private val qDupNgrams = {
@@ -3791,7 +3840,8 @@ object Queries {
     qMixDomains, qTopTerms,
     qSessionize, qSessionizeStream, qScoreStream, qAsofJoin, qRangeJoin,
     qGopherQuality, qSampleStratified, qDomainFilter, qDecontaminate,
-    qDecontaminateBloom, qDecontaminateContainment, qDecontaminateFuzzy,
+    qDecontaminateBloom, qDecontaminateBloomMd5, qDecontaminateContainment,
+    qDecontaminateFuzzy,
     qDecontaminateFuzzyStream, qDecontaminateStream,
     qPiiRedact, qRepetitionFilter, qBpePairs,
     qNormalizeText, qCorpusProfile, qCollocations, qWeightedSample, qDsirSelect,

@@ -275,6 +275,62 @@ object Corpus {
       .withColumn("contaminated", (col("n_hits") > 0).cast("int"))
   }
 
+  /** md5-portable BLOOM twin (proof harness, full oracle): the Bloom
+    * membership test restated with engine-portable hash functions so
+    * DuckDB re-derives the whole sketch — the md5-twin pattern applied
+    * to the decontamination gate. The filter is the implicit 2²⁰-bit
+    * array whose set bits are the four 20-bit chunks of md5(shingle)
+    * over the benchmark shingle set; a corpus shingle "hits" iff ALL
+    * four of its chunk positions are set (including any genuine false
+    * positive, which the oracle reproduces bit-for-bit since both
+    * engines compute the same positions). Plan shape mirrors the
+    * production paths: the distinct bench POSITION set (≤ 4·|bench
+    * shingles| ints — benchmark-suite-sized, never corpus-sized) is
+    * broadcast and LEFT-joined four times against the scan-parallel
+    * corpus shingle stream — corpus text never shuffles; the only
+    * movement is the final (doc_id, counts) aggregate, exactly like
+    * `decontaminate`. Spark's `BloomFilter` stays the production
+    * sketch (`decontaminateBloom`): its bit array is ~3.6 bytes per
+    * shingle at fpp 1e-6, while this twin's explicit position set
+    * trades size for portability. Output contract matches the other
+    * decontamination forms: (doc_id, n_shingles, n_hits,
+    * contaminated). */
+  def decontaminateBloomMd5(corpus: DataFrame, benchmark: DataFrame,
+                            idCol: String, textCol: String,
+                            k: Int = 8): DataFrame = {
+    def posCols(s: Column): Seq[Column] =
+      (0 until 4).map(i =>
+        conv(substring(md5(s.cast("binary")), 1 + 5 * i, 5), 16, 10)
+          .cast("long"))
+    val bpos = broadcast(
+      Dedup.shingleDocs(benchmark, idCol, textCol, k)
+        .select(explode(col("shingles")).as("s"))
+        .select(explode(array(posCols(col("s")): _*)).as("pos"))
+        .distinct()
+        .withColumn("__set", lit(1)))
+    val csh = Dedup.shingleDocs(corpus, idCol, textCol, k)
+      .select(col("doc_id"), explode(col("shingles")).as("s"))
+    val withPos = csh.select(
+      col("doc_id") +: posCols(col("s")).zipWithIndex
+        .map { case (c, i) => c.as(s"p$i") }: _*)
+    val probed = (0 until 4).foldLeft(withPos) { (df, i) =>
+      df.join(bpos.select(col("pos").as(s"p$i"), col("__set").as(s"__s$i")),
+        Seq(s"p$i"), "left")
+    }
+    val hit = (0 until 4).map(i => col(s"__s$i").isNotNull).reduce(_ && _)
+    val stats = probed
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+           sum(hit.cast("int")).as("n_hits"))
+    corpus.select(col(idCol).as("doc_id"))
+      .join(stats, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+              coalesce(col("n_shingles"), lit(0L)).cast("int").as("n_shingles"),
+              coalesce(col("n_hits"), lit(0L)).cast("int").as("n_hits"))
+      .withColumn("contaminated", (col("n_hits") > 0).cast("int"))
+      .orderBy("doc_id")
+  }
+
   /** The decontamination verdict as a scan-side BOOLEAN GATE — true
     * iff the row's k-shingle set has zero hits against the fitted
     * benchmark sketch — for composing into larger plans

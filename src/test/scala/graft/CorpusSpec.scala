@@ -834,6 +834,30 @@ class CorpusSpec extends AnyFunSuite {
       est(0).getAs[Long]("n_docs") == 3L)
   }
 
+  test("decontaminateBloomMd5: one-sided error vs the exact join — no false " +
+       "negatives, hits bounded below by exact hits") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+    val exact = Corpus.decontaminate(corpus, bench, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getInt(2), r.getInt(3))).toMap
+    val bloom = Corpus.decontaminateBloomMd5(corpus, bench, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getInt(2), r.getInt(3))).toMap
+    assert(bloom.keySet == exact.keySet)
+    var extra = 0
+    exact.foreach { case (id, (exHits, exFlag)) =>
+      val (blHits, blFlag) = bloom(id)
+      assert(blHits >= exHits,
+        s"Bloom dropped a true hit for $id: $blHits < $exHits")
+      if (exFlag == 1) assert(blFlag == 1, s"false negative on $id")
+      extra += blHits - exHits
+    }
+    // 4x20-bit positions at bench density keep false positives ~1e-7
+    // per shingle; the corpus-wide excess must stay marginal
+    assert(extra <= 2, s"implausibly many Bloom false-positive hits: $extra")
+    assert(exact.values.exists(_._2 == 1), "fixture must contain real hits")
+  }
+
   test("topTermsPerGroup ranks by count desc then term asc, capped at k") {
     val df = Seq(
       (1L, "en", "x x x y y z"),
