@@ -1610,6 +1610,75 @@ object Queries {
     },
     None)
 
+  /** md5-portable ORACLE twin of `sim_lsh_topk` — the last un-pinned
+    * candidate family: the projection matrix derives from md5 ("plane
+    * t, dim j" → uniform[−1,1)), so DuckDB re-derives the planes, the
+    * quantized AND-OR bucket keys, the ≤cap bucket filter, the
+    * candidate pairs AND the per-query top-k — pinning random-
+    * projection LSH end to end the way the md5 twins pinned minhash/
+    * simhash/Bloom/KMV. Same L/r/w/cap as the production query; only
+    * the plane distribution differs (uniform vs Gaussian — the twin
+    * pins algebra, not the matrix draw). */
+  private val qSimLshTopkMd5 = {
+    val (lT, rp, w0, cap, k) = (16, 2, 1.2, 512, 10)
+    val dim = 64
+    Q(
+      "sim_lsh_topk_md5",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("f"))
+        val planes = graft.functions.VectorLsh.md5Planes(dim, lT * rp)
+        val pairs = graft.functions.VectorLsh.candidatePairsKeys(
+          e, "vec_id", "f",
+          graft.functions.VectorLsh.bucketKeysPlanes(col("f"), planes, lT, rp, w0),
+          bucketCap = cap)
+        val edges = pairs
+          .select(col("id_a").as("id"), col("id_b").as("nid"), col("dist"))
+          .unionAll(pairs.select(col("id_b").as("id"), col("id_a").as("nid"),
+            col("dist")))
+        val w = Window.partitionBy("id").orderBy(col("dist").asc, col("nid").asc)
+        edges.filter(col("id") < 10)
+          .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
+          .select(col("id").as("query_id"), col("nid").as("neighbor_id"),
+                  round(lit(1.0) - col("dist") * col("dist") / lit(2.0), 6).as("cos"))
+          .orderBy("query_id", "neighbor_id")
+      },
+      Some(s"""WITH pl AS (SELECT t,
+           |  list(2 * CAST(('0x' || substr(md5(t::VARCHAR || ':' || j::VARCHAR), 1, 13))::UBIGINT AS DOUBLE)
+           |       / power(16, 13) - 1 ORDER BY j) AS g
+           | FROM generate_series(0, ${lT * rp - 1}) s(t), generate_series(0, ${dim - 1}) q(j)
+           | GROUP BY t),
+           |v AS (SELECT vec_id AS id, embedding AS f FROM embeddings),
+           |proj AS (SELECT id, t,
+           |  CAST(floor(list_sum(list_transform(list_zip(g, f),
+           |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / $w0) AS BIGINT) AS h
+           | FROM v, pl),
+           |keys AS (SELECT id, concat_ws('_', (t // $rp)::VARCHAR,
+           |    array_to_string(list(h::VARCHAR ORDER BY t), '_')) AS k
+           | FROM proj GROUP BY id, t // $rp),
+           |small AS (SELECT k FROM keys GROUP BY k HAVING count(*) <= $cap),
+           |pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+           | FROM (SELECT keys.id, keys.k FROM keys JOIN small USING (k)) a
+           | JOIN (SELECT keys.id, keys.k FROM keys JOIN small USING (k)) b
+           |   ON a.k = b.k AND a.id < b.id),
+           |pd AS (SELECT id_a, id_b,
+           |  sqrt(greatest(
+           |    list_sum(list_transform(list_zip(va.f, va.f), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+           |    + list_sum(list_transform(list_zip(vb.f, vb.f), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+           |    - 2 * list_sum(list_transform(list_zip(va.f, vb.f), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))),
+           |    0)) AS dist
+           | FROM pairs JOIN v va ON va.id = id_a JOIN v vb ON vb.id = id_b),
+           |edges AS (SELECT id_a AS id, id_b AS nid, dist FROM pd
+           |          UNION ALL SELECT id_b, id_a, dist FROM pd)
+           |SELECT query_id, neighbor_id, cos FROM (
+           | SELECT id AS query_id, nid AS neighbor_id,
+           |  round(1.0 - dist * dist / 2.0, 6) AS cos,
+           |  row_number() OVER (PARTITION BY id ORDER BY dist ASC, nid ASC) AS rn
+           | FROM edges WHERE id < 10) WHERE rn <= $k
+           |ORDER BY query_id, neighbor_id""".stripMargin))
+  }
+
   /** ANN top-k via IVF coarse quantization (rows-only) — the second
     * scale path for `q_sim_bruteforce`, orthogonal to LSH: k-means
     * cells bound each query's candidate set to ~nprobe/nlist of the
@@ -3825,7 +3894,7 @@ object Queries {
     qDedupExact, qNgramJaccard, qSimBruteforce, qSimServe, qSimServeSharded,
     qSimServeStream,
     qKnnGraph, qKnnGraphSharded, qKnnGraphIvf, qKnnGraphGrid, qKnnClusters,
-    qSimLshTopk, qSimIvfTopk,
+    qSimLshTopk, qSimLshTopkMd5, qSimIvfTopk,
     qSimIvfTopkGrid, qSimPqTopk, qSimPqServe, qSimSqTopk, qSimSqServe,
     qSimIvfPqTopk,
     qDedupMinhash, qDedupMinhashMd5, qDedupMinhashMd5Capped,

@@ -29,13 +29,42 @@ object VectorLsh {
     Array.fill(L * r)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** md5-derived uniform[−1, 1) projection matrix — the ENGINE-PORTABLE
+    * plane family for the `sim_lsh_topk_md5` proof twin: plane t,
+    * component j is 2·u − 1 where u is the first 13 hex chars (52
+    * bits, double-exact) of md5("t:j") as a fraction of 16¹³ — the
+    * exact arithmetic DuckDB restates with substr/::UBIGINT, so both
+    * engines hold bit-identical matrices. Uniform, not Gaussian:
+    * random-projection LSH only needs a symmetric direction
+    * distribution, and the twin's role is pinning the bucket/candidate
+    * algebra (the production paths keep seeded Gaussians). */
+  def md5Planes(dim: Int, nPlanes: Int): Array[Array[Double]] = {
+    val scale = math.pow(16.0, 13)
+    Array.tabulate(nPlanes) { t =>
+      Array.tabulate(dim) { j =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(s"$t:$j".getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString
+        val u = java.lang.Long.parseLong(hex.substring(0, 13), 16).toDouble / scale
+        2.0 * u - 1.0
+      }
+    }
+  }
+
   private def dotLit(vec: Column, g: Array[Double]): Column =
     ArrayMath.dot(vec, array(g.toIndexedSeq.map(lit): _*))
 
   /** `L` composite bucket keys for a vector column. */
   def bucketKeys(vec: Column, dim: Int, L: Int, r: Int, w: Double,
-                 seed: Long = 42L): Column = {
-    val g = gaussians(dim, L, r, seed)
+                 seed: Long = 42L): Column =
+    bucketKeysPlanes(vec, gaussians(dim, L, r, seed), L, r, w)
+
+  /** `bucketKeys` over an explicit projection matrix (L·r × dim) —
+    * the entry point the md5 proof twin shares with the production
+    * seeded-Gaussian path. */
+  def bucketKeysPlanes(vec: Column, g: Array[Array[Double]],
+                       L: Int, r: Int, w: Double): Column = {
+    require(g.length == L * r, s"need ${L * r} planes, got ${g.length}")
     val keys = (0 until L).map { l =>
       val parts = (0 until r).map(j =>
         floor(dotLit(vec, g(l * r + j)) / lit(w)).cast("long").cast("string"))
@@ -61,9 +90,16 @@ object VectorLsh {
     * (measured: minutes vs seconds at 100k rows). */
   def candidatePairs(df: DataFrame, idCol: String, vecCol: String,
                      dim: Int, L: Int, r: Int, w: Double,
-                     seed: Long = 42L, bucketCap: Int = 1000): DataFrame = {
+                     seed: Long = 42L, bucketCap: Int = 1000): DataFrame =
+    candidatePairsKeys(df, idCol, vecCol,
+      bucketKeys(col(vecCol), dim, L, r, w, seed), bucketCap)
+
+  /** `candidatePairs` over an explicit keys column (shared by the
+    * production seeded path and the md5 proof twin). */
+  def candidatePairsKeys(df: DataFrame, idCol: String, vecCol: String,
+                         keysCol: Column, bucketCap: Int): DataFrame = {
     val keyed = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-        explode(bucketKeys(col(vecCol), dim, L, r, w, seed)).as("k"))
+        explode(keysCol).as("k"))
     val small = keyed.join(
       keyed.groupBy("k").count().filter(col("count") <= bucketCap).select("k"), "k")
     val dist = sqrt(greatest(

@@ -18,6 +18,17 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.6, s"recall $recall too low")
   }
 
+  test("sim_lsh_topk_md5 recall@10 >= 0.6 vs brute force on sf0.001 " +
+       "(portable planes lose no retrieval quality)") {
+    val exact = SparkEntry.queries("q_sim_bruteforce")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = SparkEntry.queries("sim_lsh_topk_md5")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(s"md5-plane recall@10 = $recall (${(exact & approx).size}/${exact.size})")
+    assert(recall >= 0.6, s"recall $recall too low")
+  }
+
   test("sim_ivf_topk recall@10 >= 0.6 vs brute force on sf0.001") {
     val exact = SparkEntry.queries("q_sim_bruteforce")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
