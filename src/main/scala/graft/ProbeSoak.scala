@@ -266,6 +266,21 @@ object ProbeSoak {
         }.min
         val tRaw = rep(AnnServe.topkRows(queries, raw).count())
         val tPq = rep(AnnServe.pqTopkRows(queries, pq).count())
+        // SQ8 tier (r8): one byte per component + the per-dim line +
+        // fitted norms — the middle memory point; serve must stay scan-
+        // flat like the other tiers and the 8x vector-payload claim
+        // must hold (whole-shard ratio is lower: ids + norms overhead)
+        val sq = AnnServe.fitSqShard(e)
+        val sqBytes = sq.ids.length * 8L + sq.codes.length +
+          sq.norms.length * 8L + sq.dim * 16L
+        require(sq.codes.length == raw.flatVecs.length && // 1 B vs 8 B per component
+          sqBytes * 4 < rawBytes,
+          s"SQ shard not smaller: $sqBytes vs $rawBytes")
+        val tSq = rep(AnnServe.sqTopkRows(queries, sq).count())
+        val sqTop1 = AnnServe.sqTopkRows(queries, sq, k = 1)
+          .agg(min(col("cos"))).head.getDouble(0)
+        require(sqTop1 >= 0.99,
+          s"SQ8 must keep the planted cluster's top-1, got $sqTop1")
         // cross-shard merge invariance (r8): the sharded serve must
         // return byte-identical answers for ANY shard count at every
         // scale — the correctness half of the 100 TB fan-out contract
@@ -292,36 +307,44 @@ object ProbeSoak {
           s"planted dense cluster must dominate every top-1, got $top1")
         println(f"[soak-serve] x$s%-3d n=${raw.ids.length}%8d " +
           f"fitRaw=${(f1 - f0) / 1e9}%5.2fs fitPq=${(f2 - f1) / 1e9}%5.2fs " +
-          f"serveRaw=$tRaw%5.2fs servePq=$tPq%5.2fs " +
-          f"rawMB=${rawBytes / 1e6}%8.1f pqMB=${pqBytes / 1e6}%6.2f top1=$top1%.4f")
-        // IVF multi-probe kNN GRAPH at this scale — the q_knn_graph_ivf
-        // shape with its adaptive nlist (~32/cell): work is
-        // n·occupancy·nprobe² cosines, so wall time must track n.
-        // Gate: the planted dense cluster keeps its members' top-1
-        // inside the cluster (ids < c are the cluster).
-        val g0 = System.nanoTime()
-        // the SAME operator the declared query runs — not a copy, so
-        // query tuning can never silently diverge from the soak
-        val graph = operators.Ivf.knnGraph(e, "vec_id", "embedding",
-            k = 5, nprobe = 6, targetCell = 32)
-          .localCheckpoint()
-        val nEdgesOut = graph.count()
-        val g1 = System.nanoTime()
-        val nlist = math.max(16L,
-          math.min(4096L, raw.ids.length.toLong / 32)).toInt
-        val c = raw.ids.length / 13 // planted cluster ≈ n/12 of base+cluster total
-        import org.apache.spark.sql.expressions.Window
-        val wTop = Window.partitionBy("query_id")
-          .orderBy(col("cos").desc, col("neighbor_id").asc)
-        val gTop1 = graph.withColumn("__rn", row_number().over(wTop))
-          .filter(col("__rn") === 1)
-        val clusterTop1InCluster = gTop1.filter(col("query_id") < c)
-          .filter(col("neighbor_id") < c).count()
-        val clusterTotal = gTop1.filter(col("query_id") < c).count()
-        require(clusterTotal == 0 || clusterTop1InCluster >= clusterTotal * 9 / 10,
-          s"dense-cluster top-1 escaped the cluster: $clusterTop1InCluster/$clusterTotal")
-        println(f"[soak-serve] x$s%-3d knnGraph=${(g1 - g0) / 1e9}%6.2fs " +
-          f"nlist=$nlist%5d edges=$nEdgesOut%9d clusterTop1=$clusterTop1InCluster/$clusterTotal")
+          f"serveRaw=$tRaw%5.2fs serveSq=$tSq%5.2fs servePq=$tPq%5.2fs " +
+          f"rawMB=${rawBytes / 1e6}%8.1f sqMB=${sqBytes / 1e6}%6.2f " +
+          f"pqMB=${pqBytes / 1e6}%6.2f top1=$top1%.4f")
+        // GRAFT_SOAK_KNN=0 skips the kNN-graph pass (proven separately
+        // by the knn2 mode; at the two-level scales it dominates the
+        // serve sweep's wall time)
+        if (sys.env.get("GRAFT_SOAK_KNN").contains("0")) {
+          println(f"[soak-serve] x$s%-3d knnGraph=skipped")
+        } else {
+          // IVF multi-probe kNN GRAPH at this scale — the q_knn_graph_ivf
+          // shape with its adaptive nlist (~32/cell): work is
+          // n·occupancy·nprobe² cosines, so wall time must track n.
+          // Gate: the planted dense cluster keeps its members' top-1
+          // inside the cluster (ids < c are the cluster).
+          val g0 = System.nanoTime()
+          // the SAME operator the declared query runs — not a copy, so
+          // query tuning can never silently diverge from the soak
+          val graph = operators.Ivf.knnGraph(e, "vec_id", "embedding",
+              k = 5, nprobe = 6, targetCell = 32)
+            .localCheckpoint()
+          val nEdgesOut = graph.count()
+          val g1 = System.nanoTime()
+          val nlist = math.max(16L,
+            math.min(4096L, raw.ids.length.toLong / 32)).toInt
+          val c = raw.ids.length / 13 // planted cluster ≈ n/12 of base+cluster total
+          import org.apache.spark.sql.expressions.Window
+          val wTop = Window.partitionBy("query_id")
+            .orderBy(col("cos").desc, col("neighbor_id").asc)
+          val gTop1 = graph.withColumn("__rn", row_number().over(wTop))
+            .filter(col("__rn") === 1)
+          val clusterTop1InCluster = gTop1.filter(col("query_id") < c)
+            .filter(col("neighbor_id") < c).count()
+          val clusterTotal = gTop1.filter(col("query_id") < c).count()
+          require(clusterTotal == 0 || clusterTop1InCluster >= clusterTotal * 9 / 10,
+            s"dense-cluster top-1 escaped the cluster: $clusterTop1InCluster/$clusterTotal")
+          println(f"[soak-serve] x$s%-3d knnGraph=${(g1 - g0) / 1e9}%6.2fs " +
+            f"nlist=$nlist%5d edges=$nEdgesOut%9d clusterTop1=$clusterTop1InCluster/$clusterTotal")
+        }
       }
       spark.stop(); return
     }
@@ -456,7 +479,13 @@ object ProbeSoak {
           f"path=${if (twoLevel) "2level" else "flat"}%-6s " +
           f"tolRecall200=$recall%.3f clusterTop1=$inCl/$totCl " +
           f"msPerVec=${(g1 - g0) / 1e6 / n}%.3f")
-        if (twoLevel && s <= 96) {
+        // GRAFT_SOAK_H2H=0 skips the flat-path head-to-head: the capped
+        // flat path at x96 spills ~80 GB through its hot-cell candidate
+        // join (occupancy 51/cell at the pinned nlist) — run it only on
+        // a host with the disk to hold it, and never concurrently with
+        // other Spark work
+        if (twoLevel && s <= 96 &&
+            !sys.env.get("GRAFT_SOAK_H2H").contains("0")) {
           // head-to-head vs the old capped-flat path at the same scale.
           // Gates: the flat path passes the same cluster gate, and the
           // two-level path is NOT SLOWER (the throughput half of
