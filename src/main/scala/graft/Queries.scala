@@ -1464,6 +1464,28 @@ object Queries {
     },
     Some(knnGraphSql))
 
+  /** INCREMENTAL graph maintenance under the SAME full oracle: 80% of
+    * the corpus (vec_id % 5 ≠ 0) is the standing index with its graph
+    * already built; the remaining 20% arrives as the refresh batch and
+    * is absorbed via `AnnServe.knnGraphIncremental` — old-vs-old work
+    * is NEVER recomputed (those answers enter as the existing edge
+    * list), yet the exact-over-union merge makes the result
+    * bit-identical to rebuilding from scratch, so the whole-table
+    * kNN-graph oracle applies verbatim. The continuous-refresh shape
+    * (`q_dedup_incremental`) applied to the vector side. */
+  private val qKnnGraphInc = Q(
+    "q_knn_graph_inc",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val old = e.filter(col("vec_id") % 5 =!= 0)
+      val fresh = e.filter(col("vec_id") % 5 === 0)
+      val oldGraph = operators.AnnServe.topkRows(
+        old, operators.AnnServe.fitShard(old), k = 5)
+      operators.AnnServe.knnGraphIncremental(oldGraph, old, fresh, k = 5)
+        .orderBy("query_id", "neighbor_id")
+    },
+    Some(knnGraphSql))
+
   /** The SCALE path for `q_knn_graph` (rows-only): IVF multi-probe
     * graph construction — every vector explodes to its `nprobe`
     * nearest k-means cells, candidate pairs are vectors sharing a
@@ -1875,6 +1897,16 @@ object Queries {
       operators.AnnServe.sqTopkRows(e.filter(col("vec_id") < 10), shard, k = 10)
         .orderBy("query_id", "neighbor_id")
     },
+    Some(simSqSql))
+
+  /** The SQ8 tier's STREAMING twin — a live query feed against the
+    * resident byte-code shard (stateless append, no join, no state);
+    * drained end state ≡ the batch `sim_sq_serve`, so the full SQL
+    * quantizer oracle applies verbatim even live. */
+  private val qSimSqServeStream = Q(
+    "sim_sq_serve_stream",
+    (s, d) => streaming.CorpusStream.sqServeOverFile(s, d, k = 10)
+      .orderBy("query_id", "neighbor_id"),
     Some(simSqSql))
 
   /** ANN top-k via IVF-PQ (rows-only) — both scale axes composed:
@@ -3893,10 +3925,11 @@ object Queries {
     qWinnowFingerprint, qCorpusClean,
     qDedupExact, qNgramJaccard, qSimBruteforce, qSimServe, qSimServeSharded,
     qSimServeStream,
-    qKnnGraph, qKnnGraphSharded, qKnnGraphIvf, qKnnGraphGrid, qKnnClusters,
+    qKnnGraph, qKnnGraphSharded, qKnnGraphInc, qKnnGraphIvf, qKnnGraphGrid,
+    qKnnClusters,
     qSimLshTopk, qSimLshTopkMd5, qSimIvfTopk,
     qSimIvfTopkGrid, qSimPqTopk, qSimPqServe, qSimSqTopk, qSimSqServe,
-    qSimIvfPqTopk,
+    qSimSqServeStream, qSimIvfPqTopk,
     qDedupMinhash, qDedupMinhashMd5, qDedupMinhashMd5Capped,
     qDedupMinhashMd5Stop,
     qDedupSimhash, qDedupSimhashMd5,

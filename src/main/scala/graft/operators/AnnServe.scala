@@ -469,6 +469,42 @@ object AnnServe {
     SqShard(ids, codes, minl, stepl, norms)
   }
 
+  /** INCREMENTAL kNN-graph maintenance — the continuous-refresh shape
+    * for the graph family (the `q_dedup_incremental` posture applied
+    * to vectors): a batch of NEW vectors arrives and the existing
+    * exact graph must absorb it WITHOUT recomputing old-vs-old work.
+    * Exactness falls out of the same merge property the sharded serve
+    * uses — per-node top-k over A∪B equals the top-k of (top-k over A
+    * ∪ top-k over B) under the shared (rounded-cos desc, id asc)
+    * order — so the result is bit-identical to rebuilding the whole
+    * graph from scratch (`q_knn_graph`'s oracle applies verbatim to
+    * the union). Work shape: three serve passes sized |old|·|new|,
+    * |new|·|old|, |new|² — the old·old quadrant (the bulk at
+    * steady-state, where |new| ≪ |old|) is NEVER recomputed; its
+    * answers enter through `oldEdges` as-is. Ids must be disjoint
+    * between the frames (a re-ingested id would need delete+insert,
+    * which this operator deliberately does not hide). */
+  def knnGraphIncremental(oldEdges: DataFrame, oldEmb: DataFrame,
+                          newEmb: DataFrame, k: Int = 5,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val shardNew = fitShard(newEmb, idCol, vecCol)
+    val shardOld = fitShard(oldEmb, idCol, vecCol)
+    require(shardOld.ids.toSet.intersect(shardNew.ids.toSet).isEmpty,
+      "knnGraphIncremental: old/new ids overlap — re-ingested ids need " +
+        "an explicit delete before the incremental insert")
+    val challenged = topkRows(oldEmb, shardNew, k, idCol, vecCol)
+    val newVsOld = topkRows(newEmb, shardOld, k, idCol, vecCol)
+    val newVsNew = topkRows(newEmb, shardNew, k, idCol, vecCol)
+    val unioned = oldEdges.select("query_id", "neighbor_id", "cos")
+      .unionAll(challenged).unionAll(newVsOld).unionAll(newVsNew)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    unioned.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
+
   /** SQ8 top-k per query row — one native codegen expression
     * (`functions.SqTopK`): O(n·dim) dequantize-and-dot scan, ranked on
     * rounded cosine of (raw query, dequantized candidate). Bit-

@@ -409,6 +409,26 @@ object CorpusStream {
     spark.table(name)
   }
 
+  /** The declared `sim_sq_serve_stream` runner — the SQ8 tier's
+    * streaming twin: fit the byte-code shard batch-side, stream the
+    * query slice through the row-local dequantizing serve
+    * (`AnnServe.sqTopkRows` — stateless append like every serve half).
+    * Drained end state equals the batch `sim_sq_serve` row-for-row,
+    * so the full SQL quantizer oracle applies verbatim: the memory-
+    * bound tier keeps its oracle even live. */
+  def sqServeOverFile(spark: org.apache.spark.sql.SparkSession,
+                      sfDir: String, k: Int = 10): DataFrame = {
+    val shard = graft.operators.AnnServe.fitSqShard(
+      graft.Tables.embeddings(spark, sfDir))
+    val name = s"__graft_sqserve_${runSeq.incrementAndGet()}"
+    val q = graft.operators.AnnServe.sqTopkRows(
+        graft.Tables.embeddingsStream(spark, sfDir).filter(col("vec_id") < 10),
+        shard, k)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
   // =====================================================================
   // Finite-input runners for the declared streaming dedup twins
   // =====================================================================

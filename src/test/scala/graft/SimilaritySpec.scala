@@ -319,6 +319,26 @@ class SimilaritySpec extends AnyFunSuite {
       s"grid graph covers only $gridNodes/$n nodes")
   }
 
+  test("knn graph incremental: absorbing a batch is bit-identical to a " +
+       "scratch rebuild; overlapping ids fail loudly") {
+    import org.apache.spark.sql.functions.col
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val scratch = SparkEntry.queries("q_knn_graph")(spark, sf)
+      .collect().map(key).toSeq
+    val inc = SparkEntry.queries("q_knn_graph_inc")(spark, sf)
+      .collect().map(key).toSeq
+    assert(inc == scratch,
+      "incremental graph must equal the scratch rebuild bit-for-bit")
+    val e = Tables.embeddings(spark, sf)
+    val err = intercept[IllegalArgumentException] {
+      graft.operators.AnnServe.knnGraphIncremental(
+        SparkEntry.queries("q_knn_graph")(spark, sf),
+        e, e.filter(col("vec_id") < 5), k = 5)
+    }
+    assert(err.getMessage.contains("overlap"))
+  }
+
   test("sq8 serve: dequantizing byte-shard scan is bit-identical to the " +
        "sim_sq_topk join+window plan") {
     val key = (r: org.apache.spark.sql.Row) =>
