@@ -1408,22 +1408,26 @@ object Queries {
       .orderBy("query_id", "neighbor_id"),
     Some(simBruteforceSql))
 
-  /** Shared oracle for the exact kNN-graph pair: the graph stated as
+  /** Shared oracle for the exact kNN-graph family: the graph stated as
     * the quadratic self-join + per-node top-5 window (only the oracle
-    * pays the O(n²) join — the Spark queries never materialize it). */
-  private val knnGraphSql =
-    """WITH c AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+    * pays the O(n²) join — the Spark queries never materialize it).
+    * `corpusWhere` narrows the node set (the delete query's oracle is
+    * the SAME graph over the remaining vectors). */
+  private def knnGraphSqlFor(corpusWhere: String): String =
+    s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings $corpusWhere),
+           |c AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
            |  round(CASE WHEN sqrt(list_sum(list_transform(list_zip(q.embedding, q.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))))
            |           * sqrt(list_sum(list_transform(list_zip(e.embedding, e.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))) > 0
            |        THEN list_sum(list_transform(list_zip(q.embedding, e.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
            |           / (sqrt(list_sum(list_transform(list_zip(q.embedding, q.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))))
            |            * sqrt(list_sum(list_transform(list_zip(e.embedding, e.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))))
            |        ELSE 0.0 END, 6) AS cos
-           | FROM embeddings q, embeddings e WHERE e.vec_id <> q.vec_id)
+           | FROM emb q, emb e WHERE e.vec_id <> q.vec_id)
            |SELECT query_id, neighbor_id, cos FROM (
            | SELECT query_id, neighbor_id, cos,
            |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn
            | FROM c) WHERE rn <= 5 ORDER BY query_id, neighbor_id""".stripMargin
+  private val knnGraphSql = knnGraphSqlFor("")
 
   /** Exact k-NN GRAPH over the whole embeddings table — every vector's
     * top-5 neighbors, the input structure for graph-based clustering
@@ -1485,6 +1489,30 @@ object Queries {
         .orderBy("query_id", "neighbor_id")
     },
     Some(knnGraphSql))
+
+  /** The DELETE half of graph maintenance under the filtered oracle:
+    * vectors with vec_id % 7 == 0 leave the corpus, and the standing
+    * graph absorbs the deletion via `AnnServe.knnGraphDelete` — only
+    * nodes that held a removed id in their top-5 re-serve against the
+    * remaining corpus; every untouched node's edges pass through
+    * as-is (deleting candidates cannot change a top-k that contained
+    * none of them). Result is bit-identical to rebuilding on the
+    * remaining set, so the kNN-graph oracle with the same WHERE
+    * applies. Insert (`q_knn_graph_inc`) + delete = the full upsert
+    * lifecycle of a served vector index, each half oracle-checked. */
+  private val qKnnGraphDel = Q(
+    "q_knn_graph_del",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val full = operators.AnnServe.topkRows(
+        e, operators.AnnServe.fitShard(e), k = 5)
+      operators.AnnServe.knnGraphDelete(
+          full,
+          e.filter(col("vec_id") % 7 =!= 0),
+          e.filter(col("vec_id") % 7 === 0).select("vec_id"), k = 5)
+        .orderBy("query_id", "neighbor_id")
+    },
+    Some(knnGraphSqlFor("WHERE vec_id % 7 <> 0")))
 
   /** The SCALE path for `q_knn_graph` (rows-only): IVF multi-probe
     * graph construction — every vector explodes to its `nprobe`
@@ -3925,7 +3953,8 @@ object Queries {
     qWinnowFingerprint, qCorpusClean,
     qDedupExact, qNgramJaccard, qSimBruteforce, qSimServe, qSimServeSharded,
     qSimServeStream,
-    qKnnGraph, qKnnGraphSharded, qKnnGraphInc, qKnnGraphIvf, qKnnGraphGrid,
+    qKnnGraph, qKnnGraphSharded, qKnnGraphInc, qKnnGraphDel, qKnnGraphIvf,
+    qKnnGraphGrid,
     qKnnClusters,
     qSimLshTopk, qSimLshTopkMd5, qSimIvfTopk,
     qSimIvfTopkGrid, qSimPqTopk, qSimPqServe, qSimSqTopk, qSimSqServe,

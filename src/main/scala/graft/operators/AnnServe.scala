@@ -505,6 +505,40 @@ object AnnServe {
       .filter(col("__rn") <= k).drop("__rn")
   }
 
+  /** The DELETE half of incremental graph maintenance: removing
+    * vectors invalidates exactly the nodes that held a removed id in
+    * their top-k — every other node's answer is UNCHANGED (deleting
+    * corpus vectors only removes candidates; a top-k that contained
+    * none of them is already the top-k over the remaining corpus).
+    * So: drop removed nodes' own rows, keep untouched nodes' edges
+    * as-is, and re-serve ONLY the affected nodes against the
+    * remaining corpus — bit-identical to a scratch rebuild on the
+    * remaining set (the same oracle applies with the removed ids
+    * filtered out). Work shape: |affected|·|remaining| — at
+    * steady-state deletion rates the affected set is k·|removed|-ish,
+    * a sliver of the rebuild. `remaining` must already exclude the
+    * removed vectors (this operator maintains the GRAPH; corpus
+    * deletion is the caller's move). */
+  def knnGraphDelete(edges: DataFrame, remaining: DataFrame,
+                     removedIds: DataFrame, k: Int = 5,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val removed = removedIds
+      .select(col(removedIds.columns.head).cast("long").as("__rid")).distinct()
+    val live = edges.join(broadcast(removed),
+      col("query_id") === col("__rid"), "left_anti")
+    val affected = live.join(broadcast(removed),
+        col("neighbor_id") === col("__rid"), "left_semi")
+      .select(col("query_id")).distinct()
+    val untouched = live.join(broadcast(affected), Seq("query_id"), "left_anti")
+    val shard = fitShard(remaining, idCol, vecCol)
+    val recomputed = topkRows(
+      remaining.join(broadcast(affected),
+        col(idCol) === col("query_id"), "left_semi"),
+      shard, k, idCol, vecCol)
+    untouched.select("query_id", "neighbor_id", "cos").unionAll(recomputed)
+  }
+
   /** SQ8 top-k per query row — one native codegen expression
     * (`functions.SqTopK`): O(n·dim) dequantize-and-dot scan, ranked on
     * rounded cosine of (raw query, dequantized candidate). Bit-

@@ -339,6 +339,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(err.getMessage.contains("overlap"))
   }
 
+  test("knn graph delete: absorbing a deletion is bit-identical to a rebuild " +
+       "on the remaining corpus, recomputing only affected nodes") {
+    import org.apache.spark.sql.functions.col
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val e = Tables.embeddings(spark, sf)
+    val remaining = e.filter(col("vec_id") % 7 =!= 0)
+    val scratch = graft.operators.AnnServe.topkRows(
+        remaining, graft.operators.AnnServe.fitShard(remaining), k = 5)
+      .orderBy("query_id", "neighbor_id").collect().map(key).toSeq
+    val del = SparkEntry.queries("q_knn_graph_del")(spark, sf)
+      .collect().map(key).toSeq
+    assert(del == scratch,
+      "post-delete graph must equal the rebuild on the remaining corpus")
+    // the efficiency claim: untouched nodes pass through, so the
+    // affected set (nodes holding a removed id in their top-5) must be
+    // a strict subset of the remaining nodes
+    val full = graft.operators.AnnServe.topkRows(
+      e, graft.operators.AnnServe.fitShard(e), k = 5)
+    val affected = full
+      .filter(col("query_id") % 7 =!= 0 && col("neighbor_id") % 7 === 0)
+      .select("query_id").distinct().count()
+    val total = remaining.count()
+    info(s"affected $affected of $total remaining nodes re-served")
+    assert(affected < total, "deletion must not force a full re-serve")
+  }
+
   test("sq8 serve: dequantizing byte-shard scan is bit-identical to the " +
        "sim_sq_topk join+window plan") {
     val key = (r: org.apache.spark.sql.Row) =>
