@@ -348,6 +348,59 @@ object ProbeSoak {
       }
       spark.stop(); return
     }
+    if (mode == "upsert") {
+      // Incremental graph maintenance soak: a 5% insert batch and a 5%
+      // delete batch absorbed into the standing exact graph vs a
+      // scratch rebuild at the same scale. Gates: bit-identical output
+      // for both halves; the printed ratios are the steady-state cost
+      // claim (insert ~ 2·|old|·|new| + |new|² of the rebuild's
+      // |n|², delete ~ |affected|·|remaining|).
+      import graft.operators.AnnServe
+      scales.foreach { s =>
+        val dir = s"$OutRoot/x$s"
+        if (!new java.io.File(s"$dir/embeddings.parquet").exists) {
+          genEmbeddings(spark, s).repartition(32).write.mode("overwrite")
+            .parquet(s"$dir/embeddings.parquet")
+        }
+        val e = spark.read.parquet(s"$dir/embeddings.parquet").localCheckpoint(true)
+        val n = e.count()
+        val tup = (r: org.apache.spark.sql.Row) =>
+          (r.getLong(0), r.getLong(1), r.getDouble(2))
+        def graphOf(df: org.apache.spark.sql.DataFrame) =
+          AnnServe.topkRows(df, AnnServe.fitShard(df), k = 5)
+        // scratch rebuild over the whole corpus
+        val t0 = System.nanoTime()
+        val scratch = graphOf(e).localCheckpoint(true)
+        val t1 = System.nanoTime()
+        // INSERT: 95% standing (graph prebuilt OUTSIDE the timed
+        // window — it IS the standing state), 5% arriving
+        val old = e.filter(col("vec_id") % 20 =!= 0).localCheckpoint(true)
+        val fresh = e.filter(col("vec_id") % 20 === 0).localCheckpoint(true)
+        val oldGraph = graphOf(old).localCheckpoint(true)
+        val i0 = System.nanoTime()
+        val inc = AnnServe.knnGraphIncremental(oldGraph, old, fresh, k = 5)
+          .localCheckpoint(true)
+        val i1 = System.nanoTime()
+        require(inc.collect().map(tup).toSeq.sorted ==
+          scratch.collect().map(tup).toSeq.sorted,
+          s"incremental insert diverged from scratch at x$s")
+        // DELETE: remove 5%, absorb into the full graph
+        val remaining = old
+        val removed = fresh.select("vec_id")
+        val d0 = System.nanoTime()
+        val del = AnnServe.knnGraphDelete(scratch, remaining, removed, k = 5)
+          .localCheckpoint(true)
+        val d1 = System.nanoTime()
+        require(del.collect().map(tup).toSeq.sorted ==
+          oldGraph.collect().map(tup).toSeq.sorted,
+          s"delete diverged from the rebuild on the remaining corpus at x$s")
+        val (ts, ti, td) = ((t1 - t0) / 1e9, (i1 - i0) / 1e9, (d1 - d0) / 1e9)
+        println(f"[soak-upsert] x$s%-3d n=$n%8d scratch=$ts%7.2fs " +
+          f"insert5pct=$ti%7.2fs (${ti / ts}%.2fx) " +
+          f"delete5pct=$td%7.2fs (${td / ts}%.2fx) identical=true")
+      }
+      spark.stop(); return
+    }
     if (mode == "knn2sweep") {
       // (npc, npf) probe-split sweep for the two-level path: recall vs
       // the exact graph on the real sf0.1 table and on x4 noise —
