@@ -273,6 +273,36 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(pq.contains("adc_topk"), s"native expression missing:\n${pq.take(800)}")
   }
 
+  test("SQ8 serve is scan-side like the other tiers; the maintenance merges " +
+       "shuffle only answer rows") {
+    val e = Tables.embeddings(spark, sf)
+    // the dequantizing serve: same zero-exchange/no-join contract as
+    // raw and PQ — the byte shard rides the broadcast, each row pays
+    // one sq_topk scan
+    val sq = operators.AnnServe
+      .sqTopkRows(e.filter(col("vec_id") < 10),
+        operators.AnnServe.fitSqShard(e), k = 10)
+      .queryExecution.executedPlan.toString
+    assert(!sq.contains("Exchange") && !sq.contains("Join"),
+      s"sqTopkRows claims scan-side-only:\n${sq.take(800)}")
+    assert(sq.contains("sq_topk"), s"native expression missing:\n${sq.take(800)}")
+    // incremental insert: the only hash exchange is the per-query
+    // top-k merge window over ANSWER rows (query_id-keyed) — vectors
+    // never shuffle (each serve pass is scan-side per the gate above)
+    val old = e.filter(col("vec_id") % 5 =!= 0)
+    val fresh = e.filter(col("vec_id") % 5 === 0)
+    val oldGraph = operators.AnnServe.topkRows(
+      old, operators.AnnServe.fitShard(old), k = 5)
+    val inc = operators.AnnServe.knnGraphIncremental(oldGraph, old, fresh, k = 5)
+      .queryExecution.executedPlan.toString
+    val hashEx = "Exchange hashpartitioning\\(query_id".r
+      .findAllIn(inc).length
+    assert("Exchange hashpartitioning".r.findAllIn(inc).length == hashEx,
+      s"incremental merge shuffles something other than answer rows:\n${inc.take(1200)}")
+    Seq("SortMergeJoin", "CartesianProduct").foreach(j =>
+      assert(!inc.contains(j), s"unexpected $j in incremental merge:\n${inc.take(1200)}"))
+  }
+
   test("domain mixing is scan-side: no hash exchange anywhere in the plan") {
     // weight lookup is a literal map, the epoch copy a per-row explode —
     // the only exchange allowed is the presentation orderBy's range
