@@ -535,6 +535,46 @@ object Queries {
            |   p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))
            |  / CAST(len(embedding) AS DOUBLE) AS mse FROM embeddings)""".stripMargin))
 
+  /** The 100 TB form of the threshold fit (rows-only): Spark's
+    * `approx_percentile` sketch — constant-size mergeable partials
+    * instead of the exact percentile's full-column sort, the same
+    * trade HLL makes for distinct counts. No SQL oracle (the sketch
+    * is engine-private, like HLL/Bloom before their twins); MlSpec
+    * bounds its error against the exact threshold, and
+    * `q_ae_threshold_sample` below is its engine-portable proof
+    * twin. */
+  private val qAeThresholdApprox = Q(
+    "q_ae_threshold_approx",
+    (s, d) =>
+      Tables.embeddings(s, d)
+        .select(VectorOps.rowwiseMse(col("embedding"), reverse(col("embedding"))).as("mse"))
+        .agg(round(expr("approx_percentile(mse, 0.975, 10000)"), 6)
+          .as("ae_threshold")),
+    None)
+
+  /** md5-portable SAMPLED-QUANTILE twin (FULL oracle) — the md5-twin
+    * pattern applied to the last sketch family, quantiles: the exact
+    * percentile over a deterministic 25% md5-coin sample (the same
+    * `substr(md5(id),1,8)` coin `mixDomains`/`dsirSelect` use), so
+    * the coin, the sample membership AND the interpolated quantile
+    * are all DuckDB-re-derivable. This is the bounded-fit posture the
+    * engine already applies to BPE (`sampleFraction`) stated for
+    * threshold fitting: fit on a sample whose size you control, serve
+    * corpus-wide. `approx_percentile` stays the production sketch. */
+  private val qAeThresholdSample = Q(
+    "q_ae_threshold_sample",
+    (s, d) =>
+      Tables.embeddings(s, d)
+        .filter(substring(md5(col("vec_id").cast("string").cast("binary")), 1, 8)
+          < lit("40000000"))
+        .select(VectorOps.rowwiseMse(col("embedding"), reverse(col("embedding"))).as("mse"))
+        .agg(round(expr("percentile(mse, 0.975)"), 6).as("ae_threshold")),
+    Some("""SELECT round(quantile_cont(mse, 0.975), 6) AS ae_threshold FROM (
+           | SELECT list_sum(list_transform(list_zip(embedding, list_reverse(embedding)),
+           |   p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))
+           |  / CAST(len(embedding) AS DOUBLE) AS mse FROM embeddings
+           | WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) < '40000000')""".stripMargin))
+
   // =====================================================================
   // §2.8 ML operators (rows-only checks — not SQL-expressible, except
   // the scaler fit which is a plain aggregate)
@@ -3948,7 +3988,7 @@ object Queries {
     qInvSigmoid, qNormAe, qFuseWorker, qJoinScores,
     qWinCustAvg, qWinCustCount, qWinMerchAvg, qWinDedup,
     qTopkRisky,
-    qRowwiseMse, qAeThreshold,
+    qRowwiseMse, qAeThreshold, qAeThresholdApprox, qAeThresholdSample,
     qTextStats, qLangId, qTokenCount, qTfidfTop, qFingerprint,
     qWinnowFingerprint, qCorpusClean,
     qDedupExact, qNgramJaccard, qSimBruteforce, qSimServe, qSimServeSharded,

@@ -23,6 +23,21 @@ class MlSpec extends AnyFunSuite {
     (normal ++ outliers).toDF("id", "features", "is_anomaly")
   }
 
+  test("ae threshold: approx sketch and md5-sampled twin both track the exact " +
+       "percentile within 5%") {
+    val sf = "/root/testdata/sf0.01"
+    def one(name: String): Double =
+      SparkEntry.queries(name)(spark, sf).head.getDouble(0)
+    val exact = one("q_ae_threshold")
+    val approx = one("q_ae_threshold_approx")
+    val sampled = one("q_ae_threshold_sample")
+    info(s"exact=$exact approx=$approx sampled=$sampled")
+    assert(math.abs(approx / exact - 1) <= 0.05,
+      s"approx_percentile off by ${math.abs(approx / exact - 1)}")
+    assert(math.abs(sampled / exact - 1) <= 0.05,
+      s"md5-sampled quantile off by ${math.abs(sampled / exact - 1)}")
+  }
+
   test("preproc: scaled numerics have ~zero mean / unit variance; one-hot block sums to 1") {
     val df = Seq(
       (1.0, "a"), (2.0, "b"), (3.0, "a"), (4.0, "c"), (5.0, "b"))
