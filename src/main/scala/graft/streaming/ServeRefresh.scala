@@ -23,6 +23,14 @@ import graft.operators.AnnServe
   * against the batch oracle for that version's corpus (StreamingSpec
   * pins this exactly).
   *
+  * GENERIC over the index tier (r8): `RefreshableIndex[S]` holds any
+  * shard type behind the same versioned swap, with `rawIndex` /
+  * `sqIndex` / `pqIndex` constructors for the three serving tiers —
+  * the refresh/versioning/idempotence contract is one implementation,
+  * not three copies. PQ refreshes refit the codebooks with the shard
+  * (codes from one version's model are meaningless under another's —
+  * the model IS part of the version).
+  *
   * 100 TB posture: refresh cost is the shard fit (bounded by the
   * `fitShard`/`fitShards` caps); the stream never pauses because the
   * fit happens OFF the streaming thread and the swap is one reference
@@ -31,44 +39,74 @@ import graft.operators.AnnServe
   * exactly-once contract as the scored-events file runner). */
 object ServeRefresh {
 
-  /** The hot-swappable versioned index. `refresh` fits a new shard
-    * from the (current) corpus frame and bumps the version; readers
-    * snapshot (version, shard) in one volatile read. */
-  final class RefreshableIndex(idCol: String = "vec_id",
-                               vecCol: String = "embedding") {
-    @volatile private[this] var cur: (Int, AnnServe.AnnShard) = _
+  /** The hot-swappable versioned index over any shard type. `refresh`
+    * fits a new shard from the (current) corpus frame and bumps the
+    * version; readers snapshot (version, shard) in one volatile
+    * read. */
+  final class RefreshableIndex[S](fit: DataFrame => S) {
+    @volatile private[this] var cur: (Int, S) = _
 
     /** Fit a new shard and swap it in; returns the new version. */
     def refresh(corpus: DataFrame): Int = synchronized {
       val v = Option(cur).map(_._1 + 1).getOrElse(1)
-      cur = (v, AnnServe.fitShard(corpus, idCol, vecCol))
+      cur = (v, fit(corpus))
       v
     }
 
     def currentVersion: Int = snapshot._1
 
-    private[graft] def snapshot: (Int, AnnServe.AnnShard) = {
+    private[graft] def snapshot: (Int, S) = {
       val c = cur
       require(c != null, "RefreshableIndex: refresh() before serving")
       c
     }
   }
 
+  /** Raw-double exact tier (`AnnShard`). */
+  def rawIndex(idCol: String = "vec_id", vecCol: String = "embedding")
+      : RefreshableIndex[AnnServe.AnnShard] =
+    new RefreshableIndex(c => AnnServe.fitShard(c, idCol, vecCol))
+
+  /** SQ8 byte tier (`SqShard`) — 8× less resident vector RAM, same
+    * refresh contract. */
+  def sqIndex(idCol: String = "vec_id", vecCol: String = "embedding")
+      : RefreshableIndex[AnnServe.SqShard] =
+    new RefreshableIndex(c => AnnServe.fitSqShard(c, idCol, vecCol))
+
+  /** PQ tier (`PqShard`) — model refit WITH the shard each refresh;
+    * a version is (codebooks, codes) together. */
+  def pqIndex(m: Int = 16, ksub: Int = 16,
+              idCol: String = "vec_id", vecCol: String = "embedding")
+      : RefreshableIndex[AnnServe.PqShard] =
+    new RefreshableIndex(c => {
+      val model = graft.operators.Pq.fit(c, idCol, vecCol, m, ksub)
+      AnnServe.fitPqShard(c, model, idCol, vecCol)
+    })
+
   /** Serve a query stream against the refreshable index: per batch,
-    * one snapshot read, one row-local serve pass, answers tagged with
-    * the serving version and written idempotently per batch id. */
-  def start(index: RefreshableIndex, queries: DataFrame, k: Int,
-            outDir: String, checkpoint: String,
-            idCol: String = "vec_id",
-            vecCol: String = "embedding"): StreamingQuery =
+    * one snapshot read, one row-local serve pass (`serve`), answers
+    * tagged with the serving version and written idempotently per
+    * batch id. */
+  def start[S](index: RefreshableIndex[S], queries: DataFrame,
+               outDir: String, checkpoint: String)
+              (serve: (DataFrame, S) => DataFrame): StreamingQuery =
     queries.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val (v, shard) = index.snapshot
-        AnnServe.topkRows(batch, shard, k, idCol, vecCol)
+        serve(batch, shard)
           .withColumn("index_version", lit(v))
           .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
       }
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
+
+  /** The raw-tier runner with the r7 signature (row-local exact
+    * top-k). */
+  def start(index: RefreshableIndex[AnnServe.AnnShard], queries: DataFrame,
+            k: Int, outDir: String, checkpoint: String,
+            idCol: String = "vec_id",
+            vecCol: String = "embedding"): StreamingQuery =
+    start(index, queries, outDir, checkpoint)(
+      (batch, shard) => AnnServe.topkRows(batch, shard, k, idCol, vecCol))
 }

@@ -692,6 +692,46 @@ class StreamingSpec extends AnyFunSuite {
    }
   }
 
+  test("serve index refresh generalizes across tiers: the SQ8 byte shard " +
+       "refreshes under the same versioned swap with exact parity") {
+    import graft.operators.AnnServe
+    import graft.streaming.ServeRefresh
+    val sfd = "/root/testdata/sf0.001"
+    val dir = java.nio.file.Files.createTempDirectory("graft_sqrefresh").toString
+    val in = s"$dir/in"; val out = s"$dir/out"; val ckpt = s"$dir/ckpt"
+    val e = Tables.embeddings(spark, sfd)
+    val corpusV1 = e.filter(col("vec_id") % 2 === 0)
+    val k = 5
+    val idx = ServeRefresh.sqIndex()
+    assert(idx.refresh(corpusV1) == 1)
+    def runOnce(): Unit = {
+      val q = ServeRefresh.start(idx,
+        spark.readStream.schema(e.schema).parquet(in), out, ckpt)(
+        (b, sh) => AnnServe.sqTopkRows(b, sh, k))
+      q.awaitTermination()
+    }
+    e.filter(col("vec_id") < 5).coalesce(1).write.mode("append").parquet(in)
+    runOnce()
+    assert(idx.refresh(e) == 2)
+    e.filter(col("vec_id") >= 5 && col("vec_id") < 10).coalesce(1)
+      .write.mode("append").parquet(in)
+    runOnce()
+    val got = spark.read.parquet(out)
+    val tup = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    def served(v: Int) = got.filter(col("index_version") === v)
+      .select("query_id", "neighbor_id", "cos").collect().map(tup).toSeq.sorted
+    def expected(corpus: org.apache.spark.sql.DataFrame,
+                 qs: org.apache.spark.sql.DataFrame) =
+      AnnServe.sqTopkRows(qs, AnnServe.fitSqShard(corpus), k)
+        .collect().map(tup).toSeq.sorted
+    assert(served(1) == expected(corpusV1, e.filter(col("vec_id") < 5)),
+      "SQ batch 0 answers must match the v1-corpus batch serve exactly")
+    assert(served(2) == expected(e,
+        e.filter(col("vec_id") >= 5 && col("vec_id") < 10)),
+      "SQ batch 1 answers must match the v2-corpus batch serve exactly")
+  }
+
   test("ann serve index refresh: versioned swap at batch boundaries, " +
        "exact per-batch-version parity") {
     import graft.operators.AnnServe
@@ -703,7 +743,7 @@ class StreamingSpec extends AnyFunSuite {
     val corpusV1 = e.filter(col("vec_id") % 2 === 0)
     val corpusV2 = e
     val k = 5
-    val idx = new ServeRefresh.RefreshableIndex()
+    val idx = ServeRefresh.rawIndex()
     assert(idx.refresh(corpusV1) == 1)
     def runOnce(): Unit = {
       val q = ServeRefresh.start(idx,
