@@ -1615,6 +1615,104 @@ object Queries {
            | FROM cand) WHERE rn <= $k ORDER BY query_id, neighbor_id""".stripMargin))
   }
 
+  /** The EMBEDDING-SIDE flagship — `q_pretrain_pipeline`'s vector
+    * twin: the full semantic-curation run over the embedding corpus
+    * as ONE declarative plan, every stage the already-oracle-proven
+    * operator and the chained DuckDB oracle re-deriving the whole
+    * composition end to end. Stages: grid semantic dedup (cells →
+    * md5-capped within-cell cosine pairs → CC → min-id survivors) →
+    * exact kNN graph over the SURVIVORS (one serve scan; the IVF/
+    * two-level paths substitute past one shard) → mutual-kNN edges →
+    * CC clusters → per-cluster rollup (size + min-id representative).
+    * The output is the curated corpus map a training run consumes:
+    * which vectors remain after near-dup removal and how they group
+    * semantically. */
+  private val qEmbedPipeline = {
+    val (gridDims, g, dthr, cap) = (2, 0.25, 0.3, 64)
+    val (kNb, mthr) = (5, 0.3)
+    val cellSql = (1 to gridDims).map(d =>
+      s"CAST(CAST(floor(CAST(f[$d] AS DOUBLE) / n / $g) AS BIGINT) AS VARCHAR)")
+      .mkString("concat_ws(',', ", ", ", ")")
+    Q(
+      "q_embed_pipeline",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val dedup = operators.Dedup.semanticDedupGrid(
+          e, "vec_id", "embedding",
+          gridDims = gridDims, gridSize = g, minCosine = dthr, cellCap = cap)
+        val survivors = e.join(
+          dedup.filter(col("is_survivor") === 1)
+            .select(col("id").as("vec_id")),
+          Seq("vec_id"), "left_semi")
+        val shard = operators.AnnServe.fitShard(survivors)
+        val knn = operators.AnnServe.topkRows(survivors, shard, k = kNb)
+          .filter(col("cos") >= mthr)
+          .localCheckpoint()
+        val mutual = knn.as("a").join(knn.as("b"),
+            col("b.query_id") === col("a.neighbor_id") &&
+              col("b.neighbor_id") === col("a.query_id") &&
+              col("a.query_id") < col("a.neighbor_id"))
+          .select(col("a.query_id").as("doc_a"), col("a.neighbor_id").as("doc_b"))
+        val cc = operators.Dedup.connectedComponents(mutual, "doc_a", "doc_b")
+          .select(col("node").as("vec_id"), col("cluster_id").as("__cid"))
+        val labeled = survivors.select("vec_id")
+          .join(cc, Seq("vec_id"), "left")
+          .select(col("vec_id"),
+            coalesce(col("__cid"), col("vec_id")).as("cluster_id"))
+        val sizes = labeled.groupBy("cluster_id")
+          .agg(count(lit(1)).cast("int").as("cluster_size"))
+        labeled.join(sizes, Seq("cluster_id"))
+          .select(col("vec_id"), col("cluster_id"), col("cluster_size"),
+            (col("vec_id") === col("cluster_id")).cast("int").as("is_rep"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH RECURSIVE v AS (SELECT vec_id AS id, embedding AS f,
+           |  sqrt(list_sum(list_transform(list_zip(embedding, embedding),
+           |       p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))) AS n
+           | FROM embeddings),
+           |a AS (SELECT id, f, $cellSql AS cell FROM v WHERE n > 0),
+           |cp AS (SELECT id, f, cell,
+           |  row_number() OVER (PARTITION BY cell ORDER BY md5(CAST(id AS VARCHAR)), id) AS rn FROM a),
+           |kc AS (SELECT id, f, cell FROM cp WHERE rn <= $cap),
+           |dpairs AS (SELECT x.id AS id_a, y.id AS id_b
+           | FROM kc x JOIN kc y ON x.cell = y.cell AND x.id < y.id
+           | WHERE round(${duckCosine("x.f", "y.f")}, 6) >= $dthr),
+           |dedges AS (SELECT id_a AS src, id_b AS dst FROM dpairs
+           |           UNION SELECT id_b, id_a FROM dpairs),
+           |dreach(node, label) AS (
+           | SELECT src, src FROM dedges
+           | UNION
+           | SELECT e.dst, r.label FROM dreach r JOIN dedges e ON e.src = r.node),
+           |dcc AS (SELECT node, min(label) AS cluster_id FROM dreach GROUP BY node),
+           |sv AS (SELECT e.vec_id AS id, e.embedding AS f FROM embeddings e
+           |       LEFT JOIN dcc ON e.vec_id = dcc.node
+           |       WHERE dcc.node IS NULL OR dcc.node = dcc.cluster_id),
+           |gc AS (SELECT q.id AS query_id, t.id AS neighbor_id,
+           |  round(${duckCosine("q.f", "t.f")}, 6) AS cos
+           | FROM sv q, sv t WHERE t.id <> q.id),
+           |knn AS (SELECT query_id, neighbor_id, cos FROM (
+           |  SELECT query_id, neighbor_id, cos,
+           |   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+           |  FROM gc) WHERE rn <= $kNb AND cos >= $mthr),
+           |mutual AS (SELECT x.query_id AS doc_a, x.neighbor_id AS doc_b
+           |  FROM knn x JOIN knn y ON y.query_id = x.neighbor_id
+           |   AND y.neighbor_id = x.query_id WHERE x.query_id < x.neighbor_id),
+           |medges AS (SELECT doc_a AS src, doc_b AS dst FROM mutual
+           |           UNION SELECT doc_b, doc_a FROM mutual),
+           |mreach(node, label) AS (
+           | SELECT src, src FROM medges
+           | UNION
+           | SELECT e.dst, r.label FROM mreach r JOIN medges e ON e.src = r.node),
+           |mcc AS (SELECT node, min(label) AS cluster_id FROM mreach GROUP BY node),
+           |lab AS (SELECT s.id, coalesce(mcc.cluster_id, s.id) AS cluster_id
+           |        FROM sv s LEFT JOIN mcc ON s.id = mcc.node),
+           |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id)
+           |SELECT l.id AS vec_id, l.cluster_id,
+           | CAST(sz.cluster_size AS INT) AS cluster_size,
+           | CAST(CASE WHEN l.id = l.cluster_id THEN 1 ELSE 0 END AS INT) AS is_rep
+           |FROM lab l JOIN sz USING (cluster_id) ORDER BY vec_id""".stripMargin))
+  }
+
   /** Mutual-kNN clustering over the embeddings table — the standard
     * robust graph clustering for vector corpora: an edge exists iff
     * each endpoint is in the OTHER's top-`kNb` (mutuality kills the
@@ -3995,7 +4093,7 @@ object Queries {
     qSimServeStream,
     qKnnGraph, qKnnGraphSharded, qKnnGraphInc, qKnnGraphDel, qKnnGraphIvf,
     qKnnGraphGrid,
-    qKnnClusters,
+    qKnnClusters, qEmbedPipeline,
     qSimLshTopk, qSimLshTopkMd5, qSimIvfTopk,
     qSimIvfTopkGrid, qSimPqTopk, qSimPqServe, qSimSqTopk, qSimSqServe,
     qSimSqServeStream, qSimIvfPqTopk,
