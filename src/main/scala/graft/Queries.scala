@@ -2671,6 +2671,60 @@ object Queries {
            |ORDER BY id""".stripMargin))
   }
 
+  /** CROSS-MODAL dedup (FULL chained oracle) — the first query to
+    * span the documents↔embeddings join: each document is removed as
+    * "exact" (text digest not first-occurrence), else "semantic"
+    * (its embedding loses the grid SemDeDup pass), else kept — the
+    * combined text+vector curation verdict a real pipeline applies,
+    * with the removal REASON reported (paraphrases share no digest
+    * but collapse in embedding space). Both signals are the already-
+    * proven operators; the oracle chains the digest keep-rule and the
+    * whole grid/CC closure and re-derives the precedence. */
+  private val qDedupCrossmodal = {
+    val (gridDims, g, thr, cap) = (2, 0.25, 0.3, 64)
+    val cellSql = (1 to gridDims).map(d =>
+      s"CAST(CAST(floor(CAST(f[$d] AS DOUBLE) / n / $g) AS BIGINT) AS VARCHAR)")
+      .mkString("concat_ws(',', ", ", ", ")")
+    Q(
+      "q_dedup_crossmodal",
+      (s, d) => operators.Dedup.crossmodalDedup(
+        Tables.documents(s, d), Tables.embeddings(s, d),
+        "doc_id", "text", "vec_id", "embedding",
+        gridDims = gridDims, gridSize = g, minCosine = thr, cellCap = cap),
+      Some(s"""WITH RECURSIVE fp AS (SELECT doc_id, md5(text) AS fp FROM documents),
+           |kp AS (SELECT fp, min(doc_id) AS k FROM fp GROUP BY fp),
+           |ex AS (SELECT f.doc_id, (f.doc_id <> kp.k) AS exdup
+           |       FROM fp f JOIN kp USING (fp)),
+           |v AS (SELECT vec_id AS id, embedding AS f,
+           |  sqrt(list_sum(list_transform(list_zip(embedding, embedding),
+           |       p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))) AS n
+           | FROM embeddings),
+           |a AS (SELECT id, f, $cellSql AS cell FROM v WHERE n > 0),
+           |cp AS (SELECT id, f, cell,
+           |  row_number() OVER (PARTITION BY cell ORDER BY md5(CAST(id AS VARCHAR)), id) AS rn FROM a),
+           |kc AS (SELECT id, f, cell FROM cp WHERE rn <= $cap),
+           |dpairs AS (SELECT x.id AS id_a, y.id AS id_b
+           | FROM kc x JOIN kc y ON x.cell = y.cell AND x.id < y.id
+           | WHERE round(${duckCosine("x.f", "y.f")}, 6) >= $thr),
+           |dedges AS (SELECT id_a AS src, id_b AS dst FROM dpairs
+           |           UNION SELECT id_b, id_a FROM dpairs),
+           |dreach(node, label) AS (
+           | SELECT src, src FROM dedges
+           | UNION
+           | SELECT e.dst, r.label FROM dreach r JOIN dedges e ON e.src = r.node),
+           |dcc AS (SELECT node, min(label) AS cluster_id FROM dreach GROUP BY node),
+           |sem AS (SELECT e.vec_id AS doc_id,
+           |  NOT (dcc.node IS NULL OR dcc.node = dcc.cluster_id) AS semdup
+           | FROM embeddings e LEFT JOIN dcc ON e.vec_id = dcc.node)
+           |SELECT ex.doc_id,
+           | CAST(CASE WHEN NOT exdup AND NOT coalesce(semdup, FALSE)
+           |      THEN 1 ELSE 0 END AS INT) AS keep,
+           | CASE WHEN exdup THEN 'exact'
+           |      WHEN coalesce(semdup, FALSE) THEN 'semantic'
+           |      ELSE 'none' END AS reason
+           |FROM ex LEFT JOIN sem USING (doc_id) ORDER BY ex.doc_id""".stripMargin))
+  }
+
   /** Span-level (CCNet-paragraph / C4-span) dedup: 5-word spans,
     * global first-occurrence keep, documents reassembled from
     * surviving spans. Chop, first-pick (min-struct hash agg — no
@@ -4100,7 +4154,8 @@ object Queries {
     qDedupMinhash, qDedupMinhashMd5, qDedupMinhashMd5Capped,
     qDedupMinhashMd5Stop,
     qDedupSimhash, qDedupSimhashMd5,
-    qDedupClusters, qLeakageSplit, qCorpusDedup, qSpanDedup, qDedupSubstrings,
+    qDedupClusters, qDedupCrossmodal, qLeakageSplit, qCorpusDedup, qSpanDedup,
+    qDedupSubstrings,
     qDupReport, qDedupSubstringsInc, qDedupIncremental,
     qSpanDedupStream, qDedupSubstringsStream, qCanonicalDedupStream,
     qSimhashDedupStream,

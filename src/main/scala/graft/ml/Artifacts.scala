@@ -141,6 +141,19 @@ object Artifacts {
     p.arr(() => p.arr(() => p.num()).toArray).toArray
   }
 
+  /** Two-level residual coarse quantizer (`Ivf.Centroids2`) — the
+    * model behind the past-the-ceiling kNN-graph path; two centroid
+    * matrices in the same JSON shape as the flat IVF artifact. */
+  def saveCentroids2(c2: graft.operators.Ivf.Centroids2, dir: String): Unit = {
+    saveIvfCentroids(c2.coarse, s"$dir/coarse.json")
+    saveIvfCentroids(c2.fine, s"$dir/fine.json")
+  }
+
+  def loadCentroids2(dir: String): graft.operators.Ivf.Centroids2 =
+    graft.operators.Ivf.Centroids2(
+      loadIvfCentroids(s"$dir/coarse.json"),
+      loadIvfCentroids(s"$dir/fine.json"))
+
   /** PQ codebooks — with the encoded (nid, cell, codes) table these
     * fully define an IVF-PQ index; scorers rebuild LUTs from this. */
   def savePq(m: graft.operators.Pq.Model, path: String): Unit = {

@@ -947,4 +947,44 @@ object Dedup {
       .drop("__digest")
       .join(nearHits, Seq(idCol), "left_anti")
   }
+
+  /** CROSS-MODAL dedup — the text and vector signals combined over
+    * the documents↔embeddings join (the first operator to span both
+    * tables): a document is removed as "exact" when its text digest
+    * is not the first occurrence (content-equality, the strongest
+    * signal, judged first), else as "semantic" when its embedding
+    * loses the grid SemDeDup pass (`semanticDedupGrid` — non-survivor
+    * of a ≥minCosine connected component), else kept. This is the
+    * production curation move text-only dedup misses: paraphrases
+    * and re-encodings share no digest but collapse in embedding
+    * space. Documents without an embedding row get no semantic
+    * verdict (left join — the text signal alone decides). Plan
+    * shape: one digest-keyed agg + semi-join (the `q_dedup_exact`
+    * shape) plus the grid pass's cell-bounded pairs + CC — no
+    * corpus-wide text join anywhere. Returns (doc_id, keep, reason
+    * ∈ exact|semantic|none). */
+  def crossmodalDedup(docs: DataFrame, emb: DataFrame,
+                      idCol: String, textCol: String,
+                      embIdCol: String, vecCol: String,
+                      gridDims: Int = 2, gridSize: Double = 0.25,
+                      minCosine: Double = 0.3,
+                      cellCap: Int = 64): DataFrame = {
+    val fp = docs.select(col(idCol).cast("long").as("doc_id"),
+      md5(col(textCol).cast("binary")).as("__fp"))
+    val keep = fp.groupBy("__fp").agg(min(col("doc_id")).as("__keep"))
+    val exact = fp.join(keep, Seq("__fp"))
+      .select(col("doc_id"), (col("doc_id") =!= col("__keep")).as("__exdup"))
+    val sem = semanticDedupGrid(emb, embIdCol, vecCol,
+        gridDims, gridSize, minCosine, cellCap)
+      .select(col("id").cast("long").as("doc_id"),
+        (col("is_survivor") === 0).as("__semdup"))
+    exact.join(sem, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("__exdup"), "exact")
+          .when(coalesce(col("__semdup"), lit(false)), "semantic")
+          .otherwise("none").as("reason"))
+      .withColumn("keep", (col("reason") === "none").cast("int"))
+      .select("doc_id", "keep", "reason")
+      .orderBy("doc_id")
+  }
 }

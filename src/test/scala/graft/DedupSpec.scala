@@ -757,4 +757,33 @@ class DedupSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(uncapped == kept, s"cap changed verdicts: $uncapped vs $kept")
   }
+
+  test("crossmodalDedup: exact outranks semantic, paraphrases fall to the " +
+       "embedding signal, docs without embeddings keep the text verdict") {
+    // doc 1 is the original; doc 2 repeats its text verbatim (exact);
+    // doc 3 is a PARAPHRASE — different text, near-identical embedding
+    // (semantic); doc 4 is unrelated; doc 5 has no embedding row at all
+    val docs = Seq(
+      (1L, "the quick brown fox"), (2L, "the quick brown fox"),
+      (3L, "a fast auburn fox"), (4L, "completely different content"),
+      (5L, "orphan without embedding"))
+      .toDF("doc_id", "text")
+    val base = Array(1.0, 0.2, 0.1, 0.05)
+    val emb = Seq(
+      (1L, base), (2L, Array(0.0, 1.0, 0.0, 0.0)),
+      (3L, base.map(_ * 1.001)), (4L, Array(0.0, 0.0, -1.0, 0.3)))
+      .toDF("vec_id", "embedding")
+    val got = Dedup.crossmodalDedup(docs, emb, "doc_id", "text",
+        "vec_id", "embedding", gridDims = 2, gridSize = 10.0,
+        minCosine = 0.9, cellCap = 64)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getString(2))).toMap
+    assert(got(1L) == (1, "none"), s"original must survive: ${got(1L)}")
+    // doc 2's EMBEDDING is unrelated (no semantic dup) but its text is
+    // a verbatim copy — the exact signal must win
+    assert(got(2L) == (0, "exact"))
+    // doc 3 shares no digest but collapses in embedding space
+    assert(got(3L) == (0, "semantic"))
+    assert(got(4L) == (1, "none"))
+    assert(got(5L) == (1, "none"), "no embedding -> text verdict only")
+  }
 }

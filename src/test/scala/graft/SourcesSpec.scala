@@ -227,6 +227,23 @@ class SourcesSpec extends AnyFunSuite {
     assert(a == b && a.nonEmpty, "reloaded SQ8 shard must serve bit-identically")
   }
 
+  test("two-level quantizer round-trips with identical probe output") {
+    import org.apache.spark.sql.functions.col
+    val dir = tmp()
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("f"))
+    val c2 = graft.operators.Ivf.fitCentroids2(e, "vec_id", "f", nc = 8, nf = 8)
+    Artifacts.saveCentroids2(c2, s"$dir/c2")
+    val c2b = Artifacts.loadCentroids2(s"$dir/c2")
+    assert(c2b.nc == c2.nc && c2b.nf == c2.nf && c2b.dim == c2.dim)
+    val probe = (m: graft.operators.Ivf.Centroids2) =>
+      e.select(col("vec_id"),
+        graft.operators.Ivf.probeCells2Col(col("f"), m, npc = 2, npf = 3).as("cells"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Int](1))).toSeq
+    assert(probe(c2b) == probe(c2),
+      "reloaded two-level quantizer must probe identically")
+  }
+
   test("ensemble bundle round-trip: loaded bundle scores identically") {
     val dir = tmp()
     val fitted = graft.ml.Ensemble.fit(spark, "/root/testdata/sf0.001")
