@@ -986,6 +986,64 @@ object Corpus {
         (log(lit(1.0) - col("pp")) - log(lit(1.0) - col("pn"))).as("w_absent"))
   }
 
+  /** Trained MULTICLASS language classifier — multinomial Naive Bayes
+    * over md5-hashed char-TRIGRAM counts (the fastText/CCNet lang-ID
+    * shape; `q_lang_id`'s stopword heuristic is the zero-training
+    * fallback, this is the production path): per-class bucket counts
+    * with Laplace smoothing, per-doc log-likelihood + log-prior,
+    * argmax over classes on the ROUNDED score with the (score desc,
+    * lang asc) tie-break — rounding before ranking is what makes the
+    * argmax engine-portable, the same move the rounded-cosine serve
+    * family uses. New algebra vs `nbQualityScore`: multiclass argmax
+    * and multinomial COUNT features (trigram multiplicity is the
+    * lang-ID signal) instead of binary presence. Scale shape: the
+    * model is ≤ nLangs·nBuckets rows (broadcast), doc trigram-bucket
+    * counts are one scan-side explode + (doc, bucket) agg, scoring is
+    * one broadcast join + (doc, lang) agg, argmax a per-doc window
+    * over nLangs rows. Self-fit on the labeled corpus (the declared
+    * query reports train accuracy alongside — the fit/serve split
+    * follows on a held-out feed exactly like the NB quality model).
+    * Docs shorter than one trigram carry no features and are
+    * excluded by construction (both engines drop them identically). */
+  def langClassify(docs: DataFrame, idCol: String, textCol: String,
+                   langCol: String, nBuckets: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nBuckets >= 2)
+    val t = docs.select(col(idCol).cast("long").as("doc_id"),
+      col(langCol).as("true_lang"), lower(trim(col(textCol))).as("__t"))
+    val grams = t.select(col("doc_id"), col("true_lang"),
+        explode(transform(
+          sequence(lit(1), greatest(length(col("__t")) - 2, lit(0))),
+          i => col("__t").substr(i, lit(3)))).as("gram"))
+      .select(col("doc_id"), col("true_lang"),
+        pmod(conv(substring(md5(col("gram").cast("binary")), 1, 8), 16, 10)
+          .cast("long"), lit(nBuckets)).as("b"))
+    val db = grams.groupBy("doc_id", "b").agg(count(lit(1)).as("cnt"))
+    val mb = grams.groupBy(col("true_lang").as("lang"), col("b"))
+      .agg(count(lit(1)).as("c"))
+    val tot = mb.groupBy("lang").agg(sum("c").as("tot"))
+    val nd = docs.groupBy(col(langCol).as("lang")).agg(count(lit(1)).as("nd"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val scored = db.crossJoin(broadcast(tot))
+      .join(broadcast(mb), Seq("lang", "b"), "left")
+      .groupBy("doc_id", "lang", "tot")
+      .agg(sum(col("cnt") *
+        log((coalesce(col("c"), lit(0L)) + 1).cast("double")
+          / (col("tot") + nBuckets).cast("double"))).as("__ll"))
+    val withPrior = scored.join(broadcast(nd), Seq("lang")).crossJoin(broadcast(n))
+      .select(col("doc_id"), col("lang"),
+        round(log(col("nd").cast("double") / col("n").cast("double"))
+          + col("__ll"), 6).as("lang_score"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("lang_score").desc, col("lang").asc)
+    withPrior.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .join(t.select("doc_id", "true_lang"), Seq("doc_id"))
+      .select(col("doc_id"), col("lang").as("pred_lang"), col("lang_score"),
+        (col("lang") === col("true_lang")).cast("int").as("correct"))
+      .orderBy("doc_id")
+  }
+
   def nbQualityScore(corpus: DataFrame, positive: DataFrame, negative: DataFrame,
                      idCol: String, textCol: String,
                      nBuckets: Int = 4096): DataFrame = {

@@ -858,6 +858,24 @@ class CorpusSpec extends AnyFunSuite {
     assert(exact.values.exists(_._2 == 1), "fixture must contain real hits")
   }
 
+  test("langClassify: separable character distributions recover perfectly; " +
+       "majority prior breaks featureless ties") {
+    // three planted "languages" with disjoint trigram inventories
+    val docs = (0 until 5).flatMap { i =>
+      Seq((i * 3 + 0L, "aqua aqua ber aqua qua ber aqua", "aa"),
+          (i * 3 + 1L, "zilk zolk zulk zilk zolk zulk zilk", "zz"),
+          (i * 3 + 2L, "mnop mnopq mnop pqmn mnop mnopq", "mm"))
+    }.toDF("doc_id", "text", "lang")
+    val got = Corpus.langClassify(docs, "doc_id", "text", "lang", nBuckets = 256)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(3))).toMap
+    assert(got.size == 15 && got.values.forall(_._2 == 1),
+      s"separable languages must classify perfectly: $got")
+    // determinism: identical scores and argmax across runs
+    val again = Corpus.langClassify(docs, "doc_id", "text", "lang", nBuckets = 256)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(3))).toMap
+    assert(again == got)
+  }
+
   test("topTermsPerGroup ranks by count desc then term asc, capped at k") {
     val df = Seq(
       (1L, "en", "x x x y y z"),
