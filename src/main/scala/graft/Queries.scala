@@ -3993,6 +3993,16 @@ object Queries {
            |WHERE b.rn = 1 ORDER BY b.doc_id""".stripMargin))
   }
 
+  /** The trained lang-ID's STREAMING twin — a live document feed
+    * classified by the row-local native scorer against the batch-fitted
+    * model (stateless append); drained end state ≡ the declared
+    * relational query, so its full oracle applies verbatim. */
+  private val qLangClassifierStream = Q(
+    "q_lang_classifier_stream",
+    (s, d) => streaming.CorpusStream.langClassifiedOverFile(s, d, nBuckets = 1024)
+      .orderBy("doc_id"),
+    qLangClassifier.oracle)
+
   /** KMV bottom-k twin of `q_domain_approx` (FULL oracle): the
     * estimator n̂ = (k−1)/v_(k) over the k smallest md5-derived hash
     * fractions per source — md5 makes fractions, ranking, the k-th
@@ -4189,7 +4199,7 @@ object Queries {
     qWinCustAvg, qWinCustCount, qWinMerchAvg, qWinDedup,
     qTopkRisky,
     qRowwiseMse, qAeThreshold, qAeThresholdApprox, qAeThresholdSample,
-    qTextStats, qLangId, qLangClassifier, qTokenCount, qTfidfTop, qFingerprint,
+    qTextStats, qLangId, qLangClassifier, qLangClassifierStream, qTokenCount, qTfidfTop, qFingerprint,
     qWinnowFingerprint, qCorpusClean,
     qDedupExact, qNgramJaccard, qSimBruteforce, qSimServe, qSimServeSharded,
     qSimServeStream,

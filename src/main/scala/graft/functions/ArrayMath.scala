@@ -1092,6 +1092,91 @@ case class SqTopK(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/** Row-local multinomial NB language scorer — the serve half of the
+  * trained lang-ID (`Corpus.fitLangModel`): trigram extraction, the
+  * md5 bucket hash and the per-class score fold all run in ONE
+  * expression over the raw text (no per-gram HOF lambda, no explode —
+  * the interpreted-HOF cost class the fuzzy-match rewrite measured at
+  * ~10× is never entered). The bucket algebra is EXACTLY the declared
+  * relational query's: lowercase+trim, char trigrams, first 8 hex
+  * chars of md5 as a long mod nBuckets; scores accumulate
+  * prior + Σ w[class·nBuckets + bucket] per gram OCCURRENCE and the
+  * argmax ranks on HALF_UP-6dp-ROUNDED scores with the class-index
+  * (= lang asc — the model sorts classes) tie-break, so output
+  * matches the relational plan's rounded ranking (occurrence-order
+  * vs per-bucket summation differ below the rounding floor).
+  * Stateless — append-mode streaming legal. Emits
+  * struct(best_idx, lang_score). */
+case class LangNbScore(child: Expression, flatW: Array[Double],
+                       priors: Array[Double], nBuckets: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  private def nLangs: Int = priors.length
+  require(nLangs >= 1 && nBuckets >= 2 && flatW.length == nLangs * nBuckets,
+    s"lang_nb_score: ${flatW.length} weights for $nLangs classes x $nBuckets buckets")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("best_idx",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("lang_score", DoubleType,
+        nullable = false)))
+
+  /** `textU` must already be normalized (`lower(trim(text))`) by the
+    * CALLER IN SPARK — engine trim/lower semantics stay the engine's,
+    * never reimplemented here (Java's `String.trim` strips \t\n too;
+    * Spark's trims spaces only — a silent gram-count divergence). */
+  def score(textU: org.apache.spark.unsafe.types.UTF8String): Any = {
+    val t = textU.toString
+    val s = priors.clone()
+    val w = flatW; val nb = nBuckets; val nc = nLangs
+    if (t.length >= 3) {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      var i = 0
+      val max = t.length - 3
+      while (i <= max) {
+        val gram = t.substring(i, i + 3)
+        md.reset()
+        val dig = md.digest(gram.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        // first 8 hex chars = first 4 digest bytes, big-endian unsigned
+        val h = ((dig(0) & 0xffL) << 24) | ((dig(1) & 0xffL) << 16) |
+          ((dig(2) & 0xffL) << 8) | (dig(3) & 0xffL)
+        val b = (h % nb).toInt
+        var c = 0
+        while (c < nc) { s(c) += w(c * nb + b); c += 1 }
+        i += 1
+      }
+    } else {
+      // no trigram -> no features: the relational query emits NO row
+      // for such a doc; this expression returns the prior-only argmax
+      // (callers aligning with the declared query filter these out)
+    }
+    var best = 0
+    var bestR = java.math.BigDecimal.valueOf(s(0))
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    var c = 1
+    while (c < nc) {
+      val r = java.math.BigDecimal.valueOf(s(c))
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      if (r > bestR) { best = c; bestR = r }
+      c += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(best, bestR)
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    score(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t => {
+      val ref = ctx.addReferenceObj("langNbScore", this, classOf[LangNbScore].getName)
+      s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $ref.score($t);"
+    })
+
+  override def prettyName: String = "lang_nb_score"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object ArrayMath {
   import org.apache.spark.sql.graft.Bridge.{column, expression, registerFunction}
   private def d(c: Column): Column = c.cast("array<double>")
@@ -1138,6 +1223,9 @@ object ArrayMath {
              minl: Array[Double], stepl: Array[Double], k: Int): Column =
     column(SqTopK(expression(queryId.cast("long")), expression(d(vec)),
       shard, minl, stepl, k))
+  def langNbScore(text: Column, flatW: Array[Double], priors: Array[Double],
+                  nBuckets: Int): Column =
+    column(LangNbScore(expression(text.cast("string")), flatW, priors, nBuckets))
 
   /** Expose the native expressions to the SQL surface:
     * `SELECT array_dot(a, b)`, `SELECT array_sqdiff_sum(a, b)`.

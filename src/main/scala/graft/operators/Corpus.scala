@@ -1044,6 +1044,80 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** Constant-size trained lang-ID model: per-class flat Laplace
+    * log-weights (nLangs·nBuckets doubles — ~40 KB at the defaults)
+    * + log-priors + the SORTED class list (index order IS the
+    * lang-asc tie-break the relational argmax uses). Weights and
+    * priors are built from the SAME Spark aggregates the declared
+    * query runs, with `math.log` = Spark's `log` (both
+    * `java.lang.Math.log`), so fit→serve reproduces the relational
+    * floats to rounding. */
+  final case class LangModel(langs: Array[String], nBuckets: Int,
+                             flatW: Array[Double], priors: Array[Double]) {
+    require(langs.nonEmpty && flatW.length == langs.length * nBuckets &&
+      priors.length == langs.length, "LangModel: inconsistent shapes")
+  }
+
+  /** The fit half of `langClassify` (the `fitNbQuality` posture):
+    * both nBuckets-bounded aggregates collected into dense arrays. */
+  def fitLangModel(docs: DataFrame, idCol: String, textCol: String,
+                   langCol: String, nBuckets: Int = 1024): LangModel = {
+    val grams = docs.select(col(langCol).as("lang"),
+        explode(transform(
+          sequence(lit(1),
+            greatest(length(lower(trim(col(textCol)))) - 2, lit(0))),
+          i => lower(trim(col(textCol))).substr(i, lit(3)))).as("gram"))
+      .select(col("lang"),
+        pmod(conv(substring(md5(col("gram").cast("binary")), 1, 8), 16, 10)
+          .cast("long"), lit(nBuckets)).as("b"))
+    val mb = grams.groupBy("lang", "b").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1).toInt) -> r.getLong(2)).toMap
+    val tot = mb.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val nd = docs.groupBy(col(langCol)).agg(count(lit(1)))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = nd.values.sum
+    val langs = tot.keys.toArray.sorted
+    val flatW = new Array[Double](langs.length * nBuckets)
+    var ci = 0
+    while (ci < langs.length) {
+      val lang = langs(ci)
+      val t = tot(lang).toDouble + nBuckets
+      var b = 0
+      while (b < nBuckets) {
+        flatW(ci * nBuckets + b) =
+          math.log((mb.getOrElse((lang, b), 0L) + 1).toDouble / t)
+        b += 1
+      }
+      ci += 1
+    }
+    LangModel(langs, nBuckets,
+      flatW, langs.map(l => math.log(nd(l).toDouble / n.toDouble)))
+  }
+
+  /** The serve half, ROW-LOCAL: one native expression per doc (trigram
+    * walk + md5 buckets + per-class fold + rounded argmax all inside
+    * `functions.LangNbScore` — no explode, no join, no HOF lambda),
+    * so a live feed classifies at scan speed (stateless append — the
+    * `q_lang_classifier_stream` twin is this transform verbatim).
+    * Docs without a full trigram are dropped to match the declared
+    * relational query (they carry no features there either). */
+  def langScoreRows(docs: DataFrame, m: LangModel,
+                    idCol: String, textCol: String,
+                    langCol: String): DataFrame = {
+    val langsLit = array(m.langs.toIndexedSeq.map(lit): _*)
+    docs
+      .filter(length(lower(trim(col(textCol)))) >= 3)
+      .select(col(idCol).cast("long").as("doc_id"),
+        col(langCol).as("__true"),
+        graft.functions.ArrayMath.langNbScore(
+          lower(trim(col(textCol))), m.flatW, m.priors, m.nBuckets).as("__s"))
+      .select(col("doc_id"),
+        element_at(langsLit, col("__s.best_idx") + 1).as("pred_lang"),
+        col("__s.lang_score").as("lang_score"),
+        (element_at(langsLit, col("__s.best_idx") + 1) === col("__true"))
+          .cast("int").as("correct"))
+  }
+
   def nbQualityScore(corpus: DataFrame, positive: DataFrame, negative: DataFrame,
                      idCol: String, textCol: String,
                      nBuckets: Int = 4096): DataFrame = {

@@ -409,6 +409,24 @@ object CorpusStream {
     spark.table(name)
   }
 
+  /** The declared `q_lang_classifier_stream` runner: fit the trained
+    * lang-ID model batch-side (`Corpus.fitLangModel`), stream the
+    * documents through the row-local native scorer
+    * (`Corpus.langScoreRows` — stateless append, no join, no state);
+    * drained end state equals the declared relational query
+    * row-for-row, so its full oracle applies verbatim. */
+  def langClassifiedOverFile(spark: org.apache.spark.sql.SparkSession,
+                             sfDir: String, nBuckets: Int = 1024): DataFrame = {
+    val m = graft.operators.Corpus.fitLangModel(
+      graft.Tables.documents(spark, sfDir), "doc_id", "text", "lang", nBuckets)
+    val name = s"__graft_langcls_${runSeq.incrementAndGet()}"
+    val q = graft.operators.Corpus.langScoreRows(
+        graft.Tables.documentsStream(spark, sfDir), m, "doc_id", "text", "lang")
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
   /** The declared `sim_sq_serve_stream` runner — the SQ8 tier's
     * streaming twin: fit the byte-code shard batch-side, stream the
     * query slice through the row-local dequantizing serve

@@ -876,6 +876,21 @@ class CorpusSpec extends AnyFunSuite {
     assert(again == got)
   }
 
+  test("langClassify fit/serve: the native row-local scorer reproduces the " +
+       "declared relational query row-for-row") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val tup = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3))
+    val declared = Corpus.langClassify(docs, "doc_id", "text", "lang",
+        nBuckets = 1024)
+      .collect().map(tup).toSeq
+    val m = Corpus.fitLangModel(docs, "doc_id", "text", "lang", nBuckets = 1024)
+    val served = Corpus.langScoreRows(docs, m, "doc_id", "text", "lang")
+      .orderBy("doc_id").collect().map(tup).toSeq
+    assert(served == declared,
+      "fit/serve must reproduce the declared lang classification exactly")
+  }
+
   test("topTermsPerGroup ranks by count desc then term asc, capped at k") {
     val df = Seq(
       (1L, "en", "x x x y y z"),
