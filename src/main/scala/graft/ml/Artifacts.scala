@@ -187,6 +187,22 @@ object Artifacts {
     graft.operators.Corpus.NbQualityModel(n, w, base, prior)
   }
 
+  /** Trained lang-ID model (`Corpus.fitLangModel`). */
+  def saveLangModel(m: graft.operators.Corpus.LangModel, path: String): Unit =
+    write(path, s"""{"nBuckets":${m.nBuckets},""" +
+      s""""langs":${jArr(m.langs.map(jStr))},""" +
+      s""""priors":${jArr(m.priors.map(jNum))},""" +
+      s""""weights":${jArr(m.flatW.map(jNum))}}""")
+
+  def loadLangModel(path: String): graft.operators.Corpus.LangModel = {
+    val p = new P(read(path))
+    p.objField("nBuckets"); val n = p.num().toInt
+    p.objField("langs"); val langs = p.arr(() => p.str()).toArray
+    p.objField("priors"); val priors = p.arr(() => p.num()).toArray
+    p.objField("weights"); val w = p.arr(() => p.num()).toArray
+    graft.operators.Corpus.LangModel(langs, n, w, priors)
+  }
+
   /** Fuzzy-decontamination key set (`Corpus.fitFuzzyKeys`). */
   def saveFuzzyKeys(keys: Array[String], path: String): Unit =
     write(path, s"""{"keys":${jArr(keys.map(jStr))}}""")

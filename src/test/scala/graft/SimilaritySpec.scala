@@ -444,6 +444,34 @@ class SimilaritySpec extends AnyFunSuite {
       s"expected the loud query-side finite guard, got: $serveErr")
   }
 
+  test("serve family edges: k larger than the corpus truncates, an empty " +
+       "query feed yields empty answers, a single-vector shard serves") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val e = Seq((1L, Array(1.0, 0.0)), (2L, Array(0.8, 0.6)),
+                (3L, Array(0.0, 1.0))).toDF("vec_id", "embedding")
+    val q = e.filter(col("vec_id") === 1)
+    // k = 10 over a 3-vector corpus: each query gets the 2 others, no
+    // padding, no crash — same contract across all three tiers
+    val raw = graft.operators.AnnServe.topkRows(q,
+      graft.operators.AnnServe.fitShard(e), k = 10).collect()
+    assert(raw.length == 2 && raw.map(_.getLong(1)).toSet == Set(2L, 3L))
+    val sq = graft.operators.AnnServe.sqTopkRows(q,
+      graft.operators.AnnServe.fitSqShard(e), k = 10).collect()
+    assert(sq.length == 2)
+    // empty query feed: empty answer frame with the right schema
+    val none = graft.operators.AnnServe.topkRows(
+      e.filter(col("vec_id") < 0), graft.operators.AnnServe.fitShard(e), k = 2)
+    assert(none.columns.toSeq == Seq("query_id", "neighbor_id", "cos") &&
+      none.count() == 0)
+    // single-vector shard: a query matching that one id gets nothing
+    // (self excluded); a different id gets exactly the one neighbor
+    val solo = graft.operators.AnnServe.fitShard(e.filter(col("vec_id") === 2))
+    assert(graft.operators.AnnServe.topkRows(q, solo, k = 5).count() == 1)
+    assert(graft.operators.AnnServe.topkRows(
+      e.filter(col("vec_id") === 2), solo, k = 5).count() == 0)
+  }
+
   test("ann serve: dimension mismatch fails loudly") {
     import spark.implicits._
     val shard = graft.operators.AnnServe.fitShard(

@@ -227,6 +227,24 @@ class SourcesSpec extends AnyFunSuite {
     assert(a == b && a.nonEmpty, "reloaded SQ8 shard must serve bit-identically")
   }
 
+  test("lang model round-trips bit-identically and serves identically") {
+    val dir = tmp()
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val m = graft.operators.Corpus.fitLangModel(
+      docs, "doc_id", "text", "lang", nBuckets = 256)
+    Artifacts.saveLangModel(m, s"$dir/lang.json")
+    val m2 = Artifacts.loadLangModel(s"$dir/lang.json")
+    assert(m2.langs.sameElements(m.langs) && m2.nBuckets == m.nBuckets &&
+      m2.flatW.sameElements(m.flatW) && m2.priors.sameElements(m.priors))
+    val a = graft.operators.Corpus
+      .langScoreRows(docs, m, "doc_id", "text", "lang")
+      .orderBy("doc_id").collect().toSeq
+    val b = graft.operators.Corpus
+      .langScoreRows(docs, m2, "doc_id", "text", "lang")
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b && a.nonEmpty, "reloaded lang model must serve bit-identically")
+  }
+
   test("two-level quantizer round-trips with identical probe output") {
     import org.apache.spark.sql.functions.col
     val dir = tmp()
