@@ -1018,9 +1018,14 @@ object Corpus {
       .select(col("doc_id"), col("true_lang"),
         pmod(conv(substring(md5(col("gram").cast("binary")), 1, 8), 16, 10)
           .cast("long"), lit(nBuckets)).as("b"))
-    val db = grams.groupBy("doc_id", "b").agg(count(lit(1)).as("cnt"))
-    val mb = grams.groupBy(col("true_lang").as("lang"), col("b"))
-      .agg(count(lit(1)).as("c"))
+    // ONE pass over the (expensive: per-gram md5) explode: the
+    // doc-level counts carry the label, and the class-level model is
+    // their rollup — sum of per-doc counts ≡ count over occurrences
+    val db0 = grams.groupBy("doc_id", "true_lang", "b")
+      .agg(count(lit(1)).as("cnt")).localCheckpoint(eager = false)
+    val db = db0.select("doc_id", "b", "cnt")
+    val mb = db0.groupBy(col("true_lang").as("lang"), col("b"))
+      .agg(sum("cnt").as("c"))
     val tot = mb.groupBy("lang").agg(sum("c").as("tot"))
     val nd = docs.groupBy(col(langCol).as("lang")).agg(count(lit(1)).as("nd"))
     val n = docs.agg(count(lit(1)).as("n"))
