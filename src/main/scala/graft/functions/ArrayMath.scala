@@ -1092,6 +1092,60 @@ case class SqTopK(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/** Char-trigram md5 bucket ids for a (pre-normalized) text column —
+  * the FEATURE half of the trained lang-ID as one native expression:
+  * the trigram walk, per-gram md5 and the mod-nBuckets fold run in
+  * Java instead of an interpreted `transform(sequence(...), substr)`
+  * lambda per character position (the HOF cost class the fuzzy-match
+  * rewrite measured at ~10×; this one measured ~2× on the declared
+  * query). The bucket algebra is EXACTLY the relational form the
+  * oracle re-derives: first 8 hex chars of md5(gram) as a big-endian
+  * unsigned int, mod nBuckets. Same caller contract as
+  * `LangNbScore`: normalization (`lower(trim(...))`) stays in
+  * Spark. Emits array<long>, one id per trigram OCCURRENCE. */
+case class CharTrigramBuckets(child: Expression, nBuckets: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(nBuckets >= 2, s"char_trigram_buckets: bad nBuckets=$nBuckets")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = false)
+
+  def buckets(textU: org.apache.spark.unsafe.types.UTF8String): Any = {
+    val t = textU.toString
+    if (t.length < 3)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Any](t.length - 2)
+    var i = 0
+    val max = t.length - 3
+    while (i <= max) {
+      md.reset()
+      val dig = md.digest(t.substring(i, i + 3)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val h = ((dig(0) & 0xffL) << 24) | ((dig(1) & 0xffL) << 16) |
+        ((dig(2) & 0xffL) << 8) | (dig(3) & 0xffL)
+      out(i) = h % nBuckets
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    buckets(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t => {
+      val ref = ctx.addReferenceObj("trigramBuckets", this,
+        classOf[CharTrigramBuckets].getName)
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.buckets($t);"
+    })
+
+  override def prettyName: String = "char_trigram_buckets"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Row-local multinomial NB language scorer — the serve half of the
   * trained lang-ID (`Corpus.fitLangModel`): trigram extraction, the
   * md5 bucket hash and the per-class score fold all run in ONE
@@ -1226,6 +1280,8 @@ object ArrayMath {
   def langNbScore(text: Column, flatW: Array[Double], priors: Array[Double],
                   nBuckets: Int): Column =
     column(LangNbScore(expression(text.cast("string")), flatW, priors, nBuckets))
+  def charTrigramBuckets(text: Column, nBuckets: Int): Column =
+    column(CharTrigramBuckets(expression(text.cast("string")), nBuckets))
 
   /** Expose the native expressions to the SQL surface:
     * `SELECT array_dot(a, b)`, `SELECT array_sqdiff_sum(a, b)`.

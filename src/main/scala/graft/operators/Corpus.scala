@@ -1011,16 +1011,15 @@ object Corpus {
     require(nBuckets >= 2)
     val t = docs.select(col(idCol).cast("long").as("doc_id"),
       col(langCol).as("true_lang"), lower(trim(col(textCol))).as("__t"))
+    // trigram walk + md5 buckets as ONE native expression
+    // (functions.CharTrigramBuckets — the interpreted transform/substr
+    // lambda cost ~2× the whole query), then one pass over the
+    // explode: the doc-level counts carry the label, and the
+    // class-level model is their rollup — sum of per-doc counts ≡
+    // count over occurrences
     val grams = t.select(col("doc_id"), col("true_lang"),
-        explode(transform(
-          sequence(lit(1), greatest(length(col("__t")) - 2, lit(0))),
-          i => col("__t").substr(i, lit(3)))).as("gram"))
-      .select(col("doc_id"), col("true_lang"),
-        pmod(conv(substring(md5(col("gram").cast("binary")), 1, 8), 16, 10)
-          .cast("long"), lit(nBuckets)).as("b"))
-    // ONE pass over the (expensive: per-gram md5) explode: the
-    // doc-level counts carry the label, and the class-level model is
-    // their rollup — sum of per-doc counts ≡ count over occurrences
+      explode(graft.functions.ArrayMath.charTrigramBuckets(
+        col("__t"), nBuckets)).as("b"))
     val db0 = grams.groupBy("doc_id", "true_lang", "b")
       .agg(count(lit(1)).as("cnt")).localCheckpoint(eager = false)
     val db = db0.select("doc_id", "b", "cnt")
@@ -1068,13 +1067,8 @@ object Corpus {
   def fitLangModel(docs: DataFrame, idCol: String, textCol: String,
                    langCol: String, nBuckets: Int = 1024): LangModel = {
     val grams = docs.select(col(langCol).as("lang"),
-        explode(transform(
-          sequence(lit(1),
-            greatest(length(lower(trim(col(textCol)))) - 2, lit(0))),
-          i => lower(trim(col(textCol))).substr(i, lit(3)))).as("gram"))
-      .select(col("lang"),
-        pmod(conv(substring(md5(col("gram").cast("binary")), 1, 8), 16, 10)
-          .cast("long"), lit(nBuckets)).as("b"))
+      explode(graft.functions.ArrayMath.charTrigramBuckets(
+        lower(trim(col(textCol))), nBuckets)).as("b"))
     val mb = grams.groupBy("lang", "b").agg(count(lit(1)).as("c"))
       .collect().map(r => (r.getString(0), r.getLong(1).toInt) -> r.getLong(2)).toMap
     val tot = mb.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
