@@ -46,5 +46,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("chunk_spans") { es =>
       ChunkSpans(es(0), intArg(es(1), "window"), intArg(es(2), "stride"))
     }
+    inject("char_trigram_buckets") { es =>
+      CharTrigramBuckets(es(0), intArg(es(1), "nBuckets"))
+    }
   }
 }

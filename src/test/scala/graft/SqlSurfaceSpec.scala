@@ -71,6 +71,10 @@ class SqlSurfaceSpec extends AnyFunSuite {
       // strided chunks: 7 tokens, window 5, stride 5 → 2 spans
       assert(s2.sql("SELECT chunk_spans(split('a b c d e f g',' '), 5, 5)")
         .head.getSeq[String](0) == Seq("a b c d e", "f g"))
+      // char trigram buckets: 5 chars → 3 occurrences, ids in [0, nb)
+      val tb = s2.sql("SELECT char_trigram_buckets('abcde', 256)")
+        .head.getSeq[Long](0)
+      assert(tb.size == 3 && tb.forall(b => b >= 0 && b < 256))
       // int-literal contract for shape params is enforced
       intercept[Exception] {
         s2.sql("SELECT shingles(split('a b',' '), cast(rand()*2 as int))").collect()
