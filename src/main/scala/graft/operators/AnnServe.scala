@@ -539,6 +539,67 @@ object AnnServe {
     untouched.select("query_id", "neighbor_id", "cos").unionAll(recomputed)
   }
 
+  /** SQ8 twin of `fitShards`: ONE global dequantization line (per-dim
+    * min/max over the WHOLE corpus — per-shard lines would make
+    * dequantized cosines incomparable at merge time, the same rule as
+    * the PQ shards' shared model), codes hash-partitioned by the same
+    * Spark-computed `pmod(xxhash64(id), nShards)` key. */
+  def fitSqShards(embeddings: DataFrame, nShards: Int,
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  rowCap: Int = 1 << 20): IndexedSeq[SqShard] = {
+    require(nShards >= 1, s"fitSqShards: need nShards >= 1, got $nShards")
+    val totalCap = nShards.toLong * rowCap
+    require(totalCap <= Int.MaxValue,
+      s"fitSqShards: nShards * rowCap = $totalCap exceeds a collectable row count")
+    require(embeddings.limit(totalCap.toInt + 1).count() <= totalCap,
+      s"fitSqShards: embeddings exceed $nShards shards x cap $rowCap — raise nShards")
+    val whole = fitSqShard(embeddings, idCol, vecCol, rowCap = totalCap.toInt)
+    val shardOf = embeddings
+      .select(col(idCol).cast("long"),
+        pmod(xxhash64(col(idCol).cast("long")), lit(nShards)).cast("int"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val dim = whole.dim
+    (0 until nShards).map { s =>
+      val idx = whole.ids.indices.filter(i => shardOf(whole.ids(i)) == s)
+      require(idx.nonEmpty,
+        s"fitSqShards: shard $s is empty — nShards=$nShards is oversized " +
+          "for this corpus; lower it")
+      val codes = new Array[Byte](idx.length * dim)
+      idx.zipWithIndex.foreach { case (i, j) =>
+        System.arraycopy(whole.codes, i * dim, codes, j * dim, dim)
+      }
+      SqShard(idx.map(whole.ids).toArray, codes,
+        whole.minl, whole.stepl, idx.map(whole.norms).toArray)
+    }
+  }
+
+  /** SQ8 top-k across sharded byte shards — the `topkRowsSharded`
+    * merge for the middle tier: per-shard serve unioned, per-query
+    * merge on the same rounded (cos desc, neighbor_id asc) order.
+    * Exact-over-union under the SHARED dequantization line, so the
+    * answer is bit-identical to one whole-corpus SqShard for any
+    * shard count (all shards must come from one `fitSqShards` fit —
+    * asserted via the shared line reference). */
+  def sqTopkRowsSharded(queries: DataFrame, shards: Seq[SqShard], k: Int = 10,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(shards.nonEmpty, "sqTopkRowsSharded: no shards")
+    require(shards.forall(sh => (sh.minl eq shards.head.minl) &&
+        (sh.stepl eq shards.head.stepl)),
+      "sqTopkRowsSharded: shards must share one fitted dequantization " +
+        "line — per-shard lines make dequantized cosines incomparable")
+    val unioned = shards.map(sh => sqTopkRows(queries, sh, k, idCol, vecCol))
+      .reduce(_ unionAll _)
+    if (shards.size == 1) unioned
+    else {
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("neighbor_id").asc)
+      unioned.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= k).drop("__rn")
+    }
+  }
+
   /** SQ8 top-k per query row — one native codegen expression
     * (`functions.SqTopK`): O(n·dim) dequantize-and-dot scan, ranked on
     * rounded cosine of (raw query, dequantized candidate). Bit-

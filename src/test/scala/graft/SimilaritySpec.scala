@@ -395,6 +395,28 @@ class SimilaritySpec extends AnyFunSuite {
       "SQ8 shard must store exactly dim bytes per vector (the 8x RAM claim)")
   }
 
+  test("sq8 serve sharded: merge is bit-identical to the whole-corpus SqShard " +
+       "for every shard count") {
+    import org.apache.spark.sql.functions.col
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val e = Tables.embeddings(spark, sf)
+    val queries = e.filter(col("vec_id") < 10)
+    val whole = graft.operators.AnnServe.sqTopkRows(queries,
+        graft.operators.AnnServe.fitSqShard(e), k = 10)
+      .orderBy("query_id", "neighbor_id").collect().map(key).toSeq
+    for (n <- Seq(1, 3, 6)) {
+      val shards = graft.operators.AnnServe.fitSqShards(e, nShards = n)
+      assert(shards.map(_.ids.length).sum == e.count(),
+        s"SQ shards must partition the corpus exactly (n=$n)")
+      val merged = graft.operators.AnnServe
+        .sqTopkRowsSharded(queries, shards, k = 10)
+        .orderBy("query_id", "neighbor_id").collect().map(key).toSeq
+      assert(merged == whole,
+        s"sharded SQ serve at n=$n must reproduce the whole-shard ranking exactly")
+    }
+  }
+
   test("sq8: quantization round-trips a constant dimension and clamps " +
        "out-of-line queries; non-finite corpus fails loudly at fit") {
     import spark.implicits._
