@@ -301,6 +301,17 @@ object ProbeSoak {
             f"fitShards=${(sh1 - sh0) / 1e9}%5.2fs " +
             f"serveMerged=${(sh2 - sh1) / 1e9}%5.2fs invariant=true")
         }
+        // SQ8 cross-shard merge invariance — same gate as the raw tier
+        val sqSingle = AnnServe.sqTopkRows(queries, sq)
+          .orderBy("query_id", "neighbor_id").collect().map(tup).toSeq
+        Seq(2, 5).foreach { ns =>
+          val shards = AnnServe.fitSqShards(e, nShards = ns)
+          val ans = AnnServe.sqTopkRowsSharded(queries, shards)
+            .orderBy("query_id", "neighbor_id").collect().map(tup).toSeq
+          require(ans == sqSingle,
+            s"sharded SQ serve diverged from single shard at nShards=$ns scale x$s")
+          println(f"[soak-serve] x$s%-3d sq nShards=$ns invariant=true")
+        }
         val top1 = AnnServe.topkRows(queries, raw, k = 1)
           .agg(min(col("cos"))).head.getDouble(0)
         require(top1 >= 0.99,
