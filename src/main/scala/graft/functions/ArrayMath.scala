@@ -1113,15 +1113,22 @@ case class CharTrigramBuckets(child: Expression, nBuckets: Int)
 
   def buckets(textU: org.apache.spark.unsafe.types.UTF8String): Any = {
     val t = textU.toString
-    if (t.length < 3)
+    // walk by CODE POINTS, not UTF-16 units (ADVICE r8): Spark's
+    // substring/length and the DuckDB oracle's substr/len both count
+    // code points, so supplementary-plane text (emoji, rare CJK) must
+    // gram identically here — a code-unit walk would over-count grams
+    // and split surrogate pairs. On BMP text the offsets coincide.
+    val offs = CharTrigramBuckets.codePointOffsets(t)
+    val n = offs.length - 1
+    if (n < 3)
       return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
     val md = java.security.MessageDigest.getInstance("MD5")
-    val out = new Array[Any](t.length - 2)
+    val out = new Array[Any](n - 2)
     var i = 0
-    val max = t.length - 3
+    val max = n - 3
     while (i <= max) {
       md.reset()
-      val dig = md.digest(t.substring(i, i + 3)
+      val dig = md.digest(t.substring(offs(i), offs(i + 3))
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       val h = ((dig(0) & 0xffL) << 24) | ((dig(1) & 0xffL) << 16) |
         ((dig(2) & 0xffL) << 8) | (dig(3) & 0xffL)
@@ -1144,6 +1151,22 @@ case class CharTrigramBuckets(child: Expression, nBuckets: Int)
   override def prettyName: String = "char_trigram_buckets"
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+object CharTrigramBuckets {
+  /** UTF-16 offsets of each code-point boundary in `t` (length =
+    * codePointCount + 1, last entry = t.length): the shared
+    * code-point walk behind `CharTrigramBuckets` and `LangNbScore`,
+    * keeping fit and serve gram-identical on non-BMP text. */
+  private[functions] def codePointOffsets(t: String): Array[Int] = {
+    val n = t.codePointCount(0, t.length)
+    val offs = new Array[Int](n + 1)
+    var o = 0
+    var i = 0
+    while (i < n) { offs(i) = o; o = t.offsetByCodePoints(o, 1); i += 1 }
+    offs(n) = t.length
+    offs
+  }
 }
 
 /** Row-local multinomial NB language scorer — the serve half of the
@@ -1183,12 +1206,16 @@ case class LangNbScore(child: Expression, flatW: Array[Double],
     val t = textU.toString
     val s = priors.clone()
     val w = flatW; val nb = nBuckets; val nc = nLangs
-    if (t.length >= 3) {
+    // code-point walk, shared with CharTrigramBuckets (ADVICE r8) —
+    // fit and serve must gram identically on supplementary-plane text
+    val offs = CharTrigramBuckets.codePointOffsets(t)
+    val ncp = offs.length - 1
+    if (ncp >= 3) {
       val md = java.security.MessageDigest.getInstance("MD5")
       var i = 0
-      val max = t.length - 3
+      val max = ncp - 3
       while (i <= max) {
-        val gram = t.substring(i, i + 3)
+        val gram = t.substring(offs(i), offs(i + 3))
         md.reset()
         val dig = md.digest(gram.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         // first 8 hex chars = first 4 digest bytes, big-endian unsigned

@@ -408,9 +408,17 @@ object AnnServe {
     require(embeddings.limit(rowCap + 1).count() <= rowCap,
       s"SqShard: embeddings exceed the per-shard cap $rowCap — " +
         "partition the corpus and merge per-query top-k answers instead")
-    val rows = embeddings
+    fitSqFromRows(embeddings
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
-      .collect()
+      .collect())
+  }
+
+  /** The shared fit behind `fitSqShard`/`fitSqShards`: rows carry
+    * (id, vector) in columns 0/1 (extra columns ignored) and the
+    * OUTPUT PRESERVES ROW ORDER — `fitSqShards` relies on index i of
+    * the returned arrays lining up with rows(i) so shard assignment
+    * can ride the same single collect as the fit. */
+  private def fitSqFromRows(rows: Array[org.apache.spark.sql.Row]): SqShard = {
     require(rows.nonEmpty, "SqShard: empty embeddings frame")
     val dim = rows(0).getSeq[Double](1).length
     val n = rows.length
@@ -494,6 +502,22 @@ object AnnServe {
     require(shardOld.ids.toSet.intersect(shardNew.ids.toSet).isEmpty,
       "knnGraphIncremental: old/new ids overlap — re-ingested ids need " +
         "an explicit delete before the incremental insert")
+    // The bit-identical-to-rebuild guarantee holds ONLY if oldEdges is
+    // the COMPLETE unfiltered top-k over the old corpus with this same
+    // k and the same rounded cos values — a smaller k, a cos-threshold
+    // filter, or unrounded scores would merge into a plausible but
+    // WRONG graph with no error. A complete graph has exactly
+    // |old| * min(k, |old|-1) rows, so validate that cheaply and fail
+    // loudly on k-mismatched or filtered inputs (ADVICE r8).
+    val nOld = shardOld.ids.length
+    val expectedOldEdges = nOld.toLong * math.min(k, nOld - 1)
+    val gotOldEdges = oldEdges.count()
+    require(gotOldEdges == expectedOldEdges,
+      s"knnGraphIncremental: oldEdges has $gotOldEdges rows but the " +
+        s"complete unfiltered top-$k graph over $nOld old vectors has " +
+        s"$expectedOldEdges — the incremental merge is only " +
+        "bit-identical to a rebuild when oldEdges is that exact graph " +
+        "(same k, no cos filter, HALF_UP-6dp-rounded scores)")
     val challenged = topkRows(oldEmb, shardNew, k, idCol, vecCol)
     val newVsOld = topkRows(newEmb, shardOld, k, idCol, vecCol)
     val newVsNew = topkRows(newEmb, shardNew, k, idCol, vecCol)
@@ -525,6 +549,22 @@ object AnnServe {
                      vecCol: String = "embedding"): DataFrame = {
     val removed = removedIds
       .select(col(removedIds.columns.head).cast("long").as("__rid")).distinct()
+    // Same completeness contract as knnGraphIncremental (ADVICE r8):
+    // `edges` must be the full unfiltered top-k over the PRE-delete
+    // corpus (= remaining ∪ removed, with removedIds a subset of the
+    // old corpus — an id never indexed is a caller error this check
+    // also surfaces). |old| * min(k, |old|-1) rows or fail loudly.
+    val nRemoved = removed.count()
+    val nPre = remaining.select(col(idCol)).distinct().count() + nRemoved
+    val expectedEdges = nPre * math.min(k.toLong, nPre - 1)
+    val gotEdges = edges.count()
+    require(gotEdges == expectedEdges,
+      s"knnGraphDelete: edges has $gotEdges rows but the complete " +
+        s"unfiltered top-$k graph over the $nPre pre-delete vectors " +
+        s"(${nPre - nRemoved} remaining + $nRemoved removed) has " +
+        s"$expectedEdges — the delete patch is only bit-identical to a " +
+        "rebuild when edges is that exact graph (same k, no cos " +
+        "filter, rounded scores, removedIds drawn from the indexed corpus)")
     val live = edges.join(broadcast(removed),
       col("query_id") === col("__rid"), "left_anti")
     val affected = live.join(broadcast(removed),
@@ -553,14 +593,22 @@ object AnnServe {
       s"fitSqShards: nShards * rowCap = $totalCap exceeds a collectable row count")
     require(embeddings.limit(totalCap.toInt + 1).count() <= totalCap,
       s"fitSqShards: embeddings exceed $nShards shards x cap $rowCap — raise nShards")
-    val whole = fitSqShard(embeddings, idCol, vecCol, rowCap = totalCap.toInt)
-    val shardOf = embeddings
-      .select(col(idCol).cast("long"),
+    // ONE corpus scan carries both the fit rows AND the Spark-computed
+    // shard key (pmod(xxhash64(id), n) — never a driver re-hash that
+    // could drift from the engine's): a second scan of a
+    // non-deterministic frame (sample, limit, streaming snapshot)
+    // could yield a DIFFERENT id set than the fit saw, turning shard
+    // assignment into a silent miss (ADVICE r8). fitSqFromRows
+    // preserves row order, so rows(i) is whole.ids(i).
+    val rows = embeddings
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"),
         pmod(xxhash64(col(idCol).cast("long")), lit(nShards)).cast("int"))
-      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      .collect()
+    val whole = fitSqFromRows(rows)
+    val shardOf = rows.map(_.getInt(2))
     val dim = whole.dim
     (0 until nShards).map { s =>
-      val idx = whole.ids.indices.filter(i => shardOf(whole.ids(i)) == s)
+      val idx = whole.ids.indices.filter(i => shardOf(i) == s)
       require(idx.nonEmpty,
         s"fitSqShards: shard $s is empty — nShards=$nShards is oversized " +
           "for this corpus; lower it")
@@ -585,8 +633,13 @@ object AnnServe {
                         vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(shards.nonEmpty, "sqTopkRowsSharded: no shards")
-    require(shards.forall(sh => (sh.minl eq shards.head.minl) &&
-        (sh.stepl eq shards.head.stepl)),
+    // VALUE equality, not reference (ADVICE r8): shards persisted via
+    // Artifacts.saveSqShard and reloaded on serving nodes carry
+    // value-equal but reference-distinct line arrays, and a restored
+    // deployment from one fit must stay mergeable.
+    require(shards.forall(sh =>
+        java.util.Arrays.equals(sh.minl, shards.head.minl) &&
+        java.util.Arrays.equals(sh.stepl, shards.head.stepl)),
       "sqTopkRowsSharded: shards must share one fitted dequantization " +
         "line — per-shard lines make dequantized cosines incomparable")
     val unioned = shards.map(sh => sqTopkRows(queries, sh, k, idCol, vecCol))

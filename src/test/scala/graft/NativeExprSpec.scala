@@ -395,4 +395,30 @@ class NativeExprSpec extends AnyFunSuite {
       assert(got(qid) == expect, s"query $qid: ${got(qid)} vs $expect")
     }
   }
+
+  test("CharTrigramBuckets walks CODE POINTS: non-BMP text grams match the " +
+       "Spark substring/md5/conv derivation and never split surrogate pairs") {
+    val nb = 1024
+    // emoji (supplementary plane, 2 UTF-16 units each), combining text,
+    // CJK, a doc below the 3-code-point floor, and plain ASCII control
+    val docs = Seq((1L, "a😀b😀c"), (2L, "naïve🎉!"),
+                   (3L, "😀😀"), (4L, "日本語のテキスト"),
+                   (5L, "plain ascii text")).toDF("doc_id", "text")
+    val native = docs.select(col("doc_id"),
+        graft.functions.ArrayMath.charTrigramBuckets(col("text"), nb).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // the engine-relational reference: Spark's substring/length count
+    // code points, md5 of the gram's UTF-8 bytes, first 8 hex as long
+    val layered = docs.select(col("doc_id"), expr(
+        s"""CASE WHEN length(text) >= 3
+           |  THEN transform(sequence(1, length(text) - 2),
+           |    i -> cast(conv(substring(md5(cast(substring(text, i, 3) as binary)), 1, 8), 16, 10) as bigint) % $nb)
+           |  ELSE array() END""".stripMargin).cast("array<long>").as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(native == layered,
+      "native trigram walk must equal the code-point relational form")
+    assert(native(1L).length == 3, // 5 code points -> 3 grams
+      s"a\\uD83D\\uDE00b... has 5 code points -> 3 grams, got ${native(1L).length}")
+    assert(native(3L).isEmpty, "2 code points -> below the trigram floor")
+  }
 }

@@ -417,6 +417,69 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("sq8 sharded merge accepts artifact-reloaded shards: value-equal " +
+       "but reference-distinct dequantization lines stay mergeable") {
+    import org.apache.spark.sql.functions.col
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val e = Tables.embeddings(spark, sf)
+    val queries = e.filter(col("vec_id") < 10)
+    val shards = graft.operators.AnnServe.fitSqShards(e, nShards = 3)
+    val dir = java.nio.file.Files.createTempDirectory("sqreload").toString
+    // the real deployment path: each shard persisted, then restored on
+    // a "serving node" — restored line arrays are value-equal copies,
+    // never the fit's references
+    val reloaded = shards.zipWithIndex.map { case (sh, i) =>
+      graft.ml.Artifacts.saveSqShard(sh, s"$dir/shard_$i.bin")
+      graft.ml.Artifacts.loadSqShard(s"$dir/shard_$i.bin")
+    }
+    assert(reloaded.forall(sh => !(sh.minl eq shards.head.minl)),
+      "test premise: reloaded shards must not share references with the fit")
+    val direct = graft.operators.AnnServe
+      .sqTopkRowsSharded(queries, shards, k = 10)
+      .orderBy("query_id", "neighbor_id").collect().map(key).toSeq
+    val restored = graft.operators.AnnServe
+      .sqTopkRowsSharded(queries, reloaded, k = 10)
+      .orderBy("query_id", "neighbor_id").collect().map(key).toSeq
+    assert(restored == direct,
+      "a restored sharded deployment must serve identically to the fit")
+  }
+
+  test("knn graph maintenance rejects incomplete edge lists loudly: " +
+       "filtered or k-mismatched inputs fail instead of diverging") {
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embeddings(spark, sf)
+    val old = e.filter(col("vec_id") % 5 =!= 0)
+    val fresh = e.filter(col("vec_id") % 5 === 0)
+    val oldGraph = graft.operators.AnnServe.topkRows(
+      old, graft.operators.AnnServe.fitShard(old), k = 5)
+    // a cos-threshold filter (the q_embed_pipeline shape) breaks the
+    // completeness precondition -> loud require, not a wrong graph
+    val filteredErr = intercept[IllegalArgumentException] {
+      graft.operators.AnnServe.knnGraphIncremental(
+        oldGraph.filter(col("cos") >= 0.9), old, fresh, k = 5)
+    }
+    assert(filteredErr.getMessage.contains("complete unfiltered top-5"))
+    // an edge list built with a smaller k than the merge's k likewise
+    val kMismatchErr = intercept[IllegalArgumentException] {
+      graft.operators.AnnServe.knnGraphIncremental(
+        graft.operators.AnnServe.topkRows(
+          old, graft.operators.AnnServe.fitShard(old), k = 3),
+        old, fresh, k = 5)
+    }
+    assert(kMismatchErr.getMessage.contains("complete unfiltered top-5"))
+    // same contract on the delete half
+    val full = graft.operators.AnnServe.topkRows(
+      e, graft.operators.AnnServe.fitShard(e), k = 5)
+    val delErr = intercept[IllegalArgumentException] {
+      graft.operators.AnnServe.knnGraphDelete(
+        full.filter(col("cos") >= 0.9),
+        e.filter(col("vec_id") % 7 =!= 0),
+        e.filter(col("vec_id") % 7 === 0).select("vec_id"), k = 5)
+    }
+    assert(delErr.getMessage.contains("complete"))
+  }
+
   test("sq8: quantization round-trips a constant dimension and clamps " +
        "out-of-line queries; non-finite corpus fails loudly at fit") {
     import spark.implicits._
