@@ -543,6 +543,22 @@ object ProbeSoak {
           f"path=${if (twoLevel) "2level" else "flat"}%-6s " +
           f"tolRecall200=$recall%.3f clusterTop1=$inCl/$totCl " +
           f"msPerVec=${(g1 - g0) / 1e6 / n}%.3f")
+        // NODE-coverage gate (keepIsolated variant): the plain graph
+        // may silently omit vectors isolated in their probed cells;
+        // the keepIsolated form must cover 100% of corpus ids, with
+        // the isolated set named by NULL neighbors (Ivf.knnGraph doc).
+        val coveredPlain = graph.select("query_id").distinct().count()
+        val full = Ivf.knnGraphWithIsolated(graph, e, "vec_id")
+          .localCheckpoint()
+        val coveredFull = full.select("query_id").distinct().count()
+        val isolated = full.filter(col("neighbor_id").isNull).count()
+        require(coveredFull == n,
+          s"keepIsolated covered $coveredFull of $n ids at x$s")
+        require(coveredPlain + isolated == n,
+          s"isolated count inconsistent at x$s: plain=$coveredPlain " +
+            s"isolated=$isolated n=$n")
+        println(f"[soak-knn2] x$s%-3d nodeCoverage plain=$coveredPlain/$n " +
+          f"keepIsolated=$coveredFull/$n isolated=$isolated gate=100%% OK")
         // GRAFT_SOAK_H2H=0 skips the flat-path head-to-head: the capped
         // flat path at x96 spills ~80 GB through its hot-cell candidate
         // join (occupancy 51/cell at the pinned nlist) — run it only on

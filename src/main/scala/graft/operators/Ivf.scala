@@ -273,16 +273,22 @@ object Ivf {
     * vector whose probed cells contain no other vector emits NO row at
     * all, so (unlike `q_knn_graph`, which always yields k neighbors
     * per vector) query_ids can be absent from the graph entirely — a
-    * silent-miss hazard for downstream inner joins. Callers needing
-    * every id present should left-join the id set back (absent ids =
-    * isolated nodes); the soak gates measure both edge recall and
-    * planted-cluster node coverage. */
+    * silent-miss hazard for downstream inner joins. Pass
+    * `keepIsolated = true` (or apply `knnGraphWithIsolated` to an
+    * already-built graph) to close it: every corpus id appears, with
+    * isolated nodes carried as (query_id, NULL, NULL) rows — so an
+    * inner join downstream can never silently drop a vector, and a
+    * `neighbor_id IS NULL` filter names the isolated set explicitly.
+    * The soak gates measure edge recall, planted-cluster node
+    * coverage, AND that the keepIsolated variant covers 100% of
+    * corpus ids. */
   def knnGraph(emb: DataFrame, idCol: String, vecCol: String,
                k: Int = 5, nprobe: Int = 6,
                targetCell: Int = 32,
                maxFlatNlist: Int = 4096,
                cellCap: Int = 512,
-               probeSplit: Option[(Int, Int)] = None): DataFrame = {
+               probeSplit: Option[(Int, Int)] = None,
+               keepIsolated: Boolean = false): DataFrame = {
     val e = emb.select(col(idCol).as("vec_id"),
       col(vecCol).cast("array<double>").as("f"))
     val nlistNeeded = math.max(16L, e.count() / targetCell)
@@ -318,8 +324,23 @@ object Ivf {
         e.select(col("vec_id"), col("f"),
           explode(probeCells2Col(col("f"), c2, npc, npf)).as("cell"))
       }
-    knnGraphFromProbed(probed, k, cellCap)
+    val graph = knnGraphFromProbed(probed, k, cellCap)
+    if (keepIsolated) knnGraphWithIsolated(graph, e, "vec_id") else graph
   }
+
+  /** Close `knnGraph`'s node-coverage gap on an already-built graph:
+    * left-join the corpus id set back so EVERY id appears — ids whose
+    * probed cells held no other vector surface as
+    * (query_id, NULL, NULL) rows instead of vanishing. One broadcast-
+    * able join on the (small, n·k-row) edge frame; the id side is a
+    * column-pruned scan. Used by `knnGraph(keepIsolated = true)` and
+    * directly by callers holding a checkpointed graph (the knn2 soak's
+    * coverage gate). */
+  def knnGraphWithIsolated(graph: DataFrame, emb: DataFrame,
+                           idCol: String): DataFrame =
+    emb.select(col(idCol).cast("long").as("query_id")).distinct()
+      .join(graph, Seq("query_id"), "left")
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
 
   /** The shared candidate-join + per-node top-k behind both quantizer
     * paths. The probed frame is localCheckpointed so the per-row

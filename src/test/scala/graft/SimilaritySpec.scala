@@ -557,6 +557,45 @@ class SimilaritySpec extends AnyFunSuite {
       e.filter(col("vec_id") === 2), solo, k = 5).count() == 0)
   }
 
+  test("knnGraph keepIsolated: isolated nodes surface as NULL-neighbor " +
+       "rows and id coverage is total") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // deterministic isolated node via the probed-frame kernel: vec 99
+    // probes a cell nobody else probes, so the plain graph omits it
+    val probed = Seq(
+      (1L, Seq(1.0, 0.0), 7), (2L, Seq(0.9, 0.1), 7), (3L, Seq(0.8, 0.2), 7),
+      (99L, Seq(-1.0, 0.0), 42)
+    ).toDF("vec_id", "f", "cell")
+    val graph = graft.operators.Ivf.knnGraphFromProbed(probed, k = 2)
+    assert(!graph.select("query_id").collect().map(_.getLong(0)).contains(99L),
+      "test premise: 99 must be isolated in the plain graph")
+    val emb = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.9, 0.1)),
+      (3L, Seq(0.8, 0.2)), (99L, Seq(-1.0, 0.0))).toDF("vec_id", "embedding")
+    val full = graft.operators.Ivf.knnGraphWithIsolated(graph, emb, "vec_id")
+    assert(full.select("query_id").distinct().count() == 4)
+    val iso = full.filter(col("neighbor_id").isNull).collect()
+    assert(iso.length == 1 && iso(0).getLong(0) == 99L && iso(0).isNullAt(2),
+      s"expected one (99, NULL, NULL) row, got ${iso.toSeq}")
+    // non-null rows pass through untouched
+    assert(full.filter(col("neighbor_id").isNotNull).count() == graph.count())
+
+    // keepIsolated=true end to end on the real table: total coverage,
+    // and the non-null edge set identical to the plain variant
+    val e = Tables.embeddings(spark, sf)
+    val plain = graft.operators.Ivf.knnGraph(e, "vec_id", "embedding",
+      k = 5, nprobe = 6, targetCell = 32)
+    val kept = graft.operators.Ivf.knnGraph(e, "vec_id", "embedding",
+      k = 5, nprobe = 6, targetCell = 32, keepIsolated = true)
+    assert(kept.select("query_id").distinct().count() == e.count(),
+      "keepIsolated must cover every corpus id")
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    assert(kept.filter(col("neighbor_id").isNotNull).collect().map(key).sorted.toSeq ==
+      plain.collect().map(key).sorted.toSeq,
+      "keepIsolated must not alter the non-isolated edge set")
+  }
+
   test("ann serve: dimension mismatch fails loudly") {
     import spark.implicits._
     val shard = graft.operators.AnnServe.fitShard(
