@@ -1970,6 +1970,62 @@ object Queries {
     },
     None)
 
+  /** md5-portable ORACLE twin of `sim_pq_topk` — the LAST sketch
+    * family whose production path had only bit-parity coverage: the
+    * codebooks derive from md5 ("pq:s:c:j" → uniform[−0.25, 0.25)),
+    * so DuckDB re-derives the codebook matrix, the per-subspace
+    * encode argmin (ties → smaller code, matching the native
+    * first-min argmin), the query-side LUT, the ADC sum over
+    * subspaces in ascending-s order (matching the native loop) and
+    * the per-query top-k — pinning PQ's asymmetric-distance candidate
+    * algebra end to end the way `sim_lsh_topk_md5` pinned LSH. Same
+    * m/ksub shape class as production; random codebooks quantize
+    * badly by design (the twin pins algebra, not codebook quality —
+    * the fitted path keeps its bit-parity spec + recall floors). */
+  private val qSimPqTopkMd5 = {
+    val (m, ksub, dim, k) = (8, 8, 64, 10)
+    val dsub = dim / m
+    Q(
+      "sim_pq_topk_md5",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val model = operators.Pq.md5Model(dim, m, ksub)
+        operators.Pq.topk(
+          operators.Pq.encode(e, "vec_id", "embedding", model),
+          e.filter(col("vec_id") < 10), "vec_id", "embedding", k, model)
+      },
+      Some(s"""WITH cb AS (SELECT s, c,
+           |  list(0.25 * (2 * CAST(('0x' || substr(md5('pq:' || s || ':' || c || ':' || j), 1, 13))::UBIGINT AS DOUBLE)
+           |       / power(16, 13) - 1) ORDER BY j) AS cent
+           | FROM generate_series(0, ${m - 1}) ss(s),
+           |      generate_series(0, ${ksub - 1}) cc(c),
+           |      generate_series(0, ${dsub - 1}) jj(j)
+           | GROUP BY s, c),
+           |v AS (SELECT vec_id AS id, embedding AS f FROM embeddings),
+           |sub AS (SELECT id, s, list_slice(f, s * $dsub + 1, s * $dsub + $dsub) AS fs
+           | FROM v, generate_series(0, ${m - 1}) ss(s)),
+           |dist AS (SELECT id, s, c,
+           |  list_sum(list_transform(list_zip(fs, cent),
+           |    p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+           |       * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) AS d2
+           | FROM sub JOIN cb USING (s)),
+           |code AS (SELECT id, s, c FROM (
+           |  SELECT id, s, c,
+           |   row_number() OVER (PARTITION BY id, s ORDER BY d2 ASC, c ASC) AS rn
+           |  FROM dist) WHERE rn = 1),
+           |adc AS (SELECT qd.id AS query_id, cn.id AS neighbor_id,
+           |  round(list_sum(list(qd.d2 ORDER BY qd.s)), 6) AS approx_sqdist
+           | FROM code cn JOIN dist qd ON qd.s = cn.s AND qd.c = cn.c
+           | WHERE qd.id < 10 AND qd.id <> cn.id
+           | GROUP BY qd.id, cn.id)
+           |SELECT query_id, neighbor_id, approx_sqdist FROM (
+           | SELECT query_id, neighbor_id, approx_sqdist,
+           |  row_number() OVER (PARTITION BY query_id
+           |    ORDER BY approx_sqdist ASC, neighbor_id ASC) AS rn
+           | FROM adc) WHERE rn <= $k
+           |ORDER BY query_id, neighbor_id""".stripMargin))
+  }
+
   /** Shared oracle for the INT8 scalar-quantization (SQ8) pair: the
     * WHOLE quantizer is plain SQL algebra — per-dim min/max over the
     * corpus, step=(max−min)/255, code=clamp(floor((x−min)/step+0.5)),
@@ -4207,7 +4263,7 @@ object Queries {
     qKnnGraphGrid,
     qKnnClusters, qEmbedPipeline,
     qSimLshTopk, qSimLshTopkMd5, qSimIvfTopk,
-    qSimIvfTopkGrid, qSimPqTopk, qSimPqServe, qSimSqTopk, qSimSqServe,
+    qSimIvfTopkGrid, qSimPqTopk, qSimPqTopkMd5, qSimPqServe, qSimSqTopk, qSimSqServe,
     qSimSqServeStream, qSimIvfPqTopk,
     qDedupMinhash, qDedupMinhashMd5, qDedupMinhashMd5Capped,
     qDedupMinhashMd5Stop,

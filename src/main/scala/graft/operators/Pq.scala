@@ -86,6 +86,33 @@ object Pq {
     Model(m, ksub, dsub, books)
   }
 
+  /** md5-derived PORTABLE codebooks — the `VectorLsh.md5Planes` trick
+    * applied to PQ: centroid component (s, c, j) is uniform[−scale,
+    * scale) from the first 13 hex chars of md5("pq:s:c:j"), so a SQL
+    * oracle re-derives the whole codebook and with it the encode
+    * argmin, the query LUT, the ADC sum and the top-k — pinning the
+    * PQ candidate algebra end to end (`sim_pq_topk_md5`). Fitted
+    * k-means codebooks stay the production path (random codebooks
+    * quantize badly); the twin pins ALGEBRA, not codebook quality,
+    * exactly as the md5 planes pinned LSH. */
+  def md5Model(dim: Int, m: Int, ksub: Int, scale: Double = 0.25): Model = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val dsub = dim / m
+    val hexScale = math.pow(16.0, 13)
+    val books = Array.tabulate(m) { s =>
+      Array.tabulate(ksub) { c =>
+        Array.tabulate(dsub) { j =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val hex = md.digest(s"pq:$s:$c:$j".getBytes("UTF-8"))
+            .map(b => f"$b%02x").mkString
+          val u = java.lang.Long.parseLong(hex.substring(0, 13), 16).toDouble / hexScale
+          scale * (2.0 * u - 1.0)
+        }
+      }
+    }
+    Model(m, ksub, dsub, books)
+  }
+
   private def subVec(vec: Column, model: Model, s: Int): Column =
     slice(vec, s * model.dsub + 1, model.dsub)
 
