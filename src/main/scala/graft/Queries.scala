@@ -1554,6 +1554,64 @@ object Queries {
     },
     Some(knnGraphSqlFor("WHERE vec_id % 7 <> 0")))
 
+  /** STREAMING graph maintenance under the SAME full oracle — the
+    * lifecycle seam closed (VERDICT r8 #1): the embeddings table
+    * arrives as four hash-sliced micro-batches and the STANDING graph
+    * advances per batch via `streaming.GraphStream.MaintainedGraph`
+    * (each advance = the oracle-checked `knnGraphIncremental`, each
+    * committed version bit-identical to a scratch rebuild over the
+    * corpus-so-far, behind a crash-recoverable versioned state swap).
+    * Drained end state = the exact top-5 graph over the full table,
+    * so the batch `q_knn_graph` oracle applies verbatim — the
+    * established streaming-twin contract applied to the maintained
+    * index itself. Arrival order is irrelevant by the exact-over-
+    * union merge property. */
+  private val qKnnGraphStream = Q(
+    "q_knn_graph_stream",
+    (s, d) => streaming.GraphStream.knnGraphOverFile(s, d, k = 5),
+    Some(knnGraphSql))
+
+  /** The CONTINUOUS-CORPUS flagship — the streaming twin of the
+    * composed-pipeline family (VERDICT r8 #7): document+embedding
+    * batches stream through ONE maintained state composing
+    * incremental near-dup dedup (minhash bands vs the standing
+    * corpus, verified jaccard, cluster-min-id keep rule) → kept-set
+    * diff (new keepers inserted, dethroned keepers EVICTED) → the
+    * maintained exact kNN graph (`GraphStream.MaintainedGraph`
+    * absorbing each diff as delete+insert behind the versioned swap).
+    * The cluster-min-id rule is order-FREE (clusters only grow,
+    * min(cluster) only falls), so the drained end state equals the
+    * batch pipeline on the full corpus for ANY arrival order, and the
+    * chained oracle re-derives everything from scratch: md5-minhash
+    * bands → candidate pairs → jaccard verification → recursive-CTE
+    * transitive closure → min-id keep → exact top-5 graph over the
+    * keepers. Three oracle-proven stages, one hash check. */
+  private val qContinuousCorpus = {
+    val (nh, bands, thr, k) = (16, 8, 0.1, 5)
+    Q(
+      "q_continuous_corpus",
+      (s, d) => streaming.CorpusPipeline.continuousOverFile(s, d, k = k),
+      Some(s"""WITH RECURSIVE ${minhashMd5PairCtes(nh, bands, thr)},
+           |e0 AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+           |       UNION SELECT doc_b, doc_a FROM pairs),
+           |reach(node, label) AS (
+           | SELECT src, src FROM e0
+           | UNION
+           | SELECT e.dst, r.label FROM reach r JOIN e0 e ON e.src = r.node),
+           |nonmin AS (SELECT node FROM reach GROUP BY node
+           |           HAVING node <> min(label)),
+           |emb AS (SELECT vec_id, embedding FROM embeddings
+           |        WHERE vec_id NOT IN (SELECT node FROM nonmin)),
+           |c AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           |  round(${duckCosine("q.embedding", "e.embedding")}, 6) AS cos
+           | FROM emb q, emb e WHERE e.vec_id <> q.vec_id)
+           |SELECT query_id, neighbor_id, cos FROM (
+           | SELECT query_id, neighbor_id, cos,
+           |  row_number() OVER (PARTITION BY query_id
+           |    ORDER BY cos DESC, neighbor_id ASC) AS rn
+           | FROM c) WHERE rn <= $k ORDER BY query_id, neighbor_id""".stripMargin))
+  }
+
   /** The SCALE path for `q_knn_graph` (rows-only): IVF multi-probe
     * graph construction — every vector explodes to its `nprobe`
     * nearest k-means cells, candidate pairs are vectors sharing a
@@ -4259,7 +4317,8 @@ object Queries {
     qWinnowFingerprint, qCorpusClean,
     qDedupExact, qNgramJaccard, qSimBruteforce, qSimServe, qSimServeSharded,
     qSimServeStream,
-    qKnnGraph, qKnnGraphSharded, qKnnGraphInc, qKnnGraphDel, qKnnGraphIvf,
+    qKnnGraph, qKnnGraphSharded, qKnnGraphInc, qKnnGraphDel, qKnnGraphStream,
+    qContinuousCorpus, qKnnGraphIvf,
     qKnnGraphGrid,
     qKnnClusters, qEmbedPipeline,
     qSimLshTopk, qSimLshTopkMd5, qSimIvfTopk,

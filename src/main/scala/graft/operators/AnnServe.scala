@@ -86,6 +86,69 @@ object AnnServe {
       .collect())
   }
 
+  /** `fitShard` when the caller has ALREADY counted the frame this
+    * batch (a maintained-state advance counts its input anyway): the
+    * cap check runs on the known count, skipping the bounded-probe
+    * job. Same guard, same message class, one scan instead of two. */
+  private[graft] def fitShardPrecounted(embeddings: DataFrame, n: Long,
+                                        idCol: String = "vec_id",
+                                        vecCol: String = "embedding",
+                                        rowCap: Int = 1 << 20): AnnShard = {
+    require(n <= rowCap,
+      s"AnnShard: embeddings exceed the per-shard cap $rowCap — an ANN " +
+        "serve shard must fit serving-node memory; use fitShards + " +
+        "topkRowsSharded to partition the corpus and merge per-query " +
+        "top-k answers instead")
+    buildShard(embeddings
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .collect())
+  }
+
+  /** Driver-side shard UNION for a long-lived maintained index
+    * (`streaming.GraphStream`): the standing shard advances with its
+    * corpus instead of being refit from a cluster scan every
+    * micro-batch. Pure array concat — the result is definitionally
+    * the shard `fitShard` would build over the union (row order is
+    * irrelevant: every consumer ranks over ALL shard rows). Ids must
+    * be disjoint and the union must still fit the per-shard cap. */
+  def concatShards(a: AnnShard, b: AnnShard,
+                   rowCap: Int = 1 << 20): AnnShard = {
+    require(a.dim == b.dim, s"concatShards: dim ${a.dim} vs ${b.dim}")
+    require(a.ids.length.toLong + b.ids.length <= rowCap,
+      s"concatShards: union of ${a.ids.length} + ${b.ids.length} ids " +
+        s"exceeds the per-shard cap $rowCap — hand off to fitShards + " +
+        "topkRowsSharded (the multi-node serve tier) before this point")
+    val overlap = a.ids.toSet.intersect(b.ids.toSet)
+    require(overlap.isEmpty,
+      s"concatShards: ${overlap.size} overlapping ids (e.g. " +
+        s"${overlap.take(3).mkString(",")}) — re-ingested ids need an " +
+        "explicit delete before the insert")
+    AnnShard(a.ids ++ b.ids, a.flatVecs ++ b.flatVecs, a.dim)
+  }
+
+  /** Driver-side shard DELETE — the other half of maintained-shard
+    * advancement. `removed` must be a subset of the shard's ids (an
+    * id never indexed is a caller error, same as `knnGraphDelete`),
+    * and the delete must not empty the shard (an emptied index is a
+    * re-bootstrap, not a filter — the caller decides that loudly). */
+  def filterShard(s: AnnShard, removed: Set[Long]): AnnShard = {
+    val idSet = s.ids.toSet
+    val missing = removed.diff(idSet)
+    require(missing.isEmpty,
+      s"filterShard: ${missing.size} removed ids not in the shard " +
+        s"(e.g. ${missing.take(3).mkString(",")})")
+    require(removed.size < s.ids.length,
+      "filterShard: delete would empty the shard — an emptied index " +
+        "must re-bootstrap from the next insert batch, not serve empty")
+    val keep = s.ids.indices.filterNot(i => removed(s.ids(i)))
+    val ids = keep.map(s.ids).toArray
+    val flat = new Array[Double](keep.length * s.dim)
+    keep.zipWithIndex.foreach { case (i, j) =>
+      System.arraycopy(s.flatVecs, i * s.dim, flat, j * s.dim, s.dim)
+    }
+    AnnShard(ids, flat, s.dim)
+  }
+
   /** The shared array build behind `fitShard`/`fitShards`. Rejects
     * non-finite components AT FIT TIME: the serve expressions rank on
     * rounded finite scores while the batch join+window plan ranks NaN
@@ -495,10 +558,30 @@ object AnnServe {
   def knnGraphIncremental(oldEdges: DataFrame, oldEmb: DataFrame,
                           newEmb: DataFrame, k: Int = 5,
                           idCol: String = "vec_id",
-                          vecCol: String = "embedding"): DataFrame = {
+                          vecCol: String = "embedding"): DataFrame =
+    knnGraphIncremental(oldEdges, oldEmb, fitShard(oldEmb, idCol, vecCol),
+      newEmb, fitShard(newEmb, idCol, vecCol), k, idCol, vecCol)
+
+  /** Shard-supplied form of `knnGraphIncremental` for a LONG-LIVED
+    * maintained graph (`streaming.GraphStream`): the standing corpus's
+    * fitted shard advances driver-side with the corpus
+    * (`concatShards`/`filterShard`) instead of being refit from a
+    * cluster scan every micro-batch — at micro-batch cadence the
+    * refit's probe+collect was the dominant per-batch cost, and at
+    * production scale re-collecting an unchanged corpus each batch is
+    * exactly the waste a maintained index exists to avoid. CONTRACT:
+    * `oldShard`/`newShard` must be fitted over exactly `oldEmb`/
+    * `newEmb` (the caller owns frame↔shard lockstep; GraphStream
+    * guarantees it by advancing both in one committed state). The
+    * merge algebra is unchanged — results stay bit-identical to a
+    * scratch rebuild. */
+  def knnGraphIncremental(oldEdges: DataFrame, oldEmb: DataFrame,
+                          oldShard: AnnShard, newEmb: DataFrame,
+                          newShard: AnnShard, k: Int,
+                          idCol: String, vecCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val shardNew = fitShard(newEmb, idCol, vecCol)
-    val shardOld = fitShard(oldEmb, idCol, vecCol)
+    val shardNew = newShard
+    val shardOld = oldShard
     require(shardOld.ids.toSet.intersect(shardNew.ids.toSet).isEmpty,
       "knnGraphIncremental: old/new ids overlap — re-ingested ids need " +
         "an explicit delete before the incremental insert")
@@ -555,13 +638,30 @@ object AnnServe {
     // old corpus — an id never indexed is a caller error this check
     // also surfaces). |old| * min(k, |old|-1) rows or fail loudly.
     val nRemoved = removed.count()
-    val nPre = remaining.select(col(idCol)).distinct().count() + nRemoved
+    val nRemaining = remaining.select(col(idCol)).distinct().count()
+    knnGraphDelete(edges, remaining, fitShard(remaining, idCol, vecCol),
+      removed, nRemaining, nRemoved, k, idCol, vecCol)
+  }
+
+  /** Shard-supplied form of `knnGraphDelete` — same rationale and
+    * lockstep contract as the shard-supplied `knnGraphIncremental`:
+    * a maintained graph (`streaming.GraphStream`) advances its fitted
+    * shard driver-side (`filterShard`), so the remaining-corpus counts
+    * and the shard are already known and the per-batch probe/count/fit
+    * jobs disappear. `removed` must be the distinct single-column
+    * `__rid` frame; `nRemaining`/`nRemoved` the exact cardinalities of
+    * `remainingShard.ids`/`removed`. */
+  def knnGraphDelete(edges: DataFrame, remaining: DataFrame,
+                     remainingShard: AnnShard, removed: DataFrame,
+                     nRemaining: Long, nRemoved: Long, k: Int,
+                     idCol: String, vecCol: String): DataFrame = {
+    val nPre = nRemaining + nRemoved
     val expectedEdges = nPre * math.min(k.toLong, nPre - 1)
     val gotEdges = edges.count()
     require(gotEdges == expectedEdges,
       s"knnGraphDelete: edges has $gotEdges rows but the complete " +
         s"unfiltered top-$k graph over the $nPre pre-delete vectors " +
-        s"(${nPre - nRemoved} remaining + $nRemoved removed) has " +
+        s"($nRemaining remaining + $nRemoved removed) has " +
         s"$expectedEdges — the delete patch is only bit-identical to a " +
         "rebuild when edges is that exact graph (same k, no cos " +
         "filter, rounded scores, removedIds drawn from the indexed corpus)")
@@ -571,11 +671,10 @@ object AnnServe {
         col("neighbor_id") === col("__rid"), "left_semi")
       .select(col("query_id")).distinct()
     val untouched = live.join(broadcast(affected), Seq("query_id"), "left_anti")
-    val shard = fitShard(remaining, idCol, vecCol)
     val recomputed = topkRows(
       remaining.join(broadcast(affected),
         col(idCol) === col("query_id"), "left_semi"),
-      shard, k, idCol, vecCol)
+      remainingShard, k, idCol, vecCol)
     untouched.select("query_id", "neighbor_id", "cos").unionAll(recomputed)
   }
 

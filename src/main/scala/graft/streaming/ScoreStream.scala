@@ -129,11 +129,22 @@ object ScoreStream {
     * shuffle into fewer partitions; AQE re-coalesces anyway). At
     * production scale the deployable `start` runners use the session
     * default untouched. */
-  private[streaming] def withShufflePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val old = spark.conf.get(key)
-    spark.conf.set(key, n.toString)
-    try body finally spark.conf.set(key, old)
+  private[streaming] def withShufflePartitions[T](spark: SparkSession, n: Int)(body: => T): T =
+    withConfs(spark, "spark.sql.shuffle.partitions" -> n.toString)(body)
+
+  /** Generalized conf scoping for the finite-input runners. Only confs
+    * that can never change query RESULTS belong here (shuffle partition
+    * count, adaptive execution on/off): a concurrent batch plan in the
+    * same session observing the temporary value stays correct — it may
+    * just shuffle differently. The maintained-state runners also turn
+    * AQE off: their micro-batches chain dozens of KB-sized stages, and
+    * per-stage adaptive re-planning is pure latency at that size (the
+    * deployable `start` runners take the session default untouched). */
+  private[streaming] def withConfs[T](spark: SparkSession,
+                                      kvs: (String, String)*)(body: => T): T = {
+    val olds = kvs.map { case (k, _) => k -> spark.conf.get(k) }
+    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally olds.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
   /** Finite-input form for oracle verification of the AS-BUILT

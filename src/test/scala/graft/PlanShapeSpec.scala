@@ -351,4 +351,31 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("BroadcastHashJoin[^\n]*LeftAnti".r.findFirstIn(loopPlan).isDefined,
            s"loop-path anti join not AQE-converted to broadcast:\n${loopPlan.take(1500)}")
   }
+
+  test("continuous-corpus micro-batch: batch restriction is a broadcast " +
+       "semi-join; the candidate join keys on the band bucket — no cartesian") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val batchIds = docs.filter(col("doc_id") % 4 === 0).select("doc_id")
+    val df = graft.streaming.CorpusPipeline.incrementalPairs(
+      docs, batchIds, numHashes = 16, bands = 8, threshold = 0.1, shingleK = 3)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
+    assert("BroadcastHashJoin[^\n]*LeftSemi".r.findFirstIn(plan).isDefined,
+      s"batch-id restriction must be a broadcast semi-join:\n${plan.take(1500)}")
+    assert(plan.contains("hashpartitioning(band") ||
+           "BroadcastHashJoin[^\n]*band".r.findFirstIn(plan).isDefined,
+      s"candidate join must key on the (band, bh) bucket:\n${plan.take(1500)}")
+    // the graph-advance serve half stays scan-side: zero exchanges in
+    // the per-batch top-k pass (one native expression over the shard)
+    val e = Tables.embeddings(spark, sf)
+    val serve = graft.operators.AnnServe.topkRows(
+      e, graft.operators.AnnServe.fitShard(e), k = 5)
+    val servePlan = serve.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!servePlan.contains("Exchange"),
+      s"the serve pass of the graph advance must be exchange-free:\n" +
+        servePlan.take(1200))
+  }
 }

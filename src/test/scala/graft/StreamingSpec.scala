@@ -788,6 +788,235 @@ class StreamingSpec extends AnyFunSuite {
       "batch 1 answers must match the v2-corpus batch serve exactly")
   }
 
+  // -- maintained kNN graph: the streaming lifecycle of the vector
+  // index (GraphStream) under the same recovery matrix ---------------
+
+  private def graphKey = (r: org.apache.spark.sql.Row) =>
+    (r.getLong(0), r.getLong(1), r.getDouble(2))
+
+  private def scratchGraph(corpus: org.apache.spark.sql.DataFrame,
+                           k: Int): Seq[(Long, Long, Double)] = {
+    import graft.operators.AnnServe
+    AnnServe.topkRows(corpus, AnnServe.fitShard(corpus), k)
+      .collect().map(graphKey).toSeq.sorted
+  }
+
+  for ((provName, prov) <- stateProviders)
+  test(s"maintained graph [$provName]: kill mid-stream, restart recovers " +
+       "the standing state; drained graph equals the batch rebuild") {
+   withStateProvider(prov) {
+    import graft.streaming.GraphStream
+    val sfd = "/root/testdata/sf0.001"
+    val dir = java.nio.file.Files.createTempDirectory("graft_graphkill").toString
+    val in = s"$dir/in"; val state = s"$dir/state"; val ckpt = s"$dir/ckpt"
+    val e = Tables.embeddings(spark, sfd)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val nSlices = 4
+    def writeSlice(s: Int): Unit =
+      e.filter(pmod(xxhash64(col("vec_id")), lit(nSlices)) === s)
+        .coalesce(1).write.mode("append").parquet(in)
+    // only half the input exists when the first run is stopped (the
+    // deterministic mid-input kill of the ScoreStream recovery case)
+    (0 until nSlices / 2).foreach(writeSlice)
+    val g1 = new GraphStream.MaintainedGraph(spark, state, k = 5)
+    val q1 = GraphStream.start(g1,
+      spark.readStream.schema(e.schema).option("maxFilesPerTrigger", 1).parquet(in),
+      ckpt)
+    val deadline = System.currentTimeMillis + 60000
+    while (g1.version < 1 && System.currentTimeMillis < deadline) Thread.sleep(25)
+    q1.stop()
+    assert(g1.version >= 1, "kill landed before any batch committed")
+    (nSlices / 2 until nSlices).foreach(writeSlice)
+    // a fresh "process": the graph recovers from the state dir alone
+    val g2 = new GraphStream.MaintainedGraph(spark, state, k = 5)
+    assert(g2.version == g1.version &&
+      g2.lastAppliedBatchId == g1.lastAppliedBatchId,
+      s"recovery lost the pointer: ${g2.version}/${g2.lastAppliedBatchId} " +
+        s"vs ${g1.version}/${g1.lastAppliedBatchId}")
+    val q2 = GraphStream.start(g2,
+      spark.readStream.schema(e.schema).option("maxFilesPerTrigger", 1).parquet(in),
+      ckpt)
+    q2.awaitTermination()
+    assert(g2.edges.collect().map(graphKey).toSeq.sorted == scratchGraph(e, 5),
+      "drained maintained graph diverged from the batch rebuild after recovery")
+   }
+  }
+
+  for ((provName, prov) <- stateProviders)
+  test(s"maintained graph [$provName]: replay after a lost commit marker " +
+       "is a version no-op with identical state") {
+   withStateProvider(prov) {
+    import graft.streaming.GraphStream
+    val sfd = "/root/testdata/sf0.001"
+    val dir = java.nio.file.Files.createTempDirectory("graft_graphreplay").toString
+    val in = s"$dir/in"; val state = s"$dir/state"; val ckpt = s"$dir/ckpt"
+    val e = Tables.embeddings(spark, sfd)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    (0 until 3).foreach { s =>
+      e.filter(pmod(xxhash64(col("vec_id")), lit(3)) === s)
+        .coalesce(1).write.mode("append").parquet(in)
+    }
+    val g1 = new GraphStream.MaintainedGraph(spark, state, k = 5)
+    val q1 = GraphStream.start(g1,
+      spark.readStream.schema(e.schema).option("maxFilesPerTrigger", 1).parquet(in),
+      ckpt)
+    q1.awaitTermination()
+    val vDone = g1.version
+    val done = g1.edges.collect().map(graphKey).toSeq.sorted
+    assert(done == scratchGraph(e, 5))
+    // crash window between the graph's pointer commit and Spark's own
+    // commit marker: drop the newest marker — the engine replays the
+    // batch, and the advance must no-op (batchId already applied)
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    val dropped = commits.last
+    assert(dropped.delete())
+    new java.io.File(dropped.getParentFile, "." + dropped.getName + ".crc").delete()
+    val g2 = new GraphStream.MaintainedGraph(spark, state, k = 5)
+    assert(g2.version == vDone)
+    val q2 = GraphStream.start(g2,
+      spark.readStream.schema(e.schema).option("maxFilesPerTrigger", 1).parquet(in),
+      ckpt)
+    q2.awaitTermination()
+    assert(g2.version == vDone,
+      s"replayed batch double-applied: version ${g2.version} vs $vDone")
+    assert(g2.edges.collect().map(graphKey).toSeq.sorted == done,
+      "replay changed the standing graph")
+   }
+  }
+
+  test("maintained graph: delete and re-insert batches stay bit-identical " +
+       "to scratch rebuilds, and stale batch ids are no-ops") {
+    import graft.streaming.GraphStream
+    val sfd = "/root/testdata/sf0.001"
+    val state = java.nio.file.Files
+      .createTempDirectory("graft_graphupsert").toString + "/state"
+    val e = Tables.embeddings(spark, sfd)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val a = e.filter(col("vec_id") % 3 === 0)
+    val b = e.filter(col("vec_id") % 3 === 1)
+    val g = new GraphStream.MaintainedGraph(spark, state, k = 5)
+    assert(g.advance(0, a) == 1)
+    assert(g.edges.collect().map(graphKey).toSeq.sorted == scratchGraph(a, 5))
+    // one batch carrying BOTH a delete (every sixth id leaves) and an
+    // insert — delete applies first, then the insert absorbs
+    val leaving = a.filter(col("vec_id") % 6 === 0).select("vec_id")
+    assert(g.advance(1, b, Some(leaving)) == 2)
+    val live1 = a.filter(col("vec_id") % 6 =!= 0).unionByName(b)
+    assert(g.edges.collect().map(graphKey).toSeq.sorted == scratchGraph(live1, 5),
+      "delete+insert batch diverged from the rebuild on the live set")
+    // re-inserting the previously deleted ids is legal (they are gone)
+    assert(g.advance(2, a.filter(col("vec_id") % 6 === 0)) == 3)
+    val live2 = live1.unionByName(a.filter(col("vec_id") % 6 === 0))
+    assert(g.edges.collect().map(graphKey).toSeq.sorted == scratchGraph(live2, 5),
+      "re-insert after delete diverged from the rebuild")
+    // a stale batch id must not apply
+    assert(g.advance(2, b) == 3, "stale batchId advanced the graph")
+    // serve answers carry the graph version they were computed at
+    val served = g.serveSnapshot(e.filter(col("vec_id") < 3), kServe = 3)
+    assert(served.select("graph_version").distinct().collect()
+      .map(_.getInt(0)).toSeq == Seq(3))
+  }
+
+  // -- continuous-corpus pipeline: dedup → kept-set diff → graph ------
+
+  test("continuous corpus: a late smaller-id near-dup dethrones the " +
+       "standing keeper; the graph absorbs the eviction") {
+    import graft.streaming.CorpusPipeline
+    val state = java.nio.file.Files
+      .createTempDirectory("graft_evict").toString + "/state"
+    val mc = new CorpusPipeline.MaintainedCorpus(spark, state, k = 2)
+    val dupText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val b1 = Seq(
+      (9L, dupText, Seq(1.0, 0.0, 0.0)),
+      (20L, "one two three four five six seven eight nine ten",
+        Seq(0.0, 1.0, 0.0)),
+      (21L, "red orange yellow green blue indigo violet pink black white",
+        Seq(0.0, 0.0, 1.0))
+    ).toDF("doc_id", "text", "embedding")
+    assert(mc.advance(0, b1) == 1)
+    assert(mc.kept.collect().map(_.getLong(0)).toSet == Set(9L, 20L, 21L))
+    assert(mc.graph.edges.select("query_id").distinct().count() == 3)
+    // batch 2: a near-dup of doc 9 with a SMALLER id — the cluster-min
+    // keep rule dethrones 9; the graph must drop it and index 5
+    val b2 = Seq((5L, dupText, Seq(0.9, 0.1, 0.0)))
+      .toDF("doc_id", "text", "embedding")
+    assert(mc.advance(1, b2) == 2)
+    assert(mc.kept.collect().map(_.getLong(0)).toSet == Set(5L, 20L, 21L))
+    val nodes = mc.graph.edges
+      .select(explode(array(col("query_id"), col("neighbor_id"))).as("n"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(nodes == Set(5L, 20L, 21L),
+      s"evicted doc 9 must vanish from BOTH graph sides, got $nodes")
+    // the maintained graph equals a scratch rebuild over the kept set
+    import graft.operators.AnnServe
+    val keptEmb = mc.docs.join(mc.kept, Seq("doc_id"), "left_semi")
+      .select("doc_id", "embedding")
+    val scratch = AnnServe.topkRows(keptEmb,
+        AnnServe.fitShard(keptEmb, "doc_id", "embedding"), k = 2,
+        "doc_id", "embedding")
+      .collect().map(graphKey).toSeq.sorted
+    assert(mc.graph.edges.collect().map(graphKey).toSeq.sorted == scratch)
+    // re-sending a seen id is a loud error, not a silent re-ingest
+    val err = intercept[IllegalArgumentException] {
+      mc.advance(2, Seq((20L, "sneaky resend", Seq(0.5, 0.5, 0.0)))
+        .toDF("doc_id", "text", "embedding"))
+    }
+    assert(err.getMessage.contains("already-seen"))
+  }
+
+  test("continuous corpus: kill mid-stream, restart recovers; drained " +
+       "state equals the batch pipeline on the full corpus") {
+    import graft.streaming.CorpusPipeline
+    import graft.operators.{AnnServe, Dedup}
+    val sfd = "/root/testdata/sf0.001"
+    val dir = java.nio.file.Files.createTempDirectory("graft_pipekill").toString
+    val in = s"$dir/in"; val state = s"$dir/state"; val ckpt = s"$dir/ckpt"
+    val feed = Tables.documents(spark, sfd).select(col("doc_id"), col("text"))
+      .join(Tables.embeddings(spark, sfd)
+        .select(col("vec_id").as("doc_id"),
+          col("embedding").cast("array<double>").as("embedding")),
+        Seq("doc_id"))
+    val nSlices = 4
+    def writeSlice(s: Int): Unit =
+      feed.filter(pmod(xxhash64(col("doc_id")), lit(nSlices)) === s)
+        .coalesce(1).write.mode("append").parquet(in)
+    (0 until nSlices / 2).foreach(writeSlice)
+    val mc1 = new CorpusPipeline.MaintainedCorpus(spark, state, k = 5)
+    val q1 = CorpusPipeline.start(mc1,
+      spark.readStream.schema(feed.schema).option("maxFilesPerTrigger", 1).parquet(in),
+      ckpt)
+    val deadline = System.currentTimeMillis + 120000
+    while (mc1.version < 1 && System.currentTimeMillis < deadline) Thread.sleep(25)
+    q1.stop()
+    assert(mc1.version >= 1, "kill landed before any batch committed")
+    (nSlices / 2 until nSlices).foreach(writeSlice)
+    val mc2 = new CorpusPipeline.MaintainedCorpus(spark, state, k = 5)
+    assert(mc2.version == mc1.version &&
+      mc2.graph.version == mc1.graph.version, "recovery lost a pointer")
+    val q2 = CorpusPipeline.start(mc2,
+      spark.readStream.schema(feed.schema).option("maxFilesPerTrigger", 1).parquet(in),
+      ckpt)
+    q2.awaitTermination()
+    // batch expectation: cluster-min-id dedup of the full corpus, then
+    // the exact graph over the keepers
+    val docs = Tables.documents(spark, sfd)
+    val pairsB = Dedup.minhashPairs(docs, "doc_id", "text",
+      numHashes = 16, bands = 8, threshold = 0.1, portableMd5 = true)
+    val keptB = Dedup.dedupCorpus(docs.select("doc_id"), pairsB, "doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(mc2.kept.collect().map(_.getLong(0)).toSet == keptB,
+      "drained kept set diverged from the batch dedup")
+    val keptEmb = feed.filter(col("doc_id").isInCollection(keptB))
+      .select("doc_id", "embedding")
+    val scratch = AnnServe.topkRows(keptEmb,
+        AnnServe.fitShard(keptEmb, "doc_id", "embedding"), k = 5,
+        "doc_id", "embedding")
+      .collect().map(graphKey).toSeq.sorted
+    assert(mc2.graph.edges.collect().map(graphKey).toSeq.sorted == scratch,
+      "drained maintained graph diverged from the batch pipeline")
+  }
+
   test("file-source runner writes scored parquet exactly once") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
     val in = s"$dir/in"; val out = s"$dir/out"; val ckpt = s"$dir/ckpt"
