@@ -78,32 +78,39 @@ object CorpusPipeline {
     def version: Int = cur._1
     def lastAppliedBatchId: Long = cur._2
 
-    /** All docs seen so far: (doc_id, text, embedding). */
-    def docs: DataFrame = {
+    /** The committed (docs, pairs, kept) frames at the current
+      * version — hot blocks if this process committed them. A
+      * RECOVERED process reads the parquet snapshot ONCE and
+      * `localCheckpoint`s it into hot blocks BEFORE anything downstream
+      * builds on it: `advance` chains `unionByName` on these frames and
+      * the retention loop deletes `v=newV-2`, so a LAZY read of the
+      * recovered `v=N` would still be referenced by the hot chain two
+      * commits after a restart — the snapshot write of `v=N+3` would
+      * then scan a deleted directory and die (the recovery lineage bug
+      * the r9 kill/restart test exposed). Same posture as the
+      * `hotDerived` recovery branch and `MaintainedGraph.commit`, which
+      * cut lineage eagerly for the same reason. */
+    private def hotState: (DataFrame, DataFrame, DataFrame) = synchronized {
       require(version > 0, "MaintainedCorpus: no committed version yet")
       hot match {
-        case Some((v, d, _, _)) if v == version => d
-        case _ => spark.read.parquet(s"$stateDir/docs/v=$version")
+        case Some((v, d, p, kp)) if v == version => (d, p, kp)
+        case _ =>
+          val d = spark.read.parquet(s"$stateDir/docs/v=$version").localCheckpoint()
+          val p = spark.read.parquet(s"$stateDir/pairs/v=$version").localCheckpoint()
+          val kp = spark.read.parquet(s"$stateDir/kept/v=$version").localCheckpoint()
+          hot = Some((version, d, p, kp))
+          (d, p, kp)
       }
     }
+
+    /** All docs seen so far: (doc_id, text, embedding). */
+    def docs: DataFrame = hotState._1
 
     /** Verified near-dup pairs accumulated so far. */
-    def pairs: DataFrame = {
-      require(version > 0, "MaintainedCorpus: no committed version yet")
-      hot match {
-        case Some((v, _, p, _)) if v == version => p
-        case _ => spark.read.parquet(s"$stateDir/pairs/v=$version")
-      }
-    }
+    def pairs: DataFrame = hotState._2
 
     /** The kept (deduped) doc ids at the current version. */
-    def kept: DataFrame = {
-      require(version > 0, "MaintainedCorpus: no committed version yet")
-      hot match {
-        case Some((v, _, _, kp)) if v == version => kp
-        case _ => spark.read.parquet(s"$stateDir/kept/v=$version")
-      }
-    }
+    def kept: DataFrame = hotState._3
 
     /** Absorb one micro-batch of (doc_id, text, embedding) rows.
       * Returns the corpus version serving after this batch. */
@@ -306,6 +313,10 @@ object CorpusPipeline {
         s"$root/ckpt")
       q.awaitTermination()
     }
-    mc.graph.edges.orderBy("query_id", "neighbor_id")
+    // pin the result into hot blocks, then reclaim the temp root
+    // (state snapshots there hold multiple full corpus copies per run)
+    val out = mc.graph.edges.orderBy("query_id", "neighbor_id").localCheckpoint()
+    GraphStream.deleteRecursively(root)
+    out
   }
 }

@@ -115,9 +115,17 @@ object GraphStream {
       * with the graph version they were computed at (the
       * `ServeRefresh` index_version contract). */
     def serveSnapshot(queries: DataFrame, kServe: Int = 10): DataFrame = {
-      val (v, _) = cur
-      require(v > 0, "MaintainedGraph: no committed version yet")
-      AnnServe.topkRows(queries, shardBehind(corpus), kServe, idCol, vecCol)
+      // (version, shard) resolve under the same lock `advance` commits
+      // under: unsynchronized, a commit landing between reading the
+      // pointer and resolving the shard would tag answers computed
+      // against the NEW shard with the OLD version — a mid-batch blend
+      // the contract forbids
+      val (v, shard) = synchronized {
+        val (v0, _) = cur
+        require(v0 > 0, "MaintainedGraph: no committed version yet")
+        (v0, shardBehind(corpus))
+      }
+      AnnServe.topkRows(queries, shard, kServe, idCol, vecCol)
         .withColumn("graph_version", lit(v))
     }
 
@@ -300,6 +308,19 @@ object GraphStream {
         s"$root/ckpt")
       q.awaitTermination()
     }
-    graph.edges.orderBy("query_id", "neighbor_id")
+    // pin the result into hot blocks, then reclaim the temp root —
+    // state snapshots there can hold multiple full-corpus copies and
+    // repeated declared-query runs would otherwise accumulate them
+    val out = graph.edges.orderBy("query_id", "neighbor_id").localCheckpoint()
+    deleteRecursively(root)
+    out
+  }
+
+  private[streaming] def deleteRecursively(path: String): Unit = {
+    def rec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rec)
+      f.delete(): Unit
+    }
+    rec(new java.io.File(path))
   }
 }

@@ -356,8 +356,14 @@ class PlanShapeSpec extends AnyFunSuite {
        "semi-join; the candidate join keys on the band bucket — no cartesian") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
     val batchIds = docs.filter(col("doc_id") % 4 === 0).select("doc_id")
-    val df = graft.streaming.CorpusPipeline.incrementalPairs(
-      docs, batchIds, numHashes = 16, bands = 8, threshold = 0.1, shingleK = 3)
+    // compose the micro-batch frame exactly as MaintainedCorpus.advance
+    // does: standing shingle/band tables, the batch's bands restricted
+    // by a semi-join, then the factored-out candidate stage
+    val shAll = operators.Dedup.shingleDocs(docs, "doc_id", "text", 3)
+    val bandAll = operators.Dedup.bandedKeys(shAll, 16, 8, portableMd5 = true)
+    val bandBatch = bandAll.join(batchIds, Seq("doc_id"), "left_semi")
+    val df = graft.streaming.CorpusPipeline.incrementalPairsFrom(
+      shAll, bandAll, bandBatch, threshold = 0.1)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") &&

@@ -1017,6 +1017,53 @@ class StreamingSpec extends AnyFunSuite {
       "drained maintained graph diverged from the batch pipeline")
   }
 
+  test("continuous corpus: restart after v>=2 then drain many more " +
+       "batches — the retention loop crosses the recovered version " +
+       "and the hot chain must survive it") {
+    // the r9 recovery lineage bug: a recovered process kept LAZY
+    // parquet reads of v=N in its hot union chain; retention deletes
+    // v=N two commits later and the v=N+3 snapshot write scans a dead
+    // directory. Eight slices with a kill after v=2 give SIX
+    // post-restart commits, crossing the deletion window several times.
+    import graft.streaming.CorpusPipeline
+    import graft.operators.Dedup
+    val sfd = "/root/testdata/sf0.001"
+    val dir = java.nio.file.Files.createTempDirectory("graft_pipekill2").toString
+    val in = s"$dir/in"; val state = s"$dir/state"; val ckpt = s"$dir/ckpt"
+    val feed = Tables.documents(spark, sfd).select(col("doc_id"), col("text"))
+      .join(Tables.embeddings(spark, sfd)
+        .select(col("vec_id").as("doc_id"),
+          col("embedding").cast("array<double>").as("embedding")),
+        Seq("doc_id"))
+    val nSlices = 8
+    def writeSlice(s: Int): Unit =
+      feed.filter(pmod(xxhash64(col("doc_id")), lit(nSlices)) === s)
+        .coalesce(1).write.mode("append").parquet(in)
+    (0 until 2).foreach(writeSlice)
+    val mc1 = new CorpusPipeline.MaintainedCorpus(spark, state, k = 5)
+    val q1 = CorpusPipeline.start(mc1,
+      spark.readStream.schema(feed.schema).option("maxFilesPerTrigger", 1).parquet(in),
+      ckpt)
+    q1.awaitTermination()  // both staged batches commit → v = 2
+    assert(mc1.version == 2, s"expected v=2 before the kill, got ${mc1.version}")
+    (2 until nSlices).foreach(writeSlice)
+    val mc2 = new CorpusPipeline.MaintainedCorpus(spark, state, k = 5)
+    assert(mc2.version == 2, "recovery lost the corpus pointer")
+    val q2 = CorpusPipeline.start(mc2,
+      spark.readStream.schema(feed.schema).option("maxFilesPerTrigger", 1).parquet(in),
+      ckpt)
+    q2.awaitTermination()
+    assert(mc2.version == nSlices,
+      s"expected $nSlices commits total (>=3 after restart), got ${mc2.version}")
+    val docs = Tables.documents(spark, sfd)
+    val pairsB = Dedup.minhashPairs(docs, "doc_id", "text",
+      numHashes = 16, bands = 8, threshold = 0.1, portableMd5 = true)
+    val keptB = Dedup.dedupCorpus(docs.select("doc_id"), pairsB, "doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(mc2.kept.collect().map(_.getLong(0)).toSet == keptB,
+      "drained kept set diverged from the batch dedup after deep restart")
+  }
+
   test("file-source runner writes scored parquet exactly once") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
     val in = s"$dir/in"; val out = s"$dir/out"; val ckpt = s"$dir/ckpt"
