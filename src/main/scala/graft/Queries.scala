@@ -2266,6 +2266,65 @@ object Queries {
     },
     None)
 
+  /** Audio frame analysis as a DECLARED family (rows-only): every
+    * document wrapped as a genuine 16-bit PCM WAV clip, per-partition
+    * real RIFF/WAVE parse (`Codecs.decodeWav`) to raw samples, then
+    * the two NATIVE frame expressions — `FrameEnergy` (short-time RMS
+    * envelope) and `SpectralFlux` (rectified DFT-magnitude onset
+    * strength) — inside whole-stage codegen. Output is scalar-only
+    * summaries (frame count, peak/mean energy, total flux): the
+    * rows-only harness sorts every output column and arrays are
+    * unsortable there. Scale posture: decode + frame analysis are
+    * embarrassingly parallel scan-side work with zero shuffles before
+    * the final order; 100 TB of audio streams through mapPartitions
+    * batches exactly like the image path. */
+  private val qMediaAudioFeatures = Q(
+    "media_audio_features",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val media = multimodal.Media.audioFromDocuments(docs, "doc_id", "text")
+      val au = multimodal.Media.decodeAudio(media)
+      val energy = functions.AudioOps.frameEnergy(col("samples"), 128, 64)
+      val flux = functions.AudioOps.spectralFlux(col("samples"), 128, 64, 16)
+      au.select(col("media_id"), col("sample_rate"),
+          energy.as("e"), flux.as("fx"))
+        .select(col("media_id"), col("sample_rate"),
+          size(col("e")).as("n_frames"),
+          round(coalesce(array_max(col("e")), lit(0.0)), 6).as("peak_energy"),
+          round(coalesce(
+            expr("aggregate(e, 0D, (a, x) -> a + x)") /
+              nullif(size(col("e")).cast("double"), lit(0.0)), lit(0.0)), 6)
+            .as("mean_energy"),
+          round(coalesce(expr("aggregate(fx, 0D, (a, x) -> a + x)"), lit(0.0)), 6)
+            .as("onset_flux"))
+        .orderBy("media_id")
+    },
+    None)
+
+  /** Audio retrieval riding the ANN SERVE machinery (rows-only): WAV
+    * clips decode to RMS-envelope feature vectors (`decodeFeatures`'s
+    * real WAV branch), which fit into the standard `AnnShard` and
+    * answer via the native `cosineTopK` expression — the same
+    * exchange-free serve pass as `q_sim_serve`, proving audio is a
+    * first-class modality of the serve tier, not a separate code
+    * path. Scale path: the decoded vectors persist once and the shard
+    * machinery (sharded/SQ8/PQ/refresh) applies unchanged. */
+  private val qMediaAudioTopk = Q(
+    "media_audio_topk",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val media = multimodal.Media.audioFromDocuments(docs, "doc_id", "text")
+      val emb = multimodal.Media.decodeFeatures(media, dim = 32)
+        .select(col("media_id"), col("features").cast("array<double>").as("f"))
+      val shard = operators.AnnServe.fitShard(emb, "media_id", "f")
+      operators.AnnServe.topkRows(
+          emb.filter(col("media_id") < 10), shard, k = 10, "media_id", "f")
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cos"))
+        .orderBy("query_id", "neighbor_id")
+    },
+    None)
+
   /** SimHash near-dup pairs, ORACLE-PROVEN (the simhash analog of
     * `dedup_minhash_md5`): md5-derived token hashes and 4×16-bit chunk
     * arithmetic let DuckDB recompute signatures, banding, hot-bucket
@@ -4334,6 +4393,7 @@ object Queries {
     qSimhashDedupStream,
     qDedupEmbedding, qDedupEmbeddingExact, qDedupSemantic,
     qDedupSemanticGrid, qMediaFeatures, qMediaEmbedTopk,
+    qMediaAudioFeatures, qMediaAudioTopk,
     qMixDomains, qTopTerms,
     qSessionize, qSessionizeStream, qScoreStream, qAsofJoin, qRangeJoin,
     qGopherQuality, qSampleStratified, qDomainFilter, qDecontaminate,

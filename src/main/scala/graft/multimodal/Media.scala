@@ -203,6 +203,52 @@ object Media {
     }(enc)
   }
 
+  /** Per-partition WAV decode for AUDIO rows: binary → the raw sample
+    * array (`array<double>`, first channel, [-1, 1)) plus the parsed
+    * sample rate — the input shape the native frame-analysis
+    * expressions (`functions.FrameEnergy` / `functions.SpectralFlux`)
+    * operate on. Non-audio rows are filtered out here (kind
+    * dispatch), unknown containers fail LOUDLY inside `decodeWav` —
+    * an audio row that doesn't parse is corrupt input, not a stub
+    * case. Same iterator-streamed `mapPartitions` posture as
+    * `decodeFeatures`. */
+  def decodeAudio(df: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("sample_rate", IntegerType, nullable = false),
+      StructField("samples", ArrayType(DoubleType, containsNull = false))))
+    val enc = Encoders.row(outSchema)
+    val in = df.filter(col("kind") === "audio").select("media_id", "bytes")
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        val audio = Codecs.decodeWav(r.getAs[Array[Byte]](1))
+        Row(r.getLong(0), audio.sampleRate,
+            audio.samples.map(_.toDouble).toSeq)
+      }
+    }(enc)
+  }
+
+  /** Every document as a genuine 16-bit PCM WAV clip (retrieval-query
+    * shape: one modality, whole corpus) — the audio analogue of
+    * `imagesFromDocuments`, same deterministic text-byte-derived
+    * samples as the `id % 3 == 1` arm of `fromDocuments`. */
+  def audioFromDocuments(docs: DataFrame, idCol: String, textCol: String,
+                         sampleRate: Int = 16000, maxSamples: Int = 2048): DataFrame = {
+    val in = docs.select(col(idCol).cast("long").as("media_id"),
+      coalesce(col(textCol), lit("")).as("__text"))
+    val enc = Encoders.row(mediaSchema)
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        val tb = r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        def cyc(i: Int): Byte = if (tb.isEmpty) 0 else tb(i % tb.length)
+        val n = math.max(math.min(tb.length, maxSamples), 16)
+        val samples = Array.tabulate[Short](n)(i => (((cyc(i) & 0xff) - 128) << 8).toShort)
+        Row(r.getLong(0), "audio", Codecs.encodeWav(samples, sampleRate),
+            Row(0, 0, sampleRate, 0))
+      }
+    }(enc)
+  }
+
   /** Every document as a genuine P5 image (retrieval-query shape:
     * one modality, whole corpus). */
   def imagesFromDocuments(docs: DataFrame, idCol: String, textCol: String,

@@ -423,4 +423,115 @@ class MediaSpec extends AnyFunSuite {
     r.foreach(row => assert(math.abs(row.getDouble(2)) <= 1.0 + 1e-9))
     r.foreach(row => assert(row.getLong(0) != row.getLong(1)))
   }
+
+  // -- audio frame analysis (native expressions) ------------------------
+
+  test("FrameEnergy: hand-built fixture is byte-exact; short clips " +
+       "yield empty arrays; codegen and interpreted agree bitwise") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    import spark.implicits._
+    val s = Array(0.5, -0.5, 0.5, -0.5, 1.0, 0.0, 0.0, 0.0)
+    // frames (len 4, hop 2): [.5 -.5 .5 -.5] [.5 -.5 1 0] [1 0 0 0]
+    val expect = Array(
+      math.sqrt((0.25 + 0.25 + 0.25 + 0.25) / 4),
+      math.sqrt((0.25 + 0.25 + 1.0 + 0.0) / 4),
+      math.sqrt((1.0 + 0.0 + 0.0 + 0.0) / 4))
+    val df = Seq(Tuple1(s.toSeq)).toDF("samples")
+      .select(graft.functions.AudioOps.frameEnergy(col("samples"), 4, 2).as("e"))
+    val got = df.collect()(0).getSeq[Double](0).toArray
+    assert(got.sameElements(expect), s"codegen path: ${got.toSeq} != ${expect.toSeq}")
+    // interpreted eval (Literal child bypasses whole-stage codegen)
+    val interp = graft.functions.FrameEnergy(
+        Literal.create(s, ArrayType(DoubleType, containsNull = false)), 4, 2)
+      .eval(null).asInstanceOf[ArrayData].toDoubleArray()
+    assert(interp.sameElements(expect), "interpreted eval diverged")
+    // a clip shorter than one frame is loudly empty, not half-padded
+    val short = Seq(Tuple1(Seq(0.1, 0.2))).toDF("samples")
+      .select(graft.functions.AudioOps.frameEnergy(col("samples"), 4, 2).as("e"))
+    assert(short.collect()(0).getSeq[Double](0).isEmpty)
+  }
+
+  test("SpectralFlux: constant signal has ~zero flux (DC excluded); a " +
+       "tone onset spikes it; codegen and interpreted agree bitwise") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    import spark.implicits._
+    val frameLen = 32; val hop = 32; val nBins = 8
+    // frame 0: silence-ish constant; frame 1: pure tone at bin 2
+    val s = Array.fill(frameLen)(0.3) ++
+      Array.tabulate(frameLen)(i => math.sin(2 * math.Pi * 2 * i / frameLen))
+    val df = Seq(Tuple1(s.toSeq)).toDF("samples")
+      .select(graft.functions.AudioOps
+        .spectralFlux(col("samples"), frameLen, hop, nBins).as("fx"))
+    val fx = df.collect()(0).getSeq[Double](0).toArray
+    assert(fx.length == 2)
+    assert(fx(0) < 1e-9, s"constant frame must have ~zero flux, got ${fx(0)}")
+    assert(fx(1) > 0.4, s"tone onset must spike the flux, got ${fx(1)}")
+    val interp = graft.functions.SpectralFlux(
+        Literal.create(s, ArrayType(DoubleType, containsNull = false)),
+        frameLen, hop, nBins)
+      .eval(null).asInstanceOf[ArrayData].toDoubleArray()
+    assert(interp.sameElements(fx), "interpreted eval diverged from codegen")
+    // a sustained tone (same spectrum both frames) has zero SECOND flux:
+    // rectified difference of identical spectra
+    val sustained = Array.tabulate(2 * frameLen)(
+      i => math.sin(2 * math.Pi * 2 * i / frameLen))
+    val fx2 = Seq(Tuple1(sustained.toSeq)).toDF("samples")
+      .select(graft.functions.AudioOps
+        .spectralFlux(col("samples"), frameLen, hop, nBins).as("fx"))
+      .collect()(0).getSeq[Double](0).toArray
+    assert(fx2(1) < 1e-9, s"sustained tone re-counted as onset: ${fx2(1)}")
+  }
+
+  test("decodeAudio: WAV rows decode to exact samples + sample rate; " +
+       "non-audio rows are excluded") {
+    import spark.implicits._
+    val shorts = Array[Short](0, 8192, -8192, 32767, -32768, 100)
+    val rows = Seq(
+      (1L, "audio", Codecs.encodeWav(shorts, 8000)),
+      (2L, "image", Codecs.encodePgm(Array.fill[Byte](16)(7), 4, 4)))
+    val df = rows.toDF("media_id", "kind", "bytes")
+    val got = Media.decodeAudio(df).collect()
+    assert(got.length == 1 && got(0).getLong(0) == 1L)
+    assert(got(0).getInt(1) == 8000)
+    val samples = got(0).getSeq[Double](2).toArray
+    assert(samples.sameElements(shorts.map(v => (v.toFloat / 32768f).toDouble)))
+  }
+
+  test("media_audio_features: one row per document, deterministic, " +
+       "long docs frame up and carry positive energy") {
+    val sf = "/root/testdata/sf0.001"
+    val run = () => SparkEntry.queries("media_audio_features")(spark, sf)
+      .collect().map(_.toString)
+    val out = SparkEntry.queries("media_audio_features")(spark, sf).collect()
+    assert(out.length == Tables.documents(spark, sf).count())
+    assert(run().sameElements(run()), "audio features must be deterministic")
+    out.foreach { r =>
+      val nFrames = r.getInt(2)
+      assert(nFrames >= 0)
+      if (nFrames > 0) {
+        assert(r.getDouble(3) > 0.0, s"framed clip with zero peak energy: $r")
+        assert(r.getDouble(4) > 0.0, s"framed clip with zero mean energy: $r")
+        assert(r.getDouble(5) >= 0.0, s"negative rectified flux: $r")
+      }
+    }
+    assert(out.exists(_.getInt(2) > 0), "no document framed up at all")
+  }
+
+  test("media_audio_topk: retrieval over decoded WAV features rides the " +
+       "ANN serve shard, deterministic, no self-matches") {
+    val sf = "/root/testdata/sf0.001"
+    val run = () => SparkEntry.queries("media_audio_topk")(spark, sf)
+      .collect().map(_.toString)
+    val out = SparkEntry.queries("media_audio_topk")(spark, sf).collect()
+    assert(out.nonEmpty && out.length <= 100)
+    assert(run().sameElements(run()), "audio retrieval must be deterministic")
+    out.foreach { r =>
+      assert(r.getLong(0) != r.getLong(1), s"self-match: $r")
+      assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-9)
+    }
+  }
 }
