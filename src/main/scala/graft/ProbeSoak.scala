@@ -109,6 +109,33 @@ object ProbeSoak {
     }(enc).toDF()
   }
 
+  /** STRUCTURED-neighborhood corpus for the hard recall gate: every
+    * group of 32 consecutive ids shares a seeded direction with 15%
+    * per-dim jitter — within-group cos ≈ 0.98, cross-group ≈ 0 ± 0.12,
+    * so each vector's exact top-5 lives inside its group and sampled
+    * recall measures whether the probe path FINDS the neighborhood,
+    * not tie-breaking luck on isotropic noise (where the nearest
+    * neighbor of a random gaussian is barely closer than a random
+    * point). Same schema as `genEmbeddings`. */
+  def genGroupedEmbeddings(spark: SparkSession, s: Int): DataFrame = {
+    val n = 2000L * s
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("embedding",
+        ArrayType(FloatType, containsNull = false)), StructField("label", IntegerType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    spark.range(n).mapPartitions { ids =>
+      ids.map { id =>
+        val rg = new java.util.Random((id / 32) * 0x9E3779B97F4A7CL + 11)
+        val dir = Array.tabulate(64)(_ => rg.nextGaussian().toFloat)
+        val r = new java.util.Random(id * 2654435761L + 13)
+        val vec = Array.tabulate(64)(j => dir(j) + 0.15f * r.nextGaussian().toFloat)
+        val norm = math.sqrt(vec.map(x => x.toDouble * x).sum).toFloat
+        Row(id, vec.map(_ / norm).toSeq, (id % 10).toInt)
+      }
+    }(enc).toDF()
+  }
+
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("run")
     val scales = if (args.length > 1) args.drop(1).map(_.toInt).toSeq else DefaultScales
@@ -559,6 +586,44 @@ object ProbeSoak {
             s"isolated=$isolated n=$n")
         println(f"[soak-knn2] x$s%-3d nodeCoverage plain=$coveredPlain/$n " +
           f"keepIsolated=$coveredFull/$n isolated=$isolated gate=100%% OK")
+        // HARD recall floor on a STRUCTURED-neighborhood corpus of the
+        // same n (promoting tolRecall200 from a println to a require):
+        // planted 32-member groups put each vector's exact top-5 inside
+        // its group, so the SAME auto-switching operator must recover
+        // >= 0.85 of the tolerant sampled neighbors at every scale —
+        // both the flat path (small s) and the two-level path (x96+)
+        // carry the gate. The isotropic-noise recall above stays
+        // report-only; this corpus is where the number means retrieval.
+        locally {
+          val eS = genGroupedEmbeddings(spark, s).repartition(32)
+            .localCheckpoint()
+          val r0 = System.nanoTime()
+          val graphS = Ivf.knnGraph(eS, "vec_id", "embedding",
+              k = 5, nprobe = 6, targetCell = 32)
+            .localCheckpoint()
+          val r1 = System.nanoTime()
+          val sampleS = eS.orderBy(xxhash64(col("vec_id")), col("vec_id"))
+            .limit(200).localCheckpoint(true)
+          val exactS = AnnServe.topkRows(sampleS, AnnServe.fitShard(eS), k = 5)
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+          val qidsS = exactS.map(_._1).toSet
+          val floor5S = exactS.groupBy(_._1)
+            .map { case (q, rs) => q -> (rs.map(_._3).min - 1e-6) }
+          val gotS = graphS.filter(col("query_id").isInCollection(qidsS))
+            .select("query_id", "cos").collect()
+            .map(r => (r.getLong(0), r.getDouble(1)))
+          val hitsS = gotS.groupBy(_._1).map { case (q, rs) =>
+            math.min(5, rs.count(_._2 >= floor5S(q)))
+          }.sum
+          val recallS = hitsS.toDouble / (5 * qidsS.size)
+          println(f"[soak-knn2] x$s%-3d STRUCTURED tolRecall200=$recallS%.3f " +
+            f"(${hitsS}/${5 * qidsS.size}) knnGraph=${(r1 - r0) / 1e9}%7.2fs " +
+            f"gate>=0.85")
+          require(recallS >= 0.85,
+            s"structured-corpus recall $recallS < 0.85 at x$s — the probe " +
+              "path lost planted neighborhoods (not noise luck; this gate " +
+              "is the hard form of the report-only isotropic recall)")
+        }
         // GRAFT_SOAK_H2H=0 skips the flat-path head-to-head: the capped
         // flat path at x96 spills ~80 GB through its hot-cell candidate
         // join (occupancy 51/cell at the pinned nlist) — run it only on

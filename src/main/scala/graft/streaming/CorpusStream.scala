@@ -523,6 +523,94 @@ object CorpusStream {
       dedupCanonical(orderedDocStream(spark, sfDir), "ts", "text")
         .select(col("doc_id"), col("source"), col("n_chars")))
 
+  /** STREAMING cross-modal dedup — the one dedup family member that
+    * had no streaming twin: the combined text-digest + embedding-grid
+    * verdict (`Dedup.crossmodalDedup`) maintained over an arriving
+    * corpus. Both verdict signals RETRACT under arrivals — a late
+    * smaller-id digest twin dethrones the standing keeper (exact), a
+    * late embedding can join or re-anchor a grid cluster (semantic) —
+    * and the grid pass's cellCap selection is NOT monotone (a new id
+    * can rank into a full cell by md5 order and displace another), so
+    * the per-batch recompute over the accumulated state is the
+    * CORRECT spelling, not a shortcut: any incremental form would
+    * change the verdicts. Per-batch cost is one digest agg + the
+    * cell-bounded grid pass over corpus-so-far — scan-shaped, no
+    * pairwise text join; at production cadence the verdict recompute
+    * runs per re-curation epoch, not per micro-batch. State is kept
+    * hot (localCheckpoint blocks); the pointer-commit recovery
+    * spelling is `CorpusPipeline.MaintainedCorpus`'s and applies
+    * verbatim to this advance contract. */
+  final class MaintainedCrossmodal(gridDims: Int = 2, gridSize: Double = 0.25,
+                                   minCosine: Double = 0.3, cellCap: Int = 64) {
+    @volatile private var state: Option[(DataFrame, DataFrame)] = None
+    @volatile private var cur: Option[DataFrame] = None
+
+    /** Absorb one (doc_id, text, vec_id, embedding) micro-batch —
+      * doc-side and embedding-side rows may arrive independently
+      * (null-padded halves), so the twin reconstructs BOTH tables
+      * regardless of how the ids align. Returns the post-batch
+      * verdict (doc_id, keep, reason). */
+    def advance(batch: DataFrame): DataFrame = synchronized {
+      val bd = batch.filter(col("doc_id").isNotNull)
+        .select(col("doc_id"), col("text")).localCheckpoint()
+      val be = batch.filter(col("vec_id").isNotNull)
+        .select(col("vec_id"), col("embedding")).localCheckpoint()
+      val (dAll, eAll) = state match {
+        case Some((d0, e0)) => (d0.unionByName(bd), e0.unionByName(be))
+        case None => (bd, be)
+      }
+      state = Some((dAll, eAll))
+      val v = graft.operators.Dedup.crossmodalDedup(dAll, eAll,
+          "doc_id", "text", "vec_id", "embedding",
+          gridDims, gridSize, minCosine, cellCap)
+        .localCheckpoint()
+      cur = Some(v)
+      v
+    }
+
+    /** The verdict at the last absorbed batch. */
+    def verdict: DataFrame =
+      cur.getOrElse(throw new IllegalStateException(
+        "MaintainedCrossmodal: no batch absorbed yet"))
+  }
+
+  /** Declared `q_dedup_crossmodal_stream`: documents full-outer-joined
+    * with their embeddings, hash-sliced into `nSlices` arrival files,
+    * streamed one file per micro-batch through the maintained verdict.
+    * The drained end state recomputes over the COMPLETE accumulated
+    * corpus, so the batch `q_dedup_crossmodal` DuckDB oracle applies
+    * verbatim — including every retraction the intermediate batches
+    * made along the way. */
+  def crossmodalOverFile(spark: org.apache.spark.sql.SparkSession,
+                         sfDir: String, nSlices: Int = 4): DataFrame = {
+    val docs = graft.Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val emb = graft.Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val feed = docs.join(emb, col("doc_id") === col("vec_id"), "full")
+      .select(col("doc_id"), col("text"), col("vec_id"), col("embedding"))
+    val root = java.nio.file.Files.createTempDirectory("graft_xmodal").toString
+    val in = s"$root/in"
+    val cm = new MaintainedCrossmodal()
+    ScoreStream.withConfs(spark, "spark.sql.shuffle.partitions" -> "8",
+                          "spark.sql.adaptive.enabled" -> "false") {
+      (0 until nSlices).foreach { s =>
+        feed.filter(pmod(xxhash64(coalesce(col("doc_id"), col("vec_id"))),
+            lit(nSlices)) === s)
+          .coalesce(1).write.mode("append").parquet(in)
+      }
+      val q = spark.readStream.schema(feed.schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) => cm.advance(batch): Unit }
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val out = cm.verdict.orderBy("doc_id").localCheckpoint()
+    GraphStream.deleteRecursively(root)
+    out
+  }
+
   /** Declared `q_simhash_dedup_stream`: first-occurrence keep per
     * 64-bit SimHash signature drained to its end state. Rows-only at
     * the driver (the FNV-based codegen signature is not

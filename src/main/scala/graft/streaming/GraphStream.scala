@@ -35,12 +35,19 @@ import graft.operators.AnnServe
   * Cost shape per batch (the honest 100 TB posture): the graph math
   * is the incremental operators' — |old|·|new| + |new|² serve scans
   * for an insert batch, |affected|·|remaining| for a delete — and
-  * NEVER re-pays old×old. The state SNAPSHOT is O(n) write per batch;
-  * snapshots keep recovery trivially correct and versions fully
-  * isolated, and at production scale the swap-in is a compacted
-  * upsert log (the snapshot is this operator's simplest-correct
-  * spelling, not an algorithmic term — the graph compute dominates
-  * it at steady state). */
+  * NEVER re-pays old×old. TWO state spellings sit behind the same
+  * pointer contract, selected by `stateFormat`:
+  *  - "snapshot" (default, simplest-correct): O(n) full write per
+  *    batch, versions fully isolated, trivial recovery;
+  *  - "upsertlog" (the production write path): per-version DELTA
+  *    segments — corpus inserts/deletes, the full new neighbor lists
+  *    of CHANGED queries, eviction tombstones — so write I/O is
+  *    O(|changed|) per batch, with a full snapshot every
+  *    `compactEvery` versions (log compaction) bounding recovery
+  *    replay; retention keeps the previous snapshot plus its trailing
+  *    segments (v=N-1 must stay reconstructible).
+  * Both are drained-state bit-identical (StreamingSpec gates it) and
+  * the graph compute dominates either at steady state. */
 object GraphStream {
 
   /** The standing maintained graph: versioned on-disk (corpus, edges)
@@ -53,7 +60,12 @@ object GraphStream {
   final class MaintainedGraph(spark: SparkSession, stateDir: String,
                               k: Int = 5,
                               idCol: String = "vec_id",
-                              vecCol: String = "embedding") {
+                              vecCol: String = "embedding",
+                              stateFormat: String = "snapshot",
+                              compactEvery: Int = 4) {
+    require(stateFormat == "snapshot" || stateFormat == "upsertlog",
+      s"MaintainedGraph: unknown stateFormat '$stateFormat'")
+    require(compactEvery >= 2, s"compactEvery=$compactEvery must be >= 2")
     new java.io.File(stateDir).mkdirs()
     // (version, lastAppliedBatchId) — recovered from the pointer when
     // one exists, so a restarted process resumes the standing graph
@@ -91,24 +103,68 @@ object GraphStream {
           s
       }
 
-    /** The corpus behind the current graph version. */
-    def corpus: DataFrame = {
+    /** The committed (corpus, edges) frames at the current version —
+      * hot blocks if this process committed them. A RECOVERED process
+      * materializes ONCE: the snapshot format reads its two dirs; the
+      * upsert-log format replays segments forward from the latest
+      * snapshot at-or-below the pointer version. Both paths
+      * `localCheckpoint` before installing as hot so no downstream
+      * lineage references files retention may later delete (the
+      * MaintainedCorpus recovery lineage lesson). */
+    private def hotState: (DataFrame, DataFrame) = synchronized {
       require(version > 0, "MaintainedGraph: no committed version yet")
       hot match {
-        case Some((v, c, _)) if v == version => c
-        case _ => spark.read.parquet(s"$stateDir/corpus/v=$version")
+        case Some((v, c, e)) if v == version => (c, e)
+        case _ =>
+          val (c, e) =
+            if (stateFormat == "snapshot")
+              (spark.read.parquet(s"$stateDir/corpus/v=$version").localCheckpoint(),
+               spark.read.parquet(s"$stateDir/edges/v=$version").localCheckpoint())
+            else reconstruct(version)
+          hot = Some((version, c, e))
+          (c, e)
       }
     }
+
+    /** The corpus behind the current graph version. */
+    def corpus: DataFrame = hotState._1
 
     /** The standing exact top-k graph at the current version —
       * (query_id, neighbor_id, cos), complete and unfiltered (the
       * `knnGraphIncremental` precondition holds by construction). */
-    def edges: DataFrame = {
-      require(version > 0, "MaintainedGraph: no committed version yet")
-      hot match {
-        case Some((v, _, e)) if v == version => e
-        case _ => spark.read.parquet(s"$stateDir/edges/v=$version")
+    def edges: DataFrame = hotState._2
+
+    /** Snapshot versions present on disk (the `corpus/v=N` dirs). */
+    private def snapshotVersions(): Seq[Int] =
+      Option(new java.io.File(s"$stateDir/corpus").listFiles())
+        .getOrElse(Array.empty).toSeq
+        .flatMap(f => scala.util.Try(f.getName.stripPrefix("v=").toInt).toOption)
+
+    /** Upsert-log recovery: read the newest snapshot at-or-below `v`,
+      * then replay each log segment in version order — corpus deletes
+      * then inserts, edge rows of REWRITTEN queries replaced wholesale
+      * (a segment's `eup` carries the full new neighbor list of every
+      * query whose list changed; `edel` tombstones removed queries).
+      * One pass, one lineage cut at the end. */
+    private def reconstruct(v: Int): (DataFrame, DataFrame) = {
+      val snaps = snapshotVersions().filter(_ <= v)
+      require(snaps.nonEmpty,
+        s"MaintainedGraph: no snapshot at or below v=$v under $stateDir")
+      val s0 = snaps.max
+      var c = spark.read.parquet(s"$stateDir/corpus/v=$s0")
+      var e = spark.read.parquet(s"$stateDir/edges/v=$s0")
+      ((s0 + 1) to v).foreach { lv =>
+        val seg = s"$stateDir/log/v=$lv"
+        val cins = spark.read.parquet(s"$seg/cins")
+        val cdel = spark.read.parquet(s"$seg/cdel")
+        val eup = spark.read.parquet(s"$seg/eup")
+        val edel = spark.read.parquet(s"$seg/edel")
+        c = c.join(cdel, Seq(idCol), "left_anti").unionByName(cins)
+        val gone = edel.select("query_id")
+          .unionByName(eup.select("query_id")).distinct()
+        e = e.join(gone, Seq("query_id"), "left_anti").unionByName(eup)
       }
+      (c.localCheckpoint(), e.localCheckpoint())
     }
 
     /** Serve a query frame against the current corpus, answers tagged
@@ -182,7 +238,8 @@ object GraphStream {
             "MaintainedGraph: delete would empty the corpus with nothing arriving")
           val shard = shardNew.get
           commit(batchId, v + 1, ins,
-            AnnServe.topkRows(ins, shard, k, idCol, vecCol), shard)
+            AnnServe.topkRows(ins, shard, k, idCol, vecCol), shard,
+            removedSet)
         } else {
           val (corpus1, shard1, edges1) =
             if (removedSet.isEmpty) (corpus0, shard0, edges0)
@@ -199,13 +256,13 @@ object GraphStream {
             }
           shardNew match {
             case None =>
-              commit(batchId, v + 1, corpus1, edges1, shard1)
+              commit(batchId, v + 1, corpus1, edges1, shard1, removedSet)
             case Some(sn) =>
               commit(batchId, v + 1, corpus1.unionByName(ins),
                 AnnServe.knnGraphIncremental(
                   edges1.select("query_id", "neighbor_id", "cos"),
                   corpus1, shard1, ins, sn, k, idCol, vecCol),
-                AnnServe.concatShards(shard1, sn))
+                AnnServe.concatShards(shard1, sn), removedSet)
           }
         }
       }
@@ -214,20 +271,80 @@ object GraphStream {
 
     private def commit(batchId: Long, newV: Int, corpusDf: DataFrame,
                        edgesDf: DataFrame,
-                       shardAfter: AnnServe.AnnShard): Unit = {
-      // materialize once into hot blocks, snapshot from those blocks
+                       shardAfter: AnnServe.AnnShard,
+                       removedQueryIds: Set[Long] = Set.empty): Unit = {
+      // materialize once into hot blocks, persist from those blocks
       val c = corpusDf.localCheckpoint()
       val e = edgesDf.select("query_id", "neighbor_id", "cos").localCheckpoint()
-      c.write.mode("overwrite").parquet(s"$stateDir/corpus/v=$newV")
-      e.write.mode("overwrite").parquet(s"$stateDir/edges/v=$newV")
+      // the PRODUCTION write spelling ("upsertlog"): a per-version
+      // DELTA segment instead of the O(n) full snapshot — the write
+      // I/O becomes O(|changed|) per batch, which is the term the
+      // snapshot spelling names as its production form
+      // (GraphStream.scala header). A full snapshot still lands at
+      // bootstrap and every `compactEvery` versions (log compaction),
+      // bounding replay length; both spellings sit behind the same
+      // pointer-commit contract and are drained-state bit-identical
+      // (StreamingSpec gates it).
+      // only COMMITTED snapshots (<= the current pointer version) count:
+      // a crashed commit attempt can leave a stale v=newV dir that the
+      // pointer never blessed — the replayed commit below overwrites or
+      // removes it so recovery never reads a half-written snapshot
+      val snapVersions =
+        if (stateFormat == "snapshot") Nil
+        else snapshotVersions().filter(_ <= cur._1)
+      val snapNow = stateFormat == "snapshot" || snapVersions.isEmpty ||
+        newV - snapVersions.max >= compactEvery
+      if (snapNow) {
+        deleteDir(s"$stateDir/log/v=$newV"): Unit
+        c.write.mode("overwrite").parquet(s"$stateDir/corpus/v=$newV")
+        e.write.mode("overwrite").parquet(s"$stateDir/edges/v=$newV")
+      } else {
+        deleteDir(s"$stateDir/corpus/v=$newV"): Unit
+        deleteDir(s"$stateDir/edges/v=$newV"): Unit
+        // deltas vs the CURRENT committed state (hot — this process
+        // committed it, or the recovery path materialized it). The
+        // changed-query set comes from an exceptAll scan of hot blocks
+        // — scan-side work, not write I/O; a production build threads
+        // the affected set out of knnGraphIncremental, which already
+        // computes it. Removed QUERY ids are the advance's driver-side
+        // eviction set (bounded per batch), not a corpus-wide distinct.
+        val (cOld, eOld) = hotState
+        val seg = s"$stateDir/log/v=$newV"
+        c.join(cOld, Seq(idCol), "left_anti")
+          .write.mode("overwrite").parquet(s"$seg/cins")
+        cOld.join(c, Seq(idCol), "left_anti").select(idCol)
+          .write.mode("overwrite").parquet(s"$seg/cdel")
+        val changedQ = eOld.exceptAll(e).select("query_id")
+          .unionByName(e.exceptAll(eOld).select("query_id"))
+          .distinct().localCheckpoint()
+        e.join(changedQ, Seq("query_id"), "left_semi")
+          .write.mode("overwrite").parquet(s"$seg/eup")
+        import spark.implicits._
+        removedQueryIds.toSeq.sorted.toDF("query_id")
+          .write.mode("overwrite").parquet(s"$seg/edel")
+      }
       writePointer(newV, batchId)
       hot = Some((newV, c, e))
       hotShard = Some((newV, shardAfter))
       cur = (newV, batchId)
-      // retention: the replay fallback needs v=newV-1 only
-      Seq("corpus", "edges").foreach { kind =>
-        var old = newV - 2
-        while (old >= 1 && deleteDir(s"$stateDir/$kind/v=$old")) old -= 1
+      if (stateFormat == "snapshot") {
+        // retention: the replay fallback needs v=newV-1 only
+        Seq("corpus", "edges").foreach { kind =>
+          var old = newV - 2
+          while (old >= 1 && deleteDir(s"$stateDir/$kind/v=$old")) old -= 1
+        }
+      } else if (snapNow) {
+        // log retention at compaction: v=newV-1 reconstructs from the
+        // PREVIOUS snapshot plus its trailing segments — everything
+        // strictly older than that snapshot can go
+        val prev = (snapVersions :+ newV).filter(_ < newV).sorted.lastOption
+        prev.foreach { p =>
+          snapVersions.filter(_ < p).foreach { s =>
+            deleteDir(s"$stateDir/corpus/v=$s"): Unit
+            deleteDir(s"$stateDir/edges/v=$s"): Unit
+          }
+          (1 to p).foreach(s => deleteDir(s"$stateDir/log/v=$s"): Unit)
+        }
       }
     }
 
@@ -288,12 +405,15 @@ object GraphStream {
     * end state is the exact top-k graph over the full table, so the
     * batch `q_knn_graph` DuckDB oracle applies verbatim. */
   def knnGraphOverFile(spark: SparkSession, sfDir: String,
-                       k: Int = 5, nSlices: Int = 4): DataFrame = {
+                       k: Int = 5, nSlices: Int = 4,
+                       stateFormat: String = "snapshot",
+                       compactEvery: Int = 4): DataFrame = {
     val e = graft.Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
     val root = java.nio.file.Files.createTempDirectory("graft_graphstream").toString
     val in = s"$root/in"
-    val graph = new MaintainedGraph(spark, s"$root/state", k)
+    val graph = new MaintainedGraph(spark, s"$root/state", k,
+      stateFormat = stateFormat, compactEvery = compactEvery)
     // test-scale runner tuning only (the drainToTable rule): the
     // per-batch state jobs are tiny here, so 32-partition shuffles and
     // per-stage AQE re-planning are pure scheduler overhead

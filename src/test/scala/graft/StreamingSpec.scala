@@ -885,6 +885,73 @@ class StreamingSpec extends AnyFunSuite {
    }
   }
 
+  test("maintained graph [upsertlog]: delta segments + compaction stay " +
+       "bit-identical to the snapshot spelling; recovery replays mid-log " +
+       "and past compaction") {
+    import graft.streaming.GraphStream
+    val sfd = "/root/testdata/sf0.001"
+    val dir = java.nio.file.Files.createTempDirectory("graft_graphlog").toString
+    val e = Tables.embeddings(spark, sfd)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val gS = new GraphStream.MaintainedGraph(spark, s"$dir/snap", k = 5)
+    val gL = new GraphStream.MaintainedGraph(spark, s"$dir/log", k = 5,
+      stateFormat = "upsertlog", compactEvery = 3)
+    def edgesOf(g: GraphStream.MaintainedGraph) =
+      g.edges.collect().map(graphKey).toSeq.sorted
+    def corpusOf(g: GraphStream.MaintainedGraph) =
+      g.corpus.select("vec_id").collect().map(_.getLong(0)).toSeq.sorted
+    def both(batchId: Long, ins: org.apache.spark.sql.DataFrame,
+             rm: Option[org.apache.spark.sql.DataFrame]): Unit = {
+      gS.advance(batchId, ins, rm): Unit
+      gL.advance(batchId, ins, rm): Unit
+      assert(edgesOf(gL) == edgesOf(gS), s"edge divergence at batch $batchId")
+      assert(corpusOf(gL) == corpusOf(gS), s"corpus divergence at batch $batchId")
+    }
+    both(0, e.filter(col("vec_id") % 3 === 0), None)  // v1: boot snapshot
+    both(1, e.filter(col("vec_id") % 3 === 1), None)  // v2: log segment
+    both(2, e.filter(col("vec_id") % 3 === 2),        // v3: segment w/ deletes
+      Some(e.filter(col("vec_id") % 6 === 0).select("vec_id")))
+    // layout: one snapshot (boot), two delta segments, tombstones present
+    assert(new java.io.File(s"$dir/log/corpus/v=1").exists)
+    assert(!new java.io.File(s"$dir/log/corpus/v=2").exists &&
+           !new java.io.File(s"$dir/log/corpus/v=3").exists,
+      "a delta version wrote a full snapshot")
+    assert(new java.io.File(s"$dir/log/log/v=2/eup").exists &&
+           new java.io.File(s"$dir/log/log/v=3/cdel").exists &&
+           new java.io.File(s"$dir/log/log/v=3/edel").exists)
+    // MID-LOG recovery: a fresh process replays snap v1 + segments 2..3
+    val gL2 = new GraphStream.MaintainedGraph(spark, s"$dir/log", k = 5,
+      stateFormat = "upsertlog", compactEvery = 3)
+    assert(gL2.version == 3, "recovery lost the pointer")
+    assert(edgesOf(gL2) == edgesOf(gS),
+      "mid-log reconstruction diverged from the snapshot spelling")
+    assert(corpusOf(gL2) == corpusOf(gS))
+    // v4 crosses compactEvery: a compaction snapshot lands, old state goes
+    gS.advance(3, e.filter(col("vec_id") % 6 === 0)): Unit
+    gL2.advance(3, e.filter(col("vec_id") % 6 === 0)): Unit
+    assert(edgesOf(gL2) == edgesOf(gS), "post-compaction divergence")
+    assert(new java.io.File(s"$dir/log/corpus/v=4").exists,
+      "compaction snapshot missing at v=4")
+    // POST-COMPACTION recovery reads the fresh snapshot directly, and the
+    // drained state equals the scratch rebuild over the full live set
+    val gL3 = new GraphStream.MaintainedGraph(spark, s"$dir/log", k = 5,
+      stateFormat = "upsertlog", compactEvery = 3)
+    assert(gL3.version == 4)
+    assert(edgesOf(gL3) == scratchGraph(e, 5),
+      "post-compaction recovery diverged from the scratch rebuild")
+  }
+
+  test("q_knn_graph_stream_log: the streamed upsert-log runner drains to " +
+       "the same graph as the snapshot runner") {
+    val sfd = "/root/testdata/sf0.001"
+    val log = SparkEntry.queries("q_knn_graph_stream_log")(spark, sfd)
+      .collect().map(graphKey).toSeq
+    val snap = SparkEntry.queries("q_knn_graph_stream")(spark, sfd)
+      .collect().map(graphKey).toSeq
+    assert(log == snap,
+      "upsert-log drained graph diverged from the snapshot drained graph")
+  }
+
   test("maintained graph: delete and re-insert batches stay bit-identical " +
        "to scratch rebuilds, and stale batch ids are no-ops") {
     import graft.streaming.GraphStream
@@ -1062,6 +1129,43 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(mc2.kept.collect().map(_.getLong(0)).toSet == keptB,
       "drained kept set diverged from the batch dedup after deep restart")
+  }
+
+  test("cross-modal stream: a late smaller-id digest twin retracts the " +
+       "standing keeper (exact wins precedence); drained file run equals " +
+       "the batch verdict") {
+    import graft.streaming.CorpusStream
+    import graft.operators.Dedup
+    val cm = new CorpusStream.MaintainedCrossmodal()
+    val b1 = Seq(
+      (Option(9L), Option("alpha beta gamma delta"), Option(9L), Option(Seq(1.0, 0.0))),
+      (Option(20L), Option("one two three four"), Option(20L), Option(Seq(0.0, 1.0))))
+      .toDF("doc_id", "text", "vec_id", "embedding")
+    val v1 = cm.advance(b1).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getString(2)))).toMap
+    assert(v1(9L) == ((1, "none")) && v1(20L) == ((1, "none")))
+    // batch 2: same text as doc 9 with a SMALLER id and a near-identical
+    // embedding — doc 9 is now BOTH an exact and a semantic dup; the
+    // verdict must retract to exact (precedence), doc 5 keeps
+    val b2 = Seq(
+      (Option(5L), Option("alpha beta gamma delta"), Option(5L), Option(Seq(0.9, 0.1))))
+      .toDF("doc_id", "text", "vec_id", "embedding")
+    val v2 = cm.advance(b2).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getString(2)))).toMap
+    assert(v2(5L) == ((1, "none")))
+    assert(v2(9L) == ((0, "exact")),
+      s"retraction must flip doc 9 to an exact dup, got ${v2(9L)}")
+    assert(v2(20L) == ((1, "none")))
+    // the drained file-staged run equals the batch operator row-for-row
+    val sfd = "/root/testdata/sf0.001"
+    val streamed = CorpusStream.crossmodalOverFile(spark, sfd)
+      .collect().map(_.toString)
+    val batch = Dedup.crossmodalDedup(
+        Tables.documents(spark, sfd), Tables.embeddings(spark, sfd),
+        "doc_id", "text", "vec_id", "embedding")
+      .collect().map(_.toString)
+    assert(streamed.sameElements(batch),
+      "drained cross-modal verdict diverged from the batch operator")
   }
 
   test("file-source runner writes scored parquet exactly once") {
