@@ -1633,6 +1633,26 @@ object Queries {
            | FROM c) WHERE rn <= $k ORDER BY query_id, neighbor_id""".stripMargin))
   }
 
+  /** The continuous-corpus flagship under the PRODUCTION state
+    * spelling (the r9 VERDICT's last lifecycle task closed on both
+    * maintained operators): corpus AND embedded graph persist
+    * per-batch DELTA segments — the batch's docs, its new pairs and
+    * the kept-set diff, all frames the advance algebra already
+    * computes, so the segment costs zero extra compute and O(|batch|)
+    * write I/O replaces the per-batch O(corpus) snapshot that
+    * dominated `q_continuous_corpus`'s cost — compacting to a full
+    * snapshot every 3 versions behind the same atomic POINTER
+    * contract. Recovery replays segments forward from the newest
+    * snapshot (StreamingSpec crosses kill/restart, the retention
+    * window and compaction); the drained end state is bit-identical
+    * to the snapshot spelling, so the same chained three-stage DuckDB
+    * oracle applies verbatim. */
+  private val qContinuousCorpusLog = Q(
+    "q_continuous_corpus_log",
+    (s, d) => streaming.CorpusPipeline.continuousOverFile(s, d, k = 5,
+      stateFormat = "upsertlog", compactEvery = 3),
+    qContinuousCorpus.oracle)
+
   /** The SCALE path for `q_knn_graph` (rows-only): IVF multi-probe
     * graph construction — every vector explodes to its `nprobe`
     * nearest k-means cells, candidate pairs are vectors sharing a
@@ -4412,7 +4432,7 @@ object Queries {
     qSimServeStream,
     qKnnGraph, qKnnGraphSharded, qKnnGraphInc, qKnnGraphDel, qKnnGraphStream,
     qKnnGraphStreamLog,
-    qContinuousCorpus, qKnnGraphIvf,
+    qContinuousCorpus, qContinuousCorpusLog, qKnnGraphIvf,
     qKnnGraphGrid,
     qKnnClusters, qEmbedPipeline,
     qSimLshTopk, qSimLshTopkMd5, qSimIvfTopk,

@@ -55,10 +55,18 @@ object CorpusPipeline {
                                k: Int = 5,
                                numHashes: Int = 16, bands: Int = 8,
                                threshold: Double = 0.1,
-                               shingleK: Int = 3) {
+                               shingleK: Int = 3,
+                               stateFormat: String = "snapshot",
+                               compactEvery: Int = 4) {
+    require(stateFormat == "snapshot" || stateFormat == "upsertlog",
+      s"MaintainedCorpus: unknown stateFormat '$stateFormat'")
+    require(compactEvery >= 2, s"compactEvery=$compactEvery must be >= 2")
     new java.io.File(stateDir).mkdirs()
+    // the embedded graph adopts the same state spelling — one format
+    // decision for the whole pipeline's persistence
     val graph = new GraphStream.MaintainedGraph(
-      spark, s"$stateDir/graph", k, idCol = "doc_id", vecCol = "embedding")
+      spark, s"$stateDir/graph", k, idCol = "doc_id", vecCol = "embedding",
+      stateFormat = stateFormat, compactEvery = compactEvery)
     @volatile private var cur: (Int, Long) = readPointer().getOrElse((0, -1L))
     // committed state stays HOT (localCheckpoint blocks); parquet
     // snapshots are the recovery path only — same posture and same
@@ -95,12 +103,44 @@ object CorpusPipeline {
       hot match {
         case Some((v, d, p, kp)) if v == version => (d, p, kp)
         case _ =>
-          val d = spark.read.parquet(s"$stateDir/docs/v=$version").localCheckpoint()
-          val p = spark.read.parquet(s"$stateDir/pairs/v=$version").localCheckpoint()
-          val kp = spark.read.parquet(s"$stateDir/kept/v=$version").localCheckpoint()
+          val (d, p, kp) =
+            if (stateFormat == "snapshot")
+              (spark.read.parquet(s"$stateDir/docs/v=$version").localCheckpoint(),
+               spark.read.parquet(s"$stateDir/pairs/v=$version").localCheckpoint(),
+               spark.read.parquet(s"$stateDir/kept/v=$version").localCheckpoint())
+            else reconstruct(version)
           hot = Some((version, d, p, kp))
           (d, p, kp)
       }
+    }
+
+    /** Snapshot versions present on disk (the `docs/v=N` dirs). */
+    private def snapshotVersions(): Seq[Int] =
+      Option(new java.io.File(s"$stateDir/docs").listFiles())
+        .getOrElse(Array.empty).toSeq
+        .flatMap(f => scala.util.Try(f.getName.stripPrefix("v=").toInt).toOption)
+
+    /** Upsert-log recovery: newest snapshot at-or-below `v`, then replay
+      * segments in version order — docs and pairs are APPEND-only (the
+      * corpus store's invariant, so a segment is just the batch's rows
+      * and its new pairs); the kept set applies its per-batch diff
+      * (evictions out, fresh keepers in). One lineage cut at the end. */
+    private def reconstruct(v: Int): (DataFrame, DataFrame, DataFrame) = {
+      val snaps = snapshotVersions().filter(_ <= v)
+      require(snaps.nonEmpty,
+        s"MaintainedCorpus: no snapshot at or below v=$v under $stateDir")
+      val s0 = snaps.max
+      var d = spark.read.parquet(s"$stateDir/docs/v=$s0")
+      var p = spark.read.parquet(s"$stateDir/pairs/v=$s0")
+      var kp = spark.read.parquet(s"$stateDir/kept/v=$s0")
+      ((s0 + 1) to v).foreach { lv =>
+        val seg = s"$stateDir/log/v=$lv"
+        d = d.unionByName(spark.read.parquet(s"$seg/dins"))
+        p = p.unionByName(spark.read.parquet(s"$seg/pins"))
+        kp = kp.join(spark.read.parquet(s"$seg/kout"), Seq("doc_id"), "left_anti")
+          .unionByName(spark.read.parquet(s"$seg/kin"))
+      }
+      (d.localCheckpoint(), p.localCheckpoint(), kp.localCheckpoint())
     }
 
     /** All docs seen so far: (doc_id, text, embedding). */
@@ -187,18 +227,53 @@ object CorpusPipeline {
         .select("doc_id", "embedding")
       graph.advance(batchId, freshEmb, Some(evicted)): Unit
       // ---- corpus commit (pointer last — the batch's commit marker);
-      // the snapshot writes scan hot blocks, not recomputed lineage
+      // writes scan hot blocks, not recomputed lineage. Two spellings
+      // behind the same pointer contract (mirror of MaintainedGraph):
+      // "snapshot" writes the full state per batch; "upsertlog" writes
+      // the per-batch DELTA — the batch's docs, its new pairs and the
+      // kept-set diff, ALL already computed by the advance algebra
+      // above, so the segment costs zero extra compute and O(|batch|)
+      // write I/O instead of O(corpus) — with a full snapshot every
+      // `compactEvery` versions bounding recovery replay.
       val newV = v + 1
-      allDocs.write.mode("overwrite").parquet(s"$stateDir/docs/v=$newV")
-      pairs1.write.mode("overwrite").parquet(s"$stateDir/pairs/v=$newV")
-      kept1.write.mode("overwrite").parquet(s"$stateDir/kept/v=$newV")
+      val snapVersions =
+        if (stateFormat == "snapshot") Nil
+        else snapshotVersions().filter(_ <= v)
+      val snapNow = stateFormat == "snapshot" || snapVersions.isEmpty ||
+        newV - snapVersions.max >= compactEvery
+      if (snapNow) {
+        deleteDir(s"$stateDir/log/v=$newV"): Unit
+        allDocs.write.mode("overwrite").parquet(s"$stateDir/docs/v=$newV")
+        pairs1.write.mode("overwrite").parquet(s"$stateDir/pairs/v=$newV")
+        kept1.write.mode("overwrite").parquet(s"$stateDir/kept/v=$newV")
+      } else {
+        Seq("docs", "pairs", "kept").foreach(kind =>
+          deleteDir(s"$stateDir/$kind/v=$newV"): Unit)
+        val seg = s"$stateDir/log/v=$newV"
+        b.write.mode("overwrite").parquet(s"$seg/dins")
+        newPairs.write.mode("overwrite").parquet(s"$seg/pins")
+        fresh.write.mode("overwrite").parquet(s"$seg/kin")
+        evicted.write.mode("overwrite").parquet(s"$seg/kout")
+      }
       writePointer(newV, batchId)
       hot = Some((newV, allDocs, pairs1, kept1))
       hotDerived = Some((newV, shAll, bandAll))
       cur = (newV, batchId)
-      Seq("docs", "pairs", "kept").foreach { kind =>
-        var old = newV - 2
-        while (old >= 1 && deleteDir(s"$stateDir/$kind/v=$old")) old -= 1
+      if (stateFormat == "snapshot") {
+        Seq("docs", "pairs", "kept").foreach { kind =>
+          var old = newV - 2
+          while (old >= 1 && deleteDir(s"$stateDir/$kind/v=$old")) old -= 1
+        }
+      } else if (snapNow) {
+        // log retention at compaction: v=newV-1 reconstructs from the
+        // PREVIOUS snapshot plus its trailing segments
+        snapVersions.sorted.lastOption.foreach { p =>
+          snapVersions.filter(_ < p).foreach { s =>
+            Seq("docs", "pairs", "kept").foreach(kind =>
+              deleteDir(s"$stateDir/$kind/v=$s"): Unit)
+          }
+          (1 to p).foreach(s => deleteDir(s"$stateDir/log/v=$s"): Unit)
+        }
       }
       newV
     }
@@ -288,7 +363,9 @@ object CorpusPipeline {
     * the exact top-k graph over the batch-deduped corpus, which the
     * chained DuckDB oracle re-derives from scratch. */
   def continuousOverFile(spark: SparkSession, sfDir: String,
-                         k: Int = 5, nSlices: Int = 4): DataFrame = {
+                         k: Int = 5, nSlices: Int = 4,
+                         stateFormat: String = "snapshot",
+                         compactEvery: Int = 4): DataFrame = {
     val feed = graft.Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
       .join(graft.Tables.embeddings(spark, sfDir)
         .select(col("vec_id").as("doc_id"),
@@ -296,7 +373,8 @@ object CorpusPipeline {
         Seq("doc_id"))
     val root = java.nio.file.Files.createTempDirectory("graft_corpuspipe").toString
     val in = s"$root/in"
-    val mc = new MaintainedCorpus(spark, s"$root/state", k)
+    val mc = new MaintainedCorpus(spark, s"$root/state", k,
+      stateFormat = stateFormat, compactEvery = compactEvery)
     // test-scale runner tuning only (the drainToTable rule): each
     // micro-batch chains many SMALL state jobs, and 32 shuffle
     // partitions plus per-stage AQE re-planning per tiny stage is pure

@@ -919,6 +919,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(new java.io.File(s"$dir/log/log/v=2/eup").exists &&
            new java.io.File(s"$dir/log/log/v=3/cdel").exists &&
            new java.io.File(s"$dir/log/log/v=3/edel").exists)
+    // the write-volume claim, structurally: a delta segment persists
+    // only CHANGED state — its corpus half is exactly the batch's
+    // inserts/deletes (never the standing corpus), and its edge half
+    // carries only queries whose lists changed. (At this tiny dense
+    // scale most lists DO change each batch; the claim that matters at
+    // 100 TB is that UNCHANGED state is never rewritten.)
+    val seg3 = s"$dir/log/log/v=3"
+    val nCorpus = gS.corpus.count()
+    val cinsN = spark.read.parquet(s"$seg3/cins").count()
+    val cdelN = spark.read.parquet(s"$seg3/cdel").count()
+    assert(cinsN == e.filter(col("vec_id") % 3 === 2).count() &&
+           cdelN == e.filter(col("vec_id") % 6 === 0).count(),
+      s"segment corpus delta wrong: ins=$cinsN del=$cdelN")
+    assert(cinsN + cdelN < nCorpus,
+      "segment rewrote more corpus rows than the batch touched")
+    // completeness: every query the segment does NOT persist is
+    // genuinely unchanged between v2 and v3 (the snapshot twin still
+    // holds both versions on disk) — the delta misses nothing
+    val eupQ = spark.read.parquet(s"$seg3/eup").select("query_id").distinct()
+    val edelQ = spark.read.parquet(s"$seg3/edel")
+    val out3 = spark.read.parquet(s"$dir/snap/edges/v=3")
+      .join(eupQ, Seq("query_id"), "left_anti")
+      .collect().map(graphKey).toSeq.sorted
+    val out2 = spark.read.parquet(s"$dir/snap/edges/v=2")
+      .join(eupQ, Seq("query_id"), "left_anti")
+      .join(edelQ, Seq("query_id"), "left_anti")
+      .collect().map(graphKey).toSeq.sorted
+    assert(out3 == out2,
+      "a query outside the segment changed across versions — the delta is incomplete")
     // MID-LOG recovery: a fresh process replays snap v1 + segments 2..3
     val gL2 = new GraphStream.MaintainedGraph(spark, s"$dir/log", k = 5,
       stateFormat = "upsertlog", compactEvery = 3)
@@ -1129,6 +1158,73 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(mc2.kept.collect().map(_.getLong(0)).toSet == keptB,
       "drained kept set diverged from the batch dedup after deep restart")
+  }
+
+  test("continuous corpus [upsertlog]: delta segments for corpus AND " +
+       "embedded graph, restart mid-log, drained state equals the batch " +
+       "pipeline across the compaction window") {
+    import graft.streaming.CorpusPipeline
+    import graft.operators.Dedup
+    val sfd = "/root/testdata/sf0.001"
+    val dir = java.nio.file.Files.createTempDirectory("graft_pipelog").toString
+    val in = s"$dir/in"; val state = s"$dir/state"; val ckpt = s"$dir/ckpt"
+    val feed = Tables.documents(spark, sfd).select(col("doc_id"), col("text"))
+      .join(Tables.embeddings(spark, sfd)
+        .select(col("vec_id").as("doc_id"),
+          col("embedding").cast("array<double>").as("embedding")),
+        Seq("doc_id"))
+    val nSlices = 8
+    def writeSlice(s: Int): Unit =
+      feed.filter(pmod(xxhash64(col("doc_id")), lit(nSlices)) === s)
+        .coalesce(1).write.mode("append").parquet(in)
+    def mk() = new CorpusPipeline.MaintainedCorpus(spark, state, k = 5,
+      stateFormat = "upsertlog", compactEvery = 3)
+    (0 until 2).foreach(writeSlice)
+    val mc1 = mk()
+    val q1 = CorpusPipeline.start(mc1,
+      spark.readStream.schema(feed.schema).option("maxFilesPerTrigger", 1).parquet(in),
+      ckpt)
+    q1.awaitTermination()
+    assert(mc1.version == 2)
+    // layout after v=2: boot snapshot at v=1, one delta segment at v=2
+    assert(new java.io.File(s"$state/docs/v=1").exists &&
+           !new java.io.File(s"$state/docs/v=2").exists &&
+           new java.io.File(s"$state/log/v=2/dins").exists &&
+           new java.io.File(s"$state/log/v=2/kin").exists,
+      "upsert-log corpus layout wrong after the first delta commit")
+    // restart MID-LOG (v=2 reconstructs from snap v=1 + segment v=2),
+    // then drain six more batches — crossing compaction at v=4 and v=7
+    (2 until nSlices).foreach(writeSlice)
+    val mc2 = mk()
+    assert(mc2.version == 2, "recovery lost the corpus pointer")
+    val q2 = CorpusPipeline.start(mc2,
+      spark.readStream.schema(feed.schema).option("maxFilesPerTrigger", 1).parquet(in),
+      ckpt)
+    q2.awaitTermination()
+    assert(mc2.version == nSlices)
+    // compaction landed and retired the old chain
+    assert(new java.io.File(s"$state/docs/v=7").exists,
+      "compaction snapshot missing at v=7")
+    assert(!new java.io.File(s"$state/docs/v=1").exists &&
+           !new java.io.File(s"$state/log/v=2").exists,
+      "compaction retention left the pre-window chain behind")
+    // drained state equals the batch pipeline on the full corpus
+    val docs = Tables.documents(spark, sfd)
+    val pairsB = Dedup.minhashPairs(docs, "doc_id", "text",
+      numHashes = 16, bands = 8, threshold = 0.1, portableMd5 = true)
+    val keptB = Dedup.dedupCorpus(docs.select("doc_id"), pairsB, "doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(mc2.kept.collect().map(_.getLong(0)).toSet == keptB,
+      "drained kept set diverged from the batch dedup under upsertlog")
+    import graft.operators.AnnServe
+    val keptEmb = feed.filter(col("doc_id").isInCollection(keptB))
+      .select("doc_id", "embedding")
+    val scratch = AnnServe.topkRows(keptEmb,
+        AnnServe.fitShard(keptEmb, "doc_id", "embedding"), k = 5,
+        "doc_id", "embedding")
+      .collect().map(graphKey).toSeq.sorted
+    assert(mc2.graph.edges.collect().map(graphKey).toSeq.sorted == scratch,
+      "drained maintained graph diverged from the batch pipeline under upsertlog")
   }
 
   test("cross-modal stream: a late smaller-id digest twin retracts the " +
