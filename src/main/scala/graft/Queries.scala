@@ -1639,10 +1639,13 @@ object Queries {
     * per-batch DELTA segments — the batch's docs, its new pairs and
     * the kept-set diff, all frames the advance algebra already
     * computes, so the segment costs zero extra compute and O(|batch|)
-    * write I/O replaces the per-batch O(corpus) snapshot that
-    * dominated `q_continuous_corpus`'s cost — compacting to a full
-    * snapshot every 3 versions behind the same atomic POINTER
-    * contract. Recovery replays segments forward from the newest
+    * write VOLUME replaces the per-batch O(corpus) snapshot —
+    * compacting to a full snapshot every 3 versions behind the same
+    * atomic POINTER contract. (At bench scale wall time is a wash:
+    * tiny-state jobs are scheduler-bound, and a segment is more
+    * writes than a snapshot; the byte claim is what matters at
+    * production batch sizes, and StreamingSpec pins it structurally —
+    * unchanged state is never rewritten.) Recovery replays segments forward from the newest
     * snapshot (StreamingSpec crosses kill/restart, the retention
     * window and compaction); the drained end state is bit-identical
     * to the snapshot spelling, so the same chained three-stage DuckDB
