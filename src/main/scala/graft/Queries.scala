@@ -1448,6 +1448,88 @@ object Queries {
       .orderBy("query_id", "neighbor_id"),
     Some(simBruteforceSql))
 
+  /** The rounded-cosine SQL expression shared by the mining oracles
+    * (same spelling as `simBruteforceSql` / `knnGraphSqlFor`). */
+  private def sqlCosExpr(a: String, b: String): String =
+    s"""round(CASE WHEN sqrt(list_sum(list_transform(list_zip($a, $a), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))))
+       |         * sqrt(list_sum(list_transform(list_zip($b, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))) > 0
+       |      THEN list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+       |         / (sqrt(list_sum(list_transform(list_zip($a, $a), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))))
+       |          * sqrt(list_sum(list_transform(list_zip($b, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))))
+       |      ELSE 0.0 END, 6)""".stripMargin
+
+  /** Margin-criterion BITEXT MINING (`operators.Mining.bitextMine` —
+    * Artetxe & Schwenk 2019) over a two-collection split of the
+    * embeddings table (even ids = src "language", odd = tgt), FULL
+    * SQL oracle: DuckDB re-derives both directions' exact top-k
+    * windows from the brute-force cross product, the neighborhood
+    * means, the ratio margin and the per-src argmax. The declared
+    * slice (`vec_id < 400`, k=4) bounds the oracle's quadratic side;
+    * the Spark operator never materializes a cross product at ANY
+    * scale (serve shards + |src|·k-bounded joins). */
+  private val qBitextMine = Q(
+    "q_bitext_mine",
+    (s, d) => {
+      val e = Tables.embeddings(s, d).filter(col("vec_id") < 400)
+      val src = e.filter(col("vec_id") % 2 === 0)
+      val tgt = e.filter(col("vec_id") % 2 =!= 0)
+      operators.Mining.bitextMine(src, tgt, k = 4).orderBy("src_id")
+    },
+    Some(s"""WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 400 AND vec_id % 2 = 0),
+      |t AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 400 AND vec_id % 2 <> 0),
+      |fc AS (SELECT s.vec_id AS src_id, t.vec_id AS tgt_id,
+      |  ${sqlCosExpr("s.embedding", "t.embedding")} AS cos
+      | FROM s, t),
+      |fwd AS (SELECT src_id, tgt_id, cos FROM (
+      |  SELECT src_id, tgt_id, cos,
+      |    row_number() OVER (PARTITION BY src_id ORDER BY cos DESC, tgt_id ASC) AS rn
+      |  FROM fc) WHERE rn <= 4),
+      |bwd AS (SELECT tgt_id, cos FROM (
+      |  SELECT tgt_id, cos,
+      |    row_number() OVER (PARTITION BY tgt_id ORDER BY cos DESC, src_id ASC) AS rn
+      |  FROM fc) WHERE rn <= 4),
+      |asrc AS (SELECT src_id, avg(cos) AS a FROM fwd GROUP BY src_id),
+      |atgt AS (SELECT tgt_id, avg(cos) AS a FROM bwd GROUP BY tgt_id),
+      |m AS (SELECT f.src_id, f.tgt_id, f.cos,
+      |  CASE WHEN (x.a + y.a) / 2 > 0 THEN round(f.cos / ((x.a + y.a) / 2), 6)
+      |       ELSE 0.0 END AS margin
+      | FROM fwd f JOIN asrc x ON f.src_id = x.src_id
+      |            JOIN atgt y ON f.tgt_id = y.tgt_id)
+      |SELECT src_id, tgt_id, cos, margin FROM (
+      | SELECT src_id, tgt_id, cos, margin,
+      |  row_number() OVER (PARTITION BY src_id ORDER BY margin DESC, tgt_id ASC) AS rn
+      | FROM m) WHERE rn = 1 ORDER BY src_id""".stripMargin))
+
+  /** Label-safe HARD-NEGATIVE MINING (`operators.Mining.hardNegatives`)
+    * — each anchor's nearest different-label neighbors inside its
+    * exact top-20 window, re-ranked 1..5; the embeddings table's own
+    * `label` column is the positive-class signal. FULL SQL oracle
+    * (brute-force window + the same label filter + re-rank). Anchors
+    * sliced to `vec_id < 50` to bound the oracle's quadratic side;
+    * the Spark path is serve-shard + bounded joins at any scale. */
+  private val qHardNegatives = Q(
+    "q_hard_negatives",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      operators.Mining.hardNegatives(
+          e.filter(col("vec_id") < 50), e, e, k = 20, m = 5)
+        .orderBy("anchor_id", "rank")
+    },
+    Some(s"""WITH a AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 50),
+      |c AS (SELECT a.vec_id AS anchor_id, e.vec_id AS neg_id,
+      |  a.label AS alab, e.label AS nlab,
+      |  ${sqlCosExpr("a.embedding", "e.embedding")} AS cos
+      | FROM a, embeddings e WHERE e.vec_id <> a.vec_id),
+      |kwin AS (SELECT * FROM (
+      |  SELECT anchor_id, neg_id, alab, nlab, cos,
+      |    row_number() OVER (PARTITION BY anchor_id ORDER BY cos DESC, neg_id ASC) AS rn
+      |  FROM c) WHERE rn <= 20),
+      |neg AS (SELECT anchor_id, neg_id, cos,
+      |  row_number() OVER (PARTITION BY anchor_id ORDER BY cos DESC, neg_id ASC) AS rank
+      | FROM kwin WHERE alab IS NULL OR nlab IS NULL OR alab <> nlab)
+      |SELECT anchor_id, neg_id, cos, CAST(rank AS INTEGER) AS rank
+      |FROM neg WHERE rank <= 5 ORDER BY anchor_id, rank""".stripMargin))
+
   /** Shared oracle for the exact kNN-graph family: the graph stated as
     * the quadratic self-join + per-node top-5 window (only the oracle
     * pays the O(n²) join — the Spark queries never materialize it).
@@ -2368,6 +2450,174 @@ object Queries {
         .orderBy("query_id", "neighbor_id")
     },
     None)
+
+  /** Video frame analysis as a DECLARED family (rows-only): every
+    * document wrapped as a GENUINE uncompressed-DIB AVI
+    * (`Codecs.encodeAviDib` — a container any AVI reader plays),
+    * parsed ONCE per video and every frame really decoded
+    * (`Codecs.parseAvi` + `decodeVideoFrame`: RIFF walk, BGR24
+    * bottom-up rows → Rec.601 luma) to pooled block-mean features.
+    * Temporal analysis is DECLARATIVE Spark: per-frame mean luma, and
+    * motion energy as the average L1 step between consecutive frame
+    * vectors via one `lag` window + `zip_with`/`aggregate` — no UDF.
+    * Output is scalar-only summaries (the rows-only harness sorts
+    * every column; arrays are unsortable there). Scale posture:
+    * container parse + frame decode are scan-side mapPartitions work;
+    * the only shuffle is the per-video window/agg on media_id, whose
+    * row count is frames-per-video × videos — bounded fan-out, no
+    * corpus-wide join. */
+  private val qMediaVideoFeatures = Q(
+    "media_video_features",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val media = multimodal.Media.videosFromDocuments(docs, "doc_id", "text")
+      val frames = multimodal.Media.sampleFrames(media, stride = 1, dim = 8)
+        .withColumn("f", col("frame_features").cast("array<double>"))
+      val w = Window.partitionBy("media_id").orderBy("frame_idx")
+      frames
+        .withColumn("__prev", lag(col("f"), 1).over(w))
+        .withColumn("__mean",
+          expr("aggregate(f, 0D, (a, x) -> a + x)") / size(col("f")))
+        .withColumn("__step",
+          expr("aggregate(zip_with(f, __prev, (a, b) -> abs(a - b)), 0D," +
+               " (acc, x) -> acc + x)") / size(col("f")))
+        .groupBy("media_id")
+        .agg(count(lit(1)).as("n_frames"),
+             round(avg(col("__mean")), 6).as("mean_luma"),
+             round(coalesce(avg(col("__step")), lit(0.0)), 6).as("motion_energy"))
+        .orderBy("media_id")
+    },
+    None)
+
+  /** Video retrieval riding the ANN SERVE machinery (rows-only): every
+    * video's frames really decode, then TEMPORAL MEAN POOLING — the
+    * standard cheap video embedding (per-dimension mean over frames,
+    * computed declaratively: posexplode → per-(video, dim) avg →
+    * position-sorted re-assembly) — feeds the standard `AnnShard` /
+    * `cosineTopK` serve pass, exactly like the image and audio
+    * modalities: video is a first-class member of the serve tier, not
+    * a separate code path. Scale path: the pooled vectors persist once
+    * and the shard machinery (sharded/SQ8/PQ/refresh) applies
+    * unchanged. */
+  private val qMediaVideoTopk = Q(
+    "media_video_topk",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val media = multimodal.Media.videosFromDocuments(docs, "doc_id", "text")
+      val frames = multimodal.Media.sampleFrames(media, stride = 1, dim = 16)
+        .select(col("media_id"),
+          posexplode(col("frame_features").cast("array<double>"))
+            .as(Seq("pos", "v")))
+      val emb = frames.groupBy("media_id", "pos").agg(avg("v").as("v"))
+        .groupBy("media_id")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, v)))," +
+                  " x -> x.v)").as("f"))
+      val shard = operators.AnnServe.fitShard(emb, "media_id", "f")
+      operators.AnnServe.topkRows(
+          emb.filter(col("media_id") < 10), shard, k = 10, "media_id", "f")
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cos"))
+        .orderBy("query_id", "neighbor_id")
+    },
+    None)
+
+  /** The media family's ORACLE TWINS (the md5-twin pattern applied to
+    * codecs): each modality's generator is deterministic integer
+    * arithmetic over the document's text bytes, each decoder recovers
+    * those bytes EXACTLY (`Media.imageIntStats` Scaladoc for the
+    * float-rounding argument), so DuckDB can recompute per-document
+    * integer aggregates from the text alone — never touching the
+    * container — and hash-compare them against the Spark path that
+    * really encodes the P5/WAV/AVI bytes, parses them back and
+    * decodes. A mismatch anywhere in header layout, stride padding,
+    * bottom-up flip, sample packing or luma math breaks the hash, so
+    * the whole codec round trip is oracle-pinned end to end. Both
+    * sides sanitize text to printable ASCII first (identical regex
+    * class) so SQL `ord(substr(..))` indexes the same byte stream as
+    * the JVM's UTF-8 `getBytes`. */
+  private def asciiDocs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("text", regexp_replace(col("text"), "[^ -~]", ""))
+
+  private val mediaTwinCte =
+    """WITH t AS (
+      |  SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS s
+      |  FROM documents
+      |), b AS (
+      |  SELECT doc_id, s, length(s) AS len FROM t
+      |)""".stripMargin
+
+  private val qMediaImageInt = Q(
+    "media_image_int",
+    (s, d) => {
+      val media = multimodal.Media.imagesFromDocuments(
+        asciiDocs(s, d), "doc_id", "text")
+      multimodal.Media.imageIntStats(media).orderBy("media_id")
+    },
+    Some(s"""$mediaTwinCte
+      |SELECT doc_id AS media_id, 4096 AS n_px,
+      |  CAST(SUM(CASE WHEN len = 0 THEN 0
+      |           ELSE ord(substr(s, (i % len) + 1, 1)) END) AS BIGINT) AS px_sum
+      |FROM b CROSS JOIN generate_series(0, 4095) g(i)
+      |GROUP BY doc_id ORDER BY media_id""".stripMargin))
+
+  private val qMediaAudioInt = Q(
+    "media_audio_int",
+    (s, d) => {
+      val media = multimodal.Media.audioFromDocuments(
+        asciiDocs(s, d), "doc_id", "text")
+      multimodal.Media.audioIntStats(media).orderBy("media_id")
+    },
+    Some(s"""$mediaTwinCte
+      |SELECT doc_id AS media_id,
+      |  CAST(GREATEST(LEAST(len, 2048), 16) AS INTEGER) AS n_samples,
+      |  CAST(SUM(((CASE WHEN len = 0 THEN 0
+      |             ELSE ord(substr(s, (i % len) + 1, 1)) END) - 128) * 256)
+      |       AS BIGINT) AS sample_sum
+      |FROM b CROSS JOIN generate_series(0, 2047) g(i)
+      |WHERE i < GREATEST(LEAST(len, 2048), 16)
+      |GROUP BY doc_id, len ORDER BY media_id""".stripMargin))
+
+  private val qMediaVideoInt = Q(
+    "media_video_int",
+    (s, d) => {
+      val media = multimodal.Media.videosFromDocuments(
+        asciiDocs(s, d), "doc_id", "text")
+      multimodal.Media.videoIntStats(media).orderBy("media_id")
+    },
+    Some(s"""$mediaTwinCte,
+      |px AS (
+      |  SELECT doc_id, fi, i,
+      |    CASE WHEN len = 0 THEN 0
+      |         ELSE ord(substr(s, ((i + 7 * fi) % len) + 1, 1)) END AS p
+      |  FROM b
+      |  CROSS JOIN generate_series(0, 5) f(fi)
+      |  CROSS JOIN generate_series(0, 191) g(i)
+      |),
+      |sums AS (
+      |  SELECT doc_id, CAST(SUM(p) AS BIGINT) AS px_sum FROM px GROUP BY doc_id
+      |),
+      |mot AS (
+      |  SELECT doc_id, CAST(SUM(ABS(p - lp)) AS BIGINT) AS motion_l1
+      |  FROM (SELECT doc_id, p,
+      |          LAG(p) OVER (PARTITION BY doc_id, i ORDER BY fi) AS lp
+      |        FROM px)
+      |  WHERE lp IS NOT NULL GROUP BY doc_id
+      |)
+      |SELECT s.doc_id AS media_id, 6 AS n_frames, s.px_sum, m.motion_l1
+      |FROM sums s JOIN mot m ON s.doc_id = m.doc_id
+      |ORDER BY media_id""".stripMargin))
+
+  /** The media family's STREAMING twin (the one family member without
+    * one until now): live codec round trip under the verbatim
+    * arithmetic oracle of `media_video_int` — see
+    * `CorpusStream.mediaVideoIntOverFile`. */
+  private val qMediaVideoIntStream = Q(
+    "media_video_int_stream",
+    (s, d) => streaming.CorpusStream.mediaVideoIntOverFile(s, d)
+      .orderBy("media_id"),
+    qMediaVideoInt.oracle)
 
   /** SimHash near-dup pairs, ORACLE-PROVEN (the simhash analog of
     * `dedup_minhash_md5`): md5-derived token hashes and 4×16-bit chunk
@@ -4432,7 +4682,7 @@ object Queries {
     qTextStats, qLangId, qLangClassifier, qLangClassifierStream, qTokenCount, qTfidfTop, qFingerprint,
     qWinnowFingerprint, qCorpusClean,
     qDedupExact, qNgramJaccard, qSimBruteforce, qSimServe, qSimServeSharded,
-    qSimServeStream,
+    qSimServeStream, qBitextMine, qHardNegatives,
     qKnnGraph, qKnnGraphSharded, qKnnGraphInc, qKnnGraphDel, qKnnGraphStream,
     qKnnGraphStreamLog,
     qContinuousCorpus, qContinuousCorpusLog, qKnnGraphIvf,
@@ -4453,6 +4703,8 @@ object Queries {
     qDedupEmbedding, qDedupEmbeddingExact, qDedupSemantic,
     qDedupSemanticGrid, qMediaFeatures, qMediaEmbedTopk,
     qMediaAudioFeatures, qMediaAudioTopk,
+    qMediaVideoFeatures, qMediaVideoTopk,
+    qMediaImageInt, qMediaAudioInt, qMediaVideoInt, qMediaVideoIntStream,
     qMixDomains, qTopTerms,
     qSessionize, qSessionizeStream, qScoreStream, qAsofJoin, qRangeJoin,
     qGopherQuality, qSampleStratified, qDomainFilter, qDecontaminate,

@@ -7,17 +7,21 @@ import java.nio.charset.StandardCharsets
   * JVM code: PNG (zlib inflate is `java.util.zip`; the filter
   * algebra including Paeth is the spec), baseline sequential JPEG
   * (Huffman entropy decode + dequant + IDCT per ITU-T T.81), Netpbm
-  * images (binary P5 grayscale / P6 RGB) and PCM WAV audio
-  * (RIFF/WAVE, 16-bit little-endian). These replace the
-  * `Media.fakeDecode` stub for recognized containers; unrecognized
-  * bytes (MP3-class audio, video) still fall through to the stub
-  * (documented) so the plumbing accepts any blob.
+  * images (binary P5 grayscale / P6 RGB), PCM WAV audio (RIFF/WAVE,
+  * 16-bit little-endian) and AVI video (RIFF 'AVI ' container walk;
+  * uncompressed-DIB and MJPEG frame codecs, the latter riding
+  * `decodeJpeg` with the Annex K.3 default-table splice). These
+  * replace the `Media.fakeDecode` stub for recognized containers;
+  * unrecognized bytes (MP3-class audio, MP4-class video) still fall
+  * through to the stub (documented) so the plumbing accepts any blob.
   *
   * Format references are the public specs: the PNG specification
   * (W3C/ISO 15948 — chunk layout §5, filters §9, zlib datastream
   * §10), ITU-T T.81 (baseline process — Huffman tables annex C,
-  * decoder flow annex F, IDCT A.3.3), Netpbm pgm(5)/ppm(5), and the
-  * Microsoft/IBM RIFF WAVE format (fmt chunk 16, PCM).
+  * decoder flow annex F, IDCT A.3.3, default tables annex K.3),
+  * Netpbm pgm(5)/ppm(5), the Microsoft/IBM RIFF WAVE format (fmt
+  * chunk 16, PCM), and the Microsoft AVI RIFF File Reference
+  * (avih/strh/strf/movi, BITMAPINFOHEADER, word-aligned chunks).
   */
 object Codecs {
 
@@ -34,6 +38,7 @@ object Codecs {
   case object Wav extends Kind
   case object Png extends Kind
   case object Jpeg extends Kind
+  case object Avi extends Kind
   case object Unknown extends Kind
 
   private val PngSig: Array[Int] = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
@@ -49,6 +54,10 @@ object Codecs {
              bytes(2) == 'F' && bytes(3) == 'F' &&
              bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' &&
              bytes(11) == 'E') Wav
+    else if (bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' &&
+             bytes(2) == 'F' && bytes(3) == 'F' &&
+             bytes(8) == 'A' && bytes(9) == 'V' && bytes(10) == 'I' &&
+             bytes(11) == ' ') Avi
     else Unknown
 
   // -- Netpbm (P5 gray / P6 RGB, binary, maxval <= 255) ----------------
@@ -650,6 +659,294 @@ object Codecs {
     }
     Audio(sampleRate, samples)
   }
+
+  // -- AVI video (RIFF 'AVI ': hdrl/avih/strh/strf + movi frames) ------
+  //
+  // Container per the public Microsoft AVI RIFF reference (LIST/chunk
+  // walk, word alignment). Two frame codecs decode for real:
+  //   * BI_RGB uncompressed DIB ('00db'): 24-bit BGR rows, 4-byte row
+  //     padding, bottom-up unless biHeight < 0 — pure byte algebra.
+  //   * MJPEG ('00dc', fourcc 'MJPG'): each frame is a baseline JPEG
+  //     decoded by `decodeJpeg`; real MJPEG streams conventionally OMIT
+  //     the DHT segment and decoders must supply the T.81 Annex K.3
+  //     default tables — `decodeMjpegFrame` splices them in when absent.
+  //   * 'MPNG' motion-PNG frames dispatch to `decodePng`.
+
+  /** A parsed AVI: stream-format header fields plus the raw per-frame
+    * chunk payloads of the first video stream (stream 00). */
+  final case class Video(width: Int, height: Int, usPerFrame: Int,
+                         nFramesDeclared: Int, bitCount: Int,
+                         compression: Int, topDown: Boolean,
+                         frames: Vector[Array[Byte]])
+
+  /** 'MJPG' as the little-endian fourcc biCompression value. */
+  val MjpgFourcc: Int = 0x47504a4d
+
+  /** Walk the RIFF tree: main header (avih), the FIRST 'vids' stream's
+    * format (strf → BITMAPINFOHEADER), and every stream-00 frame chunk
+    * inside 'movi' (including 'rec ' sub-lists). idx1 is ignored — the
+    * sequential chunk walk is the index. */
+  def parseAvi(bytes: Array[Byte]): Video = {
+    require(detect(bytes) == Avi, "not a RIFF/AVI file")
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    def fourcc(o: Int): String = new String(bytes, o, 4, StandardCharsets.US_ASCII)
+    var usPerFrame = 0; var nDecl = 0
+    var w = 0; var h = 0; var bitCount = 0; var compression = 0
+    var topDown = false; var sawVids = false; var haveFmt = false
+    var curStrlVids = false
+    val frames = Vector.newBuilder[Array[Byte]]
+    def walk(start: Int, end: Int, inMovi: Boolean, inHdrl: Boolean,
+             inStrl: Boolean): Unit = {
+      var p = start
+      while (p + 8 <= end) {
+        val id = fourcc(p)
+        val sz = bb.getInt(p + 4)
+        require(sz >= 0 && p + 8 + sz <= end, s"bad chunk $id size $sz")
+        val body = p + 8
+        if (id == "LIST") {
+          require(sz >= 4, "LIST without a type")
+          val lt = fourcc(body)
+          if (lt == "strl") curStrlVids = false
+          walk(body + 4, body + sz, inMovi || lt == "movi",
+               inHdrl || lt == "hdrl", inStrl || lt == "strl")
+        } else if (inHdrl && id == "avih") {
+          require(sz >= 40, s"short avih ($sz bytes)")
+          usPerFrame = bb.getInt(body)
+          nDecl = bb.getInt(body + 16)
+        } else if (inStrl && id == "strh") {
+          require(sz >= 8, s"short strh ($sz bytes)")
+          curStrlVids = fourcc(body) == "vids" && !sawVids
+          if (curStrlVids) sawVids = true
+        } else if (inStrl && id == "strf" && curStrlVids && !haveFmt) {
+          require(sz >= 40, s"short strf ($sz bytes)")
+          w = bb.getInt(body + 4)
+          val bh = bb.getInt(body + 8)
+          h = math.abs(bh); topDown = bh < 0
+          bitCount = bb.getShort(body + 14) & 0xffff
+          compression = bb.getInt(body + 16)
+          haveFmt = true
+        } else if (inMovi && (id == "00db" || id == "00dc")) {
+          frames += java.util.Arrays.copyOfRange(bytes, body, body + sz)
+        }
+        p = body + sz + (sz & 1) // chunks are word-aligned
+      }
+    }
+    walk(12, bytes.length, inMovi = false, inHdrl = false, inStrl = false)
+    require(sawVids && haveFmt, "missing 'vids' stream headers (strh/strf)")
+    require(w > 0 && h > 0, s"bad frame dimensions ${w}x$h")
+    Video(w, h, usPerFrame, nDecl, bitCount, compression, topDown,
+          frames.result())
+  }
+
+  /** Decode frame `i` of a parsed AVI to the shared gray contract. */
+  def decodeVideoFrame(v: Video, i: Int): Image = {
+    require(i >= 0 && i < v.frames.length,
+      s"frame $i of ${v.frames.length}")
+    val f = v.frames(i)
+    if (v.compression == 0) { // BI_RGB uncompressed DIB
+      require(v.bitCount == 24,
+        s"BI_RGB bitCount ${v.bitCount} unsupported (24-bit only)")
+      val stride = (v.width * 3 + 3) & ~3
+      require(f.length >= stride * v.height,
+        s"truncated DIB frame: ${f.length} < ${stride * v.height}")
+      val gray = new Array[Float](v.width * v.height)
+      var y = 0
+      while (y < v.height) {
+        val srcY = if (v.topDown) y else v.height - 1 - y
+        var x = 0
+        while (x < v.width) {
+          val o = srcY * stride + x * 3
+          val b = f(o) & 0xff; val g = f(o + 1) & 0xff; val r = f(o + 2) & 0xff
+          gray(y * v.width + x) = (0.299f * r + 0.587f * g + 0.114f * b) / 255f
+          x += 1
+        }
+        y += 1
+      }
+      Image(v.width, v.height, gray)
+    } else detect(f) match {
+      case Jpeg => decodeMjpegFrame(f)
+      case Png  => decodePng(f) // 'MPNG' motion-PNG streams
+      case _ => throw new IllegalArgumentException(
+        f"unsupported AVI codec 0x${v.compression}%08x" +
+          " with unrecognized frame bytes")
+    }
+  }
+
+  /** T.81 Annex K.3 default Huffman tables as ONE spliceable DHT
+    * segment (DC/AC × luminance/chrominance) — what an MJPEG decoder
+    * must supply when frames omit DHT. */
+  private lazy val StdDhtSegment: Array[Byte] = {
+    val dcLumBits = Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+    val dcChrBits = Array(0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0)
+    val dcVals = (0 to 11).toArray
+    val acLumBits = Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
+    val acLumVals = Array(
+      0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+      0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+      0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08,
+      0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0,
+      0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0a, 0x16,
+      0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+      0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+      0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+      0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+      0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+      0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+      0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+      0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+      0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5, 0xa6, 0xa7,
+      0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6,
+      0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5,
+      0xc6, 0xc7, 0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4,
+      0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+      0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea,
+      0xf1, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8,
+      0xf9, 0xfa)
+    val acChrBits = Array(0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77)
+    val acChrVals = Array(
+      0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+      0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+      0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+      0xa1, 0xb1, 0xc1, 0x09, 0x23, 0x33, 0x52, 0xf0,
+      0x15, 0x62, 0x72, 0xd1, 0x0a, 0x16, 0x24, 0x34,
+      0xe1, 0x25, 0xf1, 0x17, 0x18, 0x19, 0x1a, 0x26,
+      0x27, 0x28, 0x29, 0x2a, 0x35, 0x36, 0x37, 0x38,
+      0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+      0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+      0x59, 0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+      0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+      0x79, 0x7a, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+      0x88, 0x89, 0x8a, 0x92, 0x93, 0x94, 0x95, 0x96,
+      0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5,
+      0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4,
+      0xb5, 0xb6, 0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3,
+      0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9, 0xca, 0xd2,
+      0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda,
+      0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9,
+      0xea, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8,
+      0xf9, 0xfa)
+    val tables = Seq(
+      (0x00, dcLumBits, dcVals), (0x10, acLumBits, acLumVals),
+      (0x01, dcChrBits, dcVals), (0x11, acChrBits, acChrVals))
+    val payload = 2 + tables.map { case (_, bits, vals) =>
+      require(bits.sum == vals.length, "DHT table bits/vals mismatch")
+      1 + 16 + vals.length
+    }.sum
+    val out = ByteBuffer.allocate(2 + payload)
+    out.put(0xff.toByte).put(0xc4.toByte)
+    out.putShort(payload.toShort)
+    tables.foreach { case (tcth, bits, vals) =>
+      out.put(tcth.toByte)
+      bits.foreach(b => out.put(b.toByte))
+      vals.foreach(v => out.put(v.toByte))
+    }
+    out.array()
+  }
+
+  /** Decode one MJPEG frame: a baseline JPEG that may, per MJPEG
+    * convention, omit its Huffman tables — in that case the Annex K.3
+    * defaults are spliced in right after SOI before decoding. */
+  def decodeMjpegFrame(bytes: Array[Byte]): Image = {
+    require(detect(bytes) == Jpeg, "MJPEG frame is not a JPEG")
+    def u8(i: Int): Int = bytes(i) & 0xff
+    var p = 2; var hasDht = false; var done = false
+    while (!done && p + 4 <= bytes.length) {
+      if (u8(p) != 0xff) done = true // malformed — let decodeJpeg report it
+      else u8(p + 1) match {
+        case 0xc4 => hasDht = true; done = true
+        case 0xda | 0xd9 => done = true
+        case 0xff => p += 1
+        case m if m == 0x01 || (m >= 0xd0 && m <= 0xd7) => p += 2
+        case _ => p += 2 + ((u8(p + 2) << 8) | u8(p + 3))
+      }
+    }
+    if (hasDht) decodeJpeg(bytes)
+    else {
+      val out = new Array[Byte](bytes.length + StdDhtSegment.length)
+      System.arraycopy(bytes, 0, out, 0, 2)
+      System.arraycopy(StdDhtSegment, 0, out, 2, StdDhtSegment.length)
+      System.arraycopy(bytes, 2, out, 2 + StdDhtSegment.length, bytes.length - 2)
+      decodeJpeg(out)
+    }
+  }
+
+  /** Shared container builder: RIFF('AVI ', LIST hdrl(avih, LIST
+    * strl(strh, strf)), LIST movi(frame chunks)). */
+  private def aviContainer(w: Int, h: Int, usPerFrame: Int,
+                           compression: Int, handler: String, bitCount: Int,
+                           frames: Seq[Array[Byte]], chunkId: String): Array[Byte] = {
+    require(frames.nonEmpty, "no frames")
+    require(usPerFrame > 0, s"usPerFrame $usPerFrame")
+    val maxFrame = frames.map(_.length).max
+    val strlSz = 4 + (8 + 56) + (8 + 40)
+    val hdrlSz = 4 + (8 + 56) + (8 + strlSz)
+    val moviSz = 4 + frames.map(f => 8 + f.length + (f.length & 1)).sum
+    val riffSz = 4 + (8 + hdrlSz) + (8 + moviSz)
+    val bb = ByteBuffer.allocate(8 + riffSz).order(ByteOrder.LITTLE_ENDIAN)
+    def cc(s: String): Unit = bb.put(s.getBytes(StandardCharsets.US_ASCII))
+    cc("RIFF"); bb.putInt(riffSz); cc("AVI ")
+    cc("LIST"); bb.putInt(hdrlSz); cc("hdrl")
+    cc("avih"); bb.putInt(56)
+    bb.putInt(usPerFrame).putInt(0).putInt(0).putInt(0)
+    bb.putInt(frames.length).putInt(0).putInt(1).putInt(maxFrame)
+    bb.putInt(w).putInt(h)
+    bb.putInt(0).putInt(0).putInt(0).putInt(0) // dwReserved[4]
+    cc("LIST"); bb.putInt(strlSz); cc("strl")
+    cc("strh"); bb.putInt(56)
+    cc("vids"); cc(handler)
+    bb.putInt(0).putInt(0).putInt(0) // flags, prio+lang, initial frames
+    bb.putInt(usPerFrame).putInt(1000000) // dwScale / dwRate = frame period
+    bb.putInt(0).putInt(frames.length).putInt(maxFrame)
+    bb.putInt(-1).putInt(0) // quality (default), sample size
+    bb.putShort(0).putShort(0) // rcFrame
+    bb.putShort(w.toShort).putShort(h.toShort)
+    cc("strf"); bb.putInt(40)
+    bb.putInt(40).putInt(w).putInt(h) // biSize, biWidth, biHeight (bottom-up)
+    bb.putShort(1).putShort(bitCount.toShort)
+    bb.putInt(compression)
+    bb.putInt(if (compression == 0) ((w * bitCount / 8 + 3) & ~3) * h else 0)
+    bb.putInt(0).putInt(0).putInt(0).putInt(0) // ppm x/y, clrUsed/Important
+    cc("LIST"); bb.putInt(moviSz); cc("movi")
+    frames.foreach { f =>
+      cc(chunkId); bb.putInt(f.length); bb.put(f)
+      if ((f.length & 1) == 1) bb.put(0.toByte) // word alignment pad
+    }
+    bb.array()
+  }
+
+  /** Encode gray frames (w*h pixel arrays) as an uncompressed-DIB AVI:
+    * bottom-up 24-bit BGR rows with B=G=R, 4-byte row padding — a
+    * standard-compliant video any AVI reader plays. */
+  def encodeAviDib(frames: Seq[Array[Byte]], w: Int, h: Int,
+                   usPerFrame: Int = 40000): Array[Byte] = {
+    val stride = (w * 3 + 3) & ~3
+    val dib = frames.map { px =>
+      require(px.length == w * h, s"${px.length} pixels for ${w}x$h")
+      val f = new Array[Byte](stride * h)
+      var y = 0
+      while (y < h) {
+        val srcRow = h - 1 - y // bottom-up row order
+        var x = 0
+        while (x < w) {
+          val v = px(srcRow * w + x)
+          val o = y * stride + x * 3
+          f(o) = v; f(o + 1) = v; f(o + 2) = v
+          x += 1
+        }
+        y += 1
+      }
+      f
+    }
+    aviContainer(w, h, usPerFrame, compression = 0, handler = "DIB ",
+                 bitCount = 24, frames = dib, chunkId = "00db")
+  }
+
+  /** Wrap already-encoded JPEG frames as an MJPEG AVI ('MJPG'). */
+  def encodeAviMjpeg(jpegFrames: Seq[Array[Byte]], w: Int, h: Int,
+                     usPerFrame: Int = 40000): Array[Byte] =
+    aviContainer(w, h, usPerFrame, compression = MjpgFourcc,
+                 handler = "MJPG", bitCount = 24, frames = jpegFrames,
+                 chunkId = "00dc")
 
   def encodeWav(samples: Array[Short], sampleRate: Int): Array[Byte] = {
     val dataLen = samples.length * 2

@@ -12,13 +12,14 @@ import org.apache.spark.sql.types._
   * memory).
   *
   * Byte decoding is REAL for the dependency-free formats `Codecs`
-  * parses — PNG, baseline JPEG, Netpbm P5/P6 images and 16-bit PCM
-  * WAV audio: recognized containers decode to genuine pixels/samples
-  * and pool to features. Anything else (MP3, video containers — no
-  * codec libs in this container) falls through to the clearly-marked
-  * `fakeDecode` STUB, which derives deterministic pseudo-features
-  * from the byte content; the call sites are identical, so binding a
-  * real codec library later changes only the dispatch table.
+  * parses — PNG, baseline JPEG, Netpbm P5/P6 images, 16-bit PCM WAV
+  * audio and AVI video (uncompressed DIB + MJPEG frames): recognized
+  * containers decode to genuine pixels/samples/frames and pool to
+  * features. Anything else (MP3, MP4-class video — no codec libs in
+  * this container) falls through to the clearly-marked `fakeDecode`
+  * STUB, which derives deterministic pseudo-features from the byte
+  * content; the call sites are identical, so binding a real codec
+  * library later changes only the dispatch table.
   */
 object Media {
 
@@ -44,6 +45,11 @@ object Media {
       case Codecs.Pgm  => poolMean(Codecs.decodePgm(bytes).gray, dim)
       case Codecs.Ppm  => poolMean(Codecs.decodePpm(bytes).gray, dim)
       case Codecs.Wav  => poolRms(Codecs.decodeWav(bytes).samples, dim)
+      case Codecs.Avi  =>
+        // video thumbnail embedding: first decoded frame's luma plane
+        val v = Codecs.parseAvi(bytes)
+        require(v.frames.nonEmpty, "AVI with zero frames")
+        poolMean(Codecs.decodeVideoFrame(v, 0).gray, dim)
       case Codecs.Unknown => fakeDecode(bytes, dim)
     }
 
@@ -64,8 +70,8 @@ object Media {
     }
   }
 
-  /** STUB — stands in for codecs this container lacks (JPEG, MP3, mp4
-    * …). Deterministic FNV-1a-seeded pseudo-features so tests can
+  /** STUB — stands in for codecs this container lacks (MP3, MP4-class
+    * video …). Deterministic FNV-1a-seeded pseudo-features so tests can
     * assert shape + determinism. Replace the body with a real decoder
     * binding to productionize; the call sites don't change. */
   def fakeDecode(bytes: Array[Byte], dim: Int): Array[Float] = {
@@ -139,26 +145,39 @@ object Media {
     }(enc)
   }
 
-  /** Frame sampling for video rows: every `stride`-th frame index up
-    * to `meta.n_frames`, each decoded (stub) to a feature vector →
-    * one row per sampled frame. Declarative explode — the shuffle-free
-    * fan-out shape. */
+  /** Frame sampling for video rows: every `stride`-th frame decoded to
+    * a feature vector → one row per sampled frame. For recognized AVI
+    * containers the decode is REAL: the container is parsed ONCE per
+    * video (not once per frame — the scale-relevant shape: one codec
+    * init amortized over the frame fan-out), each sampled frame's
+    * DIB/MJPEG payload decodes to its luma plane and pools to block
+    * means. Unrecognized containers keep the documented stub path
+    * (meta-declared frame count, frame index salting the deterministic
+    * pseudo-decode) so the plumbing still accepts any blob. */
   def sampleFrames(df: DataFrame, stride: Int, dim: Int = 16): DataFrame = {
-    val frames = df
-      .filter(col("kind") === "video" && col("meta.n_frames") > 0)
-      .withColumn("frame_idx",
-        explode(sequence(lit(0), col("meta.n_frames") - 1, lit(stride))))
-    val fdf = frames.select(col("media_id"), col("frame_idx"), col("bytes"))
+    require(stride >= 1, s"stride $stride")
+    val vids = df.filter(col("kind") === "video")
+      .select(col("media_id"), col("bytes"), col("meta.n_frames").as("__nf"))
     val enc = Encoders.row(StructType(Seq(
       StructField("media_id", LongType), StructField("frame_idx", IntegerType),
       StructField("frame_features", ArrayType(FloatType, containsNull = false)))))
-    fdf.mapPartitions { rows =>
-      rows.map { r =>
-        val b = r.getAs[Array[Byte]](2)
-        val idx = r.getInt(1)
-        // stub: frame idx salts the decode so frames differ deterministically
-        val salted = b :+ (idx & 0xff).toByte :+ ((idx >> 8) & 0xff).toByte
-        Row(r.getLong(0), idx, fakeDecode(salted, dim).toSeq)
+    vids.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val b = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        if (b != null && Codecs.detect(b) == Codecs.Avi) {
+          val v = Codecs.parseAvi(b) // one parse per video row
+          (0 until v.frames.length by stride).iterator.map { i =>
+            Row(id, i, poolMean(Codecs.decodeVideoFrame(v, i).gray, dim).toSeq)
+          }
+        } else {
+          val nf = if (r.isNullAt(2)) 0 else r.getInt(2)
+          (0 until nf by stride).iterator.map { i =>
+            val base = if (b == null) Array.emptyByteArray else b
+            val salted = base :+ (i & 0xff).toByte :+ ((i >> 8) & 0xff).toByte
+            Row(id, i, fakeDecode(salted, dim).toSeq)
+          }
+        }
       }
     }(enc)
   }
@@ -167,11 +186,11 @@ object Media {
     * genuine image rasters (doc_id % 3 == 0 — standard PNG with a
     * zlib IDAT for doc_id % 6 == 0, binary P5 for % 6 == 3; SAME
     * pixels either way, so the container choice is provably
-    * feature-neutral), genuine 16-bit PCM WAV clips (== 1), or raw
-    * blobs standing in for a video container (== 2 — the remaining
-    * stub format). The downstream pipeline then exercises the real
-    * parse/decode path end to end on three formats while keeping the
-    * unknown-container fallback under test. */
+    * feature-neutral), genuine 16-bit PCM WAV clips (== 1), or
+    * genuine uncompressed-DIB AVI videos (== 2 — bottom-up BGR24
+    * frames whose content drifts with the frame index, so motion is
+    * real). The downstream pipeline then exercises the real
+    * parse/decode path end to end on ALL THREE modalities. */
   def fromDocuments(docs: DataFrame, idCol: String, textCol: String,
                     imgW: Int = 64, imgH: Int = 48,
                     sampleRate: Int = 16000, maxSamples: Int = 2048): DataFrame = {
@@ -196,8 +215,14 @@ object Media {
             Row(id, "audio", Codecs.encodeWav(samples, sampleRate),
                 Row(0, 0, sampleRate, 0))
           case _ =>
-            val nFrames = math.min(r.getString(1).trim.split("\\s+").length, 24)
-            Row(id, "video", tb, Row(0, 0, 0, nFrames))
+            val nFrames =
+              math.max(2, math.min(r.getString(1).trim.split("\\s+").length, 12))
+            val (vw, vh) = (16, 12)
+            val frames = (0 until nFrames).map { fi =>
+              Array.tabulate[Byte](vw * vh)(i => cyc(i + 7 * fi))
+            }
+            Row(id, "video", Codecs.encodeAviDib(frames, vw, vh),
+                Row(vw, vh, 0, nFrames))
         }
       }
     }(enc)
@@ -228,6 +253,102 @@ object Media {
     }(enc)
   }
 
+  /** Integer byte-recovery stats — the media ORACLE-TWIN primitive.
+    * Every lossless decoder here bottoms out in values that recover
+    * the SOURCE bytes exactly: P5/PNG gray and DIB luma round-trip
+    * through `round(gray*255)` (worst-case float error ~1e-4, far
+    * below the 0.5 rounding threshold), and 16-bit PCM samples are
+    * `short/32768f` — exactly representable in float, so
+    * `round(s*32768)` is the identity. Per-row INTEGER aggregates
+    * over decoded payloads are therefore deterministic and replicable
+    * by an arithmetic oracle (DuckDB SQL over the same text source)
+    * that never touches the container bytes — proving the
+    * encode → parse → decode round trip end to end. The sums are
+    * flip-invariant (pixel ORDER doesn't change a sum, and motion
+    * pairs pixels at the SAME index across frames, preserved under
+    * the uniform bottom-up DIB flip). JPEG is deliberately rejected:
+    * lossy decode has no byte-exact recovery. */
+  def imageIntStats(df: DataFrame): DataFrame = {
+    val enc = Encoders.row(StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("n_px", IntegerType, nullable = false),
+      StructField("px_sum", LongType, nullable = false))))
+    df.filter(col("kind") === "image").select("media_id", "bytes")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val b = r.getAs[Array[Byte]](1)
+          val img = Codecs.detect(b) match {
+            case Codecs.Png => Codecs.decodePng(b)
+            case Codecs.Pgm => Codecs.decodePgm(b)
+            case Codecs.Ppm => Codecs.decodePpm(b)
+            case other => throw new IllegalArgumentException(
+              s"imageIntStats: lossless image container required, got $other")
+          }
+          var s = 0L; var i = 0
+          while (i < img.gray.length) {
+            s += math.round(img.gray(i) * 255f).toLong; i += 1
+          }
+          Row(r.getLong(0), img.gray.length, s)
+        }
+      }(enc)
+  }
+
+  /** 16-bit PCM recovery twin stats: exact sample count + integer
+    * sample sum (see `imageIntStats` for the recovery argument). */
+  def audioIntStats(df: DataFrame): DataFrame = {
+    val enc = Encoders.row(StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("n_samples", IntegerType, nullable = false),
+      StructField("sample_sum", LongType, nullable = false))))
+    df.filter(col("kind") === "audio").select("media_id", "bytes")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val a = Codecs.decodeWav(r.getAs[Array[Byte]](1))
+          var s = 0L; var i = 0
+          while (i < a.samples.length) {
+            s += math.round(a.samples(i) * 32768f).toLong; i += 1
+          }
+          Row(r.getLong(0), a.samples.length, s)
+        }
+      }(enc)
+  }
+
+  /** DIB-AVI recovery twin stats: frame count, total recovered-luma
+    * sum, and integer L1 motion between consecutive frames (pixels
+    * paired at the same index — flip-invariant; see `imageIntStats`
+    * for the recovery argument). One container parse per video. */
+  def videoIntStats(df: DataFrame): DataFrame = {
+    val enc = Encoders.row(StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("n_frames", IntegerType, nullable = false),
+      StructField("px_sum", LongType, nullable = false),
+      StructField("motion_l1", LongType, nullable = false))))
+    df.filter(col("kind") === "video").select("media_id", "bytes")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val v = Codecs.parseAvi(r.getAs[Array[Byte]](1))
+          require(v.compression == 0,
+            "videoIntStats: uncompressed DIB required (lossless recovery)")
+          var px = 0L; var mot = 0L
+          var prev: Array[Int] = null
+          var fi = 0
+          while (fi < v.frames.length) {
+            val g = Codecs.decodeVideoFrame(v, fi).gray
+            val cur = new Array[Int](g.length)
+            var i = 0
+            while (i < g.length) {
+              val b8 = math.round(g(i) * 255f)
+              cur(i) = b8; px += b8
+              if (prev != null) mot += math.abs(b8 - prev(i))
+              i += 1
+            }
+            prev = cur; fi += 1
+          }
+          Row(r.getLong(0), v.frames.length, px, mot)
+        }
+      }(enc)
+  }
+
   /** Every document as a genuine 16-bit PCM WAV clip (retrieval-query
     * shape: one modality, whole corpus) — the audio analogue of
     * `imagesFromDocuments`, same deterministic text-byte-derived
@@ -245,6 +366,30 @@ object Media {
         val samples = Array.tabulate[Short](n)(i => (((cyc(i) & 0xff) - 128) << 8).toShort)
         Row(r.getLong(0), "audio", Codecs.encodeWav(samples, sampleRate),
             Row(0, 0, sampleRate, 0))
+      }
+    }(enc)
+  }
+
+  /** Every document as a genuine uncompressed-DIB AVI video
+    * (retrieval-query shape: one modality, whole corpus) — the video
+    * analogue of `audioFromDocuments`. Frame content drifts with the
+    * frame index (same byte-cycle rule as the `id % 3 == 2` arm of
+    * `fromDocuments`), so per-frame features differ and motion
+    * analysis has real signal. */
+  def videosFromDocuments(docs: DataFrame, idCol: String, textCol: String,
+                          w: Int = 16, h: Int = 12, nFrames: Int = 6): DataFrame = {
+    val in = docs.select(col(idCol).cast("long").as("media_id"),
+      coalesce(col(textCol), lit("")).as("__text"))
+    val enc = Encoders.row(mediaSchema)
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        val tb = r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        def cyc(i: Int): Byte = if (tb.isEmpty) 0 else tb(i % tb.length)
+        val frames = (0 until nFrames).map { fi =>
+          Array.tabulate[Byte](w * h)(i => cyc(i + 7 * fi))
+        }
+        Row(r.getLong(0), "video", Codecs.encodeAviDib(frames, w, h),
+            Row(w, h, 0, nFrames))
       }
     }(enc)
   }

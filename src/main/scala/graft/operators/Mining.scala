@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-pair MINING over embedding corpora — the two
+  * pair-generation steps of a contrastive / translation
+  * training-data pipeline (north-star LLM-data scope; the reference
+  * scoring service has no mining, SURVEY §0):
+  *
+  *   * margin-criterion bitext mining (Artetxe & Schwenk 2019,
+  *     "Margin-based Parallel Corpus Mining with Multilingual
+  *     Sentence Embeddings"): mine translation pairs across two
+  *     monolingual collections by scoring candidates with the RATIO
+  *     margin — cos(x,y) normalized by the mean cosine of both
+  *     endpoints' k-neighborhoods — which cancels the hubness that
+  *     makes raw cosine thresholds unusable across languages;
+  *   * label-safe hard-negative mining (the DPR / contrastive
+  *     practice): for each anchor, the nearest neighbors that carry a
+  *     DIFFERENT label inside the exact top-k window — near enough to
+  *     be hard, label-filtered so known positives can't leak in as
+  *     false negatives.
+  *
+  * Both compose the ANN serve machinery (`AnnServe.fitShard` +
+  * row-local exact `topkRows`): NO all-pairs join anywhere — every
+  * frame after the serve pass is bounded by |queries| · k, and the
+  * only shuffles are group-bys/joins keyed on ids over those bounded
+  * frames. At 100 TB the serve side shards exactly like the
+  * retrieval tier (`fitShards`/`topkRowsSharded` — bit-identical
+  * answers, so the mining algebra is unchanged).
+  *
+  * Determinism contract: `topkRows` ranks on HALF_UP-rounded cosine
+  * with (cos desc, id asc) tie-break, and every derived score here is
+  * rounded to 6 before its final ordering — so output is
+  * hash-reproducible by a DuckDB oracle running the same algebra on
+  * brute-force candidates.
+  */
+object Mining {
+
+  /** Forward-mined bitext pairs: for every src row its best-margin tgt
+    * candidate among its exact top-k tgt neighbors, where
+    * margin(x,y) = cos(x,y) / ((avgK(x) + avgK(y)) / 2), avgK(x) the
+    * mean cos of x's top-k tgt neighbors and avgK(y) of y's top-k src
+    * neighbors (the "ratio" margin of Artetxe & Schwenk §3.1; both
+    * directions' neighborhoods are needed, which is why the backward
+    * serve pass exists). A non-positive mean neighborhood (possible
+    * only on adversarial corpora — cosines can be negative) pins the
+    * margin to 0 rather than dividing by it, identically on both
+    * engines. Output: (src_id, tgt_id, cos, margin), one row per src,
+    * margin-descending candidates resolved (margin desc, tgt_id asc).
+    */
+  def bitextMine(src: DataFrame, tgt: DataFrame, k: Int,
+                 idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k=$k")
+    val tgtShard = AnnServe.fitShard(tgt, idCol, vecCol)
+    val srcShard = AnnServe.fitShard(src, idCol, vecCol)
+    val fwd = AnnServe.topkRows(src, tgtShard, k, idCol, vecCol)
+      .select(col("query_id").as("src_id"),
+              col("neighbor_id").as("tgt_id"), col("cos"))
+    val bwd = AnnServe.topkRows(tgt, srcShard, k, idCol, vecCol)
+    val avgSrc = fwd.groupBy("src_id").agg(avg("cos").as("avg_src"))
+    val avgTgt = bwd.groupBy(col("query_id").as("tgt_id"))
+      .agg(avg("cos").as("avg_tgt"))
+    val denom = (col("avg_src") + col("avg_tgt")) / lit(2.0)
+    val scored = fwd
+      .join(avgSrc, "src_id")
+      .join(avgTgt, "tgt_id")
+      .withColumn("margin",
+        when(denom > 0.0, round(col("cos") / denom, 6)).otherwise(0.0))
+    val w = Window.partitionBy("src_id")
+      .orderBy(col("margin").desc, col("tgt_id").asc)
+    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select("src_id", "tgt_id", "cos", "margin")
+  }
+
+  /** Label-safe hard negatives: each anchor's nearest DIFFERENT-label
+    * neighbors inside its exact top-k window (self excluded by the
+    * serve expression), re-ranked 1..m after the same-label drop.
+    * "Inside the top-k window" is the semantics, not an
+    * approximation — negatives are only HARD if they're near, and the
+    * label filter is what keeps known positives from leaking in as
+    * false negatives. Output: (anchor_id, neg_id, cos, rank), at most
+    * m rows per anchor. `labels` must carry (idCol, labelCol) for
+    * every corpus row; anchors missing a label keep ALL neighbors
+    * (null-safe inequality), loudly documented rather than silently
+    * dropped. */
+  def hardNegatives(anchors: DataFrame, corpus: DataFrame, labels: DataFrame,
+                    k: Int, m: Int,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding",
+                    labelCol: String = "label"): DataFrame = {
+    require(k >= 1 && m >= 1 && m <= k, s"k=$k m=$m")
+    val shard = AnnServe.fitShard(corpus, idCol, vecCol)
+    val topk = AnnServe.topkRows(anchors, shard, k, idCol, vecCol)
+      .select(col("query_id").as("anchor_id"),
+              col("neighbor_id").as("neg_id"), col("cos"))
+    val lab = labels.select(col(idCol).cast("long").as("__lid"),
+                            col(labelCol).as("__lab"))
+    val filtered = topk
+      .join(lab.withColumnRenamed("__lid", "anchor_id")
+               .withColumnRenamed("__lab", "__alab"), Seq("anchor_id"), "left")
+      .join(lab.withColumnRenamed("__lid", "neg_id")
+               .withColumnRenamed("__lab", "__nlab"), Seq("neg_id"), "left")
+      .filter(col("__alab").isNull || col("__nlab").isNull ||
+              col("__alab") =!= col("__nlab"))
+    val w = Window.partitionBy("anchor_id")
+      .orderBy(col("cos").desc, col("neg_id").asc)
+    filtered.withColumn("rank", row_number().over(w)).filter(col("rank") <= m)
+      .select("anchor_id", "neg_id", "cos", "rank")
+  }
+}

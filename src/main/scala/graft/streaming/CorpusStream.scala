@@ -427,6 +427,29 @@ object CorpusStream {
     spark.table(name)
   }
 
+  /** The declared `media_video_int_stream` runner — the MEDIA family's
+    * streaming twin, and the strongest one in the matrix: each arriving
+    * document is wrapped into a genuine DIB-AVI container, parsed back,
+    * every frame decoded, and the integer byte-recovery stats emitted
+    * (`Media.videosFromDocuments` → `Media.videoIntStats` — per-row
+    * codec work, stateless append, no join, no shuffle, no state). The
+    * drained end state equals the batch `media_video_int` row-for-row,
+    * so the full ARITHMETIC DuckDB oracle applies verbatim: the codec
+    * round trip stays oracle-pinned even live. Scale posture: decode
+    * rides the scan exactly as in batch — a 1000-executor stream does
+    * per-partition codec work with zero exchanges. */
+  def mediaVideoIntOverFile(spark: org.apache.spark.sql.SparkSession,
+                            sfDir: String): DataFrame = {
+    val docs = graft.Tables.documentsStream(spark, sfDir)
+      .withColumn("text", regexp_replace(col("text"), "[^ -~]", ""))
+    val name = s"__graft_mediavint_${runSeq.incrementAndGet()}"
+    val q = graft.multimodal.Media.videoIntStats(
+        graft.multimodal.Media.videosFromDocuments(docs, "doc_id", "text"))
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
   /** The declared `sim_sq_serve_stream` runner — the SQ8 tier's
     * streaming twin: fit the byte-code shard batch-side, stream the
     * query slice through the row-local dequantizing serve

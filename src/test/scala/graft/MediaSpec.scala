@@ -4,10 +4,11 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.multimodal.{Codecs, Media}
 
-/** Multimodal tests: REAL byte-exact codec coverage for the three
-  * dependency-free formats (PNG, Netpbm P5/P6, PCM WAV) plus the
-  * plumbing contracts (schema, batching, determinism, fan-out) that
-  * also cover the unknown-container stub fallback. */
+/** Multimodal tests: REAL byte-exact codec coverage for the
+  * dependency-free formats (PNG, baseline JPEG, Netpbm P5/P6, PCM
+  * WAV, AVI video with DIB/MJPEG frames) plus the plumbing contracts
+  * (schema, batching, determinism, fan-out) that also cover the
+  * unknown-container stub fallback. */
 class MediaSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
@@ -333,7 +334,20 @@ class MediaSpec extends AnyFunSuite {
     assert(audio.sampleRate == 16000 && audio.samples.length >= 16)
     // sample 0 from 'a': ((97 - 128) << 8) / 32768
     assert(math.abs(audio.samples(0) - ((97 - 128) << 8) / 32768f) < 1e-6)
-    assert(Codecs.detect(rows(2L).getAs[Array[Byte]](2)) == Codecs.Unknown)
+    // doc 2 ships as a genuine uncompressed-DIB AVI: one frame per
+    // word (7 here), 16x12, pixel (0,0) of frame f is cyc(7*f)
+    val aviBytes = rows(2L).getAs[Array[Byte]](2)
+    assert(Codecs.detect(aviBytes) == Codecs.Avi)
+    val vid = Codecs.parseAvi(aviBytes)
+    assert(vid.width == 16 && vid.height == 12 && vid.frames.length == 7)
+    assert(rows(2L).getStruct(3).getInt(3) == 7, "meta.n_frames from container")
+    val vtext = "a video document with several words here"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val f0 = Codecs.decodeVideoFrame(vid, 0)
+    val f1 = Codecs.decodeVideoFrame(vid, 1)
+    assert(math.abs(f0.gray(0) - (vtext(0) & 0xff) / 255f) < 1e-3)
+    assert(math.abs(f1.gray(0) - (vtext(7) & 0xff) / 255f) < 1e-3)
+    assert(!f0.gray.sameElements(f1.gray), "frame content must drift")
   }
 
   test("resize really resamples PGM and PNG bytes, passes other containers through") {
@@ -533,5 +547,261 @@ class MediaSpec extends AnyFunSuite {
       assert(r.getLong(0) != r.getLong(1), s"self-match: $r")
       assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-9)
     }
+  }
+
+  // -- AVI video ------------------------------------------------------
+
+  test("parseAvi: hand-checked container walk — header fields and frame " +
+       "payloads byte-exact, word alignment respected") {
+    // two 3x2 gray frames; frame 1 has an ODD DIB size? DIB rows pad to
+    // 4 bytes (3px*3B=9 -> 12), so sizes are even — exercise the odd-pad
+    // path through the MJPEG wrapper below instead. Here: exact payloads.
+    val fr0 = Array.tabulate[Byte](6)(i => (10 * i).toByte)
+    val fr1 = Array.tabulate[Byte](6)(i => (10 * i + 5).toByte)
+    val avi = Codecs.encodeAviDib(Seq(fr0, fr1), 3, 2, usPerFrame = 33333)
+    assert(Codecs.detect(avi) == Codecs.Avi)
+    val v = Codecs.parseAvi(avi)
+    assert(v.width == 3 && v.height == 2)
+    assert(v.usPerFrame == 33333 && v.nFramesDeclared == 2)
+    assert(v.bitCount == 24 && v.compression == 0 && !v.topDown)
+    assert(v.frames.length == 2)
+    // frame payloads: bottom-up BGR24, stride 12 (3*3=9 padded to 12)
+    val stride = 12
+    assert(v.frames.forall(_.length == stride * 2))
+    // pixel (0,0) of the IMAGE is the LAST stored row's first pixel
+    val f0 = v.frames(0)
+    assert((f0(stride) & 0xff) == 0 && (f0(stride + 1) & 0xff) == 0 &&
+           (f0(stride + 2) & 0xff) == 0, "top image row stored second (bottom-up)")
+    assert((f0(0) & 0xff) == 30, "bottom image row stored first")
+  }
+
+  test("decodeVideoFrame: DIB BGR24 decodes to exact Rec.601 luma, " +
+       "bottom-up flip applied") {
+    // hand-pack a single 2x2 frame: pure R, G, B, white — stored bottom-up
+    val w = 2; val h = 2; val stride = (w * 3 + 3) & ~3 // 8
+    val f = new Array[Byte](stride * h)
+    // stored row 0 = image BOTTOM row: [blue, white]
+    f(0) = -1; f(1) = 0; f(2) = 0;    f(3) = -1; f(4) = -1; f(5) = -1
+    // stored row 1 = image TOP row: [red, green] (BGR order)
+    f(stride) = 0; f(stride + 1) = 0; f(stride + 2) = -1
+    f(stride + 3) = 0; f(stride + 4) = -1; f(stride + 5) = 0
+    val v = Codecs.Video(w, h, 40000, 1, 24, 0, topDown = false, Vector(f))
+    val img = Codecs.decodeVideoFrame(v, 0)
+    assert(math.abs(img.gray(0) - 0.299f) < 1e-6) // top-left: red
+    assert(math.abs(img.gray(1) - 0.587f) < 1e-6) // top-right: green
+    assert(math.abs(img.gray(2) - 0.114f) < 1e-6) // bottom-left: blue
+    assert(math.abs(img.gray(3) - 1.0f) < 1e-6)   // bottom-right: white
+    // the same payload marked top-down flips vertically
+    val td = Codecs.decodeVideoFrame(v.copy(topDown = true), 0)
+    assert(math.abs(td.gray(0) - 0.114f) < 1e-6)
+    assert(math.abs(td.gray(2) - 0.299f) < 1e-6)
+  }
+
+  test("MJPEG AVI: JDK-encoded JPEG frames round-trip through the " +
+       "container and decode within IDCT tolerance") {
+    val w = 24; val h = 16
+    def frame(shift: Int): Array[Byte] = {
+      val bi = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until h; x <- 0 until w) {
+        val g = (x * 10 + y * 7 + shift) % 256
+        bi.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val bo = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(bi, "jpg", bo), "JDK JPEG writer unavailable")
+      bo.toByteArray
+    }
+    val jf = Seq(frame(0), frame(64))
+    val avi = Codecs.encodeAviMjpeg(jf, w, h)
+    val v = Codecs.parseAvi(avi)
+    assert(v.compression == Codecs.MjpgFourcc && v.frames.length == 2)
+    // container transport is byte-exact
+    assert(v.frames(0).sameElements(jf(0)) && v.frames(1).sameElements(jf(1)))
+    // frames decode through OUR T.81 decoder; cross-check vs the JDK
+    for (i <- 0 to 1) {
+      val img = Codecs.decodeVideoFrame(v, i)
+      assert(img.width == w && img.height == h)
+      val jdk = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(jf(i)))
+      var maxDiff = 0
+      for (y <- 0 until h; x <- 0 until w) {
+        val ours = math.round(img.gray(y * w + x) * 255f)
+        maxDiff = math.max(maxDiff,
+          math.abs(ours - jdk.getRaster.getSample(x, y, 0)))
+      }
+      assert(maxDiff <= 1, s"frame $i diverges from the JDK by $maxDiff/255")
+    }
+  }
+
+  test("decodeMjpegFrame: a DHT-less frame (the MJPEG convention) " +
+       "decodes via the spliced Annex K.3 default tables") {
+    // The JDK writer emits the K.3 standard tables for non-optimized
+    // encodes, so stripping its DHT segments and splicing the defaults
+    // back must reproduce the identical decode.
+    val bi = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val g = (x * 16 + y * 5) % 256
+      bi.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val bo = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(bi, "jpg", bo))
+    val full = bo.toByteArray
+    // strip every DHT segment by marker walk
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(full, 0, 2)
+    var p = 2; var done = false
+    while (!done) {
+      val m = full(p + 1) & 0xff
+      if (m == 0xda) { out.write(full, p, full.length - p); done = true }
+      else {
+        val len = ((full(p + 2) & 0xff) << 8) | (full(p + 3) & 0xff)
+        if (m != 0xc4) out.write(full, p, 2 + len)
+        p += 2 + len
+      }
+    }
+    val stripped = out.toByteArray
+    assert(stripped.length < full.length, "fixture JPEG carried no DHT")
+    val a = Codecs.decodeMjpegFrame(stripped)
+    val b = Codecs.decodeJpeg(full)
+    assert(a.gray.sameElements(b.gray),
+      "default-table decode must equal the tabled decode bit-for-bit")
+  }
+
+  test("sampleFrames: real AVI rows decode every stride-th frame " +
+       "(one parse per video), stub path preserved for unknown bytes") {
+    import spark.implicits._
+    val docs = Seq((0L, "alpha beta gamma delta epsilon zeta"),
+                   (1L, "x")).toDF("doc_id", "text")
+    val media = Media.videosFromDocuments(docs, "doc_id", "text", nFrames = 6)
+    val out = Media.sampleFrames(media, stride = 2, dim = 4).collect()
+    assert(out.length == 2 * 3, "6 frames, stride 2 -> indices 0,2,4 per video")
+    assert(out.map(_.getInt(1)).distinct.sorted.toSeq == Seq(0, 2, 4))
+    // doc 0's frames drift (content shifts by 7 bytes/frame on a long
+    // text) -> distinct features; doc 1 ("x", cycle length 1) is a
+    // STATIC video -> identical features every frame
+    val d0 = out.filter(_.getLong(0) == 0L).map(_.getSeq[Float](2)).toSeq
+    assert(d0.distinct.size == d0.size, "drifting frames must differ")
+    val d1 = out.filter(_.getLong(0) == 1L).map(_.getSeq[Float](2)).toSeq
+    assert(d1.distinct.size == 1, "a static video's frames must be identical")
+    // features are REAL decode output: frame 0 of doc 1 is constant
+    // 'x' = 120 gray -> every pooled mean = 120/255
+    d1.head.foreach(f => assert(math.abs(f - 120 / 255f) < 1e-3))
+    // the stub path still fans out unknown containers by meta.n_frames
+    val stub = Media.sampleFrames(Media.synthetic(spark, 6), stride = 4, dim = 4)
+    assert(stub.count() == 2 * 3, "synthetic videos: n_frames=12, stride 4")
+  }
+
+  test("media_video_features: one row per document, deterministic; " +
+       "motion is zero for static content and positive for drifting") {
+    val sf = "/root/testdata/sf0.001"
+    val run = () => SparkEntry.queries("media_video_features")(spark, sf)
+      .collect().map(_.toString)
+    val out = SparkEntry.queries("media_video_features")(spark, sf).collect()
+    assert(out.length == Tables.documents(spark, sf).count())
+    assert(run().sameElements(run()), "video features must be deterministic")
+    out.foreach { r =>
+      assert(r.getLong(1) == 6, s"6 frames per video: $r")
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0, s"luma range: $r")
+      assert(r.getDouble(3) >= 0.0, s"negative motion energy: $r")
+    }
+    assert(out.exists(_.getDouble(3) > 0.0), "no video carried any motion")
+    // planted check: a single-char doc is a static video (cycle length 1)
+    import spark.implicits._
+    val planted = Seq((7L, "x"), (8L, "drifting words make moving frames"))
+      .toDF("doc_id", "text")
+    val media = Media.videosFromDocuments(planted, "doc_id", "text")
+    val frames = Media.sampleFrames(media, stride = 1, dim = 8)
+    val grouped = frames.withColumn("f", col("frame_features"))
+      .collect().groupBy(_.getLong(0))
+    val static = grouped(7L).map(_.getSeq[Float](2)).distinct
+    assert(static.size == 1, "static video must have identical frames")
+  }
+
+  test("media_video_topk: retrieval over temporally-pooled frame " +
+       "embeddings rides the ANN serve shard, deterministic") {
+    val sf = "/root/testdata/sf0.001"
+    val run = () => SparkEntry.queries("media_video_topk")(spark, sf)
+      .collect().map(_.toString)
+    val out = SparkEntry.queries("media_video_topk")(spark, sf).collect()
+    assert(out.nonEmpty && out.length <= 100)
+    assert(run().sameElements(run()), "video retrieval must be deterministic")
+    out.foreach { r =>
+      assert(r.getLong(0) != r.getLong(1), s"self-match: $r")
+      assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-9)
+    }
+  }
+
+  test("media *IntStats oracle twins: decoded integer aggregates match " +
+       "the generation rule computed WITHOUT the codecs (in-JVM mirror " +
+       "of the DuckDB arithmetic oracle)") {
+    import spark.implicits._
+    // texts chosen to hit the edge cases the oracle must agree on:
+    // multi-char cycle, single-char cycle, text shorter than the
+    // 16-sample audio floor, and text that sanitizes to EMPTY
+    val docs = Seq(
+      (1L, "drifting words make moving frames"),
+      (2L, "x"),
+      (3L, "short"),
+      (4L, "é世界\n\t")).toDF("doc_id", "text")
+      .withColumn("text", regexp_replace(col("text"), "[^ -~]", ""))
+    val bytes = docs.collect().map { r =>
+      r.getLong(0) -> r.getString(1).getBytes("UTF-8")
+    }.toMap
+    def cyc(tb: Array[Byte], i: Int): Int =
+      if (tb.isEmpty) 0 else tb(i % tb.length) & 0xff
+
+    // image: 64x64 pixels, pixel(i) = byte(i mod len)
+    val img = Media.imageIntStats(
+      Media.imagesFromDocuments(docs, "doc_id", "text")).collect()
+    assert(img.length == 4)
+    img.foreach { r =>
+      val tb = bytes(r.getLong(0))
+      assert(r.getInt(1) == 4096, s"n_px: $r")
+      val want = (0 until 4096).map(i => cyc(tb, i).toLong).sum
+      assert(r.getLong(2) == want, s"image px_sum mismatch: $r want $want")
+    }
+
+    // audio: n = max(min(len, 2048), 16), sample = (byte - 128) * 256
+    val au = Media.audioIntStats(
+      Media.audioFromDocuments(docs, "doc_id", "text")).collect()
+    assert(au.length == 4)
+    au.foreach { r =>
+      val tb = bytes(r.getLong(0))
+      val n = math.max(math.min(tb.length, 2048), 16)
+      assert(r.getInt(1) == n, s"n_samples: $r")
+      val want = (0 until n).map(i => (cyc(tb, i) - 128L) * 256L).sum
+      assert(r.getLong(2) == want, s"audio sample_sum mismatch: $r want $want")
+    }
+
+    // video: 6 frames of 16x12, pixel(i, fi) = byte((i + 7*fi) mod len)
+    val vi = Media.videoIntStats(
+      Media.videosFromDocuments(docs, "doc_id", "text")).collect()
+    assert(vi.length == 4)
+    vi.foreach { r =>
+      val tb = bytes(r.getLong(0))
+      def p(fi: Int, i: Int) = cyc(tb, i + 7 * fi)
+      assert(r.getInt(1) == 6, s"n_frames: $r")
+      val wantPx = (for (fi <- 0 until 6; i <- 0 until 192)
+        yield p(fi, i).toLong).sum
+      val wantMot = (for (fi <- 1 until 6; i <- 0 until 192)
+        yield math.abs(p(fi, i) - p(fi - 1, i)).toLong).sum
+      assert(r.getLong(2) == wantPx, s"video px_sum mismatch: $r want $wantPx")
+      assert(r.getLong(3) == wantMot,
+        s"video motion_l1 mismatch: $r want $wantMot")
+    }
+    // the static single-char video really has zero motion
+    assert(vi.find(_.getLong(0) == 2L).get.getLong(3) == 0L)
+  }
+
+  test("media_video_int_stream: live codec round trip drains to the " +
+       "batch twin row-for-row (same arithmetic oracle applies)") {
+    val sf = "/root/testdata/sf0.001"
+    val live = SparkEntry.queries("media_video_int_stream")(spark, sf)
+      .collect().map(_.toString)
+    val batch = SparkEntry.queries("media_video_int")(spark, sf)
+      .collect().map(_.toString)
+    assert(live.length == batch.length && live.sameElements(batch),
+      "drained stream state must equal the batch twin")
   }
 }
