@@ -116,16 +116,29 @@ object Bench {
         s""""spread_min_med_max":$spreadJson,""" +
         s""""swept_blocks_per_query":$leaksJson,"sf":"$sfDir"}""")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
-      s""""sf":"$sfDir","n_queries":${results.size},"queries_full":"$fullPath","queries":{"""
-    val budget = 1800 - head.length - 2 // "}}" closer
+    // VERDICT r10 #6: the driver's tail parser failed on every round's
+    // single packed ~1800-char line even though the line itself is valid
+    // JSON in the captured window — so stop betting on one long line.
+    // Emit TWO lines: a compact total-first line (total + the top-8
+    // priciest queries, ~500 bytes — survives any plausible tail/parse
+    // window) and THEN a wider per-query line. Whichever line the
+    // driver's heuristic lands on (first `{"metric"` in the tail, or the
+    // last JSON-looking line), both parse standalone; the full-precision
+    // map stays in BENCH_FULL.json as before.
     val entries = results.sortBy(-_._2).map { case (k, v, _) => "\"" + k + "\":" + r3(v) }
+    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
+      s""""sf":"$sfDir","n_queries":${results.size},"queries_full":"$fullPath",""" +
+      s""""queries":{${entries.take(8).mkString(",")}}}"""
+    val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
+      s""""sf":"$sfDir","queries":{"""
+    val budget = 1100 - head.length - 2 // "}}" closer
     val packed = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = 0
     entries.foreach { e =>
       if (used + e.length + 1 <= budget) { packed += e; used += e.length + 1 }
     }
     spark.stop()
+    println(compact)
     println(head + packed.mkString(",") + "}}")
   }
 }

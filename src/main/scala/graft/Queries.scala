@@ -3196,8 +3196,11 @@ object Queries {
     * gain a streaming twin: the maintained text+vector verdict
     * (`CorpusStream.MaintainedCrossmodal`) over hash-sliced arrival
     * batches, verdicts RETRACTING as smaller-id digest twins and
-    * late embeddings arrive. The drained end state recomputes over
-    * the complete accumulated corpus, so the batch
+    * late embeddings arrive. Maintenance is INCREMENTAL (r11): each
+    * batch recomputes only the digest groups and grid cells it
+    * touches, carrying every other verdict forward — yet the drained
+    * end state equals the batch operator on the complete corpus
+    * (keeper monotonicity + cell locality), so the batch
     * `q_dedup_crossmodal` oracle applies VERBATIM (full chained
     * DuckDB re-derivation, not rows-only). */
   private val qDedupCrossmodalStream = Q(

@@ -683,9 +683,11 @@ object Codecs {
   val MjpgFourcc: Int = 0x47504a4d
 
   /** Walk the RIFF tree: main header (avih), the FIRST 'vids' stream's
-    * format (strf → BITMAPINFOHEADER), and every stream-00 frame chunk
-    * inside 'movi' (including 'rec ' sub-lists). idx1 is ignored — the
-    * sequential chunk walk is the index. */
+    * format (strf → BITMAPINFOHEADER), and that stream's frame chunks
+    * inside 'movi' (chunk ids "%02d"+db/dc keyed by the vids stream's
+    * ordinal among the strl lists — NOT assumed to be stream 00, so an
+    * audio-first AVI parses too), including 'rec ' sub-lists. idx1 is
+    * ignored — the sequential chunk walk is the index. */
   def parseAvi(bytes: Array[Byte]): Video = {
     require(detect(bytes) == Avi, "not a RIFF/AVI file")
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
@@ -694,6 +696,12 @@ object Codecs {
     var w = 0; var h = 0; var bitCount = 0; var compression = 0
     var topDown = false; var sawVids = false; var haveFmt = false
     var curStrlVids = false
+    // Stream numbering (ADVICE r10): movi chunk ids are "%02d"+db/dc
+    // keyed by the stream's ORDINAL among the strl lists, so an AVI
+    // whose first stream is audio carries its video frames as
+    // '01db'/'01dc'. Track the ordinal and match against the vids
+    // stream's, instead of assuming stream 00.
+    var strlOrdinal = -1; var vidsOrdinal = -1
     val frames = Vector.newBuilder[Array[Byte]]
     def walk(start: Int, end: Int, inMovi: Boolean, inHdrl: Boolean,
              inStrl: Boolean): Unit = {
@@ -706,7 +714,7 @@ object Codecs {
         if (id == "LIST") {
           require(sz >= 4, "LIST without a type")
           val lt = fourcc(body)
-          if (lt == "strl") curStrlVids = false
+          if (lt == "strl") { curStrlVids = false; strlOrdinal += 1 }
           walk(body + 4, body + sz, inMovi || lt == "movi",
                inHdrl || lt == "hdrl", inStrl || lt == "strl")
         } else if (inHdrl && id == "avih") {
@@ -716,7 +724,7 @@ object Codecs {
         } else if (inStrl && id == "strh") {
           require(sz >= 8, s"short strh ($sz bytes)")
           curStrlVids = fourcc(body) == "vids" && !sawVids
-          if (curStrlVids) sawVids = true
+          if (curStrlVids) { sawVids = true; vidsOrdinal = strlOrdinal }
         } else if (inStrl && id == "strf" && curStrlVids && !haveFmt) {
           require(sz >= 40, s"short strf ($sz bytes)")
           w = bb.getInt(body + 4)
@@ -725,7 +733,8 @@ object Codecs {
           bitCount = bb.getShort(body + 14) & 0xffff
           compression = bb.getInt(body + 16)
           haveFmt = true
-        } else if (inMovi && (id == "00db" || id == "00dc")) {
+        } else if (inMovi && vidsOrdinal >= 0 &&
+                   (id == f"$vidsOrdinal%02ddb" || id == f"$vidsOrdinal%02ddc")) {
           frames += java.util.Arrays.copyOfRange(bytes, body, body + sz)
         }
         p = body + sz + (sz & 1) // chunks are word-aligned

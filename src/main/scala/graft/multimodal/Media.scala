@@ -46,10 +46,16 @@ object Media {
       case Codecs.Ppm  => poolMean(Codecs.decodePpm(bytes).gray, dim)
       case Codecs.Wav  => poolRms(Codecs.decodeWav(bytes).samples, dim)
       case Codecs.Avi  =>
-        // video thumbnail embedding: first decoded frame's luma plane
-        val v = Codecs.parseAvi(bytes)
-        require(v.frames.nonEmpty, "AVI with zero frames")
-        poolMean(Codecs.decodeVideoFrame(v, 0).gray, dim)
+        // video thumbnail embedding: first decoded frame's luma plane.
+        // A blob can carry the RIFF/AVI magic yet fail the container
+        // walk (truncated chunk, missing strh/strf, zero frames) — one
+        // such row must degrade to the stub, not abort a 100 TB job,
+        // per the module contract "the plumbing accepts any blob".
+        scala.util.Try {
+          val v = Codecs.parseAvi(bytes)
+          require(v.frames.nonEmpty, "AVI with zero frames")
+          poolMean(Codecs.decodeVideoFrame(v, 0).gray, dim)
+        }.getOrElse(fakeDecode(bytes, dim))
       case Codecs.Unknown => fakeDecode(bytes, dim)
     }
 
@@ -151,7 +157,8 @@ object Media {
     * video (not once per frame — the scale-relevant shape: one codec
     * init amortized over the frame fan-out), each sampled frame's
     * DIB/MJPEG payload decodes to its luma plane and pools to block
-    * means. Unrecognized containers keep the documented stub path
+    * means. Unrecognized containers — and recognized-but-malformed
+    * ones whose container walk fails — keep the documented stub path
     * (meta-declared frame count, frame index salting the deterministic
     * pseudo-decode) so the plumbing still accepts any blob. */
   def sampleFrames(df: DataFrame, stride: Int, dim: Int = 16): DataFrame = {
@@ -165,8 +172,15 @@ object Media {
       rows.flatMap { r =>
         val id = r.getLong(0)
         val b = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
-        if (b != null && Codecs.detect(b) == Codecs.Avi) {
-          val v = Codecs.parseAvi(b) // one parse per video row
+        // None when the magic says AVI but the container walk fails
+        // (truncated chunk, missing headers) — that row falls through
+        // to the stub path below instead of aborting the whole job.
+        val parsed =
+          if (b != null && Codecs.detect(b) == Codecs.Avi)
+            scala.util.Try(Codecs.parseAvi(b)).toOption // one parse per video row
+          else None
+        if (parsed.isDefined) {
+          val v = parsed.get
           (0 until v.frames.length by stride).iterator.map { i =>
             Row(id, i, poolMean(Codecs.decodeVideoFrame(v, i).gray, dim).toSeq)
           }

@@ -652,7 +652,22 @@ object Dedup {
                         gridDims: Int = 2, gridSize: Double = 0.25,
                         minCosine: Double = 0.95,
                         cellCap: Int = 4096): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    val rows = embGridRows(emb, idCol, vecCol, gridDims, gridSize)
+    val cc = gridClusters(rows, minCosine, cellCap)
+    emb.select(col(idCol).as("id")).join(cc, Seq("id"), "left")
+      .select(col("id"),
+              coalesce(col("cluster_id"), col("id")).as("cluster_id"),
+              coalesce(col("is_survivor"), lit(1)).as("is_survivor"))
+      .orderBy("id")
+  }
+
+  /** The grid pass's normalized cell assignment, factored out so the
+    * streaming maintainer (`CorpusStream.MaintainedCrossmodal`) keys
+    * its state on the SAME cells the batch operator pairs within.
+    * Output: (id, f, __n, cell) — zero-norm vectors dropped (they get
+    * the default survivor verdict downstream, as in the batch op). */
+  private[graft] def embGridRows(emb: DataFrame, idCol: String, vecCol: String,
+                                 gridDims: Int, gridSize: Double): DataFrame = {
     require(gridDims >= 1 && gridSize > 0)
     val v = emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("f"))
       .withColumn("__n", sqrt(VectorOps.dot(col("f"), col("f"))))
@@ -660,23 +675,29 @@ object Dedup {
     val cell = concat_ws(",", (1 to gridDims).map(d =>
       floor(element_at(col("f"), d) / col("__n") / lit(gridSize))
         .cast("long").cast("string")): _*)
+    v.withColumn("cell", cell)
+  }
+
+  /** Cap + intra-cell pairs + CC over pre-assigned grid rows
+    * ((id, f, __n, cell) as `embGridRows` emits). Cell-LOCAL by
+    * construction — pairs require equal cells, so components never
+    * span cells and running this over any cell-closed subset gives
+    * verdicts identical to the full corpus pass restricted to those
+    * cells (the property the incremental maintainer relies on). */
+  private[graft] def gridClusters(rows: DataFrame, minCosine: Double,
+                                  cellCap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("cell"))
       .orderBy(md5(col("id").cast("string").cast("binary")), col("id"))
-    val capped = v.withColumn("cell", cell)
-      .withColumn("__r", row_number().over(w))
+    val capped = rows.withColumn("__r", row_number().over(w))
       .filter(col("__r") <= cellCap)
     val pairs = capped.as("a").join(capped.as("b"),
         col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
               round(VectorOps.cosine(col("a.f"), col("b.f")), 6).as("cosine"))
       .filter(col("cosine") >= minCosine)
-    val cc = connectedComponents(pairs, "id_a", "id_b")
+    connectedComponents(pairs, "id_a", "id_b")
       .withColumnRenamed("node", "id")
-    emb.select(col(idCol).as("id")).join(cc, Seq("id"), "left")
-      .select(col("id"),
-              coalesce(col("cluster_id"), col("id")).as("cluster_id"),
-              coalesce(col("is_survivor"), lit(1)).as("is_survivor"))
-      .orderBy("id")
   }
 
   /** Span-level (sub-document) dedup — the CCNet-paragraph / C4-span

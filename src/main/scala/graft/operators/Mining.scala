@@ -49,17 +49,40 @@ object Mining {
     * margin to 0 rather than dividing by it, identically on both
     * engines. Output: (src_id, tgt_id, cos, margin), one row per src,
     * margin-descending candidates resolved (margin desc, tgt_id asc).
+    *
+    * Id spaces are INDEPENDENT across the two collections (ADVICE
+    * r10): `topkRows` excludes neighbor_id == query_id (the self-hit
+    * guard for same-collection serves), which would silently drop a
+    * legitimate cross-collection candidate whenever a src and tgt row
+    * happen to share an id value. So both sides are served under an
+    * internal disjoint remap — src ids ride as 2·id, tgt ids as
+    * 2·id+1 (parity keeps the spaces disjoint and preserves each
+    * side's id ORDER, so the tgt_id-asc tie-break is unchanged) — and
+    * the output maps back to the callers' original ids. Ids must fit
+    * in 62 bits for the doubling; enforced per row inside the remap.
     */
   def bitextMine(src: DataFrame, tgt: DataFrame, k: Int,
                  idCol: String = "vec_id",
                  vecCol: String = "embedding"): DataFrame = {
     require(k >= 1, s"k=$k")
-    val tgtShard = AnnServe.fitShard(tgt, idCol, vecCol)
-    val srcShard = AnnServe.fitShard(src, idCol, vecCol)
-    val fwd = AnnServe.topkRows(src, tgtShard, k, idCol, vecCol)
+    // raiseError inside a when() keeps the guard row-local and
+    // codegen'd — no extra validation job over either collection.
+    def remap(df: DataFrame, parity: Int): DataFrame = {
+      val id = col(idCol).cast("long")
+      val guarded = when(id >= lit(Long.MaxValue / 4) || id <= lit(Long.MinValue / 4),
+          raise_error(concat(lit(s"bitextMine: $idCol out of 62-bit remap range: "),
+                             id.cast("string"))).cast("long"))
+        .otherwise(id * 2 + parity)
+      df.withColumn(idCol, guarded)
+    }
+    val src2 = remap(src, 0)
+    val tgt2 = remap(tgt, 1)
+    val tgtShard = AnnServe.fitShard(tgt2, idCol, vecCol)
+    val srcShard = AnnServe.fitShard(src2, idCol, vecCol)
+    val fwd = AnnServe.topkRows(src2, tgtShard, k, idCol, vecCol)
       .select(col("query_id").as("src_id"),
               col("neighbor_id").as("tgt_id"), col("cos"))
-    val bwd = AnnServe.topkRows(tgt, srcShard, k, idCol, vecCol)
+    val bwd = AnnServe.topkRows(tgt2, srcShard, k, idCol, vecCol)
     val avgSrc = fwd.groupBy("src_id").agg(avg("cos").as("avg_src"))
     val avgTgt = bwd.groupBy(col("query_id").as("tgt_id"))
       .agg(avg("cos").as("avg_tgt"))
@@ -72,7 +95,12 @@ object Mining {
     val w = Window.partitionBy("src_id")
       .orderBy(col("margin").desc, col("tgt_id").asc)
     scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
-      .select("src_id", "tgt_id", "cos", "margin")
+      // shiftright (not `/`) so the un-map stays in 64-bit integer
+      // arithmetic — double division would lose precision above 2^53.
+      // Both operands are even, so the arithmetic shift is exact.
+      .select(shiftright(col("src_id"), 1).as("src_id"),
+              shiftright(col("tgt_id") - 1, 1).as("tgt_id"),
+              col("cos"), col("margin"))
   }
 
   /** Label-safe hard negatives: each anchor's nearest DIFFERENT-label

@@ -546,64 +546,216 @@ object CorpusStream {
       dedupCanonical(orderedDocStream(spark, sfDir), "ts", "text")
         .select(col("doc_id"), col("source"), col("n_chars")))
 
-  /** STREAMING cross-modal dedup — the one dedup family member that
-    * had no streaming twin: the combined text-digest + embedding-grid
-    * verdict (`Dedup.crossmodalDedup`) maintained over an arriving
-    * corpus. Both verdict signals RETRACT under arrivals — a late
-    * smaller-id digest twin dethrones the standing keeper (exact), a
-    * late embedding can join or re-anchor a grid cluster (semantic) —
-    * and the grid pass's cellCap selection is NOT monotone (a new id
-    * can rank into a full cell by md5 order and displace another), so
-    * the per-batch recompute over the accumulated state is the
-    * CORRECT spelling, not a shortcut: any incremental form would
-    * change the verdicts. Per-batch cost is one digest agg + the
-    * cell-bounded grid pass over corpus-so-far — scan-shaped, no
-    * pairwise text join; at production cadence the verdict recompute
-    * runs per re-curation epoch, not per micro-batch. State is kept
-    * hot (localCheckpoint blocks); the pointer-commit recovery
-    * spelling is `CorpusPipeline.MaintainedCorpus`'s and applies
-    * verbatim to this advance contract. */
+  /** STREAMING cross-modal dedup — the combined text-digest +
+    * embedding-grid verdict (`Dedup.crossmodalDedup`) MAINTAINED
+    * INCREMENTALLY over an arriving corpus (VERDICT r10 #1: the prior
+    * spelling re-ran the entire batch operator over the accumulated
+    * state every micro-batch — O(batches × corpus) grid-pair + CC
+    * work over a run).
+    *
+    * Both verdict signals retract under arrivals, but each retraction
+    * has a BOUNDED blast radius, and the incremental spelling exploits
+    * exactly that:
+    *
+    *   * exact: the keeper of a digest group is min(doc_id), which
+    *     only ever DECREASES — so a batch can change verdicts only
+    *     for (a) its own docs and (b) the standing keepers it
+    *     dethrones. State is one (digest → keeper) row per distinct
+    *     digest; untouched groups' verdicts carry forward verbatim.
+    *   * semantic: grid pairs require EQUAL cells, so connected
+    *     components never span cells and the cellCap selection
+    *     (md5-ranked, non-monotone — a new id can displace a standing
+    *     member) is also cell-local. A batch re-runs cap+pairs+CC
+    *     ONLY over the cells it touches (`Dedup.gridClusters` over a
+    *     cell-closed subset ≡ the full pass restricted to those
+    *     cells); untouched cells' verdicts carry forward verbatim.
+    *
+    * Per-batch work: the touched keys ride as pushed InSet predicates
+    * over the hot state (an O(|state|) in-memory scan, the floor for
+    * any DataFrame-shaped upsert — the `MaintainedCorpus.advance`
+    * precedent, minus the broadcast-exchange jobs a join-shaped
+    * restriction would pay) plus pairs+CC bounded by the touched
+    * cells — never the corpus-wide grid pass. The drained end state
+    * is EXACTLY the
+    * batch operator on the full corpus (the verbatim `q_dedup_
+    * crossmodal` oracle gates this), because every carried-forward
+    * verdict is provably unchanged by the batch: exact by keeper
+    * monotonicity, semantic by cell locality.
+    *
+    * State is kept hot (localCheckpoint blocks); the pointer-commit
+    * recovery spelling is `CorpusPipeline.MaintainedCorpus`'s and
+    * applies verbatim to this advance contract. */
   final class MaintainedCrossmodal(gridDims: Int = 2, gridSize: Double = 0.25,
                                    minCosine: Double = 0.3, cellCap: Int = 64) {
-    @volatile private var state: Option[(DataFrame, DataFrame)] = None
-    @volatile private var cur: Option[DataFrame] = None
+    import graft.operators.Dedup
+    // (doc_id, __fp, __exdup): one row per doc — its digest and exact
+    // verdict. The group keeper is implicit (min doc_id per __fp).
+    @volatile private var docState: Option[DataFrame] = None
+    // (id, f, __n, cell, __semdup): one row per norm-positive
+    // embedding — its grid cell and semantic verdict.
+    @volatile private var embState: Option[DataFrame] = None
+    // Test hooks (StreamingSpec's no-full-rescan gate): the physical
+    // plans of the two state restrictions of the LAST advance — the
+    // embedding state cut down to the batch's cells, and the digest
+    // state cut down to the batch's digests. Both must be broadcast
+    // joins that STREAM the state (no state-side exchange, no
+    // cartesian fallback); the spec asserts exactly that.
+    @volatile private[graft] var lastCellRestrictPlan: String = ""
+    @volatile private[graft] var lastFpRestrictPlan: String = ""
 
     /** Absorb one (doc_id, text, vec_id, embedding) micro-batch —
       * doc-side and embedding-side rows may arrive independently
-      * (null-padded halves), so the twin reconstructs BOTH tables
-      * regardless of how the ids align. Returns the post-batch
-      * verdict (doc_id, keep, reason). */
+      * (null-padded halves). Returns the CHANGED verdict rows only
+      * (doc_id, keep, reason): the batch's own docs plus every doc a
+      * retraction reached (dethroned keepers, touched-cell members).
+      * Untouched docs do not appear — that absence IS the locality
+      * contract StreamingSpec gates on; `verdict` serves the full
+      * corpus-wide table. */
     def advance(batch: DataFrame): DataFrame = synchronized {
-      val bd = batch.filter(col("doc_id").isNotNull)
-        .select(col("doc_id"), col("text")).localCheckpoint()
-      val be = batch.filter(col("vec_id").isNotNull)
-        .select(col("vec_id"), col("embedding")).localCheckpoint()
-      val (dAll, eAll) = state match {
-        case Some((d0, e0)) => (d0.unionByName(bd), e0.unionByName(be))
-        case None => (bd, be)
-      }
-      state = Some((dAll, eAll))
-      val v = graft.operators.Dedup.crossmodalDedup(dAll, eAll,
-          "doc_id", "text", "vec_id", "embedding",
-          gridDims, gridSize, minCosine, cellCap)
+      // ONE materialization of the arrival (per-batch JOB COUNT is what
+      // dominates a drain at micro-batch granularity; advance pays this
+      // snapshot, one tiny collect per signal, the CC pass, and one
+      // rewrite per touched state — nothing else runs a job). Text is
+      // digested here and never enters state.
+      val snap = batch.select(col("doc_id").cast("long").as("doc_id"),
+          md5(col("text").cast("binary")).as("__fp"),
+          col("vec_id"), col("embedding"))
         .localCheckpoint()
-      cur = Some(v)
-      v
+      val newFp = snap.filter(col("doc_id").isNotNull).select("doc_id", "__fp")
+      val be = snap.filter(col("vec_id").isNotNull)
+        .select("vec_id", "embedding")
+      val newEmb = Dedup.embGridRows(be, "vec_id", "embedding",
+        gridDims, gridSize)
+
+      // One driver round-trip per signal: the batch's touched keys —
+      // batch-bounded by definition, the same bound a broadcast build
+      // would pay, and as literals they push into the state scans as
+      // InSet predicates with ZERO exchanges (a broadcast-join
+      // restriction costs a BroadcastExchange collect-job per use; at
+      // micro-batch cadence those jobs dominate). A batch wide enough
+      // to strain the driver here (~10⁵+ distinct digests) should
+      // lower maxFilesPerTrigger instead.
+      val bmin: Map[String, Long] = newFp.groupBy("__fp")
+        .agg(min("doc_id").as("__bmin")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val cells: Seq[String] = newEmb.select("cell").distinct()
+        .collect().map(_.getString(0)).toSeq
+
+      // ---- exact signal: touched digest groups only -------------------
+      // Everything below runs inside the single docState rewrite job:
+      // the touched restriction is a pushed InSet filter on the state
+      // scan; old-keeper lookup and re-verdict are joins over the
+      // group-bounded touched rows.
+      val bminLit = typedlit(bmin)
+      val (exDelta, docState2) = docState match {
+        case Some(s) if bmin.nonEmpty =>
+          val touched = s.filter(col("__fp").isInCollection(bmin.keys.toSeq))
+          lastFpRestrictPlan = touched.queryExecution.executedPlan.toString
+          val nk = touched.groupBy("__fp").agg(min("doc_id").as("__old"))
+            .select(col("__fp"), col("__old"),
+              least(col("__old"), element_at(bminLit, col("__fp"))).as("__nk"))
+          val dethroned = nk.filter(col("__nk") < col("__old"))
+            .select(col("__old").as("doc_id"), col("__fp"),
+                    lit(true).as("__exdup"))
+          val batchEx = newFp.join(nk.select("__fp", "__nk"), Seq("__fp"), "left")
+            .select(col("doc_id"), col("__fp"),
+              (col("doc_id") =!= coalesce(col("__nk"),
+                element_at(bminLit, col("__fp")))).as("__exdup"))
+          // every member of a touched group gets its verdict refreshed
+          // (values only move for dethroned keepers — min is monotone)
+          val touchedNew = touched.join(nk.select("__fp", "__nk"), Seq("__fp"))
+            .select(col("doc_id"), col("__fp"),
+                    (col("doc_id") =!= col("__nk")).as("__exdup"))
+          val st2 = s.filter(!col("__fp").isInCollection(bmin.keys.toSeq))
+            .unionByName(touchedNew).unionByName(batchEx)
+            .localCheckpoint()
+          (batchEx.unionByName(dethroned), st2)
+        case Some(s) => // doc-free batch: exact state untouched, no job
+          (s.limit(0), s)
+        case None =>
+          val batchEx = newFp.select(col("doc_id"), col("__fp"),
+            (col("doc_id") =!= element_at(bminLit, col("__fp"))).as("__exdup"))
+          val st2 = batchEx.localCheckpoint()
+          (st2, st2)
+      }
+
+      // ---- semantic signal: touched grid cells only -------------------
+      val (semNew, embState2) = embState match {
+        case Some(s) if cells.nonEmpty =>
+          val oldCellRows = s.filter(col("cell").isInCollection(cells))
+            .select("id", "f", "__n", "cell")
+          lastCellRestrictPlan = oldCellRows.queryExecution.executedPlan.toString
+          val cellRows = oldCellRows
+            .unionByName(newEmb.select("id", "f", "__n", "cell"))
+          val sn = withSemVerdict(cellRows)
+          val st2 = s.filter(!col("cell").isInCollection(cells))
+            .unionByName(sn).localCheckpoint()
+          (sn, st2)
+        case Some(s) => (s.limit(0), s) // embedding-free batch: no job
+        case None =>
+          val sn = withSemVerdict(newEmb.select("id", "f", "__n", "cell"))
+          val st2 = sn.localCheckpoint()
+          (st2, st2)
+      }
+
+      docState = Some(docState2); embState = Some(embState2)
+
+      // ---- changed combined verdicts (batch + retraction reach) -------
+      // Returned LAZY: the drain runner never evaluates per-batch
+      // deltas at all (only the final `verdict`); a caller that does
+      // evaluates a bounded frame rooted on checkpointed blocks.
+      val changedIds = exDelta.select("doc_id")
+        .unionByName(semNew.select(col("id").as("doc_id"))).distinct()
+      val semLook = embState2.select(col("id").as("doc_id"), col("__semdup"))
+        .join(broadcast(changedIds), Seq("doc_id"))
+      docState2.join(broadcast(changedIds), Seq("doc_id"))
+        .join(broadcast(semLook), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("__exdup"), "exact")
+            .when(coalesce(col("__semdup"), lit(false)), "semantic")
+            .otherwise("none").as("reason"))
+        .withColumn("keep", (col("reason") === "none").cast("int"))
+        .select("doc_id", "keep", "reason")
     }
 
-    /** The verdict at the last absorbed batch. */
-    def verdict: DataFrame =
-      cur.getOrElse(throw new IllegalStateException(
+    /** Cap + pairs + CC over a cell-closed row set, folded back onto
+      * every input row as its refreshed semantic verdict. */
+    private def withSemVerdict(cellRows: DataFrame): DataFrame =
+      cellRows
+        .join(Dedup.gridClusters(cellRows, minCosine, cellCap)
+                .select(col("id"), (col("is_survivor") === 0).as("__sd")),
+              Seq("id"), "left")
+        .select(col("id"), col("f"), col("__n"), col("cell"),
+                coalesce(col("__sd"), lit(false)).as("__semdup"))
+
+    /** The full corpus-wide verdict at the last absorbed batch —
+      * exactly `Dedup.crossmodalDedup` on the accumulated tables. */
+    def verdict: DataFrame = synchronized {
+      val ex = docState.getOrElse(throw new IllegalStateException(
         "MaintainedCrossmodal: no batch absorbed yet"))
+      val sem = embState.getOrElse(ex.limit(0)
+        .select(col("doc_id").as("id"), lit(false).as("__semdup")))
+      ex.join(sem.select(col("id").as("doc_id"), col("__semdup")),
+              Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("__exdup"), "exact")
+            .when(coalesce(col("__semdup"), lit(false)), "semantic")
+            .otherwise("none").as("reason"))
+        .withColumn("keep", (col("reason") === "none").cast("int"))
+        .select("doc_id", "keep", "reason")
+        .orderBy("doc_id")
+    }
   }
 
   /** Declared `q_dedup_crossmodal_stream`: documents full-outer-joined
     * with their embeddings, hash-sliced into `nSlices` arrival files,
-    * streamed one file per micro-batch through the maintained verdict.
-    * The drained end state recomputes over the COMPLETE accumulated
-    * corpus, so the batch `q_dedup_crossmodal` DuckDB oracle applies
-    * verbatim — including every retraction the intermediate batches
-    * made along the way. */
+    * streamed one file per micro-batch through the INCREMENTAL
+    * maintainer (per-batch work bounded by the touched digest groups
+    * and grid cells; untouched verdicts carried forward). The drained
+    * end state equals the batch operator on the complete corpus, so
+    * the batch `q_dedup_crossmodal` DuckDB oracle applies verbatim —
+    * including every retraction the intermediate batches made along
+    * the way. */
   def crossmodalOverFile(spark: org.apache.spark.sql.SparkSession,
                          sfDir: String, nSlices: Int = 4): DataFrame = {
     val docs = graft.Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
@@ -615,8 +767,11 @@ object CorpusStream {
     val cm = new MaintainedCrossmodal()
     ScoreStream.withConfs(spark, "spark.sql.shuffle.partitions" -> "8",
                           "spark.sql.adaptive.enabled" -> "false") {
+      // materialize the full-outer feed once — the per-slice writes
+      // below then scan memory blocks instead of re-running the join
+      val fed = feed.localCheckpoint()
       (0 until nSlices).foreach { s =>
-        feed.filter(pmod(xxhash64(coalesce(col("doc_id"), col("vec_id"))),
+        fed.filter(pmod(xxhash64(coalesce(col("doc_id"), col("vec_id"))),
             lit(nSlices)) === s)
           .coalesce(1).write.mode("append").parquet(in)
       }

@@ -1251,7 +1251,15 @@ class StreamingSpec extends AnyFunSuite {
     assert(v2(5L) == ((1, "none")))
     assert(v2(9L) == ((0, "exact")),
       s"retraction must flip doc 9 to an exact dup, got ${v2(9L)}")
-    assert(v2(20L) == ((1, "none")))
+    // doc 20's digest group and grid cell are untouched by batch 2:
+    // the incremental advance must NOT re-verdict it (delta contract)
+    assert(!v2.contains(20L),
+      s"untouched doc 20 must not appear in the advance delta, got $v2")
+    // ...but the full maintained verdict still carries it forward
+    val full = cm.verdict.collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getString(2)))).toMap
+    assert(full(20L) == ((1, "none")) && full(9L) == ((0, "exact")) &&
+           full(5L) == ((1, "none")))
     // the drained file-staged run equals the batch operator row-for-row
     val sfd = "/root/testdata/sf0.001"
     val streamed = CorpusStream.crossmodalOverFile(spark, sfd)
@@ -1262,6 +1270,49 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(_.toString)
     assert(streamed.sameElements(batch),
       "drained cross-modal verdict diverged from the batch operator")
+  }
+
+  test("cross-modal stream: a batch touching one grid cell does not " +
+       "rescan the corpus — delta bounded by touched groups/cells, state " +
+       "restrictions are broadcast joins streaming the state") {
+    import graft.streaming.CorpusStream
+    val cm = new CorpusStream.MaintainedCrossmodal()
+    // 30 docs in ONE grid cell (identical direction → same cell; all
+    // pair at cos 1 → one cluster, one survivor) + distinct texts
+    val big = (100L until 130L).map(i =>
+      (Option(i), Option(s"unique text body number $i"),
+       Option(i), Option(Seq(1.0, 0.0))))
+      .toDF("doc_id", "text", "vec_id", "embedding")
+    val v1 = cm.advance(big)
+    assert(v1.count() == 30)
+    // batch 2 lands in a DIFFERENT cell with a fresh digest: the delta
+    // must contain doc 500 alone — none of the 30 standing docs may be
+    // re-verdicted (their cell and digest groups are untouched)
+    val b2 = Seq((Option(500L), Option("completely different text"),
+                  Option(500L), Option(Seq(0.0, 1.0))))
+      .toDF("doc_id", "text", "vec_id", "embedding")
+    val ids = cm.advance(b2).collect().map(_.getLong(0)).toSet
+    assert(ids == Set(500L),
+      s"advance delta must be the touched docs only, got $ids")
+    // plan gates: both state restrictions are pushed InSet FILTERS over
+    // the in-memory state scan — no join operator, no exchange, no
+    // cartesian fallback; the touched-key set rides as a literal
+    Seq("cell restrict" -> cm.lastCellRestrictPlan,
+        "digest restrict" -> cm.lastFpRestrictPlan).foreach { case (n, p) =>
+      assert(p.contains("Filter") && p.contains("Scan ExistingRDD"),
+        s"$n must be a filtered state scan:\n${p.take(1200)}")
+      assert(!p.contains("Join") && !p.contains("Exchange") &&
+             !p.contains("CartesianProduct"),
+        s"$n must restrict the state scan-side with zero joins/shuffles:\n${p.take(1200)}")
+    }
+    // the full verdict still covers everything: 29 semantic dups in the
+    // big cell, 1 survivor, doc 500 kept
+    val full = cm.verdict.collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(full.size == 31)
+    assert(full(500L) == "none")
+    assert(full.count(_._2 == "semantic") == 29,
+      s"big cell must hold 29 semantic dups, got ${full.count(_._2 == "semantic")}")
   }
 
   test("file-source runner writes scored parquet exactly once") {
