@@ -382,6 +382,36 @@ object ProbeSoak {
             s"dense-cluster top-1 escaped the cluster: $clusterTop1InCluster/$clusterTotal")
           println(f"[soak-serve] x$s%-3d knnGraph=${(g1 - g0) / 1e9}%6.2fs " +
             f"nlist=$nlist%5d edges=$nEdgesOut%9d clusterTop1=$clusterTop1InCluster/$clusterTotal")
+          // GRAPH-BEAM serve tier over the just-built graph (r11): per-
+          // query work is visited-bounded (≤ maxVisit nodes), so serve
+          // wall time must stay ~FLAT as the shard grows — the printed
+          // column is the claim; the flat tier above is the linear
+          // yardstick. Quality gates are tie-robust (the planted dense
+          // cluster is thousands of cos≈0.999 near-ties, so pair-set
+          // recall would punish legitimate equal-value picks):
+          // (a) every query's top-1 stays in the planted cluster
+          // (cos ≥ 0.99); (b) quality@10 — the beam's 10th-best cos
+          // within 1e-3 of the exact serve's 10th-best for ≥ 9/10
+          // queries.
+          val gs0 = System.nanoTime()
+          val gShard = AnnServe.fitGraphShard(e, graph)
+          val gs1 = System.nanoTime()
+          val tBeam = rep(AnnServe.graphTopkRows(queries, gShard).count())
+          val beamRows = AnnServe.graphTopkRows(queries, gShard)
+            .collect().map(tup)
+          val beamTop1 = beamRows.groupBy(_._1).map(_._2.map(_._3).max).min
+          require(beamTop1 >= 0.99,
+            s"graph-beam top-1 must stay in the planted cluster, got $beamTop1")
+          val exact10th = singleAns.groupBy(_._1)
+            .map { case (q, rs) => q -> rs.map(_._3).min }
+          val beam10th = beamRows.groupBy(_._1)
+            .map { case (q, rs) => q -> rs.map(_._3).min }
+          val qOk = exact10th.count { case (q, v) =>
+            beam10th.get(q).exists(_ >= v - 1e-3) }
+          require(qOk * 10 >= exact10th.size * 9,
+            s"graph-beam quality@10 held for only $qOk/${exact10th.size} queries")
+          println(f"[soak-serve] x$s%-3d graphBeam fit=${(gs1 - gs0) / 1e9}%5.2fs " +
+            f"serve=$tBeam%5.2fs top1=$beamTop1%.4f quality10=$qOk/${exact10th.size}")
         }
       }
       spark.stop(); return

@@ -1507,15 +1507,8 @@ object Queries {
     * (brute-force window + the same label filter + re-rank). Anchors
     * sliced to `vec_id < 50` to bound the oracle's quadratic side;
     * the Spark path is serve-shard + bounded joins at any scale. */
-  private val qHardNegatives = Q(
-    "q_hard_negatives",
-    (s, d) => {
-      val e = Tables.embeddings(s, d)
-      operators.Mining.hardNegatives(
-          e.filter(col("vec_id") < 50), e, e, k = 20, m = 5)
-        .orderBy("anchor_id", "rank")
-    },
-    Some(s"""WITH a AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 50),
+  private val hardNegativesSql =
+    s"""WITH a AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 50),
       |c AS (SELECT a.vec_id AS anchor_id, e.vec_id AS neg_id,
       |  a.label AS alab, e.label AS nlab,
       |  ${sqlCosExpr("a.embedding", "e.embedding")} AS cos
@@ -1528,7 +1521,31 @@ object Queries {
       |  row_number() OVER (PARTITION BY anchor_id ORDER BY cos DESC, neg_id ASC) AS rank
       | FROM kwin WHERE alab IS NULL OR nlab IS NULL OR alab <> nlab)
       |SELECT anchor_id, neg_id, cos, CAST(rank AS INTEGER) AS rank
-      |FROM neg WHERE rank <= 5 ORDER BY anchor_id, rank""".stripMargin))
+      |FROM neg WHERE rank <= 5 ORDER BY anchor_id, rank""".stripMargin
+
+  private val qHardNegatives = Q(
+    "q_hard_negatives",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      operators.Mining.hardNegatives(
+          e.filter(col("vec_id") < 50), e, e, k = 20, m = 5)
+        .orderBy("anchor_id", "rank")
+    },
+    Some(hardNegativesSql))
+
+  /** The mining family's STREAMING twin (FULL oracle): a live anchor
+    * feed against the standing labeled serve shard — the batch
+    * operator's top-k window → null-safe same-label drop → rank 1..m
+    * collapsed into one row-local scan expression
+    * (`functions.HardNegTopK`; no join, no window, no state — the
+    * spelling that makes mining append-mode streaming-legal). Drained
+    * end state ≡ the batch `q_hard_negatives` row set, so its full
+    * DuckDB oracle applies verbatim even live. */
+  private val qHardNegativesStream = Q(
+    "q_hard_negatives_stream",
+    (s, d) => streaming.CorpusStream.hardNegOverFile(s, d, k = 20, m = 5)
+      .orderBy("anchor_id", "rank"),
+    Some(hardNegativesSql))
 
   /** Shared oracle for the exact kNN-graph family: the graph stated as
     * the quadratic self-join + per-node top-5 window (only the oracle
@@ -2333,6 +2350,27 @@ object Queries {
       operators.Pq.topkIvfPq(e, "vec_id", "u",
         e.filter(col("vec_id") < 10), k = 10, cent, nprobe = 12,
         model, shortlist = 100)
+    },
+    None)
+
+  /** GRAPH-BEAM ANN serve (rows-only) — the search tier over the kNN
+    * graph the engine already maintains (`Ivf.knnGraph` batch,
+    * `streaming.GraphStream` live): symmetrized adjacency + IVF-seeded
+    * entry points resident in a `GraphShard`, each query answered by
+    * best-first beam search (`functions.GraphBeamTopK` — HNSW layer-0
+    * semantics). Per query O(visited·degree·dim) with visited ≤
+    * maxVisit, vs the flat serve's O(n·dim) full scan — the
+    * billion-vector serve path; recall@10 ≥ 0.9 vs brute force gated
+    * in SimilaritySpec, plus an ef ≥ n exactness pin. */
+  private val qSimGraphTopk = Q(
+    "sim_graph_topk",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val graph = operators.Ivf.knnGraph(e, "vec_id", "embedding", k = 8)
+      val shard = operators.AnnServe.fitGraphShard(e, graph)
+      operators.AnnServe.graphTopkRows(
+          e.filter(col("vec_id") < 10), shard, k = 10, ef = 64)
+        .orderBy("query_id", "neighbor_id")
     },
     None)
 
@@ -4685,7 +4723,7 @@ object Queries {
     qTextStats, qLangId, qLangClassifier, qLangClassifierStream, qTokenCount, qTfidfTop, qFingerprint,
     qWinnowFingerprint, qCorpusClean,
     qDedupExact, qNgramJaccard, qSimBruteforce, qSimServe, qSimServeSharded,
-    qSimServeStream, qBitextMine, qHardNegatives,
+    qSimServeStream, qBitextMine, qHardNegatives, qHardNegativesStream,
     qKnnGraph, qKnnGraphSharded, qKnnGraphInc, qKnnGraphDel, qKnnGraphStream,
     qKnnGraphStreamLog,
     qContinuousCorpus, qContinuousCorpusLog, qKnnGraphIvf,
@@ -4693,7 +4731,7 @@ object Queries {
     qKnnClusters, qEmbedPipeline,
     qSimLshTopk, qSimLshTopkMd5, qSimIvfTopk,
     qSimIvfTopkGrid, qSimPqTopk, qSimPqTopkMd5, qSimPqServe, qSimSqTopk, qSimSqServe,
-    qSimSqServeStream, qSimIvfPqTopk,
+    qSimSqServeStream, qSimIvfPqTopk, qSimGraphTopk,
     qDedupMinhash, qDedupMinhashMd5, qDedupMinhashMd5Capped,
     qDedupMinhashMd5Stop,
     qDedupSimhash, qDedupSimhashMd5,

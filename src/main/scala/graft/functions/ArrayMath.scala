@@ -829,6 +829,339 @@ case class CosineTopK(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/** Row-local GRAPH-BEAM top-k against a kNN-graph index shard — the
+  * sub-linear serve tier that makes the maintained graph
+  * (`streaming.GraphStream` / `AnnServe.knnGraphIncremental`) a search
+  * structure, not just a product: best-first beam search over the
+  * symmetrized neighbor lists (Malkov & Yashunin 2016's layer-0
+  * searchLayer; the graph here IS an HNSW bottom layer), seeded from
+  * IVF-coarse-quantizer entry points. Per query the work is
+  * O(visited · degree · dim) with `visited ≤ maxVisit` — at a 1M-row
+  * shard and ef=64 that is ~10³ dot products vs `CosineTopK`'s 10⁶
+  * full scan, the asymptotic gap that decides billion-vector serve
+  * latency.
+  *
+  * Contract vs the exact tier: ranking and emission use the same
+  * HALF_UP-6dp rounding and (cos desc, neighbor_id asc) tie-break as
+  * `CosineTopK`, and the query's own id never surfaces (it still
+  * ROUTES — its neighbor list is expanded — because a query that
+  * exists in the corpus is the best possible hub toward its own
+  * neighborhood). Search is deterministic: the frontier orders by
+  * (raw cos desc, node index asc). Recall is the index's contract,
+  * gated in SimilaritySpec (≥ 0.9 @10 at default parameters vs brute
+  * force; exact when ef ≥ n over a connected graph).
+  *
+  * Shard arrays ride ONE broadcast like every serve expression here
+  * (ids, row-major vectors, precomputed norms, CSR adjacency
+  * [nbrOff/nbrIdx], entry node indexes); all six bind to locals before
+  * the search loop. */
+case class GraphBeamTopK(left: Expression, right: Expression,
+                         shard: org.apache.spark.broadcast.Broadcast[(Array[Long], Array[Double], Array[Double], Array[Int], Array[Int], Array[Int])],
+                         dim: Int, k: Int, ef: Int, maxVisit: Int)
+    extends BinaryExpression {
+  require(dim > 0 && k >= 1 && ef >= k && maxVisit >= ef,
+    s"graph_beam_topk: bad dim=$dim k=$k ef=$ef maxVisit=$maxVisit")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("neighbor_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("cos", DoubleType,
+          nullable = false))),
+      containsNull = false)
+
+  def topk(qid: Long, qv: ArrayData): ArrayData = {
+    val (ids, flatVecs, norms, nbrOff, nbrIdx, entries) = shard.value
+    val n = ids.length
+    if (flatVecs.length != n * dim || norms.length != n ||
+        nbrOff.length != n + 1 || entries.isEmpty)
+      throw new IllegalArgumentException(
+        s"graph_beam_topk: ragged shard ($n ids, ${flatVecs.length} values, " +
+          s"${norms.length} norms, ${nbrOff.length} offsets, " +
+          s"${entries.length} entries at dim $dim)")
+    if (qv.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"graph_beam_topk: query vector has ${qv.numElements()} elements, " +
+          s"need exactly $dim — index shard does not match the data")
+    val q = new Array[Double](dim)
+    var j = 0
+    while (j < dim) {
+      val x = qv.getDouble(j)
+      if (!java.lang.Double.isFinite(x))
+        throw new IllegalArgumentException(
+          s"graph_beam_topk: non-finite query component $x at id $qid dim $j " +
+            "— clean the query feed before serving")
+      q(j) = x; j += 1
+    }
+    var qq = 0.0
+    j = 0
+    while (j < dim) { qq += q(j) * q(j); j += 1 }
+    val qn = math.sqrt(qq)
+
+    @inline def rawCos(i: Int): Double = {
+      var dp = 0.0; var t = 0; val base = i * dim
+      while (t < dim) { dp += q(t) * flatVecs(base + t); t += 1 }
+      val denom = qn * norms(i)
+      val r = if (denom > 0) dp / denom else 0.0
+      if (java.lang.Double.isFinite(r)) r else 0.0
+    }
+
+    // result pool: best `ef` nodes seen, insertion-sorted by
+    // (raw cos desc, node index asc) — resCos/resIdx parallel arrays
+    val resCos = new Array[Double](ef); val resIdx = new Array[Int](ef)
+    var resFilled = 0
+    @inline def resWorst: Double =
+      if (resFilled < ef) Double.NegativeInfinity else resCos(resFilled - 1)
+    @inline def resInsert(c: Double, i: Int): Unit = {
+      var p = resFilled
+      while (p > 0 && (resCos(p - 1) < c ||
+               (resCos(p - 1) == c && resIdx(p - 1) > i))) p -= 1
+      if (p < ef) {
+        val last = math.min(resFilled, ef - 1)
+        var m = last
+        while (m > p) { resCos(m) = resCos(m - 1); resIdx(m) = resIdx(m - 1); m -= 1 }
+        resCos(p) = c; resIdx(p) = i
+        if (resFilled < ef) resFilled += 1
+      }
+    }
+
+    // frontier: max-heap by (raw cos desc, node index asc) — index-asc
+    // tie order keeps the expansion sequence deterministic
+    val frontier = new java.util.PriorityQueue[Array[Double]](16,
+      new java.util.Comparator[Array[Double]] {
+        override def compare(a: Array[Double], b: Array[Double]): Int = {
+          val c = java.lang.Double.compare(b(0), a(0))
+          if (c != 0) c else java.lang.Double.compare(a(1), b(1))
+        }
+      })
+    val visited = new java.util.BitSet(n)
+    var visitedCount = 0
+
+    var e = 0
+    while (e < entries.length) {
+      val i = entries(e)
+      if (!visited.get(i)) {
+        visited.set(i); visitedCount += 1
+        val c = rawCos(i)
+        frontier.add(Array(c, i.toDouble))
+        if (ids(i) != qid) resInsert(c, i)
+      }
+      e += 1
+    }
+    var stop = false
+    while (!stop && !frontier.isEmpty) {
+      val top = frontier.poll()
+      if (resFilled == ef && top(0) < resWorst) stop = true
+      else {
+        val i = top(1).toInt
+        var p = nbrOff(i)
+        val end = nbrOff(i + 1)
+        while (p < end && visitedCount < maxVisit) {
+          val nb = nbrIdx(p)
+          if (!visited.get(nb)) {
+            visited.set(nb); visitedCount += 1
+            val c = rawCos(nb)
+            if (resFilled < ef || c > resWorst) {
+              frontier.add(Array(c, nb.toDouble))
+              if (ids(nb) != qid) resInsert(c, nb)
+            }
+          }
+          p += 1
+        }
+        if (visitedCount >= maxVisit) stop = true
+      }
+    }
+
+    // emit: round HALF_UP 6dp like the exact tier, re-rank the ≤ef
+    // survivors on the ROUNDED value (rounding can reorder near-ties;
+    // ranking on rounded cos is what aligns with the batch window), cut
+    // to k
+    val m = math.min(k, resFilled)
+    val outCos = new Array[Double](resFilled); val outId = new Array[Long](resFilled)
+    var t = 0
+    while (t < resFilled) {
+      outCos(t) = java.math.BigDecimal.valueOf(resCos(t))
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      outId(t) = ids(resIdx(t)); t += 1
+    }
+    val order = (0 until resFilled).sortBy(t => (-outCos(t), outId(t)))
+    val rows = new Array[Any](m)
+    t = 0
+    while (t < m) {
+      val o = order(t)
+      rows(t) = org.apache.spark.sql.catalyst.InternalRow(outId(o), outCos(o))
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    topk(l.asInstanceOf[Long], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (qid, qv) => {
+      val ref = ctx.addReferenceObj("graphShardTopk", this, classOf[GraphBeamTopK].getName)
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.topk($qid, $qv);"
+    })
+
+  override def prettyName: String = "graph_beam_topk"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Row-local LABEL-SAFE HARD-NEGATIVE serve — the exact algebra of
+  * `operators.Mining.hardNegatives` (top-k window → same-label drop →
+  * re-rank 1..m) collapsed into ONE scan expression, which is what
+  * makes the mining family streaming-legal: the batch spelling needs
+  * two label joins and a ranking window (illegal in append mode), this
+  * needs no join, no shuffle, no state. The top-k phase is
+  * `CosineTopK`'s loop verbatim (HALF_UP-6dp-rounded ranking,
+  * (cos desc, id asc) tie-break, own id excluded); the label phase
+  * keeps a window member unless BOTH labels are non-null and equal
+  * (the batch filter's null-safe semantics — an unlabeled anchor keeps
+  * all neighbors); survivors emit with rank 1..m. Labels ride the same
+  * broadcast as the vectors, aligned by shard index. The anchor's own
+  * label arrives as the third child and MAY be null — eval/codegen
+  * handle that explicitly (null label ≠ null row). */
+case class HardNegTopK(first: Expression, second: Expression,
+                       third: Expression,
+                       shard: org.apache.spark.broadcast.Broadcast[(Array[Long], Array[Double], Array[Double], Array[String])],
+                       dim: Int, k: Int, m: Int)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  require(dim > 0 && k >= 1 && m >= 1 && m <= k,
+    s"hardneg_topk: bad dim=$dim k=$k m=$m")
+
+  override def nullable: Boolean = first.nullable || second.nullable
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("neg_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("cos", DoubleType,
+          nullable = false),
+        org.apache.spark.sql.types.StructField("rank",
+          org.apache.spark.sql.types.IntegerType, nullable = false))),
+      containsNull = false)
+
+  def topm(qid: Long, qv: ArrayData, anchorLab: String): ArrayData = {
+    val (ids, flatVecs, norms, labels) = shard.value
+    val n = flatVecs.length / dim
+    if (flatVecs.length != n * dim || ids.length != n || norms.length != n ||
+        labels.length != n)
+      throw new IllegalArgumentException(
+        s"hardneg_topk: ragged shard (${ids.length} ids, ${flatVecs.length} " +
+          s"values, ${norms.length} norms, ${labels.length} labels at dim $dim)")
+    if (qv.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"hardneg_topk: query vector has ${qv.numElements()} elements, need " +
+          s"exactly $dim — index shard does not match the data")
+    val q = new Array[Double](dim)
+    var j = 0
+    while (j < dim) {
+      val x = qv.getDouble(j)
+      if (!java.lang.Double.isFinite(x))
+        throw new IllegalArgumentException(
+          s"hardneg_topk: non-finite query component $x at id $qid dim $j — " +
+            "clean the anchor feed before serving")
+      q(j) = x; j += 1
+    }
+    var qq = 0.0
+    j = 0
+    while (j < dim) { qq += q(j) * q(j); j += 1 }
+    val qn = math.sqrt(qq)
+    // phase 1: CosineTopK's exact rounded top-k window
+    val topCos = new Array[Double](k); val topId = new Array[Long](k)
+    val topIx = new Array[Int](k)
+    var filled = 0
+    var i = 0
+    while (i < n) {
+      if (ids(i) != qid) {
+        var dp = 0.0
+        j = 0
+        while (j < dim) { dp += q(j) * flatVecs(i * dim + j); j += 1 }
+        val denom = qn * norms(i)
+        val raw = if (denom > 0) dp / denom else 0.0
+        if (java.lang.Double.isFinite(raw) &&
+            (filled < k || raw >= topCos(k - 1) - 1e-6)) {
+          val c = java.math.BigDecimal.valueOf(raw)
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+          val id = ids(i)
+          var p = filled
+          while (p > 0 && (topCos(p - 1) < c ||
+                   (topCos(p - 1) == c && topId(p - 1) > id))) p -= 1
+          if (p < k) {
+            val last = math.min(filled, k - 1)
+            var w = last
+            while (w > p) {
+              topCos(w) = topCos(w - 1); topId(w) = topId(w - 1)
+              topIx(w) = topIx(w - 1); w -= 1
+            }
+            topCos(p) = c; topId(p) = id; topIx(p) = i
+            if (filled < k) filled += 1
+          }
+        }
+      }
+      i += 1
+    }
+    // phase 2: null-safe same-label drop + rank 1..m over the window
+    val rows = new scala.collection.mutable.ArrayBuffer[Any](m)
+    var rank = 0
+    var t = 0
+    while (t < filled && rank < m) {
+      val nlab = labels(topIx(t))
+      val drop = anchorLab != null && nlab != null && anchorLab == nlab
+      if (!drop) {
+        rank += 1
+        rows += org.apache.spark.sql.catalyst.InternalRow(
+          topId(t), topCos(t), rank)
+      }
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows.toArray)
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val l = first.eval(input)
+    val r = second.eval(input)
+    if (l == null || r == null) null
+    else {
+      val lb = third.eval(input)
+      topm(l.asInstanceOf[Long], r.asInstanceOf[ArrayData],
+        if (lb == null) null else lb.toString)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val le = first.genCode(ctx)
+    val re = second.genCode(ctx)
+    val be = third.genCode(ctx)
+    val ref = ctx.addReferenceObj("hardNegShard", this, classOf[HardNegTopK].getName)
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    ev.copy(code =
+      code"""
+        ${le.code}
+        ${re.code}
+        ${be.code}
+        boolean ${ev.isNull} = ${le.isNull} || ${re.isNull};
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+        if (!${ev.isNull}) {
+          ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.topm(
+            ${le.value}, ${re.value},
+            ${be.isNull} ? null : ${be.value}.toString());
+        }
+      """)
+  }
+
+  override def prettyName: String = "hardneg_topk"
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 /** Row-local ADC top-k against a PQ-COMPRESSED index shard — the
   * memory-bound serve variant of `CosineTopK` (Jégou 2011): the shard
   * holds m byte codes per vector instead of dim doubles (m=8/ksub=16
@@ -1293,6 +1626,16 @@ object ArrayMath {
                  dim: Int, k: Int): Column =
     column(CosineTopK(expression(queryId.cast("long")), expression(d(vec)),
       shard, dim, k))
+  def graphBeamTopK(queryId: Column, vec: Column,
+                    shard: org.apache.spark.broadcast.Broadcast[(Array[Long], Array[Double], Array[Double], Array[Int], Array[Int], Array[Int])],
+                    dim: Int, k: Int, ef: Int, maxVisit: Int): Column =
+    column(GraphBeamTopK(expression(queryId.cast("long")), expression(d(vec)),
+      shard, dim, k, ef, maxVisit))
+  def hardNegTopK(queryId: Column, vec: Column, anchorLab: Column,
+                  shard: org.apache.spark.broadcast.Broadcast[(Array[Long], Array[Double], Array[Double], Array[String])],
+                  dim: Int, k: Int, m: Int): Column =
+    column(HardNegTopK(expression(queryId.cast("long")), expression(d(vec)),
+      expression(anchorLab.cast("string")), shard, dim, k, m))
   def adcTopK(queryId: Column, vec: Column,
               shard: org.apache.spark.broadcast.Broadcast[(Array[Long], Array[Byte])],
               flatBooks: Array[Double],

@@ -267,6 +267,251 @@ object AnnServe {
       .select(col("query_id"), col("__nb.neighbor_id").as("neighbor_id"),
               col("__nb.cos").as("cos"))
 
+  /** The GRAPH serve shard: the raw-vector shard plus the kNN graph's
+    * symmetrized adjacency in CSR form (`nbrOff`/`nbrIdx` index into
+    * `ids`) and the IVF-seeded entry node indexes — what
+    * `functions.GraphBeamTopK` walks. This is the tier where the
+    * MAINTAINED graph (`knnGraphIncremental` / `streaming.GraphStream`)
+    * becomes a search structure: per query O(visited·degree·dim)
+    * instead of the flat shard's O(n·dim) scan, the gap that decides
+    * serve latency once a shard holds ~10⁶ vectors. Memory adds only
+    * the adjacency (≤ degreeCap ints/vector vs dim·8 bytes of vector),
+    * so the cap posture is `AnnShard`'s. */
+  final case class GraphShard(ids: Array[Long], flatVecs: Array[Double],
+                              dim: Int, nbrOff: Array[Int],
+                              nbrIdx: Array[Int], entryIdx: Array[Int]) {
+    require(dim > 0 && flatVecs.length == ids.length * dim &&
+        nbrOff.length == ids.length + 1 && entryIdx.nonEmpty,
+      s"GraphShard: ragged (${ids.length} ids, ${flatVecs.length} values, " +
+        s"${nbrOff.length} offsets, ${entryIdx.length} entries at dim $dim)")
+    @transient private var bc:
+        org.apache.spark.broadcast.Broadcast[(Array[Long], Array[Double], Array[Double], Array[Int], Array[Int], Array[Int])] = _
+    @transient private var bcOwner: org.apache.spark.SparkContext = _
+    private[graft] def broadcastWith(sc: org.apache.spark.SparkContext):
+        org.apache.spark.broadcast.Broadcast[(Array[Long], Array[Double], Array[Double], Array[Int], Array[Int], Array[Int])] =
+      synchronized {
+        if (bc == null || (bcOwner ne sc) || sc.isStopped) {
+          require(!sc.isStopped, "GraphShard: cannot broadcast on a stopped SparkContext")
+          val n = ids.length
+          val norms = new Array[Double](n)
+          var i = 0
+          while (i < n) {
+            var s = 0.0; var j = 0
+            while (j < dim) { val v = flatVecs(i * dim + j); s += v * v; j += 1 }
+            norms(i) = math.sqrt(s); i += 1
+          }
+          bc = sc.broadcast((ids, flatVecs, norms, nbrOff, nbrIdx, entryIdx))
+          bcOwner = sc
+        }
+        bc
+      }
+  }
+
+  /** Build the graph serve shard from the embeddings frame and a kNN
+    * edge frame ((query_id, neighbor_id, cos) — `Ivf.knnGraph`'s
+    * output, or the maintained `GraphStream` edges). The directed kNN
+    * edges are SYMMETRIZED (an edge serves navigation both ways —
+    * without in-edges, nodes that are nobody's top-k become
+    * unreachable) and degree-capped keeping the highest-cos arcs, the
+    * standard graph-index diet (NSG/HNSW keep O(k) arcs per node).
+    * Entry points come from the IVF coarse quantizer: `nEntries`
+    * Lloyd's centroids over the corpus, each mapped to its nearest
+    * shard member — so a query starts near its own region of the
+    * sphere instead of a fixed hub. Driver-side collect is the shard
+    * build, same cap posture as `fitShard`; the edge collect is
+    * n·k-bounded (the graph frame is already the per-node top-k). */
+  def fitGraphShard(embeddings: DataFrame, edges: DataFrame,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    nEntries: Int = 16, degreeCap: Int = 32,
+                    rowCap: Int = 1 << 20): GraphShard = {
+    require(embeddings.limit(rowCap + 1).count() <= rowCap,
+      s"GraphShard: embeddings exceed the per-shard cap $rowCap — shard " +
+        "the corpus (fitShards posture) and merge per-query answers")
+    val base = buildShard(embeddings
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .collect())
+    val n = base.ids.length
+    val idx = new java.util.HashMap[Long, Int](n * 2)
+    var i = 0
+    while (i < n) { idx.put(base.ids(i), i); i += 1 }
+    val edgeRows = edges
+      .select(col("query_id").cast("long"), col("neighbor_id").cast("long"),
+              col("cos").cast("double"))
+      .collect()
+    require(edgeRows.length <= n.toLong * 2 * degreeCap + (degreeCap * 64L),
+      s"GraphShard: ${edgeRows.length} edges for $n nodes — the edge " +
+        "frame must be the per-node top-k graph, not a pair dump")
+    // symmetrize into per-node (cos desc, neighbor idx asc) capped lists
+    val adj = Array.fill(n)(new scala.collection.mutable.ArrayBuffer[(Double, Int)](8))
+    edgeRows.foreach { r =>
+      if (!r.isNullAt(1)) { // keepIsolated graphs carry (id, NULL) rows
+        require(idx.containsKey(r.getLong(0)) && idx.containsKey(r.getLong(1)),
+          s"GraphShard: edge (${r.getLong(0)}, ${r.getLong(1)}) references " +
+            "an id absent from the embeddings frame — edges and corpus " +
+            "must come from the same snapshot")
+        val a = idx.get(r.getLong(0)); val b = idx.get(r.getLong(1))
+        val c = if (r.isNullAt(2)) 0.0 else r.getDouble(2)
+        adj(a) += ((c, b)); adj(b) += ((c, a))
+      }
+    }
+    val nbrOff = new Array[Int](n + 1)
+    val tmp = new Array[Array[Int]](n)
+    i = 0
+    while (i < n) {
+      // dedupe per neighbor (both directions land here) keeping the
+      // best cos, then cap on (cos desc, idx asc) — deterministic
+      val kept = adj(i).groupBy(_._2)
+        .map { case (nb, cs) => (cs.map(_._1).max, nb) }.toSeq
+        .sortBy { case (c, nb) => (-c, nb) }
+        .take(degreeCap).map(_._2).toArray
+      tmp(i) = kept
+      nbrOff(i + 1) = nbrOff(i) + kept.length
+      i += 1
+    }
+    val nbrIdx = new Array[Int](nbrOff(n))
+    i = 0
+    while (i < n) { System.arraycopy(tmp(i), 0, nbrIdx, nbrOff(i), tmp(i).length); i += 1 }
+    // entry points: IVF coarse centroids → nearest shard member each
+    val ne = math.min(nEntries, n)
+    val cents = graft.operators.Ivf.fitCentroids(
+      embeddings.select(col(idCol).as("vec_id"),
+        col(vecCol).cast("array<double>").as("f")),
+      "vec_id", "f", ne,
+      sampleSize = math.min(math.max(4096, 20 * ne), 16384))
+    val entries = cents.map { c =>
+      var best = 0; var bestD = Double.MaxValue
+      var r = 0
+      while (r < n) {
+        var d = 0.0; var j = 0; val bbase = r * base.dim
+        while (j < base.dim) {
+          val t = c(j) - base.flatVecs(bbase + j); d += t * t; j += 1
+        }
+        if (d < bestD) { bestD = d; best = r }
+        r += 1
+      }
+      best
+    }.distinct
+    GraphShard(base.ids, base.flatVecs, base.dim, nbrOff, nbrIdx, entries)
+  }
+
+  /** Beam-search top-k per query row against the graph shard — one
+    * native codegen expression (`functions.GraphBeamTopK`), exploded
+    * to the serve tier's (query_id, neighbor_id, cos) schema. Same
+    * rounding/tie-break as `topkRows`, recall gated in SimilaritySpec;
+    * stateless append, so streaming-legal like every serve half. */
+  def graphTopkRows(queries: DataFrame, shard: GraphShard, k: Int = 10,
+                    ef: Int = 64, maxVisit: Int = 4096,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame =
+    queries
+      .select(col(idCol).cast("long").as("query_id"),
+        explode(graft.functions.ArrayMath.graphBeamTopK(
+          col(idCol), col(vecCol),
+          shard.broadcastWith(queries.sparkSession.sparkContext),
+          shard.dim, k, ef, maxVisit))
+          .as("__nb"))
+      .select(col("query_id"), col("__nb.neighbor_id").as("neighbor_id"),
+              col("__nb.cos").as("cos"))
+
+  /** The raw serve shard plus a label per corpus row, aligned by shard
+    * index — what `functions.HardNegTopK` scans for label-safe
+    * hard-negative mining at serve tier. Missing labels stay null
+    * (the null-safe batch-filter semantics survive verbatim). */
+  final case class LabeledShard(ids: Array[Long], flatVecs: Array[Double],
+                                dim: Int, labels: Array[String]) {
+    require(dim > 0 && flatVecs.length == ids.length * dim &&
+        labels.length == ids.length,
+      s"LabeledShard: ragged (${ids.length} ids, ${flatVecs.length} values, " +
+        s"${labels.length} labels at dim $dim)")
+    @transient private var bc:
+        org.apache.spark.broadcast.Broadcast[(Array[Long], Array[Double], Array[Double], Array[String])] = _
+    @transient private var bcOwner: org.apache.spark.SparkContext = _
+    private[graft] def broadcastWith(sc: org.apache.spark.SparkContext):
+        org.apache.spark.broadcast.Broadcast[(Array[Long], Array[Double], Array[Double], Array[String])] =
+      synchronized {
+        if (bc == null || (bcOwner ne sc) || sc.isStopped) {
+          require(!sc.isStopped, "LabeledShard: cannot broadcast on a stopped SparkContext")
+          val n = ids.length
+          val norms = new Array[Double](n)
+          var i = 0
+          while (i < n) {
+            var s = 0.0; var j = 0
+            while (j < dim) { val v = flatVecs(i * dim + j); s += v * v; j += 1 }
+            norms(i) = math.sqrt(s); i += 1
+          }
+          bc = sc.broadcast((ids, flatVecs, norms, labels))
+          bcOwner = sc
+        }
+        bc
+      }
+  }
+
+  /** Build the labeled serve shard: the corpus vectors plus each row's
+    * label from `labels` (left join — corpus rows without a label keep
+    * null, exactly the batch operator's null-safe posture). Labels add
+    * a string per row to the same driver-side build `fitShard` pays;
+    * the cap posture is unchanged. */
+  def fitLabeledShard(corpus: DataFrame, labels: DataFrame,
+                      idCol: String = "vec_id", vecCol: String = "embedding",
+                      labelCol: String = "label",
+                      rowCap: Int = 1 << 20): LabeledShard = {
+    require(corpus.limit(rowCap + 1).count() <= rowCap,
+      s"LabeledShard: corpus exceeds the per-shard cap $rowCap — shard " +
+        "the corpus and merge per-anchor answers")
+    val lab = labels.select(col(idCol).cast("long").as("__lid"),
+                            col(labelCol).cast("string").as("__lab"))
+    val rows = corpus
+      .select(col(idCol).cast("long").as("__id"),
+              col(vecCol).cast("array<double>").as("__v"))
+      .join(broadcast(lab), col("__id") === col("__lid"), "left")
+      .select(col("__id"), col("__v"), col("__lab"))
+      .collect()
+    require(rows.nonEmpty, "LabeledShard: empty corpus frame")
+    val dim = rows(0).getSeq[Double](1).length
+    val ids = new Array[Long](rows.length)
+    val flat = new Array[Double](rows.length * dim)
+    val labs = new Array[String](rows.length)
+    var i = 0
+    while (i < rows.length) {
+      ids(i) = rows(i).getLong(0)
+      val v = rows(i).getSeq[Double](1)
+      require(v.length == dim,
+        s"LabeledShard: ragged vector at ${ids(i)} (${v.length} vs $dim)")
+      var j = 0
+      while (j < dim) {
+        val x = v(j)
+        require(java.lang.Double.isFinite(x),
+          s"LabeledShard: non-finite component $x at id ${ids(i)} dim $j")
+        flat(i * dim + j) = x; j += 1
+      }
+      labs(i) = if (rows(i).isNullAt(2)) null else rows(i).getString(2)
+      i += 1
+    }
+    LabeledShard(ids, flat, dim, labs)
+  }
+
+  /** Label-safe hard negatives at SERVE tier — `Mining.hardNegatives`'
+    * exact algebra (top-k window → null-safe same-label drop → rank
+    * 1..m) as one row-local scan per anchor (`functions.HardNegTopK`):
+    * no join, no window, no state — append-mode streaming-legal, which
+    * is what gives the mining family its live twin. Anchors carry
+    * their own label column (null = keep all neighbors). Bit-identical
+    * to the batch join+window spelling — MiningSpec pins it, and the
+    * streaming drain reuses the batch DuckDB oracle verbatim. */
+  def hardNegRows(anchors: DataFrame, shard: LabeledShard,
+                  k: Int = 20, m: Int = 5,
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  labelCol: String = "label"): DataFrame =
+    anchors
+      .select(col(idCol).cast("long").as("anchor_id"),
+        explode(graft.functions.ArrayMath.hardNegTopK(
+          col(idCol), col(vecCol), col(labelCol),
+          shard.broadcastWith(anchors.sparkSession.sparkContext),
+          shard.dim, k, m))
+          .as("__ng"))
+      .select(col("anchor_id"), col("__ng.neg_id").as("neg_id"),
+              col("__ng.cos").as("cos"), col("__ng.rank").as("rank"))
+
   /** The MEMORY-bound serve shard: PQ byte codes instead of raw
     * doubles — m bytes/vector vs dim·8 (64-dim/m=8 ⇒ 64× less shard-vector
     * RAM), the trade that decides how much corpus one serving node

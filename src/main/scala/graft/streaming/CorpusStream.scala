@@ -470,6 +470,31 @@ object CorpusStream {
     spark.table(name)
   }
 
+  /** The declared `q_hard_negatives_stream` runner — the MINING
+    * family's streaming twin (VERDICT r10 #3): a live ANCHOR feed
+    * served against the standing labeled shard
+    * (`AnnServe.fitLabeledShard`, batch-side fit), each anchor's
+    * label-safe hard negatives computed by ONE row-local scan
+    * expression (`functions.HardNegTopK` — the batch operator's
+    * top-k window → null-safe same-label drop → rank 1..m algebra
+    * collapsed into the scan; no join, no window, no state, append
+    * mode). The drained end state equals the batch
+    * `q_hard_negatives` row-for-row, so its FULL DuckDB oracle
+    * applies verbatim — the online-contrastive serve shape,
+    * oracle-pinned live. */
+  def hardNegOverFile(spark: org.apache.spark.sql.SparkSession,
+                      sfDir: String, k: Int = 20, m: Int = 5): DataFrame = {
+    val e = graft.Tables.embeddings(spark, sfDir)
+    val shard = graft.operators.AnnServe.fitLabeledShard(e, e)
+    val name = s"__graft_hardneg_${runSeq.incrementAndGet()}"
+    val q = graft.operators.AnnServe.hardNegRows(
+        graft.Tables.embeddingsStream(spark, sfDir).filter(col("vec_id") < 50),
+        shard, k, m)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
   // =====================================================================
   // Finite-input runners for the declared streaming dedup twins
   // =====================================================================

@@ -81,6 +81,53 @@ class MiningSpec extends AnyFunSuite {
       s"an all-same-label top-k window yields no negatives: ${a10.mkString(";")}")
   }
 
+  test("hardNegRows serve expression is bit-identical to the batch " +
+       "join+window spelling, including null-label anchors/neighbors") {
+    // vectors as above plus UNLABELED rows on both sides: anchor 20
+    // has no label (keeps ALL window members), neighbor 21 has none
+    // (never dropped) — the null-safe filter semantics the serve
+    // expression must reproduce exactly
+    import org.apache.spark.sql.functions._
+    val e = vecDf(Seq(
+      (0L, Seq(1f, 0f, 0f, 0f), 0),
+      (1L, Seq(0.99f, 0.1f, 0f, 0f), 0),
+      (4L, Seq(0.97f, 0.2f, 0f, 0f), 1),
+      (5L, Seq(0.6f, 0.6f, 0.5f, 0f), 2),
+      (10L, Seq(0f, 0f, 0f, 1f), 9),
+      (11L, Seq(0f, 0f, 0.1f, 0.99f), 9),
+      (12L, Seq(0f, 0.1f, 0f, 0.98f), 9)))
+      .unionByName(vecDf(Seq(
+        (20L, Seq(0.98f, 0.15f, 0f, 0f), 0),
+        (21L, Seq(0.96f, 0.25f, 0f, 0f), 0)))
+        .withColumn("label", lit(null).cast("int")))
+    val anchors = e
+    val batch = Mining.hardNegatives(anchors, e, e, k = 3, m = 3)
+      .orderBy("anchor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val shard = graft.operators.AnnServe.fitLabeledShard(e, e)
+    val serve = graft.operators.AnnServe.hardNegRows(anchors, shard, k = 3, m = 3)
+      .orderBy("anchor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(serve.toSeq == batch.toSeq,
+      s"serve-tier hard negatives diverged from the batch spelling:\n" +
+        s"serve=${serve.mkString(";")}\nbatch=${batch.mkString(";")}")
+    // the unlabeled anchor kept a full window (nothing droppable)
+    assert(serve.count(_._1 == 20L) == 3)
+  }
+
+  test("q_hard_negatives_stream drains to the batch q_hard_negatives " +
+       "row set exactly") {
+    val sf = "/root/testdata/sf0.001"
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))
+    val streamed = SparkEntry.queries("q_hard_negatives_stream")(spark, sf)
+      .collect().map(key).sortBy(t => (t._1, t._4))
+    val batch = SparkEntry.queries("q_hard_negatives")(spark, sf)
+      .collect().map(key).sortBy(t => (t._1, t._4))
+    assert(streamed.toSeq == batch.toSeq,
+      "drained hard-negative stream diverged from the batch operator")
+  }
+
   test("q_hard_negatives declared query: deterministic, label-safe, " +
        "at most 5 per anchor") {
     val sf = "/root/testdata/sf0.001"

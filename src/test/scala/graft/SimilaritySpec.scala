@@ -180,6 +180,58 @@ class SimilaritySpec extends AnyFunSuite {
     both.foreach { case (a, e) => assert(math.abs(a - e) < 1e-5, s"$a vs $e") }
   }
 
+  test("sim_graph_topk recall@10 >= 0.9 vs brute force on sf0.001 " +
+       "(beam search over the kNN graph at declared parameters)") {
+    val exact = SparkEntry.queries("q_sim_bruteforce")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = SparkEntry.queries("sim_graph_topk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(s"graph-beam recall@10 = $recall (${(exact & approx).size}/${exact.size})")
+    assert(recall >= 0.9, s"recall $recall too low")
+  }
+
+  test("graph-beam serve: over a complete graph with ef >= n the beam " +
+       "is bit-identical to the flat exact serve (small-N exactness pin)") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, sf).filter(col("vec_id") < 40)
+    val n = e.count().toInt
+    // complete graph: every node's exact top-(n-1) — beam search over
+    // it with ef >= n visits everything reachable from any entry, so
+    // the result must equal the exhaustive scan bit for bit
+    val flat = graft.operators.AnnServe.fitShard(e)
+    val edges = graft.operators.AnnServe.topkRows(e, flat, k = n - 1)
+    val shard = graft.operators.AnnServe.fitGraphShard(
+      e, edges, nEntries = 4, degreeCap = n)
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val beam = graft.operators.AnnServe
+      .graphTopkRows(e.filter(col("vec_id") < 10), shard, k = 10,
+        ef = n, maxVisit = 4 * n)
+      .orderBy("query_id", "neighbor_id").collect().map(key)
+    val brute = graft.operators.AnnServe
+      .topkRows(e.filter(col("vec_id") < 10), flat, k = 10)
+      .orderBy("query_id", "neighbor_id").collect().map(key)
+    assert(beam.toSeq == brute.toSeq,
+      "beam over a complete graph with ef >= n must equal the exact serve")
+  }
+
+  test("graph-beam serve: maxVisit bounds the walk (loud sub-ef results, " +
+       "never an unbounded scan)") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, sf)
+    val graph = graft.operators.Ivf.knnGraph(e, "vec_id", "embedding", k = 8)
+    val shard = graft.operators.AnnServe.fitGraphShard(e, graph)
+    // a tight maxVisit still returns (possibly fewer, never junk) rows
+    val out = graft.operators.AnnServe
+      .graphTopkRows(e.filter(col("vec_id") < 3), shard, k = 10,
+        ef = 16, maxVisit = 16)
+      .collect()
+    assert(out.nonEmpty && out.forall(r => r.getDouble(2) <= 1.000001))
+    val grouped = out.groupBy(_.getLong(0))
+    assert(grouped.forall(_._2.length <= 10))
+  }
+
   test("ann serve: row-local shard scan is bit-identical to the join+window plan") {
     val key = (r: org.apache.spark.sql.Row) =>
       (r.getLong(0), r.getLong(1), r.getDouble(2))
