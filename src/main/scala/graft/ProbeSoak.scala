@@ -469,6 +469,105 @@ object ProbeSoak {
       }
       spark.stop(); return
     }
+    if (mode == "logio") {
+      // WRITE-VOLUME soak for the upsert-log state spelling (r11,
+      // VERDICT r10 #4): the production claim is "O(|changed|) write
+      // I/O per batch" (GraphStream.scala header) vs the snapshot
+      // spelling's O(n) full write. MEASURE it: same FIXED-size arrival
+      // batches absorbed into a standing graph under both spellings,
+      // bytes written per batch = new files under the state dir after
+      // each advance (files, not net dir size — retention deletes must
+      // not offset writes). Gates:
+      //  (a) within a scale, every non-compaction log batch writes
+      //      ≤ 25% of the snapshot spelling's same-batch bytes;
+      //  (b) across scales (run with 2+ scales, e.g. 48 96), the
+      //      snapshot per-batch bytes grow with the corpus (≥ 1.5× at
+      //      2× n) while the log per-batch bytes stay flat (≤ 1.5×) —
+      //      |changed| is fixed by construction, so this is exactly
+      //      "log ≤ c·|changed| while snapshot grows O(n)".
+      // The compaction batch (every compactEvery-th) deliberately pays
+      // a full snapshot — printed, excluded from (a)/(b), its bound is
+      // replay length not write volume.
+      import graft.streaming.GraphStream
+      val batchRows = 500
+      val nBatches = 4
+      def filesUnder(root: java.io.File): Map[String, Long] = {
+        val out = scala.collection.mutable.Map.empty[String, Long]
+        def rec(f: java.io.File): Unit =
+          if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rec)
+          else out(f.getPath) = f.length()
+        rec(root); out.toMap
+      }
+      val perScale = scales.map { s =>
+        val dir = s"$OutRoot/x$s"
+        if (!new java.io.File(s"$dir/embeddings.parquet").exists) {
+          genEmbeddings(spark, s).repartition(32).write.mode("overwrite")
+            .parquet(s"$dir/embeddings.parquet")
+        }
+        val e = spark.read.parquet(s"$dir/embeddings.parquet").localCheckpoint(true)
+        val holdout = e.select("vec_id").orderBy(col("vec_id").desc)
+          .limit(nBatches * batchRows).collect().map(_.getLong(0))
+        val cut = holdout.min
+        val boot = e.filter(col("vec_id") < cut).localCheckpoint(true)
+        val n = boot.count()
+        val batches = holdout.sorted.grouped(batchRows).toSeq.map(ids =>
+          e.filter(col("vec_id").isInCollection(ids)).localCheckpoint(true))
+        val written = Seq("snapshot", "upsertlog").map { fmt =>
+          val state = java.nio.file.Files
+            .createTempDirectory(s"graft_logio_$fmt").toString
+          val g = new GraphStream.MaintainedGraph(spark, state, k = 5,
+            stateFormat = fmt, compactEvery = nBatches)
+          g.advance(1L, boot)
+          var seen = filesUnder(new java.io.File(state))
+          val perBatch = batches.zipWithIndex.map { case (b, i) =>
+            g.advance(2L + i, b)
+            val now = filesUnder(new java.io.File(state))
+            val w = now.filterNot { case (p, _) => seen.contains(p) }.values.sum
+            seen = now
+            w
+          }
+          def rmRec(f: java.io.File): Unit = {
+            if (f.isDirectory)
+              Option(f.listFiles()).getOrElse(Array.empty).foreach(rmRec)
+            f.delete(): Unit
+          }
+          rmRec(new java.io.File(state))
+          fmt -> perBatch
+        }.toMap
+        val snap = written("snapshot"); val log = written("upsertlog")
+        // compaction lands on the LAST batch (bootstrap snapshot at v=1,
+        // deltas at v=2..compactEvery, snapshot again at v=1+compactEvery)
+        val logDelta = log.dropRight(1); val snapDelta = snap.dropRight(1)
+        logDelta.zip(snapDelta).zipWithIndex.foreach { case ((l, sn), i) =>
+          require(l <= sn / 4,
+            s"x$s batch ${i + 1}: log wrote $l bytes vs snapshot $sn — " +
+              "the delta segment must stay well under the full snapshot")
+        }
+        println(f"[soak-logio] x$s%-3d n=$n%8d batch=$batchRows " +
+          f"snapPerBatch=${snapDelta.map(_ / 1e6).map(v => f"$v%.2f").mkString("/")}MB " +
+          f"logPerBatch=${logDelta.map(_ / 1e3).map(v => f"$v%.1f").mkString("/")}KB " +
+          f"compactionBatch=${log.last / 1e6}%.2fMB (snapshot relands, by design)")
+        (s, n, snapDelta.map(_.toDouble).sum / snapDelta.size,
+         logDelta.map(_.toDouble).sum / logDelta.size)
+      }
+      perScale.sliding(2).foreach {
+        case Seq((s1, n1, snap1, log1), (s2, n2, snap2, log2)) if n2 > n1 =>
+          val nRatio = n2.toDouble / n1
+          val snapRatio = snap2 / snap1
+          val logRatio = log2 / log1
+          require(snapRatio >= 1.0 + (nRatio - 1.0) * 0.5,
+            f"snapshot per-batch bytes must grow with the corpus: x$s1 -> x$s2 " +
+              f"ratio $snapRatio%.2f at corpus ratio $nRatio%.2f")
+          require(logRatio <= 1.5,
+            f"log per-batch bytes must stay flat at fixed |changed|: " +
+              f"x$s1 -> x$s2 ratio $logRatio%.2f")
+          println(f"[soak-logio] x$s1 -> x$s2: corpus ${nRatio}%.2fx " +
+            f"snapshotBytes ${snapRatio}%.2fx logBytes ${logRatio}%.2fx " +
+            "(log flat, snapshot O(n) — claim measured)")
+        case _ => ()
+      }
+      spark.stop(); return
+    }
     if (mode == "knn2sweep") {
       // (npc, npf) probe-split sweep for the two-level path: recall vs
       // the exact graph on the real sf0.1 table and on x4 noise —

@@ -1475,7 +1475,23 @@ object Queries {
       val tgt = e.filter(col("vec_id") % 2 =!= 0)
       operators.Mining.bitextMine(src, tgt, k = 4).orderBy("src_id")
     },
-    Some(s"""WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 400 AND vec_id % 2 = 0),
+    Some(bitextMineSql))
+
+  /** Bitext mining's STREAMING twin (FULL oracle): the src collection
+    * arrives live and each row's margin-mined pair is one row-local
+    * scan (`functions.BitextTopMargin` — the whole batch algebra
+    * inside the scan; backward means fitted batch-side into the
+    * shard). No join, no window, no state ⇒ append-legal; the drained
+    * end state equals the batch `q_bitext_mine` row set, so its full
+    * DuckDB oracle applies verbatim even live. */
+  private val qBitextMineStream = Q(
+    "q_bitext_mine_stream",
+    (s, d) => streaming.CorpusStream.bitextOverFile(s, d, k = 4)
+      .orderBy("src_id"),
+    Some(bitextMineSql))
+
+  private lazy val bitextMineSql: String =
+    s"""WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 400 AND vec_id % 2 = 0),
       |t AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 400 AND vec_id % 2 <> 0),
       |fc AS (SELECT s.vec_id AS src_id, t.vec_id AS tgt_id,
       |  ${sqlCosExpr("s.embedding", "t.embedding")} AS cos
@@ -1498,7 +1514,7 @@ object Queries {
       |SELECT src_id, tgt_id, cos, margin FROM (
       | SELECT src_id, tgt_id, cos, margin,
       |  row_number() OVER (PARTITION BY src_id ORDER BY margin DESC, tgt_id ASC) AS rn
-      | FROM m) WHERE rn = 1 ORDER BY src_id""".stripMargin))
+      | FROM m) WHERE rn = 1 ORDER BY src_id""".stripMargin
 
   /** Label-safe HARD-NEGATIVE MINING (`operators.Mining.hardNegatives`)
     * — each anchor's nearest different-label neighbors inside its
@@ -4723,7 +4739,8 @@ object Queries {
     qTextStats, qLangId, qLangClassifier, qLangClassifierStream, qTokenCount, qTfidfTop, qFingerprint,
     qWinnowFingerprint, qCorpusClean,
     qDedupExact, qNgramJaccard, qSimBruteforce, qSimServe, qSimServeSharded,
-    qSimServeStream, qBitextMine, qHardNegatives, qHardNegativesStream,
+    qSimServeStream, qBitextMine, qBitextMineStream,
+    qHardNegatives, qHardNegativesStream,
     qKnnGraph, qKnnGraphSharded, qKnnGraphInc, qKnnGraphDel, qKnnGraphStream,
     qKnnGraphStreamLog,
     qContinuousCorpus, qContinuousCorpusLog, qKnnGraphIvf,

@@ -1011,6 +1011,143 @@ case class GraphBeamTopK(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/** Row-local MARGIN-CRITERION BITEXT serve — `operators.Mining.
+  * bitextMine`'s per-src algebra (forward top-k window → neighborhood
+  * means → ratio margin → per-src argmax) collapsed into ONE scan
+  * expression, which is what makes bitext mining streaming-legal: the
+  * batch spelling needs two aggregation joins and a ranking window
+  * (illegal in append mode), this needs no join, no shuffle, no state.
+  * The forward top-k phase is `CosineTopK`'s loop verbatim; avg_src is
+  * the window's rank-order mean (the same left-to-right accumulation
+  * Spark's single-partition `avg` performs on the exploded batch
+  * frame); avg_tgt rides the shard broadcast aligned by index, FITTED
+  * batch-side from the same backward serve the batch operator runs —
+  * so every double matches the batch join bit for bit. Margin is
+  * HALF_UP-6dp of cos/((avg_src+avg_tgt)/2), 0 on a non-positive
+  * denominator, argmax by (margin desc, tgt_id asc) — the batch
+  * window's exact order. Emits a single-element array (the mined
+  * pair), ids still in the caller's disjoint remap space. */
+case class BitextTopMargin(left: Expression, right: Expression,
+                           shard: org.apache.spark.broadcast.Broadcast[(Array[Long], Array[Double], Array[Double], Array[Double])],
+                           dim: Int, k: Int) extends BinaryExpression {
+  require(dim > 0 && k >= 1, s"bitext_top_margin: bad dim=$dim k=$k")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("tgt_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("cos", DoubleType,
+          nullable = false),
+        org.apache.spark.sql.types.StructField("margin", DoubleType,
+          nullable = false))),
+      containsNull = false)
+
+  def top(qid: Long, qv: ArrayData): ArrayData = {
+    val (ids, flatVecs, norms, avgTgt) = shard.value
+    val n = flatVecs.length / dim
+    if (flatVecs.length != n * dim || ids.length != n || norms.length != n ||
+        avgTgt.length != n)
+      throw new IllegalArgumentException(
+        s"bitext_top_margin: ragged shard (${ids.length} ids, " +
+          s"${flatVecs.length} values, ${norms.length} norms, " +
+          s"${avgTgt.length} avgs at dim $dim)")
+    if (qv.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"bitext_top_margin: query vector has ${qv.numElements()} elements, " +
+          s"need exactly $dim — index shard does not match the data")
+    val q = new Array[Double](dim)
+    var j = 0
+    while (j < dim) {
+      val x = qv.getDouble(j)
+      if (!java.lang.Double.isFinite(x))
+        throw new IllegalArgumentException(
+          s"bitext_top_margin: non-finite query component $x at id $qid " +
+            s"dim $j — clean the src feed before serving")
+      q(j) = x; j += 1
+    }
+    var qq = 0.0
+    j = 0
+    while (j < dim) { qq += q(j) * q(j); j += 1 }
+    val qn = math.sqrt(qq)
+    // phase 1: CosineTopK's exact rounded forward window
+    val topCos = new Array[Double](k); val topId = new Array[Long](k)
+    val topIx = new Array[Int](k)
+    var filled = 0
+    var i = 0
+    while (i < n) {
+      if (ids(i) != qid) {
+        var dp = 0.0
+        j = 0
+        while (j < dim) { dp += q(j) * flatVecs(i * dim + j); j += 1 }
+        val denom = qn * norms(i)
+        val raw = if (denom > 0) dp / denom else 0.0
+        if (java.lang.Double.isFinite(raw) &&
+            (filled < k || raw >= topCos(k - 1) - 1e-6)) {
+          val c = java.math.BigDecimal.valueOf(raw)
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+          val id = ids(i)
+          var p = filled
+          while (p > 0 && (topCos(p - 1) < c ||
+                   (topCos(p - 1) == c && topId(p - 1) > id))) p -= 1
+          if (p < k) {
+            val last = math.min(filled, k - 1)
+            var w = last
+            while (w > p) {
+              topCos(w) = topCos(w - 1); topId(w) = topId(w - 1)
+              topIx(w) = topIx(w - 1); w -= 1
+            }
+            topCos(p) = c; topId(p) = id; topIx(p) = i
+            if (filled < k) filled += 1
+          }
+        }
+      }
+      i += 1
+    }
+    if (filled == 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    // phase 2: rank-order mean (= the batch frame's single-partition
+    // avg), per-candidate ratio margin, argmax (margin desc, id asc)
+    var sum = 0.0
+    var t = 0
+    while (t < filled) { sum += topCos(t); t += 1 }
+    val avgSrc = sum / filled
+    var bestT = -1; var bestMargin = 0.0
+    t = 0
+    while (t < filled) {
+      val den = (avgSrc + avgTgt(topIx(t))) / 2.0
+      val m =
+        if (den > 0.0)
+          java.math.BigDecimal.valueOf(topCos(t) / den)
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        else 0.0
+      if (bestT < 0 || m > bestMargin ||
+          (m == bestMargin && topId(t) < topId(bestT))) {
+        bestT = t; bestMargin = m
+      }
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(Array[Any](
+      org.apache.spark.sql.catalyst.InternalRow(
+        topId(bestT), topCos(bestT), bestMargin)))
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    top(l.asInstanceOf[Long], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (qid, qv) => {
+      val ref = ctx.addReferenceObj("bitextShardTop", this, classOf[BitextTopMargin].getName)
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.top($qid, $qv);"
+    })
+
+  override def prettyName: String = "bitext_top_margin"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Row-local LABEL-SAFE HARD-NEGATIVE serve — the exact algebra of
   * `operators.Mining.hardNegatives` (top-k window → same-label drop →
   * re-rank 1..m) collapsed into ONE scan expression, which is what
@@ -1631,6 +1768,11 @@ object ArrayMath {
                     dim: Int, k: Int, ef: Int, maxVisit: Int): Column =
     column(GraphBeamTopK(expression(queryId.cast("long")), expression(d(vec)),
       shard, dim, k, ef, maxVisit))
+  def bitextTopMargin(queryId: Column, vec: Column,
+                      shard: org.apache.spark.broadcast.Broadcast[(Array[Long], Array[Double], Array[Double], Array[Double])],
+                      dim: Int, k: Int): Column =
+    column(BitextTopMargin(expression(queryId.cast("long")), expression(d(vec)),
+      shard, dim, k))
   def hardNegTopK(queryId: Column, vec: Column, anchorLab: Column,
                   shard: org.apache.spark.broadcast.Broadcast[(Array[Long], Array[Double], Array[Double], Array[String])],
                   dim: Int, k: Int, m: Int): Column =

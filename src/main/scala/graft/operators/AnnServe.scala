@@ -413,6 +413,149 @@ object AnnServe {
       .select(col("query_id"), col("__nb.neighbor_id").as("neighbor_id"),
               col("__nb.cos").as("cos"))
 
+  /** Partition the corpus into `nShards` hash shards and fit an
+    * INDEPENDENT graph index per shard — the 100 TB deployment shape
+    * for the beam tier: each serving node builds the kNN graph over
+    * its own partition (`Ivf.knnGraph`, the same IVF-bounded
+    * construction the declared graph queries run) and answers queries
+    * by local beam search; `graphTopkRowsSharded` merges per-query
+    * answers. The shard key is computed IN SPARK (`pmod(xxhash64)`,
+    * the `fitShards` rule) and the corpus is scanned once into hot
+    * blocks before the per-shard builds. Per-shard graphs are DENSER
+    * search structures than a global graph filtered to the shard
+    * (cross-shard arcs would dangle), which is why the build is
+    * per-partition — exactly what each serving node would do. */
+  def fitGraphShards(embeddings: DataFrame, nShards: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     k: Int = 8, nEntries: Int = 16, degreeCap: Int = 32,
+                     rowCap: Int = 1 << 20): IndexedSeq[GraphShard] = {
+    require(nShards >= 1, s"fitGraphShards: need nShards >= 1, got $nShards")
+    val tagged = embeddings
+      .select(col(idCol).cast("long").as(idCol),
+              col(vecCol).cast("array<double>").as(vecCol))
+      .withColumn("__sh",
+        pmod(xxhash64(col(idCol)), lit(nShards)).cast("int"))
+      .localCheckpoint()
+    (0 until nShards).map { s =>
+      val part = tagged.filter(col("__sh") === s).drop("__sh")
+      require(part.limit(1).count() == 1,
+        s"fitGraphShards: shard $s is empty — nShards=$nShards is " +
+          "oversized for this corpus; lower it")
+      val graph = graft.operators.Ivf.knnGraph(part, idCol, vecCol, k)
+      fitGraphShard(part, graph, idCol, vecCol, nEntries, degreeCap, rowCap)
+    }
+  }
+
+  /** Cross-shard merge for the beam tier: per-shard beam answers
+    * unioned and re-cut to k per query on the serve family's
+    * (cos desc, neighbor_id asc) order — `topkRowsSharded`'s merge
+    * applied to `GraphShard`s. Exact over the union of per-shard BEAM
+    * answers (the approximation lives inside each shard's walk, the
+    * merge adds none); recall is gated in SimilaritySpec. */
+  def graphTopkRowsSharded(queries: DataFrame, shards: Seq[GraphShard],
+                           k: Int = 10, ef: Int = 64, maxVisit: Int = 4096,
+                           idCol: String = "vec_id",
+                           vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(shards.nonEmpty, "graphTopkRowsSharded: no shards")
+    require(shards.map(_.dim).distinct.size == 1,
+      s"graphTopkRowsSharded: mixed shard dims ${shards.map(_.dim).distinct}")
+    val unioned = shards
+      .map(sh => graphTopkRows(queries, sh, k, ef, maxVisit, idCol, vecCol))
+      .reduce(_ unionAll _)
+    if (shards.size == 1) unioned
+    else {
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("neighbor_id").asc)
+      unioned.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= k).drop("__rn")
+    }
+  }
+
+  /** The raw serve shard plus each target row's backward-neighborhood
+    * mean (avg cos of its top-k in the SOURCE collection), aligned by
+    * shard index — what `functions.BitextTopMargin` scans for
+    * streaming bitext mining. The means are fitted batch-side by the
+    * same backward serve the batch operator runs, so the margin
+    * denominators match it bit for bit. */
+  final case class BitextShard(ids: Array[Long], flatVecs: Array[Double],
+                               dim: Int, avgTgt: Array[Double]) {
+    require(dim > 0 && flatVecs.length == ids.length * dim &&
+        avgTgt.length == ids.length,
+      s"BitextShard: ragged (${ids.length} ids, ${flatVecs.length} values, " +
+        s"${avgTgt.length} avgs at dim $dim)")
+    @transient private var bc:
+        org.apache.spark.broadcast.Broadcast[(Array[Long], Array[Double], Array[Double], Array[Double])] = _
+    @transient private var bcOwner: org.apache.spark.SparkContext = _
+    private[graft] def broadcastWith(sc: org.apache.spark.SparkContext):
+        org.apache.spark.broadcast.Broadcast[(Array[Long], Array[Double], Array[Double], Array[Double])] =
+      synchronized {
+        if (bc == null || (bcOwner ne sc) || sc.isStopped) {
+          require(!sc.isStopped, "BitextShard: cannot broadcast on a stopped SparkContext")
+          val n = ids.length
+          val norms = new Array[Double](n)
+          var i = 0
+          while (i < n) {
+            var s = 0.0; var j = 0
+            while (j < dim) { val v = flatVecs(i * dim + j); s += v * v; j += 1 }
+            norms(i) = math.sqrt(s); i += 1
+          }
+          bc = sc.broadcast((ids, flatVecs, norms, avgTgt))
+          bcOwner = sc
+        }
+        bc
+      }
+  }
+
+  /** Fit the bitext serve shard over the (already id-remapped) target
+    * collection: the raw vector shard plus each target's
+    * backward-neighborhood mean — `avg(cos)` of its top-k against the
+    * SOURCE shard, computed by the very DataFrame aggregation the
+    * batch operator joins on (`Mining.bitextMine`'s `avgTgt`), then
+    * collected and aligned by shard index. Every target is a backward
+    * query, so the mean exists for every row (loudly required). */
+  def fitBitextShard(tgt: DataFrame, srcShard: AnnShard, k: Int,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding",
+                     rowCap: Int = 1 << 20): BitextShard = {
+    val base = {
+      require(tgt.limit(rowCap + 1).count() <= rowCap,
+        s"BitextShard: targets exceed the per-shard cap $rowCap — shard " +
+          "the collection and merge per-src answers")
+      buildShard(tgt
+        .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+        .collect())
+    }
+    val avgRows = topkRows(tgt, srcShard, k, idCol, vecCol)
+      .groupBy(col("query_id")).agg(avg(col("cos")).as("avg_tgt"))
+      .collect()
+    val byId = avgRows.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val avgTgt = base.ids.map { id =>
+      byId.getOrElse(id, throw new IllegalArgumentException(
+        s"BitextShard: target $id has no backward neighborhood — " +
+          "src collection empty?"))
+    }
+    BitextShard(base.ids, base.flatVecs, base.dim, avgTgt)
+  }
+
+  /** Per-src margin-criterion mined pair at SERVE tier — one row-local
+    * scan per arriving src (`functions.BitextTopMargin`): no join, no
+    * window, no state, append-mode streaming-legal. Ids are in the
+    * caller's remap space; `Mining.bitextMineServe` wraps the remap
+    * and un-map. */
+  def bitextTopRows(src: DataFrame, shard: BitextShard, k: Int,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame =
+    src
+      .select(col(idCol).cast("long").as("src_id"),
+        explode(graft.functions.ArrayMath.bitextTopMargin(
+          col(idCol), col(vecCol),
+          shard.broadcastWith(src.sparkSession.sparkContext),
+          shard.dim, k))
+          .as("__bt"))
+      .select(col("src_id"), col("__bt.tgt_id").as("tgt_id"),
+              col("__bt.cos").as("cos"), col("__bt.margin").as("margin"))
+
   /** The raw serve shard plus a label per corpus row, aligned by shard
     * index — what `functions.HardNegTopK` scans for label-safe
     * hard-negative mining at serve tier. Missing labels stay null

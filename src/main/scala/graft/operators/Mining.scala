@@ -61,22 +61,23 @@ object Mining {
     * the output maps back to the callers' original ids. Ids must fit
     * in 62 bits for the doubling; enforced per row inside the remap.
     */
+  // raiseError inside a when() keeps the guard row-local and
+  // codegen'd — no extra validation job over either collection.
+  private def remap(df: DataFrame, parity: Int, idCol: String): DataFrame = {
+    val id = col(idCol).cast("long")
+    val guarded = when(id >= lit(Long.MaxValue / 4) || id <= lit(Long.MinValue / 4),
+        raise_error(concat(lit(s"bitextMine: $idCol out of 62-bit remap range: "),
+                           id.cast("string"))).cast("long"))
+      .otherwise(id * 2 + parity)
+    df.withColumn(idCol, guarded)
+  }
+
   def bitextMine(src: DataFrame, tgt: DataFrame, k: Int,
                  idCol: String = "vec_id",
                  vecCol: String = "embedding"): DataFrame = {
     require(k >= 1, s"k=$k")
-    // raiseError inside a when() keeps the guard row-local and
-    // codegen'd — no extra validation job over either collection.
-    def remap(df: DataFrame, parity: Int): DataFrame = {
-      val id = col(idCol).cast("long")
-      val guarded = when(id >= lit(Long.MaxValue / 4) || id <= lit(Long.MinValue / 4),
-          raise_error(concat(lit(s"bitextMine: $idCol out of 62-bit remap range: "),
-                             id.cast("string"))).cast("long"))
-        .otherwise(id * 2 + parity)
-      df.withColumn(idCol, guarded)
-    }
-    val src2 = remap(src, 0)
-    val tgt2 = remap(tgt, 1)
+    val src2 = remap(src, 0, idCol)
+    val tgt2 = remap(tgt, 1, idCol)
     val tgtShard = AnnServe.fitShard(tgt2, idCol, vecCol)
     val srcShard = AnnServe.fitShard(src2, idCol, vecCol)
     val fwd = AnnServe.topkRows(src2, tgtShard, k, idCol, vecCol)
@@ -138,4 +139,35 @@ object Mining {
     filtered.withColumn("rank", row_number().over(w)).filter(col("rank") <= m)
       .select("anchor_id", "neg_id", "cos", "rank")
   }
+
+  /** Fit the serve half of bitext mining: the target collection's
+    * `BitextShard` (vectors + batch-identical backward-neighborhood
+    * means) in the internal disjoint remap space. Batch-side; the
+    * returned shard answers any (possibly streaming) src feed through
+    * `bitextMineServe`. */
+  def fitBitextServe(src: DataFrame, tgt: DataFrame, k: Int,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): AnnServe.BitextShard = {
+    require(k >= 1, s"k=$k")
+    val srcShard = AnnServe.fitShard(remap(src, 0, idCol), idCol, vecCol)
+    AnnServe.fitBitextShard(remap(tgt, 1, idCol), srcShard, k, idCol, vecCol)
+  }
+
+  /** `bitextMine` at SERVE tier — each src row's mined pair computed
+    * by one row-local scan (`functions.BitextTopMargin`: forward
+    * window, neighborhood means, ratio margin, argmax — the whole
+    * batch algebra inside the scan, with the backward means fitted
+    * into the shard). No join, no window, no state ⇒ append-mode
+    * streaming-legal, and bit-identical to `bitextMine` row-for-row
+    * (MiningSpec pins it; the streaming drain reuses the batch DuckDB
+    * oracle verbatim). Output: (src_id, tgt_id, cos, margin) in the
+    * callers' original id spaces. */
+  def bitextMineServe(src: DataFrame, shard: AnnServe.BitextShard, k: Int,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame =
+    AnnServe.bitextTopRows(remap(src, 0, idCol), shard, k, idCol, vecCol)
+      // both operands even ⇒ the arithmetic shift un-map is exact
+      .select(shiftright(col("src_id"), 1).as("src_id"),
+              shiftright(col("tgt_id") - 1, 1).as("tgt_id"),
+              col("cos"), col("margin"))
 }

@@ -470,6 +470,30 @@ object CorpusStream {
     spark.table(name)
   }
 
+  /** The declared `q_bitext_mine_stream` runner — bitext mining's
+    * live twin: the src "language" arrives as a stream and each row's
+    * margin-mined pair is computed by ONE row-local scan
+    * (`functions.BitextTopMargin` — forward window, neighborhood
+    * means, ratio margin, argmax all inside the scan; the backward
+    * means are fitted batch-side into the shard by the same serve the
+    * batch operator runs). No join, no window, no state, append mode;
+    * the drained end state equals the batch `q_bitext_mine`
+    * row-for-row, so its FULL DuckDB oracle applies verbatim. */
+  def bitextOverFile(spark: org.apache.spark.sql.SparkSession,
+                     sfDir: String, k: Int = 4): DataFrame = {
+    val e = graft.Tables.embeddings(spark, sfDir).filter(col("vec_id") < 400)
+    val shard = graft.operators.Mining.fitBitextServe(
+      e.filter(col("vec_id") % 2 === 0), e.filter(col("vec_id") % 2 =!= 0), k)
+    val name = s"__graft_bitext_${runSeq.incrementAndGet()}"
+    val q = graft.operators.Mining.bitextMineServe(
+        graft.Tables.embeddingsStream(spark, sfDir)
+          .filter(col("vec_id") < 400 && col("vec_id") % 2 === 0),
+        shard, k)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
   /** The declared `q_hard_negatives_stream` runner — the MINING
     * family's streaming twin (VERDICT r10 #3): a live ANCHOR feed
     * served against the standing labeled shard

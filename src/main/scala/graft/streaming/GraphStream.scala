@@ -88,6 +88,14 @@ object GraphStream {
     // it was the dominant per-batch latency. Refit happens ONCE after
     // recovery (hotShard = None), from the snapshot.
     @volatile private var hotShard: Option[(Int, AnnServe.AnnShard)] = None
+    // The GRAPH serve shard (symmetrized adjacency + entry points) at
+    // the current version — fitted lazily on first beam serve and
+    // invalidated by version advance, because unlike the flat shard it
+    // derives from the EDGES too and the incremental operators rewrite
+    // neighbor lists wholesale per batch. Fit cost is the CSR build
+    // over the standing n·k edge rows (collect-bounded exactly like
+    // the flat shard's corpus collect) plus one IVF centroid fit.
+    @volatile private var hotGraphShard: Option[(Int, AnnServe.GraphShard)] = None
 
     def version: Int = cur._1
     def lastAppliedBatchId: Long = cur._2
@@ -182,6 +190,39 @@ object GraphStream {
         (v0, shardBehind(corpus))
       }
       AnnServe.topkRows(queries, shard, kServe, idCol, vecCol)
+        .withColumn("graph_version", lit(v))
+    }
+
+    /** BEAM serve against the standing maintained graph — the r11
+      * payoff of maintaining the graph at all: the versioned edges the
+      * incremental operators keep current ARE the search structure, so
+      * a query walks O(visited·degree·dim) of the corpus instead of
+      * `serveSnapshot`'s full O(n·dim) scan (`functions.GraphBeamTopK`;
+      * HNSW layer-0 semantics, IVF-seeded entries). Same versioned-
+      * answer contract and the same lock discipline as `serveSnapshot`;
+      * the graph shard is fitted once per committed version from the
+      * hot (corpus, edges) blocks and reused until the next advance.
+      * Because the build is deterministic in (corpus, edges), the
+      * maintained serve is bit-identical to `fitGraphShard` over the
+      * batch-rebuilt graph at the same version — StreamingSpec gates
+      * exactly that. */
+    def serveBeamSnapshot(queries: DataFrame, kServe: Int = 10,
+                          ef: Int = 64, maxVisit: Int = 4096): DataFrame = {
+      val (v, gShard) = synchronized {
+        val (v0, _) = cur
+        require(v0 > 0, "MaintainedGraph: no committed version yet")
+        val gs = hotGraphShard match {
+          case Some((hv, s)) if hv == v0 => s
+          case _ =>
+            val (c, e) = hotState
+            val s = AnnServe.fitGraphShard(c, e, idCol, vecCol)
+            hotGraphShard = Some((v0, s))
+            s
+        }
+        (v0, gs)
+      }
+      AnnServe.graphTopkRows(queries, gShard, kServe, ef, maxVisit,
+          idCol, vecCol)
         .withColumn("graph_version", lit(v))
     }
 

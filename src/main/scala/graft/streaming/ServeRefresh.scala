@@ -73,6 +73,21 @@ object ServeRefresh {
       : RefreshableIndex[AnnServe.SqShard] =
     new RefreshableIndex(c => AnnServe.fitSqShard(c, idCol, vecCol))
 
+  /** Graph-beam tier (`GraphShard`) — the kNN graph is REBUILT with
+    * the shard each refresh (IVF-bounded `Ivf.knnGraph` construction,
+    * the declared queries' operator): a version is (vectors, graph,
+    * entry points) together, the same all-or-nothing rule as the PQ
+    * tier's codebooks. A long-running service maintaining the graph
+    * incrementally uses `GraphStream.MaintainedGraph.serveBeamSnapshot`
+    * instead — this constructor is the refit-from-corpus spelling. */
+  def graphIndex(k: Int = 8, idCol: String = "vec_id",
+                 vecCol: String = "embedding")
+      : RefreshableIndex[AnnServe.GraphShard] =
+    new RefreshableIndex(c => {
+      val graph = graft.operators.Ivf.knnGraph(c, idCol, vecCol, k)
+      AnnServe.fitGraphShard(c, graph, idCol, vecCol)
+    })
+
   /** PQ tier (`PqShard`) — model refit WITH the shard each refresh;
     * a version is (codebooks, codes) together. */
   def pqIndex(m: Int = 16, ksub: Int = 16,

@@ -81,6 +81,37 @@ class MiningSpec extends AnyFunSuite {
       s"an all-same-label top-k window yields no negatives: ${a10.mkString(";")}")
   }
 
+  test("bitextMineServe is bit-identical to the batch bitextMine on " +
+       "the sf0.001 declared slice") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val e = Tables.embeddings(spark, sf).filter(col("vec_id") < 400)
+    val src = e.filter(col("vec_id") % 2 === 0)
+    val tgt = e.filter(col("vec_id") % 2 =!= 0)
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+    val batch = Mining.bitextMine(src, tgt, k = 4)
+      .orderBy("src_id").collect().map(key)
+    val shard = Mining.fitBitextServe(src, tgt, k = 4)
+    val serve = Mining.bitextMineServe(src, shard, k = 4)
+      .orderBy("src_id").collect().map(key)
+    assert(serve.toSeq == batch.toSeq,
+      "serve-tier bitext mining diverged from the batch join+window spelling")
+  }
+
+  test("q_bitext_mine_stream drains to the batch q_bitext_mine row set " +
+       "exactly") {
+    val sf = "/root/testdata/sf0.001"
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+    val streamed = SparkEntry.queries("q_bitext_mine_stream")(spark, sf)
+      .collect().map(key).sortBy(_._1)
+    val batch = SparkEntry.queries("q_bitext_mine")(spark, sf)
+      .collect().map(key).sortBy(_._1)
+    assert(streamed.toSeq == batch.toSeq,
+      "drained bitext stream diverged from the batch operator")
+  }
+
   test("hardNegRows serve expression is bit-identical to the batch " +
        "join+window spelling, including null-label anchors/neighbors") {
     // vectors as above plus UNLABELED rows on both sides: anchor 20

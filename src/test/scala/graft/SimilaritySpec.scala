@@ -216,6 +216,26 @@ class SimilaritySpec extends AnyFunSuite {
       "beam over a complete graph with ef >= n must equal the exact serve")
   }
 
+  test("graph-beam sharded serve: per-shard graphs + merge hold the " +
+       "recall floor and stay deterministic at nShards=3") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 10)
+    val shards = graft.operators.AnnServe.fitGraphShards(e, nShards = 3)
+    val run = () => graft.operators.AnnServe
+      .graphTopkRowsSharded(q, shards, k = 10, ef = 64)
+      .orderBy("query_id", "neighbor_id").collect()
+    val a = run(); val b = run()
+    assert(a.map(_.toString).sameElements(b.map(_.toString)),
+      "sharded beam serve must be deterministic")
+    val exact = SparkEntry.queries("q_sim_bruteforce")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = a.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(s"sharded graph-beam recall@10 = $recall (${(exact & approx).size}/${exact.size})")
+    assert(recall >= 0.9, s"recall $recall too low")
+  }
+
   test("graph-beam serve: maxVisit bounds the walk (loud sub-ef results, " +
        "never an unbounded scan)") {
     import org.apache.spark.sql.functions._

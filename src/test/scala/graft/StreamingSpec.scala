@@ -692,6 +692,51 @@ class StreamingSpec extends AnyFunSuite {
    }
   }
 
+  test("serve index refresh generalizes across tiers: the graph-beam " +
+       "shard refreshes under the same versioned swap with per-version " +
+       "parity to the batch-built index") {
+    import graft.operators.AnnServe
+    import graft.streaming.ServeRefresh
+    val sfd = "/root/testdata/sf0.001"
+    val dir = java.nio.file.Files.createTempDirectory("graft_grefresh").toString
+    val in = s"$dir/in"; val out = s"$dir/out"; val ckpt = s"$dir/ckpt"
+    val e = Tables.embeddings(spark, sfd)
+    val corpusV1 = e.filter(col("vec_id") % 2 === 0)
+    val idx = ServeRefresh.graphIndex(k = 8)
+    assert(idx.refresh(corpusV1) == 1)
+    def runOnce(): Unit = {
+      val q = ServeRefresh.start(idx,
+        spark.readStream.schema(e.schema).parquet(in), out, ckpt)(
+        (b, sh) => AnnServe.graphTopkRows(b, sh, k = 10, ef = 64))
+      q.awaitTermination()
+    }
+    e.filter(col("vec_id") < 5).coalesce(1).write.mode("append").parquet(in)
+    runOnce()
+    assert(idx.refresh(e) == 2)
+    e.filter(col("vec_id") >= 5 && col("vec_id") < 10).coalesce(1)
+      .write.mode("append").parquet(in)
+    runOnce()
+    val got = spark.read.parquet(out)
+    val tup = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    def served(v: Int) = got.filter(col("index_version") === v)
+      .select("query_id", "neighbor_id", "cos").collect().map(tup).toSeq.sorted
+    // the graph build is deterministic in the corpus, so per-version
+    // answers must equal a fresh batch-built graph index bit for bit
+    def expected(corpus: org.apache.spark.sql.DataFrame,
+                 qs: org.apache.spark.sql.DataFrame) = {
+      val graph = graft.operators.Ivf.knnGraph(corpus, "vec_id", "embedding", 8)
+      AnnServe.graphTopkRows(qs, AnnServe.fitGraphShard(corpus, graph),
+          k = 10, ef = 64)
+        .collect().map(tup).toSeq.sorted
+    }
+    assert(served(1) == expected(corpusV1, e.filter(col("vec_id") < 5)),
+      "graph batch 0 answers must match the v1-corpus batch serve exactly")
+    assert(served(2) == expected(e,
+        e.filter(col("vec_id") >= 5 && col("vec_id") < 10)),
+      "graph batch 1 answers must match the v2-corpus batch serve exactly")
+  }
+
   test("serve index refresh generalizes across tiers: the SQ8 byte shard " +
        "refreshes under the same versioned swap with exact parity") {
     import graft.operators.AnnServe
@@ -979,6 +1024,51 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(graphKey).toSeq
     assert(log == snap,
       "upsert-log drained graph diverged from the snapshot drained graph")
+  }
+
+  test("maintained graph: beam serve over the standing edges equals the " +
+       "batch-rebuilt graph index, answers re-version after an advance") {
+    import graft.streaming.GraphStream
+    import graft.operators.AnnServe
+    val sfd = "/root/testdata/sf0.001"
+    val dir = java.nio.file.Files.createTempDirectory("graft_graphbeam").toString
+    val e = Tables.embeddings(spark, sfd)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val half1 = e.filter(pmod(xxhash64(col("vec_id")), lit(2)) === 0)
+    val half2 = e.filter(pmod(xxhash64(col("vec_id")), lit(2)) === 1)
+    val g = new GraphStream.MaintainedGraph(spark, s"$dir/state", k = 5)
+    g.advance(1L, half1)
+    g.advance(2L, half2)
+    val q = e.filter(col("vec_id") < 10)
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))
+    val served = g.serveBeamSnapshot(q, kServe = 10)
+      .orderBy("query_id", "neighbor_id").collect().map(key)
+    assert(served.forall(_._4 == 2), "answers must carry graph_version=2")
+    // the batch-rebuilt yardstick: the SAME corpus, the scratch-built
+    // k=5 graph, the same shard-build parameters — because maintained
+    // edges are bit-identical to the rebuild (gated elsewhere) and the
+    // shard build is deterministic, the beam answers must match
+    // row-for-row
+    val scratchEdges = AnnServe.topkRows(e, AnnServe.fitShard(e), k = 5)
+    val batchShard = AnnServe.fitGraphShard(e, scratchEdges)
+    val batch = AnnServe.graphTopkRows(q, batchShard, k = 10)
+      .orderBy("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(served.map(t => (t._1, t._2, t._3)).toSeq == batch.toSeq,
+      "maintained beam serve diverged from the batch-rebuilt graph index")
+    // an advance invalidates the cached graph shard: a planted exact
+    // twin of query 0's vector must surface as its new top hit, tagged
+    // with the new version
+    val q0vec = e.filter(col("vec_id") === 0L)
+      .select("embedding").head.getSeq[Double](0)
+    import spark.implicits._
+    g.advance(3L, Seq((999999L, q0vec)).toDF("vec_id", "embedding"))
+    val after = g.serveBeamSnapshot(q.filter(col("vec_id") === 0L), kServe = 10)
+      .orderBy(col("cos").desc, col("neighbor_id").asc).collect()
+    assert(after.forall(_.getInt(3) == 3), "answers must re-version to 3")
+    assert(after.head.getLong(1) == 999999L && after.head.getDouble(2) == 1.0,
+      s"the planted twin must be the new top hit, got ${after.head}")
   }
 
   test("maintained graph: delete and re-insert batches stay bit-identical " +
