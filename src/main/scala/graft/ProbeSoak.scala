@@ -568,6 +568,146 @@ object ProbeSoak {
       }
       spark.stop(); return
     }
+    if (mode == "xmodal") {
+      // Cross-modal incremental-maintenance cost probe (r11): the
+      // rewrite's claim is that per-batch work is bounded by the
+      // TOUCHED digest groups and grid cells, not the accumulated
+      // corpus. Feed shape: each batch clusters around its own
+      // direction (new content clusters — the realistic live-feed
+      // locality), so a batch touches ~one cell ring while the corpus
+      // accumulates many. Yardstick: the r10 spelling — re-run the
+      // whole batch operator over the accumulated state every batch.
+      //
+      // The gated metric is SHUFFLE VOLUME (records exchanged per
+      // batch), not wall time: the recompute spelling re-exchanges the
+      // whole corpus every batch (grid window + CC over all rows),
+      // while the incremental advance exchanges only batch/touched
+      // rows — that gap is what decides the 100 TB posture, and it is
+      // scale-INDEPENDENT, unlike local-mode wall time where the
+      // incremental's larger per-batch job count (~15 small jobs for
+      // state rewrites vs one chain) dominates until the corpus
+      // outgrows memory-speed scans (both spellings' wall times are
+      // printed; at probe scale the one-chain recompute is genuinely
+      // faster on the clock, and the print keeps that honest).
+      // Gates: (a) the incremental advance's shuffle volume stays
+      // FLAT as the corpus grows (last ≤ 2× first) while the
+      // recompute's grows with n (last ≥ 3× first at 8× corpus);
+      // (b) by the last batch the incremental exchanges ≤ 25% of the
+      // recompute's records; (c) the drained incremental verdict
+      // equals the final recompute verdict row-for-row.
+      import graft.streaming.CorpusStream
+      import graft.operators.Dedup
+      val nBatches = 8
+      val perBatch = scales.headOption.getOrElse(2) * 1000
+      // REALISTIC payloads — the probe's honesty hinges on them: the
+      // recompute spelling re-digests EVERY accumulated document and
+      // re-normalizes every accumulated vector each batch, so KB-scale
+      // texts and 64-dim embeddings (the documents/embeddings tables'
+      // shape) are what make its per-batch cost real; toy 20-char
+      // texts at dim 4 would hide exactly the work the incremental
+      // spelling avoids.
+      val dim = 64
+      def batchDf(i: Int) = {
+        val theta = i * 0.45 // ~26° apart → distinct cell neighborhoods
+        val rows = (0 until perBatch).map { r =>
+          val id = (i * perBatch + r).toLong
+          // tiny deterministic jitter keeps vectors distinct inside
+          // the batch's direction cluster (cells come from the first
+          // gridDims=2 dims; the tail dims are small id-salted values)
+          val j1 = ((id * 2654435761L) % 1000) / 1e5
+          val j2 = ((id * 40503L) % 1000) / 1e5
+          val vec = Seq(math.cos(theta) + j1, math.sin(theta) + j2) ++
+            (2 until dim).map(d => ((id + d) % 13) / 1e3)
+          // ~1 KB body per doc, globally unique by id (an early probe
+          // salted bodies mod a prime, which made ~every doc a
+          // cross-batch twin — touched groups then grow with n BY
+          // CONSTRUCTION and the probe measures the pathology, not the
+          // operator). Intended duplication: every 10th doc twins its
+          // in-batch predecessor (exact-signal work), every 100th
+          // twins a PREVIOUS batch's doc (bounded cross-batch
+          // retraction — the late-smaller-id dethrone case).
+          def bodyOf(i: Long) =
+            (0 until 60).map(w => s"tok${i}x$w").mkString(" ")
+          val text =
+            if (r % 100 == 99 && i > 0) bodyOf(id - perBatch)
+            else if (r % 10 == 9) bodyOf(id - 1)
+            else bodyOf(id)
+          (Option(id), Option(text), Option(id), Option(vec))
+        }
+        import spark.implicits._
+        rows.toDF("doc_id", "text", "vec_id", "embedding")
+          .repartition(8).localCheckpoint(true)
+      }
+      val batches = (0 until nBatches).map(batchDf)
+      // shuffle-records listener: records written to shuffle per
+      // measured section (listener events are async — flush the bus
+      // before each read)
+      val shuffled = new java.util.concurrent.atomic.AtomicLong
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              ev: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val rec = ev.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten
+            if (sys.env.contains("GRAFT_XMODAL_TIMING") && rec > 2000)
+              println(s"[xmodal-stage] ${ev.stageInfo.name.take(120)} rec=$rec")
+            shuffled.addAndGet(rec): Unit
+          }
+        })
+      def measured(body: => Unit): (Double, Long) = {
+        org.apache.spark.sql.graft.Bridge.waitForListenerBus(spark)
+        val s0 = shuffled.get
+        val t0 = System.nanoTime()
+        body
+        val dt = (System.nanoTime() - t0) / 1e9
+        org.apache.spark.sql.graft.Bridge.waitForListenerBus(spark)
+        (dt, shuffled.get - s0)
+      }
+      val cm = new CorpusStream.MaintainedCrossmodal()
+      val inc = batches.map { b => measured(cm.advance(b): Unit) }
+      var dAll: Option[org.apache.spark.sql.DataFrame] = None
+      var eAll: Option[org.apache.spark.sql.DataFrame] = None
+      var lastRe: Option[org.apache.spark.sql.DataFrame] = None
+      val re = batches.map { b =>
+        measured {
+          val bd = b.filter(col("doc_id").isNotNull).select("doc_id", "text")
+          val be = b.filter(col("vec_id").isNotNull).select("vec_id", "embedding")
+          dAll = Some(dAll.map(_.unionByName(bd)).getOrElse(bd).localCheckpoint())
+          eAll = Some(eAll.map(_.unionByName(be)).getOrElse(be).localCheckpoint())
+          val v = Dedup.crossmodalDedup(dAll.get, eAll.get,
+            "doc_id", "text", "vec_id", "embedding").localCheckpoint()
+          lastRe = Some(v)
+        }
+      }
+      val tInc = inc.map(_._1); val tRe = re.map(_._1)
+      val shInc = inc.map(_._2); val shRe = re.map(_._2)
+      val key = (r: org.apache.spark.sql.Row) =>
+        (r.getLong(0), r.getInt(1), r.getString(2))
+      val vInc = cm.verdict.collect().map(key).sortBy(_._1).toSeq
+      val vRe = lastRe.get.select("doc_id", "keep", "reason")
+        .collect().map(key).sortBy(_._1).toSeq
+      require(vInc == vRe,
+        "incremental cross-modal verdict diverged from the recompute " +
+          "spelling at probe scale")
+      val fmt = (xs: Seq[Double]) => xs.map(v => f"$v%.2f").mkString("/")
+      val fmtL = (xs: Seq[Long]) => xs.map(v => (v / 1000.0).round * 1000)
+        .map(v => s"${v / 1000}k").mkString("/")
+      println(f"[soak-xmodal] perBatch=$perBatch n=${nBatches * perBatch} " +
+        f"wallInc=${fmt(tInc)}s wallRe=${fmt(tRe)}s " +
+        f"shufInc=${fmtL(shInc)} shufRe=${fmtL(shRe)} " +
+        f"lastShufRatio=${shInc.last.toDouble / shRe.last}%.3fx identical=true")
+      // flatness anchored at batch 2 — batch 1 has no standing state,
+      // so its shuffle floor is lower than the steady state's
+      require(shInc.last <= (1.5 * shInc(1)).toLong,
+        s"incremental shuffle volume must stay flat as the corpus grows: " +
+          s"${shInc(1)} (batch 2) -> ${shInc.last} records")
+      require(shRe.last >= 3 * shRe.head,
+        s"the recompute yardstick must show corpus-growth shuffle " +
+          s"(probe invalid otherwise): ${shRe.head} -> ${shRe.last} records")
+      require(shInc.last * 4 <= shRe.last,
+        s"incremental must exchange <= 25% of the recompute's records by " +
+          s"batch $nBatches: ${shInc.last} vs ${shRe.last}")
+      spark.stop(); return
+    }
     if (mode == "knn2sweep") {
       // (npc, npf) probe-split sweep for the two-level path: recall vs
       // the exact graph on the real sf0.1 table and on x4 noise —

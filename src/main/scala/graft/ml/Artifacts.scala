@@ -264,6 +264,66 @@ object Artifacts {
     } finally in.close()
   }
 
+  /** Graph-beam serve shard (`AnnServe.GraphShard`): the raw shard
+    * plus the symmetrized CSR adjacency and entry points — with this
+    * file a serving node answers beam queries with no other state
+    * (the graph does NOT need rebuilding on load; that is the point
+    * of persisting it). Same binary rationale and header-validation
+    * discipline as the AnnShard artifact. Layout: magic, dim, n,
+    * nEdges, nEntries, n longs (ids), n·dim doubles, (n+1) ints
+    * (nbrOff), nEdges ints (nbrIdx), nEntries ints (entryIdx). */
+  private val GraphShardMagic = 0x47475348 // "GGSH"
+
+  def saveGraphShard(sh: graft.operators.AnnServe.GraphShard, path: String): Unit = {
+    val p = Paths.get(path)
+    if (p.getParent != null) Files.createDirectories(p.getParent)
+    val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+      Files.newOutputStream(p), 1 << 20))
+    try {
+      out.writeInt(GraphShardMagic)
+      out.writeInt(sh.dim)
+      out.writeInt(sh.ids.length)
+      out.writeInt(sh.nbrIdx.length)
+      out.writeInt(sh.entryIdx.length)
+      sh.ids.foreach(out.writeLong)
+      sh.flatVecs.foreach(out.writeDouble)
+      sh.nbrOff.foreach(out.writeInt)
+      sh.nbrIdx.foreach(out.writeInt)
+      sh.entryIdx.foreach(out.writeInt)
+    } finally out.close()
+  }
+
+  def loadGraphShard(path: String): graft.operators.AnnServe.GraphShard = {
+    val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+      Files.newInputStream(Paths.get(path)), 1 << 20))
+    try {
+      require(in.readInt() == GraphShardMagic, s"$path is not a GraphShard artifact")
+      val dim = in.readInt()
+      val n = in.readInt()
+      val nEdges = in.readInt()
+      val nEntries = in.readInt()
+      require(dim > 0 && n >= 0 && nEdges >= 0 && nEntries > 0,
+        s"corrupt GraphShard header: dim=$dim n=$n nEdges=$nEdges nEntries=$nEntries")
+      require(n.toLong * dim <= Int.MaxValue,
+        s"corrupt GraphShard header: n=$n x dim=$dim overflows an array size")
+      val expectedBytes = 20L + n.toLong * 8 + n.toLong * dim * 8 +
+        (n.toLong + 1) * 4 + nEdges.toLong * 4 + nEntries.toLong * 4
+      val fileBytes = Files.size(Paths.get(path))
+      require(fileBytes == expectedBytes,
+        s"corrupt/truncated GraphShard: header (dim=$dim n=$n nEdges=$nEdges " +
+          s"nEntries=$nEntries) implies $expectedBytes bytes but $path holds $fileBytes")
+      val ids = Array.fill(n)(in.readLong())
+      val vecs = Array.fill(n * dim)(in.readDouble())
+      val nbrOff = Array.fill(n + 1)(in.readInt())
+      val nbrIdx = Array.fill(nEdges)(in.readInt())
+      val entries = Array.fill(nEntries)(in.readInt())
+      require(nbrOff.head == 0 && nbrOff.last == nEdges,
+        s"corrupt GraphShard adjacency: offsets [${nbrOff.head}, ${nbrOff.last}] " +
+          s"vs $nEdges edges")
+      graft.operators.AnnServe.GraphShard(ids, vecs, dim, nbrOff, nbrIdx, entries)
+    } finally in.close()
+  }
+
   /** SQ8 serve shard (`AnnServe.SqShard`): ids + byte codes + the
     * per-dim dequantization line + fitted norms — the whole serving
     * state of the compressed tier in one file. Same binary rationale

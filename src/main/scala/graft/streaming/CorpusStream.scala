@@ -619,12 +619,17 @@ object CorpusStream {
     *     cell-closed subset ≡ the full pass restricted to those
     *     cells); untouched cells' verdicts carry forward verbatim.
     *
-    * Per-batch work: the touched keys ride as pushed InSet predicates
-    * over the hot state (an O(|state|) in-memory scan, the floor for
-    * any DataFrame-shaped upsert — the `MaintainedCorpus.advance`
-    * precedent, minus the broadcast-exchange jobs a join-shaped
-    * restriction would pay) plus pairs+CC bounded by the touched
-    * cells — never the corpus-wide grid pass. The drained end state
+    * Per-batch work: the touched keys come back as one batch-bounded
+    * driver collect and restrict the hot state through broadcast
+    * semi/anti joins that STREAM the state side (an O(|state|)
+    * in-memory scan with zero state-side exchanges — the floor for
+    * any DataFrame-shaped upsert, the `MaintainedCorpus.advance`
+    * precedent) plus pairs+CC bounded by the touched
+    * cells — never the corpus-wide grid pass, and never a corpus-wide
+    * SHUFFLE: the recompute spelling re-exchanges the whole corpus
+    * every batch (grid window + CC), this one exchanges only
+    * batch/touched rows — the `ProbeSoak xmodal` gate measures exactly
+    * that shuffle-volume gap. The drained end state
     * is EXACTLY the
     * batch operator on the full corpus (the verbatim `q_dedup_
     * crossmodal` oracle gates this), because every carried-forward
@@ -649,8 +654,16 @@ object CorpusStream {
     // state cut down to the batch's digests. Both must be broadcast
     // joins that STREAM the state (no state-side exchange, no
     // cartesian fallback); the spec asserts exactly that.
-    @volatile private[graft] var lastCellRestrictPlan: String = ""
-    @volatile private[graft] var lastFpRestrictPlan: String = ""
+    // Stored as FRAMES, stringified only by the spec on demand — an
+    // eager executedPlan.toString on an InSet filter prints every
+    // literal key (megabytes of string work per batch at 10⁴ digests,
+    // pure test-hook overhead in the advance path).
+    @volatile private[graft] var lastCellRestrict: Option[DataFrame] = None
+    @volatile private[graft] var lastFpRestrict: Option[DataFrame] = None
+    private[graft] def lastCellRestrictPlan: String =
+      lastCellRestrict.map(_.queryExecution.executedPlan.toString).getOrElse("")
+    private[graft] def lastFpRestrictPlan: String =
+      lastFpRestrict.map(_.queryExecution.executedPlan.toString).getOrElse("")
 
     /** Absorb one (doc_id, text, vec_id, embedding) micro-batch —
       * doc-side and embedding-side rows may arrive independently
@@ -661,6 +674,13 @@ object CorpusStream {
       * contract StreamingSpec gates on; `verdict` serves the full
       * corpus-wide table. */
     def advance(batch: DataFrame): DataFrame = synchronized {
+      val __tm = sys.env.contains("GRAFT_XMODAL_TIMING")
+      var __t0 = System.nanoTime()
+      def __lap(tag: String): Unit = if (__tm) {
+        val t1 = System.nanoTime()
+        println(f"[xmodal-adv] $tag ${(t1 - __t0) / 1e9}%.2fs")
+        __t0 = t1
+      }
       // ONE materialization of the arrival (per-batch JOB COUNT is what
       // dominates a drain at micro-batch granularity; advance pays this
       // snapshot, one tiny collect per signal, the CC pass, and one
@@ -676,68 +696,89 @@ object CorpusStream {
       val newEmb = Dedup.embGridRows(be, "vec_id", "embedding",
         gridDims, gridSize)
 
-      // One driver round-trip per signal: the batch's touched keys —
-      // batch-bounded by definition, the same bound a broadcast build
-      // would pay, and as literals they push into the state scans as
-      // InSet predicates with ZERO exchanges (a broadcast-join
-      // restriction costs a BroadcastExchange collect-job per use; at
-      // micro-batch cadence those jobs dominate). A batch wide enough
-      // to strain the driver here (~10⁵+ distinct digests) should
+      __lap("snap")
+      // One driver round-trip per signal: the batch's per-digest minima
+      // and its touched cells — batch-bounded by definition. Both come
+      // back as LOCAL relations and re-enter the plan as broadcast-join
+      // BUILD sides, so every state restriction is a BroadcastHashJoin
+      // semi/anti that STREAMS the state with zero state-side
+      // exchanges. Two earlier spellings measured strictly worse in
+      // the xmodal probe at 20k-digest batches: a typedlit map pays
+      // O(d) Catalyst analysis on every batch (~3-4 s of a ~5 s
+      // advance — the literal, not the data, was the cost) and
+      // isInCollection's d-literal In tree pays the same analysis toll
+      // before the InSet conversion; a LocalRelation build side is
+      // O(1) in the plan and its broadcast build is one tiny job,
+      // reused across the semi/anti/lookup uses. A batch wide enough
+      // to strain the driver collect (~10^5+ distinct digests) should
       // lower maxFilesPerTrigger instead.
-      val bmin: Map[String, Long] = newFp.groupBy("__fp")
+      val bminPairs: Array[(String, Long)] = newFp.groupBy("__fp")
         .agg(min("doc_id").as("__bmin")).collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
+        .map(r => (r.getString(0), r.getLong(1)))
+      __lap("bmin")
       val cells: Seq[String] = newEmb.select("cell").distinct()
         .collect().map(_.getString(0)).toSeq
+      __lap("cells")
+      val sess = batch.sparkSession
+      import sess.implicits._
+      val batchMins = broadcast(
+        sess.createDataset(bminPairs.toSeq).toDF("__fp", "__bmin"))
+      val cellsDf = broadcast(sess.createDataset(cells).toDF("cell"))
 
       // ---- exact signal: touched digest groups only -------------------
-      // Everything below runs inside the single docState rewrite job:
-      // the touched restriction is a pushed InSet filter on the state
-      // scan; old-keeper lookup and re-verdict are joins over the
-      // group-bounded touched rows.
-      val bminLit = typedlit(bmin)
+      // The touched restriction is a broadcast semi join streaming the
+      // state scan; old-keeper lookup and re-verdict are broadcast
+      // joins over the group-bounded touched rows.
       val (exDelta, docState2) = docState match {
-        case Some(s) if bmin.nonEmpty =>
-          val touched = s.filter(col("__fp").isInCollection(bmin.keys.toSeq))
-          lastFpRestrictPlan = touched.queryExecution.executedPlan.toString
+        case Some(s) if bminPairs.nonEmpty =>
+          val touched = s.join(batchMins.select("__fp"), Seq("__fp"), "left_semi")
+          lastFpRestrict = Some(touched)
           val nk = touched.groupBy("__fp").agg(min("doc_id").as("__old"))
+            .join(batchMins, Seq("__fp"))
             .select(col("__fp"), col("__old"),
-              least(col("__old"), element_at(bminLit, col("__fp"))).as("__nk"))
+              least(col("__old"), col("__bmin")).as("__nk"))
           val dethroned = nk.filter(col("__nk") < col("__old"))
             .select(col("__old").as("doc_id"), col("__fp"),
                     lit(true).as("__exdup"))
-          val batchEx = newFp.join(nk.select("__fp", "__nk"), Seq("__fp"), "left")
+          // new keeper per BATCH digest: the touched-group answer where
+          // state knew the digest, the batch's own min where it did not
+          val nkAll = broadcast(batchMins
+            .join(nk.select("__fp", "__nk"), Seq("__fp"), "left")
+            .select(col("__fp"),
+                    coalesce(col("__nk"), col("__bmin")).as("__nk")))
+          val batchEx = newFp.join(nkAll, Seq("__fp"))
             .select(col("doc_id"), col("__fp"),
-              (col("doc_id") =!= coalesce(col("__nk"),
-                element_at(bminLit, col("__fp")))).as("__exdup"))
+              (col("doc_id") =!= col("__nk")).as("__exdup"))
           // every member of a touched group gets its verdict refreshed
           // (values only move for dethroned keepers — min is monotone)
-          val touchedNew = touched.join(nk.select("__fp", "__nk"), Seq("__fp"))
+          val touchedNew = touched.join(nkAll, Seq("__fp"))
             .select(col("doc_id"), col("__fp"),
                     (col("doc_id") =!= col("__nk")).as("__exdup"))
-          val st2 = s.filter(!col("__fp").isInCollection(bmin.keys.toSeq))
+          val st2 = s.join(batchMins.select("__fp"), Seq("__fp"), "left_anti")
             .unionByName(touchedNew).unionByName(batchEx)
             .localCheckpoint()
           (batchEx.unionByName(dethroned), st2)
         case Some(s) => // doc-free batch: exact state untouched, no job
           (s.limit(0), s)
         case None =>
-          val batchEx = newFp.select(col("doc_id"), col("__fp"),
-            (col("doc_id") =!= element_at(bminLit, col("__fp"))).as("__exdup"))
+          val batchEx = newFp.join(batchMins, Seq("__fp"))
+            .select(col("doc_id"), col("__fp"),
+              (col("doc_id") =!= col("__bmin")).as("__exdup"))
           val st2 = batchEx.localCheckpoint()
           (st2, st2)
       }
 
+      __lap("docRewrite")
       // ---- semantic signal: touched grid cells only -------------------
       val (semNew, embState2) = embState match {
         case Some(s) if cells.nonEmpty =>
-          val oldCellRows = s.filter(col("cell").isInCollection(cells))
+          val oldCellRows = s.join(cellsDf, Seq("cell"), "left_semi")
             .select("id", "f", "__n", "cell")
-          lastCellRestrictPlan = oldCellRows.queryExecution.executedPlan.toString
+          lastCellRestrict = Some(oldCellRows)
           val cellRows = oldCellRows
             .unionByName(newEmb.select("id", "f", "__n", "cell"))
           val sn = withSemVerdict(cellRows)
-          val st2 = s.filter(!col("cell").isInCollection(cells))
+          val st2 = s.join(cellsDf, Seq("cell"), "left_anti")
             .unionByName(sn).localCheckpoint()
           (sn, st2)
         case Some(s) => (s.limit(0), s) // embedding-free batch: no job
@@ -747,6 +788,7 @@ object CorpusStream {
           (st2, st2)
       }
 
+      __lap("embRewrite")
       docState = Some(docState2); embState = Some(embState2)
 
       // ---- changed combined verdicts (batch + retraction reach) -------

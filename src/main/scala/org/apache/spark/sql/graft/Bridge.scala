@@ -13,6 +13,13 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Flush the async listener bus — lets a metrics probe read
+    * listener-accumulated totals deterministically after a job.
+    * (`LiveListenerBus.waitUntilEmpty` is `private[spark]`; this shim
+    * lives in the spark namespace like the Column bridge above.) */
+  def waitForListenerBus(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty(60000L)
+
   /** Register a scalar expression builder under `name` for
     * `spark.sql(...)` use in this session. */
   def registerFunction(spark: org.apache.spark.sql.SparkSession, name: String,

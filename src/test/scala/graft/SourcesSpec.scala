@@ -209,6 +209,28 @@ class SourcesSpec extends AnyFunSuite {
     assert(a == b && a.nonEmpty, "reloaded shard must serve bit-identically")
   }
 
+  test("graph-beam serve shard reloads bit-identically and serves " +
+       "identically — no graph rebuild on load") {
+    val dir = tmp()
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val graph = graft.operators.Ivf.knnGraph(e, "vec_id", "embedding", 8)
+    val sh = graft.operators.AnnServe.fitGraphShard(e, graph)
+    Artifacts.saveGraphShard(sh, s"$dir/graph.bin")
+    val sh2 = Artifacts.loadGraphShard(s"$dir/graph.bin")
+    assert(sh2.dim == sh.dim && sh2.ids.sameElements(sh.ids) &&
+      sh2.flatVecs.sameElements(sh.flatVecs) &&
+      sh2.nbrOff.sameElements(sh.nbrOff) &&
+      sh2.nbrIdx.sameElements(sh.nbrIdx) &&
+      sh2.entryIdx.sameElements(sh.entryIdx))
+    val q = e.filter(col("vec_id") < 5)
+    val a = graft.operators.AnnServe.graphTopkRows(q, sh)
+      .orderBy("query_id", "neighbor_id").collect().toSeq
+    val b = graft.operators.AnnServe.graphTopkRows(q, sh2)
+      .orderBy("query_id", "neighbor_id").collect().toSeq
+    assert(a == b && a.nonEmpty, "reloaded graph shard must serve bit-identically")
+  }
+
   test("SQ8 serve shard reloads bit-identically and serves identically") {
     val dir = tmp()
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001")

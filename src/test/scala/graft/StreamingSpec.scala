@@ -1384,16 +1384,18 @@ class StreamingSpec extends AnyFunSuite {
     val ids = cm.advance(b2).collect().map(_.getLong(0)).toSet
     assert(ids == Set(500L),
       s"advance delta must be the touched docs only, got $ids")
-    // plan gates: both state restrictions are pushed InSet FILTERS over
-    // the in-memory state scan — no join operator, no exchange, no
-    // cartesian fallback; the touched-key set rides as a literal
+    // plan gates: both state restrictions are broadcast SEMI joins that
+    // stream the in-memory state scan — the touched-key set is a local
+    // build side; no state-side shuffle, no sort-merge fallback, no
+    // cartesian
     Seq("cell restrict" -> cm.lastCellRestrictPlan,
         "digest restrict" -> cm.lastFpRestrictPlan).foreach { case (n, p) =>
-      assert(p.contains("Filter") && p.contains("Scan ExistingRDD"),
-        s"$n must be a filtered state scan:\n${p.take(1200)}")
-      assert(!p.contains("Join") && !p.contains("Exchange") &&
+      assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi") &&
+             p.contains("Scan ExistingRDD"),
+        s"$n must be a broadcast semi join streaming the state scan:\n${p.take(1200)}")
+      assert(!p.contains("SortMergeJoin") && !p.contains("hashpartitioning") &&
              !p.contains("CartesianProduct"),
-        s"$n must restrict the state scan-side with zero joins/shuffles:\n${p.take(1200)}")
+        s"$n must restrict the state with zero state-side shuffles:\n${p.take(1200)}")
     }
     // the full verdict still covers everything: 29 semantic dups in the
     // big cell, 1 survivor, doc 500 kept
