@@ -355,6 +355,31 @@ object CorpusStream {
     spark.table(name)
   }
 
+  /** Streaming markup extraction — boilerplate removal applied at
+    * INGESTION time (a crawl feed lands as main-content text, never as
+    * raw HTML): the batch `Extract.extractHtml` transform IS the
+    * streaming transform — stateless per-row regex/HOF expressions, no
+    * watermark, no state, no shuffle, append mode at scan speed. Exact
+    * batch parity by construction. */
+  def htmlExtracted(docs: DataFrame, idCol: String = "doc_id",
+                    htmlCol: String = "html"): DataFrame =
+    graft.operators.Extract.extractHtml(docs, idCol, htmlCol)
+
+  /** The declared `q_extract_html_stream` runner: wrap the documents
+    * stream in the deterministic page skeleton (`Extract.htmlWrapped`,
+    * also stateless), extract, drain; end state equals the batch
+    * `q_extract_html` row-for-row, so its full oracle applies
+    * verbatim. */
+  def htmlExtractedOverFile(spark: org.apache.spark.sql.SparkSession,
+                            sfDir: String): DataFrame = {
+    val name = s"__graft_extract_${runSeq.incrementAndGet()}"
+    val q = htmlExtracted(graft.operators.Extract.htmlWrapped(
+        graft.Tables.documentsStream(spark, sfDir), "doc_id", "text"))
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
   /** Streaming model-based quality gate — the Bernoulli-NB serve half
     * over a live feed. Fit (`Corpus.fitNbQuality`) runs batch-side
     * (two nBuckets-bounded aggs, constant-size model, persistable via
