@@ -8,20 +8,25 @@ import java.nio.charset.StandardCharsets
   * algebra including Paeth is the spec), baseline sequential JPEG
   * (Huffman entropy decode + dequant + IDCT per ITU-T T.81), Netpbm
   * images (binary P5 grayscale / P6 RGB), PCM WAV audio (RIFF/WAVE,
-  * 16-bit little-endian) and AVI video (RIFF 'AVI ' container walk;
+  * 16-bit little-endian), AVI video (RIFF 'AVI ' container walk;
   * uncompressed-DIB and MJPEG frame codecs, the latter riding
-  * `decodeJpeg` with the Annex K.3 default-table splice). These
-  * replace the `Media.fakeDecode` stub for recognized containers;
-  * unrecognized bytes (MP3-class audio, MP4-class video) still fall
-  * through to the stub (documented) so the plumbing accepts any blob.
+  * `decodeJpeg` with the Annex K.3 default-table splice) and GIF
+  * animations (87a/89a: variable-width LZW, interlace, transparency/
+  * disposal compositing, local/global palettes). These replace the
+  * `Media.fakeDecode` stub for recognized containers; unrecognized
+  * bytes (MP3-class audio, MP4-class video) still fall through to
+  * the stub (documented) so the plumbing accepts any blob.
   *
   * Format references are the public specs: the PNG specification
   * (W3C/ISO 15948 — chunk layout §5, filters §9, zlib datastream
   * §10), ITU-T T.81 (baseline process — Huffman tables annex C,
   * decoder flow annex F, IDCT A.3.3, default tables annex K.3),
   * Netpbm pgm(5)/ppm(5), the Microsoft/IBM RIFF WAVE format (fmt
-  * chunk 16, PCM), and the Microsoft AVI RIFF File Reference
-  * (avih/strh/strf/movi, BITMAPINFOHEADER, word-aligned chunks).
+  * chunk 16, PCM), the Microsoft AVI RIFF File Reference
+  * (avih/strh/strf/movi, BITMAPINFOHEADER, word-aligned chunks),
+  * and the CompuServe GIF89a specification (logical screen §18,
+  * color tables §19/§21, GCE §23, image descriptor §20 with the
+  * appendix-E interlace order, appendix-F variable-code LZW).
   */
 object Codecs {
 
@@ -39,6 +44,7 @@ object Codecs {
   case object Png extends Kind
   case object Jpeg extends Kind
   case object Avi extends Kind
+  case object Gif extends Kind
   case object Unknown extends Kind
 
   private val PngSig: Array[Int] = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
@@ -58,6 +64,9 @@ object Codecs {
              bytes(2) == 'F' && bytes(3) == 'F' &&
              bytes(8) == 'A' && bytes(9) == 'V' && bytes(10) == 'I' &&
              bytes(11) == ' ') Avi
+    else if (bytes.length >= 6 && bytes(0) == 'G' && bytes(1) == 'I' &&
+             bytes(2) == 'F' && bytes(3) == '8' &&
+             (bytes(4) == '7' || bytes(4) == '9') && bytes(5) == 'a') Gif
     else Unknown
 
   // -- Netpbm (P5 gray / P6 RGB, binary, maxval <= 255) ----------------
@@ -956,6 +965,309 @@ object Codecs {
     aviContainer(w, h, usPerFrame, compression = MjpgFourcc,
                  handler = "MJPG", bitCount = 24, frames = jpegFrames,
                  chunkId = "00dc")
+
+  // -- GIF (87a/89a: LZW-compressed palette frames, the second real
+  //    animation container next to AVI) --------------------------------
+  //
+  // Per the public GIF89a specification (CompuServe, 31 July 1990):
+  // logical screen descriptor §18, global/local color tables §19/§21,
+  // graphic control extension §23 (disposal/transparency), image
+  // descriptor §20 (interlace four-pass order appendix E), and the
+  // variable-code-width LZW of appendix F (code width grows when the
+  // next free slot reaches 2^width, clear resets, 12-bit ceiling).
+
+  /** A decoded GIF animation: each frame is the full logical-screen
+    * canvas AFTER compositing that frame (what a player shows), in the
+    * shared gray [0,1] contract. */
+  final case class GifAnim(width: Int, height: Int, frames: Vector[Image])
+
+  /** GIF-variant LZW decode: `codes` is the concatenated image data
+    * (sub-blocks already joined), `minCode` the root code size, `n`
+    * the expected pixel count. Codes pack LSB-first. */
+  private[graft] def lzwDecode(codes: Array[Byte], minCode: Int, n: Int): Array[Byte] = {
+    require(minCode >= 2 && minCode <= 8, s"bad LZW min code size $minCode")
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    val out = new Array[Byte](n)
+    var outPos = 0
+    // table as (prefix link, final byte): roots have prefix -1
+    val prefix = new Array[Int](4096)
+    val last = new Array[Byte](4096)
+    var next = 0; var width = 0
+    def reset(): Unit = {
+      var i = 0
+      while (i < clear) { prefix(i) = -1; last(i) = i.toByte; i += 1 }
+      next = eoi + 1; width = minCode + 1
+    }
+    reset()
+    var bitPos = 0L
+    val nBits = codes.length.toLong * 8
+    def read(): Int = {
+      if (bitPos + width > nBits) return eoi // truncated stream: stop
+      var v = 0; var i = 0
+      while (i < width) {
+        val bp = bitPos + i
+        if ((codes((bp >> 3).toInt) >> (bp & 7).toInt & 1) != 0) v |= 1 << i
+        i += 1
+      }
+      bitPos += width
+      v
+    }
+    // expand code c into out at outPos (reversed walk up the prefix chain)
+    val stack = new Array[Byte](4096)
+    def emit(c: Int): Byte = {
+      var sp = 0; var cc = c
+      while (cc >= 0) { stack(sp) = last(cc); sp += 1; cc = prefix(cc) }
+      val first = stack(sp - 1)
+      while (sp > 0 && outPos < n) { sp -= 1; out(outPos) = stack(sp); outPos += 1 }
+      first
+    }
+    var prev = -1
+    var done = false
+    while (!done && outPos < n) {
+      val c = read()
+      if (c == eoi) done = true
+      else if (c == clear) { reset(); prev = -1 }
+      else {
+        require(c <= next, s"LZW code $c beyond table size $next")
+        if (prev < 0) {
+          require(c < clear, s"first LZW code $c is not a root")
+          emit(c); prev = c
+        } else {
+          val first =
+            if (c < next) emit(c)
+            else { // c == next: the K-of-prev self-reference case
+              var sp = 0; var cc = prev
+              while (cc >= 0) { stack(sp) = last(cc); sp += 1; cc = prefix(cc) }
+              val f = stack(sp - 1)
+              // prev's expansion followed by its own first byte
+              if (outPos < n) {
+                while (sp > 0 && outPos < n) { sp -= 1; out(outPos) = stack(sp); outPos += 1 }
+                if (outPos < n) { out(outPos) = f; outPos += 1 }
+              }
+              f
+            }
+          if (next < 4096) {
+            prefix(next) = prev; last(next) = first; next += 1
+            // Width bookkeeping is the compress-lineage convention every
+            // GIF codec shares (the JDK's GIFImageReader uses literally
+            // this check): grow when the table reaches 2^width. The
+            // ENCODER mirror grows one entry later (when next EXCEEDS
+            // 2^width) because it adds each entry one code ahead of the
+            // decoder — MediaSpec pins both directions against the JDK.
+            if (next == (1 << width) && width < 12) width += 1
+          }
+          prev = c
+        }
+      }
+    }
+    require(outPos == n, s"LZW stream yielded $outPos of $n pixels")
+    out
+  }
+
+  /** GIF-variant LZW encode of `px` (palette indices) at `minCode`
+    * root size; emits a leading clear, resets the table when full,
+    * grows the code width in lockstep with the decoder's table. */
+  private[graft] def lzwEncode(px: Array[Byte], minCode: Int): Array[Byte] = {
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    val buf = new java.io.ByteArrayOutputStream()
+    var acc = 0L; var accBits = 0
+    var width = minCode + 1
+    def put(code: Int): Unit = {
+      acc |= code.toLong << accBits; accBits += width
+      while (accBits >= 8) { buf.write((acc & 0xff).toInt); acc >>= 8; accBits -= 8 }
+    }
+    // dict: (prefix code, next byte) -> code, keyed as prefix*256+byte
+    val dict = new java.util.HashMap[Integer, Integer](8192)
+    var next = eoi + 1
+    def reset(): Unit = { dict.clear(); next = eoi + 1; width = minCode + 1 }
+    put(clear)
+    if (px.nonEmpty) {
+      var cur = px(0) & 0xff
+      var i = 1
+      while (i < px.length) {
+        val k = px(i) & 0xff
+        val key = Integer.valueOf(cur * 256 + k)
+        val hit = dict.get(key)
+        if (hit != null) cur = hit.intValue()
+        else {
+          put(cur)
+          if (next == 4096) { put(clear); reset() }
+          else {
+            dict.put(key, Integer.valueOf(next)); next += 1
+            // one code later than the decoder's check — see lzwDecode
+            if (next > (1 << width) && width < 12) width += 1
+          }
+          cur = k
+        }
+        i += 1
+      }
+      put(cur)
+    }
+    put(eoi)
+    if (accBits > 0) buf.write((acc & 0xff).toInt)
+    buf.toByteArray
+  }
+
+  private val GifInterlacePasses: Array[(Int, Int)] =
+    Array((0, 8), (4, 8), (2, 4), (1, 2))
+
+  /** Decode a GIF (87a/89a) to per-frame canvases. Supported: global
+    * and local color tables, interlace, transparency, disposal methods
+    * 0/1 (leave) and 2 (restore background); disposal 3 (restore
+    * previous) is rejected loudly. Luma uses the same Rec.601 float
+    * algebra as the DIB/PPM decoders, so a grayscale-palette GIF
+    * round-trips its source bytes exactly (the oracle-twin recovery
+    * contract). */
+  def decodeGif(bytes: Array[Byte]): GifAnim = {
+    require(detect(bytes) == Gif, "not a GIF file")
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    def u8(o: Int): Int = bytes(o) & 0xff
+    def u16(o: Int): Int = bb.getShort(o) & 0xffff
+    require(bytes.length >= 13, "truncated logical screen descriptor")
+    val w = u16(6); val h = u16(8)
+    require(w > 0 && h > 0, s"bad GIF dimensions ${w}x$h")
+    val packed = u8(10)
+    val bg = u8(11)
+    var p = 13
+    var gct: Array[Int] = null // packed 0xRRGGBB
+    def readCt(size: Int): Array[Int] = {
+      val ct = new Array[Int](size)
+      var i = 0
+      while (i < size) {
+        require(p + 2 < bytes.length, "truncated color table")
+        ct(i) = (u8(p) << 16) | (u8(p + 1) << 8) | u8(p + 2); p += 3; i += 1
+      }
+      ct
+    }
+    if ((packed & 0x80) != 0) gct = readCt(2 << (packed & 7))
+    def luma(rgb: Int): Float = {
+      val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+      (0.299f * r + 0.587f * g + 0.114f * b) / 255f
+    }
+    // canvas starts as the background color (or black without a GCT)
+    val bgLuma = if (gct != null && bg < gct.length) luma(gct(bg)) else 0f
+    var canvas = Array.fill(w * h)(bgLuma)
+    val frames = Vector.newBuilder[Image]
+    var transparent = -1; var disposal = 0
+    var done = false
+    while (!done) {
+      require(p < bytes.length, "missing GIF trailer")
+      u8(p) match {
+        case 0x3b => done = true
+        case 0x21 => // extension: label + length-prefixed sub-blocks
+          require(p + 1 < bytes.length, "truncated extension")
+          val label = u8(p + 1); p += 2
+          if (label == 0xf9) {
+            require(p + 5 < bytes.length && u8(p) == 4, "bad GCE block")
+            val gp = u8(p + 1)
+            disposal = (gp >> 2) & 7
+            require(disposal <= 2,
+              s"GIF disposal method $disposal unsupported (0/1/2 only)")
+            transparent = if ((gp & 1) != 0) u8(p + 4) else -1
+            p += 6 // size byte + 4 payload + terminator
+          } else { // skip any other extension's sub-blocks
+            while (u8(p) != 0) { p += 1 + u8(p); require(p < bytes.length, "runaway extension") }
+            p += 1
+          }
+        case 0x2c => // image descriptor
+          require(p + 10 <= bytes.length, "truncated image descriptor")
+          val left = u16(p + 1); val top = u16(p + 3)
+          val fw = u16(p + 5); val fh = u16(p + 7)
+          val fp = u8(p + 9); p += 10
+          require(fw > 0 && fh > 0 && left + fw <= w && top + fh <= h,
+            s"frame ${fw}x$fh at ($left,$top) exceeds ${w}x$h")
+          val ct = if ((fp & 0x80) != 0) readCt(2 << (fp & 7)) else gct
+          require(ct != null, "frame without any color table")
+          val interlaced = (fp & 0x40) != 0
+          require(p < bytes.length, "missing LZW code size")
+          val minCode = u8(p); p += 1
+          // join data sub-blocks
+          val data = new java.io.ByteArrayOutputStream()
+          while (u8(p) != 0) {
+            val n = u8(p)
+            require(p + 1 + n <= bytes.length, "truncated image data")
+            data.write(bytes, p + 1, n); p += 1 + n
+          }
+          p += 1
+          val idx = lzwDecode(data.toByteArray, minCode, fw * fh)
+          // storage rows -> screen rows (interlace appendix E)
+          val rowOf = new Array[Int](fh)
+          if (interlaced) {
+            var sr = 0
+            GifInterlacePasses.foreach { case (start, step) =>
+              var y = start
+              while (y < fh) { rowOf(sr) = y; sr += 1; y += step }
+            }
+          } else { var y = 0; while (y < fh) { rowOf(y) = y; y += 1 } }
+          val before = if (disposal == 2) canvas.clone() else null
+          var sr = 0
+          while (sr < fh) {
+            val y = top + rowOf(sr)
+            var x = 0
+            while (x < fw) {
+              val ci = idx(sr * fw + x) & 0xff
+              if (ci != transparent) {
+                require(ci < ct.length, s"palette index $ci of ${ct.length}")
+                canvas(y * w + left + x) = luma(ct(ci))
+              }
+              x += 1
+            }
+            sr += 1
+          }
+          frames += Image(w, h, canvas.clone())
+          if (disposal == 2) { // restore the covered region to background
+            canvas = before
+            var yy = top
+            while (yy < top + fh) {
+              var xx = left
+              while (xx < left + fw) { canvas(yy * w + xx) = bgLuma; xx += 1 }
+              yy += 1
+            }
+          }
+          transparent = -1; disposal = 0
+        case other =>
+          throw new IllegalArgumentException(f"unknown GIF block 0x$other%02x at $p")
+      }
+    }
+    GifAnim(w, h, frames.result())
+  }
+
+  /** Encode gray frames (w*h pixel arrays) as an animated GIF89a with
+    * a 256-entry grayscale global palette (index i = gray level i, so
+    * decode recovers the source bytes exactly), real LZW compression,
+    * full-frame images, and a per-frame graphic control extension —
+    * a standard-compliant animation any GIF viewer plays. */
+  def encodeGifGray(frames: Seq[Array[Byte]], w: Int, h: Int,
+                    delayCs: Int = 4): Array[Byte] = {
+    require(frames.nonEmpty, "no frames")
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write("GIF89a".getBytes(StandardCharsets.US_ASCII))
+    le16(w); le16(h)
+    out.write(0xf7) // GCT present, 8-bit color resolution, 256 entries
+    out.write(0); out.write(0) // background index, aspect
+    var i = 0
+    while (i < 256) { out.write(i); out.write(i); out.write(i); i += 1 }
+    frames.foreach { px =>
+      require(px.length == w * h, s"${px.length} pixels for ${w}x$h")
+      // GCE: disposal 1 (leave in place), no transparency
+      out.write(0x21); out.write(0xf9); out.write(4)
+      out.write(0x04); le16(delayCs); out.write(0); out.write(0)
+      out.write(0x2c); le16(0); le16(0); le16(w); le16(h); out.write(0)
+      out.write(8) // LZW min code size
+      val lzw = lzwEncode(px, 8)
+      var o = 0
+      while (o < lzw.length) {
+        val n = math.min(255, lzw.length - o)
+        out.write(n); out.write(lzw, o, n); o += n
+      }
+      out.write(0) // data terminator
+    }
+    out.write(0x3b)
+    out.toByteArray
+  }
 
   def encodeWav(samples: Array[Short], sampleRate: Int): Array[Byte] = {
     val dataLen = samples.length * 2

@@ -45,18 +45,38 @@ object Media {
       case Codecs.Pgm  => poolMean(Codecs.decodePgm(bytes).gray, dim)
       case Codecs.Ppm  => poolMean(Codecs.decodePpm(bytes).gray, dim)
       case Codecs.Wav  => poolRms(Codecs.decodeWav(bytes).samples, dim)
-      case Codecs.Avi  =>
+      case Codecs.Avi | Codecs.Gif =>
         // video thumbnail embedding: first decoded frame's luma plane.
-        // A blob can carry the RIFF/AVI magic yet fail the container
-        // walk (truncated chunk, missing strh/strf, zero frames) — one
+        // A blob can carry the container magic yet fail the walk
+        // (truncated chunk, missing strh/strf, zero frames) — one
         // such row must degrade to the stub, not abort a 100 TB job,
         // per the module contract "the plumbing accepts any blob".
-        scala.util.Try {
-          val v = Codecs.parseAvi(bytes)
-          require(v.frames.nonEmpty, "AVI with zero frames")
-          poolMean(Codecs.decodeVideoFrame(v, 0).gray, dim)
-        }.getOrElse(fakeDecode(bytes, dim))
+        parseAnimation(bytes) match {
+          case Some((_, frame)) => poolMean(frame(0).gray, dim)
+          case None             => fakeDecode(bytes, dim)
+        }
       case Codecs.Unknown => fakeDecode(bytes, dim)
+    }
+
+  /** ONE container parse per video blob, unified across the two real
+    * animation containers (RIFF/AVI and GIF): the frame count plus a
+    * per-frame decoder closing over the parsed container — the
+    * parse-once-decode-many shape every frame consumer shares. None
+    * when the magic matches but the walk fails (malformed blob → the
+    * caller's stub path). */
+  private def parseAnimation(b: Array[Byte]): Option[(Int, Int => Codecs.Image)] =
+    Codecs.detect(b) match {
+      case Codecs.Avi => scala.util.Try {
+        val v = Codecs.parseAvi(b)
+        require(v.frames.nonEmpty, "AVI with zero frames")
+        (v.frames.length, (i: Int) => Codecs.decodeVideoFrame(v, i))
+      }.toOption
+      case Codecs.Gif => scala.util.Try {
+        val g = Codecs.decodeGif(b)
+        require(g.frames.nonEmpty, "GIF with zero frames")
+        (g.frames.length, (i: Int) => g.frames(i))
+      }.toOption
+      case _ => None
     }
 
   /** Mean over `dim` contiguous equal blocks (image pooling). */
@@ -172,17 +192,16 @@ object Media {
       rows.flatMap { r =>
         val id = r.getLong(0)
         val b = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
-        // None when the magic says AVI but the container walk fails
-        // (truncated chunk, missing headers) — that row falls through
-        // to the stub path below instead of aborting the whole job.
+        // None when the magic says AVI/GIF but the container walk
+        // fails (truncated chunk, missing headers) — that row falls
+        // through to the stub path below instead of aborting the job.
         val parsed =
-          if (b != null && Codecs.detect(b) == Codecs.Avi)
-            scala.util.Try(Codecs.parseAvi(b)).toOption // one parse per video row
+          if (b != null) parseAnimation(b) // one parse per video row
           else None
         if (parsed.isDefined) {
-          val v = parsed.get
-          (0 until v.frames.length by stride).iterator.map { i =>
-            Row(id, i, poolMean(Codecs.decodeVideoFrame(v, i).gray, dim).toSeq)
+          val (nFrames, frame) = parsed.get
+          (0 until nFrames by stride).iterator.map { i =>
+            Row(id, i, poolMean(frame(i).gray, dim).toSeq)
           }
         } else {
           val nf = if (r.isNullAt(2)) 0 else r.getInt(2)
@@ -235,8 +254,14 @@ object Media {
             val frames = (0 until nFrames).map { fi =>
               Array.tabulate[Byte](vw * vh)(i => cyc(i + 7 * fi))
             }
-            Row(id, "video", Codecs.encodeAviDib(frames, vw, vh),
-                Row(vw, vh, 0, nFrames))
+            // same container split as videosFromDocuments: DIB-AVI for
+            // id % 6 == 2, grayscale GIF for % 6 == 5 — SAME pixels, so
+            // the container is provably feature-neutral (the PNG-vs-P5
+            // image rule applied to the video arm)
+            val container =
+              if (id % 6 == 2) Codecs.encodeAviDib(frames, vw, vh)
+              else Codecs.encodeGifGray(frames, vw, vh)
+            Row(id, "video", container, Row(vw, vh, 0, nFrames))
         }
       }
     }(enc)
@@ -340,14 +365,29 @@ object Media {
     df.filter(col("kind") === "video").select("media_id", "bytes")
       .mapPartitions { rows =>
         rows.map { r =>
-          val v = Codecs.parseAvi(r.getAs[Array[Byte]](1))
-          require(v.compression == 0,
-            "videoIntStats: uncompressed DIB required (lossless recovery)")
+          val b = r.getAs[Array[Byte]](1)
+          val (nFrames, frame): (Int, Int => Codecs.Image) =
+            Codecs.detect(b) match {
+              case Codecs.Avi =>
+                val v = Codecs.parseAvi(b)
+                require(v.compression == 0,
+                  "videoIntStats: uncompressed DIB required (lossless recovery)")
+                (v.frames.length, (i: Int) => Codecs.decodeVideoFrame(v, i))
+              case Codecs.Gif =>
+                // grayscale-palette GIF recovers bytes exactly through
+                // the SAME Rec.601 float algebra as DIB (index i maps
+                // to (i,i,i)) — the second lossless video container
+                // under the one arithmetic oracle.
+                val g = Codecs.decodeGif(b)
+                (g.frames.length, (i: Int) => g.frames(i))
+              case other => throw new IllegalArgumentException(
+                s"videoIntStats: lossless video container required, got $other")
+            }
           var px = 0L; var mot = 0L
           var prev: Array[Int] = null
           var fi = 0
-          while (fi < v.frames.length) {
-            val g = Codecs.decodeVideoFrame(v, fi).gray
+          while (fi < nFrames) {
+            val g = frame(fi).gray
             val cur = new Array[Int](g.length)
             var i = 0
             while (i < g.length) {
@@ -358,7 +398,7 @@ object Media {
             }
             prev = cur; fi += 1
           }
-          Row(r.getLong(0), v.frames.length, px, mot)
+          Row(r.getLong(0), nFrames, px, mot)
         }
       }(enc)
   }
@@ -384,12 +424,18 @@ object Media {
     }(enc)
   }
 
-  /** Every document as a genuine uncompressed-DIB AVI video
-    * (retrieval-query shape: one modality, whole corpus) — the video
-    * analogue of `audioFromDocuments`. Frame content drifts with the
-    * frame index (same byte-cycle rule as the `id % 3 == 2` arm of
+  /** Every document as a genuine video (retrieval-query shape: one
+    * modality, whole corpus) — the video analogue of
+    * `audioFromDocuments`. Frame content drifts with the frame index
+    * (same byte-cycle rule as the `id % 3 == 2` arm of
     * `fromDocuments`), so per-frame features differ and motion
-    * analysis has real signal. */
+    * analysis has real signal. TWO real containers carry the SAME
+    * frames — uncompressed-DIB AVI for even ids, LZW-compressed
+    * grayscale-palette GIF for odd — so every downstream consumer
+    * (features, serve, the `media_video_int` arithmetic oracle, whose
+    * expected sums depend on the text alone) proves the container
+    * choice feature-neutral for video exactly as PNG-vs-P5 does for
+    * images: a decode divergence in EITHER codec breaks the hash. */
   def videosFromDocuments(docs: DataFrame, idCol: String, textCol: String,
                           w: Int = 16, h: Int = 12, nFrames: Int = 6): DataFrame = {
     val in = docs.select(col(idCol).cast("long").as("media_id"),
@@ -397,13 +443,16 @@ object Media {
     val enc = Encoders.row(mediaSchema)
     in.mapPartitions { rows =>
       rows.map { r =>
+        val id = r.getLong(0)
         val tb = r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
         def cyc(i: Int): Byte = if (tb.isEmpty) 0 else tb(i % tb.length)
         val frames = (0 until nFrames).map { fi =>
           Array.tabulate[Byte](w * h)(i => cyc(i + 7 * fi))
         }
-        Row(r.getLong(0), "video", Codecs.encodeAviDib(frames, w, h),
-            Row(w, h, 0, nFrames))
+        val container =
+          if (id % 2 == 0) Codecs.encodeAviDib(frames, w, h)
+          else Codecs.encodeGifGray(frames, w, h)
+        Row(id, "video", container, Row(w, h, 0, nFrames))
       }
     }(enc)
   }

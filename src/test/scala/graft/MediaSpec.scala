@@ -804,4 +804,152 @@ class MediaSpec extends AnyFunSuite {
     assert(live.length == batch.length && live.sameElements(batch),
       "drained stream state must equal the batch twin")
   }
+
+  // -- GIF (LZW, interlace, transparency, JDK cross-validation) ---------
+
+  private def gifRecovered(img: Codecs.Image): Array[Int] =
+    img.gray.map(g => math.round(g * 255f))
+
+  test("GIF encode/decode round-trips pixels exactly through table " +
+       "growth and a forced mid-stream table reset") {
+    // > 12k pixels of low-repetition content pushes the LZW table
+    // through every width (9..12 bits) and past 4096 entries, forcing
+    // the encoder's clear/reset path; exact recovery proves the
+    // variable-width bookkeeping on both sides.
+    val w = 128; val h = 96
+    var seed = 12345L
+    val px = Array.tabulate[Byte](w * h) { _ =>
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      ((seed >>> 33) & 0xff).toByte
+    }
+    val anim = Codecs.decodeGif(Codecs.encodeGifGray(Seq(px), w, h))
+    assert(anim.width == w && anim.height == h && anim.frames.length == 1)
+    assert(gifRecovered(anim.frames(0)).sameElements(px.map(_ & 0xff)))
+  }
+
+  test("JDK ImageIO decodes our animated GIF to the same pixels " +
+       "(independent decoder agrees with our LZW/width convention)") {
+    val w = 32; val h = 24
+    val frames = (0 until 3).map(fi =>
+      Array.tabulate[Byte](w * h)(i => ((i * 7 + fi * 31) % 256).toByte))
+    val bytes = Codecs.encodeGifGray(frames, w, h)
+    val rdr = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    rdr.setInput(javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes)))
+    assert(rdr.getNumImages(true) == 3)
+    for (fi <- 0 until 3) {
+      val bi = rdr.read(fi)
+      assert(bi.getWidth == w && bi.getHeight == h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val want = frames(fi)(y * w + x) & 0xff
+        val got = bi.getRGB(x, y) & 0xff // gray palette: B channel = index
+        assert(got == want, s"frame $fi ($x,$y): jdk=$got ours=$want")
+      }
+    }
+  }
+
+  test("our decoder reads a JDK-encoded GIF byte-exactly " +
+       "(the LZW convention pinned from the other direction)") {
+    val w = 40; val h = 30
+    val bi = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (x * 13 + y * 57) % 256
+      bi.getRaster.setSample(x, y, 0, v)
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(bi, "gif", baos))
+    val anim = Codecs.decodeGif(baos.toByteArray)
+    assert(anim.width == w && anim.height == h)
+    val rec = gifRecovered(anim.frames(0))
+    // JDK writes TYPE_BYTE_GRAY through a gray palette; its palette
+    // entry for index i is (i,i,i), so recovery is exact.
+    for (y <- 0 until h; x <- 0 until w)
+      assert(rec(y * w + x) == (x * 13 + y * 57) % 256, s"($x,$y)")
+  }
+
+  test("interlaced GIF rows land in appendix-E pass order") {
+    // 4x8 image, row y constant at 10*y; store rows in interlace order
+    // (0,4,2,6,1,3,5,7 for h=8) and set the interlace flag — the
+    // decoder must un-permute back to 0..7.
+    val w = 4; val h = 8
+    val storageRows = Array(0, 4, 2, 6, 1, 3, 5, 7)
+    val px = storageRows.flatMap(y => Array.fill(w)((10 * y).toByte))
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    le16(w); le16(h); out.write(0xf7); out.write(0); out.write(0)
+    (0 until 256).foreach(i => { out.write(i); out.write(i); out.write(i) })
+    out.write(0x2c); le16(0); le16(0); le16(w); le16(h)
+    out.write(0x40) // interlace flag, no local table
+    out.write(8)
+    val lzw = Codecs.lzwEncode(px, 8)
+    var o = 0
+    while (o < lzw.length) {
+      val n = math.min(255, lzw.length - o)
+      out.write(n); out.write(lzw, o, n); o += n
+    }
+    out.write(0); out.write(0x3b)
+    val anim = Codecs.decodeGif(out.toByteArray)
+    val rec = gifRecovered(anim.frames(0))
+    for (y <- 0 until h; x <- 0 until w)
+      assert(rec(y * w + x) == 10 * y, s"row $y col $x: ${rec(y * w + x)}")
+  }
+
+  test("transparent pixels keep the prior canvas (GIF89a compositing)") {
+    // frame 1: all 100. frame 2: left half 200, right half transparent
+    // (index 7) — the composited second canvas is 200|100.
+    val w = 4; val h = 2
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def frame(px: Array[Byte], gceTransparent: Int): Unit = {
+      if (gceTransparent >= 0) {
+        out.write(0x21); out.write(0xf9); out.write(4)
+        out.write(0x04 | 1); le16(0); out.write(gceTransparent); out.write(0)
+      }
+      out.write(0x2c); le16(0); le16(0); le16(w); le16(h); out.write(0)
+      out.write(8)
+      val lzw = Codecs.lzwEncode(px, 8)
+      var o = 0
+      while (o < lzw.length) {
+        val n = math.min(255, lzw.length - o)
+        out.write(n); out.write(lzw, o, n); o += n
+      }
+      out.write(0)
+    }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    le16(w); le16(h); out.write(0xf7); out.write(0); out.write(0)
+    (0 until 256).foreach(i => { out.write(i); out.write(i); out.write(i) })
+    frame(Array.fill[Byte](w * h)(100), -1)
+    frame(Array.tabulate[Byte](w * h)(i => if (i % w < w / 2) 200.toByte else 7), 7)
+    out.write(0x3b)
+    val anim = Codecs.decodeGif(out.toByteArray)
+    assert(anim.frames.length == 2)
+    val f2 = gifRecovered(anim.frames(1))
+    for (y <- 0 until h; x <- 0 until w)
+      assert(f2(y * w + x) == (if (x < w / 2) 200 else 100), s"($x,$y)")
+  }
+
+  test("the video container is feature-neutral: AVI and GIF rows with " +
+       "identical frames yield identical int stats and features") {
+    import spark.implicits._
+    // ids 0 (AVI) and 1 (GIF) share the text -> same frames
+    val docs = Seq((0L, "containers must not matter"),
+                   (1L, "containers must not matter")).toDF("doc_id", "text")
+    val media = Media.videosFromDocuments(docs, "doc_id", "text").cache()
+    val kinds = media.collect().map(r =>
+      r.getLong(0) -> Codecs.detect(r.getAs[Array[Byte]](2))).toMap
+    assert(kinds(0L) == Codecs.Avi && kinds(1L) == Codecs.Gif)
+    val stats = Media.videoIntStats(media).collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(stats(0L) == stats(1L), s"int stats diverge: $stats")
+    val feats = Media.decodeFeatures(media, dim = 16).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](r.length - 1))).toMap
+    assert(feats(0L) == feats(1L), "first-frame features diverge")
+    val fr = Media.sampleFrames(media, stride = 2).collect()
+      .map(r => ((r.getLong(0), r.getInt(1)), r.getSeq[Float](2)))
+      .groupBy(_._1._1).view
+      .mapValues(_.sortBy(_._1._2).map(_._2).toSeq).toMap
+    assert(fr(0L) == fr(1L), "sampled frame features diverge")
+  }
 }
