@@ -2432,6 +2432,59 @@ object Queries {
     },
     Some(simSqSql))
 
+  /** SQ8 DISTORTION report — the second standard index-quality
+    * measurement next to `q_retrieval_eval`'s recall/MRR: per vector,
+    * the L2 reconstruction error and cosine fidelity of the int8
+    * scalar quantizer's round trip (quantize → dequantize through the
+    * same affine line the serve tier uses). The whole measurement is
+    * the SQ8 algebra plus one zip — fully DuckDB-re-derivable, so the
+    * distortion numbers a capacity-planning decision reads off this
+    * report are oracle-pinned, not spec-floored. Shape: one 2·dim
+    * min/max agg (1-row broadcast) + a scan-side transform/zip per
+    * row — zero shuffle beyond the partial agg, linear at any scale. */
+  private val qSqDistortion = Q(
+    "q_sq_distortion",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("f"))
+      val dim = e.select(size(col("f"))).head.getInt(0)
+      val mm = e.agg(
+        array((1 to dim).map(j => min(element_at(col("f"), j))): _*).as("minl"),
+        array((1 to dim).map(j =>
+          (max(element_at(col("f"), j)) - min(element_at(col("f"), j))) / 255.0): _*)
+          .as("stepl"))
+      val dq = e.crossJoin(broadcast(mm))
+        .select(col("vec_id"), col("f"),
+          transform(col("f"), (x, i) => {
+            val mn = col("minl")(i)
+            val st = col("stepl")(i)
+            when(st === 0, mn).otherwise(
+              mn + least(lit(255.0), greatest(lit(0.0),
+                floor((x - mn) / st + lit(0.5)).cast("double"))) * st)
+          }).as("g"))
+      dq.select(col("vec_id"),
+          round(sqrt(aggregate(
+            zip_with(col("f"), col("g"), (a, b) => (a - b) * (a - b)),
+            lit(0.0), (acc, x) => acc + x)), 6).as("l2_err"),
+          round(VectorOps.cosine(col("f"), col("g")), 6).as("cos_fid"))
+        .orderBy("vec_id")
+    },
+    Some(s"""WITH v AS (SELECT vec_id AS id, embedding AS f FROM embeddings),
+         |dm AS (SELECT d, min(CAST(x AS DOUBLE)) AS mn, max(CAST(x AS DOUBLE)) AS mx FROM (
+         |  SELECT unnest(f) AS x, unnest(generate_series(1, len(f))) AS d FROM v) GROUP BY d),
+         |mm AS (SELECT list(mn ORDER BY d) AS minl, list((mx - mn) / 255.0 ORDER BY d) AS stepl FROM dm),
+         |g AS (SELECT id, list_transform(generate_series(1, len(f)), j ->
+         |    CASE WHEN stepl[j] = 0 THEN minl[j]
+         |         ELSE minl[j] + least(255.0, greatest(0.0,
+         |                floor((CAST(f[j] AS DOUBLE) - minl[j]) / stepl[j] + 0.5))) * stepl[j] END) AS g
+         |  FROM v, mm)
+         |SELECT v.id AS vec_id,
+         | round(sqrt(list_sum(list_transform(list_zip(v.f, g.g),
+         |   p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+         |      * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))), 6) AS l2_err,
+         | round(${duckCosine("v.f", "g.g")}, 6) AS cos_fid
+         |FROM v JOIN g ON g.id = v.id ORDER BY vec_id""".stripMargin))
+
   /** SQ8 SERVE (FULL oracle — the first COMPRESSED serve tier the
     * DuckDB gate checks end to end): the resident shard holds one byte
     * per component (8× less vector RAM than the raw `q_sim_serve`
@@ -4924,7 +4977,8 @@ object Queries {
     qKnnGraphGrid,
     qKnnClusters, qEmbedPipeline, qRetrievalEval,
     qSimLshTopk, qSimLshTopkMd5, qSimIvfTopk,
-    qSimIvfTopkGrid, qSimPqTopk, qSimPqTopkMd5, qSimPqServe, qSimSqTopk, qSimSqServe,
+    qSimIvfTopkGrid, qSimPqTopk, qSimPqTopkMd5, qSimPqServe, qSimSqTopk,
+    qSqDistortion, qSimSqServe,
     qSimSqServeStream, qSimIvfPqTopk, qSimGraphTopk,
     qDedupMinhash, qDedupMinhashMd5, qDedupMinhashMd5Capped,
     qDedupMinhashMd5Stop,
