@@ -2453,20 +2453,10 @@ object Queries {
         array((1 to dim).map(j =>
           (max(element_at(col("f"), j)) - min(element_at(col("f"), j))) / 255.0): _*)
           .as("stepl"))
-      val dq = e.crossJoin(broadcast(mm))
-        .select(col("vec_id"), col("f"),
-          transform(col("f"), (x, i) => {
-            val mn = col("minl")(i)
-            val st = col("stepl")(i)
-            when(st === 0, mn).otherwise(
-              mn + least(lit(255.0), greatest(lit(0.0),
-                floor((x - mn) / st + lit(0.5)).cast("double"))) * st)
-          }).as("g"))
-      dq.select(col("vec_id"),
-          round(sqrt(aggregate(
-            zip_with(col("f"), col("g"), (a, b) => (a - b) * (a - b)),
-            lit(0.0), (acc, x) => acc + x)), 6).as("l2_err"),
-          round(VectorOps.cosine(col("f"), col("g")), 6).as("cos_fid"))
+      val (l2, fid) = operators.Embeddings.sqDistortionCols(
+        col("f"), col("minl"), col("stepl"))
+      e.crossJoin(broadcast(mm))
+        .select(col("vec_id"), l2.as("l2_err"), fid.as("cos_fid"))
         .orderBy("vec_id")
     },
     Some(s"""WITH v AS (SELECT vec_id AS id, embedding AS f FROM embeddings),
@@ -2484,6 +2474,16 @@ object Queries {
          |      * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))), 6) AS l2_err,
          | round(${duckCosine("v.f", "g.g")}, 6) AS cos_fid
          |FROM v JOIN g ON g.id = v.id ORDER BY vec_id""".stripMargin))
+
+  /** The distortion report's STREAMING twin: affine line fitted
+    * batch-side (constant-size model), arriving vectors scored
+    * row-locally through the shared `Embeddings.sqDistortionCols`
+    * algebra — stateless append, the batch oracle applies verbatim. */
+  private val qSqDistortionStream = Q(
+    "q_sq_distortion_stream",
+    (s, d) => streaming.CorpusStream.sqDistortionOverFile(s, d)
+      .orderBy("vec_id"),
+    qSqDistortion.oracle)
 
   /** SQ8 SERVE (FULL oracle — the first COMPRESSED serve tier the
     * DuckDB gate checks end to end): the resident shard holds one byte
@@ -4978,7 +4978,7 @@ object Queries {
     qKnnClusters, qEmbedPipeline, qRetrievalEval,
     qSimLshTopk, qSimLshTopkMd5, qSimIvfTopk,
     qSimIvfTopkGrid, qSimPqTopk, qSimPqTopkMd5, qSimPqServe, qSimSqTopk,
-    qSqDistortion, qSimSqServe,
+    qSqDistortion, qSqDistortionStream, qSimSqServe,
     qSimSqServeStream, qSimIvfPqTopk, qSimGraphTopk,
     qDedupMinhash, qDedupMinhashMd5, qDedupMinhashMd5Capped,
     qDedupMinhashMd5Stop,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorOps
@@ -32,6 +32,34 @@ object Embeddings {
       .select(col("grp"), col("pos").cast("int").as("dim_idx"),
               col("centroid"), col("n_vectors"))
       .orderBy("grp", "dim_idx")
+
+  /** The SQ8 round trip: quantize `f` through the per-dim affine line
+    * (min + code·step, code = clamp(floor((x−min)/step + 0.5))) and
+    * dequantize back — the EXACT algebra the serve tier ships
+    * (`AnnServe.fitSqShard` / the `sim_sq_topk` oracle), shared by the
+    * batch distortion query (line attached as a broadcast 1-row frame)
+    * and its streaming twin (line inlined as literal arrays), so the
+    * two spellings cannot drift. */
+  def sqRoundTrip(f: Column, minl: Column, stepl: Column): Column =
+    transform(f, (x, i) => {
+      val mn = minl(i)
+      val st = stepl(i)
+      when(st === 0, mn).otherwise(
+        mn + least(lit(255.0), greatest(lit(0.0),
+          floor((x - mn) / st + lit(0.5)).cast("double"))) * st)
+    })
+
+  /** Per-vector SQ8 distortion columns: L2 reconstruction error and
+    * cosine fidelity of the round trip, rounded to the engine-portable
+    * 6 decimals. Pure scan-side expressions. */
+  def sqDistortionCols(f: Column, minl: Column, stepl: Column)
+      : (Column, Column) = {
+    val g = sqRoundTrip(f, minl, stepl)
+    (round(sqrt(aggregate(
+       zip_with(f, g, (a, b) => (a - b) * (a - b)),
+       lit(0.0), (acc, x) => acc + x)), 6),
+     round(VectorOps.cosine(f, g), 6))
+  }
 
   /** Diversified top-k retrieval: cosine top-k with an at-most-
     * `perCell` quota per semantic cell — the result-diversity move a

@@ -475,6 +475,38 @@ object CorpusStream {
     spark.table(name)
   }
 
+  /** The declared `q_sq_distortion_stream` runner — the distortion
+    * report's streaming twin: the per-dim affine line fits batch-side
+    * (one 2·dim agg, constant-size model — the fit/serve pattern),
+    * then every arriving vector's round-trip error computes row-locally
+    * through the SHARED `Embeddings.sqDistortionCols` algebra with the
+    * line inlined as literal arrays — no state, no shuffle, append
+    * mode at scan speed. Drained end state equals the batch
+    * `q_sq_distortion` row-for-row, so its full oracle applies
+    * verbatim. */
+  def sqDistortionOverFile(spark: org.apache.spark.sql.SparkSession,
+                           sfDir: String): DataFrame = {
+    val e = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("f"))
+    val dim = e.select(org.apache.spark.sql.functions.size(col("f"))).head.getInt(0)
+    val mm = e.agg(
+      array((1 to dim).map(j => min(element_at(col("f"), j))): _*),
+      array((1 to dim).map(j =>
+        (max(element_at(col("f"), j)) - min(element_at(col("f"), j))) / 255.0): _*))
+      .head()
+    val minl = array(mm.getSeq[Double](0).map(lit): _*)
+    val stepl = array(mm.getSeq[Double](1).map(lit): _*)
+    val (l2, fid) = graft.operators.Embeddings.sqDistortionCols(
+      col("f"), minl, stepl)
+    val name = s"__graft_sqdist_${runSeq.incrementAndGet()}"
+    val q = graft.Tables.embeddingsStream(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("f"))
+      .select(col("vec_id"), l2.as("l2_err"), fid.as("cos_fid"))
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
   /** The declared `sim_sq_serve_stream` runner — the SQ8 tier's
     * streaming twin: fit the byte-code shard batch-side, stream the
     * query slice through the row-local dequantizing serve
