@@ -930,6 +930,31 @@ class MediaSpec extends AnyFunSuite {
       assert(f2(y * w + x) == (if (x < w / 2) 200 else 100), s"($x,$y)")
   }
 
+  test("malformed GIF blobs degrade to the stub, never abort the job " +
+       "(the module contract fuzzed)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // valid magic + garbage tails of every small length, including a
+    // truncated-mid-color-table and a runaway-extension shape
+    val blobs = (0 until 64).map { i =>
+      "GIF89a".getBytes("US-ASCII") ++ Array.fill[Byte](i)(rnd.nextInt().toByte)
+    }
+    blobs.foreach { b =>
+      // decodeGif itself must throw something catchable, not hang
+      intercept[Exception](Codecs.decodeGif(b))
+      // ... and the Media plumbing must fall back to the stub
+      val f = Media.realDecode(b, 8)
+      assert(f.length == 8)
+    }
+    // through the DataFrame path too: video rows with junk bytes
+    val df = blobs.zipWithIndex.map { case (b, i) => (i.toLong, "video", b) }
+      .toDF("media_id", "kind", "bytes")
+      .withColumn("meta", struct(lit(4).as("width"), lit(4).as("height"),
+        lit(0).as("sample_rate"), lit(2).as("n_frames")))
+    val out = Media.sampleFrames(df, stride = 1)
+    assert(out.count() == 64 * 2) // stub path: meta-declared frame count
+  }
+
   test("the video container is feature-neutral: AVI and GIF rows with " +
        "identical frames yield identical int stats and features") {
     import spark.implicits._
