@@ -598,7 +598,15 @@ object ProbeSoak {
       import graft.streaming.CorpusStream
       import graft.operators.Dedup
       val nBatches = 8
-      val perBatch = scales.headOption.getOrElse(2) * 1000
+      // Default to the GATED configuration (20k-row batches → n=160k,
+      // the STATUS.md numbers of record). Sub-2k batches are NOT a
+      // valid gate configuration: each advance carries a fixed ~4k-
+      // record AQE exchange-materialization floor, so at tiny batches
+      // the last batch's one extra materialization reads as a 1.65×
+      // "growth" that is quantization, not corpus-growth — the claim
+      // under test is flatness at realistic batch sizes.
+      val perBatch =
+        (if (args.length > 1) scales.head else 20) * 1000
       // REALISTIC payloads — the probe's honesty hinges on them: the
       // recompute spelling re-digests EVERY accumulated document and
       // re-normalizes every accumulated vector each batch, so KB-scale
