@@ -163,6 +163,40 @@ object ProbeSoak {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    if (mode == "extract") {
+      // Markup-extraction scale probe: wrap + extract are pure per-row
+      // HOF/regex expressions (zero shuffle), so the cost model is
+      // per-doc CPU — the gate is LINEARITY of per-doc time across a
+      // 12× corpus growth (interpreted-HOF folds are the one lurking
+      // hazard; the verify guide's CharTrigramBuckets lesson). Salted
+      // replica corpora from genDocs keep content realistic (~1 KB).
+      import graft.operators.Extract
+      var perDoc = Map.empty[Int, Double]
+      scales.foreach { s =>
+        val docs = genDocs(spark, s)
+          .select("doc_id", "text").repartition(32).localCheckpoint()
+        val n = docs.count()
+        val wrapped = Extract.htmlWrapped(docs, "doc_id", "text")
+        val run = () => Extract.extractHtml(wrapped, "doc_id", "html")
+          .agg(sum("n_words"), sum("n_kept"), count(lit(1))).collect()(0)
+        run() // warm (codegen + broadcast init)
+        val t0 = System.nanoTime()
+        val r = run()
+        val dt = (System.nanoTime() - t0) / 1e9
+        perDoc += s -> (dt * 1e6 / n)
+        println(f"[soak-extract] x$s%-3d n=$n time=$dt%.2fs " +
+          f"perDoc=${dt * 1e6 / n}%.1fus kept=${r.getLong(1)} words=${r.getLong(0)}")
+        require(r.getLong(1) >= n, s"every doc must keep its <p> block: ${r.getLong(1)} < $n")
+      }
+      if (scales.length >= 2) {
+        val anchor = perDoc(scales(1)); val last = perDoc(scales.last)
+        require(last <= 2.0 * anchor,
+          f"extraction per-doc time must stay flat across corpus growth: " +
+            f"x${scales(1)}=$anchor%.1fus -> x${scales.last}=$last%.1fus")
+      }
+      spark.stop(); return
+    }
+
     if (mode == "ann") {
       // staged, repeated timing of the IVF family — separates model
       // fit (driver k-means off a hash-ordered sample) from corpus
