@@ -4024,6 +4024,114 @@ object Queries {
     * the mixture copies and the packed token intervals.
     * PlanShapeSpec pins that the two new stages add ZERO hash
     * exchanges over `q_corpus_pipeline`. */
+  /** The WEB-CRAWL flagship — raw HTML to packed training manifest in
+    * ONE declarative plan, the stage every real pretraining corpus
+    * starts at and the third flagship next to `q_pretrain_pipeline`
+    * (gates-first) and `q_embed_pipeline` (vectors): markup extraction
+    * (`Extract.extractHtml` over the deterministic page skeleton) →
+    * chrome-robust exact dedup keyed on the LEAD content block's
+    * digest (identical article bodies dedup even though per-page
+    * chrome — nav links, related-items lists — differs by URL, which
+    * whole-page digests would miss) → Gopher lexical gate on the
+    * extracted content (`Corpus.gopherStats`, paper thresholds) →
+    * 512-token sequence packing per source shard
+    * (`Corpus.packManifest`). Every stage is the already-oracle-proven
+    * operator and the chained DuckDB oracle re-derives the whole
+    * composition: page generation, block algebra, lead-block digest,
+    * keeper minima, word stats, cumulative token sums and interval
+    * fills.
+    *
+    * Scale shape: extraction is scan-side (zero shuffle); dedup
+    * shuffles 16-byte digests; the gopher gate is the proven two-level
+    * token agg; the source re-attach is a doc_id-keyed equi-join of
+    * co-partitionable tables (bucketed layouts make it exchange-free);
+    * packing windows per shard. No new shuffle kind beyond the
+    * component operators. */
+  private val qWebPipeline = Q(
+    "q_web_pipeline",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val ex = operators.Extract.extractHtml(
+        operators.Extract.htmlWrapped(docs, "doc_id", "text"),
+        "doc_id", "html")
+      val keyed = ex.withColumn("__mk",
+        md5(element_at(split(col("content"), "\n"), 1).cast("binary")))
+      val keepers = keyed.groupBy("__mk").agg(min("doc_id").as("doc_id"))
+      val s1 = keyed.join(keepers, Seq("__mk", "doc_id"))
+        .select("doc_id", "content")
+      val quality = operators.Corpus.gopherStats(s1, "doc_id", "content")
+        .filter(col("keep") === 1).select("doc_id")
+      val s2 = s1.join(quality, Seq("doc_id"))
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      operators.Corpus.packManifest(s2, "doc_id", "content", "source",
+        seqLen = 512)
+    },
+    Some(s"""WITH h AS (SELECT doc_id,
+         |  '<html><head><title>doc ' || CAST(doc_id AS VARCHAR) || '</title>'
+         |  || '<style>body { color: #fff; }</style></head><body>'
+         |  || '<nav><a href="/">home</a> <a href="/about">about site</a> <a href="/c">contact us</a></nav>'
+         |  || '<script>var doc = ' || CAST(doc_id AS VARCHAR) || '; track();</script>'
+         |  || '<p>' || coalesce(text, '') || ' &amp; tail &lt;x&gt; &quot;quoted&quot; &#39;q&#39;&nbsp;end</p>'
+         |  || '<li>see <a href="/d/' || CAST(doc_id AS VARCHAR) || '">link ' || CAST(doc_id AS VARCHAR) || '</a>'
+         |  || repeat(' w', CAST(doc_id % 8 AS INT)) || ' mid tail</li>'
+         |  || '<footer>copyright 2026</footer></body></html>' AS html
+         | FROM documents),
+         |fb AS (SELECT doc_id, list_transform(
+         |   regexp_split_to_array(regexp_replace(html, '${operators.Extract.Html.ScriptStyle}', ' ', 'g'), '${operators.Extract.Html.BlockSplit}'),
+         |   b -> {'t': trim(regexp_replace(replace(replace(replace(replace(replace(replace(
+         |            regexp_replace(b, '${operators.Extract.Html.Tag}', ' ', 'g'),
+         |            '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+         |            '&nbsp;', ' '), '&amp;', '&'), '\\s+', ' ', 'g')),
+         |        'lw': CAST(coalesce(list_sum(list_transform(
+         |               regexp_extract_all(b, '${operators.Extract.Html.Anchor}', 1),
+         |               a -> len(regexp_extract_all(a, '${operators.Extract.Html.Word}')))), 0) AS INT)}) AS bs
+         | FROM h),
+         |fg AS (SELECT doc_id, list_transform(bs, s -> {'t': s.t,
+         |   'w': CAST(len(regexp_extract_all(s.t, '${operators.Extract.Html.Word}')) AS INT), 'lw': s.lw}) AS bs
+         | FROM fb),
+         |ex AS (SELECT doc_id, array_to_string(list_transform(
+         |   list_filter(bs, s -> s.w >= 5 AND s.lw * 3 <= s.w * 1), s -> s.t),
+         |   chr(10)) AS content FROM fg),
+         |mk AS (SELECT doc_id, content,
+         |   md5(split_part(content, chr(10), 1)) AS mkey FROM ex),
+         |keep1 AS (SELECT mkey, min(doc_id) AS kid FROM mk GROUP BY mkey),
+         |s1 AS (SELECT mk.doc_id, mk.content FROM mk
+         |  JOIN keep1 ON keep1.mkey = mk.mkey AND keep1.kid = mk.doc_id),
+         |tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(content), '\\s+')) AS w FROM s1),
+         |wf AS (SELECT doc_id, w, count(*) AS f1, sum(length(w)) AS lsum
+         |  FROM tok GROUP BY doc_id, w),
+         |per AS (SELECT doc_id, sum(f1) AS n_words, count(*) AS n_distinct,
+         |        max(f1) AS top_f, sum(lsum) AS charsum FROM wf GROUP BY doc_id),
+         |gk AS (SELECT doc_id FROM per WHERE n_words >= 30
+         |  AND round(charsum / CAST(n_words AS DOUBLE), 6) BETWEEN 3.0 AND 10.0
+         |  AND round(n_distinct / CAST(n_words AS DOUBLE), 6) >= 0.4
+         |  AND round(top_f / CAST(n_words AS DOUBLE), 6) <= 0.15),
+         |s2 AS (SELECT s1.doc_id, s1.content, d.source AS shard FROM s1
+         |  JOIN gk ON gk.doc_id = s1.doc_id
+         |  JOIN documents d ON d.doc_id = s1.doc_id),
+         |t AS (SELECT doc_id, shard,
+         |  CASE WHEN coalesce(trim(content), '') = '' THEN CAST(0 AS BIGINT)
+         |       ELSE CAST(len(regexp_split_to_array(trim(content), '\\s+')) AS BIGINT)
+         |  END AS n_tokens
+         | FROM s2),
+         |c AS (SELECT doc_id, shard, n_tokens,
+         |  sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |                      ROWS UNBOUNDED PRECEDING) AS end_tok
+         | FROM t),
+         |p AS (SELECT doc_id, shard, n_tokens,
+         |  CAST(end_tok - n_tokens AS BIGINT) AS start_tok,
+         |  CAST((end_tok - n_tokens) // 512 AS BIGINT) AS seq_first,
+         |  CAST((end_tok - 1) // 512 AS BIGINT) AS seq_last
+         | FROM c WHERE n_tokens > 0),
+         |m AS (SELECT shard, doc_id, n_tokens, start_tok,
+         |  unnest(generate_series(seq_first, seq_last)) AS seq_id FROM p)
+         |SELECT shard, CAST(seq_id AS INT) AS seq_id,
+         | CAST(count(*) AS INT) AS n_docs,
+         | min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+         | CAST(sum(least(start_tok + n_tokens, (seq_id + 1) * 512)
+         |        - greatest(start_tok, seq_id * 512)) AS BIGINT) AS n_fill
+         |FROM m GROUP BY shard, seq_id ORDER BY shard, seq_id""".stripMargin))
+
   private val qPretrainPipeline = {
     val weights = Map("src0" -> 2.5, "src1" -> 2.0, "src2" -> 0.5, "src3" -> 0.0)
     val k = 8
@@ -5007,6 +5115,7 @@ object Queries {
     qChunkOverlap, qLengthBuckets, qSourceOverlap,
     qDupNgrams, qUnigramLogprob, qLmCrossEntropy, qDomainPpl, qTokenBudget,
     qPackSequences, qPackManifest, qCorpusPipeline, qPretrainPipeline,
+    qWebPipeline,
     qZorderKey, qMixQuality,
     qScalerFit, qMlPreproc, qMlPcaRecon, qMlIforest, qMlLof, qMlLofLsh,
     qMlEnsemble, qMlSplit, qScoreFallback)

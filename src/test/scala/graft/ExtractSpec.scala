@@ -107,6 +107,28 @@ class ExtractSpec extends AnyFunSuite {
       .endsWith("w6 & tail <x> \"quoted\" 'q' end"))
   }
 
+  test("web pipeline's chrome-robust dedup: identical article bodies " +
+       "dedup across pages with different chrome (the driver corpus has " +
+       "no exact dups, so the stage is pinned here)") {
+    import org.apache.spark.sql.functions._
+    // docs 3 and 5 share the body; their page chrome differs (the
+    // skeleton stamps doc_id into nav/li) — a whole-page digest would
+    // MISS this pair, the lead-block key must catch it
+    val body = (1 to 40).map(i => s"word$i").mkString(" ")
+    val docs = Seq((3L, body), (5L, body), (9L, body + " unique tail"))
+      .toDF("doc_id", "text")
+    val ex = Extract.extractHtml(
+      Extract.htmlWrapped(docs, "doc_id", "text"), "doc_id", "html")
+    val keyed = ex.withColumn("__mk",
+      md5(element_at(split(col("content"), "\n"), 1).cast("binary")))
+    // pages 3 and 5 share the lead-block digest despite different chrome
+    assert(keyed.select("__mk").distinct().count() == 2)
+    val keepers = keyed.groupBy("__mk").agg(min("doc_id").as("doc_id"))
+    val surv = keyed.join(keepers, Seq("__mk", "doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(surv.toSeq == Seq(3L, 9L), s"keeper set: ${surv.toSeq}")
+  }
+
   test("streaming twin equals the batch transform on the real corpus") {
     val sf = "/root/testdata/sf0.001"
     val batch = Queries.all.find(_.name == "q_extract_html").get
