@@ -4329,6 +4329,44 @@ object Queries {
       .orderBy("doc_id"),
     qExtractHtml.oracle)
 
+  /** JSONL ingestion (`operators/Ingest`): each document serialized
+    * through the ENGINE'S OWN JSON codec and parsed back against the
+    * expected schema — the serializations differ textually between
+    * Spark and DuckDB, but parse∘build is the identity on both, so
+    * every extracted field must match value-for-value; truncated
+    * lines (doc_id % 17, invalid by construction) must surface as
+    * valid=0 all-null rows, the count-don't-crash ingestion rule.
+    * Pure codegen'd per-row expressions, zero shuffle. */
+  private val qParseJsonl = Q(
+    "q_parse_jsonl",
+    (s, d) => operators.Ingest.parseJsonl(
+      operators.Ingest.jsonlWrapped(Tables.documents(s, d),
+        "doc_id", "text", "source", "lang")).orderBy("doc_id"),
+    Some("""WITH raw AS (SELECT doc_id,
+           |  CAST(to_json({id: doc_id, meta: {source: source, lang: lang},
+           |    text: coalesce(text, ''), score: doc_id % 100 / 100.0,
+           |    tags: ['alpha', 'b-' || CAST(doc_id % 5 AS VARCHAR)]}) AS VARCHAR) AS line
+           | FROM documents),
+           |j AS (SELECT doc_id, CASE WHEN doc_id % 17 = 0
+           |    THEN substr(line, 1, length(line) - 3) ELSE line END AS line FROM raw)
+           |SELECT doc_id,
+           | CAST(CASE WHEN json_valid(line) THEN 1 ELSE 0 END AS INT) AS valid,
+           | CASE WHEN json_valid(line) THEN json_extract_string(line, '$.meta.source') END AS source,
+           | CASE WHEN json_valid(line) THEN json_extract_string(line, '$.meta.lang') END AS lang,
+           | CAST(CASE WHEN json_valid(line) THEN length(json_extract_string(line, '$.text')) END AS INT) AS n_text_chars,
+           | CASE WHEN json_valid(line) THEN CAST(json_extract(line, '$.score') AS DOUBLE) END AS score,
+           | CASE WHEN json_valid(line) THEN json_extract_string(line, '$.tags[1]') END AS tag2
+           |FROM j ORDER BY doc_id""".stripMargin))
+
+  /** JSONL ingestion STREAMING twin: wrap + parse are stateless
+    * per-row selects, so a live JSONL feed parses at scan speed in
+    * append mode and the batch oracle applies verbatim. */
+  private val qParseJsonlStream = Q(
+    "q_parse_jsonl_stream",
+    (s, d) => streaming.CorpusStream.parseJsonlOverFile(s, d)
+      .orderBy("doc_id"),
+    qParseJsonl.oracle)
+
   /** MassiveText repetition filter APPLIED (not just measured): the
     * gopher lexical keep composed with dup/top n-gram cuts for n = 2, 3
     * into one verdict. The oracle re-derives all three aggregates and
@@ -5108,7 +5146,8 @@ object Queries {
     qDecontaminateBloom, qDecontaminateBloomMd5, qDecontaminateContainment,
     qDecontaminateFuzzy,
     qDecontaminateFuzzyStream, qDecontaminateStream,
-    qPiiRedact, qExtractHtml, qExtractHtmlStream, qRepetitionFilter, qBpePairs,
+    qPiiRedact, qExtractHtml, qExtractHtmlStream, qParseJsonl,
+    qParseJsonlStream, qRepetitionFilter, qBpePairs,
     qNormalizeText, qCorpusProfile, qCollocations, qWeightedSample, qDsirSelect,
     qQualityClassifier, qQualityClassifierStream, qQualityRank, qEmbedCentroid, qBpeTrain, qBpeApply, qCanonicalDedup,
     qSimDiverse, qCorpusDiff, qDedupEval, qDomainApprox, qDomainApproxKmv,

@@ -380,6 +380,24 @@ object CorpusStream {
     spark.table(name)
   }
 
+  /** The declared `q_parse_jsonl_stream` runner: the documents stream
+    * serialized through the engine's JSON codec (with the planted
+    * corrupt-line class) and parsed back — wrap + parse are stateless
+    * per-row selects, so a live JSONL feed parses at scan speed in
+    * append mode; the drained end state equals the batch
+    * `q_parse_jsonl` row-for-row, so its oracle applies verbatim. */
+  def parseJsonlOverFile(spark: org.apache.spark.sql.SparkSession,
+                         sfDir: String): DataFrame = {
+    val name = s"__graft_jsonl_${runSeq.incrementAndGet()}"
+    val q = graft.operators.Ingest.parseJsonl(
+        graft.operators.Ingest.jsonlWrapped(
+          graft.Tables.documentsStream(spark, sfDir),
+          "doc_id", "text", "source", "lang"))
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
   /** Streaming model-based quality gate — the Bernoulli-NB serve half
     * over a live feed. Fit (`Corpus.fitNbQuality`) runs batch-side
     * (two nBuckets-bounded aggs, constant-size model, persistable via
