@@ -4358,6 +4358,38 @@ object Queries {
            | CASE WHEN json_valid(line) THEN json_extract_string(line, '$.tags[1]') END AS tag2
            |FROM j ORDER BY doc_id""".stripMargin))
 
+  /** URL parsing/normalization (crawl metadata): host, bare domain,
+    * path, the ref parameter, and the canonical form (query/fragment
+    * dropped, www. stripped) — the fields a crawl pipeline's domain
+    * quotas and dedup-by-canonical-URL run on. Same RE2-safe shared
+    * pattern rule as the Html/Pii sets; the generator plants www
+    * prefixes (odd ids) and fragments (ids % 3) so stripping is
+    * exercised both ways. Scan-side regexes, zero shuffle. */
+  private val qUrlParse = {
+    import operators.Extract.Url
+    Q(
+      "q_url_parse",
+      (s, d) => operators.Extract.urlParts(
+        operators.Extract.urlWrapped(Tables.documents(s, d),
+          "doc_id", "source", "lang"), "doc_id", "url").orderBy("doc_id"),
+      Some(s"""WITH u AS (SELECT doc_id,
+           |  'https://' || CASE WHEN doc_id % 2 = 1 THEN 'www.' ELSE '' END
+           |  || source || '.example.com/' || lang || '/page-' || CAST(doc_id AS VARCHAR)
+           |  || '?ref=r' || CAST(doc_id % 7 AS VARCHAR) || '&utm_source=feed'
+           |  || CASE WHEN doc_id % 3 = 0 THEN '#section-2' ELSE '' END AS url
+           | FROM documents),
+           |p AS (SELECT doc_id, url,
+           |  regexp_extract(url, '${Url.Host}', 1) AS host,
+           |  regexp_extract(url, '${Url.Path}', 1) AS path,
+           |  regexp_extract(url, '${Url.Ref}', 1) AS ref
+           | FROM u)
+           |SELECT doc_id, host,
+           | regexp_replace(host, '^www\\.', '') AS domain,
+           | path, ref,
+           | 'https://' || regexp_replace(host, '^www\\.', '') || path AS canonical
+           |FROM p ORDER BY doc_id""".stripMargin))
+  }
+
   /** JSONL ingestion STREAMING twin: wrap + parse are stateless
     * per-row selects, so a live JSONL feed parses at scan speed in
     * append mode and the batch oracle applies verbatim. */
@@ -5147,7 +5179,7 @@ object Queries {
     qDecontaminateFuzzy,
     qDecontaminateFuzzyStream, qDecontaminateStream,
     qPiiRedact, qExtractHtml, qExtractHtmlStream, qParseJsonl,
-    qParseJsonlStream, qRepetitionFilter, qBpePairs,
+    qParseJsonlStream, qUrlParse, qRepetitionFilter, qBpePairs,
     qNormalizeText, qCorpusProfile, qCollocations, qWeightedSample, qDsirSelect,
     qQualityClassifier, qQualityClassifierStream, qQualityRank, qEmbedCentroid, qBpeTrain, qBpeApply, qCanonicalDedup,
     qSimDiverse, qCorpusDiff, qDedupEval, qDomainApprox, qDomainApproxKmv,

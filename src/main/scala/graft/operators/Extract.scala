@@ -110,6 +110,48 @@ object Extract {
       array_join(transform(kept, s => s.getField("t")), "\n").as("content"))
   }
 
+  /** URL pattern set — crawl metadata is the other thing a web corpus
+    * parses besides markup (domain quotas, canonicalization,
+    * tracking-parameter hygiene). RE2-safe like `Html`. */
+  object Url {
+    val Host = "^[a-z][a-z0-9+.-]*://([^/?#]+)"
+    val Path = "^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)"
+    val Ref = "[?&]ref=([^&#]*)"
+  }
+
+  /** Per-URL crawl metadata: host, registrable-ish domain (leading
+    * `www.` stripped), path, the `ref` query parameter, and the
+    * canonical form (scheme + bare domain + path — query and fragment
+    * dropped, the tracking-hygiene rule). Pure scan-side regexes. */
+  def urlParts(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
+    val u = col(urlCol)
+    val host = regexp_extract(u, Url.Host, 1)
+    val domain = regexp_replace(host, "^www\\.", "")
+    val path = regexp_extract(u, Url.Path, 1)
+    df.select(col(idCol).as("doc_id"),
+      host.as("host"), domain.as("domain"), path.as("path"),
+      regexp_extract(u, Url.Ref, 1).as("ref"),
+      concat(lit("https://"), domain, path).as("canonical"))
+  }
+
+  /** Deterministic URL generator for the declared query (the plant
+    * pattern): scheme/host/path/query all vary with the document's
+    * own columns so parsing has real variation — odd ids get a `www.`
+    * prefix the canonicalizer must strip, every third id carries a
+    * fragment the path/query extraction must ignore. */
+  def urlWrapped(docs: DataFrame, idCol: String, sourceCol: String,
+                 langCol: String): DataFrame = {
+    val id = col(idCol)
+    docs.select(id.as(idCol),
+      concat(lit("https://"),
+        when(id % 2 === 1, lit("www.")).otherwise(lit("")),
+        col(sourceCol), lit(".example.com/"), col(langCol),
+        lit("/page-"), id.cast("string"),
+        lit("?ref=r"), (id % 7).cast("string"), lit("&utm_source=feed"),
+        when(id % 3 === 0, lit("#section-2")).otherwise(lit("")))
+        .as("url"))
+  }
+
   /** Deterministic page generator for the declared query (the
     * `q_pii_redact` plant pattern: the synthetic corpus has no organic
     * HTML, so both engines wrap each document in the SAME page

@@ -129,6 +129,25 @@ class ExtractSpec extends AnyFunSuite {
     assert(surv.toSeq == Seq(3L, 9L), s"keeper set: ${surv.toSeq}")
   }
 
+  test("urlParts: www stripping, fragment exclusion, ref extraction") {
+    import org.apache.spark.sql.functions._
+    val urls = Seq(
+      (1L, "https://www.site.example.com/en/page-1?ref=r3&utm_source=x#frag"),
+      (2L, "http://bare.org/a/b?x=1"),
+      (3L, "https://noquery.net/p")).toDF("doc_id", "url")
+    val out = Extract.urlParts(urls, "doc_id", "url").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[String]("domain") == "site.example.com")
+    assert(out(1L).getAs[String]("path") == "/en/page-1")
+    assert(out(1L).getAs[String]("ref") == "r3")
+    assert(out(1L).getAs[String]("canonical") ==
+      "https://site.example.com/en/page-1")
+    assert(out(2L).getAs[String]("host") == "bare.org")
+    assert(out(2L).getAs[String]("domain") == "bare.org")
+    assert(out(2L).getAs[String]("ref") == "")
+    assert(out(3L).getAs[String]("path") == "/p")
+  }
+
   test("streaming twin equals the batch transform on the real corpus") {
     val sf = "/root/testdata/sf0.001"
     val batch = Queries.all.find(_.name == "q_extract_html").get
