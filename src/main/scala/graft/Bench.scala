@@ -129,16 +129,12 @@ object Bench {
     val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
       s""""sf":"$sfDir","n_queries":${results.size},"queries_full":"$fullPath",""" +
       s""""queries":{${entries.take(8).mkString(",")}}}"""
-    val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
-      s""""sf":"$sfDir","queries":{"""
-    val budget = 1100 - head.length - 2 // "}}" closer
-    val packed = scala.collection.mutable.ArrayBuffer.empty[String]
-    var used = 0
-    entries.foreach { e =>
-      if (used + e.length + 1 <= budget) { packed += e; used += e.length + 1 }
-    }
     spark.stop()
+    // VERDICT r11 #2: the driver's parser reads the LAST line of the
+    // tail window, and r11's wide packed line (printed last) was the
+    // one that got clipped — "parsed": null for the 11th round. So
+    // emit exactly ONE line: the ~500-byte compact total-first record.
+    // The full-precision per-query map lives in BENCH_FULL.json.
     println(compact)
-    println(head + packed.mkString(",") + "}}")
   }
 }

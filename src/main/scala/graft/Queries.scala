@@ -4054,11 +4054,7 @@ object Queries {
       val ex = operators.Extract.extractHtml(
         operators.Extract.htmlWrapped(docs, "doc_id", "text"),
         "doc_id", "html")
-      val keyed = ex.withColumn("__mk",
-        md5(element_at(split(col("content"), "\n"), 1).cast("binary")))
-      val keepers = keyed.groupBy("__mk").agg(min("doc_id").as("doc_id"))
-      val s1 = keyed.join(keepers, Seq("__mk", "doc_id"))
-        .select("doc_id", "content")
+      val s1 = operators.Extract.leadBlockDedup(ex)
       val quality = operators.Corpus.gopherStats(s1, "doc_id", "content")
         .filter(col("keep") === 1).select("doc_id")
       val s2 = s1.join(quality, Seq("doc_id"))
@@ -4066,37 +4062,19 @@ object Queries {
       operators.Corpus.packManifest(s2, "doc_id", "content", "source",
         seqLen = 512)
     },
-    Some(s"""WITH h AS (SELECT doc_id,
-         |  '<html><head><title>doc ' || CAST(doc_id AS VARCHAR) || '</title>'
-         |  || '<style>body { color: #fff; }</style></head><body>'
-         |  || '<nav><a href="/">home</a> <a href="/about">about site</a> <a href="/c">contact us</a></nav>'
-         |  || '<script>var doc = ' || CAST(doc_id AS VARCHAR) || '; track();</script>'
-         |  || '<p>' || coalesce(text, '') || ' &amp; tail &lt;x&gt; &quot;quoted&quot; &#39;q&#39;&nbsp;end</p>'
-         |  || '<li>see <a href="/d/' || CAST(doc_id AS VARCHAR) || '">link ' || CAST(doc_id AS VARCHAR) || '</a>'
-         |  || repeat(' w', CAST(doc_id % 8 AS INT)) || ' mid tail</li>'
-         |  || '<footer>copyright 2026</footer></body></html>' AS html
-         | FROM documents),
-         |fb AS (SELECT doc_id, list_transform(
-         |   regexp_split_to_array(regexp_replace(html, '${operators.Extract.Html.ScriptStyle}', ' ', 'g'), '${operators.Extract.Html.BlockSplit}'),
-         |   b -> {'t': trim(regexp_replace(replace(replace(replace(replace(replace(replace(
-         |            regexp_replace(b, '${operators.Extract.Html.Tag}', ' ', 'g'),
-         |            '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
-         |            '&nbsp;', ' '), '&amp;', '&'), '\\s+', ' ', 'g')),
-         |        'lw': CAST(coalesce(list_sum(list_transform(
-         |               regexp_extract_all(b, '${operators.Extract.Html.Anchor}', 1),
-         |               a -> len(regexp_extract_all(a, '${operators.Extract.Html.Word}')))), 0) AS INT)}) AS bs
-         | FROM h),
-         |fg AS (SELECT doc_id, list_transform(bs, s -> {'t': s.t,
-         |   'w': CAST(len(regexp_extract_all(s.t, '${operators.Extract.Html.Word}')) AS INT), 'lw': s.lw}) AS bs
-         | FROM fb),
-         |ex AS (SELECT doc_id, array_to_string(list_transform(
-         |   list_filter(bs, s -> s.w >= 5 AND s.lw * 3 <= s.w * 1), s -> s.t),
-         |   chr(10)) AS content FROM fg),
+    Some(s"""WITH h AS (SELECT doc_id, ${ExtractSql.gen} AS html FROM documents),
+         |${ExtractSql.hToG},
+         |exc AS (SELECT doc_id,
+         |   array_to_string(list_transform(kept, s -> s.t), chr(10)) AS content,
+         |   len(kept) AS n_kept
+         |  FROM (SELECT doc_id,
+         |    list_filter(bs, s -> s.w >= 5 AND s.lw * 3 <= s.w * 1) AS kept FROM g)),
          |mk AS (SELECT doc_id, content,
-         |   md5(split_part(content, chr(10), 1)) AS mkey FROM ex),
+         |   md5(split_part(content, chr(10), 1)) AS mkey FROM exc WHERE n_kept > 0),
          |keep1 AS (SELECT mkey, min(doc_id) AS kid FROM mk GROUP BY mkey),
          |s1 AS (SELECT mk.doc_id, mk.content FROM mk
-         |  JOIN keep1 ON keep1.mkey = mk.mkey AND keep1.kid = mk.doc_id),
+         |  JOIN keep1 ON keep1.mkey = mk.mkey AND keep1.kid = mk.doc_id
+         |  UNION ALL SELECT doc_id, content FROM exc WHERE n_kept = 0),
          |tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(content), '\\s+')) AS w FROM s1),
          |wf AS (SELECT doc_id, w, count(*) AS f1, sum(length(w)) AS lsum
          |  FROM tok GROUP BY doc_id, w),
@@ -4278,39 +4256,89 @@ object Queries {
     * boundary (doc_id%8 filler words flip the <li> verdict both ways)
     * and block ordering are all pinned. Pure scan-side per-row
     * expressions: zero shuffle at any scale. */
-  private val qExtractHtml = {
+  /** Shared oracle-SQL fragments for the HTML page skeleton and the
+    * extraction CTE chain — `q_extract_html`, its stream twin,
+    * `q_web_pipeline` and the WARC front door all re-derive the SAME
+    * generation and extraction, so the SQL lives once. Patterns are
+    * the RE2-safe `Extract.Html` strings verbatim; the numeric-entity
+    * decode mirrors `Extract.entityDecDecoded`/`entityHexDecoded`
+    * (Latin-1 range, out-of-range references pass through). */
+  private object ExtractSql {
     import operators.Extract.Html
-    val extractSql = s"""WITH h AS (SELECT doc_id,
-           |  '<html><head><title>doc ' || CAST(doc_id AS VARCHAR) || '</title>'
-           |  || '<style>body { color: #fff; }</style></head><body>'
-           |  || '<nav><a href="/">home</a> <a href="/about">about site</a> <a href="/c">contact us</a></nav>'
-           |  || '<script>var doc = ' || CAST(doc_id AS VARCHAR) || '; track();</script>'
-           |  || '<p>' || coalesce(text, '') || ' &amp; tail &lt;x&gt; &quot;quoted&quot; &#39;q&#39;&nbsp;end</p>'
-           |  || '<li>see <a href="/d/' || CAST(doc_id AS VARCHAR) || '">link ' || CAST(doc_id AS VARCHAR) || '</a>'
-           |  || repeat(' w', CAST(doc_id % 8 AS INT)) || ' mid tail</li>'
-           |  || '<footer>copyright 2026</footer></body></html>' AS html
-           | FROM documents),
-           |f AS (SELECT doc_id, list_transform(
-           |   regexp_split_to_array(regexp_replace(html, '${Html.ScriptStyle}', ' ', 'g'), '${Html.BlockSplit}'),
-           |   b -> {'t': trim(regexp_replace(replace(replace(replace(replace(replace(replace(
-           |            regexp_replace(b, '${Html.Tag}', ' ', 'g'),
-           |            '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
-           |            '&nbsp;', ' '), '&amp;', '&'), '\\s+', ' ', 'g')),
-           |        'lw': CAST(coalesce(list_sum(list_transform(
-           |               regexp_extract_all(b, '${Html.Anchor}', 1),
-           |               a -> len(regexp_extract_all(a, '${Html.Word}')))), 0) AS INT)}) AS bs
-           | FROM h),
-           |g AS (SELECT doc_id, list_transform(bs, s -> {'t': s.t,
-           |   'w': CAST(len(regexp_extract_all(s.t, '${Html.Word}')) AS INT), 'lw': s.lw}) AS bs
-           | FROM f),
-           |k AS (SELECT doc_id, bs,
-           |   list_filter(bs, s -> s.w >= 5 AND s.lw * 3 <= s.w * 1) AS kept FROM g)
-           |SELECT doc_id,
-           | CAST(len(list_filter(bs, s -> s.w >= 1)) AS INT) AS n_blocks,
-           | CAST(len(kept) AS INT) AS n_kept,
-           | CAST(coalesce(list_sum(list_transform(kept, s -> s.w)), 0) AS INT) AS n_words,
-           | array_to_string(list_transform(kept, s -> s.t), chr(10)) AS content
-           |FROM k ORDER BY doc_id""".stripMargin
+
+    /** The page-skeleton expression over a documents row (doc_id,
+      * text) — must stay in lockstep with `Extract.htmlWrapped`. */
+    val gen: String =
+      "'<html><head><title>doc ' || CAST(doc_id AS VARCHAR) || '</title>'" +
+        " || '<style>body { color: #fff; }</style></head><body>'" +
+        " || '<!-- <p>hidden draft ' || CAST(doc_id AS VARCHAR) ||" +
+        " ' with eight leaked words never visible</p> -->'" +
+        " || '<![CDATA[<raw markup & six more hidden words>]]>'" +
+        " || '<nav><a href=\"/\">home</a> <a href=\"/about\">about site</a>" +
+        " <a href=\"/c\">contact us</a></nav>'" +
+        " || '<script>var doc = ' || CAST(doc_id AS VARCHAR) || '; track();</script>'" +
+        " || '<p>' || coalesce(text, '') ||" +
+        " ' &amp; tail &lt;x&gt; &quot;quoted&quot; &#39;q&#39;&nbsp;end'" +
+        " || ' <b>num &#65;&#x42; far &#9731; esc &amp;#77; fin</p>'" +
+        " || '<li>see <a href=\"/d/' || CAST(doc_id AS VARCHAR) || '\">link '" +
+        " || CAST(doc_id AS VARCHAR) || '</a>'" +
+        " || repeat(' w', CAST(doc_id % 8 AS INT)) || ' mid tail</li>'" +
+        " || '<footer>copyright 2026</footer></body></html>'"
+
+    /** Codepoint of hex reference `e` (DuckDB spelling of the
+      * positional fold in `Extract.entityHexDecoded`). Single line so
+      * it interpolates cleanly under stripMargin. */
+    private val hexVal: String =
+      "CAST(list_sum(list_transform(generate_series(1," +
+        " len(regexp_extract_all(lower(e), '[0-9a-f]'))), i ->" +
+        " (strpos('0123456789abcdef', regexp_extract_all(lower(e), '[0-9a-f]')[i]) - 1)" +
+        " * CAST(pow(16, len(regexp_extract_all(lower(e), '[0-9a-f]')) - i) AS BIGINT))) AS INT)"
+
+    /** CTE chain from `h(doc_id, html)` to `g(doc_id, bs)` with
+      * bs = list<{t, w, lw}>: comment/CDATA and script/style strip,
+      * block split, tag strip + named decode (amp excluded), decimal
+      * then hex numeric decode (1..255), amp-last + whitespace
+      * squeeze, then per-block word counts. */
+    val hToG: String =
+      s"""f0 AS (SELECT doc_id, list_transform(
+         |   regexp_split_to_array(regexp_replace(regexp_replace(html,
+         |     '${Html.CommentCdata}', ' ', 'g'), '${Html.ScriptStyle}', ' ', 'g'), '${Html.BlockSplit}'),
+         |   b -> {'t': replace(replace(replace(replace(replace(
+         |            regexp_replace(b, '${Html.Tag}', ' ', 'g'),
+         |            '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '),
+         |        'lw': CAST(coalesce(list_sum(list_transform(
+         |               regexp_extract_all(b, '${Html.Anchor}', 1),
+         |               a -> len(regexp_extract_all(a, '${Html.Word}')))), 0) AS INT)}) AS bs
+         | FROM h),
+         |f1 AS (SELECT doc_id, list_transform(bs, s -> {'t':
+         |   list_reduce(list_prepend(s.t, list_distinct(regexp_extract_all(s.t, '${Html.EntityDec}'))),
+         |     (acc, e) -> CASE WHEN CAST(regexp_extract(e, '[0-9]+') AS INT) BETWEEN 1 AND 255
+         |       THEN replace(acc, e, chr(CAST(regexp_extract(e, '[0-9]+') AS INT))) ELSE acc END),
+         |   'lw': s.lw}) AS bs FROM f0),
+         |f2 AS (SELECT doc_id, list_transform(bs, s -> {'t':
+         |   list_reduce(list_prepend(s.t, list_distinct(regexp_extract_all(s.t, '${Html.EntityHex}'))),
+         |     (acc, e) -> CASE WHEN $hexVal BETWEEN 1 AND 255
+         |       THEN replace(acc, e, chr($hexVal)) ELSE acc END),
+         |   'lw': s.lw}) AS bs FROM f1),
+         |f AS (SELECT doc_id, list_transform(bs, s -> {'t':
+         |   trim(regexp_replace(replace(s.t, '&amp;', '&'), '\\s+', ' ', 'g')), 'lw': s.lw}) AS bs FROM f2),
+         |g AS (SELECT doc_id, list_transform(bs, s -> {'t': s.t,
+         |   'w': CAST(len(regexp_extract_all(s.t, '${Html.Word}')) AS INT), 'lw': s.lw}) AS bs
+         | FROM f)""".stripMargin
+  }
+
+  private val qExtractHtml = {
+    val extractSql =
+      s"""WITH h AS (SELECT doc_id, ${ExtractSql.gen} AS html FROM documents),
+         |${ExtractSql.hToG},
+         |k AS (SELECT doc_id, bs,
+         |   list_filter(bs, s -> s.w >= 5 AND s.lw * 3 <= s.w * 1) AS kept FROM g)
+         |SELECT doc_id,
+         | CAST(len(list_filter(bs, s -> s.w >= 1)) AS INT) AS n_blocks,
+         | CAST(len(kept) AS INT) AS n_kept,
+         | CAST(coalesce(list_sum(list_transform(kept, s -> s.w)), 0) AS INT) AS n_words,
+         | array_to_string(list_transform(kept, s -> s.t), chr(10)) AS content
+         |FROM k ORDER BY doc_id""".stripMargin
     Q(
       "q_extract_html",
       (s, d) => operators.Extract.extractHtml(
@@ -4358,37 +4386,117 @@ object Queries {
            | CASE WHEN json_valid(line) THEN json_extract_string(line, '$.tags[1]') END AS tag2
            |FROM j ORDER BY doc_id""".stripMargin))
 
-  /** URL parsing/normalization (crawl metadata): host, bare domain,
-    * path, the ref parameter, and the canonical form (query/fragment
-    * dropped, www. stripped) — the fields a crawl pipeline's domain
-    * quotas and dedup-by-canonical-URL run on. Same RE2-safe shared
-    * pattern rule as the Html/Pii sets; the generator plants www
-    * prefixes (odd ids) and fragments (ids % 3) so stripping is
-    * exercised both ways. Scan-side regexes, zero shuffle. */
-  private val qUrlParse = {
+  /** Shared oracle-SQL fragments for URL parsing/canonicalization —
+    * `q_url_parse` and `q_url_dedup` re-derive the SAME parse chain.
+    * Patterns are the RE2-safe `Extract.Url` strings verbatim; the
+    * percent normalization mirrors `Extract.pctNormalized` (RFC 3986
+    * §6.2.2: decode unreserved octets, uppercase the rest). */
+  private object UrlSql {
     import operators.Extract.Url
-    Q(
-      "q_url_parse",
-      (s, d) => operators.Extract.urlParts(
-        operators.Extract.urlWrapped(Tables.documents(s, d),
-          "doc_id", "source", "lang"), "doc_id", "url").orderBy("doc_id"),
-      Some(s"""WITH u AS (SELECT doc_id,
-           |  'https://' || CASE WHEN doc_id % 2 = 1 THEN 'www.' ELSE '' END
-           |  || source || '.example.com/' || lang || '/page-' || CAST(doc_id AS VARCHAR)
-           |  || '?ref=r' || CAST(doc_id % 7 AS VARCHAR) || '&utm_source=feed'
-           |  || CASE WHEN doc_id % 3 = 0 THEN '#section-2' ELSE '' END AS url
-           | FROM documents),
-           |p AS (SELECT doc_id, url,
-           |  regexp_extract(url, '${Url.Host}', 1) AS host,
-           |  regexp_extract(url, '${Url.Path}', 1) AS path,
-           |  regexp_extract(url, '${Url.Ref}', 1) AS ref
-           | FROM u)
-           |SELECT doc_id, host,
-           | regexp_replace(host, '^www\\.', '') AS domain,
-           | path, ref,
-           | 'https://' || regexp_replace(host, '^www\\.', '') || path AS canonical
-           |FROM p ORDER BY doc_id""".stripMargin))
+
+    private val pctCode: String =
+      "CAST((strpos('0123456789abcdef', substr(lower(e), 2, 1)) - 1) * 16" +
+        " + (strpos('0123456789abcdef', substr(lower(e), 3, 1)) - 1) AS INT)"
+
+    private val pctNorm: String =
+      s"list_reduce(list_prepend(rawpath, list_distinct(" +
+        s"regexp_extract_all(rawpath, '${Url.Pct}')))," +
+        s" (acc, e) -> CASE WHEN $pctCode BETWEEN 65 AND 90" +
+        s" OR $pctCode BETWEEN 97 AND 122 OR $pctCode BETWEEN 48 AND 57" +
+        s" OR $pctCode IN (45, 46, 95, 126)" +
+        s" THEN replace(acc, e, chr($pctCode))" +
+        s" ELSE replace(acc, e, upper(e)) END)"
+
+    /** CTE chain from `u(doc_id, url)` to `c(doc_id, scheme, host,
+      * domain, port, path, ref, params, canonical)`. */
+    val uToC: String =
+      s"""p AS (SELECT doc_id, url,
+         |  regexp_extract(url, '${Url.Scheme}', 1) AS scheme,
+         |  regexp_extract(url, '${Url.Auth}', 1) AS auth,
+         |  regexp_extract(url, '${Url.Path}', 1) AS rawpath,
+         |  regexp_extract(url, '${Url.Query}', 1) AS query,
+         |  regexp_extract(url, '${Url.Ref}', 1) AS ref
+         | FROM u),
+         |q2 AS (SELECT doc_id, scheme,
+         |  regexp_replace(auth, ':[0-9]+$$', '') AS host,
+         |  regexp_extract(auth, ':([0-9]+)$$', 1) AS portstr,
+         |  $pctNorm AS path,
+         |  array_to_string(list_sort(list_filter(string_split(query, '&'),
+         |    x -> x <> '' AND NOT regexp_matches(x, '^utm_'))), '&') AS params,
+         |  ref
+         | FROM p),
+         |c AS (SELECT doc_id, scheme, host,
+         |  regexp_replace(host, '^www\\.', '') AS domain,
+         |  CAST(CASE WHEN portstr = '' THEN NULL ELSE portstr END AS INT) AS port,
+         |  path, ref, params,
+         |  scheme || '://' || regexp_replace(host, '^www\\.', '') ||
+         |  CASE WHEN portstr = '' OR (scheme = 'http' AND portstr = '80')
+         |            OR (scheme = 'https' AND portstr = '443')
+         |     THEN '' ELSE ':' || portstr END ||
+         |  CASE WHEN path = '' THEN '/' ELSE path END ||
+         |  CASE WHEN params = '' THEN '' ELSE '?' || params END AS canonical
+         | FROM q2)""".stripMargin
   }
+
+  /** URL parsing/canonicalization (crawl metadata): scheme, host,
+    * bare domain, explicit port (defaults stripped in the canonical),
+    * percent-normalized path (RFC 3986 §6.2.2), the ref parameter,
+    * sorted tracking-free query params, and the canonical form — the
+    * fields a crawl pipeline's domain quotas and canonical-URL dedup
+    * run on. Same RE2-safe shared pattern rule as the Html/Pii sets;
+    * the generator plants every rule BOTH ways (see
+    * `Extract.urlWrapped`). Scan-side regex/HOF work, zero shuffle. */
+  private val qUrlParse = Q(
+    "q_url_parse",
+    (s, d) => operators.Extract.urlParts(
+      operators.Extract.urlWrapped(Tables.documents(s, d),
+        "doc_id", "source", "lang"), "doc_id", "url").orderBy("doc_id"),
+    Some(s"""WITH u AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 5 = 0 THEN 'http' ELSE 'https' END || '://'
+         |  || CASE WHEN doc_id % 2 = 1 THEN 'www.' ELSE '' END
+         |  || source || '.example.com'
+         |  || CASE WHEN doc_id % 4 = 0 THEN
+         |       CASE WHEN doc_id % 5 = 0 THEN ':80' ELSE ':443' END
+         |     WHEN doc_id % 4 = 1 THEN ':8080' ELSE '' END
+         |  || CASE WHEN doc_id % 6 = 0 THEN ''
+         |     ELSE '/' || lang || '/p%41ge%2f-' || CAST(doc_id AS VARCHAR) END
+         |  || '?ref=r' || CAST(doc_id % 7 AS VARCHAR) || '&utm_source=feed&z=2&a=1'
+         |  || CASE WHEN doc_id % 3 = 0 THEN '#section-2' ELSE '' END AS url
+         | FROM documents),
+         |${UrlSql.uToC}
+         |SELECT doc_id, scheme, host, domain, port, path, ref, params, canonical
+         |FROM c ORDER BY doc_id""".stripMargin))
+
+  /** Canonical-URL exact dedup — the crawl-side companion to content
+    * dedup: raw URLs canonicalize (www/default-port/fragment/percent
+    * spelling/tracking-param noise collapses; scheme and real ports
+    * split), then one groupBy on the canonical key elects the
+    * min-doc_id keeper per group. The only shuffle is on the
+    * canonical string — the 100 TB shape of URL-level dedup. */
+  private val qUrlDedup = Q(
+    "q_url_dedup",
+    (s, d) => operators.Extract.urlParts(
+        operators.Extract.urlWrappedCoarse(Tables.documents(s, d),
+          "doc_id", "source", "lang"), "doc_id", "url")
+      .groupBy("canonical")
+      .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_dups"))
+      .orderBy("canonical"),
+    Some(s"""WITH u AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 5 = 0 THEN 'http' ELSE 'https' END || '://'
+         |  || CASE WHEN doc_id % 2 = 1 THEN 'www.' ELSE '' END
+         |  || source || '.example.com'
+         |  || CASE WHEN doc_id % 4 = 0 THEN
+         |       CASE WHEN doc_id % 5 = 0 THEN ':80' ELSE ':443' END
+         |     WHEN doc_id % 4 = 1 THEN ':8080' ELSE '' END
+         |  || '/' || lang
+         |  || CASE WHEN doc_id % 2 = 0 THEN '/p%41ge%2f-' ELSE '/pAge%2F-' END
+         |  || CAST(doc_id % 50 AS VARCHAR)
+         |  || '?utm_source=feed&z=2&a=1'
+         |  || CASE WHEN doc_id % 3 = 0 THEN '#frag' ELSE '' END AS url
+         | FROM documents),
+         |${UrlSql.uToC}
+         |SELECT canonical, min(doc_id) AS keeper, count(*) AS n_dups
+         |FROM c GROUP BY canonical ORDER BY canonical""".stripMargin))
 
   /** JSONL ingestion STREAMING twin: wrap + parse are stateless
     * per-row selects, so a live JSONL feed parses at scan speed in
@@ -5179,7 +5287,7 @@ object Queries {
     qDecontaminateFuzzy,
     qDecontaminateFuzzyStream, qDecontaminateStream,
     qPiiRedact, qExtractHtml, qExtractHtmlStream, qParseJsonl,
-    qParseJsonlStream, qUrlParse, qRepetitionFilter, qBpePairs,
+    qParseJsonlStream, qUrlParse, qUrlDedup, qRepetitionFilter, qBpePairs,
     qNormalizeText, qCorpusProfile, qCollocations, qWeightedSample, qDsirSelect,
     qQualityClassifier, qQualityClassifierStream, qQualityRank, qEmbedCentroid, qBpeTrain, qBpeApply, qCanonicalDedup,
     qSimDiverse, qCorpusDiff, qDedupEval, qDomainApprox, qDomainApproxKmv,

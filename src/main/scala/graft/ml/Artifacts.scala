@@ -320,6 +320,29 @@ object Artifacts {
       require(nbrOff.head == 0 && nbrOff.last == nEdges,
         s"corrupt GraphShard adjacency: offsets [${nbrOff.head}, ${nbrOff.last}] " +
           s"vs $nEdges edges")
+      // A size-consistent but bit-corrupted artifact must fail HERE,
+      // loudly, not later as an executor-side AIOOBE inside
+      // GraphBeamTopK: offsets must be non-decreasing and every
+      // adjacency/entry index must name a real node.
+      var i = 0
+      while (i < n) {
+        require(nbrOff(i) <= nbrOff(i + 1),
+          s"corrupt GraphShard adjacency: nbrOff($i)=${nbrOff(i)} > " +
+            s"nbrOff(${i + 1})=${nbrOff(i + 1)} (offsets must be non-decreasing)")
+        i += 1
+      }
+      i = 0
+      while (i < nEdges) {
+        require(nbrIdx(i) >= 0 && nbrIdx(i) < n,
+          s"corrupt GraphShard adjacency: nbrIdx($i)=${nbrIdx(i)} outside [0, $n)")
+        i += 1
+      }
+      i = 0
+      while (i < nEntries) {
+        require(entries(i) >= 0 && entries(i) < n,
+          s"corrupt GraphShard entries: entryIdx($i)=${entries(i)} outside [0, $n)")
+        i += 1
+      }
       graft.operators.AnnServe.GraphShard(ids, vecs, dim, nbrOff, nbrIdx, entries)
     } finally in.close()
   }

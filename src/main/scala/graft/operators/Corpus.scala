@@ -1125,7 +1125,7 @@ object Corpus {
       .select("f", "w_present", "w_absent")
     val base = model.agg(sum("w_absent").as("base"))
     val prior = positive.agg(count(lit(1)).as("n_pos"))
-      .crossJoin(negative.agg(count(lit(1)).as("n_neg")))
+      .crossJoin(broadcast(negative.agg(count(lit(1)).as("n_neg"))))
       .select((log(col("n_pos").cast("double"))
         - log(col("n_neg").cast("double"))).as("prior"))
     nbFeats(corpus, idCol, textCol, nBuckets)

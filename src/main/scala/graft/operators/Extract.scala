@@ -27,11 +27,26 @@ object Extract {
 
   /** The shared pattern set. */
   object Html {
+    /** Comments and CDATA sections vanish with their CONTENT, and they
+      * vanish FIRST — a comment may contain markup (`<!-- <p>..</p>
+      * -->`) that must never reach the block splitter or leak into
+      * visible text on organic pages. Non-greedy, backreference-free. */
+    val CommentCdata: String =
+      "(?s)(?:<!--.*?-->|<!\\[CDATA\\[.*?\\]\\]>)"
+
     /** Script/style elements vanish with their CONTENT (visible-text
       * extraction must never leak code). Non-greedy body, closing tag
       * matched literally per element kind — backreference-free. */
     val ScriptStyle: String =
       "(?is)(?:<script\\b[^>]*>.*?</script>|<style\\b[^>]*>.*?</style>)"
+
+    /** Numeric character references, decimal and hex. Decoded for
+      * codepoints 1..255 (the Latin-1 range — identical `chr`
+      * semantics on every engine; Spark's `char` is mod-256, so wider
+      * codepoints would diverge); out-of-range references pass through
+      * verbatim, documented. */
+    val EntityDec: String = "&#[0-9]{1,7};"
+    val EntityHex: String = "(?i)&#x[0-9a-f]{1,6};"
 
     /** Block-level boundary tags (open or close): each one starts a new
       * candidate text block. Inline tags (a, b, span, ...) deliberately
@@ -52,15 +67,59 @@ object Extract {
   }
 
   /** The five named entities worth decoding without a full table
-    * (covers the generator and the overwhelming share of real pages);
-    * `&amp;` LAST so double-escaped text stays single-escaped — the
-    * HTML-spec decode order. Applied AFTER tag stripping, so decoded
-    * angle brackets can never resurrect a tag. */
-  def entityDecoded(c: Column): Column =
-    replace(replace(replace(replace(replace(replace(c,
+    * (covers the generator and the overwhelming share of real pages),
+    * excluding `&amp;` — that one decodes LAST, after the numeric
+    * passes, so double-escaped text (`&amp;lt;`, `&amp;#65;`) stays
+    * single-escaped — the HTML-spec single-decode order approximated.
+    * Applied AFTER tag stripping, so decoded angle brackets can never
+    * resurrect a tag. */
+  def entityNamedPreAmp(c: Column): Column =
+    replace(replace(replace(replace(replace(c,
       lit("&lt;"), lit("<")), lit("&gt;"), lit(">")),
       lit("&quot;"), lit("\"")), lit("&#39;"), lit("'")),
-      lit("&nbsp;"), lit(" ")), lit("&amp;"), lit("&"))
+      lit("&nbsp;"), lit(" "))
+
+  /** Decimal numeric references (`&#233;`): fold the block's DISTINCT
+    * references through `replace`, each decoded via `char(code)` when
+    * the codepoint is in 1..255 (Latin-1 — `char`/`chr` agree across
+    * engines there; Spark's `char` is mod-256 above it), left verbatim
+    * otherwise. A reference can never be a proper substring of another
+    * (both start `&#` and end at the FIRST `;`), so replace-all per
+    * distinct reference is exact. Row-local HOF work, zero shuffle. */
+  def entityDecDecoded(c: Column): Column =
+    aggregate(
+      array_distinct(regexp_extract_all(c, lit(Html.EntityDec), lit(0))),
+      c,
+      (acc, e) => {
+        val code = regexp_extract(e, "[0-9]+", 0).cast("int")
+        when(code.between(1, 255),
+          replace(acc, e, call_function("char", code))).otherwise(acc)
+      })
+
+  /** Hex numeric references (`&#xE9;`): the codepoint is folded from
+    * the reference's hex digits positionally (`acc*16 + digit`, digit
+    * via `instr` into the hex alphabet — both engines have the same
+    * primitives), then the same 1..255 decode rule as the decimal
+    * pass. */
+  def entityHexDecoded(c: Column): Column =
+    aggregate(
+      array_distinct(regexp_extract_all(c, lit(Html.EntityHex), lit(0))),
+      c,
+      (acc, e) => {
+        val code = aggregate(
+          regexp_extract_all(lower(e), lit("[0-9a-f]"), lit(0)),
+          lit(0),
+          (a, ch) => a * 16 + (instr(lit("0123456789abcdef"), ch) - lit(1))
+            .cast("int"))
+        when(code.between(1, 255),
+          replace(acc, e, call_function("char", code))).otherwise(acc)
+      })
+
+  /** Full entity decode in single-decode order: named (except amp) →
+    * numeric decimal → numeric hex → `&amp;` last. */
+  def entityDecoded(c: Column): Column =
+    replace(entityHexDecoded(entityDecDecoded(entityNamedPreAmp(c))),
+      lit("&amp;"), lit("&"))
 
   /** One block's visible text: strip tags, decode entities, squeeze
     * whitespace. */
@@ -92,7 +151,8 @@ object Extract {
                   minWords: Int = 5, maxLinkNum: Int = 1,
                   maxLinkDen: Int = 3): DataFrame = {
     val blocks = split(
-      regexp_replace(col(htmlCol), Html.ScriptStyle, " "), Html.BlockSplit)
+      regexp_replace(regexp_replace(col(htmlCol),
+        Html.CommentCdata, " "), Html.ScriptStyle, " "), Html.BlockSplit)
     val raw = transform(blocks, b =>
       struct(blockText(b).as("t"), anchorWordCount(b).as("lw")))
     val feats = transform(raw, s => struct(
@@ -110,45 +170,157 @@ object Extract {
       array_join(transform(kept, s => s.getField("t")), "\n").as("content"))
   }
 
+  /** Chrome-robust exact dedup keyed on the LEAD content block's
+    * digest (the `q_web_pipeline` stage): identical article bodies
+    * dedup even though per-page chrome (nav links, related-item
+    * lists) differs by URL, which whole-page digests would miss.
+    * Input is an `extractHtml` frame; output is the surviving
+    * (doc_id, content) rows.
+    *
+    * Docs whose extraction kept ZERO blocks all carry `content = ""`
+    * and would silently collapse into ONE digest group — they are
+    * excluded from the keying and pass through unconditionally (a
+    * later quality gate, not this dedup, decides their fate). Scale
+    * shape: the only shuffle is on the 16-byte digest. */
+  def leadBlockDedup(ex: DataFrame): DataFrame = {
+    val keyed = ex.filter(col("n_kept") > 0).withColumn("__mk",
+      md5(element_at(split(col("content"), "\n"), 1).cast("binary")))
+    val keepers = keyed.groupBy("__mk").agg(min("doc_id").as("doc_id"))
+    keyed.join(keepers, Seq("__mk", "doc_id"))
+      .select("doc_id", "content")
+      .unionByName(
+        ex.filter(col("n_kept") === 0).select("doc_id", "content"))
+  }
+
   /** URL pattern set — crawl metadata is the other thing a web corpus
     * parses besides markup (domain quotas, canonicalization,
     * tracking-parameter hygiene). RE2-safe like `Html`. */
   object Url {
-    val Host = "^[a-z][a-z0-9+.-]*://([^/?#]+)"
+    val Scheme = "^([a-z][a-z0-9+.-]*)://"
+    val Auth = "^[a-z][a-z0-9+.-]*://([^/?#]+)"
     val Path = "^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)"
+    val Query = "\\?([^#]*)"
     val Ref = "[?&]ref=([^&#]*)"
+    /** A percent-encoded octet. */
+    val Pct = "%[0-9a-fA-F]{2}"
   }
 
-  /** Per-URL crawl metadata: host, registrable-ish domain (leading
-    * `www.` stripped), path, the `ref` query parameter, and the
-    * canonical form (scheme + bare domain + path — query and fragment
-    * dropped, the tracking-hygiene rule). Pure scan-side regexes. */
+  /** RFC 3986 §6.2.2 percent normalization: decode `%XX` when the
+    * octet is UNRESERVED (ALPHA / DIGIT / `-` `.` `_` `~` — decoding
+    * anything else, e.g. `%2F`, would change path semantics), and
+    * uppercase the hex digits of every triplet left encoded. The
+    * 2-digit code folds positionally via `instr` into the hex
+    * alphabet — engine-portable, and decoded output is pure ASCII so
+    * `char`/`chr` agree everywhere. Row-local, zero shuffle. */
+  def pctNormalized(c: Column): Column =
+    aggregate(
+      array_distinct(regexp_extract_all(c, lit(Url.Pct), lit(0))),
+      c,
+      (acc, e) => {
+        val code = ((instr(lit("0123456789abcdef"), substring(lower(e), 2, 1))
+            - lit(1)) * 16 +
+          (instr(lit("0123456789abcdef"), substring(lower(e), 3, 1)) - lit(1)))
+          .cast("int")
+        val unreserved = code.between(65, 90) || code.between(97, 122) ||
+          code.between(48, 57) || code === 45 || code === 46 ||
+          code === 95 || code === 126
+        when(unreserved, replace(acc, e, call_function("char", code)))
+          .otherwise(replace(acc, e, upper(e)))
+      })
+
+  /** Per-URL crawl metadata: scheme, host (authority minus port),
+    * registrable-ish domain (leading `www.` stripped), explicit port
+    * (null when absent), percent-normalized path, the `ref` query
+    * parameter, the retained query parameters (tracking `utm_*` keys
+    * dropped, the rest SORTED — order-insensitive equality), and the
+    * canonical form: scheme preserved (http and https pages are
+    * distinct resources), bare domain, default ports (http:80 /
+    * https:443) stripped and explicit ones kept, empty path
+    * normalized to `/`, sorted params appended, fragment dropped.
+    * Pure scan-side regex/HOF expressions, zero shuffle. */
   def urlParts(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
     val u = col(urlCol)
-    val host = regexp_extract(u, Url.Host, 1)
+    val scheme = regexp_extract(u, Url.Scheme, 1)
+    val auth = regexp_extract(u, Url.Auth, 1)
+    val host = regexp_replace(auth, ":[0-9]+$", "")
+    val portStr = regexp_extract(auth, ":([0-9]+)$", 1)
     val domain = regexp_replace(host, "^www\\.", "")
-    val path = regexp_extract(u, Url.Path, 1)
+    val path = pctNormalized(regexp_extract(u, Url.Path, 1))
+    val query = regexp_extract(u, Url.Query, 1)
+    val params = array_join(array_sort(filter(split(query, "&"),
+      p => p =!= lit("") && !p.rlike("^utm_"))), "&")
+    val defaultPort = (scheme === "http" && portStr === "80") ||
+      (scheme === "https" && portStr === "443")
+    val portPart = when(portStr === "" || defaultPort, lit(""))
+      .otherwise(concat(lit(":"), portStr))
     df.select(col(idCol).as("doc_id"),
-      host.as("host"), domain.as("domain"), path.as("path"),
+      scheme.as("scheme"), host.as("host"), domain.as("domain"),
+      when(portStr === "", lit(null).cast("int"))
+        .otherwise(portStr.cast("int")).as("port"),
+      path.as("path"),
       regexp_extract(u, Url.Ref, 1).as("ref"),
-      concat(lit("https://"), domain, path).as("canonical"))
+      params.as("params"),
+      concat(scheme, lit("://"), domain, portPart,
+        when(path === "", lit("/")).otherwise(path),
+        when(params === "", lit(""))
+          .otherwise(concat(lit("?"), params))).as("canonical"))
   }
 
   /** Deterministic URL generator for the declared query (the plant
-    * pattern): scheme/host/path/query all vary with the document's
-    * own columns so parsing has real variation — odd ids get a `www.`
-    * prefix the canonicalizer must strip, every third id carries a
-    * fragment the path/query extraction must ignore. */
+    * pattern): every canonicalization rule is exercised BOTH ways —
+    * scheme http (id%5==0) vs https, `www.` on odd ids, explicit
+    * DEFAULT port on id%4==0 (stripped) vs `:8080` on id%4==1 (kept)
+    * vs none, empty path on id%6==0 (canonical `/`), percent plants
+    * `%41` (unreserved → decoded `A`) and `%2f` (reserved → kept,
+    * hex uppercased to `%2F`), out-of-order query params the sort
+    * must fix, a `utm_source` key the hygiene rule drops, and
+    * fragments on id%3==0. */
   def urlWrapped(docs: DataFrame, idCol: String, sourceCol: String,
                  langCol: String): DataFrame = {
     val id = col(idCol)
+    val scheme = when(id % 5 === 0, lit("http")).otherwise(lit("https"))
+    val defPort = when(id % 5 === 0, lit(":80")).otherwise(lit(":443"))
+    val port = when(id % 4 === 0, defPort)
+      .when(id % 4 === 1, lit(":8080"))
+      .otherwise(lit(""))
     docs.select(id.as(idCol),
-      concat(lit("https://"),
+      concat(scheme, lit("://"),
         when(id % 2 === 1, lit("www.")).otherwise(lit("")),
-        col(sourceCol), lit(".example.com/"), col(langCol),
-        lit("/page-"), id.cast("string"),
-        lit("?ref=r"), (id % 7).cast("string"), lit("&utm_source=feed"),
+        col(sourceCol), lit(".example.com"), port,
+        when(id % 6 === 0, lit(""))
+          .otherwise(concat(lit("/"), col(langCol), lit("/p%41ge%2f-"),
+            id.cast("string"))),
+        lit("?ref=r"), (id % 7).cast("string"), lit("&utm_source=feed&z=2&a=1"),
         when(id % 3 === 0, lit("#section-2")).otherwise(lit("")))
+        .as("url"))
+  }
+
+  /** COARSE URL generator for `q_url_dedup`: page identity is
+    * `id % 50`, so many raw URLs canonicalize to one key; within a
+    * group the members differ ONLY by things canonicalization must
+    * collapse — `www.` (odd ids), explicit default port (id%4==0) vs
+    * no port, fragments (id%3==0), and the percent SPELLING of the
+    * same path (`/p%41ge%2f-` on even ids vs the literal `/pAge%2F-`
+    * on odd — encoded and plain collapse to one form) — while scheme
+    * class (id%5) and a real `:8080` port (id%4==1) correctly SPLIT
+    * groups. */
+  def urlWrappedCoarse(docs: DataFrame, idCol: String, sourceCol: String,
+                       langCol: String): DataFrame = {
+    val id = col(idCol)
+    val scheme = when(id % 5 === 0, lit("http")).otherwise(lit("https"))
+    val defPort = when(id % 5 === 0, lit(":80")).otherwise(lit(":443"))
+    val port = when(id % 4 === 0, defPort)
+      .when(id % 4 === 1, lit(":8080"))
+      .otherwise(lit(""))
+    docs.select(id.as(idCol),
+      concat(scheme, lit("://"),
+        when(id % 2 === 1, lit("www.")).otherwise(lit("")),
+        col(sourceCol), lit(".example.com"), port,
+        lit("/"), col(langCol),
+        when(id % 2 === 0, lit("/p%41ge%2f-")).otherwise(lit("/pAge%2F-")),
+        (id % 50).cast("string"),
+        lit("?utm_source=feed&z=2&a=1"),
+        when(id % 3 === 0, lit("#frag")).otherwise(lit("")))
         .as("url"))
   }
 
@@ -163,18 +335,32 @@ object Extract {
     * as a <p> with all six entities appended (kept; decode is
     * hash-checked through `content`), a <li> mixing one link with
     * `doc_id % 8` filler words (kept iff doc_id % 8 >= 1 — the density
-    * boundary BOTH ways), and a two-word footer (dropped). */
+    * boundary BOTH ways), and a two-word footer (dropped).
+    *
+    * Organic-HTML plants (r12): an HTML comment CONTAINING markup and
+    * enough words to pass the keep gate if it leaked (it must vanish
+    * whole), a CDATA section with raw angle brackets (same), numeric
+    * character references both in-range (`&#65;` → A, `&#x42;` → B,
+    * decoded) and out-of-range (`&#9731;`, left verbatim — the
+    * documented Latin-1 decode bound exercised from BOTH sides), a
+    * double-escaped reference (`&amp;#77;` must surface as the literal
+    * text `&#77;`, single-decode order), and an unclosed `<b>` the tag
+    * stripper must tolerate. */
   def htmlWrapped(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val id = col(idCol).cast("string")
     docs.select(col(idCol),
       concat(
         lit("<html><head><title>doc "), id, lit("</title>"),
         lit("<style>body { color: #fff; }</style></head><body>"),
+        lit("<!-- <p>hidden draft "), id,
+        lit(" with eight leaked words never visible</p> -->"),
+        lit("<![CDATA[<raw markup & six more hidden words>]]>"),
         lit("<nav><a href=\"/\">home</a> <a href=\"/about\">about site</a>" +
           " <a href=\"/c\">contact us</a></nav>"),
         lit("<script>var doc = "), id, lit("; track();</script>"),
         lit("<p>"), coalesce(col(textCol), lit("")),
-        lit(" &amp; tail &lt;x&gt; &quot;quoted&quot; &#39;q&#39;&nbsp;end</p>"),
+        lit(" &amp; tail &lt;x&gt; &quot;quoted&quot; &#39;q&#39;&nbsp;end"),
+        lit(" <b>num &#65;&#x42; far &#9731; esc &amp;#77; fin</p>"),
         lit("<li>see <a href=\"/d/"), id, lit("\">link "), id, lit("</a>"),
         expr(s"repeat(' w', CAST($idCol % 8 AS INT))"),
         lit(" mid tail</li>"),

@@ -51,19 +51,34 @@ object Ingest {
   }
 
   /** Parse one JSONL line per row against `JsonlSchema`: typed field
-    * extraction plus the `valid` verdict (`from_json` yields a null
-    * id for any malformed line — truncated, mis-typed, empty). */
+    * extraction plus the `valid` verdict. Spark 4 parses with partial
+    * results enabled (`spark.sql.json.enablePartialResults`), so a
+    * corrupt line whose failure occurs AFTER some field parses can
+    * surface a partially-null struct — keying validity on `id` alone
+    * would call such a line valid. The verdict therefore requires
+    * EVERY schema-mandatory field non-null (the generator always
+    * populates all of them, so on well-formed lines this is identical
+    * to the id check, while any partial parse is correctly rejected). */
   def parseJsonl(lines: DataFrame, idCol: String = "doc_id",
                  lineCol: String = "line"): DataFrame = {
     val j = from_json(col(lineCol), JsonlSchema, Map.empty[String, String])
-    lines.select(col(idCol).as("doc_id"), j.as("__j"))
+    val ok = j.getField("id").isNotNull &&
+      j.getField("meta").getField("source").isNotNull &&
+      j.getField("meta").getField("lang").isNotNull &&
+      j.getField("text").isNotNull &&
+      j.getField("score").isNotNull &&
+      j.getField("tags").isNotNull
+    lines.select(col(idCol).as("doc_id"), j.as("__j"), ok.as("__ok"))
       .select(col("doc_id"),
-        col("__j").getField("id").isNotNull.cast("int").as("valid"),
-        col("__j").getField("meta").getField("source").as("source"),
-        col("__j").getField("meta").getField("lang").as("lang"),
-        when(col("__j").getField("id").isNotNull,
+        col("__ok").cast("int").as("valid"),
+        when(col("__ok"),
+          col("__j").getField("meta").getField("source")).as("source"),
+        when(col("__ok"),
+          col("__j").getField("meta").getField("lang")).as("lang"),
+        when(col("__ok"),
           length(col("__j").getField("text"))).cast("int").as("n_text_chars"),
-        col("__j").getField("score").as("score"),
-        element_at(col("__j").getField("tags"), 2).as("tag2"))
+        when(col("__ok"), col("__j").getField("score")).as("score"),
+        when(col("__ok"),
+          element_at(col("__j").getField("tags"), 2)).as("tag2"))
   }
 }

@@ -765,9 +765,16 @@ object CorpusStream {
           md5(col("text").cast("binary")).as("__fp"),
           col("vec_id"), col("embedding"))
         .localCheckpoint()
-      val newFp = snap.filter(col("doc_id").isNotNull).select("doc_id", "__fp")
+      // At-least-once sources may re-deliver a row WITHIN one batch;
+      // state rows are keyed by doc_id / vec_id, so duplicates are
+      // collapsed here (batch-bounded exchange) and ACROSS batches by
+      // the anti-joins below — without either, a re-delivered doc is
+      // emitted by both the touched-state rewrite and the batch half,
+      // silently corrupting state with duplicate keys.
+      val newFp = snap.filter(col("doc_id").isNotNull)
+        .select("doc_id", "__fp").dropDuplicates("doc_id")
       val be = snap.filter(col("vec_id").isNotNull)
-        .select("vec_id", "embedding")
+        .select("vec_id", "embedding").dropDuplicates("vec_id")
       val newEmb = Dedup.embGridRows(be, "vec_id", "embedding",
         gridDims, gridSize)
 
@@ -842,10 +849,14 @@ object CorpusStream {
             .select(col("doc_id"), col("__fp"),
               (col("doc_id") =!= col("__nk")).as("__exdup"))
           // every member of a touched group gets its verdict refreshed
-          // (values only move for dethroned keepers — min is monotone)
+          // (values only move for dethroned keepers — min is monotone).
+          // A doc_id re-delivered ACROSS batches sits in both `touched`
+          // (state) and `batchEx` (batch): anti-join the batch's
+          // doc_ids out of the state half so the union stays keyed.
           val touchedNew = touched.join(nkAll, Seq("__fp"))
             .select(col("doc_id"), col("__fp"),
                     (col("doc_id") =!= col("__nk")).as("__exdup"))
+            .join(broadcast(newFp.select("doc_id")), Seq("doc_id"), "left_anti")
           val st2 = s.join(batchMins.select("__fp"), Seq("__fp"), "left_anti")
             .unionByName(touchedNew).unionByName(batchEx)
             .localCheckpoint()
@@ -867,8 +878,14 @@ object CorpusStream {
       // ---- semantic signal: touched grid cells only -------------------
       val (semNew, embState2) = embState match {
         case Some(s) if cells.nonEmpty =>
+          // Same at-least-once rule as the exact signal: a vec_id
+          // re-delivered across batches sits in both the touched state
+          // rows and the batch rows — the batch copy wins, the stale
+          // state copy is anti-joined out (a duplicated id would
+          // otherwise count as a spurious near-dup pair with itself).
           val oldCellRows = s.join(cellsDf, Seq("cell"), "left_semi")
             .select("id", "f", "__n", "cell")
+            .join(broadcast(newEmb.select("id")), Seq("id"), "left_anti")
           lastCellRestrict = Some(oldCellRows)
           val cellRows = oldCellRows
             .unionByName(newEmb.select("id", "f", "__n", "cell"))
