@@ -4507,6 +4507,138 @@ object Queries {
       .orderBy("doc_id"),
     qParseJsonl.oracle)
 
+  /** WARC ingestion (`operators/Warc`) — the crawl front door: each
+    * document is wrapped as a WARC record through identical concat
+    * algebra on both engines (version line, typed header block,
+    * Content-Length, CRLF framing; response payloads are genuine HTTP
+    * messages whose bodies are the `Extract.htmlWrapped` skeleton, so
+    * the record separator occurs INSIDE every payload), records are
+    * concatenated into files in doc_id order, and the offset-walking
+    * length-delimited parser recovers every record: Spark folds the
+    * state machine per file, the DuckDB oracle walks the SAME machine
+    * as a recursive CTE — independent spellings, identical semantics,
+    * value-for-value compare. Planted `request` records are framed
+    * past but filtered out; planted corrupt records (non-numeric
+    * length id%23==11, over-stated length id%23==17) stop their file
+    * with n_bad=1, keeping earlier records — count-don't-crash. The
+    * parsed target URIs chain into the shared Url parse (domain) and
+    * the bodies into `extractHtml` (block stats), end to end under
+    * ONE oracle. */
+  private val qParseWarc = {
+    import operators.Extract.Url
+    val warcSql =
+      s"""WITH RECURSIVE
+         |d2 AS (SELECT doc_id, regexp_replace(coalesce(text, ''), '[^ -~]', '', 'g') AS text,
+         |       source FROM documents),
+         |hg AS (SELECT doc_id, source, ${ExtractSql.gen} AS html FROM d2),
+         |r0 AS (SELECT doc_id,
+         |   CASE WHEN doc_id % 11 = 7 THEN 'request' ELSE 'response' END AS typ,
+         |   'https://' || CASE WHEN doc_id % 2 = 1 THEN 'www.' ELSE '' END || source
+         |     || '.example.com/crawl/' || CAST(doc_id AS VARCHAR) AS uri,
+         |   CASE WHEN doc_id % 11 = 7 THEN 'GET / HTTP/1.1'
+         |        ELSE 'HTTP/1.1 200 OK' || chr(13)||chr(10) || 'Content-Type: text/html'
+         |          || chr(13)||chr(10)||chr(13)||chr(10) || html END AS payload,
+         |   '2026-08-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || 'T12:00:00Z' AS wdate
+         | FROM hg),
+         |r1 AS (SELECT doc_id,
+         |   'WARC/1.0' || chr(13)||chr(10)
+         |   || 'WARC-Type: ' || typ || chr(13)||chr(10)
+         |   || 'WARC-Target-URI: ' || uri || chr(13)||chr(10)
+         |   || 'WARC-Date: ' || wdate || chr(13)||chr(10)
+         |   || 'Content-Length: ' ||
+         |      CASE WHEN doc_id % 23 = 11 THEN 'XX'
+         |           WHEN doc_id % 23 = 17 THEN CAST(length(payload) + 50 AS VARCHAR)
+         |           ELSE CAST(length(payload) AS VARCHAR) END
+         |   || chr(13)||chr(10)||chr(13)||chr(10) || payload
+         |   || chr(13)||chr(10)||chr(13)||chr(10) AS rec
+         | FROM r0),
+         |files AS (SELECT CAST(doc_id % 4096 AS INT) AS gid,
+         |   string_agg(rec, '' ORDER BY doc_id) AS wf FROM r1 GROUP BY 1),
+         |parse AS (
+         |  SELECT gid, wf, 1 AS off, 0 AS bad, 0 AS ridx,
+         |         CAST(NULL AS VARCHAR) AS typ, CAST(NULL AS VARCHAR) AS uri,
+         |         CAST(NULL AS VARCHAR) AS wdate, CAST(NULL AS INT) AS clen,
+         |         CAST(NULL AS VARCHAR) AS payload
+         |  FROM files
+         |  UNION ALL
+         |  SELECT gid, wf,
+         |    CASE WHEN ok THEN pstart + clen + 4 ELSE off END,
+         |    CASE WHEN ok THEN 0 ELSE 1 END,
+         |    ridx + 1,
+         |    CASE WHEN ok THEN typ END,
+         |    CASE WHEN ok THEN uri END,
+         |    CASE WHEN ok THEN wdate END,
+         |    CASE WHEN ok THEN clen END,
+         |    CASE WHEN ok THEN substr(wf, pstart, clen) END
+         |  FROM (
+         |    SELECT *,
+         |      (magicok AND hrel > 0 AND clenok AND pstart + clen + 3 <= length(wf)
+         |       AND substr(wf, pstart + clen, 4) = chr(13)||chr(10)||chr(13)||chr(10)) AS ok
+         |    FROM (
+         |      SELECT *, CASE WHEN clenok THEN CAST(clstr AS INT) ELSE 0 END AS clen,
+         |             hpos + 4 AS pstart
+         |      FROM (
+         |        SELECT *, regexp_matches(clstr, '^[0-9]{1,9}$$') AS clenok
+         |        FROM (
+         |          SELECT *,
+         |            regexp_extract(header, 'WARC-Type: ([^\\r\\n]*)', 1) AS typ,
+         |            regexp_extract(header, 'WARC-Target-URI: ([^\\r\\n]*)', 1) AS uri,
+         |            regexp_extract(header, 'WARC-Date: ([^\\r\\n]*)', 1) AS wdate,
+         |            regexp_extract(header, 'Content-Length: ([^\\r\\n]*)', 1) AS clstr
+         |          FROM (
+         |            SELECT *, substr(wf, off, hpos - off) AS header
+         |            FROM (
+         |              SELECT *, CASE WHEN hrel > 0 THEN hrel + off - 1 ELSE off - 1 END AS hpos
+         |              FROM (
+         |                SELECT gid, wf, off, ridx,
+         |                  substr(wf, off, 10) = 'WARC/1.0' || chr(13)||chr(10) AS magicok,
+         |                  strpos(substr(wf, off), chr(13)||chr(10)||chr(13)||chr(10)) AS hrel
+         |                FROM parse
+         |                WHERE bad = 0 AND off <= length(wf)
+         |  )))))))
+         |),
+         |stats AS (SELECT gid,
+         |   CAST(count(*) FILTER (WHERE ridx >= 1 AND bad = 0) AS INT) AS n_recs,
+         |   CAST(max(bad) AS INT) AS n_bad
+         |  FROM parse GROUP BY gid),
+         |resp AS (SELECT CAST(regexp_extract(uri, '/crawl/([0-9]+)$$', 1) AS BIGINT) AS doc_id,
+         |   gid, ridx, uri,
+         |   regexp_replace(regexp_replace(regexp_extract(uri, '${Url.Auth}', 1),
+         |     ':[0-9]+$$', ''), '^www\\.', '') AS domain,
+         |   wdate, clen,
+         |   regexp_replace(payload, '(?s)^.*?\\r\\n\\r\\n', '') AS body
+         |  FROM parse WHERE ridx >= 1 AND bad = 0 AND typ = 'response'),
+         |h AS (SELECT doc_id, body AS html FROM resp),
+         |${ExtractSql.hToG},
+         |ex AS (SELECT doc_id,
+         |   CAST(len(list_filter(bs, s -> s.w >= 1)) AS INT) AS n_blocks,
+         |   CAST(len(list_filter(bs, s -> s.w >= 5 AND s.lw * 3 <= s.w * 1)) AS INT) AS n_kept,
+         |   CAST(coalesce(list_sum(list_transform(
+         |     list_filter(bs, s -> s.w >= 5 AND s.lw * 3 <= s.w * 1), s -> s.w)), 0) AS INT) AS n_words
+         |  FROM g)
+         |SELECT r.doc_id, r.gid, r.ridx, r.uri, r.domain, r.wdate, r.clen,
+         |  md5(r.body) AS body_md5, s.n_recs, s.n_bad, e.n_blocks, e.n_kept, e.n_words
+         |FROM resp r JOIN stats s USING (gid) JOIN ex e ON e.doc_id = r.doc_id
+         |ORDER BY r.doc_id""".stripMargin
+    Q(
+      "q_parse_warc",
+      (s, d) => operators.Warc.parseWarcChain(Tables.documents(s, d))
+        .orderBy("doc_id"),
+      Some(warcSql))
+  }
+
+  /** WARC ingestion STREAMING twin: files staged batch-side (real
+    * ingestion reads files, it does not build them) arrive as a live
+    * stream; the offset-walking parse + response filter + URI/body
+    * chains are stateless per-row work in append mode, so the drained
+    * end state equals the batch `q_parse_warc` row-for-row and its
+    * full recursive oracle applies verbatim. */
+  private val qParseWarcStream = Q(
+    "q_parse_warc_stream",
+    (s, d) => streaming.CorpusStream.parseWarcOverFile(s, d)
+      .orderBy("doc_id"),
+    qParseWarc.oracle)
+
   /** MassiveText repetition filter APPLIED (not just measured): the
     * gopher lexical keep composed with dup/top n-gram cuts for n = 2, 3
     * into one verdict. The oracle re-derives all three aggregates and
@@ -5287,7 +5419,8 @@ object Queries {
     qDecontaminateFuzzy,
     qDecontaminateFuzzyStream, qDecontaminateStream,
     qPiiRedact, qExtractHtml, qExtractHtmlStream, qParseJsonl,
-    qParseJsonlStream, qUrlParse, qUrlDedup, qRepetitionFilter, qBpePairs,
+    qParseJsonlStream, qParseWarc, qParseWarcStream, qUrlParse, qUrlDedup,
+    qRepetitionFilter, qBpePairs,
     qNormalizeText, qCorpusProfile, qCollocations, qWeightedSample, qDsirSelect,
     qQualityClassifier, qQualityClassifierStream, qQualityRank, qEmbedCentroid, qBpeTrain, qBpeApply, qCanonicalDedup,
     qSimDiverse, qCorpusDiff, qDedupEval, qDomainApprox, qDomainApproxKmv,

@@ -149,7 +149,7 @@ object Extract {
     * the cost either way.) */
   def extractHtml(docs: DataFrame, idCol: String, htmlCol: String,
                   minWords: Int = 5, maxLinkNum: Int = 1,
-                  maxLinkDen: Int = 3): DataFrame = {
+                  maxLinkDen: Int = 3, carry: Seq[String] = Nil): DataFrame = {
     val blocks = split(
       regexp_replace(regexp_replace(col(htmlCol),
         Html.CommentCdata, " "), Html.ScriptStyle, " "), Html.BlockSplit)
@@ -162,12 +162,12 @@ object Extract {
     val kept = filter(feats, s =>
       s.getField("w") >= minWords &&
         s.getField("lw") * maxLinkDen <= s.getField("w") * maxLinkNum)
-    docs.select(col(idCol).as("doc_id"),
-      size(filter(feats, s => s.getField("w") >= 1)).cast("int").as("n_blocks"),
-      size(kept).cast("int").as("n_kept"),
+    docs.select(col(idCol).as("doc_id") +: carry.map(col) :+
+      size(filter(feats, s => s.getField("w") >= 1)).cast("int").as("n_blocks") :+
+      size(kept).cast("int").as("n_kept") :+
       aggregate(kept, lit(0), (a, s) => a + s.getField("w"))
-        .cast("int").as("n_words"),
-      array_join(transform(kept, s => s.getField("t")), "\n").as("content"))
+        .cast("int").as("n_words") :+
+      array_join(transform(kept, s => s.getField("t")), "\n").as("content"): _*)
   }
 
   /** Chrome-robust exact dedup keyed on the LEAD content block's
@@ -346,9 +346,10 @@ object Extract {
     * double-escaped reference (`&amp;#77;` must surface as the literal
     * text `&#77;`, single-decode order), and an unclosed `<b>` the tag
     * stripper must tolerate. */
-  def htmlWrapped(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def htmlWrapped(docs: DataFrame, idCol: String, textCol: String,
+                  carry: Seq[String] = Nil): DataFrame = {
     val id = col(idCol).cast("string")
-    docs.select(col(idCol),
+    docs.select(col(idCol) +: carry.map(col) :+
       concat(
         lit("<html><head><title>doc "), id, lit("</title>"),
         lit("<style>body { color: #fff; }</style></head><body>"),
@@ -364,6 +365,6 @@ object Extract {
         lit("<li>see <a href=\"/d/"), id, lit("\">link "), id, lit("</a>"),
         expr(s"repeat(' w', CAST($idCol % 8 AS INT))"),
         lit(" mid tail</li>"),
-        lit("<footer>copyright 2026</footer></body></html>")).as("html"))
+        lit("<footer>copyright 2026</footer></body></html>")).as("html"): _*)
   }
 }

@@ -1,0 +1,190 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** WARC ingestion — the real front door of a web corpus: crawls ship
+  * as WARC files (ISO 28500), a sequence of records each framed as a
+  * version line (`WARC/1.0`), a CRLF-terminated header block, and a
+  * payload delimited by the header's `Content-Length` — NOT by any
+  * separator scan: response payloads routinely contain the `CRLFCRLF`
+  * header/payload boundary themselves (every HTTP response body does),
+  * so a split-based reader is wrong by construction and the parser
+  * here walks offsets.
+  *
+  * The parse is a per-FILE fold (`aggregate` over a bounded step
+  * sequence): each step validates the magic, locates the header end,
+  * extracts `WARC-Type`/`WARC-Target-URI`/`WARC-Date`/`Content-Length`,
+  * checks that the stated payload and its trailing `CRLFCRLF` fit
+  * inside the file, and advances the offset past the record. ANY
+  * framing violation — bad magic, non-numeric length, payload past
+  * EOF, missing trailer (which is how an over-stated length surfaces
+  * mid-file: the offset lands in the next record's header) — marks
+  * the file malformed and STOPS: records before the corruption are
+  * kept, the tail is skipped, nothing throws. Count-don't-crash, the
+  * ingestion rule.
+  *
+  * Scale shape: the fold is row-local per file — a 1000-executor read
+  * parses files embarrassingly parallel with zero shuffle; the only
+  * shuffle in the whole declared query is the generator's group-by
+  * (real ingestion reads files, it does not build them). The fold
+  * runs as an interpreted higher-order function, fine for the
+  * correctness surface; a production reader at 100 TB would lower
+  * exactly this state machine into a native `Expression`/`FileFormat`
+  * over byte buffers (the repo's FuzzyMatch precedent) — the
+  * semantics proven here are the spec for it. */
+object Warc {
+
+  val Crlf = "\r\n"
+  val Sep = "\r\n\r\n"
+
+  /** Record schema carried through the fold. */
+  private val RecType =
+    "array<struct<ridx:int,typ:string,uri:string,wdate:string," +
+      "clen:int,payload:string>>"
+
+  // ---- generation (the plant pattern) -----------------------------------
+
+  /** One WARC record per document, every framing rule planted BOTH
+    * ways: `request` records on id%11==7 (the response filter must
+    * skip but still frame past them), a non-numeric `Content-Length`
+    * on id%23==11 and an over-stated one (+50) on id%23==17 (each
+    * poisons its FILE from that record on), and every response
+    * payload is a genuine HTTP message (status line + headers +
+    * CRLFCRLF + the skeleton page from `Extract.htmlWrapped`), so the
+    * record-framing separator occurs INSIDE every payload and only a
+    * length-delimited parse survives. Text is pre-stripped to ASCII
+    * so character counts equal byte counts — the in-repo plant's
+    * simplification; a production reader counts bytes over binary. */
+  def warcRecords(docs: DataFrame, idCol: String, textCol: String,
+                  sourceCol: String): DataFrame = {
+    val id = col(idCol)
+    val base = docs.withColumn(textCol,
+      regexp_replace(coalesce(col(textCol), lit("")), "[^ -~]", ""))
+    val page = Extract.htmlWrapped(base, idCol, textCol, carry = Seq(sourceCol))
+    val uri = concat(lit("https://"),
+      when(id % 2 === 1, lit("www.")).otherwise(lit("")),
+      col(sourceCol), lit(".example.com/crawl/"), id.cast("string"))
+    val typ = when(id % 11 === 7, lit("request")).otherwise(lit("response"))
+    val payload = when(id % 11 === 7, lit("GET / HTTP/1.1"))
+      .otherwise(concat(
+        lit("HTTP/1.1 200 OK" + Crlf + "Content-Type: text/html" + Sep),
+        col("html")))
+    val wdate = concat(lit("2026-08-"),
+      lpad(((id % 28) + 1).cast("string"), 2, "0"), lit("T12:00:00Z"))
+    val lenField = when(id % 23 === 11, lit("XX"))
+      .when(id % 23 === 17, (length(payload) + 50).cast("string"))
+      .otherwise(length(payload).cast("string"))
+    page.select(id,
+      concat(lit("WARC/1.0" + Crlf),
+        lit("WARC-Type: "), typ, lit(Crlf),
+        lit("WARC-Target-URI: "), uri, lit(Crlf),
+        lit("WARC-Date: "), wdate, lit(Crlf),
+        lit("Content-Length: "), lenField, lit(Sep),
+        payload, lit(Sep)).as("rec"))
+  }
+
+  /** Concatenate records into FILES of `id % nFiles`, in doc_id order
+    * (`array_sort` on (doc_id, rec) structs — deterministic on every
+    * engine). nFiles=4096 keeps files under the fold's step bound up
+    * to sf≈1.6 while giving multi-record files from sf0.01 up. */
+  def warcFiles(records: DataFrame, idCol: String = "doc_id",
+                recCol: String = "rec", nFiles: Int = 4096): DataFrame =
+    records
+      .groupBy((col(idCol) % nFiles).cast("int").as("gid"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col(idCol), col(recCol).as("rec")))),
+        s => s.getField("rec")), "").as("wf"))
+
+  // ---- the parser ---------------------------------------------------------
+
+  /** Parse one WARC file per row into its records + file verdict:
+    * `recs` (all well-framed records up to the first violation, in
+    * order), `n_recs`, and `n_bad` (1 iff a framing violation stopped
+    * the file). `maxRecords` bounds the fold; files beyond it would
+    * leave a tail unparsed, so size files accordingly (generator
+    * default: 4096 files ↔ 64 steps covers ≥ 260k documents). */
+  def parseWarc(files: DataFrame, warcCol: String = "wf",
+                maxRecords: Int = 64): DataFrame = {
+    val wf = col(warcCol)
+    val init = struct(lit(1).as("off"), lit(0).as("bad"), lit(0).as("done"),
+      expr(s"CAST(array() AS $RecType)").as("recs"))
+    val st = aggregate(sequence(lit(1), lit(maxRecords)), init, (acc, _) => {
+      val off = acc.getField("off")
+      val recs = acc.getField("recs")
+      val magicOk = substr(wf, off, lit(10)) === "WARC/1.0" + Crlf
+      val hrel = instr(substr(wf, off, length(wf)), Sep)
+      val hpos = hrel + off - 1
+      val header = substr(wf, off, hpos - off)
+      val typ = regexp_extract(header, "WARC-Type: ([^\\r\\n]*)", 1)
+      val uri = regexp_extract(header, "WARC-Target-URI: ([^\\r\\n]*)", 1)
+      val wdate = regexp_extract(header, "WARC-Date: ([^\\r\\n]*)", 1)
+      val clstr = regexp_extract(header, "Content-Length: ([^\\r\\n]*)", 1)
+      val clenOk = clstr.rlike("^[0-9]{1,9}$")
+      val clen = when(clenOk, clstr.cast("int")).otherwise(lit(0))
+      val pstart = hpos + 4
+      val fits = pstart + clen + 3 <= length(wf)
+      val trailerOk = substr(wf, pstart + clen, lit(4)) === Sep
+      val ok = magicOk && hrel > 0 && clenOk && fits && trailerOk
+      val rec = struct(
+        (size(recs) + 1).cast("int").as("ridx"), typ.as("typ"),
+        uri.as("uri"), wdate.as("wdate"), clen.as("clen"),
+        substr(wf, pstart, clen).as("payload"))
+      when(acc.getField("done") === 1 || acc.getField("bad") === 1, acc)
+        .when(off > length(wf),
+          struct(off.as("off"), lit(0).as("bad"), lit(1).as("done"),
+            recs.as("recs")))
+        .when(!ok,
+          struct(off.as("off"), lit(1).as("bad"), lit(1).as("done"),
+            recs.as("recs")))
+        .otherwise(
+          struct((pstart + clen + 4).as("off"), lit(0).as("bad"),
+            lit(0).as("done"), concat(recs, array(rec)).as("recs")))
+    })
+    files.withColumn("__st", st)
+      .withColumn("n_recs", size(col("__st.recs")).cast("int"))
+      .withColumn("n_bad", col("__st.bad").cast("int"))
+      .withColumn("recs", col("__st.recs"))
+      .drop("__st", warcCol)
+  }
+
+  /** Response records exploded with the crawl-metadata chain: doc_id
+    * recovered from the target URI, domain via the shared
+    * `Extract.Url` parse (www stripped), the HTTP body split off the
+    * payload at the first CRLFCRLF, and its md5. Row-local after the
+    * explode — zero shuffle. */
+  def responses(parsed: DataFrame): DataFrame = {
+    val r = col("r")
+    parsed.select(col("gid"), col("n_recs"), col("n_bad"),
+        explode(col("recs")).as("r"))
+      .filter(r.getField("typ") === "response")
+      .select(
+        regexp_extract(r.getField("uri"), "/crawl/([0-9]+)$", 1)
+          .cast("long").as("doc_id"),
+        col("gid"), r.getField("ridx").as("ridx"),
+        r.getField("uri").as("uri"),
+        regexp_replace(regexp_replace(
+            regexp_extract(r.getField("uri"), Extract.Url.Auth, 1),
+            ":[0-9]+$", ""), "^www\\.", "").as("domain"),
+        r.getField("wdate").as("wdate"),
+        r.getField("clen").as("clen"),
+        regexp_replace(r.getField("payload"), "(?s)^.*?\r\n\r\n", "")
+          .as("body"),
+        col("n_recs"), col("n_bad"))
+  }
+
+  /** The full declared chain: generate → group into files → parse →
+    * filter responses → extract the HTML body (`Extract.extractHtml`,
+    * the markup operator verbatim). One query from crawl bytes to
+    * per-page content stats. */
+  def parseWarcChain(docs: DataFrame): DataFrame = {
+    val parsed = parseWarc(warcFiles(warcRecords(
+      docs, "doc_id", "text", "source")))
+    val resp = responses(parsed)
+      .withColumn("body_md5", md5(col("body").cast("binary")))
+    Extract.extractHtml(resp, "doc_id", "body",
+        carry = Seq("gid", "ridx", "uri", "domain", "wdate", "clen",
+          "body_md5", "n_recs", "n_bad"))
+      .drop("content")
+  }
+}

@@ -398,6 +398,45 @@ object CorpusStream {
     spark.table(name)
   }
 
+  /** The declared `q_parse_warc_stream` runner — the WARC front
+    * door's live twin: crawl FILES are staged to disk batch-side
+    * (generation needs the group-by; real ingestion reads files, it
+    * does not build them) and then arrive as a stream, and the whole
+    * parse chain — offset-walking record fold, response filter, URI
+    * chain, HTML body extraction — runs as stateless per-row work in
+    * append mode (no join, no state, no shuffle: files parse at scan
+    * speed on any number of executors). Drained end state equals the
+    * batch `q_parse_warc` row-for-row, so its FULL recursive DuckDB
+    * oracle applies verbatim. */
+  def parseWarcOverFile(spark: org.apache.spark.sql.SparkSession,
+                        sfDir: String): DataFrame = {
+    val files = graft.operators.Warc.warcFiles(graft.operators.Warc
+      .warcRecords(graft.Tables.documents(spark, sfDir),
+        "doc_id", "text", "source"))
+    val root = java.nio.file.Files.createTempDirectory("graft_warc").toString
+    val in = s"$root/in"
+    files.coalesce(2).write.mode("overwrite").parquet(in)
+    val stream = spark.readStream.schema(files.schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    val parsed = graft.operators.Warc.parseWarc(stream)
+    val resp = graft.operators.Warc.responses(parsed)
+      .withColumn("body_md5", md5(col("body").cast("binary")))
+    val out = graft.operators.Extract.extractHtml(resp, "doc_id", "body",
+        carry = Seq("gid", "ridx", "uri", "domain", "wdate", "clen",
+          "body_md5", "n_recs", "n_bad"))
+      .drop("content")
+    val name = s"__graft_warc_${runSeq.incrementAndGet()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    val res = spark.table(name).localCheckpoint()
+    GraphStream.deleteRecursively(root)
+    res
+  }
+
   /** Streaming model-based quality gate — the Bernoulli-NB serve half
     * over a live feed. Fit (`Corpus.fitNbQuality`) runs batch-side
     * (two nBuckets-bounded aggs, constant-size model, persistable via
