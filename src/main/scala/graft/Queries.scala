@@ -2557,6 +2557,18 @@ object Queries {
     },
     None)
 
+  /** The graph-beam tier's STREAMING twin (rows-only like its batch
+    * half): same batch-fitted graph shard, same (k, ef) parameters, a
+    * live query feed through the row-local beam walk. The beam is
+    * deterministic in the shard, so the drained end state equals
+    * `sim_graph_topk` row for row — pinned exactly in SimilaritySpec;
+    * refresh-version parity lives in StreamingSpec. */
+  private val qSimGraphTopkStream = Q(
+    "sim_graph_topk_stream",
+    (s, d) => streaming.CorpusStream.graphServeOverFile(s, d, k = 10, ef = 64)
+      .orderBy("query_id", "neighbor_id"),
+    None)
+
   /** Multimodal pipeline over the documents table AS binary media
     * (rows-only): text bytes are wrapped into GENUINE containers —
     * P5 images and PCM WAV clips parse/decode for real
@@ -5397,7 +5409,7 @@ object Queries {
     qSimLshTopk, qSimLshTopkMd5, qSimIvfTopk,
     qSimIvfTopkGrid, qSimPqTopk, qSimPqTopkMd5, qSimPqServe, qSimSqTopk,
     qSqDistortion, qSqDistortionStream, qSimSqServe,
-    qSimSqServeStream, qSimIvfPqTopk, qSimGraphTopk,
+    qSimSqServeStream, qSimIvfPqTopk, qSimGraphTopk, qSimGraphTopkStream,
     qDedupMinhash, qDedupMinhashMd5, qDedupMinhashMd5Capped,
     qDedupMinhashMd5Stop,
     qDedupSimhash, qDedupSimhashMd5,

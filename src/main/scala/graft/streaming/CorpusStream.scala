@@ -584,6 +584,30 @@ object CorpusStream {
     spark.table(name)
   }
 
+  /** The declared `sim_graph_topk_stream` runner — the graph-beam
+    * tier's streaming twin, completing the serve matrix (raw/PQ/SQ8
+    * already stream): the kNN graph and its shard fit batch-side
+    * exactly as `sim_graph_topk` builds them, and the live query feed
+    * answers through the SAME row-local `graphTopkRows` beam walk —
+    * stateless append, no join, no state, no shuffle. The beam is
+    * deterministic in (shard, parameters), so the drained end state
+    * equals the batch query row for row (pinned in SimilaritySpec);
+    * refresh-version parity for this tier lives in StreamingSpec's
+    * ServeRefresh.graphIndex case. */
+  def graphServeOverFile(spark: org.apache.spark.sql.SparkSession,
+                         sfDir: String, k: Int = 10, ef: Int = 64): DataFrame = {
+    val e = graft.Tables.embeddings(spark, sfDir)
+    val graph = graft.operators.Ivf.knnGraph(e, "vec_id", "embedding", 8)
+    val shard = graft.operators.AnnServe.fitGraphShard(e, graph)
+    val name = s"__graft_gserve_${runSeq.incrementAndGet()}"
+    val q = graft.operators.AnnServe.graphTopkRows(
+        graft.Tables.embeddingsStream(spark, sfDir).filter(col("vec_id") < 10),
+        shard, k, ef)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
   /** The declared `q_bitext_mine_stream` runner — bitext mining's
     * live twin: the src "language" arrives as a stream and each row's
     * margin-mined pair is computed by ONE row-local scan

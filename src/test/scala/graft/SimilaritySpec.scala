@@ -191,6 +191,17 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall $recall too low")
   }
 
+  test("sim_graph_topk_stream drains to the batch sim_graph_topk row for " +
+       "row (same shard, same parameters — the beam is deterministic)") {
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val batch = SparkEntry.queries("sim_graph_topk")(spark, sf)
+      .collect().map(key)
+    val streamed = SparkEntry.queries("sim_graph_topk_stream")(spark, sf)
+      .collect().map(key)
+    assert(batch.toSeq == streamed.toSeq)
+  }
+
   test("graph-beam serve: over a complete graph with ef >= n the beam " +
        "is bit-identical to the flat exact serve (small-N exactness pin)") {
     import org.apache.spark.sql.functions._
