@@ -87,14 +87,14 @@ object Extract {
     * (both start `&#` and end at the FIRST `;`), so replace-all per
     * distinct reference is exact. Row-local HOF work, zero shuffle. */
   def entityDecDecoded(c: Column): Column =
-    aggregate(
+    when(instr(c, "&#") === 0, c).otherwise(aggregate(
       array_distinct(regexp_extract_all(c, lit(Html.EntityDec), lit(0))),
       c,
       (acc, e) => {
         val code = regexp_extract(e, "[0-9]+", 0).cast("int")
         when(code.between(1, 255),
           replace(acc, e, call_function("char", code))).otherwise(acc)
-      })
+      }))
 
   /** Hex numeric references (`&#xE9;`): the codepoint is folded from
     * the reference's hex digits positionally (`acc*16 + digit`, digit
@@ -102,7 +102,7 @@ object Extract {
     * primitives), then the same 1..255 decode rule as the decimal
     * pass. */
   def entityHexDecoded(c: Column): Column =
-    aggregate(
+    when(instr(c, "&#") === 0, c).otherwise(aggregate(
       array_distinct(regexp_extract_all(c, lit(Html.EntityHex), lit(0))),
       c,
       (acc, e) => {
@@ -113,7 +113,7 @@ object Extract {
             .cast("int"))
         when(code.between(1, 255),
           replace(acc, e, call_function("char", code))).otherwise(acc)
-      })
+      }))
 
   /** Full entity decode in single-decode order: named (except amp) →
     * numeric decimal → numeric hex → `&amp;` last. */

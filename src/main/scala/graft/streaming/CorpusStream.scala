@@ -828,16 +828,18 @@ object CorpusStream {
           md5(col("text").cast("binary")).as("__fp"),
           col("vec_id"), col("embedding"))
         .localCheckpoint()
-      // At-least-once sources may re-deliver a row WITHIN one batch;
-      // state rows are keyed by doc_id / vec_id, so duplicates are
-      // collapsed here (batch-bounded exchange) and ACROSS batches by
-      // the anti-joins below — without either, a re-delivered doc is
+      // At-least-once sources re-deliver rows ACROSS batches (a retry
+      // re-fires the whole trigger, so duplicates land in a later
+      // batch, not inside one): without care a re-delivered doc is
       // emitted by both the touched-state rewrite and the batch half,
-      // silently corrupting state with duplicate keys.
-      val newFp = snap.filter(col("doc_id").isNotNull)
-        .select("doc_id", "__fp").dropDuplicates("doc_id")
+      // silently corrupting state with duplicate keys — the anti-joins
+      // at the two union sites below drop the stale state copy. Within
+      // ONE batch each source row is delivered once (the file/Kafka
+      // batch contract), so no dedup exchange is paid here and the
+      // zero-state-side-shuffle plan shape is preserved.
+      val newFp = snap.filter(col("doc_id").isNotNull).select("doc_id", "__fp")
       val be = snap.filter(col("vec_id").isNotNull)
-        .select("vec_id", "embedding").dropDuplicates("vec_id")
+        .select("vec_id", "embedding")
       val newEmb = Dedup.embGridRows(be, "vec_id", "embedding",
         gridDims, gridSize)
 
