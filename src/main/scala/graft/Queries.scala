@@ -4479,6 +4479,78 @@ object Queries {
          |SELECT doc_id, scheme, host, domain, port, path, ref, params, canonical
          |FROM c ORDER BY doc_id""".stripMargin))
 
+  /** robots.txt gating (`operators/Robots`) — crawl admission control:
+    * per-host robots bodies (generated deterministically per source
+    * host with parser noise planted: comments, blank lines,
+    * User-agent, Crawl-delay, an empty Disallow) parse into prefix
+    * rules, and every URL is gated by the LONGEST matching rule with
+    * Allow winning ties (RFC 9309 longest-match, prefix-only core).
+    * The verdict is two scalar aggregates (longest Allow / longest
+    * Disallow match) — one broadcast join + one hash agg, the 100 TB
+    * shape. Rules planted both ways: each host blocks one language
+    * subtree, a LONGER Allow re-admits its page-ids starting with 2,
+    * and a dead rule never matches. */
+  private val qRobotsGate = {
+    import operators.Extract.Url
+    Q(
+      "q_robots_gate",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val urls = operators.Extract.urlWrapped(docs, "doc_id", "source", "lang")
+        val u = urls.select(col("doc_id"),
+          regexp_replace(regexp_replace(
+            regexp_extract(col("url"), Url.Auth, 1), ":[0-9]+$", ""),
+            "^www\\.", "").as("domain"),
+          regexp_extract(col("url"), Url.Path, 1).as("path"))
+        val rules = operators.Robots.parseRobots(
+          operators.Robots.robotsWrapped(docs, "source"), "host", "robots_txt")
+        operators.Robots.robotsGate(u, rules).orderBy("doc_id")
+      },
+      Some(s"""WITH u0 AS (SELECT doc_id,
+           |  CASE WHEN doc_id % 5 = 0 THEN 'http' ELSE 'https' END || '://'
+           |  || CASE WHEN doc_id % 2 = 1 THEN 'www.' ELSE '' END
+           |  || source || '.example.com'
+           |  || CASE WHEN doc_id % 4 = 0 THEN
+           |       CASE WHEN doc_id % 5 = 0 THEN ':80' ELSE ':443' END
+           |     WHEN doc_id % 4 = 1 THEN ':8080' ELSE '' END
+           |  || CASE WHEN doc_id % 6 = 0 THEN ''
+           |     ELSE '/' || lang || '/p%41ge%2f-' || CAST(doc_id AS VARCHAR) END
+           |  || '?ref=r' || CAST(doc_id % 7 AS VARCHAR) || '&utm_source=feed&z=2&a=1'
+           |  || CASE WHEN doc_id % 3 = 0 THEN '#section-2' ELSE '' END AS url
+           | FROM documents),
+           |u AS (SELECT doc_id,
+           |  regexp_replace(regexp_replace(regexp_extract(url, '${Url.Auth}', 1),
+           |    ':[0-9]+$$', ''), '^www\\.', '') AS host,
+           |  regexp_extract(url, '${Url.Path}', 1) AS path
+           | FROM u0),
+           |rb AS (SELECT source, CAST(regexp_extract(source, '[0-9]+') AS INT) AS sfx,
+           |  (['de','en','es','fr','zh'])[CAST(regexp_extract(source, '[0-9]+') AS INT) % 5 + 1] AS l0
+           | FROM (SELECT DISTINCT source FROM documents)),
+           |rt AS (SELECT source || '.example.com' AS host,
+           |  'User-agent: *' || chr(10) || '# generated policy' || chr(10) || chr(10)
+           |  || 'Disallow: /' || l0 || '/' || chr(10)
+           |  || 'Allow: /' || l0 || '/p%41ge%2f-2' || chr(10)
+           |  || 'Disallow: /x-' || source || '/' || chr(10)
+           |  || 'Disallow:' || chr(10)
+           |  || 'Crawl-delay: ' || CAST(sfx % 10 AS VARCHAR) || chr(10) AS txt
+           | FROM rb),
+           |rl AS (SELECT host, rtype, rpath FROM (
+           |  SELECT host,
+           |    lower(regexp_extract(line, '(?i)^(Allow|Disallow)\\s*:', 1)) AS rtype,
+           |    trim(regexp_extract(line, '(?i)^(?:Allow|Disallow)\\s*:\\s*(\\S*)', 1)) AS rpath
+           |  FROM (SELECT host, unnest(string_split(txt, chr(10))) AS line FROM rt))
+           | WHERE rtype <> '' AND rpath <> ''),
+           |gg AS (SELECT doc_id, u.host AS host, path,
+           |  CAST(max(CASE WHEN rpath IS NOT NULL AND starts_with(path, rpath)
+           |    AND rtype = 'allow' THEN length(rpath) END) AS INT) AS max_allow,
+           |  CAST(max(CASE WHEN rpath IS NOT NULL AND starts_with(path, rpath)
+           |    AND rtype = 'disallow' THEN length(rpath) END) AS INT) AS max_disallow
+           | FROM u LEFT JOIN rl ON rl.host = u.host GROUP BY 1, 2, 3)
+           |SELECT doc_id, host, path, max_allow, max_disallow,
+           | CAST(coalesce(max_allow, -1) >= coalesce(max_disallow, -1) AS INT) AS allowed
+           |FROM gg ORDER BY doc_id""".stripMargin))
+  }
+
   /** Canonical-URL exact dedup — the crawl-side companion to content
     * dedup: raw URLs canonicalize (www/default-port/fragment/percent
     * spelling/tracking-param noise collapses; scheme and real ports
@@ -5432,7 +5504,7 @@ object Queries {
     qDecontaminateFuzzyStream, qDecontaminateStream,
     qPiiRedact, qExtractHtml, qExtractHtmlStream, qParseJsonl,
     qParseJsonlStream, qParseWarc, qParseWarcStream, qUrlParse, qUrlDedup,
-    qRepetitionFilter, qBpePairs,
+    qRobotsGate, qRepetitionFilter, qBpePairs,
     qNormalizeText, qCorpusProfile, qCollocations, qWeightedSample, qDsirSelect,
     qQualityClassifier, qQualityClassifierStream, qQualityRank, qEmbedCentroid, qBpeTrain, qBpeApply, qCanonicalDedup,
     qSimDiverse, qCorpusDiff, qDedupEval, qDomainApprox, qDomainApproxKmv,
