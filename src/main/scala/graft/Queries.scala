@@ -4272,9 +4272,9 @@ object Queries {
     * extraction CTE chain — `q_extract_html`, its stream twin,
     * `q_web_pipeline` and the WARC front door all re-derive the SAME
     * generation and extraction, so the SQL lives once. Patterns are
-    * the RE2-safe `Extract.Html` strings verbatim; the numeric-entity
-    * decode mirrors `Extract.entityDecDecoded`/`entityHexDecoded`
-    * (Latin-1 range, out-of-range references pass through). */
+    * the RE2-safe `Extract.Html` strings verbatim; the entity decode
+    * mirrors `functions.EntityDecode`'s single-pass scan (Latin-1
+    * range, out-of-range references pass through verbatim). */
   private object ExtractSql {
     import operators.Extract.Html
 
@@ -4297,43 +4297,58 @@ object Queries {
         " || repeat(' w', CAST(doc_id % 8 AS INT)) || ' mid tail</li>'" +
         " || '<footer>copyright 2026</footer></body></html>'"
 
-    /** Codepoint of hex reference `e` (DuckDB spelling of the
-      * positional fold in `Extract.entityHexDecoded`). Single line so
-      * it interpolates cleanly under stripMargin. */
-    private val hexVal: String =
-      "CAST(list_sum(list_transform(generate_series(1," +
-        " len(regexp_extract_all(lower(e), '[0-9a-f]'))), i ->" +
-        " (strpos('0123456789abcdef', regexp_extract_all(lower(e), '[0-9a-f]')[i]) - 1)" +
-        " * CAST(pow(16, len(regexp_extract_all(lower(e), '[0-9a-f]')) - i) AS BIGINT))) AS INT)"
+    /** Decimal codepoint of a post-`&` segment (0 when the segment
+      * does not start with a decimal reference). Single line so it
+      * interpolates cleanly under stripMargin. */
+    private val dec: String =
+      "coalesce(try_cast(regexp_extract(seg, '^#([0-9]{1,7});', 1) AS INT), 0)"
+
+    /** Hex digits of a post-`&` segment's reference ('' when absent). */
+    private val hs: String =
+      "lower(regexp_extract(seg, '^#[xX]([0-9a-fA-F]{1,6});', 1))"
+
+    /** Hex codepoint (0 when absent) — positional fold over `hs`. */
+    private val hex: String =
+      s"CAST(coalesce(list_sum(list_transform(generate_series(1, length($hs))," +
+        s" i -> (strpos('0123456789abcdef', substr($hs, i, 1)) - 1)" +
+        s" * CAST(pow(16, length($hs) - i) AS BIGINT))), 0) AS INT)"
+
+    /** Single-pass entity decode of one post-`&` segment — the DuckDB
+      * spelling of `functions.EntityDecode`'s scan: a segment either
+      * starts with a recognized entity body (named, or numeric in
+      * Latin-1 1..255) and becomes the decoded char plus the
+      * remainder, or is emitted verbatim behind its `&`. Each `&` is
+      * consumed at most once on both engines. */
+    private val segDec: String =
+      "CASE WHEN starts_with(seg, 'lt;') THEN '<' || substr(seg, 4)" +
+        " WHEN starts_with(seg, 'gt;') THEN '>' || substr(seg, 4)" +
+        " WHEN starts_with(seg, 'quot;') THEN '\"' || substr(seg, 6)" +
+        " WHEN starts_with(seg, 'nbsp;') THEN ' ' || substr(seg, 6)" +
+        " WHEN starts_with(seg, 'amp;') THEN '&' || substr(seg, 5)" +
+        s" WHEN $dec BETWEEN 1 AND 255 THEN chr($dec)" +
+        " || regexp_replace(seg, '^#[0-9]{1,7};', '')" +
+        s" WHEN $hex BETWEEN 1 AND 255 THEN chr($hex)" +
+        " || regexp_replace(seg, '^#[xX][0-9a-fA-F]{1,6};', '')" +
+        " ELSE '&' || seg END"
 
     /** CTE chain from `h(doc_id, html)` to `g(doc_id, bs)` with
       * bs = list<{t, w, lw}>: comment/CDATA and script/style strip,
-      * block split, tag strip + named decode (amp excluded), decimal
-      * then hex numeric decode (1..255), amp-last + whitespace
-      * squeeze, then per-block word counts. */
+      * block split, tag strip, single-pass entity decode (split on
+      * `&`, decode each segment head once), whitespace squeeze, then
+      * per-block word counts. */
     val hToG: String =
       s"""f0 AS (SELECT doc_id, list_transform(
          |   regexp_split_to_array(regexp_replace(regexp_replace(html,
          |     '${Html.CommentCdata}', ' ', 'g'), '${Html.ScriptStyle}', ' ', 'g'), '${Html.BlockSplit}'),
-         |   b -> {'t': replace(replace(replace(replace(replace(
-         |            regexp_replace(b, '${Html.Tag}', ' ', 'g'),
-         |            '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '),
+         |   b -> {'segs': string_split(regexp_replace(b, '${Html.Tag}', ' ', 'g'), '&'),
          |        'lw': CAST(coalesce(list_sum(list_transform(
          |               regexp_extract_all(b, '${Html.Anchor}', 1),
          |               a -> len(regexp_extract_all(a, '${Html.Word}')))), 0) AS INT)}) AS bs
          | FROM h),
-         |f1 AS (SELECT doc_id, list_transform(bs, s -> {'t':
-         |   list_reduce(list_prepend(s.t, list_distinct(regexp_extract_all(s.t, '${Html.EntityDec}'))),
-         |     (acc, e) -> CASE WHEN CAST(regexp_extract(e, '[0-9]+') AS INT) BETWEEN 1 AND 255
-         |       THEN replace(acc, e, chr(CAST(regexp_extract(e, '[0-9]+') AS INT))) ELSE acc END),
-         |   'lw': s.lw}) AS bs FROM f0),
-         |f2 AS (SELECT doc_id, list_transform(bs, s -> {'t':
-         |   list_reduce(list_prepend(s.t, list_distinct(regexp_extract_all(s.t, '${Html.EntityHex}'))),
-         |     (acc, e) -> CASE WHEN $hexVal BETWEEN 1 AND 255
-         |       THEN replace(acc, e, chr($hexVal)) ELSE acc END),
-         |   'lw': s.lw}) AS bs FROM f1),
          |f AS (SELECT doc_id, list_transform(bs, s -> {'t':
-         |   trim(regexp_replace(replace(s.t, '&amp;', '&'), '\\s+', ' ', 'g')), 'lw': s.lw}) AS bs FROM f2),
+         |   trim(regexp_replace(s.segs[1] || coalesce(array_to_string(
+         |     list_transform(s.segs[2:], seg -> $segDec), ''), ''), '\\s+', ' ', 'g')),
+         |   'lw': s.lw}) AS bs FROM f0),
          |g AS (SELECT doc_id, list_transform(bs, s -> {'t': s.t,
          |   'w': CAST(len(regexp_extract_all(s.t, '${Html.Word}')) AS INT), 'lw': s.lw}) AS bs
          | FROM f)""".stripMargin

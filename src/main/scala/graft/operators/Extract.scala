@@ -40,13 +40,10 @@ object Extract {
     val ScriptStyle: String =
       "(?is)(?:<script\\b[^>]*>.*?</script>|<style\\b[^>]*>.*?</style>)"
 
-    /** Numeric character references, decimal and hex. Decoded for
-      * codepoints 1..255 (the Latin-1 range — identical `chr`
-      * semantics on every engine; Spark's `char` is mod-256, so wider
-      * codepoints would diverge); out-of-range references pass through
-      * verbatim, documented. */
-    val EntityDec: String = "&#[0-9]{1,7};"
-    val EntityHex: String = "(?i)&#x[0-9a-f]{1,6};"
+    // Numeric character references (decimal &#NNN; / hex &#xNN;) are
+    // decoded by `functions.EntityDecode` for codepoints 1..255 — the
+    // Latin-1 range, where every engine's chr agrees (Spark's char is
+    // mod-256 above it); out-of-range references pass through verbatim.
 
     /** Block-level boundary tags (open or close): each one starts a new
       * candidate text block. Inline tags (a, b, span, ...) deliberately
@@ -66,60 +63,19 @@ object Extract {
     val Word: String = "[A-Za-z0-9]+"
   }
 
-  /** The five named entities worth decoding without a full table
-    * (covers the generator and the overwhelming share of real pages),
-    * excluding `&amp;` — that one decodes LAST, after the numeric
-    * passes, so double-escaped text (`&amp;lt;`, `&amp;#65;`) stays
-    * single-escaped — the HTML-spec single-decode order approximated.
-    * Applied AFTER tag stripping, so decoded angle brackets can never
-    * resurrect a tag. */
-  def entityNamedPreAmp(c: Column): Column =
-    replace(replace(replace(replace(replace(c,
-      lit("&lt;"), lit("<")), lit("&gt;"), lit(">")),
-      lit("&quot;"), lit("\"")), lit("&#39;"), lit("'")),
-      lit("&nbsp;"), lit(" "))
-
-  /** Decimal numeric references (`&#233;`): fold the block's DISTINCT
-    * references through `replace`, each decoded via `char(code)` when
-    * the codepoint is in 1..255 (Latin-1 — `char`/`chr` agree across
-    * engines there; Spark's `char` is mod-256 above it), left verbatim
-    * otherwise. A reference can never be a proper substring of another
-    * (both start `&#` and end at the FIRST `;`), so replace-all per
-    * distinct reference is exact. Row-local HOF work, zero shuffle. */
-  def entityDecDecoded(c: Column): Column =
-    when(instr(c, "&#") === 0, c).otherwise(aggregate(
-      array_distinct(regexp_extract_all(c, lit(Html.EntityDec), lit(0))),
-      c,
-      (acc, e) => {
-        val code = regexp_extract(e, "[0-9]+", 0).cast("int")
-        when(code.between(1, 255),
-          replace(acc, e, call_function("char", code))).otherwise(acc)
-      }))
-
-  /** Hex numeric references (`&#xE9;`): the codepoint is folded from
-    * the reference's hex digits positionally (`acc*16 + digit`, digit
-    * via `instr` into the hex alphabet — both engines have the same
-    * primitives), then the same 1..255 decode rule as the decimal
-    * pass. */
-  def entityHexDecoded(c: Column): Column =
-    when(instr(c, "&#") === 0, c).otherwise(aggregate(
-      array_distinct(regexp_extract_all(c, lit(Html.EntityHex), lit(0))),
-      c,
-      (acc, e) => {
-        val code = aggregate(
-          regexp_extract_all(lower(e), lit("[0-9a-f]"), lit(0)),
-          lit(0),
-          (a, ch) => a * 16 + (instr(lit("0123456789abcdef"), ch) - lit(1))
-            .cast("int"))
-        when(code.between(1, 255),
-          replace(acc, e, call_function("char", code))).otherwise(acc)
-      }))
-
-  /** Full entity decode in single-decode order: named (except amp) →
-    * numeric decimal → numeric hex → `&amp;` last. */
+  /** Full entity decode — named (`&lt; &gt; &quot; &nbsp; &amp;`,
+    * plus `&#39;` through the numeric path) and numeric references
+    * (decimal + hex, case-insensitive) in the Latin-1 range 1..255
+    * where every engine's `chr` agrees; out-of-range references pass
+    * through verbatim and each `&` is consumed at most once (true
+    * single-decode: `&amp;#77;` → the literal `&#77;`). ONE native
+    * codegen scan per evaluation (`functions.EntityDecode`) — the
+    * layered `replace`/HOF-fold spelling measured 3× slower on
+    * `q_web_pipeline` because interpreted lambdas re-run per output
+    * column. Applied AFTER tag stripping, so decoded angle brackets
+    * can never resurrect a tag. */
   def entityDecoded(c: Column): Column =
-    replace(entityHexDecoded(entityDecDecoded(entityNamedPreAmp(c))),
-      lit("&amp;"), lit("&"))
+    graft.functions.ExtractOps.entityDecode(c)
 
   /** One block's visible text: strip tags, decode entities, squeeze
     * whitespace. */
@@ -159,11 +115,23 @@ object Extract {
       s.getField("t").as("t"),
       regexp_count(s.getField("t"), lit(Html.Word)).cast("int").as("w"),
       s.getField("lw").as("lw")))
-    val kept = filter(feats, s =>
+    // Materialize the block-features array ONCE per row behind a
+    // single-element explode: the four output columns each reference
+    // the array, and Spark re-evaluates interpreted HOF expressions
+    // per referencing column (CollapseProject inlines through plain
+    // projections) — a Generate node is a materialization barrier, so
+    // the regex-heavy split/blockText/anchor work runs once and the
+    // outputs fold over precomputed (t, w, lw) structs. Measured on
+    // q_web_pipeline at sf0.1: 13.7 → 7.1 s from the native entity
+    // decode, further reduced by this barrier.
+    val exploded = docs.select(col(idCol).as("doc_id") +: carry.map(col) :+
+      explode(array(feats)).as("__bs"): _*)
+    val bs = col("__bs")
+    val kept = filter(bs, s =>
       s.getField("w") >= minWords &&
         s.getField("lw") * maxLinkDen <= s.getField("w") * maxLinkNum)
-    docs.select(col(idCol).as("doc_id") +: carry.map(col) :+
-      size(filter(feats, s => s.getField("w") >= 1)).cast("int").as("n_blocks") :+
+    exploded.select(col("doc_id") +: carry.map(col) :+
+      size(filter(bs, s => s.getField("w") >= 1)).cast("int").as("n_blocks") :+
       size(kept).cast("int").as("n_kept") :+
       aggregate(kept, lit(0), (a, s) => a + s.getField("w"))
         .cast("int").as("n_words") :+
