@@ -38,11 +38,6 @@ object Warc {
   val Crlf = "\r\n"
   val Sep = "\r\n\r\n"
 
-  /** Record schema carried through the fold. */
-  private val RecType =
-    "array<struct<ridx:int,typ:string,uri:string,wdate:string," +
-      "clen:int,payload:string>>"
-
   // ---- generation (the plant pattern) -----------------------------------
 
   /** One WARC record per document, every framing rule planted BOTH
@@ -101,51 +96,24 @@ object Warc {
   /** Parse one WARC file per row into its records + file verdict:
     * `recs` (all well-framed records up to the first violation, in
     * order), `n_recs`, and `n_bad` (1 iff a framing violation stopped
-    * the file). `maxRecords` bounds the fold; files beyond it would
-    * leave a tail unparsed, so size files accordingly (generator
-    * default: 4096 files ↔ 64 steps covers ≥ 260k documents). */
+    * the file). One native offset-walking scan per file
+    * (`functions.WarcParse` — each byte touched once, inside the
+    * enclosing codegen span; the earlier `aggregate`-HOF fold re-ran
+    * O(file) interpreted substring work per step), materialized once
+    * behind a single-element explode so the three consumers read a
+    * bound attribute. `maxRecords` bounds the walk; size files so
+    * they stay under it (generator default: 4096 files ↔ 64 records
+    * covers ≥ 260k documents). */
   def parseWarc(files: DataFrame, warcCol: String = "wf",
                 maxRecords: Int = 64): DataFrame = {
-    val wf = col(warcCol)
-    val init = struct(lit(1).as("off"), lit(0).as("bad"), lit(0).as("done"),
-      expr(s"CAST(array() AS $RecType)").as("recs"))
-    val st = aggregate(sequence(lit(1), lit(maxRecords)), init, (acc, _) => {
-      val off = acc.getField("off")
-      val recs = acc.getField("recs")
-      val magicOk = substr(wf, off, lit(10)) === "WARC/1.0" + Crlf
-      val hrel = instr(substr(wf, off, length(wf)), Sep)
-      val hpos = hrel + off - 1
-      val header = substr(wf, off, hpos - off)
-      val typ = regexp_extract(header, "WARC-Type: ([^\\r\\n]*)", 1)
-      val uri = regexp_extract(header, "WARC-Target-URI: ([^\\r\\n]*)", 1)
-      val wdate = regexp_extract(header, "WARC-Date: ([^\\r\\n]*)", 1)
-      val clstr = regexp_extract(header, "Content-Length: ([^\\r\\n]*)", 1)
-      val clenOk = clstr.rlike("^[0-9]{1,9}$")
-      val clen = when(clenOk, clstr.cast("int")).otherwise(lit(0))
-      val pstart = hpos + 4
-      val fits = pstart + clen + 3 <= length(wf)
-      val trailerOk = substr(wf, pstart + clen, lit(4)) === Sep
-      val ok = magicOk && hrel > 0 && clenOk && fits && trailerOk
-      val rec = struct(
-        (size(recs) + 1).cast("int").as("ridx"), typ.as("typ"),
-        uri.as("uri"), wdate.as("wdate"), clen.as("clen"),
-        substr(wf, pstart, clen).as("payload"))
-      when(acc.getField("done") === 1 || acc.getField("bad") === 1, acc)
-        .when(off > length(wf),
-          struct(off.as("off"), lit(0).as("bad"), lit(1).as("done"),
-            recs.as("recs")))
-        .when(!ok,
-          struct(off.as("off"), lit(1).as("bad"), lit(1).as("done"),
-            recs.as("recs")))
-        .otherwise(
-          struct((pstart + clen + 4).as("off"), lit(0).as("bad"),
-            lit(0).as("done"), concat(recs, array(rec)).as("recs")))
-    })
-    files.withColumn("__st", st)
+    val others = files.columns.filterNot(_ == warcCol).toSeq
+    files.select(others.map(col) :+
+        explode(array(graft.functions.WarcOps.warcParse(col(warcCol),
+          maxRecords))).as("__st"): _*)
       .withColumn("n_recs", size(col("__st.recs")).cast("int"))
       .withColumn("n_bad", col("__st.bad").cast("int"))
       .withColumn("recs", col("__st.recs"))
-      .drop("__st", warcCol)
+      .drop("__st")
   }
 
   /** Response records exploded with the crawl-metadata chain: doc_id
