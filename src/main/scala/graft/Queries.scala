@@ -4059,24 +4059,16 @@ object Queries {
     * co-partitionable tables (bucketed layouts make it exchange-free);
     * packing windows per shard. No new shuffle kind beyond the
     * component operators. */
-  private val qWebPipeline = Q(
-    "q_web_pipeline",
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-      val ex = operators.Extract.extractHtml(
-        operators.Extract.htmlWrapped(docs, "doc_id", "text"),
-        "doc_id", "html")
-      val s1 = operators.Extract.leadBlockDedup(ex)
-      val quality = operators.Corpus.gopherStats(s1, "doc_id", "content")
-        .filter(col("keep") === 1).select("doc_id")
-      val s2 = s1.join(quality, Seq("doc_id"))
-        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
-      operators.Corpus.packManifest(s2, "doc_id", "content", "source",
-        seqLen = 512)
-    },
-    Some(s"""WITH h AS (SELECT doc_id, ${ExtractSql.gen} AS html FROM documents),
-         |${ExtractSql.hToG},
-         |exc AS (SELECT doc_id,
+  /** Shared oracle-SQL fragments for the flagship tails —
+    * `q_web_pipeline` and `q_crawl_pipeline` re-derive the SAME
+    * lead-block dedup, Gopher gate and 512-token packing, so the SQL
+    * lives once. */
+  private object PipelineSql {
+    /** Lead-block exact dedup (consumes `g`, yields
+      * `s1(doc_id, content)`; zero-kept docs pass through —
+      * `Extract.leadBlockDedup` re-derived). */
+    val leadDedup: String =
+      s"""exc AS (SELECT doc_id,
          |   array_to_string(list_transform(kept, s -> s.t), chr(10)) AS content,
          |   len(kept) AS n_kept
          |  FROM (SELECT doc_id,
@@ -4086,8 +4078,12 @@ object Queries {
          |keep1 AS (SELECT mkey, min(doc_id) AS kid FROM mk GROUP BY mkey),
          |s1 AS (SELECT mk.doc_id, mk.content FROM mk
          |  JOIN keep1 ON keep1.mkey = mk.mkey AND keep1.kid = mk.doc_id
-         |  UNION ALL SELECT doc_id, content FROM exc WHERE n_kept = 0),
-         |tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(content), '\\s+')) AS w FROM s1),
+         |  UNION ALL SELECT doc_id, content FROM exc WHERE n_kept = 0)""".stripMargin
+
+    /** Gopher gate over `s1` (yields `gk(doc_id)` — the
+      * `Corpus.gopherStats` thresholds re-derived). */
+    val gopherGate: String =
+      s"""tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(content), '\\s+')) AS w FROM s1),
          |wf AS (SELECT doc_id, w, count(*) AS f1, sum(length(w)) AS lsum
          |  FROM tok GROUP BY doc_id, w),
          |per AS (SELECT doc_id, sum(f1) AS n_words, count(*) AS n_distinct,
@@ -4095,11 +4091,12 @@ object Queries {
          |gk AS (SELECT doc_id FROM per WHERE n_words >= 30
          |  AND round(charsum / CAST(n_words AS DOUBLE), 6) BETWEEN 3.0 AND 10.0
          |  AND round(n_distinct / CAST(n_words AS DOUBLE), 6) >= 0.4
-         |  AND round(top_f / CAST(n_words AS DOUBLE), 6) <= 0.15),
-         |s2 AS (SELECT s1.doc_id, s1.content, d.source AS shard FROM s1
-         |  JOIN gk ON gk.doc_id = s1.doc_id
-         |  JOIN documents d ON d.doc_id = s1.doc_id),
-         |t AS (SELECT doc_id, shard,
+         |  AND round(top_f / CAST(n_words AS DOUBLE), 6) <= 0.15)""".stripMargin
+
+    /** 512-token sequence packing over `s2(doc_id, content, shard)` —
+      * CTEs + final SELECT (`Corpus.packManifest` re-derived). */
+    val packTail: String =
+      s"""t AS (SELECT doc_id, shard,
          |  CASE WHEN coalesce(trim(content), '') = '' THEN CAST(0 AS BIGINT)
          |       ELSE CAST(len(regexp_split_to_array(trim(content), '\\s+')) AS BIGINT)
          |  END AS n_tokens
@@ -4120,7 +4117,102 @@ object Queries {
          | min(doc_id) AS first_doc, max(doc_id) AS last_doc,
          | CAST(sum(least(start_tok + n_tokens, (seq_id + 1) * 512)
          |        - greatest(start_tok, seq_id * 512)) AS BIGINT) AS n_fill
-         |FROM m GROUP BY shard, seq_id ORDER BY shard, seq_id""".stripMargin))
+         |FROM m GROUP BY shard, seq_id ORDER BY shard, seq_id""".stripMargin
+  }
+
+  private val qWebPipeline = Q(
+    "q_web_pipeline",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val ex = operators.Extract.extractHtml(
+        operators.Extract.htmlWrapped(docs, "doc_id", "text"),
+        "doc_id", "html")
+      val s1 = operators.Extract.leadBlockDedup(ex)
+      val quality = operators.Corpus.gopherStats(s1, "doc_id", "content")
+        .filter(col("keep") === 1).select("doc_id")
+      val s2 = s1.join(quality, Seq("doc_id"))
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      operators.Corpus.packManifest(s2, "doc_id", "content", "source",
+        seqLen = 512)
+    },
+    Some(s"""WITH h AS (SELECT doc_id, ${ExtractSql.gen} AS html FROM documents),
+         |${ExtractSql.hToG},
+         |${PipelineSql.leadDedup},
+         |${PipelineSql.gopherGate},
+         |s2 AS (SELECT s1.doc_id, s1.content, d.source AS shard FROM s1
+         |  JOIN gk ON gk.doc_id = s1.doc_id
+         |  JOIN documents d ON d.doc_id = s1.doc_id),
+         |${PipelineSql.packTail}""".stripMargin))
+
+  /** The CRAWL flagship — WARC bytes to packed training manifest in
+    * ONE declarative plan, composing every crawl-side operator end to
+    * end: length-delimited WARC record parse (corrupt files stop,
+    * requests filter out) → robots.txt longest-match admission on the
+    * crawled URI path (each host blocks one language subtree; a
+    * longer Allow re-admits its id-prefix-2 pages) → markup
+    * extraction of the HTTP response bodies → chrome-robust
+    * lead-block dedup → Gopher lexical gate → 512-token packing per
+    * source shard (shard recovered from the crawl domain). Every
+    * stage is the already-oracle-proven operator and the chained
+    * recursive DuckDB oracle re-derives the WHOLE composition from
+    * record framing to packed token intervals.
+    *
+    * Scale shape: parse and extraction are scan-side per-file/per-row
+    * native scans; robots rules broadcast; the only shuffles are the
+    * generator's group-by (real ingestion reads files), the 16-byte
+    * digest dedup, the gopher token agg, doc_id-keyed equi-joins and
+    * the packing windows — no new shuffle kind beyond the component
+    * operators. */
+  private val qCrawlPipeline = {
+    import operators.Extract.Url
+    Q(
+      "q_crawl_pipeline",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val parsed = operators.Warc.parseWarc(operators.Warc.warcFiles(
+          operators.Warc.warcRecords(docs, "doc_id", "text", "source")))
+        val resp = operators.Warc.responses(parsed)
+        val rules = operators.Robots.parseRobots(
+          operators.Robots.robotsWrapped(docs, "source"), "host", "robots_txt")
+        val withPath = resp.withColumn("path",
+          regexp_extract(col("uri"), Url.Path, 1))
+        val admittedIds = operators.Robots.robotsGate(withPath, rules)
+          .filter(col("allowed") === 1).select("doc_id")
+        val admitted = resp.join(admittedIds, Seq("doc_id"), "left_semi")
+        val ex = operators.Extract.extractHtml(admitted, "doc_id", "body")
+        val s1 = operators.Extract.leadBlockDedup(ex)
+        val quality = operators.Corpus.gopherStats(s1, "doc_id", "content")
+          .filter(col("keep") === 1).select("doc_id")
+        val shardSrc = resp.select(col("doc_id"),
+          regexp_extract(col("domain"), "^([^.]+)", 1).as("source"))
+        val s2 = s1.join(quality, Seq("doc_id")).join(shardSrc, Seq("doc_id"))
+        operators.Corpus.packManifest(s2, "doc_id", "content", "source",
+          seqLen = 512)
+      },
+      Some(s"""WITH RECURSIVE
+           |${WarcSql.genParse},
+           |${WarcSql.respCte},
+           |${RobotsSql.rules},
+           |ap AS (SELECT r.doc_id, r.domain AS host,
+           |   regexp_extract(r.uri, '${Url.Path}', 1) AS path FROM resp r),
+           |adm AS (SELECT doc_id FROM (
+           |  SELECT ap.doc_id,
+           |    max(CASE WHEN rpath IS NOT NULL AND starts_with(path, rpath)
+           |      AND rtype = 'allow' THEN length(rpath) END) AS ma,
+           |    max(CASE WHEN rpath IS NOT NULL AND starts_with(path, rpath)
+           |      AND rtype = 'disallow' THEN length(rpath) END) AS md
+           |  FROM ap LEFT JOIN rl ON rl.host = ap.host GROUP BY ap.doc_id)
+           | WHERE coalesce(ma, -1) >= coalesce(md, -1)),
+           |h AS (SELECT r.doc_id, r.body AS html FROM resp r JOIN adm USING (doc_id)),
+           |${ExtractSql.hToG},
+           |${PipelineSql.leadDedup},
+           |${PipelineSql.gopherGate},
+           |s2 AS (SELECT s1.doc_id, s1.content,
+           |  regexp_extract(r.domain, '^([^.]+)', 1) AS shard FROM s1
+           |  JOIN gk ON gk.doc_id = s1.doc_id
+           |  JOIN resp r ON r.doc_id = s1.doc_id),
+           |${PipelineSql.packTail}""".stripMargin))
+  }
 
   private val qPretrainPipeline = {
     val weights = Map("src0" -> 2.5, "src1" -> 2.0, "src2" -> 0.5, "src3" -> 0.0)
@@ -4505,6 +4597,33 @@ object Queries {
     * shape. Rules planted both ways: each host blocks one language
     * subtree, a LONGER Allow re-admits its page-ids starting with 2,
     * and a dead rule never matches. */
+  /** Shared oracle-SQL fragment: the generated per-host robots rules
+    * (`Robots.robotsWrapped` + `Robots.parseRobots` re-derived) as
+    * CTEs ending in `rl(host, rtype, rpath)` — used by `q_robots_gate`
+    * and the crawl flagship. */
+  private object RobotsSql {
+    /** See object doc above. */
+    val rules: String =
+      s"""rb AS (SELECT source, CAST(regexp_extract(source, '[0-9]+') AS INT) AS sfx,
+       |  (['de','en','es','fr','zh'])[CAST(regexp_extract(source, '[0-9]+') AS INT) % 5 + 1] AS l0
+       | FROM (SELECT DISTINCT source FROM documents)),
+       |rt AS (SELECT source || '.example.com' AS host,
+       |  'User-agent: *' || chr(10) || '# generated policy' || chr(10) || chr(10) ||
+       |  'Disallow: /' || l0 || '/' || chr(10) ||
+       |  'Allow: /' || l0 || '/p%41ge%2f-2' || chr(10) ||
+       |  'Allow: /' || l0 || '/crawl-2' || chr(10) ||
+       |  'Disallow: /x-' || source || '/' || chr(10) ||
+       |  'Disallow:' || chr(10) ||
+       |  'Crawl-delay: ' || CAST(sfx % 10 AS VARCHAR) || chr(10) AS txt
+       | FROM rb),
+       |rl AS (SELECT host, rtype, rpath FROM (
+       |  SELECT host,
+       |    lower(regexp_extract(line, '(?i)^(Allow|Disallow)\\s*:', 1)) AS rtype,
+       |    trim(regexp_extract(line, '(?i)^(?:Allow|Disallow)\\s*:\\s*(\\S*)', 1)) AS rpath
+       |  FROM (SELECT host, unnest(string_split(txt, chr(10))) AS line FROM rt))
+       | WHERE rtype <> '' AND rpath <> '')""".stripMargin
+  }
+
   private val qRobotsGate = {
     import operators.Extract.Url
     Q(
@@ -4538,23 +4657,7 @@ object Queries {
            |    ':[0-9]+$$', ''), '^www\\.', '') AS host,
            |  regexp_extract(url, '${Url.Path}', 1) AS path
            | FROM u0),
-           |rb AS (SELECT source, CAST(regexp_extract(source, '[0-9]+') AS INT) AS sfx,
-           |  (['de','en','es','fr','zh'])[CAST(regexp_extract(source, '[0-9]+') AS INT) % 5 + 1] AS l0
-           | FROM (SELECT DISTINCT source FROM documents)),
-           |rt AS (SELECT source || '.example.com' AS host,
-           |  'User-agent: *' || chr(10) || '# generated policy' || chr(10) || chr(10)
-           |  || 'Disallow: /' || l0 || '/' || chr(10)
-           |  || 'Allow: /' || l0 || '/p%41ge%2f-2' || chr(10)
-           |  || 'Disallow: /x-' || source || '/' || chr(10)
-           |  || 'Disallow:' || chr(10)
-           |  || 'Crawl-delay: ' || CAST(sfx % 10 AS VARCHAR) || chr(10) AS txt
-           | FROM rb),
-           |rl AS (SELECT host, rtype, rpath FROM (
-           |  SELECT host,
-           |    lower(regexp_extract(line, '(?i)^(Allow|Disallow)\\s*:', 1)) AS rtype,
-           |    trim(regexp_extract(line, '(?i)^(?:Allow|Disallow)\\s*:\\s*(\\S*)', 1)) AS rpath
-           |  FROM (SELECT host, unnest(string_split(txt, chr(10))) AS line FROM rt))
-           | WHERE rtype <> '' AND rpath <> ''),
+           |${RobotsSql.rules},
            |gg AS (SELECT doc_id, u.host AS host, path,
            |  CAST(max(CASE WHEN rpath IS NOT NULL AND starts_with(path, rpath)
            |    AND rtype = 'allow' THEN length(rpath) END) AS INT) AS max_allow,
@@ -4623,33 +4726,42 @@ object Queries {
     * parsed target URIs chain into the shared Url parse (domain) and
     * the bodies into `extractHtml` (block stats), end to end under
     * ONE oracle. */
-  private val qParseWarc = {
+  /** Shared oracle-SQL fragments for the WARC chain — `q_parse_warc`,
+    * its stream twin and `q_crawl_pipeline` re-derive the SAME
+    * generation + recursive parse, so the SQL lives once. Must open
+    * under `WITH RECURSIVE`. */
+  private object WarcSql {
     import operators.Extract.Url
-    val warcSql =
-      s"""WITH RECURSIVE
-         |d2 AS (SELECT doc_id, regexp_replace(coalesce(text, ''), '[^ -~]', '', 'g') AS text,
-         |       source FROM documents),
-         |hg AS (SELECT doc_id, source, ${ExtractSql.gen} AS html FROM d2),
+
+    /** CTEs from `documents` to `parse(gid, ridx, bad, typ, uri,
+      * wdate, clen, payload)` — generation (ASCII-stripped text, the
+      * skeleton page as an HTTP response payload, per-doc WARC record,
+      * files of doc_id % 4096) and the offset-walking recursive
+      * parse. */
+    val genParse: String =
+      s"""d2 AS (SELECT doc_id, regexp_replace(coalesce(text, ''), '[^ -~]', '', 'g') AS text,
+         |       source, lang FROM documents),
+         |hg AS (SELECT doc_id, source, lang, ${ExtractSql.gen} AS html FROM d2),
          |r0 AS (SELECT doc_id,
          |   CASE WHEN doc_id % 11 = 7 THEN 'request' ELSE 'response' END AS typ,
-         |   'https://' || CASE WHEN doc_id % 2 = 1 THEN 'www.' ELSE '' END || source
-         |     || '.example.com/crawl/' || CAST(doc_id AS VARCHAR) AS uri,
+         |   'https://' || CASE WHEN doc_id % 2 = 1 THEN 'www.' ELSE '' END || source ||
+         |     '.example.com/' || lang || '/crawl-' || CAST(doc_id AS VARCHAR) AS uri,
          |   CASE WHEN doc_id % 11 = 7 THEN 'GET / HTTP/1.1'
-         |        ELSE 'HTTP/1.1 200 OK' || chr(13)||chr(10) || 'Content-Type: text/html'
-         |          || chr(13)||chr(10)||chr(13)||chr(10) || html END AS payload,
+         |        ELSE 'HTTP/1.1 200 OK' || chr(13)||chr(10) || 'Content-Type: text/html' ||
+         |          chr(13)||chr(10)||chr(13)||chr(10) || html END AS payload,
          |   '2026-08-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || 'T12:00:00Z' AS wdate
          | FROM hg),
          |r1 AS (SELECT doc_id,
-         |   'WARC/1.0' || chr(13)||chr(10)
-         |   || 'WARC-Type: ' || typ || chr(13)||chr(10)
-         |   || 'WARC-Target-URI: ' || uri || chr(13)||chr(10)
-         |   || 'WARC-Date: ' || wdate || chr(13)||chr(10)
-         |   || 'Content-Length: ' ||
+         |   'WARC/1.0' || chr(13)||chr(10) ||
+         |   'WARC-Type: ' || typ || chr(13)||chr(10) ||
+         |   'WARC-Target-URI: ' || uri || chr(13)||chr(10) ||
+         |   'WARC-Date: ' || wdate || chr(13)||chr(10) ||
+         |   'Content-Length: ' ||
          |      CASE WHEN doc_id % 23 = 11 THEN 'XX'
          |           WHEN doc_id % 23 = 17 THEN CAST(length(payload) + 50 AS VARCHAR)
-         |           ELSE CAST(length(payload) AS VARCHAR) END
-         |   || chr(13)||chr(10)||chr(13)||chr(10) || payload
-         |   || chr(13)||chr(10)||chr(13)||chr(10) AS rec
+         |           ELSE CAST(length(payload) AS VARCHAR) END ||
+         |   chr(13)||chr(10)||chr(13)||chr(10) || payload ||
+         |   chr(13)||chr(10)||chr(13)||chr(10) AS rec
          | FROM r0),
          |files AS (SELECT CAST(doc_id % 4096 AS INT) AS gid,
          |   string_agg(rec, '' ORDER BY doc_id) AS wf FROM r1 GROUP BY 1),
@@ -4695,18 +4807,30 @@ object Queries {
          |                FROM parse
          |                WHERE bad = 0 AND off <= length(wf)
          |  )))))))
-         |),
-         |stats AS (SELECT gid,
-         |   CAST(count(*) FILTER (WHERE ridx >= 1 AND bad = 0) AS INT) AS n_recs,
-         |   CAST(max(bad) AS INT) AS n_bad
-         |  FROM parse GROUP BY gid),
-         |resp AS (SELECT CAST(regexp_extract(uri, '/crawl/([0-9]+)$$', 1) AS BIGINT) AS doc_id,
+         |)""".stripMargin
+
+    /** Response records with the crawl-metadata chain (consumes
+      * `parse`, yields `resp(doc_id, gid, ridx, uri, domain, wdate,
+      * clen, body)`). */
+    val respCte: String =
+      s"""resp AS (SELECT CAST(regexp_extract(uri, '/crawl-([0-9]+)$$', 1) AS BIGINT) AS doc_id,
          |   gid, ridx, uri,
          |   regexp_replace(regexp_replace(regexp_extract(uri, '${Url.Auth}', 1),
          |     ':[0-9]+$$', ''), '^www\\.', '') AS domain,
          |   wdate, clen,
          |   regexp_replace(payload, '(?s)^.*?\\r\\n\\r\\n', '') AS body
-         |  FROM parse WHERE ridx >= 1 AND bad = 0 AND typ = 'response'),
+         |  FROM parse WHERE ridx >= 1 AND bad = 0 AND typ = 'response')""".stripMargin
+  }
+
+  private val qParseWarc = {
+    val warcSql =
+      s"""WITH RECURSIVE
+         |${WarcSql.genParse},
+         |stats AS (SELECT gid,
+         |   CAST(count(*) FILTER (WHERE ridx >= 1 AND bad = 0) AS INT) AS n_recs,
+         |   CAST(max(bad) AS INT) AS n_bad
+         |  FROM parse GROUP BY gid),
+         |${WarcSql.respCte},
          |h AS (SELECT doc_id, body AS html FROM resp),
          |${ExtractSql.hToG},
          |ex AS (SELECT doc_id,
@@ -5526,7 +5650,7 @@ object Queries {
     qChunkOverlap, qLengthBuckets, qSourceOverlap,
     qDupNgrams, qUnigramLogprob, qLmCrossEntropy, qDomainPpl, qTokenBudget,
     qPackSequences, qPackManifest, qCorpusPipeline, qPretrainPipeline,
-    qWebPipeline,
+    qWebPipeline, qCrawlPipeline,
     qZorderKey, qMixQuality,
     qScalerFit, qMlPreproc, qMlPcaRecon, qMlIforest, qMlLof, qMlLofLsh,
     qMlEnsemble, qMlSplit, qScoreFallback)

@@ -67,12 +67,14 @@ object Robots {
     * robots body per distinct source host. Each body carries noise
     * the parser must skip (User-agent, a comment, a blank line,
     * Crawl-delay, an empty Disallow) and three real rules planted
-    * both ways against `Extract.urlWrapped`'s paths: `Disallow:
+    * both ways against the crawl generators' paths: `Disallow:
     * /{lang0}/` blocks that language's pages on the host, `Allow:
-    * /{lang0}/p%41ge%2f-2` re-allows page ids starting with 2 via
-    * the LONGER match, and `Disallow: /x-{source}/` never matches
-    * (a dead rule). lang0 varies by the source's numeric suffix, so
-    * different hosts block different languages. */
+    * /{lang0}/p%41ge%2f-2` (for `Extract.urlWrapped` URLs) and
+    * `Allow: /{lang0}/crawl-2` (for `Warc.warcRecords` URIs)
+    * re-allow page ids starting with 2 via the LONGER match, and
+    * `Disallow: /x-{source}/` never matches (a dead rule). lang0
+    * varies by the source's numeric suffix, so different hosts block
+    * different languages. */
   def robotsWrapped(docs: DataFrame, sourceCol: String): DataFrame = {
     val langs = array(lit("de"), lit("en"), lit("es"), lit("fr"), lit("zh"))
     val sfx = regexp_extract(col(sourceCol), "[0-9]+", 0).cast("int")
@@ -84,6 +86,7 @@ object Robots {
           lit("# generated policy\n\n"),
           lit("Disallow: /"), lang0, lit("/\n"),
           lit("Allow: /"), lang0, lit("/p%41ge%2f-2\n"),
+          lit("Allow: /"), lang0, lit("/crawl-2\n"),
           lit("Disallow: /x-"), col(sourceCol), lit("/\n"),
           lit("Disallow:\n"),
           lit("Crawl-delay: "), (sfx % 10).cast("string"), lit("\n"))

@@ -52,14 +52,16 @@ object Warc {
     * so character counts equal byte counts — the in-repo plant's
     * simplification; a production reader counts bytes over binary. */
   def warcRecords(docs: DataFrame, idCol: String, textCol: String,
-                  sourceCol: String): DataFrame = {
+                  sourceCol: String, langCol: String = "lang"): DataFrame = {
     val id = col(idCol)
     val base = docs.withColumn(textCol,
       regexp_replace(coalesce(col(textCol), lit("")), "[^ -~]", ""))
-    val page = Extract.htmlWrapped(base, idCol, textCol, carry = Seq(sourceCol))
+    val page = Extract.htmlWrapped(base, idCol, textCol,
+      carry = Seq(sourceCol, langCol))
     val uri = concat(lit("https://"),
       when(id % 2 === 1, lit("www.")).otherwise(lit("")),
-      col(sourceCol), lit(".example.com/crawl/"), id.cast("string"))
+      col(sourceCol), lit(".example.com/"), col(langCol),
+      lit("/crawl-"), id.cast("string"))
     val typ = when(id % 11 === 7, lit("request")).otherwise(lit("response"))
     val payload = when(id % 11 === 7, lit("GET / HTTP/1.1"))
       .otherwise(concat(
@@ -127,7 +129,7 @@ object Warc {
         explode(col("recs")).as("r"))
       .filter(r.getField("typ") === "response")
       .select(
-        regexp_extract(r.getField("uri"), "/crawl/([0-9]+)$", 1)
+        regexp_extract(r.getField("uri"), "/crawl-([0-9]+)$", 1)
           .cast("long").as("doc_id"),
         col("gid"), r.getField("ridx").as("ridx"),
         r.getField("uri").as("uri"),

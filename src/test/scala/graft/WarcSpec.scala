@@ -24,8 +24,8 @@ class WarcSpec extends AnyFunSuite {
        "CRLFCRLF separator do NOT break framing (length-delimited)") {
     val p1 = "HTTP/1.1 200 OK\r\nX: y\r\n\r\n<p>body one with words</p>"
     val p2 = "HTTP/1.1 200 OK\r\n\r\nWARC/1.0\r\n fake magic inside body"
-    val r = parse(rec("response", "https://a.org/crawl/1", p1) +
-      rec("response", "https://a.org/crawl/2", p2))
+    val r = parse(rec("response", "https://a.org/crawl-1", p1) +
+      rec("response", "https://a.org/crawl-2", p2))
     assert(r.getAs[Int]("n_recs") == 2 && r.getAs[Int]("n_bad") == 0)
     val recs = r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("recs"))
     assert(recs.map(_.getAs[String]("payload")) == Seq(p1, p2))
@@ -33,27 +33,27 @@ class WarcSpec extends AnyFunSuite {
   }
 
   test("non-numeric Content-Length stops the file, keeps earlier records") {
-    val good = rec("response", "https://a.org/crawl/1", "payload words here")
-    val bad = rec("response", "https://a.org/crawl/2", "x", Some("XX"))
-    val after = rec("response", "https://a.org/crawl/3", "never reached")
+    val good = rec("response", "https://a.org/crawl-1", "payload words here")
+    val bad = rec("response", "https://a.org/crawl-2", "x", Some("XX"))
+    val after = rec("response", "https://a.org/crawl-3", "never reached")
     val r = parse(good + bad + after)
     assert(r.getAs[Int]("n_recs") == 1 && r.getAs[Int]("n_bad") == 1)
   }
 
   test("over-stated Content-Length is caught mid-file (trailer check) " +
        "and at EOF (fit check); truncated payload never throws") {
-    val good = rec("response", "https://a.org/crawl/1", "first payload ok")
+    val good = rec("response", "https://a.org/crawl-1", "first payload ok")
     // mid-file: stated length swallows the next record's head
-    val over = rec("response", "https://a.org/crawl/2", "abc", Some(40))
-    val next = rec("response", "https://a.org/crawl/3", "tail record data")
+    val over = rec("response", "https://a.org/crawl-2", "abc", Some(40))
+    val next = rec("response", "https://a.org/crawl-3", "tail record data")
     val mid = parse(good + over + next)
     assert(mid.getAs[Int]("n_recs") == 1 && mid.getAs[Int]("n_bad") == 1)
     // at EOF: payload extends past the end of the file
-    val eof = parse(good + rec("response", "https://a.org/crawl/2",
+    val eof = parse(good + rec("response", "https://a.org/crawl-2",
       "short", Some(500)))
     assert(eof.getAs[Int]("n_recs") == 1 && eof.getAs[Int]("n_bad") == 1)
     // physically truncated file (record cut mid-payload)
-    val full = good + rec("response", "https://a.org/crawl/2", "cut me off")
+    val full = good + rec("response", "https://a.org/crawl-2", "cut me off")
     val trunc = parse(full.dropRight(8))
     assert(trunc.getAs[Int]("n_recs") == 1 && trunc.getAs[Int]("n_bad") == 1)
   }
@@ -68,8 +68,8 @@ class WarcSpec extends AnyFunSuite {
 
   test("responses(): request records are framed past but filtered out; " +
        "doc_id/domain recover from the URI; body splits off HTTP headers") {
-    val wf = rec("request", "https://www.a.org/crawl/7", "GET / HTTP/1.1") +
-      rec("response", "https://www.a.org/crawl/9",
+    val wf = rec("request", "https://www.a.org/crawl-7", "GET / HTTP/1.1") +
+      rec("response", "https://www.a.org/crawl-9",
         "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<p>the body</p>")
     val parsed = Warc.parseWarc(Seq((4, wf)).toDF("gid", "wf"))
     val out = Warc.responses(parsed).collect()
