@@ -4171,22 +4171,26 @@ object Queries {
         val docs = Tables.documents(s, d)
         val parsed = operators.Warc.parseWarc(operators.Warc.warcFiles(
           operators.Warc.warcRecords(docs, "doc_id", "text", "source")))
+        // ONE linear chain: path/shard derived on the response rows,
+        // the robots verdict folds row-locally over broadcast per-host
+        // rule arrays, and body/shard are CARRIED through gate →
+        // extraction → dedup so the parse subtree is never re-joined
+        // for metadata re-attachment.
         val resp = operators.Warc.responses(parsed)
+          .withColumn("path", regexp_extract(col("uri"), Url.Path, 1))
+          .withColumn("shard", regexp_extract(col("domain"), "^([^.]+)", 1))
         val rules = operators.Robots.parseRobots(
           operators.Robots.robotsWrapped(docs, "source"), "host", "robots_txt")
-        val withPath = resp.withColumn("path",
-          regexp_extract(col("uri"), Url.Path, 1))
-        val admittedIds = operators.Robots.robotsGate(withPath, rules)
-          .filter(col("allowed") === 1).select("doc_id")
-        val admitted = resp.join(admittedIds, Seq("doc_id"), "left_semi")
-        val ex = operators.Extract.extractHtml(admitted, "doc_id", "body")
-        val s1 = operators.Extract.leadBlockDedup(ex)
+        val admitted = operators.Robots
+          .robotsGate(resp, rules, carry = Seq("body", "shard"))
+          .filter(col("allowed") === 1)
+        val ex = operators.Extract.extractHtml(admitted, "doc_id", "body",
+          carry = Seq("shard"))
+        val s1 = operators.Extract.leadBlockDedup(ex, carry = Seq("shard"))
         val quality = operators.Corpus.gopherStats(s1, "doc_id", "content")
           .filter(col("keep") === 1).select("doc_id")
-        val shardSrc = resp.select(col("doc_id"),
-          regexp_extract(col("domain"), "^([^.]+)", 1).as("source"))
-        val s2 = s1.join(quality, Seq("doc_id")).join(shardSrc, Seq("doc_id"))
-        operators.Corpus.packManifest(s2, "doc_id", "content", "source",
+        val s2 = s1.join(quality, Seq("doc_id"))
+        operators.Corpus.packManifest(s2, "doc_id", "content", "shard",
           seqLen = 512)
       },
       Some(s"""WITH RECURSIVE

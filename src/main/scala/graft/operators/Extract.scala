@@ -150,14 +150,15 @@ object Extract {
     * excluded from the keying and pass through unconditionally (a
     * later quality gate, not this dedup, decides their fate). Scale
     * shape: the only shuffle is on the 16-byte digest. */
-  def leadBlockDedup(ex: DataFrame): DataFrame = {
+  def leadBlockDedup(ex: DataFrame, carry: Seq[String] = Nil): DataFrame = {
+    val out = "doc_id" +: "content" +: carry
     val keyed = ex.filter(col("n_kept") > 0).withColumn("__mk",
       md5(element_at(split(col("content"), "\n"), 1).cast("binary")))
     val keepers = keyed.groupBy("__mk").agg(min("doc_id").as("doc_id"))
     keyed.join(keepers, Seq("__mk", "doc_id"))
-      .select("doc_id", "content")
+      .select(out.map(col): _*)
       .unionByName(
-        ex.filter(col("n_kept") === 0).select("doc_id", "content"))
+        ex.filter(col("n_kept") === 0).select(out.map(col): _*))
   }
 
   /** URL pattern set — crawl metadata is the other thing a web corpus

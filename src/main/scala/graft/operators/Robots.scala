@@ -44,24 +44,38 @@ object Robots {
   /** Gate URLs by host rules: for each URL row (idCol, hostCol,
     * pathCol), the longest matching Allow/Disallow prefix lengths and
     * the verdict. Prefix match is on the RAW path (robots rules refer
-    * to the path as crawled, before any canonicalization). */
+    * to the path as crawled, before any canonicalization).
+    *
+    * Shape: the per-host rules collapse into ONE array row per host
+    * (rule sets are small and bounded per the REP), broadcast-joined
+    * to the URL stream, and the longest-match maxima fold ROW-LOCALLY
+    * over that array — no per-URL aggregation exchange at all, so the
+    * gate adds zero shuffles to any pipeline it joins (pinned in
+    * PlanShapeSpec). `carry` columns pass through untouched. */
   def robotsGate(urls: DataFrame, rules: DataFrame, idCol: String = "doc_id",
-                 hostCol: String = "domain",
-                 pathCol: String = "path"): DataFrame =
-    urls.select(col(idCol).as("doc_id"), col(hostCol).as("host"),
-        col(pathCol).as("path"))
-      .join(broadcast(rules), Seq("host"), "left")
-      .withColumn("__m",
-        col("rpath").isNotNull && col("path").startsWith(col("rpath")))
-      .groupBy("doc_id", "host", "path")
-      .agg(
-        max(when(col("__m") && col("rtype") === "allow",
-          length(col("rpath")))).as("max_allow"),
-        max(when(col("__m") && col("rtype") === "disallow",
-          length(col("rpath")))).as("max_disallow"))
-      .withColumn("allowed",
-        (coalesce(col("max_allow"), lit(-1)) >=
-          coalesce(col("max_disallow"), lit(-1))).cast("int"))
+                 hostCol: String = "domain", pathCol: String = "path",
+                 carry: Seq[String] = Nil): DataFrame = {
+    val ra = rules.groupBy("host")
+      .agg(collect_list(struct(col("rtype"), col("rpath"))).as("__rules"))
+    def best(t: String) = aggregate(
+      filter(coalesce(col("__rules"),
+          expr("CAST(array() AS array<struct<rtype:string,rpath:string>>)")),
+        r => r.getField("rtype") === t &&
+          col("path").startsWith(r.getField("rpath"))),
+      lit(-1),
+      (a, r) => greatest(a, length(r.getField("rpath"))))
+    urls.select(Seq(col(idCol).as("doc_id"), col(hostCol).as("host"),
+        col(pathCol).as("path")) ++ carry.map(col): _*)
+      .join(broadcast(ra), Seq("host"), "left")
+      .withColumn("__ba", best("allow"))
+      .withColumn("__bd", best("disallow"))
+      .select(Seq(col("doc_id"), col("host"), col("path")) ++ carry.map(col) ++ Seq(
+        when(col("__ba") === -1, lit(null).cast("int"))
+          .otherwise(col("__ba")).as("max_allow"),
+        when(col("__bd") === -1, lit(null).cast("int"))
+          .otherwise(col("__bd")).as("max_disallow"),
+        (col("__ba") >= col("__bd")).cast("int").as("allowed")): _*)
+  }
 
   /** Deterministic robots.txt generator (the plant pattern): one
     * robots body per distinct source host. Each body carries noise

@@ -93,6 +93,43 @@ class PlanShapeSpec extends AnyFunSuite {
            !full.contains("BroadcastNestedLoopJoin"), full.take(800))
   }
 
+  test("robots gate is shuffle-free on the URL side: per-host rule " +
+       "arrays broadcast, verdict folds row-locally") {
+    val plan = planOf("q_robots_gate")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("SortMergeJoin") &&
+           !plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+    // the only exchanges allowed are on the TINY rules build side
+    // (source distinct + per-host collect_list); the URL stream itself
+    // must reach the verdict without any shuffle
+    def hashEx(p: String) = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx(plan) <= 2,
+      s"robots gate must not shuffle the URL side\n${plan.take(1200)}")
+  }
+
+  test("crawl pipeline: no cartesian, robots rules broadcast, and the " +
+       "exchange KINDS are only the component stages'") {
+    val plan = planOf("q_crawl_pipeline")
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    // every hash exchange must be keyed by a known stage: the synthetic
+    // generator's file group-by (_groupingexpression) and robots build
+    // sides (source/host — tiny frames, replicated per plan reference;
+    // AQE's exchange reuse collapses them at runtime), the digest
+    // dedup (__mk), gopher agg (doc_id, w), the quality re-join
+    // (doc_id) and the packing window (shard). Anything else — e.g. a
+    // per-URL gate shuffle or a payload re-partition — is a
+    // regression.
+    val keys = "Exchange hashpartitioning\\(([A-Za-z_]+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    val allowed = Set("_groupingexpression", "source", "host", "__mk",
+      "doc_id", "shard")
+    assert(keys.forall(allowed.contains),
+      s"unexpected exchange keys: ${keys.filterNot(allowed.contains)}")
+  }
+
   test("decontamination broadcasts the benchmark shingle set") {
     val plan = planOf("q_decontaminate")
     assert(plan.contains("BroadcastHashJoin"), plan.take(800))
