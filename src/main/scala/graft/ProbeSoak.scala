@@ -197,6 +197,48 @@ object ProbeSoak {
       spark.stop(); return
     }
 
+    if (mode == "warc") {
+      // WARC-ingestion scale probe: generation groups per-doc records
+      // into files (one bounded shuffle), then the native offset walk
+      // parses each file in one pass — per-RECORD parse time must stay
+      // FLAT as the corpus grows (the walk is linear in file bytes and
+      // files grow with corpus/nFiles, so superlinearity here would
+      // mean an accidental quadratic in the scan or explode). Salted
+      // replica corpora from genDocs keep payloads realistic (~1 KB).
+      import graft.operators.Warc
+      var perRec = Map.empty[Int, Double]
+      scales.foreach { s =>
+        val docs = genDocs(spark, s)
+          .select("doc_id", "text", "source", "lang")
+          .repartition(32).localCheckpoint()
+        // nFiles grows with the corpus (a crawl ships more files, not
+        // ever-fatter ones) so records/file stays ~constant and under
+        // the walk's record bound
+        val files = Warc.warcFiles(
+            Warc.warcRecords(docs, "doc_id", "text", "source"),
+            nFiles = 4096 * s)
+          .localCheckpoint() // parse-only timing: generation staged out
+        val run = () => Warc.responses(Warc.parseWarc(files))
+          .agg(count(lit(1)), sum(length(col("body")))).collect()(0)
+        run() // warm
+        val t0 = System.nanoTime()
+        val r = run()
+        val dt = (System.nanoTime() - t0) / 1e9
+        val n = r.getLong(0)
+        perRec += s -> (dt * 1e6 / n)
+        println(f"[soak-warc] x$s%-3d responses=$n time=$dt%.2fs " +
+          f"perRec=${dt * 1e6 / n}%.1fus bodyBytes=${r.getLong(1)}")
+      }
+      if (scales.length >= 2) {
+        val anchor = perRec(scales(1)); val last = perRec(scales.last)
+        require(last <= 2.0 * anchor,
+          f"WARC per-record parse time must stay flat across corpus " +
+            f"growth: x${scales(1)}=$anchor%.1fus -> " +
+            f"x${scales.last}=$last%.1fus")
+      }
+      spark.stop(); return
+    }
+
     if (mode == "ann") {
       // staged, repeated timing of the IVF family — separates model
       // fit (driver k-means off a hash-ordered sample) from corpus
