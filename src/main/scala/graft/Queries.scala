@@ -4854,6 +4854,56 @@ object Queries {
       Some(warcSql))
   }
 
+  /** Sitemap ingestion (`operators/Sitemap`) — the discovery half of
+    * the crawl front door next to robots: per-host sitemap XML
+    * (sitemaps.org protocol, generated through identical concat on
+    * both engines, entries in doc_id order) parses into url entries —
+    * mandatory `<loc>` (a planted loc-less draft entry per sitemap is
+    * counted and skipped, never thrown on), optional `<lastmod>`
+    * (omitted on every third doc — absent → null both ways) and
+    * `<priority>` — with the loc chained into the shared Url host
+    * parse. Pure per-row regex + one explode: zero shuffle beyond the
+    * generator's group-by. */
+  private val qParseSitemap = {
+    import operators.Extract.Url
+    Q(
+      "q_parse_sitemap",
+      (s, d) => operators.Sitemap.parseSitemap(
+        operators.Sitemap.sitemapWrapped(Tables.documents(s, d),
+          "doc_id", "source", "lang")).orderBy("doc_id"),
+      Some(s"""WITH e0 AS (SELECT source AS src, doc_id,
+           |  '<url><loc>https://' || source || '.example.com/' || lang ||
+           |    '/page-' || CAST(doc_id AS VARCHAR) || '</loc>' ||
+           |  CASE WHEN doc_id % 3 = 0 THEN ''
+           |       ELSE '<lastmod>2026-08-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+           |            || '</lastmod>' END ||
+           |  '<priority>0.' || CAST(doc_id % 10 AS VARCHAR) || '</priority></url>' AS e
+           | FROM documents),
+           |sm AS (SELECT src,
+           |  '<?xml version="1.0" encoding="UTF-8"?><urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+           |  || string_agg(e, '' ORDER BY doc_id)
+           |  || '<url><!-- draft, loc pending --></url></urlset>' AS xml
+           | FROM e0 GROUP BY src),
+           |ent AS (SELECT src,
+           |  unnest(regexp_extract_all(xml, '(?s)<url>(.*?)</url>', 1)) AS e,
+           |  CAST(len(list_filter(regexp_extract_all(xml, '(?s)<url>(.*?)</url>', 1),
+           |    x -> regexp_extract(x, '<loc>([^<]*)</loc>', 1) <> '')) AS INT) AS n_entries,
+           |  CAST(len(list_filter(regexp_extract_all(xml, '(?s)<url>(.*?)</url>', 1),
+           |    x -> regexp_extract(x, '<loc>([^<]*)</loc>', 1) = '')) AS INT) AS n_skipped
+           | FROM sm),
+           |p AS (SELECT src, regexp_extract(e, '<loc>([^<]*)</loc>', 1) AS loc,
+           |  e, n_entries, n_skipped
+           | FROM ent WHERE regexp_extract(e, '<loc>([^<]*)</loc>', 1) <> '')
+           |SELECT CAST(regexp_extract(loc, 'page-([0-9]+)$$', 1) AS BIGINT) AS doc_id,
+           | src,
+           | regexp_replace(regexp_extract(loc, '${Url.Auth}', 1), '^www\\.', '') AS host,
+           | loc,
+           | nullif(regexp_extract(e, '<lastmod>([^<]*)</lastmod>', 1), '') AS lastmod,
+           | CAST(nullif(regexp_extract(e, '<priority>([^<]*)</priority>', 1), '') AS DOUBLE) AS priority,
+           | n_entries, n_skipped
+           |FROM p ORDER BY doc_id""".stripMargin))
+  }
+
   /** WARC ingestion STREAMING twin: files staged batch-side (real
     * ingestion reads files, it does not build them) arrive as a live
     * stream; the offset-walking parse + response filter + URI/body
@@ -5646,8 +5696,8 @@ object Queries {
     qDecontaminateFuzzy,
     qDecontaminateFuzzyStream, qDecontaminateStream,
     qPiiRedact, qExtractHtml, qExtractHtmlStream, qParseJsonl,
-    qParseJsonlStream, qParseWarc, qParseWarcStream, qUrlParse, qUrlDedup,
-    qRobotsGate, qRepetitionFilter, qBpePairs,
+    qParseJsonlStream, qParseWarc, qParseWarcStream, qParseSitemap,
+    qUrlParse, qUrlDedup, qRobotsGate, qRepetitionFilter, qBpePairs,
     qNormalizeText, qCorpusProfile, qCollocations, qWeightedSample, qDsirSelect,
     qQualityClassifier, qQualityClassifierStream, qQualityRank, qEmbedCentroid, qBpeTrain, qBpeApply, qCanonicalDedup,
     qSimDiverse, qCorpusDiff, qDedupEval, qDomainApprox, qDomainApproxKmv,
