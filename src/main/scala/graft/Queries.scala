@@ -4435,7 +4435,7 @@ object Queries {
     val hToG: String =
       s"""f0 AS (SELECT doc_id, list_transform(
          |   regexp_split_to_array(regexp_replace(regexp_replace(html,
-         |     '${Html.CommentCdata}', ' ', 'g'), '${Html.ScriptStyle}', ' ', 'g'), '${Html.BlockSplit}'),
+         |     '${Html.ScriptStyle}', ' ', 'g'), '${Html.CommentCdata}', ' ', 'g'), '${Html.BlockSplit}'),
          |   b -> {'segs': string_split(regexp_replace(b, '${Html.Tag}', ' ', 'g'), '&'),
          |        'lw': CAST(coalesce(list_sum(list_transform(
          |               regexp_extract_all(b, '${Html.Anchor}', 1),
@@ -4636,9 +4636,7 @@ object Queries {
         val docs = Tables.documents(s, d)
         val urls = operators.Extract.urlWrapped(docs, "doc_id", "source", "lang")
         val u = urls.select(col("doc_id"),
-          regexp_replace(regexp_replace(
-            regexp_extract(col("url"), Url.Auth, 1), ":[0-9]+$", ""),
-            "^www\\.", "").as("domain"),
+          operators.Extract.domainOf(col("url")).as("domain"),
           regexp_extract(col("url"), Url.Path, 1).as("path"))
         val rules = operators.Robots.parseRobots(
           operators.Robots.robotsWrapped(docs, "source"), "host", "robots_txt")
@@ -4689,13 +4687,13 @@ object Queries {
       .orderBy("canonical"),
     Some(s"""WITH u AS (SELECT doc_id,
          |  CASE WHEN doc_id % 5 = 0 THEN 'http' ELSE 'https' END || '://'
-         |  || CASE WHEN doc_id % 2 = 1 THEN 'www.' ELSE '' END
+         |  || CASE WHEN doc_id % 7 = 0 THEN 'www.' ELSE '' END
          |  || source || '.example.com'
          |  || CASE WHEN doc_id % 4 = 0 THEN
          |       CASE WHEN doc_id % 5 = 0 THEN ':80' ELSE ':443' END
          |     WHEN doc_id % 4 = 1 THEN ':8080' ELSE '' END
          |  || '/' || lang
-         |  || CASE WHEN doc_id % 2 = 0 THEN '/p%41ge%2f-' ELSE '/pAge%2F-' END
+         |  || CASE WHEN doc_id % 3 = 1 THEN '/p%41ge%2f-' ELSE '/pAge%2F-' END
          |  || CAST(doc_id % 50 AS VARCHAR)
          |  || '?utm_source=feed&z=2&a=1'
          |  || CASE WHEN doc_id % 3 = 0 THEN '#frag' ELSE '' END AS url
@@ -4896,7 +4894,8 @@ object Queries {
            | FROM ent WHERE regexp_extract(e, '<loc>([^<]*)</loc>', 1) <> '')
            |SELECT CAST(regexp_extract(loc, 'page-([0-9]+)$$', 1) AS BIGINT) AS doc_id,
            | src,
-           | regexp_replace(regexp_extract(loc, '${Url.Auth}', 1), '^www\\.', '') AS host,
+           | regexp_replace(regexp_replace(regexp_extract(loc, '${Url.Auth}', 1),
+           |   ':[0-9]+$$', ''), '^www\\.', '') AS host,
            | loc,
            | nullif(regexp_extract(e, '<lastmod>([^<]*)</lastmod>', 1), '') AS lastmod,
            | CAST(nullif(regexp_extract(e, '<priority>([^<]*)</priority>', 1), '') AS DOUBLE) AS priority,

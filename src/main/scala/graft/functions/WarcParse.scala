@@ -101,6 +101,11 @@ case class WarcParse(child: Expression, maxRecords: Int)
         }
       }
     }
+    // Hitting the record bound with bytes still unread is NOT a clean
+    // parse: flag it like any other framing stop (silent truncation
+    // would violate the count-don't-crash contract and diverge from
+    // the uncapped oracle recursion). Size files under the bound.
+    if (!done && recs.length >= maxRecords && off < n) bad = 1
     new GenericInternalRow(Array[Any](
       new GenericArrayData(recs.toArray[Any]), bad))
   }

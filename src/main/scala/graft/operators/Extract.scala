@@ -27,10 +27,17 @@ object Extract {
 
   /** The shared pattern set. */
   object Html {
-    /** Comments and CDATA sections vanish with their CONTENT, and they
-      * vanish FIRST — a comment may contain markup (`<!-- <p>..</p>
-      * -->`) that must never reach the block splitter or leak into
-      * visible text on organic pages. Non-greedy, backreference-free. */
+    /** Comments and CDATA sections vanish with their CONTENT — a
+      * comment may contain markup (`<!-- <p>..</p> -->`) that must
+      * never reach the block splitter or leak into visible text on
+      * organic pages. Stripped AFTER script/style: per the HTML
+      * parsing rules script content is raw text, so a `<!--` inside a
+      * script body is code, not a comment opener — comment-first would
+      * let it swallow real content up to the next `-->` (a comment
+      * containing a whole `<script>..</script>` pair still strips
+      * correctly either way, and one containing a lone `<script>`
+      * cannot match ScriptStyle, which requires the closer).
+      * Non-greedy, backreference-free. */
     val CommentCdata: String =
       "(?s)(?:<!--.*?-->|<!\\[CDATA\\[.*?\\]\\]>)"
 
@@ -108,7 +115,7 @@ object Extract {
                   maxLinkDen: Int = 3, carry: Seq[String] = Nil): DataFrame = {
     val blocks = split(
       regexp_replace(regexp_replace(col(htmlCol),
-        Html.CommentCdata, " "), Html.ScriptStyle, " "), Html.BlockSplit)
+        Html.ScriptStyle, " "), Html.CommentCdata, " "), Html.BlockSplit)
     val raw = transform(blocks, b =>
       struct(blockText(b).as("t"), anchorWordCount(b).as("lw")))
     val feats = transform(raw, s => struct(
@@ -168,11 +175,22 @@ object Extract {
     val Scheme = "^([a-z][a-z0-9+.-]*)://"
     val Auth = "^[a-z][a-z0-9+.-]*://([^/?#]+)"
     val Path = "^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)"
-    val Query = "\\?([^#]*)"
+    // Anchored through the authority and path so a '?' INSIDE the
+    // fragment ("...#sec?x=1") is never misread as a query string.
+    val Query = "^[a-z][a-z0-9+.-]*://[^?#]*\\?([^#]*)"
     val Ref = "[?&]ref=([^&#]*)"
     /** A percent-encoded octet. */
     val Pct = "%[0-9a-fA-F]{2}"
   }
+
+  /** Registrable-ish domain of a URL/URI column: authority extract,
+    * explicit port stripped, leading `www.` stripped — ONE spelling
+    * shared by the WARC response chain, the robots gate prep and the
+    * sitemap loc parse (urlParts derives the same pieces separately
+    * because it also surfaces host and port). */
+  def domainOf(u: Column): Column =
+    regexp_replace(regexp_replace(regexp_extract(u, Url.Auth, 1),
+      ":[0-9]+$", ""), "^www\\.", "")
 
   /** RFC 3986 §6.2.2 percent normalization: decode `%XX` when the
     * octet is UNRESERVED (ALPHA / DIGIT / `-` `.` `_` `~` — decoding
@@ -267,12 +285,15 @@ object Extract {
   /** COARSE URL generator for `q_url_dedup`: page identity is
     * `id % 50`, so many raw URLs canonicalize to one key; within a
     * group the members differ ONLY by things canonicalization must
-    * collapse — `www.` (odd ids), explicit default port (id%4==0) vs
-    * no port, fragments (id%3==0), and the percent SPELLING of the
-    * same path (`/p%41ge%2f-` on even ids vs the literal `/pAge%2F-`
-    * on odd — encoded and plain collapse to one form) — while scheme
-    * class (id%5) and a real `:8080` port (id%4==1) correctly SPLIT
-    * groups. */
+    * collapse — and each collapsing plant is keyed on a modulus that
+    * VARIES inside an id%50 group (50 ≡ 1 mod 7, 2 mod 3, 2 mod 4),
+    * so the collapse is genuinely exercised group-internally: `www.`
+    * on id%7==0, explicit default port (id%4==0) vs no port,
+    * fragments (id%3==0), and the percent SPELLING of the same path
+    * (`/p%41ge%2f-` when id%3==1 vs the literal `/pAge%2F-`
+    * otherwise — encoded and plain collapse to one form). Scheme
+    * class (id%5, constant within a group since 50 ≡ 0 mod 5) and a
+    * real `:8080` port (id%4==1) correctly SPLIT groups. */
   def urlWrappedCoarse(docs: DataFrame, idCol: String, sourceCol: String,
                        langCol: String): DataFrame = {
     val id = col(idCol)
@@ -283,10 +304,10 @@ object Extract {
       .otherwise(lit(""))
     docs.select(id.as(idCol),
       concat(scheme, lit("://"),
-        when(id % 2 === 1, lit("www.")).otherwise(lit("")),
+        when(id % 7 === 0, lit("www.")).otherwise(lit("")),
         col(sourceCol), lit(".example.com"), port,
         lit("/"), col(langCol),
-        when(id % 2 === 0, lit("/p%41ge%2f-")).otherwise(lit("/pAge%2F-")),
+        when(id % 3 === 1, lit("/p%41ge%2f-")).otherwise(lit("/pAge%2F-")),
         (id % 50).cast("string"),
         lit("?utm_source=feed&z=2&a=1"),
         when(id % 3 === 0, lit("#frag")).otherwise(lit("")))

@@ -30,19 +30,27 @@ object Sitemap {
     * per-sitemap `n_entries` (well-formed) and `n_skipped` (entries
     * missing a loc). */
   def parseSitemap(sitemaps: DataFrame, xmlCol: String = "xml"): DataFrame = {
-    val entries = regexp_extract_all(col(xmlCol), lit(Entry), lit(1))
     val locOf = (e: org.apache.spark.sql.Column) => regexp_extract(e, Loc, 1)
     val others = sitemaps.columns.filterNot(_ == xmlCol).toSeq
-    sitemaps.select(others.map(col) :+
-        size(filter(entries, e => locOf(e) =!= "")).cast("int").as("n_entries") :+
-        size(filter(entries, e => locOf(e) === "")).cast("int").as("n_skipped") :+
-        explode(entries).as("__e"): _*)
+    // Materialize the O(file) entry extraction ONCE behind a
+    // single-element explode (the extractHtml/parseWarc barrier
+    // pattern) — the count columns and the row explode then read a
+    // bound attribute instead of re-scanning the XML per reference.
+    val staged = sitemaps.select(others.map(col) :+
+      explode(array(regexp_extract_all(col(xmlCol), lit(Entry), lit(1))))
+        .as("__es"): _*)
+    staged.select(others.map(col) :+ col("__es") :+
+        size(filter(col("__es"), e => locOf(e) =!= ""))
+          .cast("int").as("n_entries"): _*)
+      .withColumn("n_skipped",
+        (size(col("__es")) - col("n_entries")).cast("int"))
+      .select(others.map(col) :+ col("n_entries") :+ col("n_skipped") :+
+        explode(col("__es")).as("__e"): _*)
       .filter(locOf(col("__e")) =!= "")
       .select(others.map(col) ++ Seq(
         regexp_extract(locOf(col("__e")), "page-([0-9]+)$", 1)
           .cast("long").as("doc_id"),
-        regexp_replace(regexp_extract(locOf(col("__e")), Extract.Url.Auth, 1),
-          "^www\\.", "").as("host"),
+        Extract.domainOf(locOf(col("__e"))).as("host"),
         locOf(col("__e")).as("loc"),
         nullif(regexp_extract(col("__e"), Lastmod, 1), lit("")).as("lastmod"),
         nullif(regexp_extract(col("__e"), Priority, 1), lit(""))

@@ -83,8 +83,10 @@ object Warc {
 
   /** Concatenate records into FILES of `id % nFiles`, in doc_id order
     * (`array_sort` on (doc_id, rec) structs — deterministic on every
-    * engine). nFiles=4096 keeps files under the fold's step bound up
-    * to sf≈1.6 while giving multi-record files from sf0.01 up. */
+    * engine). nFiles=4096 keeps files under `parseWarc`'s default
+    * 64-record bound up to 262,144 documents (files beyond the bound
+    * parse their first 64 records and flag n_bad=1 — never silent);
+    * scale nFiles with the corpus, as the soak probe does. */
   def warcFiles(records: DataFrame, idCol: String = "doc_id",
                 recCol: String = "rec", nFiles: Int = 4096): DataFrame =
     records
@@ -133,9 +135,7 @@ object Warc {
           .cast("long").as("doc_id"),
         col("gid"), r.getField("ridx").as("ridx"),
         r.getField("uri").as("uri"),
-        regexp_replace(regexp_replace(
-            regexp_extract(r.getField("uri"), Extract.Url.Auth, 1),
-            ":[0-9]+$", ""), "^www\\.", "").as("domain"),
+        Extract.domainOf(r.getField("uri")).as("domain"),
         r.getField("wdate").as("wdate"),
         r.getField("clen").as("clen"),
         regexp_replace(r.getField("payload"), "(?s)^.*?\r\n\r\n", "")

@@ -414,27 +414,27 @@ object CorpusStream {
       .warcRecords(graft.Tables.documents(spark, sfDir),
         "doc_id", "text", "source"))
     val root = java.nio.file.Files.createTempDirectory("graft_warc").toString
-    val in = s"$root/in"
-    files.coalesce(2).write.mode("overwrite").parquet(in)
-    val stream = spark.readStream.schema(files.schema)
-      .option("maxFilesPerTrigger", 1).parquet(in)
-    val parsed = graft.operators.Warc.parseWarc(stream)
-    val resp = graft.operators.Warc.responses(parsed)
-      .withColumn("body_md5", md5(col("body").cast("binary")))
-    val out = graft.operators.Extract.extractHtml(resp, "doc_id", "body",
-        carry = Seq("gid", "ridx", "uri", "domain", "wdate", "clen",
-          "body_md5", "n_recs", "n_bad"))
-      .drop("content")
-    val name = s"__graft_warc_${runSeq.incrementAndGet()}"
-    val q = out.writeStream.format("memory").queryName(name)
-      .outputMode("append")
-      .option("checkpointLocation", s"$root/ckpt")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    try q.awaitTermination() finally q.stop()
-    val res = spark.table(name).localCheckpoint()
-    GraphStream.deleteRecursively(root)
-    res
+    try {
+      val in = s"$root/in"
+      files.coalesce(2).write.mode("overwrite").parquet(in)
+      val stream = spark.readStream.schema(files.schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+      val parsed = graft.operators.Warc.parseWarc(stream)
+      val resp = graft.operators.Warc.responses(parsed)
+        .withColumn("body_md5", md5(col("body").cast("binary")))
+      val out = graft.operators.Extract.extractHtml(resp, "doc_id", "body",
+          carry = Seq("gid", "ridx", "uri", "domain", "wdate", "clen",
+            "body_md5", "n_recs", "n_bad"))
+        .drop("content")
+      val name = s"__graft_warc_${runSeq.incrementAndGet()}"
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      spark.table(name).localCheckpoint()
+    } finally GraphStream.deleteRecursively(root)
   }
 
   /** Streaming model-based quality gate — the Bernoulli-NB serve half

@@ -70,6 +70,17 @@ class ExtractSpec extends AnyFunSuite {
       "alpha beta gamma delta epsilon\none two three four five")
   }
 
+  test("a '<!--' INSIDE a script body is code, not a comment opener: " +
+       "script strips first, real content after it survives") {
+    val r = extract(
+      "<script>if(x<!--y){track()}</script>" +
+        "<p>eight real words of body text survive here</p>" +
+        "<!-- a real comment -->")
+    assert(r.getAs[String]("content") ==
+      "eight real words of body text survive here")
+    assert(!r.getAs[String]("content").contains("track"))
+  }
+
   test("messy organic page: unclosed tags, a comment containing tags, and " +
        "attributes with angle-bracket-free junk still extract") {
     val r = extract(
@@ -220,6 +231,12 @@ class ExtractSpec extends AnyFunSuite {
     assert(out(5L).getAs[String]("canonical") == "http://site.org:8080/y")
     assert(out(6L).getAs[String]("canonical") == "http://site.org/")
     assert(out(7L).getAs[String]("path") == "/a%2Fb~c")
+    // a '?' INSIDE the fragment is NOT a query string
+    val frag = Extract.urlParts(
+      Seq((8L, "https://site.org/p#sec?y=1")).toDF("doc_id", "url"),
+      "doc_id", "url").head
+    assert(frag.getAs[String]("params") == "")
+    assert(frag.getAs[String]("canonical") == "https://site.org/p")
   }
 
   test("streaming twin equals the batch transform on the real corpus") {

@@ -58,6 +58,23 @@ class WarcSpec extends AnyFunSuite {
     assert(trunc.getAs[Int]("n_recs") == 1 && trunc.getAs[Int]("n_bad") == 1)
   }
 
+  test("hitting the record bound with bytes unread flags the file " +
+       "malformed — truncation is never silent") {
+    val five = (1 to 5).map(i =>
+      rec("response", s"https://a.org/crawl-$i", s"payload number $i"))
+      .mkString("")
+    val r = Warc.parseWarc(Seq((1, five)).toDF("gid", "wf"),
+      maxRecords = 4).head
+    assert(r.getAs[Int]("n_recs") == 4 && r.getAs[Int]("n_bad") == 1)
+    // exactly at the bound is a clean parse
+    val four = (1 to 4).map(i =>
+      rec("response", s"https://a.org/crawl-$i", s"payload number $i"))
+      .mkString("")
+    val ok = Warc.parseWarc(Seq((1, four)).toDF("gid", "wf"),
+      maxRecords = 4).head
+    assert(ok.getAs[Int]("n_recs") == 4 && ok.getAs[Int]("n_bad") == 0)
+  }
+
   test("bad magic and missing header terminator are malformed, not errors") {
     val r1 = parse("HTTP/1.1 200 OK\r\n\r\nnot a warc file at all")
     assert(r1.getAs[Int]("n_recs") == 0 && r1.getAs[Int]("n_bad") == 1)
