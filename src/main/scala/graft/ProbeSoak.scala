@@ -216,7 +216,7 @@ object ProbeSoak {
         // the walk's record bound
         val files = Warc.warcFiles(
             Warc.warcRecords(docs, "doc_id", "text", "source"),
-            nFiles = 4096 * s)
+            nFiles = Some(4096 * s))
           .localCheckpoint() // parse-only timing: generation staged out
         val run = () => Warc.responses(Warc.parseWarc(files))
           .agg(count(lit(1)), sum(length(col("body")))).collect()(0)

@@ -4738,8 +4738,10 @@ object Queries {
     /** CTEs from `documents` to `parse(gid, ridx, bad, typ, uri,
       * wdate, clen, payload)` — generation (ASCII-stripped text, the
       * skeleton page as an HTTP response payload, per-doc WARC record,
-      * files of doc_id % 4096) and the offset-walking recursive
-      * parse. */
+      * files of doc_id % nf with nf derived from the corpus size so
+      * records/file stays ~32 — under the walk's 64-record bound — at
+      * every scale factor, mirroring `Warc.warcFiles`) and the
+      * offset-walking recursive parse. */
     val genParse: String =
       s"""d2 AS (SELECT doc_id, regexp_replace(coalesce(text, ''), '[^ -~]', '', 'g') AS text,
          |       source, lang FROM documents),
@@ -4765,7 +4767,8 @@ object Queries {
          |   chr(13)||chr(10)||chr(13)||chr(10) || payload ||
          |   chr(13)||chr(10)||chr(13)||chr(10) AS rec
          | FROM r0),
-         |files AS (SELECT CAST(doc_id % 4096 AS INT) AS gid,
+         |nf AS (SELECT greatest(1, CAST(floor((count(*) + 31) / 32.0) AS BIGINT)) AS nf FROM r1),
+         |files AS (SELECT CAST(doc_id % (SELECT nf FROM nf) AS INT) AS gid,
          |   string_agg(rec, '' ORDER BY doc_id) AS wf FROM r1 GROUP BY 1),
          |parse AS (
          |  SELECT gid, wf, 1 AS off, 0 AS bad, 0 AS ridx,
@@ -4794,10 +4797,10 @@ object Queries {
          |        SELECT *, regexp_matches(clstr, '^[0-9]{1,9}$$') AS clenok
          |        FROM (
          |          SELECT *,
-         |            regexp_extract(header, 'WARC-Type: ([^\\r\\n]*)', 1) AS typ,
-         |            regexp_extract(header, 'WARC-Target-URI: ([^\\r\\n]*)', 1) AS uri,
-         |            regexp_extract(header, 'WARC-Date: ([^\\r\\n]*)', 1) AS wdate,
-         |            regexp_extract(header, 'Content-Length: ([^\\r\\n]*)', 1) AS clstr
+         |            regexp_extract(header, '(?m)^WARC-Type: ([^\\r\\n]*)', 1) AS typ,
+         |            regexp_extract(header, '(?m)^WARC-Target-URI: ([^\\r\\n]*)', 1) AS uri,
+         |            regexp_extract(header, '(?m)^WARC-Date: ([^\\r\\n]*)', 1) AS wdate,
+         |            regexp_extract(header, '(?m)^Content-Length: ([^\\r\\n]*)', 1) AS clstr
          |          FROM (
          |            SELECT *, substr(wf, off, hpos - off) AS header
          |            FROM (

@@ -49,11 +49,17 @@ case class WarcParse(child: Expression, maxRecords: Int)
   }
 
   /** First header-field value (`name: value` up to CR/LF) inside
-    * `header`, "" when absent — the regexp_extract contract. */
+    * `header`, "" when absent — the `(?m)^`-anchored regexp_extract
+    * contract: the field name must start a header LINE (every field
+    * line in the block is preceded by CRLF — the version line is
+    * first), so a field-name-shaped substring inside another field's
+    * VALUE (an organic URI containing `Content-Length: `) can never
+    * be mis-parsed as the field. The DuckDB oracle anchors its
+    * extracts with `(?m)^` identically. */
   private def field(header: String, name: String): String = {
-    val i = header.indexOf(name)
+    val i = header.indexOf("\r\n" + name)
     if (i < 0) return ""
-    var j = i + name.length
+    var j = i + 2 + name.length
     val sb = new java.lang.StringBuilder()
     while (j < header.length &&
         header.charAt(j) != '\r' && header.charAt(j) != '\n') {

@@ -83,17 +83,32 @@ object Warc {
 
   /** Concatenate records into FILES of `id % nFiles`, in doc_id order
     * (`array_sort` on (doc_id, rec) structs — deterministic on every
-    * engine). nFiles=4096 keeps files under `parseWarc`'s default
-    * 64-record bound up to 262,144 documents (files beyond the bound
-    * parse their first 64 records and flag n_bad=1 — never silent);
-    * scale nFiles with the corpus, as the soak probe does. */
+    * engine). When `nFiles` is None (the declared chains) the file
+    * count DERIVES from the record count — `greatest(1,
+    * floor((n + 31) / 32))`, i.e. ~32 records/file at every scale
+    * factor, always under `parseWarc`'s 64-record walk bound — via a
+    * broadcast 1-row count (column pruning reduces the count subtree
+    * to a doc_id-only scan), so growing the corpus grows the FILE
+    * count, never the records-per-file, and oracle parity holds at
+    * any sf (the DuckDB `files` CTE derives the same scalar). The
+    * ~32/64 headroom covers residue skew on mostly-dense ids; a
+    * pathological id set concentrated in one residue class still
+    * truncates LOUDLY (n_bad=1), never silently. Explicit `nFiles`
+    * remains for fixtures and the soak probe. */
   def warcFiles(records: DataFrame, idCol: String = "doc_id",
-                recCol: String = "rec", nFiles: Int = 4096): DataFrame =
-    records
-      .groupBy((col(idCol) % nFiles).cast("int").as("gid"))
+                recCol: String = "rec", nFiles: Option[Int] = None): DataFrame = {
+    val keyed = nFiles match {
+      case Some(n) => records.withColumn("__nf", lit(n.toLong))
+      case None => records.crossJoin(broadcast(records.agg(
+        greatest(lit(1L), floor((count(lit(1)) + lit(31L)) / lit(32L))
+          .cast("long")).as("__nf"))))
+    }
+    keyed
+      .groupBy((col(idCol) % col("__nf")).cast("int").as("gid"))
       .agg(array_join(transform(
         array_sort(collect_list(struct(col(idCol), col(recCol).as("rec")))),
         s => s.getField("rec")), "").as("wf"))
+  }
 
   // ---- the parser ---------------------------------------------------------
 
@@ -106,8 +121,8 @@ object Warc {
     * O(file) interpreted substring work per step), materialized once
     * behind a single-element explode so the three consumers read a
     * bound attribute. `maxRecords` bounds the walk; size files so
-    * they stay under it (generator default: 4096 files ↔ 64 records
-    * covers ≥ 260k documents). */
+    * they stay under it (the declared chains derive the file count
+    * from the corpus size — ~32 records/file at every sf). */
   def parseWarc(files: DataFrame, warcCol: String = "wf",
                 maxRecords: Int = 64): DataFrame = {
     val others = files.columns.filterNot(_ == warcCol).toSeq
@@ -147,9 +162,9 @@ object Warc {
     * filter responses → extract the HTML body (`Extract.extractHtml`,
     * the markup operator verbatim). One query from crawl bytes to
     * per-page content stats. */
-  def parseWarcChain(docs: DataFrame): DataFrame = {
+  def parseWarcChain(docs: DataFrame, nFiles: Option[Int] = None): DataFrame = {
     val parsed = parseWarc(warcFiles(warcRecords(
-      docs, "doc_id", "text", "source")))
+      docs, "doc_id", "text", "source"), nFiles = nFiles))
     val resp = responses(parsed)
       .withColumn("body_md5", md5(col("body").cast("binary")))
     Extract.extractHtml(resp, "doc_id", "body",

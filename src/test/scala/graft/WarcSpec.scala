@@ -106,11 +106,23 @@ class WarcSpec extends AnyFunSuite {
       (7L,  "request doc", "src2", "en"),        // id%11==7 -> request
       (5L,  "plain response words", "src3", "en"))
       .toDF("doc_id", "text", "source", "lang")
-    val out = operators.Warc.parseWarcChain(docs).orderBy("doc_id").collect()
+    // explicit nFiles puts each doc in its own file so corruption
+    // isolation is observable; the declared chain derives nFiles from
+    // the corpus size instead (records/file ~32 at every sf)
+    val out = operators.Warc.parseWarcChain(docs, nFiles = Some(4096))
+      .orderBy("doc_id").collect()
     // 11 and 17 poison their (single-record) files; 7 is filtered as a
     // request; only 5 survives as a parsed response
     assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(5L))
     assert(out(0).getAs[Int]("n_bad") == 0)
+    // derived file count: 4 records fold into ONE file, records parse
+    // in doc_id order until the first corrupt record (11) stops the
+    // file — 5 and the request 7 are kept, the tail is dropped, loudly
+    val derived = operators.Warc.parseWarcChain(docs)
+      .orderBy("doc_id").collect()
+    assert(derived.map(_.getAs[Long]("doc_id")).toSeq == Seq(5L))
+    assert(derived(0).getAs[Int]("n_bad") == 1)
+    assert(derived(0).getAs[Int]("n_recs") == 2)
     assert(out(0).getAs[String]("domain") == "src3.example.com")
     // extraction stats equal the markup operator run directly on the
     // same generated page
