@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver's bench parser reads the LAST line of the captured output
+// tail and expects bare JSON. Under sbt's default logger the forked
+// program's stdout is re-emitted as "[info] ..." and a "[success]
+// Total time" trailer follows it — so the last line was never the
+// bench's JSON record (BENCH_r01–r12 all carry "parsed": null).
+// StdoutOutput streams the forked JVM's stdout/stderr RAW (no [info]
+// prefix), and showSuccess := false drops the trailer, leaving the
+// compact JSON line printed by graft.Bench as the final line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -51,9 +51,24 @@ object Bench {
     }
     sweep()
     val leaks = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    // A query that THROWS must not masquerade as a timing: a swallowed
+    // failure records its time-TO-FAILURE (task retries, broadcast
+    // timeout) as if it were plan cost — exactly the artifact shape
+    // that makes a 40x "regression" unadjudicable later. Execution
+    // still continues (one broken query must not sink the whole bench),
+    // but the error lands in BENCH_FULL's "errors" map and the compact
+    // line carries n_errors.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+      try { fn(spark, sfDir).count() } catch {
+        case t: Throwable =>
+          errors(name) = (t.getClass.getSimpleName + ": " +
+            String.valueOf(t.getMessage)).take(200)
+          System.err.println(s"[bench] $name FAILED: ${errors(name)}")
+      }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val w0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () } // warm
+      runOnce(name, fn) // warm
       val w1 = System.nanoTime()
       val (leakedRdds, leakedViews) = sweep()
       leaks(name) = leakedRdds + leakedViews
@@ -61,7 +76,7 @@ object Bench {
       // the plan's cost with transient host noise (GC, co-tenant load)
       def timedRun(): Double = {
         val s = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        runOnce(name, fn)
         val e = System.nanoTime()
         sweep()
         (e - s) / 1e9
@@ -111,9 +126,14 @@ object Bench {
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json")
     val leaksJson = leaks.filter(_._2 > 0)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val errsJson = errors
+      .map { case (k, v) => "\"" + k + "\":\"" +
+        v.replace("\\", "\\\\").replace("\"", "\\\"")
+          .replaceAll("[\\r\\n\\t]", " ") + "\"" }
+      .mkString("{", ",", "}")
     java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
       (s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,""" +
-        s""""spread_min_med_max":$spreadJson,""" +
+        s""""spread_min_med_max":$spreadJson,"errors":$errsJson,""" +
         s""""swept_blocks_per_query":$leaksJson,"sf":"$sfDir"}""")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // VERDICT r10 #6: the driver's tail parser failed on every round's
@@ -127,14 +147,21 @@ object Bench {
     // map stays in BENCH_FULL.json as before.
     val entries = results.sortBy(-_._2).map { case (k, v, _) => "\"" + k + "\":" + r3(v) }
     val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
-      s""""sf":"$sfDir","n_queries":${results.size},"queries_full":"$fullPath",""" +
+      s""""sf":"$sfDir","n_queries":${results.size},"n_errors":${errors.size},""" +
+      s""""queries_full":"$fullPath",""" +
       s""""queries":{${entries.take(8).mkString(",")}}}"""
     spark.stop()
-    // VERDICT r11 #2: the driver's parser reads the LAST line of the
-    // tail window, and r11's wide packed line (printed last) was the
-    // one that got clipped — "parsed": null for the 11th round. So
-    // emit exactly ONE line: the ~500-byte compact total-first record.
-    // The full-precision per-query map lives in BENCH_FULL.json.
+    // VERDICT r11 #2 + r12 artifact: the driver's parser reads the
+    // LAST line of the tail window. r12 emitted exactly ONE compact
+    // line and STILL recorded "parsed": null — the recorded tail shows
+    // why: the line transits sbt's logger as "[info] {...}" and sbt
+    // appends "[success] Total time: ..." after it, so the last line
+    // is never ours and the prefixed one isn't bare JSON. Both are sbt
+    // artifacts, fixed in build.sbt (run / outputStrategy :=
+    // StdoutOutput streams forked stdout RAW; Global / showSuccess :=
+    // false drops the success trailer), making this bare JSON line the
+    // final line of combined output. The full-precision per-query map
+    // lives in BENCH_FULL.json.
     println(compact)
   }
 }

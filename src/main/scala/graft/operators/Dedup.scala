@@ -112,7 +112,14 @@ object Dedup {
     val sh = shingleDocs(docs, idCol, textCol, shingleK)
     val inter = size(array_intersect(col("a.shingles"), col("b.shingles"))).cast("double")
     val union = (size(col("a.shingles")) + size(col("b.shingles"))).cast("double") - inter
-    val exact = sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+    // The eval slice is constant-size by contract, so PIN the
+    // broadcast on the non-equi self-join (like the repo's 1-row
+    // scalar crossJoins): without the hint the physical pick is left
+    // to estimation, and a BNLJ that degrades to CartesianProduct
+    // under pressure is the one query shape whose failure mode is a
+    // silent many-minute stall rather than a clean error.
+    val exact = sh.as("a").join(broadcast(sh.as("b")),
+        col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
               round(inter / union, 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
