@@ -4738,10 +4738,10 @@ object Queries {
     /** CTEs from `documents` to `parse(gid, ridx, bad, typ, uri,
       * wdate, clen, payload)` — generation (ASCII-stripped text, the
       * skeleton page as an HTTP response payload, per-doc WARC record,
-      * files of doc_id % nf with nf derived from the corpus size so
-      * records/file stays ~32 — under the walk's 64-record bound — at
-      * every scale factor, mirroring `Warc.warcFiles`) and the
-      * offset-walking recursive parse. */
+      * files of consecutive id blocks `doc_id // 32` so records/file
+      * is ≤32 — under the walk's 64-record bound — at every scale
+      * factor, mirroring `Warc.warcFiles`) and the offset-walking
+      * recursive parse. */
     val genParse: String =
       s"""d2 AS (SELECT doc_id, regexp_replace(coalesce(text, ''), '[^ -~]', '', 'g') AS text,
          |       source, lang FROM documents),
@@ -4767,8 +4767,7 @@ object Queries {
          |   chr(13)||chr(10)||chr(13)||chr(10) || payload ||
          |   chr(13)||chr(10)||chr(13)||chr(10) AS rec
          | FROM r0),
-         |nf AS (SELECT greatest(1, CAST(floor((count(*) + 31) / 32.0) AS BIGINT)) AS nf FROM r1),
-         |files AS (SELECT CAST(doc_id % (SELECT nf FROM nf) AS INT) AS gid,
+         |files AS (SELECT CAST(doc_id // 32 AS INT) AS gid,
          |   string_agg(rec, '' ORDER BY doc_id) AS wf FROM r1 GROUP BY 1),
          |parse AS (
          |  SELECT gid, wf, 1 AS off, 0 AS bad, 0 AS ridx,
@@ -5651,6 +5650,234 @@ object Queries {
     None)
 
   // =====================================================================
+  // Link graph / retrieval / line dedup (round 13)
+  // =====================================================================
+
+  /** Shared oracle-SQL fragments for the link-graph family —
+    * `q_link_graph`, its stream twin, `q_anchor_stats` and
+    * `q_pagerank` re-derive the SAME generation + extraction +
+    * resolution chain. Patterns are the RE2-safe
+    * `LinkGraph.AnchorHref` / `Extract.Url` strings verbatim. */
+  private object LinkSql {
+    import operators.{Extract, LinkGraph}
+
+    private val i = "CAST(doc_id AS VARCHAR)"
+    private def m(k: Int) = s"CAST(doc_id % $k AS VARCHAR)"
+    private val sch = "(CASE WHEN doc_id % 5 = 0 THEN 'http' ELSE 'https' END)"
+
+    /** Page generation over a documents row — lockstep with
+      * `LinkGraph.linkPageWrapped`. Produces `pg(doc_id, url, html)`.
+      * (Concat `||`s sit at line ENDS: the consuming query templates
+      * stripMargin AFTER interpolating this fragment, so no embedded
+      * line may start with the margin char.) */
+    val gen: String =
+      s"""pg AS (SELECT doc_id,
+         |  $sch || '://' || source || '.example.com/' || lang || '/a-' || $i AS url,
+         |  '<html><body><h1>page ' || $i || '</h1>' ||
+         |  '<a href="https://src' || CAST((doc_id * 7 + 3) % 13 AS VARCHAR) ||
+         |  '.example.com/t/' || ${m(7)} || '" class="x">peer ' || ${m(7)} || '</a>' ||
+         |  '<a href="/d/' || CAST((doc_id + 1) % 1000 AS VARCHAR) || '">next <b>doc</b> here</a>' ||
+         |  '<a href="n-' || ${m(5)} || '.html">note ' || ${m(5)} || '</a>' ||
+         |  '<a href="/f/' || ${m(6)} || '#sec">frag ' || ${m(6)} || '</a>' ||
+         |  '<a href="#top">back to top</a>' ||
+         |  '<a href="mailto:team@example.com">mail us</a>' ||
+         |  '<a href="//cdn' || ${m(3)} || '.example.net/lib">cdn ' || ${m(3)} || '</a>' ||
+         |  (CASE WHEN doc_id % 4 = 0 THEN '<a href="' || $sch || '://' || source ||
+         |       '.example.com/self">self link</a>' ELSE '' END) ||
+         |  '<a name="x">plain anchor</a></body></html>' AS html
+         | FROM documents)""".stripMargin
+
+    /** CTE chain from `pg` to `ln(doc_id, pos, href, url, src_host,
+      * dst_host, internal, anchor_text)` — the DuckDB spelling of
+      * `LinkGraph.linkEdges`, rule for rule. */
+    val pgToLn: String =
+      s"""ex AS (SELECT doc_id, url AS page_url,
+         |  regexp_extract_all(html, '${LinkGraph.AnchorHref}', 1) AS hrefs,
+         |  regexp_extract_all(html, '${LinkGraph.AnchorHref}', 2) AS texts
+         | FROM pg),
+         |lx AS (SELECT doc_id, page_url,
+         |  unnest(generate_series(1, len(hrefs))) AS pos,
+         |  unnest(hrefs) AS href, unnest(texts) AS txt FROM ex),
+         |rb AS (SELECT doc_id, CAST(pos AS INT) AS pos, href, txt,
+         |  regexp_extract(page_url, '${Extract.Url.Scheme}', 1) AS sch,
+         |  regexp_extract(page_url, '${Extract.Url.Auth}', 1) AS auth,
+         |  regexp_replace(regexp_extract(page_url, '${Extract.Url.Auth}', 1), ':[0-9]+$$', '') AS src_host,
+         |  CASE WHEN regexp_replace(regexp_extract(page_url, '${Extract.Url.Path}', 1), '[^/]*$$', '') = ''
+         |       THEN '/' ELSE regexp_replace(regexp_extract(page_url, '${Extract.Url.Path}', 1), '[^/]*$$', '') END AS dir
+         | FROM lx),
+         |rs AS (SELECT doc_id, pos, href, txt, src_host,
+         |  CASE WHEN regexp_matches(href, '^https?://') THEN href
+         |       WHEN regexp_matches(href, '${LinkGraph.HasScheme}') THEN NULL
+         |       WHEN starts_with(href, '//') THEN sch || ':' || href
+         |       WHEN starts_with(href, '/') THEN sch || '://' || auth || href
+         |       WHEN starts_with(href, '#') OR href = '' THEN NULL
+         |       ELSE sch || '://' || auth || dir || href END AS resolved
+         | FROM rb),
+         |l0 AS (SELECT doc_id, pos, href, src_host, txt,
+         |  regexp_replace(resolved, '#.*$$', '') AS url
+         | FROM rs WHERE resolved IS NOT NULL),
+         |ln AS (SELECT doc_id, pos, href, url, src_host,
+         |  regexp_replace(regexp_extract(url, '${Extract.Url.Auth}', 1), ':[0-9]+$$', '') AS dst_host,
+         |  CAST(CASE WHEN regexp_replace(regexp_extract(url, '${Extract.Url.Auth}', 1), ':[0-9]+$$', '')
+         |            = src_host THEN 1 ELSE 0 END AS INT) AS internal,
+         |  trim(regexp_replace(regexp_replace(txt, '${Extract.Html.Tag}', ' ', 'g'), '\\s+', ' ', 'g')) AS anchor_text
+         | FROM l0)""".stripMargin
+
+    /** The integer-PageRank recurrence unrolled to `iters` steps over
+      * the distinct inter-host edge set — the DuckDB spelling of
+      * `LinkGraph.pageRankHosts` (SCALE = 10^12, damping 85/100, all
+      * BIGINT `//` arithmetic, dangling mass dropped). */
+    def pagerank(iters: Int): String = {
+      val base = "(15 * (1000000000000 // (SELECT c FROM nn))) // 100"
+      val steps = (1 to iters).map { it =>
+        val prev = if (it == 1) "p0" else s"p${it - 1}"
+        s"""m$it AS (SELECT e.dst AS host, CAST(sum(p.pr // o.deg) AS BIGINT) AS m
+           |  FROM ed e JOIN $prev p ON p.host = e.src JOIN od o ON o.src = e.src
+           |  GROUP BY e.dst),
+           |p$it AS (SELECT v.host, $base + (85 * coalesce(m.m, 0)) // 100 AS pr
+           |  FROM nd v LEFT JOIN m$it m ON m.host = v.host)""".stripMargin
+      }.mkString(",\n")
+      s"""ed AS (SELECT DISTINCT src_host AS src, dst_host AS dst FROM ln
+         |  WHERE src_host <> dst_host),
+         |nd AS (SELECT DISTINCT src AS host FROM ed UNION SELECT DISTINCT dst FROM ed),
+         |nn AS (SELECT count(*) AS c FROM nd),
+         |od AS (SELECT src, count(*) AS deg FROM ed GROUP BY src),
+         |p0 AS (SELECT host, 1000000000000 // (SELECT c FROM nn) AS pr FROM nd),
+         |$steps""".stripMargin
+    }
+  }
+
+  private def linkPages(s: SparkSession, d: String): DataFrame =
+    operators.LinkGraph.linkPageWrapped(Tables.documents(s, d),
+      "doc_id", "source", "lang")
+
+  /** Hyperlink extraction + RFC 3986 resolution over deterministic
+    * planted pages (`LinkGraph.linkEdges`); full oracle re-derives
+    * generation AND extraction. Scan-side zero-shuffle. */
+  private val qLinkGraph = Q(
+    "q_link_graph",
+    (s, d) => operators.LinkGraph.linkEdges(linkPages(s, d),
+      "doc_id", "url", "html").orderBy("doc_id", "pos"),
+    Some(s"""WITH ${LinkSql.gen},
+            |${LinkSql.pgToLn}
+            |SELECT doc_id, pos, href, url, src_host, dst_host, internal, anchor_text
+            |FROM ln ORDER BY doc_id, pos""".stripMargin))
+
+  /** The link-extraction STREAMING twin drained to its end state:
+    * wrap + extract + resolve are stateless per-row selects, so the
+    * batch transform runs verbatim in append mode and the batch
+    * oracle applies unchanged. */
+  private val qLinkGraphStream = Q(
+    "q_link_graph_stream",
+    (s, d) => streaming.CorpusStream.linkEdgesOverFile(s, d)
+      .orderBy("doc_id", "pos"),
+    qLinkGraph.oracle)
+
+  /** Anchor-text profile per destination host (`LinkGraph.anchorStats`):
+    * modal anchor text with deterministic tie-break plus link/doc/
+    * internal counts — the link-side training signal. Shuffles only
+    * host-keyed aggregates. */
+  private val qAnchorStats = Q(
+    "q_anchor_stats",
+    (s, d) => operators.LinkGraph.anchorStats(
+      operators.LinkGraph.linkEdges(linkPages(s, d), "doc_id", "url", "html"))
+      .orderBy("dst_host"),
+    Some(s"""WITH ${LinkSql.gen},
+            |${LinkSql.pgToLn},
+            |pt AS (SELECT dst_host, anchor_text, count(*) AS c FROM ln GROUP BY 1, 2),
+            |tp AS (SELECT dst_host, anchor_text AS top_text FROM (
+            |  SELECT dst_host, anchor_text, row_number() OVER (
+            |    PARTITION BY dst_host ORDER BY c DESC, anchor_text) AS rn FROM pt)
+            |  WHERE rn = 1),
+            |ag AS (SELECT dst_host, count(*) AS n_links,
+            |  count(DISTINCT doc_id) AS n_docs,
+            |  CAST(sum(internal) AS BIGINT) AS n_internal,
+            |  count(DISTINCT anchor_text) AS n_texts
+            | FROM ln GROUP BY dst_host)
+            |SELECT ag.dst_host, n_links, n_docs, n_internal, n_texts, top_text
+            |FROM ag JOIN tp ON ag.dst_host = tp.dst_host
+            |ORDER BY ag.dst_host""".stripMargin))
+
+  /** Fixed-point integer PageRank (5 iterations) over the host graph
+    * (`LinkGraph.pageRankHosts`): authority scores with zero floating
+    * point, bit-portable by construction; the oracle unrolls the
+    * identical BIGINT recurrence. */
+  private val qPagerank = Q(
+    "q_pagerank",
+    (s, d) => operators.LinkGraph.pageRankHosts(
+      operators.LinkGraph.linkEdges(linkPages(s, d), "doc_id", "url", "html"))
+      .orderBy(col("pr").desc, col("host")),
+    Some(s"""WITH ${LinkSql.gen},
+            |${LinkSql.pgToLn},
+            |${LinkSql.pagerank(5)}
+            |SELECT host, CAST(pr AS BIGINT) AS pr FROM p5
+            |ORDER BY pr DESC, host""".stripMargin))
+
+  /** BM25 top-10 per planted query workload (`Retrieval.bm25TopK`):
+    * the sparse-lexical first-stage ranker; ranking is by ROUNDED
+    * score so cross-engine float order can never flip a rank. */
+  private val qBm25Topk = Q(
+    "q_bm25_topk",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      operators.Retrieval.bm25TopK(docs, "doc_id", "text",
+        operators.Retrieval.queryTerms(docs, "doc_id", "text"))
+        .orderBy("query_id", "rank")
+    },
+    Some("""WITH tk AS (SELECT doc_id,
+           |  list_filter(string_split(text, ' '), t -> t <> '') AS t FROM documents),
+           |ln_ AS (SELECT doc_id, CAST(len(t) AS INT) AS dl FROM tk),
+           |st AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM ln_),
+           |tf0 AS (SELECT doc_id, unnest(t) AS term FROM tk),
+           |tf AS (SELECT doc_id, term, CAST(count(*) AS INT) AS tf FROM tf0 GROUP BY 1, 2),
+           |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+           |qt AS (SELECT doc_id AS query_id, unnest(list_distinct(t[1:4])) AS term
+           | FROM tk WHERE doc_id % 97 = 0),
+           |sc AS (SELECT q.query_id, f.doc_id,
+           |  ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * (f.tf * 2.2)
+           |   / (f.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl)) AS s
+           | FROM tf f JOIN qt q USING (term) JOIN dfq d USING (term)
+           |   JOIN ln_ l ON l.doc_id = f.doc_id, st s),
+           |ag AS (SELECT query_id, doc_id, round(sum(s), 6) AS score FROM sc GROUP BY 1, 2),
+           |rk AS (SELECT query_id, doc_id, score, CAST(row_number() OVER (
+           |   PARTITION BY query_id ORDER BY score DESC, doc_id) AS INT) AS rank FROM ag)
+           |SELECT query_id, rank, doc_id, score FROM rk WHERE rank <= 10
+           |ORDER BY query_id, rank""".stripMargin))
+
+  /** CCNet-style cross-document line dedup (`Lines.lineDedup`) over a
+    * planted multi-line corpus: boilerplate lines (≥2 distinct docs)
+    * removed everywhere, within-doc repeats survive; full oracle
+    * re-derives plant + removal + order-preserving reassembly. */
+  private val qLineDedup = Q(
+    "q_line_dedup",
+    (s, d) => operators.Lines.lineDedup(
+      operators.Lines.linesWrapped(Tables.documents(s, d),
+        "doc_id", "text", "source"),
+      "doc_id", "content").orderBy("doc_id"),
+    Some("""WITH l0 AS (SELECT doc_id,
+           |  'subscribe to the ' || source || ' newsletter' || chr(10) ||
+           |  coalesce(text, '') || chr(10) ||
+           |  'tag ' || CAST(doc_id % 4 AS VARCHAR) || chr(10) ||
+           |  'closing note ' || CAST(doc_id AS VARCHAR) ||
+           |  CASE WHEN doc_id % 9 = 0
+           |    THEN chr(10) || 'closing note ' || CAST(doc_id AS VARCHAR)
+           |    ELSE '' END AS content
+           | FROM documents),
+           |sx AS (SELECT doc_id, string_split(content, chr(10)) AS ls FROM l0),
+           |ex AS (SELECT doc_id, unnest(generate_series(1, len(ls))) AS pos,
+           |  unnest(ls) AS line FROM sx),
+           |dup AS (SELECT md5(line) AS d FROM ex
+           | GROUP BY md5(line) HAVING count(DISTINCT doc_id) >= 2),
+           |mk AS (SELECT e.doc_id, e.pos, e.line,
+           |  CASE WHEN d.d IS NULL THEN 0 ELSE 1 END AS dup
+           | FROM ex e LEFT JOIN dup d ON md5(e.line) = d.d)
+           |SELECT doc_id, CAST(count(*) AS INT) AS n_lines,
+           | CAST(sum(dup) AS INT) AS n_removed,
+           | coalesce(array_to_string(list(line ORDER BY pos) FILTER (WHERE dup = 0),
+           |   chr(10)), '') AS content
+           |FROM mk GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
+  // =====================================================================
   // All declared queries, in SURVEY §2 order
   // =====================================================================
 
@@ -5697,6 +5924,8 @@ object Queries {
     qDecontaminateBloom, qDecontaminateBloomMd5, qDecontaminateContainment,
     qDecontaminateFuzzy,
     qDecontaminateFuzzyStream, qDecontaminateStream,
+    qLinkGraph, qLinkGraphStream, qAnchorStats, qPagerank,
+    qBm25Topk, qLineDedup,
     qPiiRedact, qExtractHtml, qExtractHtmlStream, qParseJsonl,
     qParseJsonlStream, qParseWarc, qParseWarcStream, qParseSitemap,
     qUrlParse, qUrlDedup, qRobotsGate, qRepetitionFilter, qBpePairs,

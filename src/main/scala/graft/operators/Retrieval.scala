@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sparse-lexical retrieval over the corpus — BM25 (Robertson/
+  * Spärck Jones probabilistic weighting, the Okapi formulation):
+  * the standard first-stage ranker next to the dense ANN tier
+  * (`AnnServe`), and the scoring half of retrieval-based data
+  * selection. Reference scope anchor: the reference has no retrieval
+  * stage; this is north-star LLM-pipeline surface.
+  *
+  * Determinism contract (so a SQL oracle can replay it): tokens are
+  * the non-empty single-space splits; tf/df/doclen are exact
+  * integers; avgdl is the ONE division `sum(dl)::double / N`; the
+  * per-term score is spelled with literal constants
+  * `ln(1 + (N - df + 0.5)/(df + 0.5)) * (tf * 2.2) /
+  * (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))` (k1=1.2, b=0.75 folded
+  * into 2.2/0.25/0.75 so both engines parse identical doubles), and
+  * ranking orders by the ROUNDED score (6 dp) with doc_id
+  * tie-break — never by raw floats whose last-ulp order could differ
+  * across engines.
+  */
+object Retrieval {
+
+  private def toks(textCol: Column): Column =
+    filter(split(textCol, " "), t => t =!= "")
+
+  /** BM25 top-k per query. `queries` carries (query_id, term) rows —
+    * a small relation (the query workload), broadcast onto the
+    * posting lists. Output: (query_id, rank, doc_id, score) with
+    * rank 1..k by (rounded score desc, doc_id).
+    *
+    * Scale shape: ONE tokenize+explode pass over the corpus feeds
+    * both tf (partial+final count keyed (doc, term)) and df (keyed
+    * term); the query side joins BROADCAST onto tf so the corpus
+    * never reshuffles on the workload; the final agg is keyed
+    * (query_id, doc_id) and top-k is a per-query window over only
+    * the candidate docs (those sharing ≥1 term). At 100 TB the only
+    * big exchanges are the two term aggs — the inverted-index build
+    * cost itself, irreducible and map-side combined. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queries: DataFrame, k: Int = 10): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+      toks(col(textCol)).as("__t"))
+    val lens = base.select(col("doc_id"), size(col("__t")).cast("int").as("__dl"))
+    val stats = broadcast(lens.agg(count(lit(1)).as("__n"),
+      (sum(col("__dl")).cast("double") / count(lit(1))).as("__avgdl")))
+    val tf = base.select(col("doc_id"), explode(col("__t")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).cast("int").as("__tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("__df"))
+    val scored = tf
+      .join(broadcast(queries.select(col("query_id"), col("term"))), Seq("term"))
+      .join(dfreq, Seq("term"))
+      .join(lens, Seq("doc_id"))
+      .crossJoin(stats)
+      .select(col("query_id"), col("doc_id"),
+        (log(lit(1) + (col("__n") - col("__df") + lit(0.5)) /
+            (col("__df") + lit(0.5))) *
+          (col("__tf") * lit(2.2)) /
+          (col("__tf") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * col("__dl") / col("__avgdl"))))
+          .as("__s"))
+      .groupBy("query_id", "doc_id")
+      .agg(round(sum(col("__s")), 6).as("score"))
+    scored
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("score").desc, col("doc_id"))).cast("int"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "doc_id", "score")
+  }
+
+  /** Deterministic query workload for the declared query: every doc
+    * with `doc_id % 97 == 0` is a query, its terms the DISTINCT
+    * first `nTerms` tokens — self-retrieval plus topical neighbors,
+    * derivable by identical algebra in the oracle. */
+  def queryTerms(docs: DataFrame, idCol: String, textCol: String,
+                 every: Int = 97, nTerms: Int = 4): DataFrame =
+    docs.filter(col(idCol) % every === 0)
+      .select(col(idCol).as("query_id"),
+        explode(array_distinct(slice(toks(col(textCol)), 1, nTerms)))
+          .as("term"))
+}

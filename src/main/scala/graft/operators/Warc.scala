@@ -81,30 +81,30 @@ object Warc {
         payload, lit(Sep)).as("rec"))
   }
 
-  /** Concatenate records into FILES of `id % nFiles`, in doc_id order
-    * (`array_sort` on (doc_id, rec) structs — deterministic on every
-    * engine). When `nFiles` is None (the declared chains) the file
-    * count DERIVES from the record count — `greatest(1,
-    * floor((n + 31) / 32))`, i.e. ~32 records/file at every scale
-    * factor, always under `parseWarc`'s 64-record walk bound — via a
-    * broadcast 1-row count (column pruning reduces the count subtree
-    * to a doc_id-only scan), so growing the corpus grows the FILE
-    * count, never the records-per-file, and oracle parity holds at
-    * any sf (the DuckDB `files` CTE derives the same scalar). The
-    * ~32/64 headroom covers residue skew on mostly-dense ids; a
-    * pathological id set concentrated in one residue class still
-    * truncates LOUDLY (n_bad=1), never silently. Explicit `nFiles`
-    * remains for fixtures and the soak probe. */
+  /** Concatenate records into FILES, in doc_id order (`array_sort`
+    * on (doc_id, rec) structs — deterministic on every engine). When
+    * `nFiles` is None (the declared chains) files are CONSECUTIVE
+    * id blocks — `gid = doc_id div 32` — so every file holds at most
+    * 32 records at ANY scale factor, always under `parseWarc`'s
+    * 64-record walk bound, with zero look-at-the-corpus work: no
+    * count, no scalar join, the file key is a per-row expression and
+    * the grouping is ONE hash agg (the r12 derived-count spelling
+    * paid a 1-row broadcast nested-loop join for the same guarantee
+    * and broke the crawl flagship's no-BNLJ plan gate). Growing the
+    * corpus grows the FILE count, never the records-per-file, and
+    * the DuckDB `files` CTE mirrors the same `doc_id // 32` key.
+    * Sparse id sets make smaller files — never bigger ones — so the
+    * bound cannot be violated by id distribution. Explicit `nFiles`
+    * (round-robin `id % n`) remains for fixtures and the soak
+    * probe. */
   def warcFiles(records: DataFrame, idCol: String = "doc_id",
                 recCol: String = "rec", nFiles: Option[Int] = None): DataFrame = {
-    val keyed = nFiles match {
-      case Some(n) => records.withColumn("__nf", lit(n.toLong))
-      case None => records.crossJoin(broadcast(records.agg(
-        greatest(lit(1L), floor((count(lit(1)) + lit(31L)) / lit(32L))
-          .cast("long")).as("__nf"))))
+    val gid = nFiles match {
+      case Some(n) => (col(idCol) % lit(n.toLong)).cast("int")
+      case None => expr(s"$idCol div 32L").cast("int")
     }
-    keyed
-      .groupBy((col(idCol) % col("__nf")).cast("int").as("gid"))
+    records
+      .groupBy(gid.as("gid"))
       .agg(array_join(transform(
         array_sort(collect_list(struct(col(idCol), col(recCol).as("rec")))),
         s => s.getField("rec")), "").as("wf"))

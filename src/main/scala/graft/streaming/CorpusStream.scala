@@ -380,6 +380,25 @@ object CorpusStream {
     spark.table(name)
   }
 
+  /** The declared `q_link_graph_stream` runner: page wrap + hyperlink
+    * extraction + URL resolution (`LinkGraph.linkEdges`) are stateless
+    * per-row selects, so a live crawl feed emits its link table at
+    * scan speed in append mode; the drained end state equals the batch
+    * `q_link_graph` row-for-row, so its full oracle applies
+    * verbatim. */
+  def linkEdgesOverFile(spark: org.apache.spark.sql.SparkSession,
+                        sfDir: String): DataFrame = {
+    val name = s"__graft_links_${runSeq.incrementAndGet()}"
+    val q = graft.operators.LinkGraph.linkEdges(
+        graft.operators.LinkGraph.linkPageWrapped(
+          graft.Tables.documentsStream(spark, sfDir),
+          "doc_id", "source", "lang"),
+        "doc_id", "url", "html")
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
   /** The declared `q_parse_jsonl_stream` runner: the documents stream
     * serialized through the engine's JSON codec (with the planted
     * corrupt-line class) and parsed back — wrap + parse are stateless

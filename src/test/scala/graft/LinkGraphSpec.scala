@@ -1,0 +1,162 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.Row
+import graft.operators.LinkGraph
+
+class LinkGraphSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def edges(url: String, html: String) =
+    LinkGraph.linkEdges(Seq((1L, url, html)).toDF("doc_id", "url", "html"),
+      "doc_id", "url", "html").orderBy("pos").collect()
+
+  // ---- resolution rules -------------------------------------------------
+
+  test("absolute http(s) hrefs pass through; other schemes drop") {
+    val r = edges("https://a.example.com/x/p",
+      "<a href=\"https://b.example.com/q\">b</a>" +
+        "<a href=\"mailto:x@y.z\">mail</a>" +
+        "<a href=\"javascript:void(0)\">js</a>" +
+        "<a href=\"ftp://f.example.com/file\">ftp</a>")
+    assert(r.map(_.getAs[String]("url")).toSeq ==
+      Seq("https://b.example.com/q"))
+    assert(r.head.getAs[String]("dst_host") == "b.example.com")
+    assert(r.head.getAs[Int]("internal") == 0)
+  }
+
+  test("root-relative joins scheme://host; dir-relative joins the path dir") {
+    val r = edges("http://a.example.com/en/sub/page",
+      "<a href=\"/top\">t</a><a href=\"near.html\">n</a>")
+    assert(r.map(_.getAs[String]("url")).toSeq == Seq(
+      "http://a.example.com/top",
+      "http://a.example.com/en/sub/near.html"))
+    assert(r.forall(_.getAs[Int]("internal") == 1))
+  }
+
+  test("protocol-relative inherits the page scheme — both schemes") {
+    val h = "<a href=\"//cdn.example.net/lib\">c</a>"
+    assert(edges("http://a.example.com/p", h).head.getAs[String]("url") ==
+      "http://cdn.example.net/lib")
+    assert(edges("https://a.example.com/p", h).head.getAs[String]("url") ==
+      "https://cdn.example.net/lib")
+  }
+
+  test("fragment-only and empty hrefs drop; fragments strip from resolved") {
+    val r = edges("https://a.example.com/d/p",
+      "<a href=\"#top\">top</a><a href=\"\">e</a>" +
+        "<a href=\"/f/2#sec\">f</a><a href=\"https://b.example.com/q#x\">b</a>")
+    assert(r.map(_.getAs[String]("url")).toSeq == Seq(
+      "https://a.example.com/f/2", "https://b.example.com/q"))
+    // pos counts ALL extracted anchors, dropped ones included
+    assert(r.map(_.getAs[Int]("pos")).toSeq == Seq(3, 4))
+  }
+
+  test("page with an empty path resolves dir-relative against '/'") {
+    val r = edges("https://a.example.com", "<a href=\"n.html\">n</a>")
+    assert(r.head.getAs[String]("url") == "https://a.example.com/n.html")
+  }
+
+  test("anchor text is tag-stripped and squeezed; href-less <a> never emits") {
+    val r = edges("https://a.example.com/p",
+      "<a href=\"/x\">one  <b>two</b>\n three</a><a name=\"y\">plain</a>")
+    assert(r.length == 1)
+    assert(r.head.getAs[String]("anchor_text") == "one two three")
+  }
+
+  // ---- anchor stats -----------------------------------------------------
+
+  test("anchorStats: modal anchor text, count tie broken lexicographically") {
+    val pages = Seq(
+      (1L, "https://s.example.com/p",
+        "<a href=\"https://t.example.com/a\">beta</a>" +
+          "<a href=\"https://t.example.com/b\">alpha</a>"),
+      (2L, "https://s.example.com/q",
+        "<a href=\"https://t.example.com/c\">beta</a>" +
+          "<a href=\"https://t.example.com/d\">alpha</a>" +
+          "<a href=\"/in\">self</a>")).toDF("doc_id", "url", "html")
+    val st = LinkGraph.anchorStats(
+      LinkGraph.linkEdges(pages, "doc_id", "url", "html"))
+      .orderBy("dst_host").collect()
+    assert(st.map(_.getAs[String]("dst_host")).toSeq ==
+      Seq("s.example.com", "t.example.com"))
+    val t = st(1)
+    assert(t.getAs[Long]("n_links") == 4)
+    assert(t.getAs[Long]("n_docs") == 2)
+    assert(t.getAs[Long]("n_internal") == 0)
+    assert(t.getAs[Long]("n_texts") == 2)
+    // alpha and beta both appear twice -> lexicographic winner
+    assert(t.getAs[String]("top_text") == "alpha")
+    assert(st(0).getAs[Long]("n_internal") == 1)
+  }
+
+  // ---- integer PageRank -------------------------------------------------
+
+  test("pageRankHosts: hand-computed 3-node integer recurrence, 1 iteration") {
+    // a->b, a->c, b->c: N=3, S=10^12, pr0 = S/3 = 333333333333
+    // teleport = (15*(S div 3)) div 100 = 49999999999 (floor)
+    // it1: b gets a's share pr0 div 2 = 166666666666
+    //      c gets a's 166666666666 + b's pr0 div 1 = 499999999999
+    // pr1(a) = teleport + 0
+    // pr1(b) = teleport + (85*166666666666) div 100 = 49999999999 + 141666666666
+    // pr1(c) = teleport + (85*499999999999) div 100 = 49999999999 + 424999999999
+    val e = Seq(("a", "b"), ("a", "c"), ("b", "c"))
+      .toDF("src_host", "dst_host")
+    val pr = LinkGraph.pageRankHosts(e, iters = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pr("a") == 49999999999L)
+    assert(pr("b") == 49999999999L + (85L * 166666666666L) / 100L)
+    assert(pr("c") == 49999999999L + (85L * 499999999999L) / 100L)
+  }
+
+  test("pageRankHosts: self-loops excluded, dangling targets are nodes, " +
+    "total mass bounded by SCALE") {
+    val e = Seq(("a", "a"), ("a", "b"), ("b", "dangling"))
+      .toDF("src_host", "dst_host")
+    val pr = LinkGraph.pageRankHosts(e, iters = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pr.keySet == Set("a", "b", "dangling"))
+    // the self-loop a->a contributes nothing: a ends at pure teleport
+    val teleport = (15L * (1000000000000L / 3)) / 100
+    assert(pr("a") == teleport)
+    assert(pr.values.sum <= 1000000000000L)
+    assert(pr("dangling") > teleport) // receives b's mass
+  }
+
+  test("pageRankHosts: authority orders a hub-and-spoke graph correctly") {
+    // everyone links to hub; hub links to one spoke
+    val e = Seq(("s1", "hub"), ("s2", "hub"), ("s3", "hub"), ("hub", "s1"))
+      .toDF("src_host", "dst_host")
+    val rows = LinkGraph.pageRankHosts(e)
+      .orderBy(org.apache.spark.sql.functions.col("pr").desc).collect()
+    assert(rows.head.getString(0) == "hub")
+    // s1 (receives hub's mass) beats s2/s3 (teleport only)
+    assert(rows(1).getString(0) == "s1")
+  }
+
+  // ---- planted generator ------------------------------------------------
+
+  test("linkPageWrapped plant: expected link classes per doc, both schemes") {
+    val docs = Seq((4L, "src1", "en"), (5L, "src2", "fr"))
+      .toDF("doc_id", "source", "lang")
+    val ed = LinkGraph.linkEdges(
+      LinkGraph.linkPageWrapped(docs, "doc_id", "source", "lang"),
+      "doc_id", "url", "html")
+    val d4 = ed.filter($"doc_id" === 4).orderBy("pos").collect()
+    // id=4: resolvable links (peer, /d, n-, /f, cdn, self) minus
+    // dropped (#top, mailto) -> peer,next,note,frag,cdn,self = 6
+    assert(d4.length == 6)
+    // id=4: 4%5!=0 -> https page; protocol-relative cdn1 inherits it
+    assert(d4.map(_.getAs[String]("url")).exists(_.startsWith("https://cdn1.example.net")))
+    // id%4==0 -> self link, internal
+    assert(d4.count(_.getAs[Int]("internal") == 1) >= 3) // /d, n-, /f, self
+    val d5 = ed.filter($"doc_id" === 5).orderBy("pos").collect()
+    assert(d5.length == 5) // no self link on id=5
+    // id=5: 5%5==0 -> http page; cdn2 (5%3) inherits http
+    assert(d5.map(_.getAs[String]("url")).exists(_.startsWith("http://cdn2.example.net")))
+    // dir-relative: http://src2.example.com/fr/a-5 -> /fr/n-0.html
+    assert(d5.map(_.getAs[String]("url"))
+      .contains("http://src2.example.com/fr/n-0.html"))
+  }
+}

@@ -421,4 +421,72 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the serve pass of the graph advance must be exchange-free:\n" +
         servePlan.take(1200))
   }
+
+  test("link extraction is scan-side: zero exchanges of any kind") {
+    // the declared query adds one range exchange for presentation
+    // order; the TRANSFORM itself — wrap, anchor regex, posexplode,
+    // URL resolution — must never shuffle
+    val core = operators.LinkGraph.linkEdges(
+        operators.LinkGraph.linkPageWrapped(
+          Tables.documents(spark, sf), "doc_id", "source", "lang"),
+        "doc_id", "url", "html")
+      .queryExecution.executedPlan.toString
+    assert(!core.contains("Exchange"),
+      s"linkEdges claims scan-side-only but shuffles:\n${core.take(800)}")
+  }
+
+  test("PageRank iterations never plan a cartesian; " +
+       "exchanges stay on host-graph keys") {
+    val plan = planOf("q_pagerank")
+    // (the node-count attach is the house 1-row crossJoin(broadcast)
+    // scalar pattern, which plans as a constant-cost one-row
+    // BroadcastNestedLoopJoin — allowed, like withNow everywhere else)
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+    // every hash exchange is keyed by a graph column (the edge/node/
+    // degree/mass joins and aggs) — never by anything carrying the
+    // corpus (doc_id, content); the page table leaves the plan after
+    // the distinct host-pair projection
+    val keys = "Exchange hashpartitioning\\(([A-Za-z_]+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    val allowed = Set("src", "dst", "host")
+    assert(keys.nonEmpty && keys.forall(allowed.contains),
+      s"unexpected exchange keys: ${keys.filterNot(allowed.contains)}")
+  }
+
+  test("BM25: the query workload joins broadcast onto the posting " +
+       "lists — the corpus never reshuffles on the workload") {
+    val plan = planOf("q_bm25_topk")
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"query-terms join must broadcast:\n${plan.take(1200)}")
+    // allowed hash exchanges: the tf/df aggs (doc_id/term keys), the
+    // per-(query, doc) rollup and the doc-length re-join; a shuffle
+    // keyed by the workload alone would mean the corpus moved for it
+    val keys = "Exchange hashpartitioning\\(([A-Za-z_]+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    val allowed = Set("doc_id", "term", "query_id")
+    assert(keys.forall(allowed.contains),
+      s"unexpected exchange keys: ${keys.filterNot(allowed.contains)}")
+  }
+
+  test("line dedup: boilerplate membership is a digest-keyed EQUI-join; " +
+       "reassembly is one doc-keyed agg") {
+    val plan = planOf("q_line_dedup")
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+    // the membership join must key on the md5 digest (an equi-join
+    // Catalyst can size-pick: broadcast at test sf, shuffled once the
+    // dup set outgrows the threshold at scale — both are correct; a
+    // non-equi or positional join would not be)
+    assert("Join \\[md5|HashJoin \\[md5".r.findFirstIn(plan).isDefined,
+      s"dup-set membership must join on the line digest:\n${plan.take(1200)}")
+    // allowed hash exchanges: the digest-keyed dup-set agg (the md5
+    // expression surfaces as _groupingexpression) and the doc_id
+    // reassembly agg — nothing else
+    val allowed = Set("doc_id", "md5", "_groupingexpression")
+    val keys = "Exchange hashpartitioning\\(([A-Za-z_]+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(keys.forall(allowed.contains),
+      s"unexpected exchange keys: ${keys.filterNot(allowed.contains)}")
+  }
 }

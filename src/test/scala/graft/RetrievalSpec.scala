@@ -1,0 +1,79 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Retrieval
+
+class RetrievalSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def rank(docs: Seq[(Long, String)], queries: Seq[(Long, String)],
+                   k: Int = 10) =
+    Retrieval.bm25TopK(docs.toDF("doc_id", "text"), "doc_id", "text",
+      queries.toDF("query_id", "term"), k)
+      .orderBy("query_id", "rank").collect()
+
+  test("term frequency raises rank; absent term yields no candidate row") {
+    val docs = Seq(
+      (1L, "spark spark spark join"),
+      (2L, "spark join filter scan"),
+      (3L, "window agg sort merge"))
+    val r = rank(docs, Seq((10L, "spark")))
+    assert(r.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L))
+    assert(r.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2))
+    assert(r(0).getAs[Double]("score") > r(1).getAs[Double]("score"))
+  }
+
+  test("idf: a rare term outweighs a ubiquitous one at equal tf") {
+    val docs = Seq(
+      (1L, "common rare pad1 pad2"),
+      (2L, "common pad3 pad4 pad5"),
+      (3L, "common pad6 pad7 pad8"),
+      (4L, "common pad9 padA padB"))
+    // query has both terms; doc1 matches both, others only 'common'
+    val r = rank(docs, Seq((10L, "common"), (10L, "rare")))
+    assert(r.head.getAs[Long]("doc_id") == 1L)
+    // the rare-term contribution dominates: doc1's margin over doc2
+    // exceeds doc2's whole score
+    val s = r.map(x => x.getAs[Long]("doc_id") -> x.getAs[Double]("score")).toMap
+    assert(s(1L) > 2 * s(2L))
+  }
+
+  test("length normalization: same tf, shorter doc wins") {
+    val docs = Seq(
+      (1L, "term a b c d e f g h i j k l m n o p q r s"),
+      (2L, "term a b c"),
+      (3L, "zz yy xx ww"))
+    val r = rank(docs, Seq((10L, "term")))
+    assert(r.map(_.getAs[Long]("doc_id")).toSeq == Seq(2L, 1L))
+  }
+
+  test("multi-term scores add; k caps the list; ties break by doc_id") {
+    val docs = (1L to 15L).map(i => (i, "same text here"))
+    val r = rank(docs, Seq((10L, "same")), k = 10)
+    assert(r.length == 10)
+    // identical docs -> identical scores -> doc_id order
+    assert(r.map(_.getAs[Long]("doc_id")).toSeq == (1L to 10L))
+    assert(r.map(_.getAs[Double]("score")).distinct.length == 1)
+  }
+
+  test("queryTerms: distinct first-4-token workload on the modulus") {
+    val docs = Seq(
+      (0L, "a b a c d e"), (1L, "x y z"), (97L, "k k k k j"))
+      .toDF("doc_id", "text")
+    val qt = Retrieval.queryTerms(docs, "doc_id", "text")
+      .orderBy("query_id", "term").collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[String]("term")))
+    assert(qt.toSeq == Seq((0L, "a"), (0L, "b"), (0L, "c"), (97L, "k")))
+  }
+
+  test("self-retrieval on the planted workload: the query doc ranks first") {
+    // unique terms per doc -> the query doc must top its own ranking
+    val docs = (0L to 9L).map(i => (i * 97, s"u${i}a u${i}b u${i}c u${i}d"))
+    val r = rank(docs, docs.flatMap { case (id, t) =>
+      t.split(" ").take(4).distinct.map(id -> _) })
+    val firsts = r.filter(_.getAs[Int]("rank") == 1)
+      .map(x => x.getAs[Long]("query_id") -> x.getAs[Long]("doc_id"))
+    assert(firsts.forall { case (q, d) => q == d })
+  }
+}

@@ -107,8 +107,9 @@ class WarcSpec extends AnyFunSuite {
       (5L,  "plain response words", "src3", "en"))
       .toDF("doc_id", "text", "source", "lang")
     // explicit nFiles puts each doc in its own file so corruption
-    // isolation is observable; the declared chain derives nFiles from
-    // the corpus size instead (records/file ~32 at every sf)
+    // isolation is observable; the declared chain keys files by
+    // consecutive id blocks instead (doc_id div 32, records/file ≤32
+    // at every sf with no corpus-count join)
     val out = operators.Warc.parseWarcChain(docs, nFiles = Some(4096))
       .orderBy("doc_id").collect()
     // 11 and 17 poison their (single-record) files; 7 is filtered as a
