@@ -197,6 +197,51 @@ object ProbeSoak {
       spark.stop(); return
     }
 
+    if (mode == "linkrank") {
+      // Link-graph + PageRank scale probe. Cost model: link extraction
+      // is per-row scan work (linear), the host graph is the DISTINCT
+      // (host, host) aggregate — so (1) per-doc wall time must stay
+      // flat as the corpus grows (the distinct collapses replicas; the
+      // iterations run over the same small graph), and (2) the
+      // PageRank RESULT must be bit-identical across corpus
+      // replication: genDocs replicas reuse the base sources, so the
+      // distinct host graph — already saturated at x1 — cannot change,
+      // and any drift would mean corpus volume leaked into the graph
+      // computation.
+      import graft.operators.LinkGraph
+      var perDoc = Map.empty[Int, Double]
+      var prBase: Seq[(String, Long)] = null
+      scales.foreach { s =>
+        val docs = genDocs(spark, s)
+          .select("doc_id", "source", "lang").repartition(32).localCheckpoint()
+        val n = docs.count()
+        val pages = LinkGraph.linkPageWrapped(docs, "doc_id", "source", "lang")
+        val run = () => LinkGraph.pageRankHosts(
+            LinkGraph.linkEdges(pages, "doc_id", "url", "html"))
+          .orderBy("host").collect()
+          .map(r => (r.getString(0), r.getLong(1))).toSeq
+        run() // warm (codegen + broadcast init)
+        val t0 = System.nanoTime()
+        val pr = run()
+        val dt = (System.nanoTime() - t0) / 1e9
+        perDoc += s -> (dt * 1e6 / n)
+        println(f"[soak-linkrank] x$s%-3d n=$n time=$dt%.2fs " +
+          f"perDoc=${dt * 1e6 / n}%.1fus hosts=${pr.length} " +
+          f"top=${pr.maxBy(_._2)._1}")
+        if (prBase == null) prBase = pr
+        else require(pr == prBase,
+          s"host PageRank must be invariant under corpus replication " +
+            s"(the graph is the distinct host aggregate); diverged at x$s")
+      }
+      if (scales.length >= 2) {
+        val anchor = perDoc(scales(1)); val last = perDoc(scales.last)
+        require(last <= 2.0 * anchor,
+          f"link-graph per-doc time must stay flat across corpus growth: " +
+            f"x${scales(1)}=$anchor%.1fus -> x${scales.last}=$last%.1fus")
+      }
+      spark.stop(); return
+    }
+
     if (mode == "warc") {
       // WARC-ingestion scale probe: generation groups per-doc records
       // into files (one bounded shuffle), then the native offset walk

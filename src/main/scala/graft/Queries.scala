@@ -5813,6 +5813,29 @@ object Queries {
             |SELECT host, CAST(pr AS BIGINT) AS pr FROM p5
             |ORDER BY pr DESC, host""".stripMargin))
 
+  /** Crawl-frontier selection (`LinkGraph.crawlFrontier`): uncrawled
+    * URLs ranked by the INTEGER PageRank mass of their distinct
+    * linking hosts — link extraction, membership anti-join and the
+    * authority scores composed in one plan, every stage re-derived by
+    * the chained oracle. */
+  private val qCrawlFrontier = Q(
+    "q_crawl_frontier",
+    (s, d) => operators.LinkGraph.crawlFrontier(linkPages(s, d),
+      "doc_id", "url", "html"),
+    Some(s"""WITH ${LinkSql.gen},
+            |${LinkSql.pgToLn},
+            |${LinkSql.pagerank(5)},
+            |cr AS (SELECT DISTINCT url FROM pg),
+            |cand AS (SELECT l.url, l.doc_id, l.src_host FROM ln l
+            |  LEFT JOIN cr c ON l.url = c.url WHERE c.url IS NULL),
+            |ph AS (SELECT DISTINCT url, src_host FROM cand),
+            |pri AS (SELECT ph.url, CAST(sum(p.pr) AS BIGINT) AS priority
+            |  FROM ph JOIN p5 p ON p.host = ph.src_host GROUP BY ph.url),
+            |nr AS (SELECT url, count(DISTINCT doc_id) AS n_refs
+            |  FROM cand GROUP BY url)
+            |SELECT pri.url, n_refs, priority FROM pri JOIN nr ON pri.url = nr.url
+            |ORDER BY priority DESC, pri.url LIMIT 100""".stripMargin))
+
   /** BM25 top-10 per planted query workload (`Retrieval.bm25TopK`):
     * the sparse-lexical first-stage ranker; ranking is by ROUNDED
     * score so cross-engine float order can never flip a rank. */
@@ -5925,7 +5948,7 @@ object Queries {
     qDecontaminateFuzzy,
     qDecontaminateFuzzyStream, qDecontaminateStream,
     qLinkGraph, qLinkGraphStream, qAnchorStats, qPagerank,
-    qBm25Topk, qLineDedup,
+    qCrawlFrontier, qBm25Topk, qLineDedup,
     qPiiRedact, qExtractHtml, qExtractHtmlStream, qParseJsonl,
     qParseJsonlStream, qParseWarc, qParseWarcStream, qParseSitemap,
     qUrlParse, qUrlDedup, qRobotsGate, qRepetitionFilter, qBpePairs,

@@ -173,6 +173,38 @@ object LinkGraph {
     pr.select(col("host"), col("pr").cast("bigint").as("pr"))
   }
 
+  /** Crawl-frontier selection — the link stage's operational payoff:
+    * which uncrawled URLs should the crawler fetch next? Candidates
+    * are every resolved http(s) link whose URL is NOT a page already
+    * in the corpus (internal and external alike — an unseen same-host
+    * path is as fetchable as a foreign one); each candidate's
+    * priority is the SUM of its distinct linking hosts' fixed-point
+    * PageRank (authority flows to what authorities link to), an
+    * all-integer sum so ranking is deterministic across engines;
+    * ties break on the URL. Top `k` by (priority desc, url).
+    *
+    * Scale shape: membership is a URL-keyed anti-join (both sides
+    * corpus-scale → shuffle equi-join, exactly right); the authority
+    * join keys the much smaller distinct (url, host) projection
+    * against the host-level pr table; top-k is orderBy+limit →
+    * TakeOrderedAndProject, never a global sort. */
+  def crawlFrontier(pages: DataFrame, idCol: String, urlCol: String,
+                    htmlCol: String, k: Int = 100): DataFrame = {
+    val edges = linkEdges(pages, idCol, urlCol, htmlCol)
+    val pr = pageRankHosts(edges)
+    val crawled = pages.select(col(urlCol).as("url")).distinct()
+    val cand = edges.select(col("url"), col("doc_id"), col("src_host"))
+      .join(crawled, Seq("url"), "left_anti")
+    val priority = cand.select("url", "src_host").distinct()
+      .join(pr, col("src_host") === col("host"))
+      .groupBy("url").agg(sum(col("pr")).cast("bigint").as("priority"))
+    val nRefs = cand.groupBy("url")
+      .agg(countDistinct(col("doc_id")).as("n_refs"))
+    priority.join(nRefs, Seq("url"))
+      .select("url", "n_refs", "priority")
+      .orderBy(col("priority").desc, col("url")).limit(k)
+  }
+
   /** Deterministic page generator for the declared queries (the
     * `Extract.htmlWrapped` plant pattern): every resolution rule of
     * `linkEdges` is exercised BOTH ways from the synthetic documents

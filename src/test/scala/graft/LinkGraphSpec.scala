@@ -135,6 +135,43 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(rows(1).getString(0) == "s1")
   }
 
+  // ---- crawl frontier ---------------------------------------------------
+
+  test("crawlFrontier: crawled URLs excluded, priority sums linking " +
+    "hosts' integer pagerank, ties break on URL") {
+    // two pages on hosts a and b; both link to the SAME uncrawled t1,
+    // a alone links t2, and a links b's page (crawled -> excluded)
+    val pages = Seq(
+      (1L, "https://a.example.com/p",
+        "<a href=\"https://t.example.com/1\">t1</a>" +
+          "<a href=\"https://t.example.com/2\">t2</a>" +
+          "<a href=\"https://b.example.com/q\">b</a>"),
+      (2L, "https://b.example.com/q",
+        "<a href=\"https://t.example.com/1\">t1</a>" +
+          "<a href=\"https://a.example.com/p\">a</a>")).toDF("doc_id", "url", "html")
+    val f = LinkGraph.crawlFrontier(pages, "doc_id", "url", "html").collect()
+    val urls = f.map(_.getAs[String]("url")).toSeq
+    // the crawled pages never appear as frontier candidates
+    assert(!urls.contains("https://a.example.com/p") &&
+      !urls.contains("https://b.example.com/q"))
+    assert(urls.toSet == Set("https://t.example.com/1", "https://t.example.com/2"))
+    val byUrl = f.map(r => r.getAs[String]("url") -> r).toMap
+    val t1 = byUrl("https://t.example.com/1")
+    val t2 = byUrl("https://t.example.com/2")
+    // t1 is linked by both hosts -> strictly more priority and refs
+    assert(t1.getAs[Long]("priority") > t2.getAs[Long]("priority"))
+    assert(t1.getAs[Long]("n_refs") == 2 && t2.getAs[Long]("n_refs") == 1)
+    // frontier order: priority desc
+    assert(f.head.getAs[String]("url") == "https://t.example.com/1")
+    // priority is the exact integer sum of the linking hosts' pr
+    val pr = LinkGraph.pageRankHosts(
+      LinkGraph.linkEdges(pages, "doc_id", "url", "html"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(t1.getAs[Long]("priority") ==
+      pr("a.example.com") + pr("b.example.com"))
+    assert(t2.getAs[Long]("priority") == pr("a.example.com"))
+  }
+
   // ---- planted generator ------------------------------------------------
 
   test("linkPageWrapped plant: expected link classes per doc, both schemes") {
