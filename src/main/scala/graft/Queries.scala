@@ -5745,6 +5745,31 @@ object Queries {
          |p0 AS (SELECT host, 1000000000000 // (SELECT c FROM nn) AS pr FROM nd),
          |$steps""".stripMargin
     }
+
+    /** The integer-HITS recurrence unrolled to `iters` steps — the
+      * DuckDB spelling of `LinkGraph.hitsHosts` (SCALE = 10^6,
+      * exact BIGINT sums, `(raw * SCALE) // max(raw)`
+      * max-normalization each half-step). */
+    def hits(iters: Int): String = {
+      val steps = (1 to iters).map { it =>
+        val hPrev = if (it == 1) "h0" else s"h${it - 1}"
+        s"""ar$it AS (SELECT n.host, CAST(coalesce(s.v, 0) AS BIGINT) AS a
+           |  FROM nd n LEFT JOIN (SELECT e.dst AS host, sum(p.h) AS v
+           |    FROM ed e JOIN $hPrev p ON p.host = e.src GROUP BY e.dst) s
+           |  ON s.host = n.host),
+           |a$it AS (SELECT host, CAST((a * 1000000) // (SELECT max(a) FROM ar$it) AS BIGINT) AS a FROM ar$it),
+           |hr$it AS (SELECT n.host, CAST(coalesce(s.v, 0) AS BIGINT) AS h
+           |  FROM nd n LEFT JOIN (SELECT e.src AS host, sum(p.a) AS v
+           |    FROM ed e JOIN a$it p ON p.host = e.dst GROUP BY e.src) s
+           |  ON s.host = n.host),
+           |h$it AS (SELECT host, CAST((h * 1000000) // (SELECT max(h) FROM hr$it) AS BIGINT) AS h FROM hr$it)""".stripMargin
+      }.mkString(",\n")
+      s"""ed AS (SELECT DISTINCT src_host AS src, dst_host AS dst FROM ln
+         |  WHERE src_host <> dst_host),
+         |nd AS (SELECT DISTINCT src AS host FROM ed UNION SELECT DISTINCT dst FROM ed),
+         |h0 AS (SELECT host, CAST(1000000 AS BIGINT) AS h FROM nd),
+         |$steps""".stripMargin
+    }
   }
 
   private def linkPages(s: SparkSession, d: String): DataFrame =
@@ -5812,6 +5837,21 @@ object Queries {
             |${LinkSql.pagerank(5)}
             |SELECT host, CAST(pr AS BIGINT) AS pr FROM p5
             |ORDER BY pr DESC, host""".stripMargin))
+
+  /** HITS hubs & authorities (3 iterations) over the host graph
+    * (`LinkGraph.hitsHosts`): the mutual-reinforcement companion to
+    * PageRank, all-integer (SCALE 10^6, max-normalized) so both
+    * engines run the identical recurrence bit for bit. */
+  private val qHits = Q(
+    "q_hits",
+    (s, d) => operators.LinkGraph.hitsHosts(
+      operators.LinkGraph.linkEdges(linkPages(s, d), "doc_id", "url", "html"))
+      .orderBy("host"),
+    Some(s"""WITH ${LinkSql.gen},
+            |${LinkSql.pgToLn},
+            |${LinkSql.hits(3)}
+            |SELECT a3.host, a3.a AS authority, h3.h AS hub
+            |FROM a3 JOIN h3 ON a3.host = h3.host ORDER BY a3.host""".stripMargin))
 
   /** Crawl-frontier selection (`LinkGraph.crawlFrontier`): uncrawled
     * URLs ranked by the INTEGER PageRank mass of their distinct
@@ -5900,6 +5940,41 @@ object Queries {
            |   chr(10)), '') AS content
            |FROM mk GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
+  /** The line-dedup STREAMING twin drained to its end state — the
+    * streaming-natural FIRST-OCCURRENCE rule (an emitted row cannot
+    * be retracted, so the first arrival of a line keeps it and every
+    * later copy drops, within-doc repeats included); the oracle
+    * spells that rule directly (rank 1 per line digest by (doc_id,
+    * pos)) and excludes the unemitted max(doc_id) window per the
+    * span-stream scheme. */
+  private val qLineDedupStream = Q(
+    "q_line_dedup_stream",
+    (s, d) => streaming.CorpusStream.lineDedupOverFile(s, d)
+      .orderBy("doc_id"),
+    Some("""WITH l0 AS (SELECT doc_id,
+           |  'subscribe to the ' || source || ' newsletter' || chr(10) ||
+           |  coalesce(text, '') || chr(10) ||
+           |  'tag ' || CAST(doc_id % 4 AS VARCHAR) || chr(10) ||
+           |  'closing note ' || CAST(doc_id AS VARCHAR) ||
+           |  CASE WHEN doc_id % 9 = 0
+           |    THEN chr(10) || 'closing note ' || CAST(doc_id AS VARCHAR)
+           |    ELSE '' END AS content
+           | FROM documents),
+           |sx AS (SELECT doc_id, string_split(content, chr(10)) AS ls FROM l0),
+           |ex AS (SELECT doc_id, unnest(generate_series(1, len(ls))) AS pos,
+           |  unnest(ls) AS line FROM sx),
+           |mk AS (SELECT doc_id, pos, line,
+           |  CASE WHEN row_number() OVER (
+           |    PARTITION BY md5(line) ORDER BY doc_id, pos) = 1
+           |  THEN 0 ELSE 1 END AS dup FROM ex)
+           |SELECT doc_id, CAST(count(*) AS INT) AS n_lines,
+           | CAST(sum(dup) AS INT) AS n_removed,
+           | coalesce(array_to_string(list(line ORDER BY pos) FILTER (WHERE dup = 0),
+           |   chr(10)), '') AS content
+           |FROM mk
+           |WHERE doc_id <> (SELECT max(doc_id) FROM documents)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
   // =====================================================================
   // All declared queries, in SURVEY §2 order
   // =====================================================================
@@ -5947,8 +6022,8 @@ object Queries {
     qDecontaminateBloom, qDecontaminateBloomMd5, qDecontaminateContainment,
     qDecontaminateFuzzy,
     qDecontaminateFuzzyStream, qDecontaminateStream,
-    qLinkGraph, qLinkGraphStream, qAnchorStats, qPagerank,
-    qCrawlFrontier, qBm25Topk, qLineDedup,
+    qLinkGraph, qLinkGraphStream, qAnchorStats, qPagerank, qHits,
+    qCrawlFrontier, qBm25Topk, qLineDedup, qLineDedupStream,
     qPiiRedact, qExtractHtml, qExtractHtmlStream, qParseJsonl,
     qParseJsonlStream, qParseWarc, qParseWarcStream, qParseSitemap,
     qUrlParse, qUrlDedup, qRobotsGate, qRepetitionFilter, qBpePairs,

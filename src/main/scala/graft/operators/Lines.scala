@@ -60,9 +60,9 @@ object Lines {
     *      must survive (distinct-doc count stays 1), exercising the
     *      distinct-docs clause both ways. */
   def linesWrapped(docs: DataFrame, idCol: String, textCol: String,
-                   sourceCol: String): DataFrame = {
+                   sourceCol: String, carry: Seq[String] = Nil): DataFrame = {
     val id = col(idCol)
-    docs.select(id.as(idCol),
+    docs.select(id.as(idCol) +: carry.map(col) :+
       concat(
         lit("subscribe to the "), col(sourceCol), lit(" newsletter\n"),
         coalesce(col(textCol), lit("")), lit("\n"),
@@ -70,6 +70,6 @@ object Lines {
         lit("closing note "), id.cast("string"),
         when(id % 9 === 0,
           concat(lit("\nclosing note "), id.cast("string")))
-          .otherwise(lit(""))).as("content"))
+          .otherwise(lit(""))).as("content"): _*)
   }
 }

@@ -150,8 +150,14 @@ object LinkGraph {
     * the exchange. No driver-side state at any point. */
   def pageRankHosts(edges: DataFrame, iters: Int = 5,
                     scale: Long = 1000000000000L): DataFrame = {
+    // Materialize the distinct host-pair set ONCE: every iteration
+    // references it, and without the lineage cut each join would
+    // re-derive it from the corpus scan — `iters` full scans instead
+    // of one. The checkpointed frame is host-graph-sized (million-node
+    // scale at 100 TB), tiny next to the corpus. (GraphX/Pregel
+    // checkpoint for exactly this reason.)
     val e = edges.select(col("src_host").as("src"), col("dst_host").as("dst"))
-      .filter(col("src") =!= col("dst")).distinct()
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
     val nodes = e.select(col("src").as("host"))
       .union(e.select(col("dst").as("host"))).distinct()
     val n = broadcast(nodes.agg(count(lit(1)).as("__n")))
@@ -171,6 +177,63 @@ object LinkGraph {
             expr("(85 * coalesce(__m, 0L)) div 100")).as("pr"))
     }
     pr.select(col("host"), col("pr").cast("bigint").as("pr"))
+  }
+
+  /** HITS (Kleinberg hubs & authorities) over the distinct host
+    * graph — the mutual-reinforcement companion to PageRank: a good
+    * HUB links to good authorities, a good AUTHORITY is linked from
+    * good hubs. Like `pageRankHosts`, the recurrence is ALL-INTEGER
+    * so results are bit-portable and aggregation-order-independent:
+    * scores live in SCALE = 10^6 units, each iteration sums the
+    * opposite score over the edge set (exact BIGINT) and
+    * max-normalizes back to SCALE via `(raw * SCALE) div max(raw)`.
+    * Overflow bound: raw sums ≤ N·SCALE and the normalize multiply
+    * needs N·SCALE·SCALE < 2^63 ⇒ safe to ~9×10^6 hosts; past that,
+    * raise to decimal(38) on both engines — the recurrence is
+    * unchanged. Dangling/unreferenced hosts keep score 0 after one
+    * iteration (nothing flows to them), matching the textbook
+    * formulation without smoothing.
+    *
+    * Scale shape: per iteration, one equi-join of scores onto edges
+    * + one keyed sum + one broadcast 1-row max attach — the same
+    * join/agg pair as PageRank, co-partitioned by host across
+    * iterations. */
+  def hitsHosts(edges: DataFrame, iters: Int = 3,
+                scale: Long = 1000000L): DataFrame = {
+    // Edge set materialized once (the pageRankHosts rationale), and
+    // each half-step's host-level scores lineage-cut too: HITS's
+    // auth references hub AND vice versa, so without the cut the plan
+    // tree DOUBLES per iteration — with it, every iteration is one
+    // small join/agg pair over materialized host rows.
+    val e = edges.select(col("src_host").as("src"), col("dst_host").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("host"))
+      .union(e.select(col("dst").as("host"))).distinct()
+    def normalized(raw: DataFrame, scoreCol: String): DataFrame = {
+      val mx = broadcast(raw.agg(max(col(scoreCol)).as("__mx")))
+      raw.crossJoin(mx)
+        .select(col("host"),
+          expr(s"($scoreCol * ${scale}L) div __mx").as(scoreCol))
+    }
+    var auth = nodes.select(col("host"), lit(scale).as("a"))
+    var hub = nodes.select(col("host"), lit(scale).as("h"))
+    for (_ <- 1 to iters) {
+      val aRaw = nodes.join(
+          e.join(hub.withColumnRenamed("host", "src"), Seq("src"))
+            .groupBy(col("dst").as("host")).agg(sum(col("h")).as("a")),
+          Seq("host"), "left")
+        .select(col("host"), coalesce(col("a"), lit(0L)).as("a"))
+      auth = normalized(aRaw, "a").localCheckpoint()
+      val hRaw = nodes.join(
+          e.join(auth.withColumnRenamed("host", "dst"), Seq("dst"))
+            .groupBy(col("src").as("host")).agg(sum(col("a")).as("h")),
+          Seq("host"), "left")
+        .select(col("host"), coalesce(col("h"), lit(0L)).as("h"))
+      hub = normalized(hRaw, "h").localCheckpoint()
+    }
+    auth.join(hub, Seq("host"))
+      .select(col("host"), col("a").cast("bigint").as("authority"),
+        col("h").cast("bigint").as("hub"))
   }
 
   /** Crawl-frontier selection — the link stage's operational payoff:

@@ -112,6 +112,68 @@ object CorpusStream {
                 i => slice(col("__toks"), (i - 1) * L + 1, lit(L))))).as("dedup_text"))
   }
 
+  /** Streaming line-level dedup — the live twin of `Lines.lineDedup`
+    * with streaming-natural FIRST-OCCURRENCE semantics: the first
+    * arrival of a line (doc order, then position) KEEPS it and every
+    * later copy — cross-doc boilerplate and within-doc repeats
+    * alike — drops via a digest-keyed
+    * `dropDuplicatesWithinWatermark`. State is one 16-byte digest per
+    * distinct line inside the horizon, never line text or documents.
+    * The batch operator removes retroactively (a dup discovered later
+    * deletes the FIRST copy too — an emitted row cannot be
+    * retracted), so the declared twin pins the monotone rule and its
+    * oracle spells exactly that: rank 1 per digest by (doc_id, pos)
+    * keeps, everything else is removed. Reassembly mirrors
+    * `dedupSpansStream`: a presence row per doc joins the windowed
+    * agg so a doc whose every line was claimed still emits with
+    * empty content. */
+  def lineDedupStream(docs: DataFrame, tsCol: String = "ts",
+                      idCol: String = "doc_id", contentCol: String = "content",
+                      watermark: String = "1 day",
+                      window: String = "1 hour"): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"), col(tsCol).as("__ts"),
+        split(col(contentCol), "\n").as("__ls"))
+      .select(col("doc_id"), col("__ts"), col("__ls"),
+              size(col("__ls")).cast("int").as("n_lines"))
+      .withWatermark("__ts", watermark)
+    val kept = base
+      .select(col("doc_id"), col("__ts"), col("n_lines"),
+              posexplode(col("__ls")))
+      .select(col("doc_id"), col("__ts"), col("n_lines"),
+              col("pos").cast("int").as("pos"), col("col").as("line"),
+              unhex(md5(col("col").cast("binary"))).as("__dig"))
+      .dropDuplicatesWithinWatermark("__dig")
+      .select(col("doc_id"), col("__ts"), col("n_lines"), col("pos"),
+              col("line"))
+    val presence = base.select(col("doc_id"), col("__ts"), col("n_lines"),
+      lit(-1).cast("int").as("pos"), lit(null).cast("string").as("line"))
+    kept.unionByName(presence)
+      .groupBy(col("doc_id"),
+        org.apache.spark.sql.functions.window(col("__ts"), window))
+      .agg(max("n_lines").as("n_lines"),
+           sort_array(collect_list(when(col("pos") >= 0,
+             struct(col("pos"), col("line").as("l"))))).as("__kept"))
+      .select(col("doc_id"), col("n_lines"),
+              (col("n_lines") - size(col("__kept"))).cast("int")
+                .as("n_removed"),
+              array_join(transform(col("__kept"), s => s.getField("l")), "\n")
+                .as("content"))
+  }
+
+  /** Declared `q_line_dedup_stream`: the line-dedup stream drained to
+    * its end state over the planted multi-line corpus — watermark 0 s
+    * + 1 s per-doc windows, so every doc except max(doc_id) emits
+    * (the `spanDedupOverFile` scheme; the oracle excludes exactly
+    * that doc, whose lines still participate in keep decisions —
+    * safe, it arrives last and can only lose). */
+  def lineDedupOverFile(spark: org.apache.spark.sql.SparkSession,
+                        sfDir: String): DataFrame =
+    drainToTable(spark, "linestream",
+      lineDedupStream(
+        graft.operators.Lines.linesWrapped(orderedDocStream(spark, sfDir),
+          "doc_id", "text", "source", carry = Seq("ts")),
+        watermark = "0 seconds", window = "1 second"))
+
   /** Streaming exact repeated-substring removal — the streaming twin
     * of `Dedup.dedupExactSubstrings`, completing the dedup matrix
     * (exact, canonical, span, simhash, substring all stream; only

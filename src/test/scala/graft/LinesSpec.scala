@@ -59,6 +59,44 @@ class LinesSpec extends AnyFunSuite {
       .forall(_.getAs[Int]("n_removed") == 1))
   }
 
+  test("stream twin: first occurrence keeps, later copies drop — " +
+    "including within-doc repeats (the documented batch divergence)") {
+    import org.apache.spark.sql.functions.timestamp_micros
+    import org.apache.spark.sql.functions.{col, lit}
+    val docs = Seq(
+      (1L, "shared banner\nalpha body\necho\necho"),
+      (2L, "shared banner\nbeta body"),
+      (3L, "tail doc never emits"))
+      .toDF("doc_id", "content")
+      .withColumn("ts", timestamp_micros((lit(1704067200L) + col("doc_id")) * lit(1000000L)))
+    docs.repartition(1).write.mode("overwrite")
+      .parquet("/tmp/graft_linestream_fixture")
+    val stream = spark.readStream
+      .schema(docs.schema)
+      .parquet("/tmp/graft_linestream_fixture")
+    val name = "__graft_linespec"
+    val q = graft.streaming.CorpusStream.lineDedupStream(stream,
+        watermark = "0 seconds", window = "1 second")
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val r = spark.table(name).orderBy("doc_id").collect()
+    // doc 3 (max ts) never emits under the 0s-watermark scheme
+    assert(r.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L))
+    // doc 1 arrives first: keeps the banner, alpha, and ONE echo —
+    // the within-doc repeat drops (stream rule), unlike the batch
+    // operator which keeps both copies
+    assert(r(0).getAs[String]("content") == "shared banner\nalpha body\necho")
+    assert(r(0).getAs[Int]("n_removed") == 1)
+    // doc 2 loses the banner to doc 1's copy
+    assert(r(1).getAs[String]("content") == "beta body")
+    assert(r(1).getAs[Int]("n_removed") == 1)
+    val batch = Lines.lineDedup(docs.select("doc_id", "content"),
+      "doc_id", "content").orderBy("doc_id").collect()
+    // batch: retroactive removal — the banner vanishes from BOTH docs,
+    // but doc 1's within-doc echo pair survives
+    assert(batch(0).getAs[String]("content") == "alpha body\necho\necho")
+  }
+
   test("linesWrapped plant: source banner + tag shared, closing note unique, " +
     "id%9 doubles the closing line") {
     val docs = Seq(

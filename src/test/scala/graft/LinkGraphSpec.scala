@@ -135,6 +135,37 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(rows(1).getString(0) == "s1")
   }
 
+  // ---- HITS -------------------------------------------------------------
+
+  test("hitsHosts: hand-computed hub/authority split on a 2-hub-1-authority " +
+    "graph; fixed point reached") {
+    // a->c, b->c: c is the sole authority, a and b equal hubs
+    val e = Seq(("a", "c"), ("b", "c")).toDF("src_host", "dst_host")
+    val r = LinkGraph.hitsHosts(e, iters = 3)
+      .collect().map(x => x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap
+    // iter1: aRaw(c)=2e6 -> a(c)=1e6 (max-normalized), a(a)=a(b)=0;
+    //        hRaw(a)=hRaw(b)=a(c)=1e6 -> h=1e6 each, h(c)=0.
+    // iters 2,3 are the fixed point.
+    assert(r("c") == (1000000L, 0L))
+    assert(r("a") == (0L, 1000000L))
+    assert(r("b") == (0L, 1000000L))
+  }
+
+  test("hitsHosts: a hub pointing at BOTH authorities out-ranks a " +
+    "single-authority hub; the single-hub authority trails") {
+    // h2 -> {x, y}; h1 -> x — x has two hubs, y one; h2 spans both
+    val e = Seq(("h2", "x"), ("h2", "y"), ("h1", "x"))
+      .toDF("src_host", "dst_host")
+    val r = LinkGraph.hitsHosts(e)
+      .collect().map(x => x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r("h2")._2 == 1000000L) // the double hub is the max hub
+    assert(r("h1")._2 > 0 && r("h1")._2 < r("h2")._2)
+    assert(r("x")._1 == 1000000L) // two hubs -> x is the max authority
+    assert(r("y")._1 < r("x")._1 && r("y")._1 > 0)
+    // exact integer trace, iter3: y = (1e6 * 1e6) div 1625000
+    assert(r("y")._1 == 615384L)
+  }
+
   // ---- crawl frontier ---------------------------------------------------
 
   test("crawlFrontier: crawled URLs excluded, priority sums linking " +
