@@ -126,10 +126,18 @@ object Bench {
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json")
     val leaksJson = leaks.filter(_._2 > 0)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // Full JSON string escape: backslash, quote, and EVERY control
+    // char (an exception message can carry raw bytes from a parse
+    // failure — one stray control byte must not make the artifact
+    // unreadable in exactly the failure rounds it exists for).
+    def jq(s: String): String = s.flatMap {
+      case '\\' => "\\\\"
+      case '"'  => "\\\""
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     val errsJson = errors
-      .map { case (k, v) => "\"" + k + "\":\"" +
-        v.replace("\\", "\\\\").replace("\"", "\\\"")
-          .replaceAll("[\\r\\n\\t]", " ") + "\"" }
+      .map { case (k, v) => "\"" + k + "\":\"" + jq(v) + "\"" }
       .mkString("{", ",", "}")
     java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
       (s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,""" +
@@ -146,8 +154,15 @@ object Bench {
     // last JSON-looking line), both parse standalone; the full-precision
     // map stays in BENCH_FULL.json as before.
     val entries = results.sortBy(-_._2).map { case (k, v, _) => "\"" + k + "\":" + r3(v) }
+    // Errored queries are NAMED on the compact line (names only, not
+    // messages — bounded size): a time-to-failure in the top-8 map
+    // must be tellable from a slow query without opening
+    // BENCH_FULL.json.
+    val errNames = errors.keys.toSeq.sorted.take(8)
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
       s""""sf":"$sfDir","n_queries":${results.size},"n_errors":${errors.size},""" +
+      (if (errors.nonEmpty) s""""errored":$errNames,""" else "") +
       s""""queries_full":"$fullPath",""" +
       s""""queries":{${entries.take(8).mkString(",")}}}"""
     spark.stop()

@@ -4723,11 +4723,12 @@ object Queries {
     * as a recursive CTE — independent spellings, identical semantics,
     * value-for-value compare. Planted `request` records are framed
     * past but filtered out; planted corrupt records (non-numeric
-    * length id%23==11, over-stated length id%23==17) stop their file
-    * with n_bad=1, keeping earlier records — count-don't-crash. The
-    * parsed target URIs chain into the shared Url parse (domain) and
-    * the bodies into `extractHtml` (block stats), end to end under
-    * ONE oracle. */
+    * length id%23==11, over-stated length id%23==17) count in n_bad
+    * and the walk RESYNCS to the next record magic, so the healthy
+    * records behind a corrupt one still parse — count-don't-crash
+    * with warcio-style recovery. The parsed target URIs chain into
+    * the shared Url parse (domain) and the bodies into `extractHtml`
+    * (block stats), end to end under ONE oracle. */
   /** Shared oracle-SQL fragments for the WARC chain — `q_parse_warc`,
     * its stream twin and `q_crawl_pipeline` re-derive the SAME
     * generation + recursive parse, so the SQL lives once. Must open
@@ -4777,15 +4778,23 @@ object Queries {
          |  FROM files
          |  UNION ALL
          |  SELECT gid, wf,
-         |    CASE WHEN ok THEN pstart + clen + 4 ELSE off END,
-         |    CASE WHEN ok THEN 0 ELSE 1 END,
-         |    ridx + 1,
+         |    CASE WHEN ok THEN pstart + clen + 4
+         |         WHEN nmag > 0 THEN nmag
+         |         ELSE length(wf) + 1 END,
+         |    bad + CASE WHEN ok THEN 0 ELSE 1 END,
+         |    ridx + CASE WHEN ok THEN 1 ELSE 0 END,
          |    CASE WHEN ok THEN typ END,
          |    CASE WHEN ok THEN uri END,
          |    CASE WHEN ok THEN wdate END,
          |    CASE WHEN ok THEN clen END,
          |    CASE WHEN ok THEN substr(wf, pstart, clen) END
          |  FROM (
+         |    SELECT *,
+         |      CASE WHEN ok THEN 0
+         |           WHEN strpos(substr(wf, off + 1), 'WARC/1.0' || chr(13)||chr(10)) > 0
+         |           THEN off + strpos(substr(wf, off + 1), 'WARC/1.0' || chr(13)||chr(10))
+         |           ELSE 0 END AS nmag
+         |    FROM (
          |    SELECT *,
          |      (magicok AND hrel > 0 AND clenok AND pstart + clen + 3 <= length(wf)
          |       AND substr(wf, pstart + clen, 4) = chr(13)||chr(10)||chr(13)||chr(10)) AS ok
@@ -4805,12 +4814,12 @@ object Queries {
          |            FROM (
          |              SELECT *, CASE WHEN hrel > 0 THEN hrel + off - 1 ELSE off - 1 END AS hpos
          |              FROM (
-         |                SELECT gid, wf, off, ridx,
+         |                SELECT gid, wf, off, bad, ridx,
          |                  substr(wf, off, 10) = 'WARC/1.0' || chr(13)||chr(10) AS magicok,
          |                  strpos(substr(wf, off), chr(13)||chr(10)||chr(13)||chr(10)) AS hrel
          |                FROM parse
-         |                WHERE bad = 0 AND off <= length(wf)
-         |  )))))))
+         |                WHERE off <= length(wf)
+         |  ))))))))
          |)""".stripMargin
 
     /** Response records with the crawl-metadata chain (consumes
@@ -4823,7 +4832,7 @@ object Queries {
          |     ':[0-9]+$$', ''), '^www\\.', '') AS domain,
          |   wdate, clen,
          |   regexp_replace(payload, '(?s)^.*?\\r\\n\\r\\n', '') AS body
-         |  FROM parse WHERE ridx >= 1 AND bad = 0 AND typ = 'response')""".stripMargin
+         |  FROM parse WHERE ridx >= 1 AND typ = 'response')""".stripMargin
   }
 
   private val qParseWarc = {
@@ -4831,7 +4840,7 @@ object Queries {
       s"""WITH RECURSIVE
          |${WarcSql.genParse},
          |stats AS (SELECT gid,
-         |   CAST(count(*) FILTER (WHERE ridx >= 1 AND bad = 0) AS INT) AS n_recs,
+         |   CAST(count(*) FILTER (WHERE typ IS NOT NULL) AS INT) AS n_recs,
          |   CAST(max(bad) AS INT) AS n_bad
          |  FROM parse GROUP BY gid),
          |${WarcSql.respCte},

@@ -256,8 +256,13 @@ object LinkGraph {
     val edges = linkEdges(pages, idCol, urlCol, htmlCol)
     val pr = pageRankHosts(edges)
     val crawled = pages.select(col(urlCol).as("url")).distinct()
+    // cand feeds TWO branches (priority and n_refs): without the
+    // lineage cut each branch re-runs the corpus-wide anchor-regex
+    // extraction and the URL anti-join from scratch — the
+    // pageRankHosts edge-set discipline, applied to the candidate set.
     val cand = edges.select(col("url"), col("doc_id"), col("src_host"))
       .join(crawled, Seq("url"), "left_anti")
+      .localCheckpoint()
     val priority = cand.select("url", "src_host").distinct()
       .join(pr, col("src_host") === col("host"))
       .groupBy("url").agg(sum(col("pr")).cast("bigint").as("priority"))

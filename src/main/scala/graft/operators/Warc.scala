@@ -113,16 +113,20 @@ object Warc {
   // ---- the parser ---------------------------------------------------------
 
   /** Parse one WARC file per row into its records + file verdict:
-    * `recs` (all well-framed records up to the first violation, in
-    * order), `n_recs`, and `n_bad` (1 iff a framing violation stopped
-    * the file). One native offset-walking scan per file
-    * (`functions.WarcParse` — each byte touched once, inside the
-    * enclosing codegen span; the earlier `aggregate`-HOF fold re-ran
-    * O(file) interpreted substring work per step), materialized once
-    * behind a single-element explode so the three consumers read a
-    * bound attribute. `maxRecords` bounds the walk; size files so
-    * they stay under it (the declared chains derive the file count
-    * from the corpus size — ~32 records/file at every sf). */
+    * `recs` (every well-framed record, in order), `n_recs`, and
+    * `n_bad` — the COUNT of framing violations (0 = clean file). A
+    * violation no longer costs the rest of the file: the walk
+    * resyncs to the next `WARC/1.0\r\n` magic past the violation
+    * (the production warcio recovery rule — without it, one corrupt
+    * record per consecutive-id file truncated ~4/5 of the planted
+    * corpus out of the crawl chain). One native offset-walking scan
+    * per file (`functions.WarcParse` — each byte touched once,
+    * inside the enclosing codegen span; the earlier `aggregate`-HOF
+    * fold re-ran O(file) interpreted substring work per step),
+    * materialized once behind a single-element explode so the three
+    * consumers read a bound attribute. `maxRecords` bounds the walk;
+    * size files so they stay under it (the declared chains key files
+    * by `doc_id div 32`). */
   def parseWarc(files: DataFrame, warcCol: String = "wf",
                 maxRecords: Int = 64): DataFrame = {
     val others = files.columns.filterNot(_ == warcCol).toSeq

@@ -69,7 +69,10 @@ class LinesSpec extends AnyFunSuite {
       (3L, "tail doc never emits"))
       .toDF("doc_id", "content")
       .withColumn("ts", timestamp_micros((lit(1704067200L) + col("doc_id")) * lit(1000000L)))
-    docs.repartition(1).write.mode("overwrite")
+    // coalesce, not repartition: the first-occurrence assertions need
+    // the fixture written in row order (repartition's round-robin
+    // shuffle does not guarantee it)
+    docs.coalesce(1).write.mode("overwrite")
       .parquet("/tmp/graft_linestream_fixture")
     val stream = spark.readStream
       .schema(docs.schema)

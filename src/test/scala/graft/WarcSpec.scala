@@ -32,23 +32,30 @@ class WarcSpec extends AnyFunSuite {
     assert(recs.map(_.getAs[Int]("ridx")) == Seq(1, 2))
   }
 
-  test("non-numeric Content-Length stops the file, keeps earlier records") {
+  test("non-numeric Content-Length counts a violation and the walk " +
+       "RESYNCS — records behind the corrupt one still parse") {
     val good = rec("response", "https://a.org/crawl-1", "payload words here")
     val bad = rec("response", "https://a.org/crawl-2", "x", Some("XX"))
-    val after = rec("response", "https://a.org/crawl-3", "never reached")
+    val after = rec("response", "https://a.org/crawl-3", "reached via resync")
     val r = parse(good + bad + after)
-    assert(r.getAs[Int]("n_recs") == 1 && r.getAs[Int]("n_bad") == 1)
+    assert(r.getAs[Int]("n_recs") == 2 && r.getAs[Int]("n_bad") == 1)
+    val recs = r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("recs"))
+    assert(recs.map(_.getAs[String]("uri")) ==
+      Seq("https://a.org/crawl-1", "https://a.org/crawl-3"))
+    assert(recs.map(_.getAs[Int]("ridx")) == Seq(1, 2))
   }
 
   test("over-stated Content-Length is caught mid-file (trailer check) " +
        "and at EOF (fit check); truncated payload never throws") {
     val good = rec("response", "https://a.org/crawl-1", "first payload ok")
-    // mid-file: stated length swallows the next record's head
+    // mid-file: stated length swallows the next record's head — the
+    // violation counts and resync recovers the swallowed record
     val over = rec("response", "https://a.org/crawl-2", "abc", Some(40))
     val next = rec("response", "https://a.org/crawl-3", "tail record data")
     val mid = parse(good + over + next)
-    assert(mid.getAs[Int]("n_recs") == 1 && mid.getAs[Int]("n_bad") == 1)
-    // at EOF: payload extends past the end of the file
+    assert(mid.getAs[Int]("n_recs") == 2 && mid.getAs[Int]("n_bad") == 1)
+    // at EOF: payload extends past the end of the file; no magic left
+    // to resync to — earlier records kept
     val eof = parse(good + rec("response", "https://a.org/crawl-2",
       "short", Some(500)))
     assert(eof.getAs[Int]("n_recs") == 1 && eof.getAs[Int]("n_bad") == 1)
@@ -56,6 +63,20 @@ class WarcSpec extends AnyFunSuite {
     val full = good + rec("response", "https://a.org/crawl-2", "cut me off")
     val trunc = parse(full.dropRight(8))
     assert(trunc.getAs[Int]("n_recs") == 1 && trunc.getAs[Int]("n_bad") == 1)
+  }
+
+  test("two violations in one file: both count, both healthy neighbors " +
+       "parse (n_bad is a COUNT, not a flag)") {
+    val r = parse(
+      rec("response", "https://a.org/crawl-1", "alpha payload") +
+        rec("response", "https://a.org/crawl-2", "x", Some("XX")) +
+        rec("response", "https://a.org/crawl-3", "beta payload") +
+        rec("response", "https://a.org/crawl-4", "y", Some("ZZ")) +
+        rec("response", "https://a.org/crawl-5", "gamma payload"))
+    assert(r.getAs[Int]("n_recs") == 3 && r.getAs[Int]("n_bad") == 2)
+    val recs = r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("recs"))
+    assert(recs.map(_.getAs[String]("payload")) ==
+      Seq("alpha payload", "beta payload", "gamma payload"))
   }
 
   test("hitting the record bound with bytes unread flags the file " +
@@ -112,17 +133,21 @@ class WarcSpec extends AnyFunSuite {
     // at every sf with no corpus-count join)
     val out = operators.Warc.parseWarcChain(docs, nFiles = Some(4096))
       .orderBy("doc_id").collect()
+    // (single-record files: each corrupt record is alone, nothing to
+    // resync to — isolation semantics unchanged)
     // 11 and 17 poison their (single-record) files; 7 is filtered as a
     // request; only 5 survives as a parsed response
     assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(5L))
     assert(out(0).getAs[Int]("n_bad") == 0)
-    // derived file count: 4 records fold into ONE file, records parse
-    // in doc_id order until the first corrupt record (11) stops the
-    // file — 5 and the request 7 are kept, the tail is dropped, loudly
+    // derived keying: 4 records fold into ONE file (ids all < 32),
+    // records parse in doc_id order; the corrupt 11 counts a
+    // violation and resync recovers 17 — whose over-stated length is
+    // the SECOND violation (it is last, nothing to resync to). The
+    // healthy 5 and the request 7 parse; n_bad counts both.
     val derived = operators.Warc.parseWarcChain(docs)
       .orderBy("doc_id").collect()
     assert(derived.map(_.getAs[Long]("doc_id")).toSeq == Seq(5L))
-    assert(derived(0).getAs[Int]("n_bad") == 1)
+    assert(derived(0).getAs[Int]("n_bad") == 2)
     assert(derived(0).getAs[Int]("n_recs") == 2)
     assert(out(0).getAs[String]("domain") == "src3.example.com")
     // extraction stats equal the markup operator run directly on the
