@@ -5755,6 +5755,20 @@ object Queries {
          |$steps""".stripMargin
     }
 
+    /** CTE chain from `ln` + `p5` (pagerank) to the UNRANKED frontier
+      * `fr(url, n_refs, priority)` — shared by `q_crawl_frontier`
+      * and `q_fetch_schedule`. */
+    val frontier: String =
+      s"""cr AS (SELECT DISTINCT url FROM pg),
+         |cand AS (SELECT l.url, l.doc_id, l.src_host FROM ln l
+         |  LEFT JOIN cr c ON l.url = c.url WHERE c.url IS NULL),
+         |ph AS (SELECT DISTINCT url, src_host FROM cand),
+         |pri AS (SELECT ph.url, CAST(sum(p.pr) AS BIGINT) AS priority
+         |  FROM ph JOIN p5 p ON p.host = ph.src_host GROUP BY ph.url),
+         |fr AS (SELECT pri.url, nr.n_refs, priority FROM pri JOIN
+         |  (SELECT url, count(DISTINCT doc_id) AS n_refs FROM cand
+         |   GROUP BY url) nr ON pri.url = nr.url)""".stripMargin
+
     /** The integer-HITS recurrence unrolled to `iters` steps — the
       * DuckDB spelling of `LinkGraph.hitsHosts` (SCALE = 10^6,
       * exact BIGINT sums, `(raw * SCALE) // max(raw)`
@@ -5874,16 +5888,33 @@ object Queries {
     Some(s"""WITH ${LinkSql.gen},
             |${LinkSql.pgToLn},
             |${LinkSql.pagerank(5)},
-            |cr AS (SELECT DISTINCT url FROM pg),
-            |cand AS (SELECT l.url, l.doc_id, l.src_host FROM ln l
-            |  LEFT JOIN cr c ON l.url = c.url WHERE c.url IS NULL),
-            |ph AS (SELECT DISTINCT url, src_host FROM cand),
-            |pri AS (SELECT ph.url, CAST(sum(p.pr) AS BIGINT) AS priority
-            |  FROM ph JOIN p5 p ON p.host = ph.src_host GROUP BY ph.url),
-            |nr AS (SELECT url, count(DISTINCT doc_id) AS n_refs
-            |  FROM cand GROUP BY url)
-            |SELECT pri.url, n_refs, priority FROM pri JOIN nr ON pri.url = nr.url
-            |ORDER BY priority DESC, pri.url LIMIT 100""".stripMargin))
+            |${LinkSql.frontier}
+            |SELECT url, n_refs, priority FROM fr
+            |ORDER BY priority DESC, url LIMIT 100""".stripMargin))
+
+  /** Per-host politeness schedule over the ranked frontier
+    * (`LinkGraph.fetchSchedule`): wave w holds at most one fetch per
+    * host, assigned in priority order — one host-keyed window,
+    * row-local at any frontier size. */
+  private val qFetchSchedule = Q(
+    "q_fetch_schedule",
+    (s, d) => operators.LinkGraph.fetchSchedule(
+      operators.LinkGraph.crawlFrontier(linkPages(s, d),
+        "doc_id", "url", "html"))
+      .orderBy("wave", "host", "url"),
+    Some(s"""WITH ${LinkSql.gen},
+            |${LinkSql.pgToLn},
+            |${LinkSql.pagerank(5)},
+            |${LinkSql.frontier},
+            |top AS (SELECT url, priority FROM fr
+            |  ORDER BY priority DESC, url LIMIT 100),
+            |t2 AS (SELECT url, regexp_replace(regexp_extract(url,
+            |  '${operators.Extract.Url.Auth}', 1), ':[0-9]+$$', '') AS host,
+            |  priority FROM top)
+            |SELECT url, host, CAST(row_number() OVER (
+            |  PARTITION BY host ORDER BY priority DESC, url) AS INT) AS wave,
+            |  priority
+            |FROM t2 ORDER BY wave, host, url""".stripMargin))
 
   /** BM25 top-10 per planted query workload (`Retrieval.bm25TopK`):
     * the sparse-lexical first-stage ranker; ranking is by ROUNDED
@@ -5915,6 +5946,23 @@ object Queries {
            |   PARTITION BY query_id ORDER BY score DESC, doc_id) AS INT) AS rank FROM ag)
            |SELECT query_id, rank, doc_id, score FROM rk WHERE rank <= 10
            |ORDER BY query_id, rank""".stripMargin))
+
+  /** Capped inverted-index postings (`Retrieval.postings`): per term,
+    * df, total occurrences, and the top-8 posting doc_ids by
+    * (tf desc, doc_id) — the materialized index BM25's statistics
+    * come from, output bounded per term by the cap. */
+  private val qPostings = Q(
+    "q_postings",
+    (s, d) => operators.Retrieval.postings(Tables.documents(s, d),
+      "doc_id", "text").orderBy("term"),
+    Some("""WITH tk AS (SELECT doc_id,
+           |  list_filter(string_split(text, ' '), t -> t <> '') AS t FROM documents),
+           |tf0 AS (SELECT doc_id, unnest(t) AS term FROM tk),
+           |tf AS (SELECT doc_id, term, CAST(count(*) AS INT) AS tf
+           | FROM tf0 GROUP BY 1, 2)
+           |SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS n_total,
+           | list_slice(list(doc_id ORDER BY tf DESC, doc_id), 1, 8) AS postings
+           |FROM tf GROUP BY term ORDER BY term""".stripMargin))
 
   /** CCNet-style cross-document line dedup (`Lines.lineDedup`) over a
     * planted multi-line corpus: boilerplate lines (≥2 distinct docs)
@@ -6032,7 +6080,8 @@ object Queries {
     qDecontaminateFuzzy,
     qDecontaminateFuzzyStream, qDecontaminateStream,
     qLinkGraph, qLinkGraphStream, qAnchorStats, qPagerank, qHits,
-    qCrawlFrontier, qBm25Topk, qLineDedup, qLineDedupStream,
+    qCrawlFrontier, qFetchSchedule, qBm25Topk, qPostings,
+    qLineDedup, qLineDedupStream,
     qPiiRedact, qExtractHtml, qExtractHtmlStream, qParseJsonl,
     qParseJsonlStream, qParseWarc, qParseWarcStream, qParseSitemap,
     qUrlParse, qUrlDedup, qRobotsGate, qRepetitionFilter, qBpePairs,

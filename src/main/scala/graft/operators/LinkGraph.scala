@@ -273,6 +273,23 @@ object LinkGraph {
       .orderBy(col("priority").desc, col("url")).limit(k)
   }
 
+  /** Politeness scheduling over a ranked frontier: wave w contains at
+    * most ONE fetch per host (crawlers rate-limit per host, not
+    * globally), assigned in priority order — `wave = row_number`
+    * within each host by (priority desc, url). The frontier's global
+    * ranking decides who goes first WITHIN a host; across hosts every
+    * wave fetches in parallel. Row-local after one host-keyed window —
+    * scales to any frontier size. */
+  def fetchSchedule(frontier: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val host = regexp_replace(
+      regexp_extract(col("url"), Extract.Url.Auth, 1), ":[0-9]+$", "")
+    frontier.withColumn("host", host)
+      .withColumn("wave", row_number().over(Window.partitionBy("host")
+        .orderBy(col("priority").desc, col("url"))).cast("int"))
+      .select("url", "host", "wave", "priority")
+  }
+
   /** Deterministic page generator for the declared queries (the
     * `Extract.htmlWrapped` plant pattern): every resolution rule of
     * `linkEdges` is exercised BOTH ways from the synthetic documents

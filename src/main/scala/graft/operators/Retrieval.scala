@@ -71,6 +71,29 @@ object Retrieval {
       .select("query_id", "rank", "doc_id", "score")
   }
 
+  /** Capped inverted-index postings — the materialized form of the
+    * tf/df statistics BM25 consumes: per term, its document
+    * frequency, total occurrence count, and the TOP-`cap` posting
+    * doc_ids ranked by (tf desc, doc_id asc). The cap bounds output
+    * per term (an uncapped hot-term postings list is corpus-sized);
+    * rank order is pinned by `sort_array` over (-tf, doc_id) structs,
+    * never by collect order. Shuffles: the (doc, term) tf agg and the
+    * term rollup — the index-build cost itself, map-side combined. */
+  def postings(docs: DataFrame, idCol: String, textCol: String,
+               cap: Int = 8): DataFrame = {
+    val tf = docs.select(col(idCol).as("doc_id"),
+        explode(toks(col(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).cast("int").as("tf"))
+    tf.groupBy("term")
+      .agg(count(lit(1)).as("df"),
+        sum(col("tf")).cast("bigint").as("n_total"),
+        transform(
+          slice(sort_array(collect_list(struct((-col("tf")).as("ntf"),
+            col("doc_id")))), 1, cap),
+          s => s.getField("doc_id")).as("postings"))
+      .select("term", "df", "n_total", "postings")
+  }
+
   /** Deterministic query workload for the declared query: every doc
     * with `doc_id % 97 == 0` is a query, its terms the DISTINCT
     * first `nTerms` tokens — self-retrieval plus topical neighbors,

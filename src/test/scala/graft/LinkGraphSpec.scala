@@ -203,6 +203,29 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(t2.getAs[Long]("priority") == pr("a.example.com"))
   }
 
+  test("fetchSchedule: one fetch per host per wave; priority decides " +
+    "within-host order") {
+    val frontier = Seq(
+      ("https://a.example.com/1", 1L, 900L),
+      ("https://a.example.com/2", 1L, 500L),
+      ("https://b.example.com/1", 1L, 700L))
+      .toDF("url", "n_refs", "priority")
+    val s = LinkGraph.fetchSchedule(frontier)
+      .orderBy("wave", "host").collect()
+    // wave 1: one URL per host; a's higher-priority page goes first
+    val w1 = s.filter(_.getAs[Int]("wave") == 1)
+    assert(w1.map(_.getAs[String]("host")).toSeq.sorted ==
+      Seq("a.example.com", "b.example.com"))
+    assert(w1.find(_.getAs[String]("host") == "a.example.com").get
+      .getAs[String]("url") == "https://a.example.com/1")
+    val w2 = s.filter(_.getAs[Int]("wave") == 2)
+    assert(w2.map(_.getAs[String]("url")).toSeq ==
+      Seq("https://a.example.com/2"))
+    // politeness invariant: no wave repeats a host
+    assert(s.groupBy(r => (r.getAs[Int]("wave"), r.getAs[String]("host")))
+      .forall(_._2.length == 1))
+  }
+
   // ---- planted generator ------------------------------------------------
 
   test("linkPageWrapped plant: expected link classes per doc, both schemes") {

@@ -57,6 +57,21 @@ class RetrievalSpec extends AnyFunSuite {
     assert(r.map(_.getAs[Double]("score")).distinct.length == 1)
   }
 
+  test("postings: df/total exact, list ranked by tf desc then doc_id, " +
+    "cap bounds the hot term") {
+    val docs = Seq(
+      (1L, "hot hot hot rare"),
+      (2L, "hot cold"),
+      (3L, "hot hot cold")).toDF("doc_id", "text")
+    val p = Retrieval.postings(docs, "doc_id", "text", cap = 2)
+      .collect().map(r => r.getAs[String]("term") ->
+        ((r.getAs[Long]("df"), r.getAs[Long]("n_total"),
+          r.getSeq[Long](r.fieldIndex("postings"))))).toMap
+    assert(p("hot") == ((3L, 6L, Seq(1L, 3L)))) // tf 3,2 beat tf 1; cap=2
+    assert(p("cold") == ((2L, 2L, Seq(2L, 3L)))) // tf tie -> doc_id order
+    assert(p("rare") == ((1L, 1L, Seq(1L))))
+  }
+
   test("queryTerms: distinct first-4-token workload on the modulus") {
     val docs = Seq(
       (0L, "a b a c d e"), (1L, "x y z"), (97L, "k k k k j"))
