@@ -5861,6 +5861,18 @@ object Queries {
             |SELECT host, CAST(pr AS BIGINT) AS pr FROM p5
             |ORDER BY pr DESC, host""".stripMargin))
 
+  /** The PageRank STREAMING twin: the distinct host-pair edge set
+    * maintained as streaming state over the arriving crawl
+    * (host-graph sized, never corpus sized), the integer iteration
+    * run over the drained standing graph — a full drain reproduces
+    * the batch edge set exactly, so the batch oracle applies
+    * verbatim. */
+  private val qPagerankStream = Q(
+    "q_pagerank_stream",
+    (s, d) => streaming.CorpusStream.pageRankOverFile(s, d)
+      .orderBy(col("pr").desc, col("host")),
+    qPagerank.oracle)
+
   /** HITS hubs & authorities (3 iterations) over the host graph
     * (`LinkGraph.hitsHosts`): the mutual-reinforcement companion to
     * PageRank, all-integer (SCALE 10^6, max-normalized) so both
@@ -6079,7 +6091,8 @@ object Queries {
     qDecontaminateBloom, qDecontaminateBloomMd5, qDecontaminateContainment,
     qDecontaminateFuzzy,
     qDecontaminateFuzzyStream, qDecontaminateStream,
-    qLinkGraph, qLinkGraphStream, qAnchorStats, qPagerank, qHits,
+    qLinkGraph, qLinkGraphStream, qAnchorStats, qPagerank,
+    qPagerankStream, qHits,
     qCrawlFrontier, qFetchSchedule, qBm25Topk, qPostings,
     qLineDedup, qLineDedupStream,
     qPiiRedact, qExtractHtml, qExtractHtmlStream, qParseJsonl,

@@ -461,6 +461,34 @@ object CorpusStream {
     spark.table(name)
   }
 
+  /** The declared `q_pagerank_stream` runner — streaming link-graph
+    * MAINTENANCE: the distinct inter-host edge set accumulates over
+    * the arriving crawl via a streaming `dropDuplicates` keyed on the
+    * (src, dst) pair (state is one row per DISTINCT pair — host-graph
+    * sized, never corpus sized; watermarkless by design, the graph IS
+    * the standing state), and the integer PageRank then runs over the
+    * drained edge set as a batch job — the serve-refresh pattern: the
+    * stream maintains the aggregate, the iteration is a per-refresh
+    * computation over it, never a per-batch recompute of the corpus.
+    * A full drain yields exactly the batch edge set, so `q_pagerank`'s
+    * oracle applies verbatim. */
+  def pageRankOverFile(spark: org.apache.spark.sql.SparkSession,
+                       sfDir: String): DataFrame = {
+    val name = s"__graft_prstream_${runSeq.incrementAndGet()}"
+    val edges = graft.operators.LinkGraph.linkEdges(
+        graft.operators.LinkGraph.linkPageWrapped(
+          graft.Tables.documentsStream(spark, sfDir),
+          "doc_id", "source", "lang"),
+        "doc_id", "url", "html")
+      .filter(col("src_host") =!= col("dst_host"))
+      .select("src_host", "dst_host")
+      .dropDuplicates("src_host", "dst_host")
+    val q = edges.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    graft.operators.LinkGraph.pageRankHosts(spark.table(name))
+  }
+
   /** The declared `q_parse_jsonl_stream` runner: the documents stream
     * serialized through the engine's JSON codec (with the planted
     * corrupt-line class) and parsed back — wrap + parse are stateless
