@@ -5888,6 +5888,28 @@ object Queries {
             |SELECT a3.host, a3.a AS authority, h3.h AS hub
             |FROM a3 JOIN h3 ON a3.host = h3.host ORDER BY a3.host""".stripMargin))
 
+  /** Per-host triangle counts over the undirected host graph
+    * (`LinkGraph.triangleCounts`): exact integer motif counting via
+    * the lexicographically-oriented edge-iterator join — each
+    * triangle enumerated once, all three corners credited. */
+  private val qTriangles = Q(
+    "q_triangles",
+    (s, d) => operators.LinkGraph.triangleCounts(
+      operators.LinkGraph.linkEdges(linkPages(s, d), "doc_id", "url", "html"))
+      .orderBy("host"),
+    Some(s"""WITH ${LinkSql.gen},
+            |${LinkSql.pgToLn},
+            |und AS (SELECT DISTINCT least(src_host, dst_host) AS a,
+            |    greatest(src_host, dst_host) AS b
+            |  FROM ln WHERE src_host <> dst_host),
+            |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            |  FROM und e1 JOIN und e2 ON e2.a = e1.b
+            |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+            |corners AS (SELECT x AS host FROM tri
+            |  UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+            |SELECT host, count(*) AS n_tri FROM corners
+            |GROUP BY host ORDER BY host""".stripMargin))
+
   /** Crawl-frontier selection (`LinkGraph.crawlFrontier`): uncrawled
     * URLs ranked by the INTEGER PageRank mass of their distinct
     * linking hosts — link extraction, membership anti-join and the
@@ -6092,7 +6114,7 @@ object Queries {
     qDecontaminateFuzzy,
     qDecontaminateFuzzyStream, qDecontaminateStream,
     qLinkGraph, qLinkGraphStream, qAnchorStats, qPagerank,
-    qPagerankStream, qHits,
+    qPagerankStream, qHits, qTriangles,
     qCrawlFrontier, qFetchSchedule, qBm25Topk, qPostings,
     qLineDedup, qLineDedupStream,
     qPiiRedact, qExtractHtml, qExtractHtmlStream, qParseJsonl,

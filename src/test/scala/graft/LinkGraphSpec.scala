@@ -203,6 +203,21 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(t2.getAs[Long]("priority") == pr("a.example.com"))
   }
 
+  test("triangleCounts: K4 has 4 triangles with every host in 3; " +
+    "direction and duplicate links do not double-count") {
+    // complete graph on {a,b,c,d} with mixed directions + a repeated
+    // edge + a pendant edge (e touches no triangle)
+    val e = Seq(("a", "b"), ("b", "a"), ("a", "c"), ("a", "d"),
+      ("c", "b"), ("b", "d"), ("d", "c"), ("d", "e"))
+      .toDF("src_host", "dst_host")
+    val t = LinkGraph.triangleCounts(e)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // K4: C(4,3) = 4 triangles; each vertex sits in C(3,2) = 3
+    assert(t == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
+    // e participates in none -> absent from the output entirely
+    assert(!t.contains("e"))
+  }
+
   test("fetchSchedule: one fetch per host per wave; priority decides " +
     "within-host order") {
     val frontier = Seq(
