@@ -453,6 +453,22 @@ class PlanShapeSpec extends AnyFunSuite {
       s"unexpected exchange keys: ${keys.filterNot(allowed.contains)}")
   }
 
+  test("HITS and triangle counting never plan a cartesian; triangle " +
+       "joins key on the oriented edge columns") {
+    // (HITS's normalize steps use the house 1-row crossJoin(broadcast)
+    // max attach — constant-cost BNLJ, allowed like withNow)
+    val hits = planOf("q_hits")
+    assert(!hits.contains("CartesianProduct"), hits.take(800))
+    val tri = planOf("q_triangles")
+    assert(!tri.contains("CartesianProduct") &&
+           !tri.contains("BroadcastNestedLoopJoin"), tri.take(800))
+    val keys = "Exchange hashpartitioning\\(([A-Za-z_]+)".r
+      .findAllMatchIn(tri).map(_.group(1)).toSeq
+    val allowed = Set("a", "b", "host")
+    assert(keys.forall(allowed.contains),
+      s"unexpected exchange keys: ${keys.filterNot(allowed.contains)}")
+  }
+
   test("BM25: the query workload joins broadcast onto the posting " +
        "lists — the corpus never reshuffles on the workload") {
     val plan = planOf("q_bm25_topk")
