@@ -192,6 +192,14 @@ object Extract {
     regexp_replace(regexp_replace(regexp_extract(u, Url.Auth, 1),
       ":[0-9]+$", ""), "^www\\.", "")
 
+  /** Host of a URL/URI column (authority minus explicit port, `www.`
+    * KEPT — hosts are graph nodes; `domainOf` is the quota/rollup
+    * key). ONE spelling shared by the link-graph extractor (src and
+    * dst sides) and the fetch scheduler, mirrored verbatim by their
+    * oracle fragments. */
+  def hostOf(u: Column): Column =
+    regexp_replace(regexp_extract(u, Url.Auth, 1), ":[0-9]+$", "")
+
   /** RFC 3986 §6.2.2 percent normalization: decode `%XX` when the
     * octet is UNRESERVED (ALPHA / DIGIT / `-` `.` `_` `~` — decoding
     * anything else, e.g. `%2F`, would change path semantics), and

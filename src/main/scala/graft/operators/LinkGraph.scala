@@ -64,7 +64,7 @@ object LinkGraph {
     val u = col(urlCol)
     val scheme = regexp_extract(u, Extract.Url.Scheme, 1)
     val auth = regexp_extract(u, Extract.Url.Auth, 1)
-    val srcHost = regexp_replace(auth, ":[0-9]+$", "")
+    val srcHost = Extract.hostOf(u)
     // Directory of the page path: everything up to the last '/', or
     // '/' when the path is empty ("https://h" → base dir "/").
     val dir0 = regexp_replace(regexp_extract(u, Extract.Url.Path, 1),
@@ -87,8 +87,7 @@ object LinkGraph {
         .otherwise(concat(col("__sch"), lit("://"), col("__auth"),
           col("__dir"), href))
     val url = regexp_replace(resolved, "#.*$", "")
-    val dstHost = regexp_replace(
-      regexp_extract(url, Extract.Url.Auth, 1), ":[0-9]+$", "")
+    val dstHost = Extract.hostOf(url)
     exploded
       .select(col("doc_id"), (col("__p") + 1).cast("int").as("pos"),
         href.as("href"), url.as("url"), col("src_host"),
@@ -199,14 +198,21 @@ object LinkGraph {
     * join/agg pair as PageRank, co-partitioned by host across
     * iterations. */
   def hitsHosts(edges: DataFrame, iters: Int = 3,
-                scale: Long = 1000000L): DataFrame = {
+                scale: Long = 1000000L,
+                checkpoint: Boolean = true): DataFrame = {
     // Edge set materialized once (the pageRankHosts rationale), and
     // each half-step's host-level scores lineage-cut too: HITS's
     // auth references hub AND vice versa, so without the cut the plan
     // tree DOUBLES per iteration — with it, every iteration is one
     // small join/agg pair over materialized host rows.
-    val e = edges.select(col("src_host").as("src"), col("dst_host").as("dst"))
-      .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
+    // `checkpoint = false` exists for the plan-shape gate ONLY: the
+    // cuts hide the iteration joins behind LogicalRDD scans, so the
+    // gate must inspect the uncut plan to police anything.
+    def cut(df: DataFrame): DataFrame =
+      if (checkpoint) df.localCheckpoint() else df
+    val e = cut(edges.select(col("src_host").as("src"),
+        col("dst_host").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct())
     val nodes = e.select(col("src").as("host"))
       .union(e.select(col("dst").as("host"))).distinct()
     def normalized(raw: DataFrame, scoreCol: String): DataFrame = {
@@ -223,13 +229,13 @@ object LinkGraph {
             .groupBy(col("dst").as("host")).agg(sum(col("h")).as("a")),
           Seq("host"), "left")
         .select(col("host"), coalesce(col("a"), lit(0L)).as("a"))
-      auth = normalized(aRaw, "a").localCheckpoint()
+      auth = cut(normalized(aRaw, "a"))
       val hRaw = nodes.join(
           e.join(auth.withColumnRenamed("host", "dst"), Seq("dst"))
             .groupBy(col("src").as("host")).agg(sum(col("a")).as("h")),
           Seq("host"), "left")
         .select(col("host"), coalesce(col("h"), lit(0L)).as("h"))
-      hub = normalized(hRaw, "h").localCheckpoint()
+      hub = cut(normalized(hRaw, "h"))
     }
     auth.join(hub, Seq("host"))
       .select(col("host"), col("a").cast("bigint").as("authority"),
@@ -297,9 +303,11 @@ object LinkGraph {
       .join(und.as("e3"),
         col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
       .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
-    tri.select(col("x").as("host"))
-      .union(tri.select(col("y").as("host")))
-      .union(tri.select(col("z").as("host")))
+    // ONE pass over the enumeration: a 3-way union of projections
+    // would re-run the two-join subtree per branch (Spark has no
+    // common-subplan elimination) — explode credits all three
+    // corners from a single execution.
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("host"))
       .groupBy("host").agg(count(lit(1)).as("n_tri"))
   }
 
@@ -312,9 +320,7 @@ object LinkGraph {
     * scales to any frontier size. */
   def fetchSchedule(frontier: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val host = regexp_replace(
-      regexp_extract(col("url"), Extract.Url.Auth, 1), ":[0-9]+$", "")
-    frontier.withColumn("host", host)
+    frontier.withColumn("host", Extract.hostOf(col("url")))
       .withColumn("wave", row_number().over(Window.partitionBy("host")
         .orderBy(col("priority").desc, col("url"))).cast("int"))
       .select("url", "host", "wave", "priority")

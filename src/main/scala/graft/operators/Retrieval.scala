@@ -84,12 +84,22 @@ object Retrieval {
     val tf = docs.select(col(idCol).as("doc_id"),
         explode(toks(col(textCol))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).cast("int").as("tf"))
-    tf.groupBy("term")
+    // Rank per term BEFORE collecting: a hot term (stopword) has
+    // corpus-sized postings, and collecting them all into one
+    // aggregation buffer just to slice afterwards would put exactly
+    // that corpus-sized state on one task. The conditional collect
+    // keeps the buffer ≤ cap structs per term; df/n_total still
+    // aggregate over ALL postings. The window and the agg share the
+    // term key, so the rank costs no extra exchange.
+    val ranked = tf.withColumn("__rn",
+      row_number().over(Window.partitionBy("term")
+        .orderBy(col("tf").desc, col("doc_id"))))
+    ranked.groupBy("term")
       .agg(count(lit(1)).as("df"),
         sum(col("tf")).cast("bigint").as("n_total"),
         transform(
-          slice(sort_array(collect_list(struct((-col("tf")).as("ntf"),
-            col("doc_id")))), 1, cap),
+          sort_array(collect_list(when(col("__rn") <= cap,
+            struct((-col("tf")).as("ntf"), col("doc_id"))))),
           s => s.getField("doc_id")).as("postings"))
       .select("term", "df", "n_total", "postings")
   }

@@ -455,10 +455,23 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("HITS and triangle counting never plan a cartesian; triangle " +
        "joins key on the oriented edge columns") {
-    // (HITS's normalize steps use the house 1-row crossJoin(broadcast)
-    // max attach — constant-cost BNLJ, allowed like withNow)
-    val hits = planOf("q_hits")
-    assert(!hits.contains("CartesianProduct"), hits.take(800))
+    // HITS must be inspected UNCUT (checkpoint = false): the declared
+    // query's localCheckpoints hide every iteration join behind
+    // LogicalRDD scans, so planOf("q_hits") would police nothing.
+    // (The normalize steps' 1-row crossJoin(broadcast) max attach is
+    // a constant-cost BNLJ, allowed like withNow.)
+    val hits = operators.LinkGraph.hitsHosts(
+        operators.LinkGraph.linkEdges(
+          operators.LinkGraph.linkPageWrapped(
+            Tables.documents(spark, sf), "doc_id", "source", "lang"),
+          "doc_id", "url", "html"),
+        iters = 2, checkpoint = false)
+      .queryExecution.executedPlan.toString
+    assert(!hits.contains("CartesianProduct"), hits.take(1200))
+    val hitsKeys = "Exchange hashpartitioning\\(([A-Za-z_]+)".r
+      .findAllMatchIn(hits).map(_.group(1)).toSet
+    assert(hitsKeys.subsetOf(Set("src", "dst", "host", "a", "h")),
+      s"unexpected HITS exchange keys: ${hitsKeys -- Set("src", "dst", "host", "a", "h")}")
     val tri = planOf("q_triangles")
     assert(!tri.contains("CartesianProduct") &&
            !tri.contains("BroadcastNestedLoopJoin"), tri.take(800))
