@@ -5981,6 +5981,62 @@ object Queries {
            |SELECT query_id, rank, doc_id, score FROM rk WHERE rank <= 10
            |ORDER BY query_id, rank""".stripMargin))
 
+  /** Hybrid retrieval via reciprocal-rank fusion
+    * (`Retrieval.hybridTopK`): BM25 and dense-cosine top-10s fused by
+    * all-integer `10^6 div (60 + rank)` — the RAG first-stage recipe;
+    * the chained oracle re-derives both rankers AND the fusion. */
+  private val qHybridTopk = {
+    def cosSql(q: String, e: String): String = {
+      def n2(v: String) =
+        s"sqrt(list_sum(list_transform(list_zip($v, $v), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))))"
+      def dp =
+        s"list_sum(list_transform(list_zip($q, $e), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+      s"round(CASE WHEN ${n2(q)} * ${n2(e)} > 0 THEN $dp / (${n2(q)} * ${n2(e)}) ELSE 0.0 END, 6)"
+    }
+    Q(
+      "q_hybrid_topk",
+      (s, d) => operators.Retrieval.hybridTopK(Tables.documents(s, d),
+        Tables.embeddings(s, d)).orderBy("query_id", "rank"),
+      Some(s"""WITH u AS (SELECT d.doc_id, d.text, e.embedding
+              |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+              |tk AS (SELECT doc_id,
+              |  list_filter(string_split(text, ' '), t -> t <> '') AS t FROM u),
+              |ln_ AS (SELECT doc_id, CAST(len(t) AS INT) AS dl FROM tk),
+              |st AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM ln_),
+              |tf0 AS (SELECT doc_id, unnest(t) AS term FROM tk),
+              |tf AS (SELECT doc_id, term, CAST(count(*) AS INT) AS tf FROM tf0 GROUP BY 1, 2),
+              |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+              |qt AS (SELECT doc_id AS query_id, unnest(list_distinct(t[1:4])) AS term
+              | FROM tk WHERE doc_id % 97 = 0),
+              |sc AS (SELECT q.query_id, f.doc_id,
+              |  ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * (f.tf * 2.2)
+              |   / (f.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl)) AS s
+              | FROM tf f JOIN qt q USING (term) JOIN dfq d USING (term)
+              |   JOIN ln_ l ON l.doc_id = f.doc_id, st s),
+              |ag AS (SELECT query_id, doc_id, round(sum(s), 6) AS score FROM sc GROUP BY 1, 2),
+              |bm AS (SELECT query_id, doc_id, rank FROM (
+              |  SELECT query_id, doc_id, CAST(row_number() OVER (
+              |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS INT) AS rank FROM ag)
+              |  WHERE rank <= 10),
+              |qv AS (SELECT doc_id AS query_id, embedding AS qvec FROM u WHERE doc_id % 97 = 0),
+              |dc AS (SELECT q.query_id, u.doc_id, ${cosSql("q.qvec", "u.embedding")} AS cos
+              | FROM u, qv q),
+              |dn AS (SELECT query_id, doc_id, rank FROM (
+              |  SELECT query_id, doc_id, CAST(row_number() OVER (
+              |    PARTITION BY query_id ORDER BY cos DESC, doc_id) AS INT) AS rank FROM dc)
+              |  WHERE rank <= 10),
+              |fu AS (SELECT coalesce(b.query_id, d.query_id) AS query_id,
+              |  coalesce(b.doc_id, d.doc_id) AS doc_id,
+              |  CAST(coalesce(1000000 // (60 + b.rank), 0)
+              |     + coalesce(1000000 // (60 + d.rank), 0) AS BIGINT) AS rrf
+              | FROM bm b FULL OUTER JOIN dn d
+              |   ON b.query_id = d.query_id AND b.doc_id = d.doc_id)
+              |SELECT query_id, rank, doc_id, rrf FROM (
+              | SELECT query_id, doc_id, rrf, CAST(row_number() OVER (
+              |   PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS INT) AS rank FROM fu)
+              |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin))
+  }
+
   /** Capped inverted-index postings (`Retrieval.postings`): per term,
     * df, total occurrences, and the top-8 posting doc_ids by
     * (tf desc, doc_id) — the materialized index BM25's statistics
@@ -6115,7 +6171,7 @@ object Queries {
     qDecontaminateFuzzyStream, qDecontaminateStream,
     qLinkGraph, qLinkGraphStream, qAnchorStats, qPagerank,
     qPagerankStream, qHits, qTriangles,
-    qCrawlFrontier, qFetchSchedule, qBm25Topk, qPostings,
+    qCrawlFrontier, qFetchSchedule, qBm25Topk, qHybridTopk, qPostings,
     qLineDedup, qLineDedupStream,
     qPiiRedact, qExtractHtml, qExtractHtmlStream, qParseJsonl,
     qParseJsonlStream, qParseWarc, qParseWarcStream, qParseSitemap,

@@ -104,6 +104,52 @@ object Retrieval {
       .select("term", "df", "n_total", "postings")
   }
 
+  /** Hybrid retrieval — reciprocal-rank fusion of the sparse (BM25)
+    * and dense (cosine) rankers, the standard first-stage recipe for
+    * RAG pipelines: each ranker contributes `SCALE div (K + rank)`
+    * for the documents in its top-k, fused scores re-ranked. The
+    * fusion is ALL-INTEGER (ranks are ints; the reciprocal is one
+    * integer division at SCALE 10^6), so the fused ordering is
+    * bit-portable — the float cosine only ever influences the result
+    * through the dense RANK, which is computed on the 6-dp-rounded
+    * cosine with doc_id tie-break like `q_sim_bruteforce`.
+    *
+    * Scale shape: BM25 as in `bm25TopK`; the dense side broadcasts
+    * the query workload's vectors over the corpus scan (the ANN
+    * serve tier replaces brute-force at scale — the fusion consumes
+    * only (query, doc, rank) triples and is ranker-agnostic); the
+    * fusion itself is one full-outer join of two k-bounded rankings
+    * keyed (query, doc). */
+  def hybridTopK(docs: DataFrame, embeddings: DataFrame, k: Int = 10,
+                 kRrf: Int = 60, scale: Long = 1000000L,
+                 every: Int = 97): DataFrame = {
+    val u = docs.select(col("doc_id"), col("text"))
+      .join(embeddings.select(col("vec_id").as("doc_id"), col("embedding")),
+        Seq("doc_id"))
+    val bm = bm25TopK(u, "doc_id", "text",
+        queryTerms(u, "doc_id", "text", every), k)
+      .select(col("query_id"), col("doc_id"), col("rank").as("__br"))
+    val qv = u.filter(col("doc_id") % every === 0)
+      .select(col("doc_id").as("query_id"), col("embedding").as("qv"))
+    val cos = round(graft.functions.VectorOps
+      .cosine(col("qv"), col("embedding")), 6)
+    val dn = u.crossJoin(broadcast(qv))
+      .select(col("query_id"), col("doc_id"), cos.as("__cos"))
+      .withColumn("__dr", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("__cos").desc, col("doc_id"))).cast("int"))
+      .filter(col("__dr") <= k)
+      .select("query_id", "doc_id", "__dr")
+    bm.join(dn, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        (coalesce(expr(s"${scale}L div ($kRrf + __br)"), lit(0L)) +
+          coalesce(expr(s"${scale}L div ($kRrf + __dr)"), lit(0L)))
+          .as("rrf"))
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("rrf").desc, col("doc_id"))).cast("int"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "doc_id", "rrf")
+  }
+
   /** Deterministic query workload for the declared query: every doc
     * with `doc_id % 97 == 0` is a query, its terms the DISTINCT
     * first `nTerms` tokens — self-retrieval plus topical neighbors,

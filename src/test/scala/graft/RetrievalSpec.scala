@@ -72,6 +72,33 @@ class RetrievalSpec extends AnyFunSuite {
     assert(p("rare") == ((1L, 1L, Seq(1L))))
   }
 
+  test("hybridTopK: a doc in BOTH top lists out-fuses single-list docs; " +
+    "rrf is the exact integer sum of the reciprocal ranks") {
+    // doc 0 is the query (id%97==0). Text side: docs 0,1,2 share the
+    // query terms; doc 3 shares none. Dense side: vectors put 0 and 3
+    // closest to the query, 1 next, 2 orthogonal-ish.
+    val docs = Seq(
+      (0L, "alpha beta gamma delta"),
+      (1L, "alpha beta other words"),
+      (2L, "alpha filler pad pad2"),
+      (3L, "nothing shared at all")).toDF("doc_id", "text")
+    val embs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.44f)),
+      (2L, Array(0.0f, 1.0f)),
+      (3L, Array(1.0f, 0.01f))).toDF("vec_id", "embedding")
+    val r = Retrieval.hybridTopK(docs, embs)
+      .orderBy("rank").collect()
+    // self-retrieval: doc 0 is rank 1 on BOTH sides -> rrf = 2 * (1e6 div 61)
+    assert(r.head.getAs[Long]("doc_id") == 0L)
+    assert(r.head.getAs[Long]("rrf") == 2L * (1000000L / 61L))
+    // every fused doc's rrf is positive and ranks are 1..n contiguous
+    assert(r.map(_.getAs[Int]("rank")).toSeq == (1 to r.length))
+    // doc 3 appears via the dense list alone (no shared term)
+    val d3 = r.find(_.getAs[Long]("doc_id") == 3L)
+    assert(d3.isDefined && d3.get.getAs[Long]("rrf") > 0)
+  }
+
   test("queryTerms: distinct first-4-token workload on the modulus") {
     val docs = Seq(
       (0L, "a b a c d e"), (1L, "x y z"), (97L, "k k k k j"))
