@@ -50,6 +50,38 @@ object Ingest {
           .otherwise(col("__line")).as("line"))
   }
 
+  /** Sharded JSONL EXPORT — the training-data handoff format: each
+    * row serialized as one JSON object via the engine's codec, one
+    * line per row, laid out as `shard=i/` directories keyed by
+    * `doc_id % numShards`. Shard MEMBERSHIP is the modulo (not a
+    * hash-partition accident) and lines within a shard are sorted,
+    * so a re-export produces byte-identical shards — diff-based
+    * delivery works. Returns the written line count. Scale shape:
+    * one shuffle on the shard key, a within-partition sort, then
+    * scan-speed text writes — no driver involvement. */
+  def writeJsonl(docs: DataFrame, idCol: String, path: String,
+                 numShards: Int = 4): Long = {
+    val cols = docs.columns.filterNot(_ == idCol)
+    val out = docs.select(
+      (col(idCol) % numShards).cast("int").as("shard"),
+      to_json(struct(col(idCol).as("id") +:
+        cols.map(c => col(c).as(c)): _*)).as("value"))
+    out.repartition(numShards, col("shard"))
+      .sortWithinPartitions("shard", "value")
+      .write.partitionBy("shard").mode("overwrite").text(path)
+    out.count()
+  }
+
+  /** Read back a JSONL export written by `writeJsonl` (partition
+    * discovery surfaces the shard directories; the JSON lines carry
+    * the data). */
+  def readJsonl(spark: org.apache.spark.sql.SparkSession, path: String,
+                schemaDdl: String): DataFrame =
+    spark.read.text(path)
+      .select(from_json(col("value"), schemaDdl,
+        Map.empty[String, String]).as("__j"))
+      .select(col("__j.*"))
+
   /** Parse one JSONL line per row against `JsonlSchema`: typed field
     * extraction plus the `valid` verdict. Spark 4 parses with partial
     * results enabled (`spark.sql.json.enablePartialResults`), so a
