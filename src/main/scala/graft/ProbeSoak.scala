@@ -284,6 +284,58 @@ object ProbeSoak {
       spark.stop(); return
     }
 
+    if (mode == "cluster") {
+      // Integer-k-means + training-layout scale probe. Cost model:
+      // each EM iteration is one scan (native argmin) + a (k·dim)-keyed
+      // agg whose shuffle/collect is CONSTANT-SIZE, so per-vector fit
+      // time must stay flat as the corpus grows; epochShuffle's shard
+      // hash must stay balanced (its windows are the only wide op);
+      // the CMS sketch is depth·width cells regardless of corpus and
+      // its estimates may never undercount.
+      import graft.operators.{Cluster, Layout, Sketches}
+      var perVec = Map.empty[Int, Double]
+      scales.foreach { s =>
+        val emb = genEmbeddings(spark, s).repartition(32).localCheckpoint()
+        val n = emb.count()
+        val run = () => Cluster.kmeansClusters(emb, "vec_id", "embedding")
+          .agg(count(lit(1)), sum(col("dist"))).collect()(0)
+        run() // warm (codegen + fit-path init)
+        val t0 = System.nanoTime()
+        val r = run()
+        val dt = (System.nanoTime() - t0) / 1e9
+        perVec += s -> (dt * 1e6 / n)
+        println(f"[soak-cluster] x$s%-3d n=$n fit+assign=$dt%.2fs " +
+          f"perVec=${dt * 1e6 / n}%.1fus sumDist=${r.getLong(1)}")
+        require(r.getLong(0) == n, s"assignment must cover the corpus")
+      }
+      if (scales.length >= 2) {
+        val anchor = perVec(scales(1)); val last = perVec(scales.last)
+        require(last <= 2.0 * anchor,
+          f"k-means per-vector time must stay flat across corpus growth: " +
+            f"x${scales(1)}=$anchor%.1fus -> x${scales.last}=$last%.1fus")
+      }
+      // epoch shuffle: hash-shard balance at the largest corpus
+      val docs = genDocs(spark, scales.last).select("doc_id")
+        .repartition(32).localCheckpoint()
+      val shardSizes = Layout.epochShuffle(docs, "doc_id")
+        .groupBy("epoch", "shard").agg(count(lit(1)).as("n"))
+        .collect().map(_.getLong(2))
+      val (mn, mx) = (shardSizes.min, shardSizes.max)
+      println(f"[soak-cluster] epochShuffle shards=${shardSizes.length} " +
+        f"min=$mn max=$mx skew=${mx.toDouble / mn}%.3f")
+      require(mx <= 1.2 * mn,
+        s"md5 shard hash must stay balanced: min=$mn max=$mx")
+      // CMS: constant-size sketch, overestimate-only at every scale
+      val docsText = genDocs(spark, scales.last).select("doc_id", "text")
+        .repartition(32).localCheckpoint()
+      val hh = Sketches.cmsHeavyHitters(docsText, "text", topK = 50).collect()
+      require(hh.forall(_.getAs[Long]("err") >= 0L),
+        "CMS estimates must never undercount")
+      println(f"[soak-cluster] cms top=${hh.head.getAs[String]("term")} " +
+        f"est=${hh.head.getAs[Long]("est")} maxErr=${hh.map(_.getAs[Long]("err")).max}")
+      spark.stop(); return
+    }
+
     if (mode == "ann") {
       // staged, repeated timing of the IVF family — separates model
       // fit (driver k-means off a hash-ordered sample) from corpus

@@ -6123,6 +6123,194 @@ object Queries {
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
   // =====================================================================
+  // Clustering / training layout / sketches (round 13, second half)
+  // =====================================================================
+
+  /** Shared oracle-SQL fragment for the integer-k-means family — the
+    * DuckDB spelling of `Cluster.fitKmeans` + final assignment, CTE
+    * chain `v` → `c0` → iterations → `fa(id, j, dist)`. The identical
+    * recurrence: +1.0-shift 10^-3 quantization, md5-hash-ordered
+    * seeds, exact-integer argmin with smallest-centroid tie-break,
+    * `sum // count` centroid means with emptied clusters keeping the
+    * previous centroid (`coalesce`). */
+  private object ClusterSql {
+    def kmeans(k: Int, iters: Int): String = {
+      val dist = "list_sum(list_transform(list_zip(v.q, c.c), " +
+        "p -> (p[1] - p[2]) * (p[1] - p[2])))"
+      val steps = (1 to iters).map { it =>
+        val prev = s"c${it - 1}"
+        s"""a$it AS (SELECT id, q, j FROM (
+           |  SELECT v.id, v.q, c.j, row_number() OVER (PARTITION BY v.id
+           |    ORDER BY $dist, c.j) AS rn
+           |  FROM v, $prev c) WHERE rn = 1),
+           |e$it AS (SELECT j, unnest(generate_series(1, len(q))) AS pos,
+           |  unnest(q) AS val FROM a$it),
+           |s$it AS (SELECT j, pos, CAST(sum(val) AS BIGINT) AS s, count(*) AS n
+           |  FROM e$it GROUP BY 1, 2),
+           |x$it AS (SELECT j, unnest(generate_series(1, len(c))) AS pos,
+           |  unnest(c) AS pv FROM $prev),
+           |c$it AS (SELECT x.j, list(coalesce(s.s // s.n, x.pv) ORDER BY x.pos) AS c
+           |  FROM x$it x LEFT JOIN s$it s ON s.j = x.j AND s.pos = x.pos
+           |  GROUP BY x.j)""".stripMargin
+      }.mkString(",\n")
+      s"""v AS (SELECT vec_id AS id,
+         |  list_transform(embedding,
+         |    x -> CAST(round((CAST(x AS DOUBLE) + 1.0) * 1000) AS BIGINT)) AS q
+         | FROM embeddings),
+         |sd AS (SELECT id, q FROM v ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT $k),
+         |c0 AS (SELECT row_number() OVER (
+         |  ORDER BY md5(CAST(id AS VARCHAR)), id) - 1 AS j, q AS c FROM sd),
+         |$steps,
+         |fa AS (SELECT id, j, CAST(dist AS BIGINT) AS dist FROM (
+         |  SELECT v.id, c.j, $dist AS dist, row_number() OVER (PARTITION BY v.id
+         |    ORDER BY $dist, c.j) AS rn
+         |  FROM v, c$iters c) WHERE rn = 1)""".stripMargin
+    }
+  }
+
+  /** Integer-exact k-means over the embeddings (`Cluster.kmeansClusters`,
+    * k=8, 3 full-EM iterations): every quantity BIGINT so assignment,
+    * updates and distances are bit-portable; the full oracle re-derives
+    * quantization, seeding, every iteration and the final argmin. */
+  private val qKmeansClusters = Q(
+    "q_kmeans_clusters",
+    (s, d) => operators.Cluster.kmeansClusters(
+      Tables.embeddings(s, d), "vec_id", "embedding").orderBy("vec_id"),
+    Some(s"""WITH ${ClusterSql.kmeans(8, 3)}
+            |SELECT id AS vec_id, CAST(j AS INT) AS cluster, dist FROM fa
+            |ORDER BY vec_id""".stripMargin))
+
+  /** Per-cluster profile (`Cluster.clusterStats`): member count + the
+    * integer mean squared distance — the compactness report cluster-
+    * level curation decisions read. */
+  private val qKmeansStats = Q(
+    "q_kmeans_stats",
+    (s, d) => operators.Cluster.clusterStats(
+      operators.Cluster.kmeansClusters(
+        Tables.embeddings(s, d), "vec_id", "embedding")).orderBy("cluster"),
+    Some(s"""WITH ${ClusterSql.kmeans(8, 3)}
+            |SELECT CAST(j AS INT) AS cluster, count(*) AS n,
+            |  CAST(sum(dist) // count(*) AS BIGINT) AS avg_dist
+            |FROM fa GROUP BY j ORDER BY cluster""".stripMargin))
+
+  /** Cluster-balanced sample (`Cluster.clusterSample`): ≤40 members
+    * per cluster in md5-hash order — the downsampling recipe that
+    * keeps rare topical clusters represented. */
+  private val qClusterSample = Q(
+    "q_cluster_sample",
+    (s, d) => operators.Cluster.clusterSample(
+      operators.Cluster.kmeansClusters(
+        Tables.embeddings(s, d), "vec_id", "embedding"))
+      .orderBy("cluster", "rank"),
+    Some(s"""WITH ${ClusterSql.kmeans(8, 3)},
+            |rk AS (SELECT j, id, dist, CAST(row_number() OVER (
+            |  PARTITION BY j ORDER BY md5(CAST(id AS VARCHAR)), id) AS INT) AS rank
+            |  FROM fa)
+            |SELECT CAST(j AS INT) AS cluster, rank, id AS vec_id, dist
+            |FROM rk WHERE rank <= 40 ORDER BY cluster, rank""".stripMargin))
+
+  /** The k-means SERVE twin (fit batch / serve stream — the ANN-tier
+    * pattern): the live embedding feed assigns through the scan-side
+    * argmin against batch-fitted centroids; drained ≡ batch, so
+    * `q_kmeans_clusters`'s full oracle applies verbatim. */
+  private val qKmeansStream = Q(
+    "q_kmeans_stream",
+    (s, d) => streaming.CorpusStream.kmeansAssignOverFile(s, d)
+      .orderBy("vec_id"),
+    qKmeansClusters.oracle)
+
+  /** Cluster-level corpus composition (`Cluster.clusterMix`): per
+    * cluster its doc count, token mass, and all-integer ppm share
+    * over the documents⋈embeddings join — the mixture report
+    * cluster-proportional sampling reads. */
+  private val qClusterMix = Q(
+    "q_cluster_mix",
+    (s, d) => operators.Cluster.clusterMix(
+      operators.Cluster.kmeansClusters(
+        Tables.embeddings(s, d), "vec_id", "embedding"),
+      Tables.documents(s, d), "doc_id", "text").orderBy("cluster"),
+    Some(s"""WITH ${ClusterSql.kmeans(8, 3)},
+            |tw AS (SELECT doc_id, CAST(len(list_filter(string_split(text, ' '),
+            |  t -> t <> '')) AS BIGINT) AS t FROM documents),
+            |pc AS (SELECT CAST(fa.j AS INT) AS cluster, count(*) AS n_docs,
+            |  CAST(sum(tw.t) AS BIGINT) AS n_tokens
+            | FROM fa JOIN tw ON tw.doc_id = fa.id GROUP BY 1)
+            |SELECT cluster, n_docs, n_tokens,
+            |  CAST((n_tokens * 1000000) // (SELECT sum(n_tokens) FROM pc) AS BIGINT) AS share_ppm
+            |FROM pc ORDER BY cluster""".stripMargin))
+
+  /** Deterministic training-epoch shuffle (`Layout.epochShuffle`,
+    * 2 epochs × 32 shards): per-(epoch, doc) md5 keys ARE the
+    * permutation — reproducible batch order with no RNG; full oracle
+    * re-derives key, shard and rank. */
+  private val qShuffleEpoch = Q(
+    "q_shuffle_epoch",
+    (s, d) => operators.Layout.epochShuffle(Tables.documents(s, d), "doc_id")
+      .orderBy("epoch", "shard", "pos"),
+    Some("""WITH ep AS (SELECT doc_id, unnest([0, 1]) AS epoch FROM documents),
+           |ky AS (SELECT doc_id, epoch,
+           |  md5('ep' || CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS k
+           | FROM ep),
+           |sh AS (SELECT epoch,
+           |  CAST(CAST(('0x' || substr(k, 1, 6)) AS BIGINT) % 32 AS INT) AS shard,
+           |  doc_id, k FROM ky)
+           |SELECT epoch, shard, CAST(row_number() OVER (
+           |  PARTITION BY epoch, shard ORDER BY k, doc_id) AS INT) AS pos, doc_id
+           |FROM sh ORDER BY epoch, shard, pos""".stripMargin))
+
+  /** Count-min-sketch heavy hitters with the exact-count error report
+    * (`Sketches.cmsHeavyHitters`, depth 3 × width 256, top 20): the
+    * md5-rowed sketch, every estimate, and `err = est - exact` all
+    * re-derived by the oracle — the sketch-distortion measurement
+    * pattern (`q_sq_distortion`) applied to frequency estimation. */
+  private val qHeavyHitters = Q(
+    "q_heavy_hitters",
+    (s, d) => operators.Sketches.cmsHeavyHitters(
+      Tables.documents(s, d), "text"),
+    Some("""WITH tk AS (SELECT unnest(list_filter(string_split(text, ' '),
+           |    t -> t <> '')) AS term FROM documents),
+           |ex AS (SELECT term, count(*) AS exact FROM tk GROUP BY 1),
+           |rw AS (SELECT term, unnest([0, 1, 2]) AS i FROM tk),
+           |ce AS (SELECT i, CAST(CAST(('0x' || substr(md5(
+           |  CAST(i AS VARCHAR) || ':' || term), 1, 6)) AS BIGINT) % 256 AS INT) AS c
+           | FROM rw),
+           |sk AS (SELECT i, c, count(*) AS cnt FROM ce GROUP BY 1, 2),
+           |pb AS (SELECT term, exact, unnest([0, 1, 2]) AS i FROM ex),
+           |pc AS (SELECT term, exact, i, CAST(CAST(('0x' || substr(md5(
+           |  CAST(i AS VARCHAR) || ':' || term), 1, 6)) AS BIGINT) % 256 AS INT) AS c
+           | FROM pb),
+           |es AS (SELECT p.term, p.exact, min(s.cnt) AS est
+           |  FROM pc p JOIN sk s ON s.i = p.i AND s.c = p.c GROUP BY 1, 2)
+           |SELECT term, est, exact, est - exact AS err FROM es
+           |ORDER BY est DESC, term LIMIT 20""".stripMargin))
+
+  /** The CMS STREAMING twin: the sketch maintained as constant-size
+    * complete-mode streaming state over the live feed (frequency
+    * monitoring in depth·width cells — never term-keyed state), the
+    * report computed over the drained grid; drained ≡ batch sketch,
+    * so `q_heavy_hitters`'s full oracle applies verbatim. */
+  private val qHeavyHittersStream = Q(
+    "q_heavy_hitters_stream",
+    (s, d) => streaming.CorpusStream.cmsOverFile(s, d),
+    qHeavyHitters.oracle)
+
+  /** The HITS STREAMING twin: integer HITS run over the maintained
+    * standing host graph (the `q_pagerank_stream` edge state); a full
+    * drain reproduces the batch edge set exactly, so `q_hits`'s
+    * oracle applies verbatim. */
+  private val qHitsStream = Q(
+    "q_hits_stream",
+    (s, d) => streaming.CorpusStream.hitsOverFile(s, d).orderBy("host"),
+    qHits.oracle)
+
+  /** The triangle-count STREAMING twin over the same maintained edge
+    * state; `q_triangles`'s oracle applies verbatim. */
+  private val qTrianglesStream = Q(
+    "q_triangles_stream",
+    (s, d) => streaming.CorpusStream.trianglesOverFile(s, d).orderBy("host"),
+    qTriangles.oracle)
+
+  // =====================================================================
   // All declared queries, in SURVEY §2 order
   // =====================================================================
 
@@ -6173,6 +6361,9 @@ object Queries {
     qPagerankStream, qHits, qTriangles,
     qCrawlFrontier, qFetchSchedule, qBm25Topk, qHybridTopk, qPostings,
     qLineDedup, qLineDedupStream,
+    qHitsStream, qTrianglesStream,
+    qKmeansClusters, qKmeansStats, qClusterSample, qKmeansStream,
+    qClusterMix, qShuffleEpoch, qHeavyHitters, qHeavyHittersStream,
     qPiiRedact, qExtractHtml, qExtractHtmlStream, qParseJsonl,
     qParseJsonlStream, qParseWarc, qParseWarcStream, qParseSitemap,
     qUrlParse, qUrlDedup, qRobotsGate, qRepetitionFilter, qBpePairs,

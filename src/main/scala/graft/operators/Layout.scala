@@ -46,4 +46,42 @@ object Layout {
       .sortWithinPartitions("__z")
       .drop("__z")
   }
+
+  /** Deterministic training-epoch shuffle — the order a corpus is FED
+    * to the trainer: each epoch gets an independent pseudo-random
+    * permutation, materialized as (epoch, shard, pos, doc_id) so a
+    * data loader reads its shard sequentially and the global order is
+    * reproducible bit-for-bit (re-runs resume mid-epoch, two trainers
+    * see identical batches). No RNG anywhere: the per-(epoch, doc)
+    * md5 key IS the permutation (the `cellCap` hash-order discipline),
+    * the shard is the key's leading 24 bits mod `nShards` (so shard
+    * membership is a pure per-row function — re-sharding never moves
+    * with partition layout), and `pos` ranks (key, doc_id) within the
+    * (epoch, shard).
+    *
+    * Scale shape: key and shard are scan-side expressions; the only
+    * wide op is the per-(epoch, shard) rank — `nShards` independent
+    * window partitions of |corpus|/nShards rows each, sorting spilled
+    * externally. Size `nShards` to the cluster (thousands at 100 TB)
+    * and each window partition is a few GB; a strictly-global
+    * sequence number instead would be the two-level prefix-sum
+    * (`Corpus.tokenBudget`'s shape) — per-shard order is what a
+    * sharded data loader actually consumes. */
+  def epochShuffle(docs: DataFrame, idCol: String, epochs: Int = 2,
+                   nShards: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(epochs >= 1 && nShards >= 1, s"bad epochs=$epochs nShards=$nShards")
+    val key = md5(concat(lit("ep"), col("epoch").cast("string"), lit(":"),
+      col("doc_id").cast("string")).cast("binary"))
+    docs.select(col(idCol).cast("long").as("doc_id"))
+      .withColumn("epoch", explode(array((0 until epochs).map(lit): _*)))
+      .withColumn("__k", key)
+      .withColumn("shard",
+        (conv(substring(col("__k"), 1, 6), 16, 10).cast("long") % nShards)
+          .cast("int"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("epoch", "shard")
+          .orderBy(col("__k"), col("doc_id"))).cast("int"))
+      .select("epoch", "shard", "pos", "doc_id")
+  }
 }

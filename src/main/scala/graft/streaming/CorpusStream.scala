@@ -473,7 +473,22 @@ object CorpusStream {
     * A full drain yields exactly the batch edge set, so `q_pagerank`'s
     * oracle applies verbatim. */
   def pageRankOverFile(spark: org.apache.spark.sql.SparkSession,
-                       sfDir: String): DataFrame = {
+                       sfDir: String): DataFrame =
+    graft.operators.LinkGraph.pageRankHosts(hostEdgeStateDrain(spark, sfDir))
+
+  /** The shared edge-state maintenance behind the streaming graph
+    * twins (`q_pagerank_stream` / `q_hits_stream` /
+    * `q_triangles_stream`): the distinct inter-host edge set
+    * accumulates via a watermarkless streaming `dropDuplicates` keyed
+    * on the (src, dst) pair — one state row per DISTINCT pair,
+    * host-graph sized, never corpus sized; the standing graph IS the
+    * state — and a full drain yields exactly the batch edge set, so
+    * every consumer's batch oracle applies verbatim. The iteration /
+    * motif count then runs over the drained graph as a per-refresh
+    * batch job (the serve-refresh pattern), never a per-batch corpus
+    * recompute. */
+  private def hostEdgeStateDrain(spark: org.apache.spark.sql.SparkSession,
+                                 sfDir: String): DataFrame = {
     val name = s"__graft_prstream_${runSeq.incrementAndGet()}"
     val edges = graft.operators.LinkGraph.linkEdges(
         graft.operators.LinkGraph.linkPageWrapped(
@@ -486,7 +501,64 @@ object CorpusStream {
     val q = edges.writeStream.format("memory").queryName(name)
       .outputMode("append").start()
     try q.processAllAvailable() finally q.stop()
-    graft.operators.LinkGraph.pageRankHosts(spark.table(name))
+    spark.table(name)
+  }
+
+  /** The declared `q_hits_stream` runner: integer HITS over the
+    * maintained standing host graph — same state, different refresh
+    * computation; drained edges ≡ batch edges, so `q_hits`'s oracle
+    * applies verbatim. */
+  def hitsOverFile(spark: org.apache.spark.sql.SparkSession,
+                   sfDir: String): DataFrame =
+    graft.operators.LinkGraph.hitsHosts(hostEdgeStateDrain(spark, sfDir))
+
+  /** The declared `q_triangles_stream` runner: per-host triangle
+    * counts over the maintained standing host graph; `q_triangles`'s
+    * oracle applies verbatim. */
+  def trianglesOverFile(spark: org.apache.spark.sql.SparkSession,
+                        sfDir: String): DataFrame =
+    graft.operators.LinkGraph.triangleCounts(hostEdgeStateDrain(spark, sfDir))
+
+  /** The declared `q_heavy_hitters_stream` runner — the count-min
+    * sketch maintained as STREAMING STATE over the live corpus feed
+    * (the monitoring shape: frequency surveillance of an unbounded
+    * stream in constant memory): the depth·width cell grid is a
+    * complete-mode aggregation whose standing state is exactly the
+    * sketch — never term-keyed, never corpus-sized. The heavy-hitter
+    * REPORT (which needs exact counts for its error column) is then
+    * computed batch-side over the drained sketch; the drained grid
+    * equals the batch `Sketches.cmsSketch` cell-for-cell, so
+    * `q_heavy_hitters`'s full oracle applies verbatim. */
+  def cmsOverFile(spark: org.apache.spark.sql.SparkSession,
+                  sfDir: String): DataFrame = {
+    val name = s"__graft_cms_${runSeq.incrementAndGet()}"
+    val q = graft.operators.Sketches.cmsSketch(
+        graft.Tables.documentsStream(spark, sfDir), "text")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    graft.operators.Sketches.cmsReport(spark.table(name),
+      graft.Tables.documents(spark, sfDir), "text")
+  }
+
+  /** The declared `q_kmeans_stream` runner — the k-means SERVE twin
+    * (fit batch / serve stream, the ANN-tier pattern): centroids are
+    * fitted batch-side on the standing corpus, and the live embedding
+    * feed assigns through the scan-side argmin expression — stateless
+    * append work, zero shuffle. Drained end state equals the batch
+    * `q_kmeans_clusters` row-for-row, so its full oracle applies
+    * verbatim. */
+  def kmeansAssignOverFile(spark: org.apache.spark.sql.SparkSession,
+                           sfDir: String): DataFrame = {
+    val cent = graft.operators.Cluster.fitKmeans(
+      graft.Tables.embeddings(spark, sfDir), "vec_id", "embedding")
+    val name = s"__graft_kmeans_${runSeq.incrementAndGet()}"
+    val q = graft.operators.Cluster.assignClusters(
+        graft.Tables.embeddingsStream(spark, sfDir), "vec_id", "embedding",
+        cent)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
   }
 
   /** The declared `q_parse_jsonl_stream` runner: the documents stream

@@ -518,4 +518,36 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(keys.forall(allowed.contains),
       s"unexpected exchange keys: ${keys.filterNot(allowed.contains)}")
   }
+
+  test("k-means assignment is scan-side: fixed centroids assign with zero exchanges") {
+    val cent = Array(Array(400L, 1000L), Array(1600L, 1000L))
+    val plan = operators.Cluster.assignClusters(
+        Seq((1L, Seq(0.1, 0.2))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", cent)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"assignment must be a pure scan-side expression:\n${plan.take(800)}")
+  }
+
+  test("epoch shuffle: shard key is scan-side; the only data exchange is the " +
+       "per-(epoch, shard) rank window") {
+    val plan = operators.Layout.epochShuffle(
+        Tables.documents(spark, sf), "doc_id")
+      .queryExecution.executedPlan.toString
+    val keys = "Exchange hashpartitioning\\(([A-Za-z_]+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(keys == Seq("epoch"),
+      s"expected exactly the (epoch, shard) window exchange, got $keys:\n${plan.take(800)}")
+  }
+
+  test("CMS heavy hitters: the sketch attaches by broadcast, top-k is " +
+       "TakeOrderedAndProject, no cartesian anywhere") {
+    val plan = planOf("q_heavy_hitters")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"sketch must broadcast onto the term probes:\n${plan.take(1200)}")
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be TakeOrdered:\n${plan.take(800)}")
+  }
 }
