@@ -6239,6 +6239,80 @@ object Queries {
             |  CAST((n_tokens * 1000000) // (SELECT sum(n_tokens) FROM pc) AS BIGINT) AS share_ppm
             |FROM pc ORDER BY cluster""".stripMargin))
 
+  /** Budget-constrained cluster-proportional selection
+    * (`Cluster.clusterBudget`, budget 20000 tokens): each cluster
+    * keeps its hash-ordered prefix within `(budget · share_ppm) div
+    * 10^6` tokens — composition-preserving downsampling, the
+    * chained oracle re-deriving clustering, shares, allocations and
+    * the running-sum cut. */
+  private val qClusterBudget = Q(
+    "q_cluster_budget",
+    (s, d) => operators.Cluster.clusterBudget(
+      operators.Cluster.kmeansClusters(
+        Tables.embeddings(s, d), "vec_id", "embedding"),
+      Tables.documents(s, d), "doc_id", "text", budget = 20000L)
+      .orderBy("cluster", "cum_tokens"),
+    Some(s"""WITH ${ClusterSql.kmeans(8, 3)},
+            |tw AS (SELECT doc_id, CAST(len(list_filter(string_split(text, ' '),
+            |  t -> t <> '')) AS BIGINT) AS t FROM documents),
+            |pc AS (SELECT fa.j, count(*) AS n_docs, CAST(sum(tw.t) AS BIGINT) AS n_tokens
+            | FROM fa JOIN tw ON tw.doc_id = fa.id GROUP BY 1),
+            |al AS (SELECT j, (20000 * ((n_tokens * 1000000) //
+            |  (SELECT sum(n_tokens) FROM pc))) // 1000000 AS alloc FROM pc),
+            |jn AS (SELECT fa.j, fa.id, tw.t,
+            |  CAST(sum(tw.t) OVER (PARTITION BY fa.j
+            |    ORDER BY md5(CAST(fa.id AS VARCHAR)), fa.id) AS BIGINT) AS cum
+            | FROM fa JOIN tw ON tw.doc_id = fa.id)
+            |SELECT CAST(jn.j AS INT) AS cluster, jn.id AS vec_id,
+            |  jn.t AS n_tokens, jn.cum AS cum_tokens
+            |FROM jn JOIN al ON al.j = jn.j WHERE jn.cum <= al.alloc
+            |ORDER BY cluster, cum_tokens""".stripMargin))
+
+  /** Cluster-purity eval (`Cluster.clusterPurity`): per cluster the
+    * modal embedding label (tie-break count desc, label asc), its
+    * count and all-integer ppm purity — the clustering-vs-classes
+    * measurement, itself oracle-pinned like `q_retrieval_eval`. */
+  private val qClusterPurity = Q(
+    "q_cluster_purity",
+    (s, d) => operators.Cluster.clusterPurity(
+      operators.Cluster.kmeansClusters(
+        Tables.embeddings(s, d), "vec_id", "embedding"),
+      Tables.embeddings(s, d), "vec_id", "label").orderBy("cluster"),
+    Some(s"""WITH ${ClusterSql.kmeans(8, 3)},
+            |lb AS (SELECT fa.j, e.label AS l FROM fa
+            |  JOIN embeddings e ON e.vec_id = fa.id),
+            |pl AS (SELECT j, l, count(*) AS c FROM lb GROUP BY 1, 2),
+            |tp AS (SELECT j, l AS top_label, c AS top_n FROM (
+            |  SELECT j, l, c, row_number() OVER (
+            |    PARTITION BY j ORDER BY c DESC, l) AS rn FROM pl) WHERE rn = 1),
+            |nn AS (SELECT j, count(*) AS n FROM lb GROUP BY 1)
+            |SELECT CAST(nn.j AS INT) AS cluster, n, top_label, top_n,
+            |  CAST((top_n * 1000000) // n AS BIGINT) AS purity_ppm
+            |FROM nn JOIN tp ON nn.j = tp.j ORDER BY cluster""".stripMargin))
+
+  /** Source-interleaved epoch shuffle (`Layout.epochInterleave`):
+    * within each (epoch, shard) the sources round-robin, so a
+    * sequential reader never sees a long single-source run — the
+    * batch-diversity companion to `q_shuffle_epoch`. */
+  private val qShuffleInterleave = Q(
+    "q_shuffle_interleave",
+    (s, d) => operators.Layout.epochInterleave(Tables.documents(s, d),
+      "doc_id", "source").orderBy("epoch", "shard", "pos"),
+    Some("""WITH ep AS (SELECT doc_id, source, unnest([0, 1]) AS epoch
+           |  FROM documents),
+           |ky AS (SELECT doc_id, source, epoch,
+           |  md5('ep' || CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS k
+           | FROM ep),
+           |sh AS (SELECT epoch,
+           |  CAST(CAST(('0x' || substr(k, 1, 6)) AS BIGINT) % 32 AS INT) AS shard,
+           |  doc_id, source, k FROM ky),
+           |r1 AS (SELECT *, row_number() OVER (
+           |  PARTITION BY epoch, shard, source ORDER BY k, doc_id) AS r FROM sh)
+           |SELECT epoch, shard, CAST(row_number() OVER (
+           |  PARTITION BY epoch, shard ORDER BY r, source, doc_id) AS INT) AS pos,
+           |  doc_id, source
+           |FROM r1 ORDER BY epoch, shard, pos""".stripMargin))
+
   /** Deterministic training-epoch shuffle (`Layout.epochShuffle`,
     * 2 epochs × 32 shards): per-(epoch, doc) md5 keys ARE the
     * permutation — reproducible batch order with no RNG; full oracle
@@ -6363,7 +6437,9 @@ object Queries {
     qLineDedup, qLineDedupStream,
     qHitsStream, qTrianglesStream,
     qKmeansClusters, qKmeansStats, qClusterSample, qKmeansStream,
-    qClusterMix, qShuffleEpoch, qHeavyHitters, qHeavyHittersStream,
+    qClusterMix, qClusterPurity, qClusterBudget, qShuffleEpoch,
+    qShuffleInterleave,
+    qHeavyHitters, qHeavyHittersStream,
     qPiiRedact, qExtractHtml, qExtractHtmlStream, qParseJsonl,
     qParseJsonlStream, qParseWarc, qParseWarcStream, qParseSitemap,
     qUrlParse, qUrlDedup, qRobotsGate, qRepetitionFilter, qBpePairs,

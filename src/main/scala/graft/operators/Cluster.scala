@@ -157,6 +157,62 @@ object Cluster {
         expr("(n_tokens * 1000000L) div __tot").cast("bigint").as("share_ppm"))
   }
 
+  /** Budget-constrained cluster-proportional selection — the curation
+    * op the mixture report feeds: a global token `budget` splits
+    * across clusters by their ppm share (`alloc_c = (budget ·
+    * share_ppm) div 10^6`, all-integer), and each cluster keeps its
+    * md5-hash-ordered prefix whose running token sum stays within its
+    * allocation — so downsampling preserves the corpus's cluster
+    * composition instead of letting the dominant cluster eat the
+    * budget. Per-cluster running sums are one cluster-keyed window
+    * (the hash order is unique, so the default frame is exact);
+    * allocations attach by broadcasting the k-row share table. */
+  def clusterBudget(assigned: DataFrame, docs: DataFrame, idCol: String,
+                    textCol: String, budget: Long): DataFrame = {
+    val toks = size(filter(split(col(textCol), " "), t => t =!= ""))
+    val joined = assigned.join(
+      docs.select(col(idCol).cast("long").as("vec_id"),
+        toks.cast("long").as("n_tokens")),
+      Seq("vec_id"))
+    val alloc = clusterMix(assigned, docs, idCol, textCol)
+      .select(col("cluster"),
+        expr(s"(${budget}L * share_ppm) div 1000000").as("__alloc"))
+    joined.join(broadcast(alloc), Seq("cluster"))
+      .withColumn("cum_tokens",
+        sum(col("n_tokens")).over(Window.partitionBy("cluster")
+          .orderBy(hashOrder, col("vec_id"))).cast("bigint"))
+      .filter(col("cum_tokens") <= col("__alloc"))
+      .select("cluster", "vec_id", "n_tokens", "cum_tokens")
+  }
+
+  /** Cluster-purity eval against an external label column — how well
+    * do the fitted clusters align with known classes? Per cluster: the
+    * MODAL label with deterministic tie-break (count desc, then label
+    * asc — the `anchorStats` top-text rule), its count, and purity in
+    * parts-per-million (`(top_n · 10^6) div n`, all-integer). The
+    * measurement harness itself stays oracle-pinned
+    * (the `q_retrieval_eval` discipline). One id-keyed equi-join +
+    * (cluster, label)-keyed aggs — k·|labels| bounded. */
+  def clusterPurity(assigned: DataFrame, emb: DataFrame, idCol: String,
+                    labelCol: String): DataFrame = {
+    val labeled = assigned.join(
+      emb.select(col(idCol).cast("long").as("vec_id"),
+        col(labelCol).cast("int").as("__l")),
+      Seq("vec_id"))
+    val perLabel = labeled.groupBy("cluster", "__l")
+      .agg(count(lit(1)).as("__c"))
+    val top = perLabel
+      .withColumn("__rn", row_number().over(Window.partitionBy("cluster")
+        .orderBy(col("__c").desc, col("__l"))))
+      .filter(col("__rn") === 1)
+      .select(col("cluster"), col("__l").as("top_label"),
+        col("__c").as("top_n"))
+    labeled.groupBy("cluster").agg(count(lit(1)).as("n"))
+      .join(top, Seq("cluster"))
+      .select(col("cluster"), col("n"), col("top_label"), col("top_n"),
+        expr("(top_n * 1000000L) div n").cast("bigint").as("purity_ppm"))
+  }
+
   /** Cluster-BALANCED sample: at most `cap` members per cluster in
     * md5-hash order (deterministic "random" without an RNG — the
     * `cellCap` discipline). Balancing across clusters instead of

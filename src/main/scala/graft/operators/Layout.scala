@@ -84,4 +84,35 @@ object Layout {
           .orderBy(col("__k"), col("doc_id"))).cast("int"))
       .select("epoch", "shard", "pos", "doc_id")
   }
+
+  /** Source-INTERLEAVED epoch shuffle — `epochShuffle` with a batch-
+    * diversity guarantee: within each (epoch, shard) the sources
+    * round-robin (every source's hash-first doc, then every source's
+    * second, ...), so a sequential reader never sees a long
+    * single-source run even when one source dominates the corpus —
+    * the homogeneous-batch failure mode of naive shuffles. Two
+    * windows: the per-(epoch, shard, source) rank, then the
+    * (rank, source)-ordered position within (epoch, shard); both
+    * partitions are |corpus|/nShards-bounded. */
+  def epochInterleave(docs: DataFrame, idCol: String, sourceCol: String,
+                      epochs: Int = 2, nShards: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(epochs >= 1 && nShards >= 1, s"bad epochs=$epochs nShards=$nShards")
+    val key = md5(concat(lit("ep"), col("epoch").cast("string"), lit(":"),
+      col("doc_id").cast("string")).cast("binary"))
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        col(sourceCol).as("source"))
+      .withColumn("epoch", explode(array((0 until epochs).map(lit): _*)))
+      .withColumn("__k", key)
+      .withColumn("shard",
+        (conv(substring(col("__k"), 1, 6), 16, 10).cast("long") % nShards)
+          .cast("int"))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy("epoch", "shard", "source")
+          .orderBy(col("__k"), col("doc_id"))))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("epoch", "shard")
+          .orderBy(col("__r"), col("source"), col("doc_id"))).cast("int"))
+      .select("epoch", "shard", "pos", "doc_id", "source")
+  }
 }

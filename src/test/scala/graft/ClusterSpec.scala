@@ -93,7 +93,52 @@ class ClusterSpec extends AnyFunSuite {
       .toSeq == Seq((0, 2L, 5L, 500000L), (1, 1L, 5L, 500000L)))
   }
 
+  test("clusterBudget: full budget keeps all, zero keeps none, prefixes nest") {
+    val sf = "/root/testdata/sf0.001"
+    val assigned = Cluster.kmeansClusters(
+      Tables.embeddings(spark, sf), "vec_id", "embedding", k = 4, iters = 2)
+    val docs = Tables.documents(spark, sf)
+    def kept(b: Long): Set[Long] =
+      Cluster.clusterBudget(assigned, docs, "doc_id", "text", b)
+        .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(Cluster.clusterBudget(assigned, docs, "doc_id", "text", 0L)
+      .count() == 0L)
+    val all = kept(100000000L)
+    assert(all.size == 500)
+    val small = kept(10000L); val mid = kept(20000L)
+    assert(small.nonEmpty && small.size < mid.size && mid.size < all.size)
+    // a larger budget only ever EXTENDS each cluster's prefix
+    assert(small.subsetOf(mid) && mid.subsetOf(all))
+  }
+
+  test("clusterPurity: modal label with count-desc label-asc tie-break") {
+    val cent = Array(Array(600L, 600L), Array(1400L, 1400L))
+    val vecs = emb((1L, Seq(-0.4, -0.4)), (2L, Seq(-0.4, -0.4)),
+      (3L, Seq(0.4, 0.4)))
+    val labels = Seq((1L, 4), (2L, 3), (3L, 5)).toDF("vec_id", "label")
+    val r = Cluster.clusterPurity(
+        Cluster.assignClusters(vecs, "vec_id", "embedding", cent),
+        labels, "vec_id", "label")
+      .orderBy("cluster").collect()
+      .map(x => (x.getInt(0), x.getLong(1), x.getInt(2), x.getLong(3),
+        x.getLong(4))).toSeq
+    // cluster 0 has labels {4, 3} — a count tie, smaller label wins
+    assert(r == Seq((0, 2L, 3, 1L, 500000L), (1, 1L, 5, 1L, 1000000L)))
+  }
+
   // ---- epoch shuffle ----------------------------------------------------
+
+  test("epochInterleave: dominated corpus still round-robins its sources") {
+    val docs = ((0L until 10L).map(i => (i, "bulk")) ++
+      Seq((100L, "rare"), (101L, "rare"))).toDF("doc_id", "source")
+    val r = Layout.epochInterleave(docs, "doc_id", "source",
+        epochs = 1, nShards = 1)
+      .orderBy("pos").collect().map(_.getAs[String]("source")).toSeq
+    // both rare docs surface in the first four positions (rank-major
+    // order), never buried behind the bulk run
+    assert(r.take(4) == Seq("bulk", "rare", "bulk", "rare"))
+    assert(r.drop(4).forall(_ == "bulk"))
+  }
 
   test("epochShuffle: exact cover, contiguous per-shard positions, epochs differ") {
     val docs = (0L until 200L).map(i => (i, s"t$i")).toDF("doc_id", "text")
