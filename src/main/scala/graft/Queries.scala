@@ -6037,6 +6037,17 @@ object Queries {
               |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin))
   }
 
+  /** The BM25 SERVE twin (`CorpusStream.bm25ServeOverFile`): the
+    * sparse ranker's streaming serve tier — batch-fitted broadcast
+    * inverted index, live query feed through the row-local
+    * `Bm25TopK` scan; drained ≡ batch `q_bm25_topk`, so its full
+    * oracle applies verbatim. */
+  private val qBm25ServeStream = Q(
+    "q_bm25_serve_stream",
+    (s, d) => streaming.CorpusStream.bm25ServeOverFile(s, d)
+      .orderBy("query_id", "rank"),
+    qBm25Topk.oracle)
+
   /** Capped inverted-index postings (`Retrieval.postings`): per term,
     * df, total occurrences, and the top-8 posting doc_ids by
     * (tf desc, doc_id) — the materialized index BM25's statistics
@@ -6433,7 +6444,8 @@ object Queries {
     qDecontaminateFuzzyStream, qDecontaminateStream,
     qLinkGraph, qLinkGraphStream, qAnchorStats, qPagerank,
     qPagerankStream, qHits, qTriangles,
-    qCrawlFrontier, qFetchSchedule, qBm25Topk, qHybridTopk, qPostings,
+    qCrawlFrontier, qFetchSchedule, qBm25Topk, qBm25ServeStream,
+    qHybridTopk, qPostings,
     qLineDedup, qLineDedupStream,
     qHitsStream, qTrianglesStream,
     qKmeansClusters, qKmeansStats, qClusterSample, qKmeansStream,

@@ -160,4 +160,76 @@ object Retrieval {
       .select(col(idCol).as("query_id"),
         explode(array_distinct(slice(toks(col(textCol)), 1, nTerms)))
           .as("term"))
+
+  /** The same workload as an UNEXPLODED (query_id, terms) frame — the
+    * shape the row-local serve expression consumes. */
+  def queryTermArrays(docs: DataFrame, idCol: String, textCol: String,
+                      every: Int = 97, nTerms: Int = 4): DataFrame =
+    docs.filter(col(idCol) % every === 0)
+      .select(col(idCol).as("query_id"),
+        array_distinct(slice(toks(col(textCol)), 1, nTerms)).as("terms"))
+
+  /** Fit the broadcast inverted-index shard the serve tier scans
+    * (`functions.Bm25Index`): one tokenize pass builds (term, df) and
+    * CSR postings carrying (doc_id, tf, doclen); driver state is the
+    * index itself — the `AnnServe.fitShard` contract (one node's
+    * slice; the 100 TB shape is per-node shards + exact merge with
+    * df/N/avgdl as broadcast global statistics). Postings sort
+    * (term, doc_id) so the layout is deterministic. */
+  def fitBm25Index(docs: DataFrame, idCol: String, textCol: String)
+      : graft.functions.Bm25Index = {
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+      toks(col(textCol)).as("__t"))
+    val withLen = base.select(col("doc_id"), col("__t"),
+      size(col("__t")).cast("int").as("__dl"))
+    val st = withLen.agg(count(lit(1)).as("n"),
+      (sum(col("__dl")).cast("double") / count(lit(1))).as("avgdl"))
+      .collect()(0)
+    val (n, avgdl) = (st.getLong(0), st.getDouble(1))
+    // driver-side (term, doc) sort with JVM String ordering — the
+    // binary search in the serve expression uses String.compareTo, and
+    // Spark's UTF8String byte order can disagree with it outside ASCII
+    val rows = withLen
+      .select(col("doc_id"), col("__dl"), explode(col("__t")).as("term"))
+      .groupBy("term", "doc_id", "__dl")
+      .agg(count(lit(1)).cast("int").as("tf"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._2))
+    val terms = scala.collection.mutable.ArrayBuffer.empty[String]
+    val df = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val off = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val pDoc = new Array[Long](rows.length)
+    val pTf = new Array[Int](rows.length)
+    val pDl = new Array[Int](rows.length)
+    var i = 0
+    while (i < rows.length) {
+      val (t, doc, dl, tf) = rows(i)
+      if (terms.isEmpty || terms.last != t) {
+        terms += t; df += 0L; off += i
+      }
+      df(df.length - 1) += 1
+      pDoc(i) = doc; pDl(i) = dl; pTf(i) = tf
+      i += 1
+    }
+    off += rows.length
+    graft.functions.Bm25Index(terms.toArray, df.toArray, off.toArray,
+      pDoc, pTf, pDl, n, avgdl)
+  }
+
+  /** Row-local BM25 serve over a (query_id, terms) feed: one scan,
+    * no join, no shuffle — output (query_id, rank, doc_id, score)
+    * matches the batch `bm25TopK` row-for-row (SAME rounding, SAME
+    * tie-break), so the batch oracle applies verbatim. */
+  def bm25ServeRows(queries: DataFrame, index: graft.functions.Bm25Index,
+                    k: Int = 10): DataFrame = {
+    val spark = queries.sparkSession
+    val bc = spark.sparkContext.broadcast(index)
+    queries
+      .select(col("query_id"),
+        explode(graft.functions.Bm25Serve.topk(col("query_id"),
+          col("terms"), bc, k)).as("__r"))
+      .select(col("query_id"), col("__r.rank").as("rank"),
+        col("__r.doc_id").as("doc_id"), col("__r.score").as("score"))
+  }
 }

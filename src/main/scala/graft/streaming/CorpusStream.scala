@@ -541,6 +541,29 @@ object CorpusStream {
       graft.Tables.documents(spark, sfDir), "text")
   }
 
+  /** The declared `q_bm25_serve_stream` runner — the SPARSE ranker's
+    * serve tier (the last hole in the serve matrix next to the dense
+    * raw/PQ/SQ8/graph shards): the inverted index fits batch-side on
+    * the standing corpus (`Retrieval.fitBm25Index`, the AnnShard
+    * contract), and the live query feed scores through the row-local
+    * broadcast-index scan (`functions.Bm25TopK`) — stateless append,
+    * no join, no shuffle. Drained end state equals the batch
+    * `q_bm25_topk` row-for-row (same rounding, same tie-break), so
+    * its full oracle applies verbatim. */
+  def bm25ServeOverFile(spark: org.apache.spark.sql.SparkSession,
+                        sfDir: String): DataFrame = {
+    val ix = graft.operators.Retrieval.fitBm25Index(
+      graft.Tables.documents(spark, sfDir), "doc_id", "text")
+    val name = s"__graft_bm25_${runSeq.incrementAndGet()}"
+    val q = graft.operators.Retrieval.bm25ServeRows(
+        graft.operators.Retrieval.queryTermArrays(
+          graft.Tables.documentsStream(spark, sfDir), "doc_id", "text"),
+        ix)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
   /** The declared `q_kmeans_stream` runner — the k-means SERVE twin
     * (fit batch / serve stream, the ANN-tier pattern): centroids are
     * fitted batch-side on the standing corpus, and the live embedding

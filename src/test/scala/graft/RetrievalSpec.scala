@@ -118,4 +118,43 @@ class RetrievalSpec extends AnyFunSuite {
       .map(x => x.getAs[Long]("query_id") -> x.getAs[Long]("doc_id"))
     assert(firsts.forall { case (q, d) => q == d })
   }
+
+  test("bm25 serve: row-local index scan is bit-identical to the batch plan " +
+       "on the real corpus, and dedupes repeated query terms") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, sf)
+    val batch = Retrieval.bm25TopK(docs, "doc_id", "text",
+        Retrieval.queryTerms(docs, "doc_id", "text"))
+      .orderBy("query_id", "rank").collect()
+    val ix = Retrieval.fitBm25Index(docs, "doc_id", "text")
+    val serve = Retrieval.bm25ServeRows(
+        Retrieval.queryTermArrays(docs, "doc_id", "text"), ix)
+      .orderBy("query_id", "rank").collect()
+    assert(serve.length == batch.length && serve.length > 0)
+    serve.zip(batch).foreach { case (s, b) =>
+      assert(s.getAs[Long]("query_id") == b.getAs[Long]("query_id"))
+      assert(s.getAs[Int]("rank") == b.getAs[Int]("rank"))
+      assert(s.getAs[Long]("doc_id") == b.getAs[Long]("doc_id"))
+      assert(s.getAs[Double]("score") == b.getAs[Double]("score"))
+    }
+    // a repeated term must contribute once (the batch (query, term) key)
+    val once = Retrieval.bm25ServeRows(
+      Seq((1L, Seq("alpha"))).toDF("query_id", "terms"), ix).collect()
+    val twice = Retrieval.bm25ServeRows(
+      Seq((1L, Seq("alpha", "alpha"))).toDF("query_id", "terms"), ix).collect()
+    assert(once.map(_.toSeq).toSeq == twice.map(_.toSeq).toSeq)
+  }
+
+  test("bm25 serve: unknown terms yield no rows; a ragged index fails at fit") {
+    val docs = Seq((1L, "a b"), (2L, "b c")).toDF("doc_id", "text")
+    val ix = Retrieval.fitBm25Index(docs, "doc_id", "text")
+    val r = Retrieval.bm25ServeRows(
+      Seq((9L, Seq("zzz")), (10L, Seq.empty[String]))
+        .toDF("query_id", "terms"), ix).collect()
+    assert(r.isEmpty)
+    intercept[IllegalArgumentException] {
+      graft.functions.Bm25Index(Array("a"), Array(1L), Array(0, 2),
+        Array(1L), Array(1), Array(2), 2L, 2.0)
+    }
+  }
 }
