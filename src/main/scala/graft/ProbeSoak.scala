@@ -336,6 +336,51 @@ object ProbeSoak {
       spark.stop(); return
     }
 
+    if (mode == "bm25") {
+      // BM25-serve scale probe. Cost model: a query's serve cost is
+      // the postings it TOUCHES (sum of df over its matched terms) —
+      // the boilerplate span gives every replica corpus hot terms
+      // whose lists grow linearly with the corpus, which is exactly
+      // the document-partitioned reality (you shard the index, each
+      // node walks its slice). The gate is per-touched-posting serve
+      // time FLAT across a 12× corpus: superlinearity would mean the
+      // scan or the top-k insertion went accidentally quadratic.
+      import graft.operators.Retrieval
+      var perPost = Map.empty[Int, Double]
+      scales.foreach { s =>
+        val docs = genDocs(spark, s).select("doc_id", "text")
+          .repartition(32).localCheckpoint()
+        val tf0 = System.nanoTime()
+        val ix = Retrieval.fitBm25Index(docs, "doc_id", "text")
+        val fitS = (System.nanoTime() - tf0) / 1e9
+        val queries = Retrieval.queryTermArrays(docs, "doc_id", "text")
+          .localCheckpoint()
+        // touched postings of the feed, from the fitted index
+        val dfMap = ix.terms.zip(ix.df).toMap
+        val touched = queries.collect()
+          .map(_.getSeq[String](1).map(t => dfMap.getOrElse(t, 0L)).sum).sum
+        val run = () => Retrieval.bm25ServeRows(queries, ix)
+          .agg(count(lit(1))).collect()(0).getLong(0)
+        run() // warm
+        val t0 = System.nanoTime()
+        val rows = run()
+        val dt = (System.nanoTime() - t0) / 1e9
+        perPost += s -> (dt * 1e9 / math.max(1L, touched))
+        println(f"[soak-bm25] x$s%-3d terms=${ix.terms.length} " +
+          f"postings=${ix.postDoc.length} fit=$fitS%.2fs " +
+          f"serve=$dt%.2fs rows=$rows touched=$touched " +
+          f"perPosting=${dt * 1e9 / math.max(1L, touched)}%.1fns")
+        require(rows > 0, "serve must emit rows")
+      }
+      if (scales.length >= 2) {
+        val anchor = perPost(scales(1)); val last = perPost(scales.last)
+        require(last <= 2.0 * anchor,
+          f"BM25 per-touched-posting serve time must stay flat: " +
+            f"x${scales(1)}=$anchor%.1fns -> x${scales.last}=$last%.1fns")
+      }
+      spark.stop(); return
+    }
+
     if (mode == "ann") {
       // staged, repeated timing of the IVF family — separates model
       // fit (driver k-means off a hash-ordered sample) from corpus

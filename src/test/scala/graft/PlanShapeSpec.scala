@@ -540,6 +540,19 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected exactly the (epoch, shard) window exchange, got $keys:\n${plan.take(800)}")
   }
 
+  test("BM25 serve is scan-side: no join, no exchange — one codegen " +
+       "index scan per query row") {
+    val docs = Tables.documents(spark, sf)
+    val ix = operators.Retrieval.fitBm25Index(docs, "doc_id", "text")
+    val plan = operators.Retrieval.bm25ServeRows(
+        operators.Retrieval.queryTermArrays(docs, "doc_id", "text"), ix)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"serve must be a pure scan-side expression:\n${plan.take(800)}")
+    // whole-stage codegen spans render as "*(n)" in simpleString
+    assert(plan.contains("*("), plan.take(800))
+  }
+
   test("CMS heavy hitters: the sketch attaches by broadcast, top-k is " +
        "TakeOrderedAndProject, no cartesian anywhere") {
     val plan = planOf("q_heavy_hitters")
