@@ -6048,6 +6048,16 @@ object Queries {
       .orderBy("query_id", "rank"),
     qBm25Topk.oracle)
 
+  /** The HYBRID serve twin (`CorpusStream.hybridServeOverFile`): both
+    * first-stage rankers and the integer RRF fusion as one row-local
+    * scan over batch-fitted sparse + dense shards; drained ≡ batch
+    * `q_hybrid_topk`, so its full chained oracle applies verbatim. */
+  private val qHybridServeStream = Q(
+    "q_hybrid_serve_stream",
+    (s, d) => streaming.CorpusStream.hybridServeOverFile(s, d)
+      .orderBy("query_id", "rank"),
+    qHybridTopk.oracle)
+
   /** Capped inverted-index postings (`Retrieval.postings`): per term,
     * df, total occurrences, and the top-8 posting doc_ids by
     * (tf desc, doc_id) — the materialized index BM25's statistics
@@ -6445,7 +6455,7 @@ object Queries {
     qLinkGraph, qLinkGraphStream, qAnchorStats, qPagerank,
     qPagerankStream, qHits, qTriangles,
     qCrawlFrontier, qFetchSchedule, qBm25Topk, qBm25ServeStream,
-    qHybridTopk, qPostings,
+    qHybridTopk, qHybridServeStream, qPostings,
     qLineDedup, qLineDedupStream,
     qHitsStream, qTrianglesStream,
     qKmeansClusters, qKmeansStats, qClusterSample, qKmeansStream,

@@ -710,7 +710,12 @@ case class PcaReconScore(child: Expression, flatComponents: Array[Double],
   * expression here. */
 case class CosineTopK(left: Expression, right: Expression,
                       shard: org.apache.spark.broadcast.Broadcast[(Array[Long], Array[Double], Array[Double])],
-                      dim: Int, k: Int) extends BinaryExpression {
+                      dim: Int, k: Int,
+                      includeSelf: Boolean = false) extends BinaryExpression {
+  // includeSelf = true keeps the query's own corpus row in the ranking
+  // (self-retrieval) — the hybrid-fusion batch plan ranks the full
+  // corpus including the query doc, so its serve twin must too; every
+  // pre-existing serve tier keeps the default exclusion.
   // The shard — (ids, row-major vectors, PRECOMPUTED norms) — rides a
   // BROADCAST, not the expression tree: task binaries are deserialized
   // PER TASK, so an embedded 100 MB array would be re-materialized by
@@ -770,7 +775,7 @@ case class CosineTopK(left: Expression, right: Expression,
     var filled = 0
     var i = 0
     while (i < n) {
-      if (ids(i) != qid) {
+      if (includeSelf || ids(i) != qid) {
         var dp = 0.0
         j = 0
         while (j < dim) { dp += q(j) * flatVecs(i * dim + j); j += 1 }
@@ -1760,9 +1765,9 @@ object ArrayMath {
     column(PcaReconScore(expression(d(vec)), flatComponents, dim, k))
   def cosineTopK(queryId: Column, vec: Column,
                  shard: org.apache.spark.broadcast.Broadcast[(Array[Long], Array[Double], Array[Double])],
-                 dim: Int, k: Int): Column =
+                 dim: Int, k: Int, includeSelf: Boolean = false): Column =
     column(CosineTopK(expression(queryId.cast("long")), expression(d(vec)),
-      shard, dim, k))
+      shard, dim, k, includeSelf))
   def graphBeamTopK(queryId: Column, vec: Column,
                     shard: org.apache.spark.broadcast.Broadcast[(Array[Long], Array[Double], Array[Double], Array[Int], Array[Int], Array[Int])],
                     dim: Int, k: Int, ef: Int, maxVisit: Int): Column =

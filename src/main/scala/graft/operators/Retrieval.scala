@@ -232,4 +232,54 @@ object Retrieval {
       .select(col("query_id"), col("__r.rank").as("rank"),
         col("__r.doc_id").as("doc_id"), col("__r.score").as("score"))
   }
+
+  /** Row-local HYBRID serve over a (query_id, terms, embedding) feed —
+    * both first-stage rankers AND the reciprocal-rank fusion in one
+    * scan: the BM25 index scan (`Bm25TopK`), the exact dense scan
+    * (`CosineTopK` with the query's own row INCLUDED — the batch
+    * fusion plan ranks the full corpus, self-retrieval and all), and
+    * the all-integer RRF fold over the two k-bounded answer arrays.
+    * The fold runs as interpreted HOFs, which is fine HERE and only
+    * here: it touches ≤ 2k elements per query row, not the corpus
+    * (the FuzzyMatch rule is about corpus-sized folds). `floor(scale /
+    * (kRrf + rank))` over these magnitudes is exact, so the fused
+    * scores equal the batch plan's integer `div` bit-for-bit; ranking
+    * sorts (rrf desc, doc_id asc) — the batch window's order. Output
+    * (query_id, rank, doc_id, rrf) matches `hybridTopK` row-for-row,
+    * so its full oracle applies verbatim. No join, no shuffle, no
+    * state: the hybrid tier serves a live query feed at scan speed. */
+  def hybridServeRows(queries: DataFrame, index: graft.functions.Bm25Index,
+                      shard: AnnServe.AnnShard, k: Int = 10,
+                      kRrf: Int = 60, scale: Long = 1000000L): DataFrame = {
+    val spark = queries.sparkSession
+    val bcIx = spark.sparkContext.broadcast(index)
+    val bm = graft.functions.Bm25Serve.topk(col("query_id"), col("terms"),
+      bcIx, k)
+    val dn = graft.functions.ArrayMath.cosineTopK(col("query_id"),
+      col("embedding"), shard.broadcastWith(spark.sparkContext), shard.dim,
+      k, includeSelf = true)
+    def contrib(rank: Column): Column =
+      floor(lit(scale) / (lit(kRrf) + rank)).cast("long")
+    val fused = transform(
+      array_union(
+        transform(col("__bm"), x => x.getField("doc_id")),
+        transform(col("__dn"), x => x.getField("neighbor_id"))),
+      d => {
+        val hit = get(filter(col("__bm"), x => x.getField("doc_id") === d),
+          lit(0))
+        val bmC = when(hit.isNotNull, contrib(hit.getField("rank")))
+          .otherwise(lit(0L))
+        val pos = array_position(
+          transform(col("__dn"), x => x.getField("neighbor_id")), d)
+        val dnC = when(pos > 0, contrib(pos.cast("int"))).otherwise(lit(0L))
+        struct((-(bmC + dnC)).as("nrrf"), d.as("doc_id"))
+      })
+    queries
+      .select(col("query_id"), bm.as("__bm"), dn.as("__dn"))
+      .select(col("query_id"),
+        posexplode(slice(sort_array(fused), 1, k)).as(Seq("__p", "__f")))
+      .select(col("query_id"), (col("__p") + 1).cast("int").as("rank"),
+        col("__f.doc_id").as("doc_id"),
+        (-col("__f.nrrf")).cast("bigint").as("rrf"))
+  }
 }

@@ -564,6 +564,33 @@ object CorpusStream {
     spark.table(name)
   }
 
+  /** The declared `q_hybrid_serve_stream` runner — HYBRID retrieval
+    * as a serve tier: both indexes fit batch-side on the standing
+    * corpus (the BM25 inverted shard + the exact dense shard over the
+    * documents⋈embeddings join), and the live query feed runs both
+    * row-local scans AND the integer RRF fusion in one stateless
+    * append pass (the only stream-side join is the static embedding
+    * attach). Drained ≡ batch `q_hybrid_topk` row-for-row, so its
+    * full chained oracle applies verbatim. */
+  def hybridServeOverFile(spark: org.apache.spark.sql.SparkSession,
+                          sfDir: String): DataFrame = {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val u = graft.Tables.documents(spark, sfDir)
+      .join(emb.select(col("vec_id").as("doc_id"), col("embedding")),
+        Seq("doc_id"))
+    val ix = graft.operators.Retrieval.fitBm25Index(u, "doc_id", "text")
+    val shard = graft.operators.AnnServe.fitShard(u, "doc_id", "embedding")
+    val stream = graft.operators.Retrieval.queryTermArrays(
+        graft.Tables.documentsStream(spark, sfDir), "doc_id", "text")
+      .join(emb.select(col("vec_id").as("query_id"), col("embedding")),
+        Seq("query_id"))
+    val name = s"__graft_hybrid_${runSeq.incrementAndGet()}"
+    val q = graft.operators.Retrieval.hybridServeRows(stream, ix, shard)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
   /** The declared `q_kmeans_stream` runner — the k-means SERVE twin
     * (fit batch / serve stream, the ANN-tier pattern): centroids are
     * fitted batch-side on the standing corpus, and the live embedding

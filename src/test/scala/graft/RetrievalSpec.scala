@@ -145,6 +145,33 @@ class RetrievalSpec extends AnyFunSuite {
     assert(once.map(_.toSeq).toSeq == twice.map(_.toSeq).toSeq)
   }
 
+  test("hybrid serve: row-local fusion is bit-identical to the batch " +
+       "hybrid plan on the real corpus") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    import org.apache.spark.sql.functions.col
+    val u = docs.join(emb.select(col("vec_id").as("doc_id"),
+      col("embedding")), Seq("doc_id"))
+    val batch = Retrieval.hybridTopK(docs, emb)
+      .orderBy("query_id", "rank").collect()
+    val serve = Retrieval.hybridServeRows(
+        Retrieval.queryTermArrays(u, "doc_id", "text")
+          .join(emb.select(col("vec_id").as("query_id"), col("embedding")),
+            Seq("query_id")),
+        Retrieval.fitBm25Index(u, "doc_id", "text"),
+        operators.AnnServe.fitShard(u, "doc_id", "embedding"))
+      .orderBy("query_id", "rank").collect()
+    assert(serve.length == batch.length && serve.length > 0)
+    serve.zip(batch).foreach { case (s, b) =>
+      assert(s.getAs[Long]("query_id") == b.getAs[Long]("query_id") &&
+        s.getAs[Int]("rank") == b.getAs[Int]("rank") &&
+        s.getAs[Long]("doc_id") == b.getAs[Long]("doc_id") &&
+        s.getAs[Long]("rrf") == b.getAs[Long]("rrf"),
+        s"serve $s != batch $b")
+    }
+  }
+
   test("bm25 serve: unknown terms yield no rows; a ragged index fails at fit") {
     val docs = Seq((1L, "a b"), (2L, "b c")).toDF("doc_id", "text")
     val ix = Retrieval.fitBm25Index(docs, "doc_id", "text")
