@@ -401,6 +401,83 @@ object Artifacts {
     } finally in.close()
   }
 
+  /** BM25 inverted-index shard (`functions.Bm25Index`): vocabulary,
+    * per-term df, CSR postings with (doc_id, tf, doclen), and the
+    * global statistics — the sparse serve tier's whole serving state
+    * in one file, completing the serve-artifact matrix next to the
+    * raw/graph/SQ8 shards (a serving node loads the index with NO
+    * rebuild). Binary rationale as the AnnShard artifact; terms are
+    * length-prefixed modified-UTF (`writeUTF` — corpus tokens are far
+    * under its 64 KB bound), so the byte size is variable and load
+    * validation is header plausibility + the Bm25Index constructor's
+    * own structural `require`s (ragged arrays, non-monotonic offsets
+    * fail loudly at load, not executor-side). Layout: magic, nTerms,
+    * nPostings, n (long), avgdl (double), nTerms UTF terms, nTerms
+    * longs (df), (nTerms+1) ints (postOff), nPostings longs (doc),
+    * nPostings ints (tf), nPostings ints (dl). */
+  private val Bm25IndexMagic = 0x47424d49 // "GBMI"
+
+  def saveBm25Index(ix: graft.functions.Bm25Index, path: String): Unit = {
+    val p = Paths.get(path)
+    if (p.getParent != null) Files.createDirectories(p.getParent)
+    val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+      Files.newOutputStream(p), 1 << 20))
+    try {
+      out.writeInt(Bm25IndexMagic)
+      out.writeInt(ix.terms.length)
+      out.writeInt(ix.postDoc.length)
+      out.writeLong(ix.n)
+      out.writeDouble(ix.avgdl)
+      ix.terms.foreach(out.writeUTF)
+      ix.df.foreach(out.writeLong)
+      ix.postOff.foreach(out.writeInt)
+      ix.postDoc.foreach(out.writeLong)
+      ix.postTf.foreach(out.writeInt)
+      ix.postDl.foreach(out.writeInt)
+    } finally out.close()
+  }
+
+  def loadBm25Index(path: String): graft.functions.Bm25Index = {
+    val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+      Files.newInputStream(Paths.get(path)), 1 << 20))
+    try {
+      require(in.readInt() == Bm25IndexMagic, s"$path is not a Bm25Index artifact")
+      val nTerms = in.readInt()
+      val nPost = in.readInt()
+      val n = in.readLong()
+      val avgdl = in.readDouble()
+      require(nTerms >= 0 && nPost >= 0 && n > 0,
+        s"corrupt Bm25Index header: terms=$nTerms postings=$nPost n=$n")
+      // plausibility before allocation (the loadAnnShard rule): the
+      // fixed-width tail alone needs this many bytes, so a corrupt
+      // header larger than the file fails as a header error, not a
+      // mid-array EOFException
+      // header 28 + per term (2-byte UTF prefix + 8-byte df) +
+      // (nTerms+1) offset ints + per posting (8 doc + 4 tf + 4 dl)
+      val minBytes = 28L + nTerms.toLong * 10 + (nTerms.toLong + 1) * 4 +
+        nPost.toLong * 16
+      require(Files.size(Paths.get(path)) >= minBytes,
+        s"corrupt/truncated Bm25Index: header (terms=$nTerms " +
+          s"postings=$nPost) needs >= $minBytes bytes")
+      val terms = Array.fill(nTerms)(in.readUTF())
+      val df = Array.fill(nTerms)(in.readLong())
+      val off = Array.fill(nTerms + 1)(in.readInt())
+      val pDoc = Array.fill(nPost)(in.readLong())
+      val pTf = Array.fill(nPost)(in.readInt())
+      val pDl = Array.fill(nPost)(in.readInt())
+      // the constructor validates structure (offsets monotonic,
+      // aligned lengths); the search contract additionally needs the
+      // vocabulary sorted — verify, don't trust the file
+      var i = 1
+      while (i < nTerms) {
+        require(terms(i - 1).compareTo(terms(i)) < 0,
+          s"corrupt Bm25Index vocabulary: terms($i) out of order")
+        i += 1
+      }
+      graft.functions.Bm25Index(terms, df, off, pDoc, pTf, pDl, n, avgdl)
+    } finally in.close()
+  }
+
   private def write(path: String, content: String): Unit = {
     val p = Paths.get(path)
     if (p.getParent != null) Files.createDirectories(p.getParent)

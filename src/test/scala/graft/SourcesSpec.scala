@@ -249,6 +249,40 @@ class SourcesSpec extends AnyFunSuite {
     assert(a == b && a.nonEmpty, "reloaded SQ8 shard must serve bit-identically")
   }
 
+  test("BM25 index artifact reloads bit-identically and serves identically " +
+       "— no index rebuild on load") {
+    val dir = tmp()
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val ix = graft.operators.Retrieval.fitBm25Index(docs, "doc_id", "text")
+    Artifacts.saveBm25Index(ix, s"$dir/bm25.bin")
+    val ix2 = Artifacts.loadBm25Index(s"$dir/bm25.bin")
+    assert(ix2.terms.sameElements(ix.terms) && ix2.df.sameElements(ix.df) &&
+      ix2.postOff.sameElements(ix.postOff) &&
+      ix2.postDoc.sameElements(ix.postDoc) &&
+      ix2.postTf.sameElements(ix.postTf) &&
+      ix2.postDl.sameElements(ix.postDl) &&
+      ix2.n == ix.n && ix2.avgdl == ix.avgdl)
+    val q = graft.operators.Retrieval.queryTermArrays(docs, "doc_id", "text")
+    val a = graft.operators.Retrieval.bm25ServeRows(q, ix)
+      .orderBy("query_id", "rank").collect().toSeq
+    val b = graft.operators.Retrieval.bm25ServeRows(q, ix2)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(a == b && a.nonEmpty, "reloaded index must serve bit-identically")
+    // corrupt class: a truncated file fails at load as a header error
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/bm25.bin"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/trunc.bin"), bytes.take(40))
+    intercept[Exception] { Artifacts.loadBm25Index(s"$dir/trunc.bin") }
+    // wrong magic fails as "not a Bm25Index artifact", not a misread
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/badmagic.bin"),
+      Array.fill[Byte](64)(0x5a))
+    intercept[IllegalArgumentException] {
+      Artifacts.loadBm25Index(s"$dir/badmagic.bin")
+    }
+  }
+
   test("lang model round-trips bit-identically and serves identically") {
     val dir = tmp()
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
