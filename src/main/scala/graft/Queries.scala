@@ -6061,18 +6061,28 @@ object Queries {
   /** Capped inverted-index postings (`Retrieval.postings`): per term,
     * df, total occurrences, and the top-8 posting doc_ids by
     * (tf desc, doc_id) — the materialized index BM25's statistics
-    * come from, output bounded per term by the cap. */
+    * come from, output bounded per term by the cap. The doc_id list
+    * is emitted as ONE space-joined string (VERDICT r13 #1): the
+    * driver's pandas sort-then-hash canonicalizer cannot hash an
+    * array cell (`numpy.ndarray` is unhashable), so an array column
+    * is unadjudicable by the contract even when the values match —
+    * the scalar spelling carries identical information and both
+    * engines derive it with the same join. */
   private val qPostings = Q(
     "q_postings",
     (s, d) => operators.Retrieval.postings(Tables.documents(s, d),
-      "doc_id", "text").orderBy("term"),
+      "doc_id", "text")
+      .withColumn("postings",
+        concat_ws(" ", transform(col("postings"), _.cast("string"))))
+      .orderBy("term"),
     Some("""WITH tk AS (SELECT doc_id,
            |  list_filter(string_split(text, ' '), t -> t <> '') AS t FROM documents),
            |tf0 AS (SELECT doc_id, unnest(t) AS term FROM tk),
            |tf AS (SELECT doc_id, term, CAST(count(*) AS INT) AS tf
            | FROM tf0 GROUP BY 1, 2)
            |SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS n_total,
-           | list_slice(list(doc_id ORDER BY tf DESC, doc_id), 1, 8) AS postings
+           | array_to_string(list_slice(
+           |   list(doc_id ORDER BY tf DESC, doc_id), 1, 8), ' ') AS postings
            |FROM tf GROUP BY term ORDER BY term""".stripMargin))
 
   /** CCNet-style cross-document line dedup (`Lines.lineDedup`) over a
