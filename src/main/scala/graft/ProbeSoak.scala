@@ -242,6 +242,46 @@ object ProbeSoak {
       spark.stop(); return
     }
 
+    if (mode == "triorient") {
+      // Triangle-orientation candidate probe (VERDICT r13 #5): the
+      // wedge join keys on the middle vertex, so a hub contributes
+      // indeg(h)·outdeg(h) candidate pairs. Plant: a mid-lex hub with
+      // n low-lex and n high-lex leaves plus one closing edge — the
+      // worst case for LEXICOGRAPHIC orientation (every aa*->mm->zz*
+      // path is a candidate: n² + 1), collapsed to a constant by
+      // DEGREE ordering (all hub edges point inward, outdeg(mm) = 0).
+      import graft.operators.LinkGraph
+      val n = scales.head * 1000 // n² lexicographic wedges get COUNTED — keep n moderate
+      val leavesA = spark.range(n).select(
+        format_string("aa%07d", col("id")).as("src_host"), lit("mm").as("dst_host"))
+      val leavesZ = spark.range(n).select(
+        lit("mm").as("src_host"), format_string("zz%07d", col("id")).as("dst_host"))
+      val closing = spark.range(1).select(
+        lit("aa0000000").as("src_host"), lit("aa0000001").as("dst_host"))
+      val edges = leavesA.unionByName(leavesZ).unionByName(closing)
+      val und = edges.select(
+          least(col("src_host"), col("dst_host")).as("a"),
+          greatest(col("src_host"), col("dst_host")).as("b"))
+        .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+      def wedges(or: DataFrame): Long = or.as("e1")
+        .join(or.as("e2"), col("e2.x") === col("e1.y")).count()
+      val lex = und.select(col("a").as("x"), col("b").as("y"))
+      val deg = LinkGraph.orientByDegree(und).localCheckpoint()
+      val (wLex, wDeg) = (wedges(lex), wedges(deg))
+      val tri = LinkGraph.triangleCounts(edges).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      println(f"[soak-triorient] n=$n edges=${2 * n + 1} " +
+        f"wedges(lex)=$wLex wedges(degree)=$wDeg " +
+        f"reduction=${wLex.toDouble / math.max(wDeg, 1)}%.0fx tri=$tri")
+      require(tri == Map("aa0000000" -> 1L, "aa0000001" -> 1L, "mm" -> 1L),
+        s"planted triangle miscounted: $tri")
+      require(wLex >= n.toLong * n,
+        s"lexicographic plant must be quadratic: $wLex < ${n.toLong * n}")
+      require(wDeg <= 16,
+        s"degree ordering must collapse hub wedges to O(1): $wDeg")
+      spark.stop(); return
+    }
+
     if (mode == "warc") {
       // WARC-ingestion scale probe: generation groups per-doc records
       // into files (one bounded shuffle), then the native offset walk

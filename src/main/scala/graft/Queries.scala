@@ -5890,8 +5890,11 @@ object Queries {
 
   /** Per-host triangle counts over the undirected host graph
     * (`LinkGraph.triangleCounts`): exact integer motif counting via
-    * the lexicographically-oriented edge-iterator join — each
-    * triangle enumerated once, all three corners credited. */
+    * the DEGREE-ordered edge-iterator join (hub hosts get outdeg 0,
+    * so no quadratic wedge blowup at web scale) — each triangle
+    * enumerated once, all three corners credited. The oracle
+    * re-derives the identical orientation, though the COUNTS are
+    * orientation-invariant by construction. */
   private val qTriangles = Q(
     "q_triangles",
     (s, d) => operators.LinkGraph.triangleCounts(
@@ -5902,11 +5905,20 @@ object Queries {
             |und AS (SELECT DISTINCT least(src_host, dst_host) AS a,
             |    greatest(src_host, dst_host) AS b
             |  FROM ln WHERE src_host <> dst_host),
-            |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
-            |  FROM und e1 JOIN und e2 ON e2.a = e1.b
-            |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
-            |corners AS (SELECT x AS host FROM tri
-            |  UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+            |dg AS (SELECT h, count(*) AS d FROM (
+            |    SELECT a AS h FROM und UNION ALL SELECT b FROM und)
+            |  GROUP BY h),
+            |ore AS (SELECT
+            |    CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+            |      THEN u.a ELSE u.b END AS x,
+            |    CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+            |      THEN u.b ELSE u.a END AS y
+            |  FROM und u JOIN dg da ON da.h = u.a JOIN dg db ON db.h = u.b),
+            |tri AS (SELECT e1.x AS hx, e1.y AS hy, e2.y AS hz
+            |  FROM ore e1 JOIN ore e2 ON e2.x = e1.y
+            |  JOIN ore e3 ON e3.x = e1.x AND e3.y = e2.y),
+            |corners AS (SELECT hx AS host FROM tri
+            |  UNION ALL SELECT hy FROM tri UNION ALL SELECT hz FROM tri)
             |SELECT host, count(*) AS n_tri FROM corners
             |GROUP BY host ORDER BY host""".stripMargin))
 

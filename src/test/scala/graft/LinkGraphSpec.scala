@@ -218,6 +218,31 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(!t.contains("e"))
   }
 
+  test("orientByDegree: every edge points INTO the hub (outdeg 0), and " +
+    "triangle counts are orientation-invariant on the hub plant") {
+    import org.apache.spark.sql.functions.{col, greatest, least}
+    // mid-lex hub 'mm' flanked by low-lex and high-lex leaves: under
+    // LEXICOGRAPHIC orientation the hub sits mid-path (aa* -> mm ->
+    // zz*, a quadratic wedge key); degree ordering must flip every
+    // hub edge inward. One closing edge plants the single triangle.
+    val e = ((0 until 5).map(i => (s"aa$i", "mm")) ++
+      (0 until 5).map(i => ("mm", s"zz$i")) ++ Seq(("aa0", "aa1")))
+      .toDF("src_host", "dst_host")
+    val und = e.select(least(col("src_host"), col("dst_host")).as("a"),
+        greatest(col("src_host"), col("dst_host")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val or = LinkGraph.orientByDegree(und).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(or.length == 11) // orientation is a bijection on edges
+    assert(or.filter(p => p._1 == "mm" || p._2 == "mm")
+      .forall(_._2 == "mm"), s"hub edge oriented outward: ${or.toSeq}")
+    // wedge candidates through the hub vanish: no oriented edge LEAVES
+    // mm, so the join key e2.x = e1.y never matches y = mm pairs
+    val t = LinkGraph.triangleCounts(e)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(t == Map("aa0" -> 1L, "aa1" -> 1L, "mm" -> 1L))
+  }
+
   test("fetchSchedule: one fetch per host per wave; priority decides " +
     "within-host order") {
     val frontier = Seq(

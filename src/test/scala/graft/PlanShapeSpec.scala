@@ -477,7 +477,10 @@ class PlanShapeSpec extends AnyFunSuite {
            !tri.contains("BroadcastNestedLoopJoin"), tri.take(800))
     val keys = "Exchange hashpartitioning\\(([A-Za-z_]+)".r
       .findAllMatchIn(tri).map(_.group(1)).toSeq
-    val allowed = Set("a", "b", "host")
+    // x/y are the DEGREE-oriented edge endpoints (r14); the degree agg
+    // and orientation joins sit behind the localCheckpoint, so the
+    // visible exchanges are the wedge self-joins and the corner rollup
+    val allowed = Set("x", "y", "host")
     assert(keys.forall(allowed.contains),
       s"unexpected exchange keys: ${keys.filterNot(allowed.contains)}")
   }
