@@ -30,6 +30,11 @@ final case class Bm25Index(terms: Array[String], df: Array[Long],
       s"${postOff.length} offsets, ${postDoc.length} postings)")
   require((1 until postOff.length).forall(i => postOff(i) >= postOff(i - 1)),
     "bm25 index: non-monotonic posting offsets")
+  // df is derivable from postOff; a loaded artifact where they disagree
+  // would silently skew every idf instead of failing at load (ADVICE
+  // r13). Keeping the redundant field makes the artifact self-checking.
+  require(terms.indices.forall(i => df(i) == postOff(i + 1) - postOff(i)),
+    "bm25 index: df inconsistent with posting offsets")
   require(n > 0 && avgdl > 0, s"bm25 index: empty corpus (n=$n avgdl=$avgdl)")
 }
 

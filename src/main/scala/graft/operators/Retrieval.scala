@@ -27,40 +27,65 @@ object Retrieval {
   private def toks(textCol: Column): Column =
     filter(split(textCol, " "), t => t =!= "")
 
+  /** The (doc_id, tokens) frame every retrieval artifact starts from.
+    * Kept separate from `termFreqs` because corpus statistics (N,
+    * avgdl) must count EVERY document — a zero-token doc vanishes
+    * from the exploded frame but still dilutes avgdl. */
+  private def tokenized(docs: DataFrame, idCol: String,
+                        textCol: String): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"),
+      toks(col(textCol)).as("__t"))
+
+  /** THE shared index algebra (VERDICT r13 #6): one tokenize+explode
+    * pass producing (doc_id, term, tf, dl) — exact integer term
+    * frequency and document length. `bm25TopK`, `postings`, and
+    * `fitBm25Index` ALL derive from this frame, so the declared
+    * postings operator and the binary serve artifact can never drift
+    * apart: same tokens, same tf, same doclen, by construction.
+    * Shuffle: the one (doc, term)-keyed partial+final count — the
+    * inverted-index build cost itself, map-side combined. Grouping
+    * carries `dl` in the key (functionally dependent on doc_id) so
+    * consumers need no per-doc re-join for lengths. */
+  def termFreqs(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    tokenized(docs, idCol, textCol)
+      .select(col("doc_id"), size(col("__t")).cast("int").as("dl"),
+        explode(col("__t")).as("term"))
+      .groupBy("doc_id", "dl", "term")
+      .agg(count(lit(1)).cast("int").as("tf"))
+      .select("doc_id", "term", "tf", "dl")
+
   /** BM25 top-k per query. `queries` carries (query_id, term) rows —
     * a small relation (the query workload), broadcast onto the
     * posting lists. Output: (query_id, rank, doc_id, score) with
     * rank 1..k by (rounded score desc, doc_id).
     *
-    * Scale shape: ONE tokenize+explode pass over the corpus feeds
-    * both tf (partial+final count keyed (doc, term)) and df (keyed
-    * term); the query side joins BROADCAST onto tf so the corpus
-    * never reshuffles on the workload; the final agg is keyed
-    * (query_id, doc_id) and top-k is a per-query window over only
-    * the candidate docs (those sharing ≥1 term). At 100 TB the only
-    * big exchanges are the two term aggs — the inverted-index build
-    * cost itself, irreducible and map-side combined. */
+    * Scale shape: ONE tokenize+explode pass (`termFreqs`) feeds both
+    * tf (partial+final count keyed (doc, term)) and df (keyed term);
+    * doclen rides the tf frame so no per-doc re-join is needed; the
+    * query side joins BROADCAST onto tf so the corpus never
+    * reshuffles on the workload; the final agg is keyed (query_id,
+    * doc_id) and top-k is a per-query window over only the candidate
+    * docs (those sharing ≥1 term). At 100 TB the only big exchanges
+    * are the two term aggs — the inverted-index build cost itself,
+    * irreducible and map-side combined. */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                queries: DataFrame, k: Int = 10): DataFrame = {
-    val base = docs.select(col(idCol).as("doc_id"),
-      toks(col(textCol)).as("__t"))
-    val lens = base.select(col("doc_id"), size(col("__t")).cast("int").as("__dl"))
+    val lens = tokenized(docs, idCol, textCol)
+      .select(col("doc_id"), size(col("__t")).cast("int").as("__dl"))
     val stats = broadcast(lens.agg(count(lit(1)).as("__n"),
       (sum(col("__dl")).cast("double") / count(lit(1))).as("__avgdl")))
-    val tf = base.select(col("doc_id"), explode(col("__t")).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).cast("int").as("__tf"))
+    val tf = termFreqs(docs, idCol, textCol)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("__df"))
     val scored = tf
       .join(broadcast(queries.select(col("query_id"), col("term"))), Seq("term"))
       .join(dfreq, Seq("term"))
-      .join(lens, Seq("doc_id"))
       .crossJoin(stats)
       .select(col("query_id"), col("doc_id"),
         (log(lit(1) + (col("__n") - col("__df") + lit(0.5)) /
             (col("__df") + lit(0.5))) *
-          (col("__tf") * lit(2.2)) /
-          (col("__tf") + lit(1.2) *
-            (lit(0.25) + lit(0.75) * col("__dl") / col("__avgdl"))))
+          (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * col("dl") / col("__avgdl"))))
           .as("__s"))
       .groupBy("query_id", "doc_id")
       .agg(round(sum(col("__s")), 6).as("score"))
@@ -81,9 +106,7 @@ object Retrieval {
     * term rollup — the index-build cost itself, map-side combined. */
   def postings(docs: DataFrame, idCol: String, textCol: String,
                cap: Int = 8): DataFrame = {
-    val tf = docs.select(col(idCol).as("doc_id"),
-        explode(toks(col(textCol))).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).cast("int").as("tf"))
+    val tf = termFreqs(docs, idCol, textCol)
     // Rank per term BEFORE collecting: a hot term (stopword) has
     // corpus-sized postings, and collecting them all into one
     // aggregation buffer just to slice afterwards would put exactly
@@ -178,23 +201,22 @@ object Retrieval {
     * (term, doc_id) so the layout is deterministic. */
   def fitBm25Index(docs: DataFrame, idCol: String, textCol: String)
       : graft.functions.Bm25Index = {
-    val base = docs.select(col(idCol).cast("long").as("doc_id"),
-      toks(col(textCol)).as("__t"))
-    val withLen = base.select(col("doc_id"), col("__t"),
-      size(col("__t")).cast("int").as("__dl"))
-    val st = withLen.agg(count(lit(1)).as("n"),
-      (sum(col("__dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val base = tokenized(docs, idCol, textCol)
+    val st = base.select(size(col("__t")).cast("int").as("__dl"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("__dl")).cast("double") / count(lit(1))).as("avgdl"))
       .collect()(0)
     val (n, avgdl) = (st.getLong(0), st.getDouble(1))
-    // driver-side (term, doc) sort with JVM String ordering — the
-    // binary search in the serve expression uses String.compareTo, and
-    // Spark's UTF8String byte order can disagree with it outside ASCII
-    val rows = withLen
-      .select(col("doc_id"), col("__dl"), explode(col("__t")).as("term"))
-      .groupBy("term", "doc_id", "__dl")
-      .agg(count(lit(1)).cast("int").as("tf"))
+    // ONE algebra (VERDICT r13 #6): the CSR rows ARE the shared
+    // `termFreqs` frame — the same (doc_id, term, tf, dl) tuples the
+    // declared `postings` operator rolls up, so index and postings
+    // cannot drift. Driver-side (term, doc) sort with JVM String
+    // ordering — the binary search in the serve expression uses
+    // String.compareTo, and Spark's UTF8String byte order can
+    // disagree with it outside ASCII.
+    val rows = termFreqs(docs, idCol, textCol)
       .collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+      .map(r => (r.getString(1), r.getLong(0), r.getInt(3), r.getInt(2)))
       .sortBy(t => (t._1, t._2))
     val terms = scala.collection.mutable.ArrayBuffer.empty[String]
     val df = scala.collection.mutable.ArrayBuffer.empty[Long]

@@ -491,9 +491,10 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(800))
     assert(plan.contains("BroadcastHashJoin"),
       s"query-terms join must broadcast:\n${plan.take(1200)}")
-    // allowed hash exchanges: the tf/df aggs (doc_id/term keys), the
-    // per-(query, doc) rollup and the doc-length re-join; a shuffle
-    // keyed by the workload alone would mean the corpus moved for it
+    // allowed hash exchanges: the shared termFreqs agg (doc_id-led
+    // key; doclen rides the frame so there is no re-join), the df agg
+    // (term) and the per-(query, doc) rollup; a shuffle keyed by the
+    // workload alone would mean the corpus moved for it
     val keys = "Exchange hashpartitioning\\(([A-Za-z_]+)".r
       .findAllMatchIn(plan).map(_.group(1)).toSeq
     val allowed = Set("doc_id", "term", "query_id")

@@ -183,5 +183,39 @@ class RetrievalSpec extends AnyFunSuite {
       graft.functions.Bm25Index(Array("a"), Array(1L), Array(0, 2),
         Array(1L), Array(1), Array(2), 2L, 2.0)
     }
+    // df inconsistent with the CSR offsets: structurally valid arrays,
+    // but every idf would silently skew — must fail at load (ADVICE r13)
+    intercept[IllegalArgumentException] {
+      graft.functions.Bm25Index(Array("a", "b"), Array(2L, 1L),
+        Array(0, 1, 2), Array(1L, 2L), Array(1, 1), Array(2, 2), 2L, 2.0)
+    }
+  }
+
+  test("one algebra: fitBm25Index is the termFreqs frame the postings " +
+       "operator rolls up — df, mass, doc sets and doclens all agree") {
+    val docs = Seq(
+      (1L, "hot hot hot rare"),
+      (2L, "hot cold"),
+      (3L, "hot hot cold"),
+      (4L, "")).toDF("doc_id", "text") // zero-token doc: in N, not in postings
+    val ix = Retrieval.fitBm25Index(docs, "doc_id", "text")
+    val p = Retrieval.postings(docs, "doc_id", "text", cap = 1000)
+      .collect().map(r => r.getAs[String]("term") ->
+        ((r.getAs[Long]("df"), r.getAs[Long]("n_total"),
+          r.getSeq[Long](r.fieldIndex("postings"))))).toMap
+    assert(ix.terms.toSeq == p.keys.toSeq.sorted)
+    ix.terms.zipWithIndex.foreach { case (t, i) =>
+      val (df, nTotal, docIds) = p(t)
+      val range = ix.postOff(i) until ix.postOff(i + 1)
+      assert(ix.df(i) == df, s"df($t)")
+      assert(range.map(ix.postTf).sum == nTotal, s"mass($t)")
+      assert(range.map(ix.postDoc).toSet == docIds.toSet, s"docs($t)")
+    }
+    // doclen in the CSR is the doc's whitespace token count
+    val dls = Map(1L -> 4, 2L -> 2, 3L -> 3)
+    ix.postDoc.indices.foreach(j =>
+      assert(ix.postDl(j) == dls(ix.postDoc(j))))
+    // corpus stats count the zero-token doc
+    assert(ix.n == 4L && math.abs(ix.avgdl - 9.0 / 4.0) < 1e-12)
   }
 }
