@@ -66,7 +66,37 @@ object Bench {
             String.valueOf(t.getMessage)).take(200)
           System.err.println(s"[bench] $name FAILED: ${errors(name)}")
       }
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // VERDICT r13 #3: consecutive samples share any multi-minute
+    // co-tenant burst, so min-of-k alone cannot outlive one — r11/r12/
+    // r13 each recorded 20x "regressions" on byte-identical plans. The
+    // committed BENCH_FULL.json (the bench of record from the previous
+    // round) is read BEFORE this run overwrites it; any query whose
+    // min lands >4x its reading of record is requeued AFTER the full
+    // sweep (minutes later, outside the burst window) and the retry
+    // samples join the originals. Per-query wall-clock start stamps
+    // make a burst window identifiable from the artifact alone.
+    val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE",
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json"))
+    val priorTimes: Map[String, Double] =
+      try {
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(new java.io.File(baselinePath)).get("queries")
+        val it = node.properties().iterator()
+        val m = scala.collection.mutable.Map.empty[String, Double]
+        while (it.hasNext) { val e = it.next(); m(e.getKey) = e.getValue.asDouble() }
+        m.toMap
+      } catch { case _: Throwable => Map.empty }
+    def timedRun(name: String,
+                 fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val s = System.nanoTime()
+      runOnce(name, fn)
+      val e = System.nanoTime()
+      sweep()
+      (e - s) / 1e9
+    }
+    val tStart = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    val firstPass = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      tStart(name) = System.currentTimeMillis() / 1000L
       val w0 = System.nanoTime()
       runOnce(name, fn) // warm
       val w1 = System.nanoTime()
@@ -74,25 +104,41 @@ object Bench {
       leaks(name) = leakedRdds + leakedViews
       // steady state = min of two timed runs: a single sample conflates
       // the plan's cost with transient host noise (GC, co-tenant load)
-      def timedRun(): Double = {
-        val s = System.nanoTime()
-        runOnce(name, fn)
-        val e = System.nanoTime()
-        sweep()
-        (e - s) / 1e9
-      }
-      val samples = scala.collection.mutable.ArrayBuffer(timedRun(), timedRun())
+      val samples = scala.collection.mutable.ArrayBuffer(
+        timedRun(name, fn), timedRun(name, fn))
       // Two samples disagreeing by >1.5x means one was poisoned by
       // transient host noise (GC, co-tenant load) — buy a third sample
       // for that query only, so a single noisy window can't inflate the
       // recorded number. min-of-k is the steady-state plan cost; the
       // full per-query spread is recorded in BENCH_FULL so "is this
       // total noise?" is answerable from the artifact alone.
-      if (samples.max > 1.5 * samples.min) samples += timedRun()
+      if (samples.max > 1.5 * samples.min) samples += timedRun(name, fn)
       val timed = samples.min
       System.err.println(f"[bench] $name warm=${(w1 - w0) / 1e9}%.2f timed=$timed%.2f" +
         (if (leakedRdds + leakedViews > 0) s" swept=${leakedRdds}r/${leakedViews}v" else ""))
       (name, timed, samples.sorted.toSeq)
+    }
+    // Deferred requeue: a query can only be exonerated by a sample
+    // taken OUTSIDE the burst that poisoned it, and the cheapest
+    // guaranteed-later moment is after every other query has run. The
+    // 4x gate is against the reading of record, the >1s floor keeps
+    // micro-queries from churning on scheduler jitter, and errored
+    // queries stay errored (a time-to-failure must not be retried into
+    // looking like a timing). Both passes land in the artifact.
+    val retried = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+    val results = firstPass.map { case (name, timed, samples) =>
+      val flag = priorTimes.get(name).exists(p =>
+        timed > 4.0 * p && timed > 1.0) && !errors.contains(name)
+      if (!flag) (name, timed, samples)
+      else {
+        val fn = selected(name)
+        val retry = Seq(timedRun(name, fn), timedRun(name, fn)).sorted
+        retried(name) = retry
+        val all = (samples ++ retry).sorted
+        System.err.println(f"[bench] $name REQUEUED (record=${priorTimes(name)}%.2f " +
+          f"first-pass=$timed%.2f): retry=${retry.min}%.2f -> recorded=${all.min}%.2f")
+        (name, all.min, all)
+      }
     }
     // Post-sweep invariant: the store must be empty between queries —
     // a nonzero residue here means sweep() missed a state class and the
@@ -139,10 +185,22 @@ object Bench {
     val errsJson = errors
       .map { case (k, v) => "\"" + k + "\":\"" + jq(v) + "\"" }
       .mkString("{", ",", "}")
+    // t_start_epoch_sec: per-query wall-clock stamps — a co-tenant
+    // burst window is now identifiable from the artifact alone (the
+    // r13 adjudication had to infer it from alphabetical adjacency).
+    // retried: both passes of every requeued query, retry samples only
+    // (first-pass samples are in spread_min_med_max).
+    val tStartJson = tStart
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val retriedJson = retried
+      .map { case (k, v) => "\"" + k + "\":[" + v.map(r3).mkString(",") + "]" }
+      .mkString("{", ",", "}")
     java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
       (s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,""" +
         s""""spread_min_med_max":$spreadJson,"errors":$errsJson,""" +
-        s""""swept_blocks_per_query":$leaksJson,"sf":"$sfDir"}""")
+        s""""swept_blocks_per_query":$leaksJson,""" +
+        s""""t_start_epoch_sec":$tStartJson,"retried":$retriedJson,""" +
+        s""""sf":"$sfDir"}""")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // VERDICT r10 #6: the driver's tail parser failed on every round's
     // single packed ~1800-char line even though the line itself is valid
@@ -162,6 +220,7 @@ object Bench {
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
       s""""sf":"$sfDir","n_queries":${results.size},"n_errors":${errors.size},""" +
+      (if (retried.nonEmpty) s""""n_retried":${retried.size},""" else "") +
       (if (errors.nonEmpty) s""""errored":$errNames,""" else "") +
       s""""queries_full":"$fullPath",""" +
       s""""queries":{${entries.take(8).mkString(",")}}}"""
