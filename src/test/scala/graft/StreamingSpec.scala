@@ -49,6 +49,68 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  private val txLine1 = """{"event_id":1,"ts":"2024-01-10 03:00:00",""" +
+    """"user_id":13,"event_type":"purchase","value":250.0,"props":"{}"}"""
+  private val txLine2 = """{"event_id":2,"ts":"2024-01-10 12:00:00",""" +
+    """"user_id":12,"event_type":"view","value":10.0,"props":"{}"}"""
+
+  test("front door parse: line-JSON transactions score identically to the " +
+       "typed stream; malformed and id-less lines drop") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[String]
+    val q = ScoreStream.scored(
+        ScoreStream.parseEventLines(mem.toDF()), profile)
+      .writeStream.format("memory").queryName("frontdoor_parsed")
+      .outputMode("append").start()
+    try {
+      mem.addData(txLine1, txLine2, "not json at all",
+        """{"ts":"2024-01-10 04:00:00","value":1.0}""")
+      q.processAllAvailable()
+      val out = spark.table("frontdoor_parsed").collect()
+        .map(r => r.getLong(0) -> (r.getDouble(3), r.getString(4))).toMap
+      assert(out.keySet == Set(1L, 2L)) // the two well-formed lines only
+      // identical to the typed-stream scoring of the same transaction
+      assert(out(1L) == ((0.85, "High")))
+    } finally q.stop()
+  }
+
+  test("front door LIVE: a TCP client posts transactions to the socket " +
+       "source and they come out scored") {
+    val server = new java.net.ServerSocket(0, 1,
+      java.net.InetAddress.getLoopbackAddress)
+    val writer = new Thread(() => {
+      val s = server.accept()
+      val w = new java.io.PrintWriter(s.getOutputStream, true)
+      w.println(txLine1); w.println(txLine2); w.flush()
+      // keep the connection open until the test closes the server:
+      // the socket source treats EOF as stream end
+      try Thread.sleep(60000) catch { case _: InterruptedException => }
+      s.close()
+    })
+    writer.setDaemon(true); writer.start()
+    val q = ScoreStream.scored(
+        ScoreStream.socketSource(spark,
+          server.getInetAddress.getHostAddress, server.getLocalPort), profile)
+      .writeStream.format("memory").queryName("frontdoor_live")
+      .outputMode("append").start()
+    try {
+      // socket delivery is async: poll until both transactions land
+      val deadline = System.currentTimeMillis() + 60000
+      var n = 0L
+      while (n < 2 && System.currentTimeMillis() < deadline) {
+        q.processAllAvailable()
+        n = spark.table("frontdoor_live").count()
+        if (n < 2) Thread.sleep(200)
+      }
+      val out = spark.table("frontdoor_live").collect()
+        .map(r => r.getLong(0) -> (r.getDouble(3), r.getString(4))).toMap
+      assert(out.keySet == Set(1L, 2L), s"live socket rows: $out")
+      assert(out(1L) == ((0.85, "High"))) // same score as batch/typed paths
+    } finally {
+      q.stop(); writer.interrupt(); server.close()
+    }
+  }
+
   test("streaming sessionization emits closed sessions matching the batch rollup") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[SessionStream.EventIn]
