@@ -6294,7 +6294,10 @@ object Queries {
       operators.Cluster.kmeansClusters(
         Tables.embeddings(s, d), "vec_id", "embedding"),
       Tables.documents(s, d), "doc_id", "text", budget = 20000L)
-      .orderBy("cluster", "cum_tokens"),
+      // vec_id closes the total order: a zero-token doc shares
+      // cum_tokens with its predecessor (ADVICE r13), and a non-total
+      // ORDER BY lets the two engines' hash compare flake.
+      .orderBy("cluster", "cum_tokens", "vec_id"),
     Some(s"""WITH ${ClusterSql.kmeans(8, 3)},
             |tw AS (SELECT doc_id, CAST(len(list_filter(string_split(text, ' '),
             |  t -> t <> '')) AS BIGINT) AS t FROM documents),
@@ -6309,7 +6312,7 @@ object Queries {
             |SELECT CAST(jn.j AS INT) AS cluster, jn.id AS vec_id,
             |  jn.t AS n_tokens, jn.cum AS cum_tokens
             |FROM jn JOIN al ON al.j = jn.j WHERE jn.cum <= al.alloc
-            |ORDER BY cluster, cum_tokens""".stripMargin))
+            |ORDER BY cluster, cum_tokens, vec_id""".stripMargin))
 
   /** Cluster-purity eval (`Cluster.clusterPurity`): per cluster the
     * modal embedding label (tie-break count desc, label asc), its

@@ -21,11 +21,15 @@ import graft.functions.ArrayMath
   * Determinism contract:
   *  - vectors quantize to LONG units of 10^-3 after a +1.0 translation
   *    (L2 distance is translation-invariant, and the shift makes every
-  *    quantized value NONNEGATIVE on this corpus's (-1, 1) range, so
-  *    Spark's truncating `div` and DuckDB's `//` agree — the same
-  *    reason `pageRankHosts` keeps its masses nonnegative). Both
-  *    engines widen float→double exactly and round ties away from
-  *    zero, so quantization is bit-identical.
+  *    quantized value NONNEGATIVE — `quantize` ENFORCES this with a
+  *    per-element raise_error, so a component ≤ -shift fails the job
+  *    loudly instead of silently desynchronizing signed integer
+  *    division corner cases between the engines; measured, both
+  *    truncate toward zero — -7 div 2 = -7 // 2 = -3 — but the
+  *    nonnegative domain is the contract the oracle CTEs are written
+  *    against, so it fails closed). Both engines widen float→double
+  *    exactly and round ties away from zero, so quantization is
+  *    bit-identical.
   *  - seeds are the `k` md5-hash-ordered vectors (hash order is the
   *    repo-standard deterministic unbiased order — the `Ivf`
   *    id-ordered-sample lesson), centroid j = the j-th seed in that
@@ -53,10 +57,20 @@ object Cluster {
 
   /** Long units of 10^-3 after a +`shift` translation. `shift` must
     * keep every component nonnegative (see the determinism contract);
-    * 1.0 covers this corpus's (-1, 1) embedding range. */
+    * 1.0 covers this corpus's (-1, 1) embedding range. A component at
+    * or below -`shift` raises at scan time — the contract is enforced,
+    * not assumed (ADVICE r13: a silently negative quantized value
+    * would put every downstream integer division on an unaudited
+    * signed-corner-case path). */
   def quantize(vec: Column, shift: Double = 1.0, scale: Int = 1000): Column =
-    transform(vec.cast("array<double>"),
-      x => round((x + lit(shift)) * lit(scale)).cast("long"))
+    transform(vec.cast("array<double>"), x => {
+      val q = round((x + lit(shift)) * lit(scale)).cast("long")
+      when(q < 0L, raise_error(concat(
+        lit(s"Cluster.quantize: component below -$shift (quantized "),
+        q.cast("string"),
+        lit(") violates the nonnegative determinism contract")))
+        .cast("long")).otherwise(q)
+    })
 
   private def qFrame(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
     emb.select(col(idCol).cast("long").as("vec_id"),

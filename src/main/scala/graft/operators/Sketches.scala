@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   * when only the sketch is wanted).
   *
   * Portability contract (the `portableMd5` twin discipline): row i's
-  * hash is the leading 32 bits of `md5(i || ':' || term)` mod `width` —
+  * hash is the leading 24 bits of `md5(i || ':' || term)` mod `width` —
   * both engines spell it identically, so the whole sketch, every
   * estimate, and the error report are value-for-value reproducible in
   * SQL. Like `q_retrieval_eval` / `q_sq_distortion`, the declared
