@@ -6070,6 +6070,76 @@ object Queries {
       .orderBy("query_id", "rank"),
     qHybridTopk.oracle)
 
+  /** Hybrid retrieval with the dense side ANN-bounded
+    * (`Retrieval.hybridTopKGrid`): same BM25 ranker, same integer RRF
+    * fusion (`Retrieval.rrfFuse` — one algebra behind both declared
+    * hybrids), but the dense ranker is the grid-cell ANN
+    * (`Ivf.topkGrid`, the `sim_ivf_topk_grid` algebra) instead of the
+    * brute-force corpus×queries crossJoin — candidates bounded to the
+    * query's probed grid cells, so the declared query's plan shape is
+    * the one that survives 100 TB. The chained oracle re-derives BM25,
+    * grid assignment, ±1 probe expansion, the cell-bounded candidate
+    * join, the dense rank AND the fusion — full-oracle end to end even
+    * though the dense side is approximate (the approximation is in
+    * WHICH candidates exist, not in any non-deterministic choice). */
+  private val qHybridTopkAnn = {
+    val (g, k) = (0.25, 10)
+    Q(
+      "q_hybrid_topk_ann",
+      (s, d) => operators.Retrieval.hybridTopKGrid(Tables.documents(s, d),
+        Tables.embeddings(s, d), k = k, gridSize = g)
+        .orderBy("query_id", "rank"),
+      Some(s"""WITH u AS (SELECT d.doc_id, d.text, e.embedding
+              |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+              |tk AS (SELECT doc_id,
+              |  list_filter(string_split(text, ' '), t -> t <> '') AS t FROM u),
+              |ln_ AS (SELECT doc_id, CAST(len(t) AS INT) AS dl FROM tk),
+              |st AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM ln_),
+              |tf0 AS (SELECT doc_id, unnest(t) AS term FROM tk),
+              |tf AS (SELECT doc_id, term, CAST(count(*) AS INT) AS tf FROM tf0 GROUP BY 1, 2),
+              |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+              |qt AS (SELECT doc_id AS query_id, unnest(list_distinct(t[1:4])) AS term
+              | FROM tk WHERE doc_id % 97 = 0),
+              |sc AS (SELECT q.query_id, f.doc_id,
+              |  ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * (f.tf * 2.2)
+              |   / (f.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl)) AS s
+              | FROM tf f JOIN qt q USING (term) JOIN dfq d USING (term)
+              |   JOIN ln_ l ON l.doc_id = f.doc_id, st s),
+              |ag AS (SELECT query_id, doc_id, round(sum(s), 6) AS score FROM sc GROUP BY 1, 2),
+              |bm AS (SELECT query_id, doc_id, rank FROM (
+              |  SELECT query_id, doc_id, CAST(row_number() OVER (
+              |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS INT) AS rank FROM ag)
+              |  WHERE rank <= $k),
+              |v AS (SELECT doc_id AS id, embedding AS f,
+              |  sqrt(list_sum(list_transform(list_zip(embedding, embedding),
+              |       p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))) AS n
+              | FROM u),
+              |a AS (SELECT id, f,
+              |  CAST(floor(CAST(f[1] AS DOUBLE) / n / $g) AS BIGINT) AS c1,
+              |  CAST(floor(CAST(f[2] AS DOUBLE) / n / $g) AS BIGINT) AS c2
+              | FROM v WHERE n > 0),
+              |probes AS (SELECT q.id, q.f, q.c1 + dx.o AS c1, q.c2 + dy.o AS c2
+              | FROM (SELECT * FROM a WHERE id % 97 = 0) q,
+              |      (VALUES (-1),(0),(1)) dx(o), (VALUES (-1),(0),(1)) dy(o)),
+              |cand AS (SELECT p.id AS query_id, c.id AS doc_id,
+              |  round(${duckCosine("p.f", "c.f")}, 6) AS cos
+              | FROM probes p JOIN a c ON c.c1 = p.c1 AND c.c2 = p.c2 AND c.id <> p.id),
+              |dn AS (SELECT query_id, doc_id, rank FROM (
+              |  SELECT query_id, doc_id, CAST(row_number() OVER (
+              |    PARTITION BY query_id ORDER BY cos DESC, doc_id) AS INT) AS rank FROM cand)
+              |  WHERE rank <= $k),
+              |fu AS (SELECT coalesce(b.query_id, d.query_id) AS query_id,
+              |  coalesce(b.doc_id, d.doc_id) AS doc_id,
+              |  CAST(coalesce(1000000 // (60 + b.rank), 0)
+              |     + coalesce(1000000 // (60 + d.rank), 0) AS BIGINT) AS rrf
+              | FROM bm b FULL OUTER JOIN dn d
+              |   ON b.query_id = d.query_id AND b.doc_id = d.doc_id)
+              |SELECT query_id, rank, doc_id, rrf FROM (
+              | SELECT query_id, doc_id, rrf, CAST(row_number() OVER (
+              |   PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS INT) AS rank FROM fu)
+              |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin))
+  }
+
   /** Capped inverted-index postings (`Retrieval.postings`): per term,
     * df, total occurrences, and the top-8 posting doc_ids by
     * (tf desc, doc_id) — the materialized index BM25's statistics
@@ -6480,7 +6550,7 @@ object Queries {
     qLinkGraph, qLinkGraphStream, qAnchorStats, qPagerank,
     qPagerankStream, qHits, qTriangles,
     qCrawlFrontier, qFetchSchedule, qBm25Topk, qBm25ServeStream,
-    qHybridTopk, qHybridServeStream, qPostings,
+    qHybridTopk, qHybridTopkAnn, qHybridServeStream, qPostings,
     qLineDedup, qLineDedupStream,
     qHitsStream, qTrianglesStream,
     qKmeansClusters, qKmeansStats, qClusterSample, qKmeansStream,

@@ -162,6 +162,19 @@ object Retrieval {
         .orderBy(col("__cos").desc, col("doc_id"))).cast("int"))
       .filter(col("__dr") <= k)
       .select("query_id", "doc_id", "__dr")
+    rrfFuse(bm, dn, k, kRrf, scale)
+  }
+
+  /** The RRF fusion step on its own — consumes two k-bounded rankings
+    * as (query_id, doc_id, __br) / (query_id, doc_id, __dr) triples
+    * and nothing else, which is WHY the dense ranker is swappable
+    * (brute-force in `hybridTopK`, grid-ANN in `hybridTopKGrid`, the
+    * broadcast serve shards in the stream twin) without touching the
+    * fusion algebra. One full-outer join of two k-bounded sides keyed
+    * (query, doc) — both inputs are ≤ k rows per query, so the fusion
+    * costs nothing at any corpus size. */
+  def rrfFuse(bm: DataFrame, dn: DataFrame, k: Int,
+              kRrf: Int, scale: Long): DataFrame =
     bm.join(dn, Seq("query_id", "doc_id"), "full_outer")
       .select(col("query_id"), col("doc_id"),
         (coalesce(expr(s"${scale}L div ($kRrf + __br)"), lit(0L)) +
@@ -171,6 +184,49 @@ object Retrieval {
         .orderBy(col("rrf").desc, col("doc_id"))).cast("int"))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "doc_id", "rrf")
+
+  /** Hybrid retrieval with the dense side ANN-BOUNDED — the declared
+    * scale path that replaces `hybridTopK`'s brute-force
+    * corpus×queries crossJoin (fine at bench sf, the one
+    * scale-killer-by-contract at 100 TB): the dense ranker is
+    * `Ivf.topkGrid` — deterministic floor-grid cells over the
+    * normalized embedding, ±1 multi-probe per grid dim, candidates
+    * bounded to the probed cells, exact 6-dp-rounded cosine re-rank —
+    * so the dense side's only wide ops are the cell-keyed candidate
+    * join and the per-query top-k, never an all-pairs scan. The grid
+    * twin is oracle-derivable end to end (the `sim_ivf_topk_grid`
+    * discipline), so the WHOLE hybrid — both rankers and the fusion —
+    * stays full-oracle even though the dense side is approximate;
+    * k-means IVF/PQ/graph shards stay the production quantizers with
+    * the identical candidate algebra.
+    *
+    * Semantics vs `hybridTopK`: the grid dense side excludes
+    * self-retrieval (`topkGrid`'s contract) and drops zero-norm
+    * vectors from cell assignment; a query outside every candidate's
+    * probed cells simply contributes no dense votes and the fusion's
+    * full-outer join carries the BM25 side alone. */
+  def hybridTopKGrid(docs: DataFrame, embeddings: DataFrame, k: Int = 10,
+                     kRrf: Int = 60, scale: Long = 1000000L,
+                     every: Int = 97, gridDims: Int = 2,
+                     gridSize: Double = 0.25): DataFrame = {
+    val u = docs.select(col("doc_id"), col("text"))
+      .join(embeddings.select(col("vec_id").as("doc_id"), col("embedding")),
+        Seq("doc_id"))
+    val bm = bm25TopK(u, "doc_id", "text",
+        queryTerms(u, "doc_id", "text", every), k)
+      .select(col("query_id"), col("doc_id"), col("rank").as("__br"))
+    // topkGrid returns the k-bounded (query, neighbor, cos) set; the
+    // dense RANK re-derives over ≤ k rows per query — same (rounded
+    // cos desc, doc_id) order the brute-force side ranks by.
+    val dn = Ivf.topkGrid(u.select(col("doc_id"), col("embedding")),
+        "doc_id", "embedding",
+        u.filter(col("doc_id") % every === 0)
+          .select(col("doc_id"), col("embedding")),
+        k, gridDims, gridSize)
+      .withColumn("__dr", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("neighbor_id"))).cast("int"))
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("__dr"))
+    rrfFuse(bm, dn, k, kRrf, scale)
   }
 
   /** Deterministic query workload for the declared query: every doc

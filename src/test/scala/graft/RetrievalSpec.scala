@@ -218,4 +218,44 @@ class RetrievalSpec extends AnyFunSuite {
     // corpus stats count the zero-token doc
     assert(ix.n == 4L && math.abs(ix.avgdl - 9.0 / 4.0) < 1e-12)
   }
+
+  test("hybridTopKGrid: a grid-isolated query fuses BM25-only, " +
+       "integer rrf hand-checked") {
+    // query doc 0 sits in grid cell (4, 0); both other docs normalize
+    // into cells around (-4, 0) — outside the +-1 probe window — so
+    // the dense ranker contributes NOTHING and the full-outer fusion
+    // must carry the BM25 side alone.
+    val docs = Seq((0L, "alpha beta"), (1L, "alpha beta"),
+      (2L, "gamma delta")).toDF("doc_id", "text")
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(-1.0f, 0.01f)),
+      (2L, Seq(-1.0f, -0.01f))).toDF("vec_id", "embedding")
+    val r = Retrieval.hybridTopKGrid(docs, emb)
+      .orderBy("rank").collect()
+      .map(x => (x.getAs[Int]("rank"), x.getAs[Long]("doc_id"),
+        x.getAs[Long]("rrf")))
+    // BM25 ties docs 0 and 1 (identical text), doc_id breaks the tie:
+    // rrf = 10^6 div (60 + rank) alone -> 16393, 16129
+    assert(r.toSeq == Seq((1, 0L, 16393L), (2, 1L, 16129L)))
+  }
+
+  test("hybridTopKGrid: a shared-cell neighbor's dense vote is fused " +
+       "and reorders the BM25 tie") {
+    // doc 1 normalizes into cell (3, 1), inside query 0's probe window
+    // from cell (4, 0); doc 2 stays isolated at (-4, 0). Dense rank 1
+    // for doc 1 (cos .96) adds 10^6 div 61 on top of its BM25 vote,
+    // overtaking doc 0's BM25-only rank-1 vote.
+    val docs = Seq((0L, "alpha beta"), (1L, "alpha beta"),
+      (2L, "gamma delta")).toDF("doc_id", "text")
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.96f, 0.28f)),
+      (2L, Seq(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val r = Retrieval.hybridTopKGrid(docs, emb)
+      .orderBy("rank").collect()
+      .map(x => (x.getAs[Int]("rank"), x.getAs[Long]("doc_id"),
+        x.getAs[Long]("rrf")))
+    // doc 1: bm rank 2 (16129) + dense rank 1 (16393) = 32522
+    // doc 0: bm rank 1 alone (16393) — self is EXCLUDED from dense
+    assert(r.toSeq == Seq((1, 1L, 32522L), (2, 0L, 16393L)))
+  }
 }
