@@ -138,9 +138,12 @@ object Retrieval {
     * cosine with doc_id tie-break like `q_sim_bruteforce`.
     *
     * Scale shape: BM25 as in `bm25TopK`; the dense side broadcasts
-    * the query workload's vectors over the corpus scan (the ANN
-    * serve tier replaces brute-force at scale — the fusion consumes
-    * only (query, doc, rank) triples and is ranker-agnostic); the
+    * the query workload's vectors over the corpus scan — a declared
+    * BRUTE-FORCE corpus×queries pass, the exact-recall reference
+    * ranking, NOT the 100 TB path. `hybridTopKGrid` is the declared
+    * ANN-bounded variant and the ANN serve shards are the serving
+    * path — the fusion consumes only (query, doc, rank) triples and
+    * is ranker-agnostic, so all three share `rrfFuse` unchanged. The
     * fusion itself is one full-outer join of two k-bounded rankings
     * keyed (query, doc). */
   def hybridTopK(docs: DataFrame, embeddings: DataFrame, k: Int = 10,
