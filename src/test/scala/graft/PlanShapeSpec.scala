@@ -502,6 +502,28 @@ class PlanShapeSpec extends AnyFunSuite {
       s"unexpected exchange keys: ${keys.filterNot(allowed.contains)}")
   }
 
+  test("ANN hybrid: the dense side is grid-cell-bounded — no cartesian " +
+       "or nested-loop pass anywhere in the fused plan") {
+    val plan = planOf("q_hybrid_topk_ann")
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    // exactly ONE nested-loop site is legitimate: bm25TopK's 1-row
+    // global-stats attach (the repo-standard scalar-broadcast
+    // crossJoin). The brute-force hybrid's corpus x queries dense pass
+    // is a SECOND one — the ANN variant must not have it: dense
+    // candidates reach the cosine only through the cell-keyed
+    // equi-join.
+    val nlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(nlj <= 1, s"dense side went nested-loop ($nlj sites):\n${plan.take(1200)}")
+    // exchanges stay on corpus/candidate keys: the shared termFreqs agg
+    // (doc_id-led), the df agg (term), the (query, doc) rollups and
+    // windows, and the grid candidate join's cell keys (c1..cN)
+    val keys = "Exchange hashpartitioning\\(([A-Za-z_0-9]+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    val allowed = Set("doc_id", "term", "query_id", "c1", "c2")
+    assert(keys.forall(allowed.contains),
+      s"unexpected exchange keys: ${keys.filterNot(allowed.contains)}")
+  }
+
   test("line dedup: boilerplate membership is a digest-keyed EQUI-join; " +
        "reassembly is one doc-keyed agg") {
     val plan = planOf("q_line_dedup")
