@@ -71,21 +71,40 @@ object Bench {
     // r13 each recorded 20x "regressions" on byte-identical plans. The
     // committed BENCH_FULL.json (the bench of record from the previous
     // round) is read BEFORE this run overwrites it; any query whose
-    // min lands >4x its reading of record is requeued AFTER the full
+    // min lands >2x its reading of record is requeued AFTER the full
     // sweep (minutes later, outside the burst window) and the retry
     // samples join the originals. Per-query wall-clock start stamps
     // make a burst window identifiable from the artifact alone.
+    // A silently-empty baseline disables the whole gate (ADVICE r14):
+    // that state must be loud, and only parse-shaped failures are
+    // tolerated — anything else (e.g. a missing Jackson method) should
+    // crash, not quietly bench ungated.
     val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE",
       sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json"))
-    val priorTimes: Map[String, Double] =
-      try {
+    val priorTimes: Map[String, Double] = {
+      val f = new java.io.File(baselinePath)
+      if (!f.exists()) {
+        System.err.println(s"[bench] NOTE: no baseline at $baselinePath — requeue gate disabled")
+        Map.empty
+      } else try {
         val node = new com.fasterxml.jackson.databind.ObjectMapper()
-          .readTree(new java.io.File(baselinePath)).get("queries")
-        val it = node.properties().iterator()
-        val m = scala.collection.mutable.Map.empty[String, Double]
-        while (it.hasNext) { val e = it.next(); m(e.getKey) = e.getValue.asDouble() }
-        m.toMap
-      } catch { case _: Throwable => Map.empty }
+          .readTree(f).get("queries")
+        if (node == null) {
+          System.err.println(s"[bench] WARNING: $baselinePath has no \"queries\" map — requeue gate disabled")
+          Map.empty
+        } else {
+          val it = node.properties().iterator()
+          val m = scala.collection.mutable.Map.empty[String, Double]
+          while (it.hasNext) { val e = it.next(); m(e.getKey) = e.getValue.asDouble() }
+          m.toMap
+        }
+      } catch {
+        case e: java.io.IOException =>
+          System.err.println(s"[bench] WARNING: baseline $baselinePath unreadable " +
+            s"(${e.getClass.getSimpleName}: ${e.getMessage}) — requeue gate disabled")
+          Map.empty
+      }
+    }
     def timedRun(name: String,
                  fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val s = System.nanoTime()
@@ -121,23 +140,49 @@ object Bench {
     // Deferred requeue: a query can only be exonerated by a sample
     // taken OUTSIDE the burst that poisoned it, and the cheapest
     // guaranteed-later moment is after every other query has run. The
-    // 4x gate is against the reading of record, the >1s floor keeps
+    // 2x gate (VERDICT r14 #2: eight readings inflated 2.1-3.5x by a
+    // co-tenant window slid under the old 4x gate and became numbers
+    // of record) is against the reading of record, the >1s floor keeps
     // micro-queries from churning on scheduler jitter, and errored
     // queries stay errored (a time-to-failure must not be retried into
-    // looking like a timing). Both passes land in the artifact.
+    // looking like a timing). Both passes land in the artifact, retry
+    // passes with their own wall-clock stamps (ADVICE r14: the stamps
+    // exist to place samples inside/outside a burst window — the
+    // retry samples are the ones that claim to be outside it).
     val retried = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+    val tRetry = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    val retryErrors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = firstPass.map { case (name, timed, samples) =>
       val flag = priorTimes.get(name).exists(p =>
-        timed > 4.0 * p && timed > 1.0) && !errors.contains(name)
+        timed > 2.0 * p && timed > 1.0) && !errors.contains(name)
       if (!flag) (name, timed, samples)
       else {
         val fn = selected(name)
-        val retry = Seq(timedRun(name, fn), timedRun(name, fn)).sorted
-        retried(name) = retry
-        val all = (samples ++ retry).sorted
-        System.err.println(f"[bench] $name REQUEUED (record=${priorTimes(name)}%.2f " +
-          f"first-pass=$timed%.2f): retry=${retry.min}%.2f -> recorded=${all.min}%.2f")
-        (name, all.min, all)
+        tRetry(name) = System.currentTimeMillis() / 1000L
+        // ADVICE r14: a retry run that THROWS must not contribute its
+        // time-to-failure to the merged min — each retry sample is
+        // kept only if the run stayed clean; a retry failure is
+        // recorded separately (retry_errors) and does NOT mark a
+        // first-pass-clean query as errored.
+        def retrySample(): Option[Double] = {
+          val t = timedRun(name, fn)
+          if (errors.contains(name)) {
+            retryErrors(name) = errors.remove(name).get
+            None
+          } else Some(t)
+        }
+        val retry = Seq(retrySample(), retrySample()).flatten.sorted
+        if (retry.isEmpty) {
+          System.err.println(f"[bench] $name REQUEUED but both retries FAILED " +
+            f"(${retryErrors(name)}) — keeping first-pass $timed%.2f")
+          (name, timed, samples)
+        } else {
+          retried(name) = retry
+          val all = (samples ++ retry).sorted
+          System.err.println(f"[bench] $name REQUEUED (record=${priorTimes(name)}%.2f " +
+            f"first-pass=$timed%.2f): retry=${retry.min}%.2f -> recorded=${all.min}%.2f")
+          (name, all.min, all)
+        }
       }
     }
     // Post-sweep invariant: the store must be empty between queries —
@@ -188,18 +233,28 @@ object Bench {
     // t_start_epoch_sec: per-query wall-clock stamps — a co-tenant
     // burst window is now identifiable from the artifact alone (the
     // r13 adjudication had to infer it from alphabetical adjacency).
-    // retried: both passes of every requeued query, retry samples only
-    // (first-pass samples are in spread_min_med_max).
+    // t_retry_epoch_sec (ADVICE r14): the same stamp for the retry
+    // pass of every requeued query, so "the retry ran outside the
+    // burst" is verifiable from the artifact alone. retried: retry
+    // samples of every requeued query (first-pass samples are in
+    // spread_min_med_max); retry_errors: retries that threw (their
+    // samples were discarded, the first-pass timing kept).
     val tStartJson = tStart
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val tRetryJson = tRetry
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val retriedJson = retried
       .map { case (k, v) => "\"" + k + "\":[" + v.map(r3).mkString(",") + "]" }
+      .mkString("{", ",", "}")
+    val retryErrsJson = retryErrors
+      .map { case (k, v) => "\"" + k + "\":\"" + jq(v) + "\"" }
       .mkString("{", ",", "}")
     java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
       (s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,""" +
         s""""spread_min_med_max":$spreadJson,"errors":$errsJson,""" +
         s""""swept_blocks_per_query":$leaksJson,""" +
-        s""""t_start_epoch_sec":$tStartJson,"retried":$retriedJson,""" +
+        s""""t_start_epoch_sec":$tStartJson,"t_retry_epoch_sec":$tRetryJson,""" +
+        s""""retried":$retriedJson,"retry_errors":$retryErrsJson,""" +
         s""""sf":"$sfDir"}""")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // VERDICT r10 #6: the driver's tail parser failed on every round's

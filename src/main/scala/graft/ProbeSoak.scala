@@ -251,7 +251,12 @@ object ProbeSoak {
       // path is a candidate: n² + 1), collapsed to a constant by
       // DEGREE ordering (all hub edges point inward, outdeg(mm) = 0).
       import graft.operators.LinkGraph
-      val n = scales.head * 1000 // n² lexicographic wedges get COUNTED — keep n moderate
+      // ADVICE r14: n² lexicographic wedges get COUNTED, so an
+      // incautious scale list (e.g. "48") would make the probe its own
+      // ~2.3e9-row blowup — clamp the plant size; the quadratic-vs-
+      // constant contrast this probe exists for is fully visible at
+      // n ≤ 4000 (16M wedges vs ≤16).
+      val n = math.min(scales.head, 4) * 1000
       val leavesA = spark.range(n).select(
         format_string("aa%07d", col("id")).as("src_host"), lit("mm").as("dst_host"))
       val leavesZ = spark.range(n).select(

@@ -5993,11 +5993,14 @@ object Queries {
            |SELECT query_id, rank, doc_id, score FROM rk WHERE rank <= 10
            |ORDER BY query_id, rank""".stripMargin))
 
-  /** Hybrid retrieval via reciprocal-rank fusion
-    * (`Retrieval.hybridTopK`): BM25 and dense-cosine top-10s fused by
-    * all-integer `10^6 div (60 + rank)` — the RAG first-stage recipe;
-    * the chained oracle re-derives both rankers AND the fusion. */
-  private val qHybridTopk = {
+  /** The BRUTE-FORCE hybrid twin (`Retrieval.hybridTopK`): BM25 and
+    * dense-cosine top-10s fused by all-integer `10^6 div (60 + rank)`.
+    * DEMOTED from primary (VERDICT r14 #3): the dense side is a
+    * declared corpus×queries crossJoin — the exact-recall ORACLE
+    * ANCHOR, eval-bounded by contract (`maxCorpus` plan guard
+    * `raise_error`s past 1M corpus rows). `q_hybrid_topk` is the
+    * declared primary with the cell-bounded dense side. */
+  private val qHybridTopkBrute = {
     def cosSql(q: String, e: String): String = {
       def n2(v: String) =
         s"sqrt(list_sum(list_transform(list_zip($v, $v), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))))"
@@ -6006,7 +6009,7 @@ object Queries {
       s"round(CASE WHEN ${n2(q)} * ${n2(e)} > 0 THEN $dp / (${n2(q)} * ${n2(e)}) ELSE 0.0 END, 6)"
     }
     Q(
-      "q_hybrid_topk",
+      "q_hybrid_topk_brute",
       (s, d) => operators.Retrieval.hybridTopK(Tables.documents(s, d),
         Tables.embeddings(s, d)).orderBy("query_id", "rank"),
       Some(s"""WITH u AS (SELECT d.doc_id, d.text, e.embedding
@@ -6062,18 +6065,20 @@ object Queries {
 
   /** The HYBRID serve twin (`CorpusStream.hybridServeOverFile`): both
     * first-stage rankers and the integer RRF fusion as one row-local
-    * scan over batch-fitted sparse + dense shards; drained ≡ batch
-    * `q_hybrid_topk`, so its full chained oracle applies verbatim. */
+    * scan over batch-fitted sparse + dense shards. The serve shards
+    * hold the FULL corpus, so drained ≡ batch BRUTE hybrid row-for-row
+    * (`q_hybrid_topk_brute`), whose full chained oracle applies
+    * verbatim. */
   private val qHybridServeStream = Q(
     "q_hybrid_serve_stream",
     (s, d) => streaming.CorpusStream.hybridServeOverFile(s, d)
       .orderBy("query_id", "rank"),
-    qHybridTopk.oracle)
+    qHybridTopkBrute.oracle)
 
-  /** Hybrid retrieval with the dense side ANN-bounded
-    * (`Retrieval.hybridTopKGrid`): same BM25 ranker, same integer RRF
-    * fusion (`Retrieval.rrfFuse` — one algebra behind both declared
-    * hybrids), but the dense ranker is the grid-cell ANN
+  /** THE declared hybrid (`Retrieval.hybridTopKGrid`) — promoted to
+    * primary in r15 (VERDICT r14 #3): same BM25 ranker, same integer
+    * RRF fusion (`Retrieval.rrfFuse` — one algebra behind both
+    * declared hybrids), but the dense ranker is the grid-cell ANN
     * (`Ivf.topkGrid`, the `sim_ivf_topk_grid` algebra) instead of the
     * brute-force corpus×queries crossJoin — candidates bounded to the
     * query's probed grid cells, so the declared query's plan shape is
@@ -6081,11 +6086,12 @@ object Queries {
     * grid assignment, ±1 probe expansion, the cell-bounded candidate
     * join, the dense rank AND the fusion — full-oracle end to end even
     * though the dense side is approximate (the approximation is in
-    * WHICH candidates exist, not in any non-deterministic choice). */
-  private val qHybridTopkAnn = {
+    * WHICH candidates exist, not in any non-deterministic choice).
+    * `q_hybrid_topk_brute` is the eval-bounded exact-recall anchor. */
+  private val qHybridTopk = {
     val (g, k) = (0.25, 10)
     Q(
-      "q_hybrid_topk_ann",
+      "q_hybrid_topk",
       (s, d) => operators.Retrieval.hybridTopKGrid(Tables.documents(s, d),
         Tables.embeddings(s, d), k = k, gridSize = g)
         .orderBy("query_id", "rank"),
@@ -6550,7 +6556,7 @@ object Queries {
     qLinkGraph, qLinkGraphStream, qAnchorStats, qPagerank,
     qPagerankStream, qHits, qTriangles,
     qCrawlFrontier, qFetchSchedule, qBm25Topk, qBm25ServeStream,
-    qHybridTopk, qHybridTopkAnn, qHybridServeStream, qPostings,
+    qHybridTopk, qHybridTopkBrute, qHybridServeStream, qPostings,
     qLineDedup, qLineDedupStream,
     qHitsStream, qTrianglesStream,
     qKmeansClusters, qKmeansStats, qClusterSample, qKmeansStream,

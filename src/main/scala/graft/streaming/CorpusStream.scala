@@ -570,8 +570,9 @@ object CorpusStream {
     * documents⋈embeddings join), and the live query feed runs both
     * row-local scans AND the integer RRF fusion in one stateless
     * append pass (the only stream-side join is the static embedding
-    * attach). Drained ≡ batch `q_hybrid_topk` row-for-row, so its
-    * full chained oracle applies verbatim. */
+    * attach). The shards hold the full corpus, so drained ≡ batch
+    * BRUTE hybrid `q_hybrid_topk_brute` row-for-row and its full
+    * chained oracle applies verbatim. */
   def hybridServeOverFile(spark: org.apache.spark.sql.SparkSession,
                           sfDir: String): DataFrame = {
     val emb = graft.Tables.embeddings(spark, sfDir)

@@ -502,9 +502,10 @@ class PlanShapeSpec extends AnyFunSuite {
       s"unexpected exchange keys: ${keys.filterNot(allowed.contains)}")
   }
 
-  test("ANN hybrid: the dense side is grid-cell-bounded — no cartesian " +
-       "or nested-loop pass anywhere in the fused plan") {
-    val plan = planOf("q_hybrid_topk_ann")
+  test("declared hybrid (q_hybrid_topk, the promoted ANN form): the " +
+       "dense side is grid-cell-bounded — no cartesian or extra " +
+       "nested-loop pass anywhere in the fused plan") {
+    val plan = planOf("q_hybrid_topk")
     assert(!plan.contains("CartesianProduct"), plan.take(800))
     // exactly ONE nested-loop site is legitimate: bm25TopK's 1-row
     // global-stats attach (the repo-standard scalar-broadcast
