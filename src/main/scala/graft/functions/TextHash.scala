@@ -167,7 +167,7 @@ object WinnowFingerprints {
     * scan; per thread it's free. (Task threads each deserialize their
     * own expression tree, but a ThreadLocal is safe even if an
     * instance is ever shared.) */
-  private val mdLocal: ThreadLocal[java.security.MessageDigest] =
+  private[functions] val mdLocal: ThreadLocal[java.security.MessageDigest] =
     ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
 }
 
@@ -314,6 +314,161 @@ case class ChunkSpans(child: Expression, window: Int, stride: Int)
   override def prettyName: String = "chunk_spans"
 }
 
+/** MinHash-LSH band keys of a shingle array (`array<string>` →
+  * `array<string>` md5-portable / `array<int>` fast), ONE per-row JVM
+  * pass — r15 optimization of the minhash family's signature stage.
+  *
+  * Semantically identical to the former explode → 16× seeded-hash →
+  * groupBy(doc_id).agg(min…) → band-concat-hash pipeline (DedupSpec
+  * pins both variants value-for-value against that spelling), but
+  * row-LOCAL: a doc's minhash signature is a min over its own shingle
+  * array, so the per-call Exchange the hash aggregate forced — the
+  * corpus's exploded shingles (≈250× the doc count) shuffled per
+  * bandedKeys call — disappears from every minhash plan, and the md5
+  * variant reuses one thread-local MessageDigest instead of paying
+  * `DigestUtils` construction per md5() call (16 per exploded row).
+  *
+  * Hash-for-hash equivalences this relies on (both re-proven by the
+  * spec, and by every md5-twin oracle downstream):
+  *  - portable: `min(md5('i:'||s))` hex-string min == unsigned byte
+  *    min of the 16-byte digests (lowercase-hex is order-preserving);
+  *    band key = md5 of the UTF-8 of `concat_ws('|', b, mins…)`.
+  *  - fast: Spark's `xxhash64(lit(i), s)` folds seed 42 → int literal
+  *    → string, replicated via `XxHash64Function.hash` (the engine's
+  *    own interpreted path, bit-identical to codegen); per-seed
+  *    prefixes are folded once per expression instance. LongType min
+  *    is SIGNED, as the aggregate's was. Band key = `hash(b, mins…)`
+  *    via `Murmur3HashFunction.hash` with the same 42 seed fold.
+  *
+  * Empty or all-null shingle arrays return NULL (posexplode then
+  * yields no rows — the explode-based spelling dropped such docs the
+  * same way). */
+case class MinhashBandKeys(child: Expression, numHashes: Int, bands: Int,
+                           portableMd5: Boolean)
+    extends UnaryExpression with TokenArrayExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(numHashes >= 1 && bands >= 1 && numHashes % bands == 0,
+    s"numHashes=$numHashes must be a positive multiple of bands=$bands")
+  private val rowsPerBand = numHashes / bands
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    if (portableMd5) StringType else org.apache.spark.sql.types.IntegerType, false)
+  override def nullable: Boolean = true
+
+  // seed 42 folded over the integer hash index once per instance —
+  // per-shingle work is then a single string hash per signature slot
+  @transient private lazy val xxSeeds: Array[Long] =
+    Array.tabulate(numHashes)(i =>
+      org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        i, org.apache.spark.sql.types.IntegerType, 42L))
+  @transient private lazy val md5Prefixes: Array[Array[Byte]] =
+    Array.tabulate(numHashes)(i =>
+      (i.toString + ":").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  private def digestLess(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length) {
+      val ai = a(i) & 0xff; val bi = b(i) & 0xff
+      if (ai != bi) return ai < bi
+      i += 1
+    }
+    false
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null
+    if (portableMd5) {
+      val md = WinnowFingerprints.mdLocal.get()
+      val mins = new Array[Array[Byte]](numHashes)
+      var e = 0
+      while (e < n) {
+        if (!arr.isNullAt(e)) {
+          val sb = arr.getUTF8String(e).getBytes
+          var i = 0
+          while (i < numHashes) {
+            md.reset()
+            md.update(md5Prefixes(i))
+            md.update(sb)
+            val d = md.digest()
+            if (mins(i) == null || digestLess(d, mins(i))) mins(i) = d
+            i += 1
+          }
+        }
+        e += 1
+      }
+      if (mins(0) == null) return null // all elements null
+      val hex = "0123456789abcdef".toCharArray
+      def hexify(d: Array[Byte]): String = {
+        val hc = new Array[Char](32)
+        var b = 0
+        while (b < 16) {
+          hc(2 * b) = hex((d(b) >> 4) & 0xf); hc(2 * b + 1) = hex(d(b) & 0xf)
+          b += 1
+        }
+        new String(hc)
+      }
+      val out = new Array[Any](bands)
+      val sb = new java.lang.StringBuilder
+      var b = 0
+      while (b < bands) {
+        sb.setLength(0)
+        sb.append(b).append('|')
+        var r = 0
+        while (r < rowsPerBand) {
+          if (r > 0) sb.append('|')
+          sb.append(hexify(mins(b * rowsPerBand + r)))
+          r += 1
+        }
+        md.reset()
+        val d = md.digest(
+          sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        out(b) = org.apache.spark.unsafe.types.UTF8String.fromString(hexify(d))
+        b += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    } else {
+      val mins = new Array[Long](numHashes)
+      var seen = false
+      var e = 0
+      while (e < n) {
+        if (!arr.isNullAt(e)) {
+          val s = arr.getUTF8String(e)
+          var i = 0
+          while (i < numHashes) {
+            val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+              .hash(s, StringType, xxSeeds(i))
+            if (!seen || h < mins(i)) mins(i) = h
+            i += 1
+          }
+          seen = true
+        }
+        e += 1
+      }
+      if (!seen) return null // all elements null
+      val out = new Array[Any](bands)
+      var b = 0
+      while (b < bands) {
+        var h: Long = org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+          .hash(b, org.apache.spark.sql.types.IntegerType, 42L)
+        var r = 0
+        while (r < rowsPerBand) {
+          h = org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+            .hash(mins(b * rowsPerBand + r), LongType, h)
+          r += 1
+        }
+        out(b) = h.toInt
+        b += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "minhash_band_keys"
+}
+
 object TextHash {
   import org.apache.spark.sql.graft.Bridge.{column, expression, registerFunction}
 
@@ -338,6 +493,13 @@ object TextHash {
   /** `array<string>` tokens → distinct 64-bit shingle hashes. */
   def shingleHashes(tokens: Column, k: Int): Column =
     column(ShingleHashes(expression(tokens.cast("array<string>")), k))
+
+  /** `array<string>` shingles → minhash-LSH band keys (md5-portable
+    * hex strings, or fast xxhash64/murmur ints). */
+  def minhashBandKeys(shingles: Column, numHashes: Int, bands: Int,
+                      portableMd5: Boolean): Column =
+    column(MinhashBandKeys(expression(shingles.cast("array<string>")),
+      numHashes, bands, portableMd5))
 
   /** `array<string>` tokens → strided window chunks joined by ' '. */
   def chunkSpans(tokens: Column, window: Int, stride: Int): Column =

@@ -86,22 +86,33 @@ object AnnServe {
       .collect())
   }
 
-  /** `fitShard` when the caller has ALREADY counted the frame this
-    * batch (a maintained-state advance counts its input anyway): the
-    * cap check runs on the known count, skipping the bounded-probe
-    * job. Same guard, same message class, one scan instead of two. */
-  private[graft] def fitShardPrecounted(embeddings: DataFrame, n: Long,
-                                        idCol: String = "vec_id",
-                                        vecCol: String = "embedding",
-                                        rowCap: Int = 1 << 20): AnnShard = {
+  /** `fitShard` when the caller needs the row count anyway (a
+    * maintained-state advance decides empty-batch/no-op from it): ONE
+    * bounded collect replaces the separate count + collect — the
+    * guard is the `limit(rowCap+1)` bound on the collect itself, so a
+    * corpus-sized frame still fails loudly before any full driver
+    * materialization. Returns None when the frame is empty (nothing
+    * to shard). */
+  private[graft] def fitShardBounded(embeddings: DataFrame,
+                                     idCol: String = "vec_id",
+                                     vecCol: String = "embedding",
+                                     rowCap: Int = 1 << 20): (Option[AnnShard], Long) = {
+    // lazy checkpoint so the count job materializes the projection
+    // once and the collect reads cached blocks — the input is a JOIN
+    // in the corpus pipeline, and the old count + collect shape ran
+    // it twice per micro-batch. (Not limit(cap+1).collect(): Spark's
+    // CollectLimit scans partitions incrementally — 1, then 4×, … —
+    // which is MORE jobs, not fewer.)
+    val proj = embeddings
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .localCheckpoint(false)
+    val n = proj.count()
     require(n <= rowCap,
       s"AnnShard: embeddings exceed the per-shard cap $rowCap — an ANN " +
         "serve shard must fit serving-node memory; use fitShards + " +
         "topkRowsSharded to partition the corpus and merge per-query " +
         "top-k answers instead")
-    buildShard(embeddings
-      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
-      .collect())
+    (if (n == 0) None else Some(buildShard(proj.collect())), n)
   }
 
   /** Driver-side shard UNION for a long-lived maintained index

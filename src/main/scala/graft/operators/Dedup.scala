@@ -62,21 +62,22 @@ object Dedup {
 
   /** (doc_id, band, bh) exploded LSH band keys off a shingle frame —
     * the candidate-generation key both `minhashPairs` (self-join) and
-    * `dedupIncremental` (incoming × existing join) shuffle on. */
+    * `dedupIncremental` (incoming × existing join) shuffle on.
+    *
+    * r15: the signature + band keys are ONE native per-row expression
+    * (`functions.TextHash.minhashBandKeys`) — a doc's minhash mins are
+    * a fold over its own shingle array, so the old explode → seeded
+    * hashes → groupBy(doc_id) agg spelling paid an Exchange of the
+    * corpus's exploded shingles (~250× the doc count) per call for
+    * work that never needed to leave the row. Values are hash-for-hash
+    * identical (DedupSpec pins both variants against the legacy
+    * spelling; every md5-twin oracle re-derives them independently). */
   private[graft] def bandedKeys(sh: DataFrame, numHashes: Int, bands: Int,
-                         portableMd5: Boolean): DataFrame = {
-    val rowsPerBand = numHashes / bands
-    val sig = withMinhashSignature(sh, numHashes, portableMd5)
-    val bandCols = (0 until bands).map { b =>
-      val cols = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
-      if (portableMd5) md5(concat_ws("|", lit(b) +: cols: _*).cast("binary")).as(s"band_$b")
-      else hash(lit(b) +: cols: _*).as(s"band_$b")
-    }
-    sig.select(col("doc_id") +: bandCols: _*)
-      .select(col("doc_id"),
-        posexplode(array((0 until bands).map(b => col(s"band_$b")): _*)))
+                         portableMd5: Boolean): DataFrame =
+    sh.select(col("doc_id"),
+        posexplode(graft.functions.TextHash.minhashBandKeys(
+          col("shingles"), numHashes, bands, portableMd5)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
-  }
 
   /** MinHash-LSH candidate pairs + exact Jaccard verification.
     * Bands of `rowsPerBand` signature values hash to a band key;
@@ -543,8 +544,8 @@ object Dedup {
                           maxRounds: Int = 15,
                           driverEdgeCap: Int = 100000): DataFrame = {
     val dir = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-    val edges = dir.union(dir.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint()
+    val edgesPlan = dir.union(dir.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
     // Adaptive algorithm choice, same spirit as `adaptiveNlist`: a
     // verified near-dup edge list under `driverEdgeCap` is a
     // driver-trivial graph — union-find closes it in milliseconds,
@@ -560,13 +561,23 @@ object Dedup {
     // the INPUT id type, so the operator's schema contract never
     // depends on data size. Non-integral ids (e.g. UUID strings) take
     // the loop, which is type-generic.
-    val idType = edges.schema("src").dataType
+    // r15: LAZY checkpoint — the decision count materializes the
+    // distinct edge list once (the old eager checkpoint + count was
+    // two jobs before any work started, and CC runs once per
+    // micro-batch in the maintained-corpus family); the fast path's
+    // collect and the loop's per-round scans read the same cached
+    // blocks. (Not limit(cap+1).collect(): Spark's CollectLimit scans
+    // partitions incrementally — more jobs, not fewer.)
+    val idType = edgesPlan.schema("src").dataType
     val integral = idType == org.apache.spark.sql.types.LongType ||
       idType == org.apache.spark.sql.types.IntegerType ||
       idType == org.apache.spark.sql.types.ShortType
+    val edges = edgesPlan.localCheckpoint(false)
     val nEdges = edges.count()
     if (integral && nEdges <= driverEdgeCap)
-      return ccDriverSide(edges, nEdges)
+      return ccDriverSide(pairs.sparkSession,
+          edges.select(col("src").cast("long"), col("dst").cast("long"))
+            .collect().map(r => (r.getLong(0), r.getLong(1))))
         .select(col("node").cast(idType).as("node"),
                 col("cluster_id").cast(idType).as("cluster_id"),
                 col("is_survivor"))
@@ -608,11 +619,9 @@ object Dedup {
     * the loop's fixed point; output schema (node, cluster_id long;
     * is_survivor int) matches the loop over the long-id tables every
     * caller uses. */
-  private def ccDriverSide(edges: DataFrame, nEdges: Long): DataFrame = {
-    val spark = edges.sparkSession
+  private def ccDriverSide(spark: org.apache.spark.sql.SparkSession,
+                           es: Array[(Long, Long)]): DataFrame = {
     import spark.implicits._
-    val es = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
     // index nodes
     val idx = scala.collection.mutable.HashMap.empty[Long, Int]
     val nodes = scala.collection.mutable.ArrayBuffer.empty[Long]

@@ -157,10 +157,22 @@ object CorpusPipeline {
     def advance(batchId: Long, batch: DataFrame): Int = synchronized {
       val (v, last) = cur
       if (batchId <= last) return v
-      val b = batch.select(col("doc_id").cast("long").as("doc_id"),
-        col("text"), col("embedding").cast("array<double>").as("embedding"))
-        .localCheckpoint()
-      if (b.limit(1).count() == 0) {
+      // A file-sourced micro-batch arrives as ONE input partition, so
+      // without the repartition every per-batch scan-side stage — the
+      // md5-minhash shingle/band pass above all — runs on one core
+      // (r15 profile: corpus:shingle-band was the heaviest phase at
+      // 2.4 s of 11 s of job time, single-threaded). Row placement is
+      // irrelevant to every downstream aggregate/join, so spreading
+      // the batch across the session's shuffle width only adds one
+      // tiny exchange and parallelizes the whole batch pipeline.
+      val nPart = spark.sessionState.conf.numShufflePartitions
+      val b = graft.Phases.phase(spark, "corpus:batch-in") {
+        batch.select(col("doc_id").cast("long").as("doc_id"),
+          col("text"), col("embedding").cast("array<double>").as("embedding"))
+          .repartition(nPart)
+          .localCheckpoint()
+      }
+      if (graft.Phases.phase(spark, "corpus:batch-in")(b.limit(1).count()) == 0) {
         writePointer(v, batchId); cur = (v, batchId); return v
       }
       val (docs0, pairs0, kept0) =
@@ -179,7 +191,8 @@ object CorpusPipeline {
            empty.select(col("doc_id")))
         } else (docs, pairs, kept.select("doc_id"))
       require(v == 0 ||
-          docs0.join(b, Seq("doc_id"), "left_semi").limit(1).count() == 0,
+          graft.Phases.phase(spark, "corpus:guard")(
+            docs0.join(b, Seq("doc_id"), "left_semi").limit(1).count()) == 0,
         "MaintainedCorpus: batch re-sends an already-seen doc_id — " +
           "the corpus store is append-only; dedup decides keeps, not re-sends")
       // append-only accumulation: the standing frames are lazy unions
@@ -188,10 +201,16 @@ object CorpusPipeline {
       // the only whole-corpus scan, and it reads hot blocks
       val allDocs = docs0.unionByName(b)
       // ---- derived state: shingle/band the BATCH only, append
-      val shB = Dedup.shingleDocs(b, "doc_id", "text", shingleK)
-        .localCheckpoint()
-      val bandB = Dedup.bandedKeys(shB, numHashes, bands, portableMd5 = true)
-        .localCheckpoint()
+      // lazy checkpoints (r15): both frames materialize inside the
+      // first consumer job (the candidate-pair stage) instead of two
+      // standalone per-batch jobs; blocks still cache for every later
+      // batch's shAll/bandAll union
+      val (shB, bandB) = graft.Phases.phase(spark, "corpus:shingle-band") {
+        val s = Dedup.shingleDocs(b, "doc_id", "text", shingleK)
+          .localCheckpoint(false)
+        (s, Dedup.bandedKeys(s, numHashes, bands, portableMd5 = true)
+          .localCheckpoint(false))
+      }
       val (shAll, bandAll) = hotDerived match {
         case Some((v0, s0, b0)) if v0 == v && v > 0 =>
           (s0.unionByName(shB), b0.unionByName(bandB))
@@ -199,24 +218,30 @@ object CorpusPipeline {
         case _ =>
           // recovered process: re-derive the standing tables from the
           // docs snapshot ONCE; subsequent batches append again
-          val sh0 = Dedup.shingleDocs(docs0, "doc_id", "text", shingleK)
-            .localCheckpoint()
-          val b0 = Dedup.bandedKeys(sh0, numHashes, bands, portableMd5 = true)
-            .localCheckpoint()
-          (sh0.unionByName(shB), b0.unionByName(bandB))
+          graft.Phases.phase(spark, "corpus:shingle-band") {
+            val sh0 = Dedup.shingleDocs(docs0, "doc_id", "text", shingleK)
+              .localCheckpoint()
+            val b0 = Dedup.bandedKeys(sh0, numHashes, bands, portableMd5 = true)
+              .localCheckpoint()
+            (sh0.unionByName(shB), b0.unionByName(bandB))
+          }
       }
       // batch docs are NEW ids (the append-only guard above), so a new
       // pair always touches the batch and can never duplicate a
       // standing pair — dedup within the batch's candidates suffices
-      val newPairs = CorpusPipeline
-        .incrementalPairsFrom(shAll, bandAll, bandB, threshold)
-        .localCheckpoint()
+      val newPairs = graft.Phases.phase(spark, "corpus:pairs") {
+        CorpusPipeline
+          .incrementalPairsFrom(shAll, bandAll, bandB, threshold)
+          .localCheckpoint(false)
+      }
       val pairs1 = pairs0.unionByName(newPairs)
       // ---- kept set: cluster-min-id over the accumulated pairs
-      val nonSurvivors = Dedup.connectedComponents(pairs1, "doc_a", "doc_b")
-        .filter(col("is_survivor") === 0).select(col("node").as("doc_id"))
-      val kept1 = allDocs.select("doc_id")
-        .join(nonSurvivors, Seq("doc_id"), "left_anti").localCheckpoint()
+      val kept1 = graft.Phases.phase(spark, "corpus:cc-kept") {
+        val nonSurvivors = Dedup.connectedComponents(pairs1, "doc_a", "doc_b")
+          .filter(col("is_survivor") === 0).select(col("node").as("doc_id"))
+        allDocs.select("doc_id")
+          .join(nonSurvivors, Seq("doc_id"), "left_anti").localCheckpoint(false)
+      }
       // ---- diff → graph upsert (evictions are deletes, new keepers
       // inserts; an evicted id was kept before, so it is indexed) —
       // the graph's advance collects the eviction set driver-side
@@ -241,19 +266,23 @@ object CorpusPipeline {
         else snapshotVersions().filter(_ <= v)
       val snapNow = stateFormat == "snapshot" || snapVersions.isEmpty ||
         newV - snapVersions.max >= compactEvery
+      // independent state writes run concurrently (guide §2.6) — the
+      // driver was the only thing serializing them
       if (snapNow) {
         deleteDir(s"$stateDir/log/v=$newV"): Unit
-        allDocs.write.mode("overwrite").parquet(s"$stateDir/docs/v=$newV")
-        pairs1.write.mode("overwrite").parquet(s"$stateDir/pairs/v=$newV")
-        kept1.write.mode("overwrite").parquet(s"$stateDir/kept/v=$newV")
+        graft.Phases.inParallel(spark, "corpus:snapshot-write")(
+          () => allDocs.write.mode("overwrite").parquet(s"$stateDir/docs/v=$newV"),
+          () => pairs1.write.mode("overwrite").parquet(s"$stateDir/pairs/v=$newV"),
+          () => kept1.write.mode("overwrite").parquet(s"$stateDir/kept/v=$newV"))
       } else {
         Seq("docs", "pairs", "kept").foreach(kind =>
           deleteDir(s"$stateDir/$kind/v=$newV"): Unit)
         val seg = s"$stateDir/log/v=$newV"
-        b.write.mode("overwrite").parquet(s"$seg/dins")
-        newPairs.write.mode("overwrite").parquet(s"$seg/pins")
-        fresh.write.mode("overwrite").parquet(s"$seg/kin")
-        evicted.write.mode("overwrite").parquet(s"$seg/kout")
+        graft.Phases.inParallel(spark, "corpus:log-write")(
+          () => b.write.mode("overwrite").parquet(s"$seg/dins"),
+          () => newPairs.write.mode("overwrite").parquet(s"$seg/pins"),
+          () => fresh.write.mode("overwrite").parquet(s"$seg/kin"),
+          () => evicted.write.mode("overwrite").parquet(s"$seg/kout"))
       }
       writePointer(newV, batchId)
       hot = Some((newV, allDocs, pairs1, kept1))
@@ -382,8 +411,13 @@ object CorpusPipeline {
     // default untouched
     ScoreStream.withConfs(spark, "spark.sql.shuffle.partitions" -> "8",
                           "spark.sql.adaptive.enabled" -> "false") {
+      // stage the join ONCE (lazy hot blocks) — the old loop re-ran
+      // the documents⋈embeddings join per slice. The writes stay
+      // SEQUENTIAL: they append to one directory, and concurrent jobs
+      // would race on its shared _temporary staging dir.
+      val staged = feed.localCheckpoint(false)
       (0 until nSlices).foreach { s =>
-        feed.filter(pmod(xxhash64(col("doc_id")), lit(nSlices)) === s)
+        staged.filter(pmod(xxhash64(col("doc_id")), lit(nSlices)) === s)
           .coalesce(1).write.mode("append").parquet(in)
       }
       val q = start(mc,

@@ -238,14 +238,20 @@ object GraphStream {
       val ins = inserts
         .select(col(idCol).cast("long").as(idCol),
                 col(vecCol).cast("array<double>").as(vecCol))
-      val nIns = ins.count()
+      // ONE bounded collect fits the new-side shard AND yields the
+      // batch count (r15: the separate count + fitShardPrecounted
+      // collect executed the insert frame twice per micro-batch — for
+      // the corpus pipeline that frame is a join, re-run both times)
+      val (shardNew, nIns) = graft.Phases.phase(spark, "graph:fit")(
+        AnnServe.fitShardBounded(ins, idCol, vecCol))
       // removed ids come to the driver ANYWAY (every downstream use is
       // a broadcast build), so ONE collect replaces the count and also
       // feeds the driver-side shard filter
       val rm = removedIds.map(r =>
         r.select(col(r.columns.head).cast("long").as("__rid")).distinct())
-      val removedSet: Set[Long] =
+      val removedSet: Set[Long] = graft.Phases.phase(spark, "graph:pre") {
         rm.map(_.collect().map(_.getLong(0)).toSet).getOrElse(Set.empty)
+      }
       if (nIns == 0 && removedSet.isEmpty) {
         // an empty micro-batch advances the applied-batch pointer only
         // (the existing version dirs stay the state)
@@ -253,9 +259,6 @@ object GraphStream {
         cur = (v, batchId)
         return v
       }
-      val shardNew =
-        if (nIns > 0) Some(AnnServe.fitShardPrecounted(ins, nIns, idCol, vecCol))
-        else None
       if (v == 0) {
         require(removedSet.isEmpty,
           "MaintainedGraph: delete in the bootstrap batch — nothing is indexed yet")
@@ -284,26 +287,32 @@ object GraphStream {
         } else {
           val (corpus1, shard1, edges1) =
             if (removedSet.isEmpty) (corpus0, shard0, edges0)
-            else {
+            else graft.Phases.phase(spark, "graph:delete") {
+              // lazy checkpoints: both frames are re-used downstream
+              // (the merge's require-count / the commit writes), so
+              // materialization fuses into the first consumer job
+              // instead of two standalone jobs per delete batch
               val corpusAfter = corpus0
                 .join(broadcast(rm.get), col(idCol) === col("__rid"), "left_anti")
-                .localCheckpoint()
+                .localCheckpoint(false)
               val shardAfter = AnnServe.filterShard(shard0, removedSet)
               (corpusAfter, shardAfter,
                AnnServe.knnGraphDelete(edges0, corpusAfter, shardAfter,
                    rm.get, shardAfter.ids.length.toLong,
                    removedSet.size.toLong, k, idCol, vecCol)
-                 .localCheckpoint())
+                 .localCheckpoint(false))
             }
           shardNew match {
             case None =>
               commit(batchId, v + 1, corpus1, edges1, shard1, removedSet)
             case Some(sn) =>
-              commit(batchId, v + 1, corpus1.unionByName(ins),
+              val merged = graft.Phases.phase(spark, "graph:merge-check") {
                 AnnServe.knnGraphIncremental(
                   edges1.select("query_id", "neighbor_id", "cos"),
-                  corpus1, shard1, ins, sn, k, idCol, vecCol),
-                AnnServe.concatShards(shard1, sn), removedSet)
+                  corpus1, shard1, ins, sn, k, idCol, vecCol)
+              }
+              commit(batchId, v + 1, corpus1.unionByName(ins),
+                merged, AnnServe.concatShards(shard1, sn), removedSet)
           }
         }
       }
@@ -314,9 +323,19 @@ object GraphStream {
                        edgesDf: DataFrame,
                        shardAfter: AnnServe.AnnShard,
                        removedQueryIds: Set[Long] = Set.empty): Unit = {
-      // materialize once into hot blocks, persist from those blocks
-      val c = corpusDf.localCheckpoint()
-      val e = edgesDf.select("query_id", "neighbor_id", "cos").localCheckpoint()
+      // materialize once into hot blocks, persist from those blocks.
+      // The two checkpoints are independent — materialize them
+      // CONCURRENTLY (guide §2.6), then the writes below read cached
+      // blocks (materializing lazily inside the parallel writes was
+      // tried and DUPLICATED the merge compute: concurrent jobs racing
+      // to fill the same un-materialized blocks each ran the full
+      // plan — the log spelling's delta scans read c and e from
+      // several writers at once).
+      var c: DataFrame = null
+      var e: DataFrame = null
+      graft.Phases.inParallel(spark, "graph:commit-ckpt")(
+        () => c = corpusDf.localCheckpoint(),
+        () => e = edgesDf.select("query_id", "neighbor_id", "cos").localCheckpoint())
       // the PRODUCTION write spelling ("upsertlog"): a per-version
       // DELTA segment instead of the O(n) full snapshot — the write
       // I/O becomes O(|changed|) per batch, which is the term the
@@ -335,10 +354,14 @@ object GraphStream {
         else snapshotVersions().filter(_ <= cur._1)
       val snapNow = stateFormat == "snapshot" || snapVersions.isEmpty ||
         newV - snapVersions.max >= compactEvery
+      // Independent state writes run CONCURRENTLY (guide §2.6): the
+      // driver was the only thing serializing them, and on tiny
+      // per-batch state the job round-trip dominates the write itself.
       if (snapNow) {
         deleteDir(s"$stateDir/log/v=$newV"): Unit
-        c.write.mode("overwrite").parquet(s"$stateDir/corpus/v=$newV")
-        e.write.mode("overwrite").parquet(s"$stateDir/edges/v=$newV")
+        graft.Phases.inParallel(spark, "graph:commit-write")(
+          () => c.write.mode("overwrite").parquet(s"$stateDir/corpus/v=$newV"),
+          () => e.write.mode("overwrite").parquet(s"$stateDir/edges/v=$newV"))
       } else {
         deleteDir(s"$stateDir/corpus/v=$newV"): Unit
         deleteDir(s"$stateDir/edges/v=$newV"): Unit
@@ -351,18 +374,21 @@ object GraphStream {
         // eviction set (bounded per batch), not a corpus-wide distinct.
         val (cOld, eOld) = hotState
         val seg = s"$stateDir/log/v=$newV"
-        c.join(cOld, Seq(idCol), "left_anti")
-          .write.mode("overwrite").parquet(s"$seg/cins")
-        cOld.join(c, Seq(idCol), "left_anti").select(idCol)
-          .write.mode("overwrite").parquet(s"$seg/cdel")
-        val changedQ = eOld.exceptAll(e).select("query_id")
-          .unionByName(e.exceptAll(eOld).select("query_id"))
-          .distinct().localCheckpoint()
-        e.join(changedQ, Seq("query_id"), "left_semi")
-          .write.mode("overwrite").parquet(s"$seg/eup")
         import spark.implicits._
-        removedQueryIds.toSeq.sorted.toDF("query_id")
-          .write.mode("overwrite").parquet(s"$seg/edel")
+        graft.Phases.inParallel(spark, "graph:commit-write")(
+          () => c.join(cOld, Seq(idCol), "left_anti")
+            .write.mode("overwrite").parquet(s"$seg/cins"),
+          () => cOld.join(c, Seq(idCol), "left_anti").select(idCol)
+            .write.mode("overwrite").parquet(s"$seg/cdel"),
+          () => {
+            val changedQ = eOld.exceptAll(e).select("query_id")
+              .unionByName(e.exceptAll(eOld).select("query_id"))
+              .distinct().localCheckpoint(false)
+            e.join(changedQ, Seq("query_id"), "left_semi")
+              .write.mode("overwrite").parquet(s"$seg/eup")
+          },
+          () => removedQueryIds.toSeq.sorted.toDF("query_id")
+            .write.mode("overwrite").parquet(s"$seg/edel"))
       }
       writePointer(newV, batchId)
       hot = Some((newV, c, e))
@@ -460,6 +486,9 @@ object GraphStream {
     // per-stage AQE re-planning are pure scheduler overhead
     ScoreStream.withConfs(spark, "spark.sql.shuffle.partitions" -> "8",
                           "spark.sql.adaptive.enabled" -> "false") {
+      // slice writes stay SEQUENTIAL: they append to one directory,
+      // and concurrent jobs would race on its shared _temporary
+      // staging dir
       (0 until nSlices).foreach { s =>
         e.filter(pmod(xxhash64(col("vec_id")), lit(nSlices)) === s)
           .coalesce(1).write.mode("append").parquet(in)

@@ -67,6 +67,35 @@ class DedupSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("minhash band keys: native row-local expression == legacy explode+agg spelling") {
+    // r15: bandedKeys now computes signature mins + band keys in ONE
+    // per-row expression. Pin it value-for-value (both hash variants)
+    // against the legacy spelling it replaced: explode shingles →
+    // seeded hash per slot → groupBy(doc_id) min-agg → band hash of
+    // the joined mins.
+    val sh = Dedup.shingleDocs(corpus, "doc_id", "text")
+    for ((nh, bands, portable) <- Seq((16, 8, true), (32, 16, false))) {
+      val rpb = nh / bands
+      val sig = Dedup.withMinhashSignature(sh, nh, portable)
+      val bandCols = (0 until bands).map { b =>
+        val cols = (0 until rpb).map(r => col(s"mh_${b * rpb + r}"))
+        if (portable) md5(concat_ws("|", lit(b) +: cols: _*).cast("binary")).as(s"band_$b")
+        else hash(lit(b) +: cols: _*).as(s"band_$b")
+      }
+      val legacy = sig.select(col("doc_id") +: bandCols: _*)
+        .select(col("doc_id"),
+          posexplode(array((0 until bands).map(b => col(s"band_$b")): _*)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.get(2))).toSet
+      val native = Dedup.bandedKeys(sh, nh, bands, portable)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.get(2))).toSet
+      assert(native == legacy,
+        s"nh=$nh bands=$bands portable=$portable: " +
+          s"missing=${(legacy -- native).take(3)} extra=${(native -- legacy).take(3)}")
+      assert(native.nonEmpty)
+    }
+  }
+
   test("simhash: banding is complete — EVERY pair within maxHamming is found") {
     val h = 3
     val pairs = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = h)
