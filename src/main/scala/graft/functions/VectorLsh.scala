@@ -95,20 +95,37 @@ object VectorLsh {
       bucketKeys(col(vecCol), dim, L, r, w, seed), bucketCap)
 
   /** `candidatePairs` over an explicit keys column (shared by the
-    * production seeded path and the md5 proof twin). */
+    * production seeded path and the md5 proof twin).
+    *
+    * r15 shape (guide §2.3/§8 — shuffle keys, attach payloads once):
+    * the bucket self-join and the pair dedup run over (id, k) scalars
+    * ONLY; vectors re-attach to the DISTINCT pairs afterwards and the
+    * exact distance is computed once per pair instead of once per
+    * bucket co-occurrence (a true near-pair co-occurs in up to L
+    * tables, so the old at-the-join spelling paid the three dot
+    * products up to L× per pair and shipped both vectors through the
+    * candidate exchange). Per-vector squared norms are computed once
+    * on the base frame. Values are bit-identical: the same double
+    * arithmetic runs once instead of min-combining L identical
+    * copies — the md5 proof twin's oracle still hash-matches. */
   def candidatePairsKeys(df: DataFrame, idCol: String, vecCol: String,
                          keysCol: Column, bucketCap: Int): DataFrame = {
-    val keyed = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-        explode(keysCol).as("k"))
+    val keyed = df.select(col(idCol).as("id"), explode(keysCol).as("k"))
     val small = keyed.join(
       keyed.groupBy("k").count().filter(col("count") <= bucketCap).select("k"), "k")
-    val dist = sqrt(greatest(
-      VectorOps.dot(col("a.v"), col("a.v")) + VectorOps.dot(col("b.v"), col("b.v")) -
-        lit(2.0) * VectorOps.dot(col("a.v"), col("b.v")), lit(0.0)))
-    small.as("a").join(small.as("b"),
+    val cands = small.as("a").join(small.as("b"),
         col("a.k") === col("b.k") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), dist.as("dist"))
-      .groupBy("id_a", "id_b").agg(min("dist").as("dist"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      VectorOps.dot(col(vecCol), col(vecCol)).as("n2"))
+    val dist = sqrt(greatest(
+      col("a.n2") + col("b.n2") - lit(2.0) * VectorOps.dot(col("a.v"), col("b.v")),
+      lit(0.0)))
+    cands
+      .join(vecs.as("a"), col("id_a") === col("a.id"))
+      .join(vecs.as("b"), col("id_b") === col("b.id"))
+      .select(col("id_a"), col("id_b"), dist.as("dist"))
   }
 
   /** Directed candidate edges (id → nid, both directions, no self),

@@ -97,22 +97,22 @@ object AnnServe {
                                      idCol: String = "vec_id",
                                      vecCol: String = "embedding",
                                      rowCap: Int = 1 << 20): (Option[AnnShard], Long) = {
-    // lazy checkpoint so the count job materializes the projection
-    // once and the collect reads cached blocks — the input is a JOIN
-    // in the corpus pipeline, and the old count + collect shape ran
-    // it twice per micro-batch. (Not limit(cap+1).collect(): Spark's
-    // CollectLimit scans partitions incrementally — 1, then 4×, … —
-    // which is MORE jobs, not fewer.)
-    val proj = embeddings
+    // ONE collect job: both callers hand a MICRO-BATCH-bounded insert
+    // frame (the streaming trigger bounds it), so the cap check moves
+    // after the collect — still fail-loud on misuse, without the
+    // separate probe/count job per batch. Corpus-sized frames reach
+    // shards through fitShard, whose pre-collect probe stays.
+    // (Not limit(cap+1).collect(): Spark's CollectLimit scans
+    // partitions incrementally — 1, then 4×, … — MORE jobs, not fewer.)
+    val rows = embeddings
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
-      .localCheckpoint(false)
-    val n = proj.count()
-    require(n <= rowCap,
+      .collect()
+    require(rows.length <= rowCap,
       s"AnnShard: embeddings exceed the per-shard cap $rowCap — an ANN " +
         "serve shard must fit serving-node memory; use fitShards + " +
         "topkRowsSharded to partition the corpus and merge per-query " +
         "top-k answers instead")
-    (if (n == 0) None else Some(buildShard(proj.collect())), n)
+    (if (rows.isEmpty) None else Some(buildShard(rows)), rows.length.toLong)
   }
 
   /** Driver-side shard UNION for a long-lived maintained index
@@ -959,7 +959,8 @@ object AnnServe {
                           idCol: String = "vec_id",
                           vecCol: String = "embedding"): DataFrame =
     knnGraphIncremental(oldEdges, oldEmb, fitShard(oldEmb, idCol, vecCol),
-      newEmb, fitShard(newEmb, idCol, vecCol), k, idCol, vecCol)
+      newEmb, fitShard(newEmb, idCol, vecCol), k, idCol, vecCol,
+      preverifiedEdges = false)
 
   /** Shard-supplied form of `knnGraphIncremental` for a LONG-LIVED
     * maintained graph (`streaming.GraphStream`): the standing corpus's
@@ -977,7 +978,8 @@ object AnnServe {
   def knnGraphIncremental(oldEdges: DataFrame, oldEmb: DataFrame,
                           oldShard: AnnShard, newEmb: DataFrame,
                           newShard: AnnShard, k: Int,
-                          idCol: String, vecCol: String): DataFrame = {
+                          idCol: String, vecCol: String,
+                          preverifiedEdges: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val shardNew = newShard
     val shardOld = oldShard
@@ -991,15 +993,22 @@ object AnnServe {
     // WRONG graph with no error. A complete graph has exactly
     // |old| * min(k, |old|-1) rows, so validate that cheaply and fail
     // loudly on k-mismatched or filtered inputs (ADVICE r8).
-    val nOld = shardOld.ids.length
-    val expectedOldEdges = nOld.toLong * math.min(k, nOld - 1)
-    val gotOldEdges = oldEdges.count()
-    require(gotOldEdges == expectedOldEdges,
-      s"knnGraphIncremental: oldEdges has $gotOldEdges rows but the " +
-        s"complete unfiltered top-$k graph over $nOld old vectors has " +
-        s"$expectedOldEdges — the incremental merge is only " +
-        "bit-identical to a rebuild when oldEdges is that exact graph " +
-        "(same k, no cos filter, HALF_UP-6dp-rounded scores)")
+    // `preverifiedEdges` (r15): the MAINTAINED graph's edges are this
+    // operator's own output at the previous version — complete top-k
+    // by induction from the bootstrap, with drained≡rebuild parity
+    // gated in StreamingSpec — so GraphStream skips the per-micro-
+    // batch count job; every external caller keeps the loud check.
+    if (!preverifiedEdges) {
+      val nOld = shardOld.ids.length
+      val expectedOldEdges = nOld.toLong * math.min(k, nOld - 1)
+      val gotOldEdges = oldEdges.count()
+      require(gotOldEdges == expectedOldEdges,
+        s"knnGraphIncremental: oldEdges has $gotOldEdges rows but the " +
+          s"complete unfiltered top-$k graph over $nOld old vectors has " +
+          s"$expectedOldEdges — the incremental merge is only " +
+          "bit-identical to a rebuild when oldEdges is that exact graph " +
+          "(same k, no cos filter, HALF_UP-6dp-rounded scores)")
+    }
     val challenged = topkRows(oldEmb, shardNew, k, idCol, vecCol)
     val newVsOld = topkRows(newEmb, shardOld, k, idCol, vecCol)
     val newVsNew = topkRows(newEmb, shardNew, k, idCol, vecCol)
@@ -1039,7 +1048,8 @@ object AnnServe {
     val nRemoved = removed.count()
     val nRemaining = remaining.select(col(idCol)).distinct().count()
     knnGraphDelete(edges, remaining, fitShard(remaining, idCol, vecCol),
-      removed, nRemaining, nRemoved, k, idCol, vecCol)
+      removed, nRemaining, nRemoved, k, idCol, vecCol,
+      preverifiedEdges = false)
   }
 
   /** Shard-supplied form of `knnGraphDelete` — same rationale and
@@ -1053,17 +1063,24 @@ object AnnServe {
   def knnGraphDelete(edges: DataFrame, remaining: DataFrame,
                      remainingShard: AnnShard, removed: DataFrame,
                      nRemaining: Long, nRemoved: Long, k: Int,
-                     idCol: String, vecCol: String): DataFrame = {
-    val nPre = nRemaining + nRemoved
-    val expectedEdges = nPre * math.min(k.toLong, nPre - 1)
-    val gotEdges = edges.count()
-    require(gotEdges == expectedEdges,
-      s"knnGraphDelete: edges has $gotEdges rows but the complete " +
-        s"unfiltered top-$k graph over the $nPre pre-delete vectors " +
-        s"($nRemaining remaining + $nRemoved removed) has " +
-        s"$expectedEdges — the delete patch is only bit-identical to a " +
-        "rebuild when edges is that exact graph (same k, no cos " +
-        "filter, rounded scores, removedIds drawn from the indexed corpus)")
+                     idCol: String, vecCol: String,
+                     preverifiedEdges: Boolean): DataFrame = {
+    // `preverifiedEdges`: same rationale as knnGraphIncremental — the
+    // maintained graph's edges are complete by induction and parity-
+    // gated, so its per-batch count job is skipped; external callers
+    // keep the loud completeness check.
+    if (!preverifiedEdges) {
+      val nPre = nRemaining + nRemoved
+      val expectedEdges = nPre * math.min(k.toLong, nPre - 1)
+      val gotEdges = edges.count()
+      require(gotEdges == expectedEdges,
+        s"knnGraphDelete: edges has $gotEdges rows but the complete " +
+          s"unfiltered top-$k graph over the $nPre pre-delete vectors " +
+          s"($nRemaining remaining + $nRemoved removed) has " +
+          s"$expectedEdges — the delete patch is only bit-identical to a " +
+          "rebuild when edges is that exact graph (same k, no cos " +
+          "filter, rounded scores, removedIds drawn from the indexed corpus)")
+    }
     val live = edges.join(broadcast(removed),
       col("query_id") === col("__rid"), "left_anti")
     val affected = live.join(broadcast(removed),

@@ -1154,9 +1154,14 @@ object CorpusStream {
             .select(col("doc_id"), col("__fp"),
                     (col("doc_id") =!= col("__nk")).as("__exdup"))
             .join(broadcast(newFp.select("doc_id")), Seq("doc_id"), "left_anti")
+          // r15: LAZY state checkpoint — the drain runner never
+          // evaluates per-batch deltas, so materialization fuses into
+          // whichever later job first reads the state (often the final
+          // verdict), cutting one standalone job per batch per signal;
+          // blocks still cache at first compute.
           val st2 = s.join(batchMins.select("__fp"), Seq("__fp"), "left_anti")
             .unionByName(touchedNew).unionByName(batchEx)
-            .localCheckpoint()
+            .localCheckpoint(false)
           (batchEx.unionByName(dethroned), st2)
         case Some(s) => // doc-free batch: exact state untouched, no job
           (s.limit(0), s)
@@ -1164,7 +1169,7 @@ object CorpusStream {
           val batchEx = newFp.join(batchMins, Seq("__fp"))
             .select(col("doc_id"), col("__fp"),
               (col("doc_id") =!= col("__bmin")).as("__exdup"))
-          val st2 = batchEx.localCheckpoint()
+          val st2 = batchEx.localCheckpoint(false)
           (st2, st2)
       }
       val exFuture = MaintainedCrossmodal.advancePool.submit(
@@ -1188,12 +1193,12 @@ object CorpusStream {
             .unionByName(newEmb.select("id", "f", "__n", "cell"))
           val sn = withSemVerdict(cellRows)
           val st2 = s.join(cellsDf, Seq("cell"), "left_anti")
-            .unionByName(sn).localCheckpoint()
+            .unionByName(sn).localCheckpoint(false)
           (sn, st2)
         case Some(s) => (s.limit(0), s) // embedding-free batch: no job
         case None =>
           val sn = withSemVerdict(newEmb.select("id", "f", "__n", "cell"))
-          val st2 = sn.localCheckpoint()
+          val st2 = sn.localCheckpoint(false)
           (st2, st2)
       }
 

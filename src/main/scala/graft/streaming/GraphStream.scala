@@ -235,13 +235,17 @@ object GraphStream {
                 removedIds: Option[DataFrame] = None): Int = synchronized {
       val (v, last) = cur
       if (batchId <= last) return v
+      // lazy checkpoint: the insert frame is a JOIN in the corpus
+      // pipeline and is consumed several times below (shard collect,
+      // two serve passes, the corpus union) — cache it at first
+      // compute instead of re-running the join per consumer
       val ins = inserts
         .select(col(idCol).cast("long").as(idCol),
                 col(vecCol).cast("array<double>").as(vecCol))
-      // ONE bounded collect fits the new-side shard AND yields the
-      // batch count (r15: the separate count + fitShardPrecounted
-      // collect executed the insert frame twice per micro-batch — for
-      // the corpus pipeline that frame is a join, re-run both times)
+        .localCheckpoint(false)
+      // ONE collect fits the new-side shard AND yields the batch
+      // count (r15: the separate count + fitShardPrecounted collect
+      // executed the insert frame twice per micro-batch)
       val (shardNew, nIns) = graft.Phases.phase(spark, "graph:fit")(
         AnnServe.fitShardBounded(ins, idCol, vecCol))
       // removed ids come to the driver ANYWAY (every downstream use is
@@ -299,7 +303,8 @@ object GraphStream {
               (corpusAfter, shardAfter,
                AnnServe.knnGraphDelete(edges0, corpusAfter, shardAfter,
                    rm.get, shardAfter.ids.length.toLong,
-                   removedSet.size.toLong, k, idCol, vecCol)
+                   removedSet.size.toLong, k, idCol, vecCol,
+                   preverifiedEdges = true)
                  .localCheckpoint(false))
             }
           shardNew match {
@@ -309,7 +314,8 @@ object GraphStream {
               val merged = graft.Phases.phase(spark, "graph:merge-check") {
                 AnnServe.knnGraphIncremental(
                   edges1.select("query_id", "neighbor_id", "cos"),
-                  corpus1, shard1, ins, sn, k, idCol, vecCol)
+                  corpus1, shard1, ins, sn, k, idCol, vecCol,
+                  preverifiedEdges = true)
               }
               commit(batchId, v + 1, corpus1.unionByName(ins),
                 merged, AnnServe.concatShards(shard1, sn), removedSet)
