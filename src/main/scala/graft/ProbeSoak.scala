@@ -732,6 +732,116 @@ object ProbeSoak {
       }
       spark.stop(); return
     }
+    if (mode == "maintained") {
+      // VERDICT r14 #6 — the standing-state soak ladder for the two
+      // maintained DRAINS (continuous corpus + maintained kNN graph),
+      // extended to ≥32× with per-batch cost-flatness gates. Method:
+      // bootstrap the standing state from the x{s} soak corpus (one
+      // advance), then TIME one fixed-size arrival batch (500 rows)
+      // absorbed under the production "upsertlog" spelling. The
+      // declared per-batch cost model is a fixed scheduler floor plus
+      // terms LINEAR in the standing size (the |old|·|new| serve pass;
+      // the batch-band × standing-band candidate join) — so the gate
+      // is that the timed advance grows by at most 2.5× while the
+      // standing state grows 4× (anchor scales(1) → scales.last, the
+      // extract-soak discipline): any quadratic term (all-pairs
+      // candidates, corpus-sized rewrite on the log path) would blow
+      // straight through it. The graph-completeness invariant
+      // (|edges| == n·min(k,n−1)) is re-checked AFTER the advance —
+      // the r15 preverifiedEdges fast path must stay sound at scale.
+      import graft.streaming.{CorpusPipeline, GraphStream}
+      import org.apache.spark.sql.expressions.Window
+      def rmAll(path: String): Unit = {
+        def rec(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rec)
+          f.delete(): Unit
+        }
+        rec(new java.io.File(path))
+      }
+      val batchRows = 500
+      var graphT = Map.empty[Int, Double]
+      var corpusT = Map.empty[Int, Double]
+      scales.foreach { s =>
+        val dir = s"$OutRoot/x$s"
+        if (!new java.io.File(s"$dir/embeddings.parquet").exists) {
+          genEmbeddings(spark, s).repartition(32).write.mode("overwrite")
+            .parquet(s"$dir/embeddings.parquet")
+        }
+        val e = spark.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id"),
+            col("embedding").cast("array<double>").as("embedding"))
+          .localCheckpoint(true)
+        // fixed arrival slice, present at every scale (ids are dense
+        // from 0); standing = everything else
+        val arriving = e.filter(col("vec_id") >= 1000 &&
+            col("vec_id") < 1000 + batchRows).localCheckpoint(true)
+        val standing = e.filter(col("vec_id") < 1000 ||
+            col("vec_id") >= 1000 + batchRows).localCheckpoint(true)
+        val nOld = standing.count()
+
+        // ---- maintained kNN-graph drain --------------------------------
+        val groot = java.nio.file.Files.createTempDirectory("graft_soak_g").toString
+        val g = new GraphStream.MaintainedGraph(spark, groot, 5,
+          idCol = "vec_id", vecCol = "embedding",
+          stateFormat = "upsertlog", compactEvery = 1000)
+        g.advance(0L, standing): Unit
+        val g0 = System.nanoTime()
+        g.advance(1L, arriving): Unit
+        val g1 = System.nanoTime()
+        val nAll = nOld + batchRows
+        val gEdges = g.edges.count()
+        require(gEdges == nAll * math.min(5L, nAll - 1),
+          s"maintained graph incomplete after the soak advance at x$s: " +
+            s"$gEdges edges for $nAll vectors")
+        rmAll(groot)
+        graphT += s -> (g1 - g0) / 1e9
+
+        // ---- continuous-corpus drain -----------------------------------
+        // soak docs re-keyed onto the embedding ids so every doc
+        // carries a vector (the pipeline's feed is documents⋈embeddings)
+        val docsN = genDocs(spark, s).select(col("doc_id"), col("text"))
+          .withColumn("__i",
+            row_number().over(Window.orderBy(col("doc_id"))) - 1)
+          .localCheckpoint(true)
+        val feed = docsN.join(e, docsN("__i") === e("vec_id"))
+          .select(col("vec_id").as("doc_id"), col("text"), col("embedding"))
+          .localCheckpoint(true)
+        val arrivingC = feed.filter(col("doc_id") >= 1000 &&
+            col("doc_id") < 1000 + batchRows).localCheckpoint(true)
+        val standingC = feed.filter(col("doc_id") < 1000 ||
+            col("doc_id") >= 1000 + batchRows).localCheckpoint(true)
+        val nOldC = standingC.count()
+        val croot = java.nio.file.Files.createTempDirectory("graft_soak_c").toString
+        val mc = new CorpusPipeline.MaintainedCorpus(spark, croot, 5,
+          stateFormat = "upsertlog", compactEvery = 1000)
+        mc.advance(0L, standingC): Unit
+        val c0 = System.nanoTime()
+        mc.advance(1L, arrivingC): Unit
+        val c1 = System.nanoTime()
+        val keptN = mc.kept.count()
+        val cEdges = mc.graph.edges.count()
+        require(cEdges == keptN * math.min(5L, keptN - 1),
+          s"corpus-pipeline graph incomplete after the soak advance at " +
+            s"x$s: $cEdges edges for $keptN kept docs")
+        rmAll(croot)
+        corpusT += s -> (c1 - c0) / 1e9
+        println(f"[soak-maintained] x$s%-3d standing=$nOld%8d " +
+          f"graphAdvance=${graphT(s)}%6.2fs corpusAdvance=${corpusT(s)}%6.2fs " +
+          f"(batch=$batchRows, kept=$keptN)")
+      }
+      if (scales.length >= 2) {
+        val a = scales(1); val z = scales.last
+        require(graphT(z) <= 2.5 * graphT(a) + 1.0,
+          f"maintained-graph per-batch advance must stay near-flat as the " +
+            f"standing corpus grows: x$a=${graphT(a)}%.2fs -> x$z=${graphT(z)}%.2fs")
+        require(corpusT(z) <= 2.5 * corpusT(a) + 1.0,
+          f"continuous-corpus per-batch advance must stay near-flat as the " +
+            f"standing corpus grows: x$a=${corpusT(a)}%.2fs -> x$z=${corpusT(z)}%.2fs")
+        println(f"[soak-maintained] GATES OK: graph x$a=${graphT(a)}%.2fs -> " +
+          f"x$z=${graphT(z)}%.2fs, corpus x$a=${corpusT(a)}%.2fs -> x$z=${corpusT(z)}%.2fs")
+      }
+      spark.stop(); return
+    }
     if (mode == "logio") {
       // WRITE-VOLUME soak for the upsert-log state spelling (r11,
       // VERDICT r10 #4): the production claim is "O(|changed|) write

@@ -46,14 +46,32 @@ object Ensemble {
     * everything. */
   def fitModels(feats: DataFrame, idCol: String, cfg: Config = Config())
       : (IForestModel, PcaReconModel, Double, LofNoveltyModel) = {
-    val ifModel = IsolationForest.fit(feats, "features", cfg.nTrees,
-                                      cfg.subsample, cfg.contamination, cfg.seed)
-    val lofNov = Lof.fitNovelty(feats, idCol, "features",
-                                cfg.lofK, cfg.lofRefPoints)
-    val Array(train, valid) = feats.randomSplit(Array(0.8, 0.2), cfg.seed)
-    val pca = PcaRecon.fit(train, "features", cfg.pcaK)
-    val aeThr = valid.select(pca.scoreCol(col("features")).as("m"))
-      .agg(expr("percentile_approx(m, 0.975, 10000)")).head().getDouble(0)
+    // r15: the three model fits are independent given the features
+    // frame, so their actions overlap (guide §2.6) — each fit is a
+    // short chain of small driver-blocking jobs (count/subsample
+    // collect/percentile), and running them sequentially left the
+    // cluster idle between jobs. The frame is materialized ONCE
+    // before the fits so concurrent first-use cannot duplicate the
+    // upstream preproc compute (persist is a no-op when the caller's
+    // frame — the Features memo — is already cached). Seeded fits on
+    // a cached frame are order-independent, so results are unchanged.
+    val f = feats.persist()
+    f.count(): Unit
+    var ifModel: IForestModel = null
+    var lofNov: LofNoveltyModel = null
+    var pca: PcaReconModel = null
+    var aeThr: Double = 0.0
+    graft.Phases.inParallel(f.sparkSession, "ml:fit")(
+      () => ifModel = IsolationForest.fit(f, "features", cfg.nTrees,
+        cfg.subsample, cfg.contamination, cfg.seed),
+      () => lofNov = Lof.fitNovelty(f, idCol, "features",
+        cfg.lofK, cfg.lofRefPoints),
+      () => {
+        val Array(train, valid) = f.randomSplit(Array(0.8, 0.2), cfg.seed)
+        pca = PcaRecon.fit(train, "features", cfg.pcaK)
+        aeThr = valid.select(pca.scoreCol(col("features")).as("m"))
+          .agg(expr("percentile_approx(m, 0.975, 10000)")).head().getDouble(0)
+      })
     (ifModel, pca, aeThr, lofNov)
   }
 
